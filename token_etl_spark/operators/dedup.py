@@ -1,0 +1,200 @@
+"""Deduplication operators (BASELINE.json north star: exact, MinHash+LSH,
+SimHash, n-gram Jaccard — each partition-parallel, no driver loops).
+
+Scale design:
+- exact dedup is a hash-groupBy on a digest — one shuffle on the digest,
+  which is uniformly distributed (no skew) by construction;
+- MinHash/LSH replaces the O(n²) pairwise comparison with band-bucket
+  joins: candidate pairs only form inside a bucket, and the verify step
+  runs on candidates only;
+- all hash functions are Spark's built-in murmur3 (``F.hash``) with a
+  literal salt per permutation — JVM-side, deterministic, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from token_etl_spark.operators.text import tokens
+
+
+def normalized(text: Column) -> Column:
+    """Canonical text form for exact dedup: lowercase, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate grouping by md5 of normalized text.
+
+    Returns one row per distinct content: (digest, representative id =
+    min id, n_copies). Filtering the input down to representatives is a
+    semi-join against this frame.
+    """
+    digest = F.md5(normalized(F.col(text_col)))
+    return (
+        df.select(digest.alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Distinct k-token shingles per document: (id, shingle)."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    sh = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i, k), " ")
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle")
+    )
+
+
+def minhash_signatures(shingled: DataFrame, num_hashes: int = 32) -> DataFrame:
+    """MinHash signature per document: sig[i] = min over shingles of
+    murmur3(shingle, salt=i). One aggregation, ``num_hashes`` JVM-side
+    min() columns — no UDF, map-side partial aggregation applies."""
+    aggs = [
+        F.min(F.hash(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    sig = (
+        shingled.groupBy("id")
+        .agg(*aggs)
+        .select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+    )
+    return sig
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8) -> DataFrame:
+    """Band the signatures and emit candidate pairs per matching bucket.
+
+    Signature length must divide evenly into ``bands``; each band's slice
+    is hashed to a bucket key, docs sharing any (band, bucket) become a
+    candidate pair. Self-join happens on the (band, bucket) key only —
+    the quadratic blowup is confined to bucket-local groups.
+    """
+    sig_len_row = signatures.select(F.size("sig").alias("n")).limit(1).collect()
+    rows_per_band = (sig_len_row[0]["n"] if sig_len_row else bands) // bands
+    banded = signatures.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                    lambda x: x.cast("string"),
+                                ),
+                                "_",
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(candidates: DataFrame, shingled: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard on candidate pairs only: |A∩B| / |A∪B| via two
+    broadcast-friendly joins against per-doc shingle sets."""
+    sizes = shingled.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    pair_common = (
+        shingled.withColumnRenamed("id", "id_a")
+        .join(shingled.withColumnRenamed("id", "id_b"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(candidates, ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    with_sizes = (
+        pair_common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+    )
+    return with_sizes.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline → verified (id_a, id_b, jaccard)."""
+    sh = shingles(df, text_col, id_col, k)
+    sh.persist()
+    sigs = minhash_signatures(sh, num_hashes)
+    cands = lsh_candidate_pairs(sigs, bands)
+    out = jaccard_verify(cands, sh, threshold)
+    return out
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over ALL pairs sharing ≥1 shingle (the
+    baseline the LSH path approximates; quadratic in bucket-local
+    collision counts — use minhash_dedup at scale)."""
+    sh = shingles(df, text_col, id_col, k)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    pairs = (
+        sh.withColumnRenamed("id", "id_a")
+        .join(sh.withColumnRenamed("id", "id_b"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+    )
+    return pairs.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """SimHash fingerprint: per-token murmur3, each bit votes ±1, the
+    sign vector packs into a ``bits``-wide integer. All native: the vote
+    sums are ``bits`` aggregate columns over the exploded token frame."""
+    tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok"))
+    h = F.hash("tok")
+    votes = [
+        F.sum(
+            (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    voted = tok.groupBy("id").agg(*votes)
+    packed = None
+    for b in range(bits):
+        bit = (F.col(f"v{b}") > 0).cast("long") * F.lit(2**b).cast("long")
+        packed = bit if packed is None else packed + bit
+    return voted.select("id", packed.alias("simhash"))

@@ -1,0 +1,83 @@
+"""Multimodal-column plumbing (BASELINE.json north star).
+
+Images/audio/video are opaque ``binary`` columns with a typed metadata
+struct alongside. The Spark-side contract — schema, partition-parallel
+Arrow batching via ``mapInPandas``, deterministic output shape — is real
+and tested; the actual media decode is STUBBED (no image/audio libs in
+this container): ``decode_stub="fake"`` produces deterministic fake
+features from the bytes, ``decode_stub="error"`` raises
+NotImplementedError exactly where a real decoder (PIL/torchaudio/ffmpeg)
+would plug in.
+
+At 100 TB: binary payloads dominate I/O, so the metadata struct lives in
+its own (small) columns — predicates on media_type/byte_len prune row
+groups without ever reading payload bytes; mapInPandas batch size is
+bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` so executor
+memory stays flat regardless of payload size distribution.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODED_SCHEMA = (
+    "doc_id bigint, media_type string, byte_len int, width int, height int, n_frames int, checksum string"
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Synthesize an opaque binary column + typed metadata from text
+    (stands in for real media bytes; encoding is deterministic)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("media_type"),
+            F.length(payload).alias("byte_len"),
+            F.md5(F.col(text_col)).alias("checksum"),
+        ).alias("media_meta"),
+    )
+
+
+def decode_features(df: DataFrame, decode_stub: str = "fake") -> DataFrame:
+    """Per-payload feature extraction via Arrow-batched mapInPandas.
+
+    The generator signature (iterator of pandas batches in/out) is the
+    real production shape — a decoder swap touches only ``_decode_one``.
+    """
+
+    def _decode_one(payload: bytes) -> tuple[int, int, int]:
+        if decode_stub == "error":
+            raise NotImplementedError(
+                "media decode requires an image/audio library not present in this "
+                "container; plug PIL/torchaudio here"
+            )
+        # Deterministic fake: derive pseudo-dimensions from the byte length
+        # and first bytes so tests have stable expectations.
+        n = len(payload)
+        w = 16 + (n % 1024)
+        h = 16 + ((payload[0] if n else 0) % 512)
+        frames = 1 + (n % 7)
+        return w, h, frames
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [_decode_one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": [m["media_type"] for m in pdf["media_meta"]],
+                    "byte_len": [m["byte_len"] for m in pdf["media_meta"]],
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "n_frames": [f[2] for f in feats],
+                    "checksum": [m["checksum"] for m in pdf["media_meta"]],
+                }
+            )
+
+    return df.mapInPandas(_batches, schema=DECODED_SCHEMA)

@@ -1,0 +1,109 @@
+"""Text-analysis operators for a training-data pipeline (BASELINE.json
+north star; no reference analog — new capability, designed Spark-native).
+
+Everything here is built-in-function only (whole-stage codegen, no Python
+boundary): tokenization via split/regexp, quality stats via size/length
+arithmetic, language-ID via stopword-set intersection, fingerprints via
+md5 (order-insensitive) and a native rolling polynomial hash
+(F.aggregate over the token array — Java long overflow wraps, so the
+hash is deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword sets for the n-gram/stopword heuristic.
+# Deliberately small + hard-coded so the DuckDB oracle can repeat them.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht"],
+    "es": ["el", "la", "de", "que", "y", "en", "un"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace+punctuation tokenizer: lowercase, strip non-alnum,
+    split on runs of whitespace, drop empties."""
+    c = F.col(text) if isinstance(text, str) else text
+    cleaned = F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", " ")
+    return F.filter(F.split(F.trim(cleaned), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    """Fraction of *distinct* tokens that are stopwords of ``lang``."""
+    toks = F.array_distinct(tokens(text))
+    hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS[lang]])))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality metrics: char len, token count, mean token
+    length, alpha ratio, stopword ratio — the standard cheap filters a
+    pretraining pipeline applies before expensive dedup."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    return df.withColumns(
+        {
+            "char_len": F.length(c),
+            "n_tokens": n_tok,
+            "mean_token_len": F.when(
+                n_tok > 0,
+                F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
+                / n_tok,
+            ).otherwise(F.lit(0.0)),
+            "alpha_ratio": F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+            / F.greatest(F.length(c), F.lit(1)).cast("double"),
+            "stopword_ratio_en": stopword_ratio(c, "en"),
+        }
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language heuristic: score every language's stopword
+    set against the distinct-token set; predict the argmax, 'und'
+    (undetermined) when no set scores > 0. Deterministic tie-break by
+    language code order (en < de < es < fr resolved alphabetically:
+    de, en, es, fr)."""
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ws])))
+        for lang, ws in STOPWORDS.items()
+    }
+    # argmax with alphabetical tie-break: visit languages sorted, strictly-greater wins
+    pred = F.lit("und")
+    best = F.lit(0)
+    for lang in sorted(STOPWORDS):
+        s = scores[lang]
+        pred = F.when(s > best, F.lit(lang)).otherwise(pred)
+        best = F.greatest(best, s)
+    out = df.withColumn("lang_pred", pred)
+    for lang in sorted(STOPWORDS):
+        out = out.withColumn(f"score_{lang}", scores[lang])
+    return out
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints:
+
+    - ``fp_set``: md5 over the sorted distinct token set (order- and
+      multiplicity-insensitive; survives word shuffling) — SQL-portable.
+    - ``fp_rolling``: polynomial rolling hash acc*31 + murmur3(token)
+      over the token sequence (order-sensitive) — native fold, engine-
+      canonical (not oracle-portable: murmur3 seed differs per engine).
+    """
+    toks = tokens(F.col(text_col))
+    sorted_set = F.array_join(F.array_sort(F.array_distinct(toks)), " ")
+    rolling = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc * F.lit(31).cast("long") + F.hash(t).cast("long"),
+    )
+    return df.withColumn("fp_set", F.md5(sorted_set)).withColumn("fp_rolling", rolling)

@@ -1,0 +1,269 @@
+"""Token-ETL domain semantics re-expressed over the driver's ``events``
+table (user_id ≈ wallet, value ≈ transfer value, ts ≈ transact_at,
+'purchase' ≈ outflow). Each query is the driver-table twin of a
+reference metric (SURVEY §2.4-§2.5); the exact domain-schema variants run
+over generated fixtures in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F, Window as W
+
+from token_etl_spark.functions.timeops import (
+    DAY,
+    HOUR,
+    bucket,
+    changelog_entries,
+    unix_seconds,
+)
+from token_etl_spark.operators.assemble import assemble_on_key
+from token_etl_spark.plans.base import SQL_DAY, SQL_HOUR, QuerySpec, t
+
+HOUR_TS = SQL_HOUR.format(ts="ts")
+DAY_TS = SQL_DAY.format(ts="ts")
+
+
+def _hour(ev: DataFrame) -> DataFrame:
+    return ev.withColumn("hour_ts", bucket(unix_seconds("ts"), HOUR))
+
+
+# --- A5: hourly trading volume --------------------------------------------
+
+def q_hourly_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _hour(t(spark, sf_dir, "events"))
+    return ev.groupBy("hour_ts").agg(F.sum("value").alias("trading_volume"))
+
+
+SQL_HOURLY_VOLUME = f"""
+SELECT {HOUR_TS} AS hour_ts, sum(value) AS trading_volume
+FROM events GROUP BY 1
+"""
+
+
+# --- U1+A1: signed flow per (hour, user) ----------------------------------
+
+def _signed():
+    # Built lazily — Column construction needs an active SparkContext,
+    # and this module must import cleanly before any session exists.
+    return F.when(F.col("event_type") == "purchase", -F.col("value")).otherwise(F.col("value"))
+
+
+SQL_SIGNED = "CASE WHEN event_type = 'purchase' THEN -value ELSE value END"
+
+
+def q_hourly_user_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _hour(t(spark, sf_dir, "events"))
+    return ev.groupBy("hour_ts", "user_id").agg(F.sum(_signed()).alias("net_flow"))
+
+
+SQL_HOURLY_USER_FLOW = f"""
+SELECT {HOUR_TS} AS hour_ts, user_id, sum({SQL_SIGNED}) AS net_flow
+FROM events GROUP BY 1, 2
+"""
+
+
+# --- W1: cumulative running balance per user ------------------------------
+
+def q_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flows = q_hourly_user_flow(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("hour_ts")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return flows.select(
+        "user_id", "hour_ts", F.sum("net_flow").over(w).alias("balance")
+    )
+
+
+SQL_RUNNING_BALANCE = f"""
+WITH flows AS (
+  SELECT {HOUR_TS} AS hour_ts, user_id, sum({SQL_SIGNED}) AS net_flow
+  FROM events GROUP BY 1, 2)
+SELECT user_id, hour_ts,
+       sum(net_flow) OVER (PARTITION BY user_id ORDER BY hour_ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS balance
+FROM flows
+"""
+
+
+# --- W2: lag(1) previous balance ------------------------------------------
+
+def q_prev_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    balances = q_running_balance(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("hour_ts")
+    return balances.withColumn("pre_balance", F.lag("balance", 1).over(w))
+
+
+SQL_PREV_BALANCE = f"""
+WITH flows AS (
+  SELECT {HOUR_TS} AS hour_ts, user_id, sum({SQL_SIGNED}) AS net_flow
+  FROM events GROUP BY 1, 2),
+balances AS (
+  SELECT user_id, hour_ts,
+         sum(net_flow) OVER (PARTITION BY user_id ORDER BY hour_ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS balance
+  FROM flows)
+SELECT user_id, hour_ts, balance,
+       lag(balance, 1) OVER (PARTITION BY user_id ORDER BY hour_ts) AS pre_balance
+FROM balances
+"""
+
+
+# --- A3: tx count per day --------------------------------------------------
+
+def q_tx_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy(bucket(unix_seconds("ts"), DAY).alias("day_ts")).agg(
+        F.count("*").alias("tx_count")
+    )
+
+
+SQL_TX_PER_DAY = f"""
+SELECT {DAY_TS} AS day_ts, count(*) AS tx_count FROM events GROUP BY 1
+"""
+
+
+# --- A4: the avg-tx-per-day /24 quirk (BaseEnricher.scala:213-220) ---------
+
+def q_avg_tx_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = q_tx_per_day(spark, sf_dir)
+    return daily.select(
+        "day_ts", (F.col("tx_count") / F.lit(24.0)).alias("avg_tx_per_day")
+    )
+
+
+SQL_AVG_TX_PER_DAY = f"""
+SELECT {DAY_TS} AS day_ts, count(*) / 24.0 AS avg_tx_per_day FROM events GROUP BY 1
+"""
+
+
+# --- A6: distinct active users per hour (exact) ----------------------------
+
+def q_hourly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _hour(t(spark, sf_dir, "events"))
+    return ev.groupBy("hour_ts").agg(F.countDistinct("user_id").alias("active_users"))
+
+
+SQL_HOURLY_ACTIVE_USERS = f"""
+SELECT {HOUR_TS} AS hour_ts, count(DISTINCT user_id) AS active_users
+FROM events GROUP BY 1
+"""
+
+
+# --- P7+A2: holder count (positive running balance) per hour ---------------
+
+def q_holder_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    balances = q_running_balance(spark, sf_dir)
+    return balances.groupBy("hour_ts").agg(
+        F.sum((F.col("balance") > 0).cast("int")).cast("long").alias("holder_count")
+    )
+
+
+SQL_HOLDER_COUNT = f"""
+WITH flows AS (
+  SELECT {HOUR_TS} AS hour_ts, user_id, sum({SQL_SIGNED}) AS net_flow
+  FROM events GROUP BY 1, 2),
+balances AS (
+  SELECT user_id, hour_ts,
+         sum(net_flow) OVER (PARTITION BY user_id ORDER BY hour_ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS balance
+  FROM flows)
+SELECT hour_ts, CAST(sum(CASE WHEN balance > 0 THEN 1 ELSE 0 END) AS BIGINT) AS holder_count
+FROM balances GROUP BY hour_ts
+"""
+
+
+# --- F5+A2: whale count (balance over threshold) per hour ------------------
+
+WHALE_THRESHOLD = 5000.0
+
+
+def q_whale_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    balances = q_running_balance(spark, sf_dir)
+    return balances.groupBy("hour_ts").agg(
+        F.sum((F.col("balance") >= WHALE_THRESHOLD).cast("int")).cast("long").alias("whale_count")
+    )
+
+
+SQL_WHALE_COUNT = f"""
+WITH flows AS (
+  SELECT {HOUR_TS} AS hour_ts, user_id, sum({SQL_SIGNED}) AS net_flow
+  FROM events GROUP BY 1, 2),
+balances AS (
+  SELECT user_id, hour_ts,
+         sum(net_flow) OVER (PARTITION BY user_id ORDER BY hour_ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS balance
+  FROM flows)
+SELECT hour_ts, CAST(sum(CASE WHEN balance >= {WHALE_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT) AS whale_count
+FROM balances GROUP BY hour_ts
+"""
+
+
+# --- J6 intent: per-key metric assembly via explicit-key reduce join -------
+
+def q_assemble_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    tx = ev.groupBy("event_type").agg(F.count("*").alias("tx_count"))
+    vol = ev.groupBy("event_type").agg(F.sum("value").alias("total_volume"))
+    users = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("active_users"))
+    avg_v = ev.groupBy("event_type").agg(F.avg("value").alias("avg_value"))
+    return assemble_on_key([tx, vol, users, avg_v], key="event_type")
+
+
+SQL_ASSEMBLE_METRICS = """
+SELECT event_type, count(*) AS tx_count, sum(value) AS total_volume,
+       count(DISTINCT user_id) AS active_users, avg(value) AS avg_value
+FROM events GROUP BY event_type
+"""
+
+
+# --- streaming-equivalent tumbling window (batch form of §2.9) -------------
+
+def q_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("volume"))
+        .select(
+            unix_seconds(F.col("w.start")).alias("hour_ts"),
+            "event_type",
+            "n_events",
+            "volume",
+        )
+    )
+
+
+SQL_TUMBLING_HOURLY = f"""
+SELECT {HOUR_TS} AS hour_ts, event_type, count(*) AS n_events, sum(value) AS volume
+FROM events GROUP BY 1, 2
+"""
+
+
+# --- A11: changelog collapse-to-map (rows-only: map/array output types are
+# not portably hashable across engines; exact-value tests live in pytest) ---
+
+def q_changelog_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = q_hourly_volume(spark, sf_dir)
+    return hourly.select(
+        F.map_from_entries(changelog_entries("hour_ts", "trading_volume")).alias(
+            "tradingVolumeChanges"
+        )
+    )
+
+
+SPECS = [
+    QuerySpec("evt_hourly_volume", q_hourly_volume, SQL_HOURLY_VOLUME, ("domain", "agg")),
+    QuerySpec("evt_hourly_user_flow", q_hourly_user_flow, SQL_HOURLY_USER_FLOW, ("domain", "agg")),
+    QuerySpec("evt_running_balance", q_running_balance, SQL_RUNNING_BALANCE, ("domain", "window-cumsum"), bench=True),
+    QuerySpec("evt_prev_balance", q_prev_balance, SQL_PREV_BALANCE, ("domain", "window-lag")),
+    QuerySpec("evt_tx_per_day", q_tx_per_day, SQL_TX_PER_DAY, ("domain", "agg")),
+    QuerySpec("evt_avg_tx_per_day", q_avg_tx_per_day, SQL_AVG_TX_PER_DAY, ("domain", "agg-quirk")),
+    QuerySpec("evt_hourly_active_users", q_hourly_active_users, SQL_HOURLY_ACTIVE_USERS, ("domain", "agg-distinct"), bench=True),
+    QuerySpec("evt_holder_count", q_holder_count, SQL_HOLDER_COUNT, ("domain", "predicate", "agg")),
+    QuerySpec("evt_whale_count", q_whale_count, SQL_WHALE_COUNT, ("domain", "predicate", "agg")),
+    QuerySpec("evt_assemble_metrics", q_assemble_metrics, SQL_ASSEMBLE_METRICS, ("domain", "join-assembly")),
+    QuerySpec("evt_tumbling_hourly", q_tumbling_hourly, SQL_TUMBLING_HOURLY, ("domain", "window-tumbling")),
+    QuerySpec("evt_changelog_map", q_changelog_map, None, ("domain", "map-collapse")),
+]

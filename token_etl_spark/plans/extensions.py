@@ -1,0 +1,262 @@
+"""LLM-data-pipeline extension queries: dedup, text analysis, similarity
+search, multimodal plumbing (BASELINE.json north star) over the driver's
+``documents`` and ``embeddings`` tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from token_etl_spark.operators import dedup as D
+from token_etl_spark.operators import similarity as S
+from token_etl_spark.operators import text as X
+from token_etl_spark.operators.multimodal import attach_binary_payload, decode_features
+from token_etl_spark.plans.base import QuerySpec, t
+
+# DuckDB fragment: the engine's canonical tokenizer (operators/text.py
+# tokens()) — lowercase, strip non-alnum, split on whitespace, drop empties.
+SQL_TOKENS = (
+    "list_filter(string_split_regex(trim(regexp_replace(lower({col}), '[^a-z0-9\\s]', ' ', 'g')),"
+    " '\\s+'), x -> x != '')"
+)
+
+
+# --- exact dedup -----------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS digest,
+       min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+# --- text analysis ---------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return X.quality_stats(docs).select(
+        "doc_id",
+        F.col("char_len").cast("long").alias("char_len"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("mean_token_len", 6).alias("mean_token_len"),
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+        F.round("stopword_ratio_en", 6).alias("stopword_ratio_en"),
+    )
+
+
+_TOKS = SQL_TOKENS.format(col="text")
+_EN_STOP = "['" + "','".join(X.STOPWORDS["en"]) + "']"
+
+SQL_TEXT_STATS = f"""
+WITH base AS (
+  SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS char_len,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       round(CASE WHEN len(toks) > 0
+             THEN CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE) / len(toks)
+             ELSE 0.0 END, 6) AS mean_token_len,
+       round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1), 6) AS alpha_ratio,
+       round(CAST(len(list_intersect(list_distinct(toks), {_EN_STOP})) AS DOUBLE)
+             / greatest(len(list_distinct(toks)), 1), 6) AS stopword_ratio_en
+FROM base
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    out = X.language_id(docs)
+    cols = ["doc_id", "lang_pred"] + [f"score_{lang}" for lang in sorted(X.STOPWORDS)]
+    out = out.select(
+        "doc_id",
+        "lang_pred",
+        *[F.col(f"score_{lang}").cast("long").alias(f"score_{lang}") for lang in sorted(X.STOPWORDS)],
+    )
+    return out
+
+
+def _langid_sql() -> str:
+    score_exprs = []
+    for lang in sorted(X.STOPWORDS):
+        words = "['" + "','".join(X.STOPWORDS[lang]) + "']"
+        score_exprs.append(
+            f"CAST(len(list_intersect(list_distinct(toks), {words})) AS BIGINT) AS score_{lang}"
+        )
+    langs = sorted(X.STOPWORDS)
+    m = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN " + m + " = 0 THEN 'und' "
+    for lang in langs:
+        case += f"WHEN score_{lang} = {m} THEN '{lang}' "
+    case += "END"
+    return f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+scored AS (SELECT doc_id, {', '.join(score_exprs)} FROM base)
+SELECT doc_id, {case} AS lang_pred, {', '.join('score_' + lang for lang in langs)}
+FROM scored
+"""
+
+
+SQL_TEXT_LANGID = _langid_sql()
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return X.fingerprint(docs).select("doc_id", "fp_set")
+
+
+SQL_TEXT_FINGERPRINT = f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp_set
+FROM documents
+"""
+
+
+# --- n-gram Jaccard near-dup (exact pairwise baseline) ---------------------
+
+JACCARD_THRESHOLD = 0.3
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, k=3, threshold=JACCARD_THRESHOLD)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(tk) - 2, 1) + 1),
+           i -> array_to_string(tk[i:i+2], ' ')))) AS shingle
+  FROM toks),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --- MinHash+LSH / SimHash (engine-canonical hashes; rows-only check) ------
+
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return D.minhash_dedup(docs, k=3, num_hashes=32, bands=8, threshold=JACCARD_THRESHOLD)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return D.simhash(docs, bits=32)
+
+
+# --- similarity search -----------------------------------------------------
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = S.brute_force_topk(emb, queries, k=10)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+SQL_ANN_BRUTEFORCE = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS sim
+  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM s)
+SELECT query_id, neighbor_id, round(sim, 6) AS cosine_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+NEARDUP_COSINE = 0.35
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").cast("array<double>").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").cast("array<double>").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", S.cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine_sim") >= NEARDUP_COSINE)
+        .select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
+    )
+
+
+SQL_EMBEDDING_NEARDUP = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= {NEARDUP_COSINE}
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.lsh_topk(emb, queries, k=10, n_planes=4)
+
+
+# --- multimodal plumbing ---------------------------------------------------
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    with_payload = attach_binary_payload(docs)
+    return with_payload.select(
+        "doc_id",
+        F.col("media_meta.byte_len").cast("long").alias("byte_len"),
+        F.col("media_meta.checksum").alias("checksum"),
+    )
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id, CAST(octet_length(text::BLOB) AS BIGINT) AS byte_len,
+       md5(text) AS checksum
+FROM documents
+"""
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return decode_features(attach_binary_payload(docs), decode_stub="fake")
+
+
+SPECS = [
+    QuerySpec("ext_dedup_exact", q_dedup_exact, SQL_DEDUP_EXACT, ("dedup",), bench=True),
+    QuerySpec("ext_text_stats", q_text_stats, SQL_TEXT_STATS, ("text",), bench=True),
+    QuerySpec("ext_text_langid", q_text_langid, SQL_TEXT_LANGID, ("text",)),
+    QuerySpec("ext_text_fingerprint", q_text_fingerprint, SQL_TEXT_FINGERPRINT, ("text",)),
+    QuerySpec("ext_ngram_jaccard", q_ngram_jaccard, SQL_NGRAM_JACCARD, ("dedup",)),
+    QuerySpec("ext_minhash_neardup", q_minhash_neardup, None, ("dedup",), bench=True),
+    QuerySpec("ext_simhash", q_simhash, None, ("dedup",)),
+    QuerySpec("ext_ann_bruteforce", q_ann_bruteforce, SQL_ANN_BRUTEFORCE, ("similarity",), bench=True),
+    QuerySpec("ext_embedding_neardup", q_embedding_neardup, SQL_EMBEDDING_NEARDUP, ("similarity", "dedup")),
+    QuerySpec("ext_ann_lsh", q_ann_lsh, None, ("similarity",)),
+    QuerySpec("ext_multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL_META, ("multimodal",)),
+    QuerySpec("ext_multimodal_decode", q_multimodal_decode, None, ("multimodal",)),
+]

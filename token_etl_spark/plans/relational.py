@@ -1,0 +1,311 @@
+"""Micro-operator coverage queries (SURVEY §2.1-§2.3, §2.6-§2.8).
+
+One query per operator family the reference exercises: pushdown scans,
+NOT-IN blacklists, prefix/boolean predicates, null repair, composite-key
+left-outer + crossJoin scaffolds, explode-array joins, semi/anti joins,
+pivot, union-distinct, rank windows, and the as-of join extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F, Window as W
+
+from token_etl_spark.functions.keys import add_collection_prefix, strip_collection_prefix
+from token_etl_spark.operators.asof import asof_join
+from token_etl_spark.plans.base import QuerySpec, t
+
+
+# --- S4/P1/P5: pushdown scan: filter + projection reach the parquet scan ---
+
+def q_scan_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("ts") >= F.lit("2024-01-05").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-12").cast("timestamp"))
+    ).select("event_id", "user_id", "value")
+
+
+SQL_SCAN_PUSHDOWN = """
+SELECT event_id, user_id, value FROM events
+WHERE event_type = 'purchase'
+  AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-12'
+"""
+
+
+# --- P2: NOT-IN blacklist filter (BaseEnricher.scala:62-66) ----------------
+
+def q_notin_blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(~F.col("l_returnflag").isin("R"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_NOTIN_BLACKLIST = """
+SELECT l_returnflag, l_linestatus, count(*) AS n
+FROM lineitem WHERE l_returnflag NOT IN ('R')
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- P7/P8: boolean-combination derived flag (BaseEnricher.scala:141-155) --
+
+def q_bool_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    flag = F.when(
+        (F.col("c_acctbal") > 5000) | ((F.col("c_acctbal") < 0) & (F.col("c_mktsegment") == "BUILDING")),
+        F.lit(True),
+    ).otherwise(F.lit(False))
+    return (
+        c.withColumn("vip", flag)
+        .groupBy("c_mktsegment", "vip")
+        .agg(F.count("*").alias("n"), F.sum("c_acctbal").alias("total_bal"))
+    )
+
+
+SQL_BOOL_FLAGS = """
+SELECT c_mktsegment,
+       CASE WHEN c_acctbal > 5000 OR (c_acctbal < 0 AND c_mktsegment = 'BUILDING')
+            THEN TRUE ELSE FALSE END AS vip,
+       count(*) AS n, sum(c_acctbal) AS total_bal
+FROM customer GROUP BY 1, 2
+"""
+
+
+# --- F1/F2/P4: vertex-prefix key round-trip + startswith -------------------
+
+def q_prefix_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.withColumn("vertex", add_collection_prefix("c_name"))
+        .withColumn("stripped", strip_collection_prefix("vertex"))
+        .filter(F.col("vertex").startswith("wallets/Customer"))
+        .select("c_custkey", "vertex", "stripped")
+    )
+
+
+SQL_PREFIX_KEYS = """
+SELECT c_custkey,
+       'wallets/' || c_name AS vertex,
+       split_part('wallets/' || c_name, '/', 2) AS stripped
+FROM customer
+WHERE ('wallets/' || c_name) LIKE 'wallets/Customer%'
+"""
+
+
+# --- P10/J3: left-outer + null repair (coalesce) ---------------------------
+
+def q_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("spend"))
+    return (
+        c.join(spend, c.c_custkey == spend.o_custkey, "left_outer")
+        .select("c_custkey", F.coalesce(F.col("spend"), F.lit(0.0)).alias("total_spend"))
+    )
+
+
+SQL_CUSTOMER_SPEND = """
+SELECT c_custkey, coalesce(s.spend, 0.0) AS total_spend
+FROM customer
+LEFT JOIN (SELECT o_custkey, sum(o_totalprice) AS spend FROM orders GROUP BY 1) s
+  ON c_custkey = s.o_custkey
+"""
+
+
+# --- J3/J4/P10: crossJoin scaffold + composite-key left-outer --------------
+# (WalletEnricher.scala:27-37 densification shape, on driver tables)
+
+def q_monthly_scaffold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100).select("c_custkey")
+    months = o.select(F.date_trunc("month", F.col("o_orderdate")).alias("month")).distinct()
+    monthly = (
+        o.withColumn("month", F.date_trunc("month", F.col("o_orderdate")))
+        .groupBy(F.col("o_custkey").alias("c_custkey"), "month")
+        .agg(F.sum("o_totalprice").alias("spend"))
+    )
+    scaffold = c.crossJoin(F.broadcast(months))
+    return scaffold.join(monthly, ["c_custkey", "month"], "left_outer").select(
+        "c_custkey", "month", F.coalesce(F.col("spend"), F.lit(0.0)).alias("monthly_spend")
+    )
+
+
+SQL_MONTHLY_SCAFFOLD = """
+WITH months AS (SELECT DISTINCT date_trunc('month', o_orderdate)::TIMESTAMP AS month FROM orders),
+custs AS (SELECT c_custkey FROM customer WHERE c_custkey < 100),
+monthly AS (
+  SELECT o_custkey AS c_custkey, date_trunc('month', o_orderdate)::TIMESTAMP AS month,
+         sum(o_totalprice) AS spend
+  FROM orders GROUP BY 1, 2)
+SELECT custs.c_custkey, months.month, coalesce(monthly.spend, 0.0) AS monthly_spend
+FROM custs CROSS JOIN months
+LEFT JOIN monthly ON custs.c_custkey = monthly.c_custkey AND months.month = monthly.month
+"""
+
+
+# --- J5: array-membership join via explode (BaseEnricher.scala:348-355) ----
+
+def q_explode_word_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    words = part.select(
+        "p_partkey", F.explode(F.split(F.col("p_name"), " ")).alias("word")
+    )
+    return (
+        li.join(F.broadcast(words), li.l_partkey == words.p_partkey)
+        .groupBy("word")
+        .agg(F.sum("l_quantity").alias("total_qty"), F.count("*").alias("n_items"))
+    )
+
+
+SQL_EXPLODE_WORD_JOIN = """
+SELECT word, sum(l_quantity) AS total_qty, count(*) AS n_items
+FROM lineitem
+JOIN (SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word FROM part) w
+  ON l_partkey = w.p_partkey
+GROUP BY word
+"""
+
+
+# --- semi/anti joins (free capability per SURVEY §2.3 J7) ------------------
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_with_orders"))
+    )
+
+
+SQL_SEMI_JOIN = """
+SELECT c_mktsegment, count(*) AS n_with_orders
+FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_mktsegment
+FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# --- U1/U2/A12: union + distinct ------------------------------------------
+
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    return (
+        c.select(F.col("c_nationkey").alias("nationkey"))
+        .union(s.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+SQL_UNION_DISTINCT = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+# --- A10: pivot with explicit values (BaseEnricher.scala:430-435) ----------
+
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+PRIORITY_ALIASES = ["urgent", "high", "medium", "not_specified", "low"]
+
+
+def q_pivot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    pivoted = o.groupBy("o_orderstatus").pivot("o_orderpriority", PRIORITIES).count()
+    cols = [F.col("o_orderstatus")] + [
+        F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("long").alias(a)
+        for p, a in zip(PRIORITIES, PRIORITY_ALIASES)
+    ]
+    return pivoted.select(*cols)
+
+
+SQL_PIVOT_PRIORITY = """
+SELECT o_orderstatus,
+       count(*) FILTER (WHERE o_orderpriority = '1-URGENT')        AS urgent,
+       count(*) FILTER (WHERE o_orderpriority = '2-HIGH')          AS high,
+       count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM')        AS medium,
+       count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS not_specified,
+       count(*) FILTER (WHERE o_orderpriority = '5-LOW')           AS low
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# --- W3 extension: rank window, top-k per group ----------------------------
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders WHERE o_custkey < 50) ranked
+WHERE rank <= 3
+"""
+
+
+# --- as-of join (custom operator; composition of built-ins) ----------------
+
+def q_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    return asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="click_ts",
+        right_payload=["click_ts"],
+    ).select("event_id", "user_id", "ts", "click_ts")
+
+
+SQL_ASOF_LAST_CLICK = """
+SELECT p.event_id, p.user_id, p.ts, c.click_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+"""
+
+
+SPECS = [
+    QuerySpec("rel_scan_pushdown", q_scan_pushdown, SQL_SCAN_PUSHDOWN, ("scan", "filter")),
+    QuerySpec("rel_notin_blacklist", q_notin_blacklist, SQL_NOTIN_BLACKLIST, ("filter",)),
+    QuerySpec("rel_bool_flags", q_bool_flags, SQL_BOOL_FLAGS, ("predicate",)),
+    QuerySpec("rel_prefix_keys", q_prefix_keys, SQL_PREFIX_KEYS, ("string", "domain")),
+    QuerySpec("rel_customer_spend", q_customer_spend, SQL_CUSTOMER_SPEND, ("join-outer", "nullrepair")),
+    QuerySpec("rel_monthly_scaffold", q_monthly_scaffold, SQL_MONTHLY_SCAFFOLD, ("join-cross", "join-outer")),
+    QuerySpec("rel_explode_word_join", q_explode_word_join, SQL_EXPLODE_WORD_JOIN, ("join-explode",), bench=True),
+    QuerySpec("rel_semi_join", q_semi_join, SQL_SEMI_JOIN, ("join-semi",)),
+    QuerySpec("rel_anti_join", q_anti_join, SQL_ANTI_JOIN, ("join-anti",)),
+    QuerySpec("rel_union_distinct", q_union_distinct, SQL_UNION_DISTINCT, ("setop",)),
+    QuerySpec("rel_pivot_priority", q_pivot_priority, SQL_PIVOT_PRIORITY, ("pivot",)),
+    QuerySpec("rel_topk_orders", q_topk_orders, SQL_TOPK_ORDERS, ("window-rank",)),
+    QuerySpec("rel_asof_last_click", q_asof_last_click, SQL_ASOF_LAST_CLICK, ("join-asof",), bench=True),
+]
