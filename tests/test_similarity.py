@@ -1,0 +1,49 @@
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from token_etl_spark.operators.similarity import brute_force_topk, cosine, lsh_topk
+
+
+def test_cosine_matches_numpy(spark):
+    a = [1.0, 2.0, 3.0]
+    b = [-1.0, 0.5, 2.0]
+    df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    got = df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()[0]["c"]
+    exp = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert math.isclose(got, exp, rel_tol=1e-12)
+
+
+def _corpus(spark, n=50, dim=8, seed=7):
+    rng = np.random.RandomState(seed)
+    vecs = rng.randn(n, dim).astype(float)
+    return spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(n)], "vec_id long, embedding array<double>"
+    ), vecs
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    df, vecs = _corpus(spark)
+    out = brute_force_topk(df, df.filter(F.col("vec_id") == 0), k=5)
+    got = [r["neighbor_id"] for r in out.orderBy("rank").collect()]
+    sims = vecs @ vecs[0] / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[0]))
+    sims[0] = -np.inf  # exclude self
+    exp = list(np.argsort(-sims)[:5])
+    assert got == exp
+
+
+def test_lsh_topk_subset_of_bruteforce_universe(spark):
+    df, _ = _corpus(spark)
+    queries = df.filter(F.col("vec_id") < 3)
+    exact = brute_force_topk(df, queries, k=10)
+    approx = lsh_topk(df, queries, k=10, n_planes=2, dim=8)
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_rows = approx.collect()
+    # every approx result is a real (non-self) pair with correct cosine sign conventions
+    assert all(r["query_id"] != r["neighbor_id"] for r in approx_rows)
+    # with 2 planes buckets are coarse → decent overlap with exact top-10
+    overlap = {(r["query_id"], r["neighbor_id"]) for r in approx_rows} & exact_pairs
+    assert len(overlap) > 0

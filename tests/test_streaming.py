@@ -1,0 +1,28 @@
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from token_etl_spark.io.sources import load_table
+from token_etl_spark.plans.domain import q_tumbling_hourly
+from token_etl_spark.streaming.hourly import hourly_metrics_stream, run_to_memory
+
+
+def test_stream_matches_batch(spark, sf_dir, tmp_path):
+    # Stage the events table as normal-microsecond parquet (file stream
+    # source can't use the nanos conversion path), then assert the
+    # watermarked streaming aggregation equals the batch tumbling query.
+    events = load_table(spark, sf_dir, "events")
+    staged = str(tmp_path / "events_stream")
+    events.write.parquet(staged)
+
+    stream_df = hourly_metrics_stream(spark, staged, events.schema)
+    run_to_memory(stream_df, "hourly_test")
+    got = spark.sql("SELECT * FROM hourly_test").collect()
+
+    exp = q_tumbling_hourly(spark, sf_dir).collect()
+    key = lambda r: (r["hour_ts"], r["event_type"])  # noqa: E731
+    got_map = {key(r): (r["n_events"], round(r["volume"], 6)) for r in got}
+    exp_map = {key(r): (r["n_events"], round(r["volume"], 6)) for r in exp}
+    assert got_map == exp_map

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from token_etl_spark.functions.keys import strip_collection_prefix
 from token_etl_spark.functions.timeops import hour_bucket
 
 
@@ -57,9 +58,11 @@ def match_dapp_endpoints(
     The registry is tiny (dozens-to-thousands of dapps) → broadcast; the
     transfer side never shuffles. Reference: BaseEnricher.scala:348-355.
     """
+    # endpoints carry the "wallets/" vertex prefix — strip before matching
+    # (F2 applied pre-join in the reference, BaseEnricher.scala:336,341)
     endpoints = transfers.withColumn(
         "address", F.explode(F.array(F.col(from_col), F.col(to_col)))
-    )
+    ).withColumn("address", strip_collection_prefix("address"))
     reg = F.broadcast(explode_registry(registry))
     return endpoints.join(reg, endpoints["address"] == reg["dapp_address"], "inner").drop(
         "dapp_address"

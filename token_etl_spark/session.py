@@ -46,6 +46,10 @@ def get_spark(app_name: str = "token_etl_spark", master: str | None = None) -> S
         # TIMESTAMP(NANOS) which vanilla Spark rejects; read them as long
         # nanos and convert in io.sources.load_table (exact integer math).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Changelog maps resolve duplicate timestamp keys by last writer
+        # (reference behavior on Spark 3.4; entries are pre-sorted so the
+        # winner is deterministic — functions/timeops.py).
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     )
     if master is not None:
         builder = builder.master(master)
