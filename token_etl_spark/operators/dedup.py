@@ -40,16 +40,18 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
-    """Distinct k-token shingles per document: (id, shingle)."""
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    sh = F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i, k), " ")
-    )
-    return df.select(
-        F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle")
-    )
+    """Distinct k-token shingles per document: (id, shingle).
+
+    Tokenization is materialized into a column FIRST: higher-order
+    lambdas get no common-subexpression elimination, so referencing the
+    tokenizer expression inside the per-index transform would re-run the
+    regex split once per shingle — O(len²) per document.
+    """
+    base = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+    toks = F.col("toks")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1)))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    return base.select("id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
 def minhash_signatures(shingled: DataFrame, num_hashes: int = 32) -> DataFrame:
@@ -67,16 +69,15 @@ def minhash_signatures(shingled: DataFrame, num_hashes: int = 32) -> DataFrame:
     return sig
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8) -> DataFrame:
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8, sig_len: int = 32) -> DataFrame:
     """Band the signatures and emit candidate pairs per matching bucket.
 
-    Signature length must divide evenly into ``bands``; each band's slice
-    is hashed to a bucket key, docs sharing any (band, bucket) become a
+    ``sig_len`` must divide evenly into ``bands``; each band's slice is
+    hashed to a bucket key, docs sharing any (band, bucket) become a
     candidate pair. Self-join happens on the (band, bucket) key only —
     the quadratic blowup is confined to bucket-local groups.
     """
-    sig_len_row = signatures.select(F.size("sig").alias("n")).limit(1).collect()
-    rows_per_band = (sig_len_row[0]["n"] if sig_len_row else bands) // bands
+    rows_per_band = sig_len // bands
     banded = signatures.select(
         "id",
         F.explode(
@@ -110,27 +111,29 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8) -> DataFrame:
 
 
 def jaccard_verify(candidates: DataFrame, shingled: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """Exact Jaccard on candidate pairs only: |A∩B| / |A∪B| via two
-    broadcast-friendly joins against per-doc shingle sets."""
-    sizes = shingled.groupBy("id").agg(F.count("*").alias("n_shingles"))
-    pair_common = (
-        shingled.withColumnRenamed("id", "id_a")
-        .join(shingled.withColumnRenamed("id", "id_b"), "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .join(candidates, ["id_a", "id_b"], "left_semi")
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
+    """Exact Jaccard on candidate pairs ONLY: each pair joins its two
+    per-doc shingle-set arrays and intersects them natively.
+
+    Cost is O(candidates × doc_len) — never touches non-candidate pairs,
+    which is the whole point of LSH (the all-pairs-sharing-a-shingle join
+    lives in ngram_jaccard_pairs as the exact baseline).
+    """
+    sets = shingled.groupBy("id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("sh"),
+        F.count("*").alias("n"),
     )
-    with_sizes = (
-        pair_common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "n_b"), "id_b")
+    a = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a"))
+    b = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n").alias("n_b"))
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
         )
-    )
-    return with_sizes.filter(F.col("jaccard") >= threshold).select(
-        "id_a", "id_b", "jaccard"
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -145,11 +148,10 @@ def minhash_dedup(
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline → verified (id_a, id_b, jaccard)."""
     sh = shingles(df, text_col, id_col, k)
-    sh.persist()
+    sh.persist()  # feeds both the signature agg and the verify arrays
     sigs = minhash_signatures(sh, num_hashes)
-    cands = lsh_candidate_pairs(sigs, bands)
-    out = jaccard_verify(cands, sh, threshold)
-    return out
+    cands = lsh_candidate_pairs(sigs, bands, sig_len=num_hashes)
+    return jaccard_verify(cands, sh, threshold)
 
 
 def ngram_jaccard_pairs(
