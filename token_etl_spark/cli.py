@@ -1,0 +1,88 @@
+"""CLI entry points for the four pipelines (SURVEY §3 lifecycle).
+
+The reference runs each enricher as a Scala App whose body executes at
+class-init (BaseEnricher.scala:17); here each is an explicit subcommand
+over parquet paths:
+
+    python -m token_etl_spark.cli ingest   --raw R --blocks B --out O [--lower N --upper N]
+    python -m token_etl_spark.cli wallets  --transfers T --metadata M --out O
+    python -m token_etl_spark.cli tokens   --transfers T --metadata M [--dapps D] --out O
+    python -m token_etl_spark.cli dapps    --transfers T --registry D --out O
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from token_etl_spark.io.sinks import upsert_by_key, write_parquet
+from token_etl_spark.io.sources import read_json_registry
+from token_etl_spark.session import get_spark
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="token_etl_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ing = sub.add_parser("ingest")
+    ing.add_argument("--raw", required=True)
+    ing.add_argument("--blocks", required=True)
+    ing.add_argument("--out", required=True)
+    ing.add_argument("--lower", type=int)
+    ing.add_argument("--upper", type=int)
+
+    wal = sub.add_parser("wallets")
+    wal.add_argument("--transfers", required=True)
+    wal.add_argument("--metadata", required=True)
+    wal.add_argument("--out", required=True)
+
+    tok = sub.add_parser("tokens")
+    tok.add_argument("--transfers", required=True)
+    tok.add_argument("--metadata", required=True)
+    tok.add_argument("--dapps")
+    tok.add_argument("--out", required=True)
+
+    dap = sub.add_parser("dapps")
+    dap.add_argument("--transfers", required=True)
+    dap.add_argument("--registry", required=True)
+    dap.add_argument("--out", required=True)
+
+    args = p.parse_args(argv)
+    spark = get_spark(f"token_etl_spark_{args.cmd}")
+
+    if args.cmd == "ingest":
+        from token_etl_spark.pipelines.transfers import enrich_transfers
+
+        out = enrich_transfers(
+            spark.read.parquet(args.raw),
+            spark.read.parquet(args.blocks),
+            args.lower,
+            args.upper,
+        )
+        upsert_by_key(spark, out, args.out)
+    elif args.cmd == "wallets":
+        from token_etl_spark.pipelines.wallets import wallet_balance_changelogs
+
+        out = wallet_balance_changelogs(
+            spark.read.parquet(args.transfers), spark.read.parquet(args.metadata)
+        )
+        write_parquet(out, args.out)
+    elif args.cmd == "tokens":
+        from token_etl_spark.pipelines.tokens import enhance_tokens
+
+        registry = read_json_registry(spark, args.dapps) if args.dapps else None
+        out = enhance_tokens(
+            spark.read.parquet(args.transfers), spark.read.parquet(args.metadata), registry
+        )
+        write_parquet(out, args.out)
+    elif args.cmd == "dapps":
+        from token_etl_spark.pipelines.dapps_pipeline import enrich_dapps
+
+        out = enrich_dapps(
+            spark.read.parquet(args.transfers), read_json_registry(spark, args.registry)
+        )
+        write_parquet(out, args.out)
+    print(f"{args.cmd}: wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
