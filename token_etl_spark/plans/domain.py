@@ -241,6 +241,24 @@ FROM events GROUP BY 1, 2
 """
 
 
+# --- A7/A8: multi-agg with sorted collect_set rollup -----------------------
+
+def q_daily_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy(bucket(unix_seconds("ts"), DAY).alias("day_ts")).agg(
+        F.countDistinct("event_type").alias("n_types"),
+        F.sort_array(F.collect_set("event_type")).alias("types"),
+    )
+
+
+SQL_DAILY_EVENT_TYPES = f"""
+SELECT {DAY_TS} AS day_ts,
+       count(DISTINCT event_type) AS n_types,
+       list_sort(list(DISTINCT event_type)) AS types
+FROM events GROUP BY 1
+"""
+
+
 # --- A11: changelog collapse-to-map (rows-only: map/array output types are
 # not portably hashable across engines; exact-value tests live in pytest) ---
 
@@ -265,5 +283,6 @@ SPECS = [
     QuerySpec("evt_whale_count", q_whale_count, SQL_WHALE_COUNT, ("domain", "predicate", "agg")),
     QuerySpec("evt_assemble_metrics", q_assemble_metrics, SQL_ASSEMBLE_METRICS, ("domain", "join-assembly")),
     QuerySpec("evt_tumbling_hourly", q_tumbling_hourly, SQL_TUMBLING_HOURLY, ("domain", "window-tumbling")),
+    QuerySpec("evt_daily_event_types", q_daily_event_types, SQL_DAILY_EVENT_TYPES, ("domain", "agg-collect")),
     QuerySpec("evt_changelog_map", q_changelog_map, None, ("domain", "map-collapse")),
 ]
