@@ -1,0 +1,80 @@
+"""Skew mitigation: salted aggregation and salted joins.
+
+AQE's skew-join splitting (enabled in session.py) handles most runtime
+skew; these explicit forms cover the two cases AQE cannot: a *hash
+aggregation* whose hot grouping key overwhelms one task, and a shuffle
+join against a side too large to broadcast where one key dominates.
+
+Both are deterministic: the salt is murmur3 of the full row (or caller-
+chosen columns) mod n — no rand(), so replays and retries produce
+identical partitioning (a lineage-recompute with rand() salt would
+double-count rows across retried tasks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: merge rule per aggregate: how partial per-salt results re-combine.
+_MERGE = {
+    "sum": F.sum,
+    "count": F.sum,  # counts re-combine by summing
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def _salt(df: DataFrame, cols: list[str] | None, n: int) -> Column:
+    src = [F.col(c) for c in (cols or df.columns)]
+    return F.pmod(F.hash(*src), F.lit(n))
+
+
+def salted_aggregate(
+    df: DataFrame,
+    group_cols: list[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 16,
+    salt_cols: list[str] | None = None,
+) -> DataFrame:
+    """Two-phase aggregation: partial per (keys, salt), final per keys.
+
+    ``aggs``: output_name → (function, input_col) with function in
+    {sum, count, min, max}. A hot key's rows spread over ``n_salts``
+    partial tasks; the final phase combines n_salts rows per key —
+    bounded regardless of the key's row count.
+    """
+    for fn, _ in aggs.values():
+        if fn not in _MERGE:
+            raise ValueError(f"unsupported salted aggregate: {fn}")
+    salted = df.withColumn("_salt", _salt(df, salt_cols, n_salts))
+    partial_exprs = []
+    for out, (fn, col) in aggs.items():
+        expr = F.count(col) if fn == "count" else getattr(F, fn)(col)
+        partial_exprs.append(expr.alias(f"_p_{out}"))
+    partial = salted.groupBy(*group_cols, "_salt").agg(*partial_exprs)
+    final_exprs = [
+        _MERGE[fn](f"_p_{out}").alias(out) for out, (fn, _) in aggs.items()
+    ]
+    return partial.groupBy(*group_cols).agg(*final_exprs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the big side, replicate the small.
+
+    The big side's hot key spreads across ``n_salts`` shuffle partitions;
+    the small side is exploded ×n_salts (acceptable when small ≪ big —
+    the same regime where the skew hurts). Result equals
+    ``big.join(small, key, how)`` exactly.
+    """
+    big_salted = big.withColumn("_salt", _salt(big, None, n_salts))
+    small_replicated = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return big_salted.join(small_replicated, [key, "_salt"], how).drop("_salt")

@@ -7,10 +7,16 @@ This is the single source of truth consumed by ``__spark_entry__.py``
 
 from __future__ import annotations
 
-from token_etl_spark.plans import domain, extensions, relational, tpch
+from token_etl_spark.plans import domain, extensions, relational, tpch, tpch2
 from token_etl_spark.plans.base import QuerySpec
 
-_ALL: list[QuerySpec] = [*tpch.SPECS, *relational.SPECS, *domain.SPECS, *extensions.SPECS]
+_ALL: list[QuerySpec] = [
+    *tpch.SPECS,
+    *tpch2.SPECS,
+    *relational.SPECS,
+    *domain.SPECS,
+    *extensions.SPECS,
+]
 
 _names = [s.name for s in _ALL]
 assert len(_names) == len(set(_names)), f"duplicate query names: {_names}"

@@ -1,0 +1,228 @@
+"""Second wave of analytical queries: HAVING, rollup, set ops beyond the
+reference (intersect/except), range-frame windows, exact median, semi-join
+counts, OR-of-ANDs predicates — rounding out the relational surface a
+migrating user would expect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F, Window as W
+
+from token_etl_spark.plans.base import QuerySpec, t
+
+
+# --- Q4-style: order-priority counts for orders with ≥1 lineitem (semi) ----
+
+def q_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+SQL_PRIORITY_COUNTS = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+GROUP BY o_orderpriority
+"""
+
+
+# --- Q14-style: promo revenue share (conditional agg ratio) ----------------
+
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                * 100.0
+                / F.sum(rev)
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+SQL_PROMO_SHARE = """
+SELECT sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+       * 100.0 / sum(l_extendedprice * (1 - l_discount)) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+# --- Q18-style: HAVING on aggregated join ----------------------------------
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "total_qty")
+    )
+
+
+SQL_LARGE_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice, total_qty
+FROM orders
+JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150) b
+  ON o_orderkey = b.l_orderkey
+"""
+
+
+# --- Q19-style: OR-of-ANDs multi-predicate ---------------------------------
+
+def q_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("l_quantity").between(1, 11)) & (F.col("p_size").between(1, 5)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("l_quantity").between(10, 20)) & (F.col("p_size").between(1, 10)))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("l_quantity").between(20, 30)) & (F.col("p_size").between(1, 15)))
+    )
+    return joined.filter(cond).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+SQL_DISJUNCTIVE_FILTER = """
+SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue, count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+"""
+
+
+# --- rollup (grouping-set capability beyond the reference) -----------------
+
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.sum("l_quantity").alias("sum_qty")
+    )
+
+
+SQL_ROLLUP_COUNTS = """
+SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+# --- intersect / except (U3 — absent in reference, free in Spark) ----------
+
+def q_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    return (
+        c.select(F.col("c_nationkey").alias("nationkey"))
+        .intersect(s.select(F.col("s_nationkey").alias("nationkey")))
+    )
+
+
+SQL_INTERSECT_NATIONS = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def q_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    return c.select(F.col("c_nationkey").alias("nationkey")).subtract(
+        s.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+SQL_EXCEPT_NATIONS = """
+SELECT DISTINCT c_nationkey AS nationkey FROM customer
+WHERE c_nationkey NOT IN (SELECT s_nationkey FROM supplier)
+"""
+
+
+# --- range-frame window (rangeBetween — W3 family) -------------------------
+
+def q_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    ts = F.unix_timestamp("ts").cast("long")
+    base = ev.select("event_id", "user_id", ts.alias("ts_sec"), "value")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-3600, 0)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts_sec",
+        F.sum("value").over(w).alias("value_1h_window"),
+    )
+
+
+SQL_RANGE_WINDOW = """
+SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+       sum(value) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS value_1h_window
+FROM events
+"""
+
+
+# --- exact median / percentile ---------------------------------------------
+
+def q_median_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+    )
+
+
+SQL_MEDIAN_PRICES = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS median_price,
+       quantile_cont(l_extendedprice, 0.9) AS p90_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- approx distinct (scale variant of A6; rows-only: estimator-specific) --
+
+def q_approx_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy(
+        ((F.unix_timestamp("ts").cast("long") / 86400).cast("long") * 86400).alias("day_ts")
+    ).agg(F.approx_count_distinct("user_id").alias("approx_users"))
+
+
+SPECS = [
+    QuerySpec("tpch_priority_counts", q_priority_counts, SQL_PRIORITY_COUNTS, ("join-semi", "agg")),
+    QuerySpec("tpch_promo_share", q_promo_share, SQL_PROMO_SHARE, ("agg-conditional",)),
+    QuerySpec("tpch_large_orders", q_large_orders, SQL_LARGE_ORDERS, ("having",)),
+    QuerySpec("tpch_disjunctive_filter", q_disjunctive_filter, SQL_DISJUNCTIVE_FILTER, ("predicate",)),
+    QuerySpec("rel_rollup_counts", q_rollup_counts, SQL_ROLLUP_COUNTS, ("grouping-sets",)),
+    QuerySpec("rel_intersect_nations", q_intersect_nations, SQL_INTERSECT_NATIONS, ("setop",)),
+    QuerySpec("rel_except_nations", q_except_nations, SQL_EXCEPT_NATIONS, ("setop",)),
+    QuerySpec("rel_range_window", q_range_window, SQL_RANGE_WINDOW, ("window-range",)),
+    QuerySpec("rel_median_prices", q_median_prices, SQL_MEDIAN_PRICES, ("agg-percentile",)),
+    QuerySpec("rel_approx_active_users", q_approx_active_users, None, ("agg-approx",)),
+]
