@@ -1,0 +1,63 @@
+"""Stateful streaming: running balances as a streaming computation
+(SURVEY §7.2 "genuinely stateful").
+
+Batch recomputation (operators/balances.py) matches the reference's
+actual behavior; this module is the streaming-native variant: per-key
+running totals carried in Spark state via ``applyInPandasWithState`` —
+each micro-batch folds its rows into the persisted per-user balance, so
+the cumulative series never recomputes history.
+
+State size: one float per (user) key — bounded by key cardinality, not
+stream length. A production deployment adds a state TTL via the
+``GroupStateTimeout`` argument when keys churn.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id bigint, ts_sec bigint, balance double"
+STATE_SCHEMA = "balance double"
+
+
+def _update_balances(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    balance = state.get[0] if state.exists else 0.0
+    out = []
+    rows = pd.concat(list(pdfs)).sort_values("ts_sec")
+    for _, row in rows.iterrows():
+        balance += row["signed_value"]
+        out.append((user_id, int(row["ts_sec"]), balance))
+    state.update((balance,))
+    yield pd.DataFrame(out, columns=["user_id", "ts_sec", "balance"])
+
+
+def streaming_running_balance(events_stream: DataFrame) -> DataFrame:
+    """events stream (ts, user_id, event_type, value) → per-event running
+    balance with purchase-as-outflow sign convention.
+
+    NOTE: within one micro-batch rows are folded in event-time order;
+    across micro-batches order is arrival order (standard streaming
+    semantics — late data would need watermark + event-time state).
+    """
+    signed = events_stream.select(
+        "user_id",
+        F.unix_timestamp("ts").cast("long").alias("ts_sec"),
+        F.when(F.col("event_type") == "purchase", -F.col("value"))
+        .otherwise(F.col("value"))
+        .alias("signed_value"),
+    )
+    return signed.groupBy("user_id").applyInPandasWithState(
+        _update_balances,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
