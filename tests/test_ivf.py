@@ -1,0 +1,43 @@
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from token_etl_spark.operators.similarity import brute_force_topk, ivf_assign, ivf_topk
+
+
+def _corpus(spark, n=200, dim=8, seed=11):
+    rng = np.random.RandomState(seed)
+    vecs = rng.randn(n, dim).astype(float)
+    return spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(n)], "vec_id long, embedding array<double>"
+    )
+
+
+def test_ivf_assign_partitions_whole_corpus(spark):
+    df = _corpus(spark)
+    assigned, cents = ivf_assign(df, n_centroids=8)
+    assert assigned.count() == 200              # every vector assigned
+    assert assigned.select("corpus_id").distinct().count() == 200  # exactly once
+    n_cells = assigned.select("centroid_id").distinct().count()
+    assert 1 < n_cells <= 8
+
+
+def test_ivf_topk_recall_improves_with_probes(spark):
+    df = _corpus(spark)
+    queries = df.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(df, queries, k=10).collect()
+    }
+
+    def recall(n_probe):
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(df, queries, k=10, n_centroids=8, n_probe=n_probe).collect()
+        }
+        return len(approx & exact) / len(exact)
+
+    r1, r8 = recall(1), recall(8)
+    assert r8 >= r1            # more probes → no worse recall
+    assert r8 > 0.99           # probing every cell == exhaustive search

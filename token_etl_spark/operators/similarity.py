@@ -113,6 +113,83 @@ def lsh_topk(
     )
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: centroids = a deterministic sample of corpus
+    vectors (ids 0..n_centroids-1 — k-means init without the iterations;
+    one ``fit`` pass of Lloyd's would drop in here), assignment = argmax
+    cosine against the broadcast centroid set.
+
+    Returns (assigned corpus with ``centroid_id``, centroids frame).
+    One narrow pass over the corpus — the centroid table is tiny and
+    broadcast; nothing shuffles until a later per-cell operation.
+    """
+    cents = F.broadcast(
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).cast("array<double>").alias("centroid_vec"),
+        )
+    )
+    base = corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    scored = base.join(cents).withColumn(
+        "sim", cosine(F.col("cv"), F.col("centroid_vec"))
+    )
+    w = Window.partitionBy("corpus_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("corpus_id", "cv", "centroid_id")
+    )
+    return assigned, cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: assign corpus to centroid cells once, probe each
+    query's ``n_probe`` nearest cells only.
+
+    Expected comparisons per query: |corpus| × n_probe / n_centroids.
+    The cell join shuffles on ``centroid_id`` — low cardinality but
+    balanced when centroids are sampled from the data distribution.
+    """
+    assigned, cents = ivf_assign(corpus, n_centroids, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    q_scored = q.join(cents).withColumn("sim", cosine(F.col("qv"), F.col("centroid_vec")))
+    wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    probes = (
+        q_scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "centroid_id")
+    )
+    cand = probes.join(assigned, "centroid_id").filter(
+        F.col("query_id") != F.col("corpus_id")
+    )
+    scored = cand.withColumn("cosine_sim", cosine(F.col("qv"), F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("corpus_id").alias("neighbor_id"), "cosine_sim", "rank")
+    )
+
+
 def embedding_near_dups(
     corpus: DataFrame,
     threshold: float = 0.95,

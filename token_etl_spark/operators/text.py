@@ -90,6 +90,25 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out
 
 
+#: BPE-ish piece pattern: alnum runs OR single non-alnum-non-space marks.
+#: Kept to a dialect-portable subset (works identically in Java regex and
+#: DuckDB's RE2) so the oracle can repeat it.
+BPE_PIECE_PATTERN = "[a-z0-9]+|[^a-z0-9\\s]"
+
+
+def token_estimate(text: Column | str) -> Column:
+    """LLM-token-count estimator: count BPE-ish pieces, then apply the
+    ~4-chars-per-token correction for long alnum runs (a cheap stand-in
+    for a real tokenizer — monotone with it, deterministic, JVM-side)."""
+    c = F.lower(F.col(text) if isinstance(text, str) else text)
+    pieces = F.regexp_extract_all(c, F.lit(BPE_PIECE_PATTERN), 0)
+    # long words split into ceil(len/4) subword pieces
+    per_piece = F.transform(
+        pieces, lambda p: F.ceil(F.length(p) / F.lit(4.0)).cast("long")
+    )
+    return F.aggregate(per_piece, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprints:
 

@@ -222,6 +222,26 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, queries, k=10, n_planes=4)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4)
+
+
+def q_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.token_estimate("text").alias("est_tokens"))
+
+
+SQL_TOKEN_ESTIMATE = f"""
+SELECT doc_id,
+       CAST(coalesce(list_aggregate(
+         list_transform(regexp_extract_all(lower(text), '{X.BPE_PIECE_PATTERN}'),
+                        p -> CAST(ceil(length(p) / 4.0) AS BIGINT)), 'sum'), 0) AS BIGINT) AS est_tokens
+FROM documents
+"""
+
+
 # --- multimodal plumbing ---------------------------------------------------
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -257,6 +277,8 @@ SPECS = [
     QuerySpec("ext_ann_bruteforce", q_ann_bruteforce, SQL_ANN_BRUTEFORCE, ("similarity",), bench=True),
     QuerySpec("ext_embedding_neardup", q_embedding_neardup, SQL_EMBEDDING_NEARDUP, ("similarity", "dedup")),
     QuerySpec("ext_ann_lsh", q_ann_lsh, None, ("similarity",)),
+    QuerySpec("ext_ann_ivf", q_ann_ivf, None, ("similarity",)),
+    QuerySpec("ext_token_estimate", q_token_estimate, SQL_TOKEN_ESTIMATE, ("text",)),
     QuerySpec("ext_multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL_META, ("multimodal",)),
     QuerySpec("ext_multimodal_decode", q_multimodal_decode, None, ("multimodal",)),
 ]
