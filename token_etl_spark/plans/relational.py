@@ -294,8 +294,50 @@ ASOF LEFT JOIN (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'c
 """
 
 
+# --- JSON column parsing (§2.8 from_json family) ---------------------------
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy(F.expr("k div 10").alias("k_decile"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+    )
+
+
+SQL_JSON_PROPS = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_decile,
+       count(*) AS n, sum(value) AS total_value
+FROM events GROUP BY 1
+"""
+
+
+# --- correlated scalar subquery -------------------------------------------
+
+def q_above_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    avg_per_nation = c.groupBy("c_nationkey").agg(F.avg("c_acctbal").alias("nation_avg"))
+    return (
+        c.join(F.broadcast(avg_per_nation), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_above_avg"))
+    )
+
+
+SQL_ABOVE_AVG_CUSTOMERS = """
+SELECT c_nationkey, count(*) AS n_above_avg
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer i WHERE i.c_nationkey = c.c_nationkey)
+GROUP BY c_nationkey
+"""
+
+
 SPECS = [
     QuerySpec("rel_scan_pushdown", q_scan_pushdown, SQL_SCAN_PUSHDOWN, ("scan", "filter")),
+    QuerySpec("rel_json_props", q_json_props, SQL_JSON_PROPS, ("json",)),
+    QuerySpec("rel_above_avg_customers", q_above_avg_customers, SQL_ABOVE_AVG_CUSTOMERS, ("subquery",)),
     QuerySpec("rel_notin_blacklist", q_notin_blacklist, SQL_NOTIN_BLACKLIST, ("filter",)),
     QuerySpec("rel_bool_flags", q_bool_flags, SQL_BOOL_FLAGS, ("predicate",)),
     QuerySpec("rel_prefix_keys", q_prefix_keys, SQL_PREFIX_KEYS, ("string", "domain")),
