@@ -1,0 +1,60 @@
+"""Plan-hygiene gates: these assert *physical plan* properties, so a
+regression that silently de-optimizes a query (lost pushdown, broadcast
+falling back to shuffle join, accidental cartesian product) fails CI —
+not just a slow run at 100 TB.
+"""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+import pytest
+
+from token_etl_spark.plans.registry import SPECS
+
+
+def _plan(spark, sf_dir, name) -> str:
+    df = SPECS[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filters_push_to_parquet_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "rel_scan_pushdown")
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+
+
+def test_projection_prunes_scan_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_pricing_summary")
+    # ReadSchema must not include unused columns like l_orderkey/l_partkey
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read and "l_orderkey" not in read[0] and "l_partkey" not in read[0]
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_nation_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_no_cartesian_outside_intended_cross_joins(spark, sf_dir):
+    for name in ("tpch_brand_revenue", "evt_running_balance", "rel_asof_last_click",
+                 "ext_minhash_neardup", "rel_explode_word_join"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    # AQE only shows codegen spans in the finalized plan → execute first.
+    df = SPECS["evt_hourly_volume"].fn(spark, sf_dir)
+    df.count()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "isFinalPlan=true" in plan
+    assert "WholeStageCodegen" in plan
