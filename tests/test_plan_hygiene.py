@@ -51,10 +51,11 @@ def test_no_cartesian_outside_intended_cross_joins(spark, sf_dir):
 def test_whole_stage_codegen_active(spark, sf_dir):
     # AQE only shows codegen spans in the finalized plan → execute first.
     df = SPECS["evt_hourly_volume"].fn(spark, sf_dir)
-    df.count()
+    df.collect()  # count() would plan a different query; collect this one
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     plan = buf.getvalue()
-    assert "isFinalPlan=true" in plan
-    assert "WholeStageCodegen" in plan
+    assert "== Final Plan ==" in plan
+    # '*' prefix marks operators inside a WholeStageCodegen span
+    assert "* HashAggregate" in plan and "* Project" in plan
