@@ -1,0 +1,32 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from token_etl_spark.operators.graph import connected_components, dedup_keep_list
+
+
+def test_connected_components_basic(spark):
+    # components: {1,2,3,4} (chain), {10,11}, singleton edges absent
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain(spark):
+    n = 20  # diameter 20 chain → needs multiple propagation rounds
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n)], "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in connected_components(pairs, max_iterations=25).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
+
+
+def test_dedup_keep_list(spark):
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 9)], "id_a long, id_b long")
+    all_ids = spark.createDataFrame([(i,) for i in range(10)], ["doc_id"])
+    got = {r["doc_id"]: r["keep"] for r in dedup_keep_list(pairs, all_ids).collect()}
+    assert len(got) == 10
+    assert got[1] and not got[2] and not got[3]   # cluster {1,2,3} keeps 1
+    assert got[7] and not got[9]                  # cluster {7,9} keeps 7
+    assert all(got[i] for i in (0, 4, 5, 6, 8))   # singletons kept

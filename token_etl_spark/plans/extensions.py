@@ -162,6 +162,16 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(docs, bits=32)
 
 
+def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup decision: MinHash+LSH pairs → connected
+    components → one representative per cluster + all singletons."""
+    from token_etl_spark.operators.graph import dedup_keep_list
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup(docs, threshold=JACCARD_THRESHOLD)
+    return dedup_keep_list(pairs, docs)
+
+
 # --- similarity search -----------------------------------------------------
 
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -274,6 +284,7 @@ SPECS = [
     QuerySpec("ext_ngram_jaccard", q_ngram_jaccard, SQL_NGRAM_JACCARD, ("dedup",)),
     QuerySpec("ext_minhash_neardup", q_minhash_neardup, None, ("dedup",), bench=True),
     QuerySpec("ext_simhash", q_simhash, None, ("dedup",)),
+    QuerySpec("ext_dedup_keep_list", q_dedup_keep_list, None, ("dedup", "graph")),
     QuerySpec("ext_ann_bruteforce", q_ann_bruteforce, SQL_ANN_BRUTEFORCE, ("similarity",), bench=True),
     QuerySpec("ext_embedding_neardup", q_embedding_neardup, SQL_EMBEDDING_NEARDUP, ("similarity", "dedup")),
     QuerySpec("ext_ann_lsh", q_ann_lsh, None, ("similarity",)),
