@@ -205,6 +205,106 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# --- Q7-style: revenue by (nation, year) ----------------------------------
+
+def q_nation_year_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    dims = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select("c_custkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        .groupBy("n_name", F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+SQL_NATION_YEAR_VOLUME = """
+SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name, year(l_shipdate)
+"""
+
+
+# --- Q13-style: customer order-count distribution --------------------------
+
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+SQL_ORDER_COUNT_DISTRIBUTION = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey) pc
+GROUP BY c_count
+"""
+
+
+# --- Q17-style: small-quantity revenue vs per-part average (correlated) ----
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    brand_parts = part.filter(F.col("p_brand") == "Brand#5").select("p_partkey")
+    return (
+        li.join(F.broadcast(brand_parts), li.l_partkey == brand_parts.p_partkey)
+        .join(avg_qty, li.l_partkey == avg_qty.p_key)
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg((F.sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+SQL_SMALL_QUANTITY_REVENUE = """
+SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#5'
+  AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem i
+                    WHERE i.l_partkey = lineitem.l_partkey)
+"""
+
+
+# --- Q22-style: above-average-balance customers with no orders -------------
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    recent = o.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).collect()[0][0]
+    return (
+        c.filter(F.col("c_acctbal") > avg_bal)
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("numcust"), F.sum("c_acctbal").alias("totacctbal"))
+    )
+
+
+SQL_IDLE_RICH_CUSTOMERS = """
+SELECT c_mktsegment, count(*) AS numcust, sum(c_acctbal) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment
+"""
+
+
 # --- approx distinct (scale variant of A6; rows-only: estimator-specific) --
 
 def q_approx_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,4 +325,8 @@ SPECS = [
     QuerySpec("rel_range_window", q_range_window, SQL_RANGE_WINDOW, ("window-range",)),
     QuerySpec("rel_median_prices", q_median_prices, SQL_MEDIAN_PRICES, ("agg-percentile",)),
     QuerySpec("rel_approx_active_users", q_approx_active_users, None, ("agg-approx",)),
+    QuerySpec("tpch_nation_year_volume", q_nation_year_volume, SQL_NATION_YEAR_VOLUME, ("join-multiway",)),
+    QuerySpec("tpch_order_count_distribution", q_order_count_distribution, SQL_ORDER_COUNT_DISTRIBUTION, ("join-outer", "agg")),
+    QuerySpec("tpch_small_quantity_revenue", q_small_quantity_revenue, SQL_SMALL_QUANTITY_REVENUE, ("subquery",)),
+    QuerySpec("tpch_idle_rich_customers", q_idle_rich_customers, SQL_IDLE_RICH_CUSTOMERS, ("join-anti", "subquery")),
 ]
