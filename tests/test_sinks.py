@@ -1,0 +1,39 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from token_etl_spark import fixtures
+from token_etl_spark.io.sinks import upsert_by_key, write_csv, write_parquet
+from token_etl_spark.pipelines.wallets import wallet_balance_changelogs
+
+
+def test_csv_sink_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a", 1.5), (2, "b", 2.5)], "id long, s string, v double")
+    path = str(tmp_path / "csv_out")
+    write_csv(df, path)
+    back = spark.read.option("header", "true").csv(path)
+    assert back.count() == 2
+    assert set(back.columns) == {"id", "s", "v"}
+
+
+def test_upsert_by_key_overwrites_latest(spark, tmp_path):
+    path = str(tmp_path / "upsert")
+    v1 = spark.createDataFrame([("k1", 1), ("k2", 1)], "_key string, v int")
+    upsert_by_key(spark, v1, path)
+    v2 = spark.createDataFrame([("k2", 2), ("k3", 2)], "_key string, v int")
+    upsert_by_key(spark, v2, path)
+    got = {r["_key"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {"k1": 1, "k2": 2, "k3": 2}  # k2 updated, k1 kept, k3 inserted
+
+
+def test_token_wallets_map_schema_roundtrips_parquet(spark, tmp_path):
+    transfers = fixtures.transfers_df(spark, n_rows=200, n_wallets=8)
+    meta = fixtures.token_metadata_df(spark)
+    out = wallet_balance_changelogs(transfers, meta, densify=False)
+    path = str(tmp_path / "tw")
+    write_parquet(out, path)
+    back = spark.read.parquet(path)
+    assert back.schema["balanceChangeLogs"].dataType.simpleString().startswith("map<bigint,struct")
+    orig = {r["_key"]: r["balanceChangeLogs"] for r in out.collect()}
+    rt = {r["_key"]: r["balanceChangeLogs"] for r in back.collect()}
+    assert orig == rt

@@ -271,6 +271,33 @@ def q_changelog_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wallet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL wallet-enricher pipeline run over driver data: events are
+    mapped onto the transfers edge shape (event_type partitions as the
+    'token', user ring as counterparty), then the full balance/whale
+    changelog pipeline produces TOKEN_WALLETS documents. Rows-only (map
+    output); exact-value coverage lives in tests/test_pipelines.py."""
+    from token_etl_spark.pipelines.wallets import wallet_balance_changelogs
+
+    ev = t(spark, sf_dir, "events")
+    transfers = ev.select(
+        F.concat_ws("_", "event_id", "user_id").alias("_key"),
+        F.concat(F.lit("wallets/u"), F.col("user_id").cast("string")).alias("_from"),
+        F.concat(F.lit("wallets/u"), ((F.col("user_id") + 1) % 50).cast("string")).alias("_to"),
+        F.col("event_type").alias("contract_address"),
+        F.concat(F.lit("0x"), F.col("event_id").cast("string")).alias("transaction_hash"),
+        F.lit(0).alias("log_index"),
+        F.col("event_id").cast("int").alias("block_number"),
+        F.col("value"),
+        unix_seconds("ts").cast("string").alias("transact_at"),
+    )
+    meta = spark.createDataFrame(
+        [(et, 100000.0, 0.001) for et in ["click", "view", "purchase", "signup", "error"]],
+        "contract_address string, circulating_supply double, whale_threshold double",
+    )
+    return wallet_balance_changelogs(transfers, meta, densify=False)
+
+
 SPECS = [
     QuerySpec("evt_hourly_volume", q_hourly_volume, SQL_HOURLY_VOLUME, ("domain", "agg")),
     QuerySpec("evt_hourly_user_flow", q_hourly_user_flow, SQL_HOURLY_USER_FLOW, ("domain", "agg")),
@@ -285,4 +312,5 @@ SPECS = [
     QuerySpec("evt_tumbling_hourly", q_tumbling_hourly, SQL_TUMBLING_HOURLY, ("domain", "window-tumbling")),
     QuerySpec("evt_daily_event_types", q_daily_event_types, SQL_DAILY_EVENT_TYPES, ("domain", "agg-collect")),
     QuerySpec("evt_changelog_map", q_changelog_map, None, ("domain", "map-collapse")),
+    QuerySpec("evt_wallet_pipeline", q_wallet_pipeline, None, ("domain", "pipeline")),
 ]
