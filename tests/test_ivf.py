@@ -23,6 +23,34 @@ def test_ivf_assign_partitions_whole_corpus(spark):
     assert 1 < n_cells <= 8
 
 
+def test_lloyd_refine_reduces_distortion(spark):
+    import numpy as np
+
+    from token_etl_spark.operators.similarity import cosine, lloyd_refine
+
+    df = _corpus(spark, n=150)
+    assigned, cents0 = ivf_assign(df, n_centroids=6)
+    assigned.persist()
+
+    def distortion(cents):
+        joined = assigned.drop("centroid_id").crossJoin(cents.hint("broadcast"))
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+
+        w = W.partitionBy("corpus_id").orderBy(F.col("sim").desc())
+        best = (
+            joined.withColumn("sim", cosine(F.col("cv"), F.col("centroid_vec")))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+        return best.agg(F.avg(1 - F.col("sim"))).collect()[0][0]
+
+    d0 = distortion(cents0)
+    cents1 = lloyd_refine(assigned)
+    d1 = distortion(cents1)
+    assert d1 <= d0 + 1e-9  # one Lloyd step never increases distortion
+
+
 def test_ivf_topk_recall_improves_with_probes(spark):
     df = _corpus(spark)
     queries = df.filter(F.col("vec_id") < 5)

@@ -1,0 +1,62 @@
+"""Storage-layout proofs for the SCALE.md claims: partition pruning
+reaches the file listing, and bucketed tables co-locate joins without a
+shuffle. These run against real written tables, not assertions on prose.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from token_etl_spark import fixtures
+
+
+def _explain(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_partitioned_layout_prunes(spark, tmp_path):
+    transfers = fixtures.transfers_df(spark, n_rows=500, n_wallets=10)
+    path = str(tmp_path / "transfers_part")
+    transfers.write.partitionBy("contract_address").parquet(path)
+
+    target = fixtures.TOKENS[0][0]
+    df = spark.read.parquet(path).filter(F.col("contract_address") == target)
+    plan = _explain(df)
+    assert "PartitionFilters" in plan and "contract_address" in plan
+    # pruned scan must read only the one partition's files
+    n_parts = df.select("contract_address").distinct().count()
+    assert n_parts == 1
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    # bucketBy requires saveAsTable → lands in the session warehouse dir
+    # (static conf; cleaned up via DROP TABLE below)
+    left = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).cast("double").alias("v")
+    )
+    right = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("double").alias("w")
+    )
+    left.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("bkt_left")
+    right.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("bkt_right")
+
+    joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+    # disable broadcast so the join strategy decision is about bucketing
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _explain(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    try:
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucket co-location removed both shuffles
+        assert joined.count() == 10000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")

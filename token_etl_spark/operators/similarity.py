@@ -151,6 +151,28 @@ def ivf_assign(
     return assigned, cents
 
 
+def lloyd_refine(assigned: DataFrame) -> DataFrame:
+    """One Lloyd's iteration over an IVF assignment: new centroid =
+    per-cell mean vector. Distributed as a single aggregation — the mean
+    of array columns is computed with ``posexplode`` + groupBy (cell,
+    position), then re-assembled with ``array_agg`` ordered by position.
+    Returns a centroids frame usable as the quantizer for re-assignment.
+    """
+    exploded = assigned.select(
+        "centroid_id", F.posexplode("cv").alias("pos", "x")
+    )
+    means = exploded.groupBy("centroid_id", "pos").agg(F.avg("x").alias("m"))
+    return (
+        means.groupBy("centroid_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.getField("m"),
+            ).alias("centroid_vec")
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from token_etl_spark.functions.keys import composite_key
-from token_etl_spark.operators.dapps import dapp_rollup, match_dapp_endpoints
+from token_etl_spark.operators.dapps import match_dapp_endpoints
 
 
 def enrich_dapps(transfers: DataFrame, dapp_registry: DataFrame) -> DataFrame:

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from token_etl_spark.functions.timeops import DAY, hour_bucket, day_bucket
+from token_etl_spark.functions.timeops import hour_bucket, day_bucket
 from token_etl_spark.operators.assemble import assemble_on_key
 from token_etl_spark.operators.dapps import match_dapp_endpoints
 

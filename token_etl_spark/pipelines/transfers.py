@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from token_etl_spark.functions.keys import WALLET_PREFIX, add_collection_prefix, transfer_key
+from token_etl_spark.functions.keys import add_collection_prefix, transfer_key
 
 
 def enrich_transfers(

@@ -49,6 +49,36 @@ def hourly_metrics_stream(
     )
 
 
+def run_foreach_batch_upsert(
+    stream_df: DataFrame,
+    out_path: str,
+    key_cols: tuple[str, ...] = ("hour_ts", "event_type"),
+) -> None:
+    """Stream → keyed upsert sink via foreachBatch (SURVEY §7.5): each
+    micro-batch MERGEs into the parquet table on the metric key, so
+    re-emitted windows (late data within the watermark) overwrite their
+    previous values instead of duplicating — the incremental-ingest
+    contract the reference's Future-loop + Arango upsert approximates.
+    """
+    from pyspark.sql import functions as F
+
+    from token_etl_spark.io.sinks import upsert_by_key
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        keyed = batch_df.withColumn("_key", F.concat_ws("|", *key_cols))
+        upsert_by_key(batch_df.sparkSession, keyed, out_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_memory(stream_df: DataFrame, query_name: str = "hourly_metrics") -> None:
     """Drain all available input into an in-memory table (test harness)."""
     q = (
