@@ -272,6 +272,73 @@ WHERE rank <= 3
 """
 
 
+# --- scalar function families (date / string / datediff) -------------------
+
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.month("o_orderdate").cast("long").alias("order_month"),
+            F.quarter("o_orderdate").cast("long").alias("order_quarter"),
+        )
+        .agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("total"))
+    )
+
+
+SQL_DATE_PARTS = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       CAST(month(o_orderdate) AS BIGINT) AS order_month,
+       CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter,
+       count(*) AS n, sum(o_totalprice) AS total
+FROM orders GROUP BY 1, 2, 3
+"""
+
+
+def q_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("upper_name"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
+        F.regexp_replace("c_name", "[0-9]", "#").alias("masked"),
+    )
+
+
+SQL_STRING_OPS = """
+SELECT c_custkey,
+       upper(c_name) AS upper_name,
+       substring(c_name, 1, 8) AS name_prefix,
+       CAST(length(c_name) AS BIGINT) AS name_len,
+       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+       regexp_replace(c_name, '[0-9]', '#', 'g') AS masked
+FROM customer
+"""
+
+
+def q_ship_delay_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).cast("long")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .withColumn("delay_weeks", F.expr("datediff(l_shipdate, o_orderdate) div 7"))
+        .groupBy("delay_weeks")
+        .agg(F.count("*").alias("n"), F.avg(delay).alias("avg_delay_days"))
+    )
+
+
+SQL_SHIP_DELAY_HISTOGRAM = """
+SELECT CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) // 7 AS delay_weeks,
+       count(*) AS n,
+       avg(date_diff('day', o_orderdate, l_shipdate)) AS avg_delay_days
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
 # --- as-of join (custom operator; composition of built-ins) ----------------
 
 def q_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -350,4 +417,7 @@ SPECS = [
     QuerySpec("rel_pivot_priority", q_pivot_priority, SQL_PIVOT_PRIORITY, ("pivot",)),
     QuerySpec("rel_topk_orders", q_topk_orders, SQL_TOPK_ORDERS, ("window-rank",)),
     QuerySpec("rel_asof_last_click", q_asof_last_click, SQL_ASOF_LAST_CLICK, ("join-asof",), bench=True),
+    QuerySpec("rel_date_parts", q_date_parts, SQL_DATE_PARTS, ("functions-date",)),
+    QuerySpec("rel_string_ops", q_string_ops, SQL_STRING_OPS, ("functions-string",)),
+    QuerySpec("rel_ship_delay_histogram", q_ship_delay_histogram, SQL_SHIP_DELAY_HISTOGRAM, ("functions-date", "join")),
 ]
