@@ -1,0 +1,37 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from token_etl_spark.pipelines.corpus import corpus_summary, prepare_corpus
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near-dup of 0
+    (2, "THE  quick   brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0
+    (3, "completely different content about spark query engines and shuffle planning"),
+    (4, "x"),                                   # too short → quality drop
+    (5, "1 2 3 4 5 6 7 8 9"),                   # alpha_ratio 0 → quality drop
+]
+
+
+def test_prepare_corpus_decisions(spark):
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    d = {r["doc_id"]: r for r in prepare_corpus(docs, jaccard_threshold=0.5).collect()}
+    assert len(d) == 6                      # every input doc gets a decision
+    assert not d[4]["passed_quality"] and not d[4]["keep"]
+    assert not d[5]["passed_quality"] and not d[5]["keep"]
+    assert d[2]["is_exact_dup"] and not d[2]["keep"]   # exact copy of 0
+    assert d[1]["is_near_dup"] and not d[1]["keep"]    # near-dup, 0 is the rep
+    assert d[0]["keep"] and d[3]["keep"]
+
+
+def test_corpus_summary_accounting(spark):
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    decisions = prepare_corpus(docs, jaccard_threshold=0.5)
+    s = corpus_summary(decisions).collect()[0]
+    assert s["n_docs"] == 6
+    assert s["n_kept"] == 2
+    assert s["n_quality_dropped"] == 2
+    assert s["n_exact_dups"] == 1
+    assert s["n_near_dups"] == 1
+    assert 0 < s["kept_est_tokens"] <= s["total_est_tokens"]

@@ -1,0 +1,92 @@
+"""Training-data corpus preparation — the end-to-end pipeline the LLM-
+data extensions exist for (BASELINE.json north star): quality-gate →
+exact dedup → near-dup clustering → keep-list → token accounting.
+
+Stage order is the 100 TB-efficient one: cheap narrow filters first
+(quality gates drop rows before anything shuffles), exact dedup next
+(one digest shuffle removes identical copies before the more expensive
+near-dup machinery), MinHash+LSH last over the survivors only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from token_etl_spark.operators.dedup import exact_dedup, minhash_dedup
+from token_etl_spark.operators.graph import dedup_keep_list
+from token_etl_spark.operators.text import quality_stats, token_estimate
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_alpha_ratio: float = 0.5,
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """documents(doc_id, text, ...) → per-doc decision frame:
+    (doc_id, n_tokens, est_tokens, passed_quality, is_exact_dup,
+    is_near_dup, keep). ``keep`` docs form the training corpus.
+    """
+    scored = quality_stats(docs).withColumn("est_tokens", token_estimate(F.col("text")))
+    scored = scored.withColumn(
+        "passed_quality",
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("alpha_ratio") >= min_alpha_ratio),
+    )
+    scored.persist()
+
+    quality_docs = scored.filter(F.col("passed_quality")).select("doc_id", "text")
+
+    # exact dedup: keep min doc_id per digest
+    exact = exact_dedup(quality_docs)
+    exact_keep = exact.select(F.col("keep_id").alias("doc_id")).distinct()
+    exact_survivors = quality_docs.join(exact_keep, "doc_id", "left_semi")
+
+    # near-dup clustering over exact survivors only
+    pairs = minhash_dedup(exact_survivors, threshold=jaccard_threshold)
+    near_decisions = dedup_keep_list(pairs, exact_survivors.select("doc_id"))
+
+    decisions = (
+        scored.select("doc_id", "n_tokens", "est_tokens", "passed_quality")
+        .join(
+            exact_keep.withColumn("_exact_keep", F.lit(True)), "doc_id", "left_outer"
+        )
+        .join(
+            near_decisions.withColumnRenamed("keep", "_near_keep"), "doc_id", "left_outer"
+        )
+        .withColumn(
+            "is_exact_dup",
+            F.col("passed_quality") & F.col("_exact_keep").isNull(),
+        )
+        .withColumn(
+            "is_near_dup",
+            F.coalesce(~F.col("_near_keep"), F.lit(False)),
+        )
+        .withColumn(
+            "keep",
+            F.col("passed_quality")
+            & F.col("_exact_keep").isNotNull()
+            & F.coalesce(F.col("_near_keep"), F.lit(True)),
+        )
+        .select("doc_id", "n_tokens", "est_tokens", "passed_quality",
+                "is_exact_dup", "is_near_dup", "keep")
+    )
+    return decisions
+
+
+def corpus_summary(decisions: DataFrame) -> DataFrame:
+    """One-row accounting: docs in/kept, tokens in/kept, drop reasons."""
+    return decisions.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("keep").cast("int")).cast("long").alias("n_kept"),
+        F.sum((~F.col("passed_quality")).cast("int")).cast("long").alias("n_quality_dropped"),
+        F.sum(F.col("is_exact_dup").cast("int")).cast("long").alias("n_exact_dups"),
+        F.sum(F.col("is_near_dup").cast("int")).cast("long").alias("n_near_dups"),
+        F.sum("est_tokens").alias("total_est_tokens"),
+        F.sum(F.when(F.col("keep"), F.col("est_tokens")).otherwise(F.lit(0))).alias(
+            "kept_est_tokens"
+        ),
+    )

@@ -276,6 +276,17 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(attach_binary_payload(docs), decode_stub="fake")
 
 
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep: quality gate → exact dedup →
+    near-dup clusters → per-doc keep decision (rows-only: MinHash stage
+    is estimator-specific; exact decision logic tested in
+    tests/test_corpus.py)."""
+    from token_etl_spark.pipelines.corpus import prepare_corpus
+
+    docs = t(spark, sf_dir, "documents")
+    return prepare_corpus(docs, jaccard_threshold=JACCARD_THRESHOLD)
+
+
 SPECS = [
     QuerySpec("ext_dedup_exact", q_dedup_exact, SQL_DEDUP_EXACT, ("dedup",), bench=True),
     QuerySpec("ext_text_stats", q_text_stats, SQL_TEXT_STATS, ("text",), bench=True),
@@ -292,4 +303,5 @@ SPECS = [
     QuerySpec("ext_token_estimate", q_token_estimate, SQL_TOKEN_ESTIMATE, ("text",)),
     QuerySpec("ext_multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL_META, ("multimodal",)),
     QuerySpec("ext_multimodal_decode", q_multimodal_decode, None, ("multimodal",)),
+    QuerySpec("ext_corpus_prep", q_corpus_prep, None, ("dedup", "text", "pipeline")),
 ]
