@@ -314,6 +314,46 @@ def q_approx_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.approx_count_distinct("user_id").alias("approx_users"))
 
 
+# --- rank / dense_rank / ntile window pack ---------------------------------
+
+def q_rank_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.rank().over(w).cast("long").alias("bal_rank"),
+        F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
+        F.ntile(4).over(w).cast("long").alias("bal_quartile"),
+    )
+
+
+SQL_RANK_PACK = """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       CAST(rank()       OVER w AS BIGINT) AS bal_rank,
+       CAST(dense_rank() OVER w AS BIGINT) AS bal_dense_rank,
+       CAST(ntile(4)     OVER w AS BIGINT) AS bal_quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+"""
+
+
+# --- cube (full grouping-set lattice) ---------------------------------------
+
+def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), F.sum("o_totalprice").alias("total")
+    )
+
+
+SQL_CUBE_COUNTS = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n, sum(o_totalprice) AS total
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
 SPECS = [
     QuerySpec("tpch_priority_counts", q_priority_counts, SQL_PRIORITY_COUNTS, ("join-semi", "agg")),
     QuerySpec("tpch_promo_share", q_promo_share, SQL_PROMO_SHARE, ("agg-conditional",)),
@@ -329,4 +369,6 @@ SPECS = [
     QuerySpec("tpch_order_count_distribution", q_order_count_distribution, SQL_ORDER_COUNT_DISTRIBUTION, ("join-outer", "agg")),
     QuerySpec("tpch_small_quantity_revenue", q_small_quantity_revenue, SQL_SMALL_QUANTITY_REVENUE, ("subquery",)),
     QuerySpec("tpch_idle_rich_customers", q_idle_rich_customers, SQL_IDLE_RICH_CUSTOMERS, ("join-anti", "subquery")),
+    QuerySpec("rel_rank_pack", q_rank_pack, SQL_RANK_PACK, ("window-rank",)),
+    QuerySpec("rel_cube_counts", q_cube_counts, SQL_CUBE_COUNTS, ("grouping-sets",)),
 ]
