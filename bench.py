@@ -29,8 +29,18 @@ def main() -> None:
 
     from token_etl_spark.plans.registry import BENCH_SET, SPECS
 
-    # Warmup: absorb JVM startup + codegen compile.
-    SPECS["tpch_pricing_summary"].fn(spark, sf_dir).count()
+    # Warmup: absorb JVM startup + whole-stage-codegen compile for every
+    # headline plan shape by running the same queries at the smallest SF
+    # (generated code is cached per plan shape, so the timed runs below
+    # measure execution, not compilation).
+    warmup_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warmup_dir):
+        warmup_dir = sf_dir
+    for name in BENCH_SET:
+        try:
+            SPECS[name].fn(spark, warmup_dir).count()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name in BENCH_SET:

@@ -241,6 +241,57 @@ FROM events GROUP BY 1, 2
 """
 
 
+# --- sessionization: gap-based session windows (W1+W2 composition) ---------
+
+SESSION_GAP = 1800  # 30 min
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic gap-based sessionization: a new session starts when the
+    gap to the user's previous event exceeds SESSION_GAP; session id =
+    running count of session starts. Composed from lag + cumulative-sum
+    windows (the batch twin of Structured Streaming's session windows).
+    """
+    ev = t(spark, sf_dir, "events")
+    base = ev.select("user_id", unix_seconds("ts").alias("ts_sec"), "value")
+    w = W.partitionBy("user_id").orderBy("ts_sec")
+    with_gap = base.withColumn("prev_ts", F.lag("ts_sec").over(w)).withColumn(
+        "is_new_session",
+        (F.col("prev_ts").isNull() | ((F.col("ts_sec") - F.col("prev_ts")) > SESSION_GAP)).cast("int"),
+    )
+    wcum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sessions = with_gap.withColumn("session_id", F.sum("is_new_session").over(wcum))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_sec").alias("session_start"),
+        F.max("ts_sec").alias("session_end"),
+        F.sum("value").alias("session_value"),
+    )
+
+
+SQL_SESSIONIZATION = f"""
+WITH base AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value FROM events),
+gapped AS (
+  SELECT user_id, ts_sec, value,
+         lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec) AS prev_ts
+  FROM base),
+flagged AS (
+  SELECT user_id, ts_sec, value,
+         CASE WHEN prev_ts IS NULL OR ts_sec - prev_ts > {SESSION_GAP} THEN 1 ELSE 0 END AS is_new
+  FROM gapped),
+sessions AS (
+  SELECT user_id, ts_sec, value,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts_sec) AS session_start, max(ts_sec) AS session_end,
+       sum(value) AS session_value
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
 # --- A7/A8: multi-agg with sorted collect_set rollup -----------------------
 
 def q_daily_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,6 +362,7 @@ SPECS = [
     QuerySpec("evt_assemble_metrics", q_assemble_metrics, SQL_ASSEMBLE_METRICS, ("domain", "join-assembly")),
     QuerySpec("evt_tumbling_hourly", q_tumbling_hourly, SQL_TUMBLING_HOURLY, ("domain", "window-tumbling")),
     QuerySpec("evt_daily_event_types", q_daily_event_types, SQL_DAILY_EVENT_TYPES, ("domain", "agg-collect")),
+    QuerySpec("evt_sessionization", q_sessionization, SQL_SESSIONIZATION, ("domain", "window-session"), bench=True),
     QuerySpec("evt_changelog_map", q_changelog_map, None, ("domain", "map-collapse")),
     QuerySpec("evt_wallet_pipeline", q_wallet_pipeline, None, ("domain", "pipeline")),
 ]
