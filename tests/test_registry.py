@@ -1,0 +1,40 @@
+"""Registry sanity: every oracle parses and type-checks in DuckDB against
+the real table schemas — catches SQL typos or dialect slips in seconds,
+without a Spark run.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from token_etl_spark.plans.registry import ORACLES, QUERIES, SPECS
+from token_etl_spark.schemas import TESTDATA_TABLES
+
+
+def test_names_and_oracle_keys_consistent():
+    assert len(SPECS) == len(QUERIES)
+    assert set(ORACLES) <= set(QUERIES)
+    assert all(name.isidentifier() for name in SPECS)
+
+
+def test_every_oracle_compiles_in_duckdb():
+    con = duckdb.connect()
+    for name in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('/root/testdata/sf0.001/{name}.parquet')"
+        )
+    failures = []
+    for name, sql in ORACLES.items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, str(e)[:160]))
+    assert not failures, failures
+
+
+def test_bench_set_is_subset_of_queries():
+    from token_etl_spark.plans.registry import BENCH_SET
+
+    assert set(BENCH_SET) <= set(QUERIES)
+    assert len(BENCH_SET) >= 10
