@@ -16,6 +16,43 @@ def test_is_dapp_address(spark):
     assert not is_dapp_address(dapps, "0xnotthere")
 
 
+def test_reparse_map_retypes_document_column(spark):
+    from pyspark.sql import types as T
+
+    from token_etl_spark.utils.check_address import reparse_map
+
+    df = spark.createDataFrame(
+        [(1, {"3600": {"isWhale": True, "balance": 5.0}})],
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField(
+                    "logs",
+                    T.MapType(
+                        T.StringType(),
+                        T.StructType(
+                            [
+                                T.StructField("isWhale", T.BooleanType()),
+                                T.StructField("balance", T.DoubleType()),
+                            ]
+                        ),
+                    ),
+                ),
+            ]
+        ),
+    )
+    target = T.MapType(
+        T.LongType(),
+        T.StructType(
+            [T.StructField("isWhale", T.BooleanType()), T.StructField("balance", T.DoubleType())]
+        ),
+    )
+    out = reparse_map(df, "logs", target)
+    assert out.schema["logs"].dataType == target  # string keys → long keys
+    row = out.collect()[0]
+    assert row["logs"][3600]["balance"] == 5.0
+
+
 def test_is_whale_address(spark):
     transfers = fixtures.transfers_df(spark, n_rows=2000, n_wallets=10)
     meta = fixtures.token_metadata_df(spark)

@@ -272,6 +272,34 @@ WHERE rank <= 3
 """
 
 
+# --- SQL front door: the same engine via spark.sql over temp views ---------
+
+def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demonstrates the SQL entry point: users can register the driver
+    tables as views and run ANSI SQL — Catalyst produces the same plan
+    as the DataFrame DSL (SURVEY §3: the reference's only IR is the
+    Spark logical plan either way)."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("v_events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               sum(value) AS total_value,
+               avg(value) AS avg_value
+        FROM v_events
+        WHERE value > 10
+        GROUP BY event_type
+        """
+    )
+
+
+SQL_SQL_API = """
+SELECT event_type, count(DISTINCT user_id) AS n_users,
+       sum(value) AS total_value, avg(value) AS avg_value
+FROM events WHERE value > 10 GROUP BY event_type
+"""
+
+
 # --- scalar function families (date / string / datediff) -------------------
 
 def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -417,6 +445,7 @@ SPECS = [
     QuerySpec("rel_pivot_priority", q_pivot_priority, SQL_PIVOT_PRIORITY, ("pivot",)),
     QuerySpec("rel_topk_orders", q_topk_orders, SQL_TOPK_ORDERS, ("window-rank",)),
     QuerySpec("rel_asof_last_click", q_asof_last_click, SQL_ASOF_LAST_CLICK, ("join-asof",), bench=True),
+    QuerySpec("rel_sql_api", q_sql_api, SQL_SQL_API, ("sql-api",)),
     QuerySpec("rel_date_parts", q_date_parts, SQL_DATE_PARTS, ("functions-date",)),
     QuerySpec("rel_string_ops", q_string_ops, SQL_STRING_OPS, ("functions-string",)),
     QuerySpec("rel_ship_delay_histogram", q_ship_delay_histogram, SQL_SHIP_DELAY_HISTOGRAM, ("functions-date", "join")),

@@ -13,6 +13,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def reparse_map(df: DataFrame, col: str, schema) -> DataFrame:
+    """Dynamic map re-parse: ``from_json(to_json(col), schema)`` — the
+    reference's trick for re-typing a loosely-typed document column at
+    read time (CheckAddress.scala:38-46, which uses STRING map keys —
+    JSON object keys are always strings). When the target key type is
+    non-string, the keys are cast natively after the parse
+    (``transform_keys``), since from_json itself only accepts string
+    keys.
+    """
+    from pyspark.sql import types as T
+
+    if isinstance(schema, T.MapType) and not isinstance(schema.keyType, T.StringType):
+        parse_schema = T.MapType(T.StringType(), schema.valueType, schema.valueContainsNull)
+        parsed = F.from_json(F.to_json(F.col(col)), parse_schema)
+        key_type = schema.keyType.simpleString()
+        retyped = F.transform_keys(parsed, lambda k, _: k.cast(key_type))
+        return df.withColumn(col, retyped)
+    return df.withColumn(col, F.from_json(F.to_json(F.col(col)), schema))
+
+
 def is_dapp_address(dapps: DataFrame, address: str) -> bool:
     """True when ``address`` appears in any dapp's address array
     (CheckAddress.scala:15-31 semantics: array_contains filter)."""
