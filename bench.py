@@ -3,9 +3,11 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
-Each query is forced with a cheap count-collect (no driver-side data
-transfer beyond the count). A warmup run of the flagship query absorbs
-JVM/codegen startup so per-query numbers reflect steady state.
+Each query is forced through the ``noop`` sink — unlike ``count()``,
+which lets Catalyst prune aggregate/projection expressions that don't
+affect the row count, noop materializes every output column with zero
+driver-side transfer. Warmup runs absorb JVM + codegen startup so
+per-query numbers reflect steady state.
 """
 
 from __future__ import annotations
@@ -33,19 +35,22 @@ def main() -> None:
     # headline plan shape by running the same queries at the smallest SF
     # (generated code is cached per plan shape, so the timed runs below
     # measure execution, not compilation).
+    def force(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
     warmup_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warmup_dir):
         warmup_dir = sf_dir
     for name in BENCH_SET:
         try:
-            SPECS[name].fn(spark, warmup_dir).count()
+            force(SPECS[name].fn(spark, warmup_dir))
         except Exception:
             pass
 
     timings: dict[str, float] = {}
     for name in BENCH_SET:
         start = time.perf_counter()
-        SPECS[name].fn(spark, sf_dir).count()
+        force(SPECS[name].fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - start, 4)
 
     total = round(sum(timings.values()), 4)
