@@ -46,11 +46,18 @@ def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
 def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality metrics: char len, token count, mean token
     length, alpha ratio, stopword ratio — the standard cheap filters a
-    pretraining pipeline applies before expensive dedup."""
+    pretraining pipeline applies before expensive dedup.
+
+    The token array is materialized into a column once and every metric
+    reads it — expressions containing higher-order lambdas are opaque to
+    Spark's subexpression elimination, so repeating ``tokens(...)`` per
+    output column would re-run the regex split per metric.
+    """
     c = F.col(text_col)
-    toks = tokens(c)
+    with_toks = df.withColumn("_toks", tokens(c))
+    toks = F.col("_toks")
     n_tok = F.size(toks)
-    return df.withColumns(
+    return with_toks.withColumns(
         {
             "char_len": F.length(c),
             "n_tokens": n_tok,
@@ -61,9 +68,15 @@ def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             ).otherwise(F.lit(0.0)),
             "alpha_ratio": F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
             / F.greatest(F.length(c), F.lit(1)).cast("double"),
-            "stopword_ratio_en": stopword_ratio(c, "en"),
+            "stopword_ratio_en": F.size(
+                F.array_intersect(
+                    F.array_distinct(toks),
+                    F.array(*[F.lit(w) for w in STOPWORDS["en"]]),
+                )
+            )
+            / F.greatest(F.size(F.array_distinct(toks)), F.lit(1)),
         }
-    )
+    ).drop("_toks")
 
 
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -72,7 +85,8 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     (undetermined) when no set scores > 0. Deterministic tie-break by
     language code order (en < de < es < fr resolved alphabetically:
     de, en, es, fr)."""
-    toks = F.array_distinct(tokens(F.col(text_col)))
+    with_toks = df.withColumn("_dtoks", F.array_distinct(tokens(F.col(text_col))))
+    toks = F.col("_dtoks")
     scores = {
         lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ws])))
         for lang, ws in STOPWORDS.items()
@@ -84,10 +98,10 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         s = scores[lang]
         pred = F.when(s > best, F.lit(lang)).otherwise(pred)
         best = F.greatest(best, s)
-    out = df.withColumn("lang_pred", pred)
+    out = with_toks.withColumn("lang_pred", pred)
     for lang in sorted(STOPWORDS):
         out = out.withColumn(f"score_{lang}", scores[lang])
-    return out
+    return out.drop("_dtoks")
 
 
 #: BPE-ish piece pattern: alnum runs OR single non-alnum-non-space marks.
