@@ -1,0 +1,44 @@
+from __future__ import annotations
+
+import json
+
+from token_etl_spark import cli, fixtures
+
+
+def test_cli_all_four_pipelines(spark, tmp_path):
+    raw_pdf = fixtures.make_raw_transfer_events_pdf(n_rows=300)
+    fixtures.raw_transfer_events_df(spark, n_rows=300).write.parquet(str(tmp_path / "raw"))
+    fixtures.block_timestamps_df(spark, raw_pdf).write.parquet(str(tmp_path / "blocks"))
+    fixtures.transfers_df(spark, n_rows=300, n_wallets=8).write.parquet(
+        str(tmp_path / "transfers")
+    )
+    fixtures.token_metadata_df(spark).write.parquet(str(tmp_path / "meta"))
+    (tmp_path / "registry.json").write_text(
+        json.dumps(fixtures.make_dapp_registry_pdf().to_dict("records"))
+    )
+
+    cli.main(
+        ["ingest", "--raw", str(tmp_path / "raw"), "--blocks", str(tmp_path / "blocks"),
+         "--out", str(tmp_path / "edges")]
+    )
+    cli.main(
+        ["wallets", "--transfers", str(tmp_path / "transfers"),
+         "--metadata", str(tmp_path / "meta"), "--out", str(tmp_path / "wallets")]
+    )
+    cli.main(
+        ["tokens", "--transfers", str(tmp_path / "transfers"),
+         "--metadata", str(tmp_path / "meta"), "--dapps", str(tmp_path / "registry.json"),
+         "--out", str(tmp_path / "tokens")]
+    )
+    cli.main(
+        ["dapps", "--transfers", str(tmp_path / "transfers"),
+         "--registry", str(tmp_path / "registry.json"), "--out", str(tmp_path / "dapps")]
+    )
+
+    assert spark.read.parquet(str(tmp_path / "edges")).count() == 300
+    wallets = spark.read.parquet(str(tmp_path / "wallets"))
+    assert wallets.count() > 0 and "_key" in wallets.columns
+    tokens = spark.read.parquet(str(tmp_path / "tokens"))
+    assert tokens.count() == 3 and "dappChanges" in tokens.columns
+    dapps = spark.read.parquet(str(tmp_path / "dapps"))
+    assert dapps.count() > 0 and "_key" in dapps.columns
