@@ -35,8 +35,20 @@ _NANO_TS_COLS = {
 }
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Apply the engine's semantic session confs to an externally-created
+    session (the driver's verify harness passes its OWN SparkSession to
+    entry()/queries() — it won't have gone through session.get_spark).
+    Both confs are runtime-settable SQL confs.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one driver table (S1/S3 analog: full-collection scan)."""
+    ensure_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     for col in _NANO_TS_COLS.get(name, ()):
         if col in df.columns and dict(df.dtypes)[col] == "bigint":
