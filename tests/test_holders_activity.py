@@ -33,6 +33,50 @@ def test_holder_count_sums_booleans(spark):
     assert got == {3600: 2, 7200: 1}
 
 
+def test_whale_flag_expression(spark):
+    from token_etl_spark.operators.holders import whale_flag
+
+    df = spark.createDataFrame([(499.9,), (500.0,), (500.1,)], "balance double")
+    out = [r["w"] for r in df.select(whale_flag("balance", 1_000_000.0, 0.0005).alias("w")).collect()]
+    assert out == [False, True, True]
+
+
+def test_with_whale_flag_broadcast_dim(spark):
+    from token_etl_spark import fixtures
+    from token_etl_spark.operators.holders import with_whale_flag
+
+    balances = spark.createDataFrame(
+        [(fixtures.TOKENS[0][0], "a", 600.0), (fixtures.TOKENS[0][0], "b", 400.0),
+         ("0xunknown", "c", 1e12)],
+        "contract_address string, address string, balance double",
+    )
+    out = {r["address"]: r["isWhale"] for r in
+           with_whale_flag(balances, fixtures.token_metadata_df(spark)).collect()}
+    # VALAS threshold = 0.0005 × 1,000,000 = 500
+    assert out == {"a": True, "b": False, "c": False}  # unknown token → False
+
+
+def test_dapp_changelog_hourly(spark):
+    from token_etl_spark.operators.dapps import dapp_changelog
+
+    matched = spark.createDataFrame(
+        [("d1", "3600"), ("d2", "3700"), ("d1", "3800"), ("d1", "7300")],
+        "idCMC string, transact_at string",
+    ).withColumn("ts", F.col("transact_at").cast("long"))
+    got = {r["timestamp"]: (r["dapp_count"], r["dapp_ids"]) for r in dapp_changelog(matched, "ts").collect()}
+    assert got == {3600: (2, ["d1", "d1", "d2"]), 7200: (1, ["d1"])}
+
+
+def test_address_rollup_sorted(spark):
+    from token_etl_spark.operators.activity import address_rollup
+
+    df = spark.createDataFrame(
+        [(1, "z"), (1, "a"), (2, "m")], "g int, address string"
+    )
+    got = {r["g"]: r["addresses"] for r in address_rollup(df, ["g"]).collect()}
+    assert got == {1: ["a", "z"], 2: ["m"]}
+
+
 def test_avg_tx_per_day_is_count_div_24(spark):
     # A4 quirk (BaseEnricher.scala:213-220): per-day count / 24, not a mean.
     df = spark.createDataFrame([(i,) for i in range(48)], ["ts"]).withColumn(

@@ -33,11 +33,12 @@ def holder_count(df: DataFrame, flag_col: str = "isHolder", ts_col: str = "times
     )
 
 
-def whale_flag(balance: Column, circulating_supply: float | Column, threshold: float | Column) -> Column:
+def whale_flag(balance: Column | str, circulating_supply: float | Column, threshold: float | Column) -> Column:
     """F5 as a native expression: balance >= supply × threshold."""
     supply = F.lit(circulating_supply) if isinstance(circulating_supply, float) else circulating_supply
     thr = F.lit(threshold) if isinstance(threshold, float) else threshold
-    return F.col(balance) if isinstance(balance, str) else balance >= supply * thr
+    bal = F.col(balance) if isinstance(balance, str) else balance
+    return bal >= supply * thr
 
 
 def with_whale_flag(
