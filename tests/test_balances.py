@@ -56,6 +56,18 @@ def test_cumulative_balance_hand_computed(spark):
     }
 
 
+def test_with_prev_balance_lag(spark):
+    from token_etl_spark.operators.balances import with_prev_balance
+
+    balances = calculate_balance(_df(spark))
+    got = {
+        (r["address"], r["timestamp"]): r["pre_balance"]
+        for r in with_prev_balance(balances).collect()
+    }
+    assert got[("wallets/a", 3600)] is None      # first observation → no prev
+    assert got[("wallets/a", 7200)] == -6.0      # prev hour's balance
+
+
 def test_forward_fill_matches_crossjoin_reference(spark):
     # Engine's window forward-fill must equal the reference's
     # crossJoin + left-outer densification (WalletEnricher.scala:27-37).

@@ -35,6 +35,26 @@ def test_brute_force_topk_matches_numpy(spark):
     assert got == exp
 
 
+def test_embedding_near_dups_subset_of_exact(spark):
+    from token_etl_spark.operators.similarity import embedding_near_dups
+
+    df, vecs = _corpus(spark, n=80, dim=8)
+    thr = 0.6
+    lsh_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(df, threshold=thr, n_planes=2, dim=8).collect()
+    }
+    sims = (vecs @ vecs.T) / (
+        np.linalg.norm(vecs, axis=1)[:, None] * np.linalg.norm(vecs, axis=1)[None, :]
+    )
+    exact_pairs = {
+        (i, j) for i in range(80) for j in range(i + 1, 80) if sims[i, j] >= thr
+    }
+    assert lsh_pairs <= exact_pairs          # LSH never invents a pair
+    if exact_pairs:
+        assert len(lsh_pairs) > 0            # and finds some at 2 planes
+
+
 def test_lsh_topk_subset_of_bruteforce_universe(spark):
     df, _ = _corpus(spark)
     queries = df.filter(F.col("vec_id") < 3)

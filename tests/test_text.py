@@ -17,6 +17,14 @@ def test_tokenizer(spark):
     assert out[2] == []
 
 
+def test_token_count(spark):
+    from token_etl_spark.operators.text import token_count
+
+    df = _df(spark, ["one two three", ""])
+    got = [r["n"] for r in df.select(token_count("text").alias("n")).collect()]
+    assert got == [3, 0]
+
+
 def test_quality_stats(spark):
     df = _df(spark, ["the cat and the hat"])
     row = quality_stats(df).collect()[0]
