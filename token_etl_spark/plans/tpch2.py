@@ -314,6 +314,97 @@ def q_approx_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.approx_count_distinct("user_id").alias("approx_users"))
 
 
+# --- Q8-style: market share of one nation per year -------------------------
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    dims = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select("c_custkey", "n_name")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        .select(F.year("o_orderdate").cast("long").alias("order_year"), F.col("n_name"), rev.alias("rev"))
+    )
+    return joined.groupBy("order_year").agg(
+        (
+            F.sum(F.when(F.col("n_name") == "NATION_0", F.col("rev")).otherwise(F.lit(0.0)))
+            / F.sum("rev")
+        ).alias("mkt_share")
+    )
+
+
+SQL_MARKET_SHARE = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       sum(CASE WHEN n_name = 'NATION_0' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+       / sum(l_extendedprice * (1 - l_discount)) AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY year(o_orderdate)
+"""
+
+
+# --- Q9-style: profit by (supplier nation, year) ----------------------------
+
+def q_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    part = t(spark, sf_dir, "part")
+    sdim = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey", "n_name")
+    # no partsupp table → profit proxy: revenue − retailprice×qty×0.6
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * 0.6
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sdim), li.l_suppkey == sdim.s_suppkey)
+        .groupBy("n_name", F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(F.sum(profit).alias("profit"))
+    )
+
+
+SQL_PROFIT_BY_NATION_YEAR = """
+SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       sum(l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.6) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name, year(l_shipdate)
+"""
+
+
+# --- Q16-style: part-type supplier stats ------------------------------------
+
+def q_part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(~F.col("p_brand").isin("Brand#1"))
+        .groupBy("p_type", "p_size")
+        .agg(
+            F.countDistinct("l_suppkey").alias("supplier_cnt"),
+            F.countDistinct("l_partkey").alias("part_cnt"),
+        )
+    )
+
+
+SQL_PART_TYPE_STATS = """
+SELECT p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt,
+       count(DISTINCT l_partkey) AS part_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand NOT IN ('Brand#1')
+GROUP BY p_type, p_size
+"""
+
+
 # --- rank / dense_rank / ntile window pack ---------------------------------
 
 def q_rank_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -369,6 +460,9 @@ SPECS = [
     QuerySpec("tpch_order_count_distribution", q_order_count_distribution, SQL_ORDER_COUNT_DISTRIBUTION, ("join-outer", "agg")),
     QuerySpec("tpch_small_quantity_revenue", q_small_quantity_revenue, SQL_SMALL_QUANTITY_REVENUE, ("subquery",)),
     QuerySpec("tpch_idle_rich_customers", q_idle_rich_customers, SQL_IDLE_RICH_CUSTOMERS, ("join-anti", "subquery")),
+    QuerySpec("tpch_market_share", q_market_share, SQL_MARKET_SHARE, ("agg-ratio", "join-multiway")),
+    QuerySpec("tpch_profit_by_nation_year", q_profit_by_nation_year, SQL_PROFIT_BY_NATION_YEAR, ("join-multiway",)),
+    QuerySpec("tpch_part_type_stats", q_part_type_stats, SQL_PART_TYPE_STATS, ("agg-distinct",)),
     QuerySpec("rel_rank_pack", q_rank_pack, SQL_RANK_PACK, ("window-rank",)),
     QuerySpec("rel_cube_counts", q_cube_counts, SQL_CUBE_COUNTS, ("grouping-sets",)),
 ]
