@@ -7,12 +7,13 @@ This is the single source of truth consumed by ``__spark_entry__.py``
 
 from __future__ import annotations
 
-from token_etl_spark.plans import domain, extensions, relational, tpch, tpch2
+from token_etl_spark.plans import domain, extensions, relational, tpch, tpch2, tpch3
 from token_etl_spark.plans.base import QuerySpec
 
 _ALL: list[QuerySpec] = [
     *tpch.SPECS,
     *tpch2.SPECS,
+    *tpch3.SPECS,
     *relational.SPECS,
     *domain.SPECS,
     *extensions.SPECS,
