@@ -37,3 +37,58 @@ def test_token_wallets_map_schema_roundtrips_parquet(spark, tmp_path):
     orig = {r["_key"]: r["balanceChangeLogs"] for r in out.collect()}
     rt = {r["_key"]: r["balanceChangeLogs"] for r in back.collect()}
     assert orig == rt
+
+
+def test_incremental_upsert_matches_full_and_skips_untouched_buckets(spark, tmp_path):
+    import os
+    import time
+
+    from token_etl_spark.io.sinks import read_upserted, upsert_by_key_incremental
+
+    path = str(tmp_path / "inc_upsert")
+    v1 = spark.createDataFrame(
+        [(f"k{i}", 1) for i in range(40)], "_key string, v int"
+    )
+    upsert_by_key_incremental(spark, v1, path, n_buckets=8)
+    before = {
+        d: max(
+            os.path.getmtime(os.path.join(path, d, f))
+            for f in os.listdir(os.path.join(path, d))
+        )
+        for d in os.listdir(path)
+        if d.startswith("_bucket=")
+    }
+    assert len(before) > 1  # keys spread over multiple buckets
+
+    time.sleep(1.1)
+    v2 = spark.createDataFrame([("k3", 2), ("k3b", 2)], "_key string, v int")
+    upsert_by_key_incremental(spark, v2, path, n_buckets=8)
+
+    got = {r["_key"]: r["v"] for r in read_upserted(spark, path).collect()}
+    expect = {f"k{i}": 1 for i in range(40)} | {"k3": 2, "k3b": 2}
+    assert got == expect
+
+    after = {
+        d: max(
+            os.path.getmtime(os.path.join(path, d, f))
+            for f in os.listdir(os.path.join(path, d))
+        )
+        for d in os.listdir(path)
+        if d.startswith("_bucket=")
+    }
+    rewritten = {d for d in before if after[d] > before[d]}
+    assert rewritten  # the touched buckets were rewritten
+    assert rewritten != set(before)  # ...but not every bucket
+
+
+def test_incremental_upsert_repeated_batches_keep_latest(spark, tmp_path):
+    from token_etl_spark.io.sinks import read_upserted, upsert_by_key_incremental
+
+    path = str(tmp_path / "inc_upsert2")
+    for version in (1, 2, 3):
+        batch = spark.createDataFrame(
+            [("a", version), ("b", version * 10)], "_key string, v int"
+        )
+        upsert_by_key_incremental(spark, batch, path, n_buckets=4)
+    got = {r["_key"]: r["v"] for r in read_upserted(spark, path).collect()}
+    assert got == {"a": 3, "b": 30}

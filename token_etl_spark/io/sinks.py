@@ -70,3 +70,61 @@ def upsert_by_key(
     deduped.count()
     write_parquet(deduped, path, mode="overwrite")
     deduped.unpersist()
+
+
+def upsert_by_key_incremental(
+    spark: SparkSession,
+    new_df: DataFrame,
+    path: str,
+    key: str = "_key",
+    n_buckets: int = 16,
+    version_col: str = "_ingest_version",
+) -> None:
+    """Incremental upsert: hash-bucket the key space into ``n_buckets``
+    parquet partitions and rewrite ONLY the buckets the batch touches
+    (ROADMAP 3 — the lakehouse-free approximation of MERGE INTO).
+
+    A key lives entirely inside its ``pmod(xxhash64(key), n_buckets)``
+    bucket, so per-bucket merge + dynamic partition overwrite preserves
+    upsert-by-key semantics while leaving untouched buckets' files alone.
+    At 100 TB with a well-sized bucket count, a small batch rewrites
+    |touched buckets| / n_buckets of the table instead of all of it; the
+    bucket list collected to the driver is bounded by ``n_buckets``, never
+    by data size.
+    """
+    batch = new_df.withColumn(
+        "_bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+    )
+    try:
+        existing = spark.read.parquet(path)
+        has_existing = True
+    except Exception:
+        has_existing = False
+
+    if not has_existing:
+        merged = batch.withColumn(version_col, F.lit(1).cast("long"))
+    else:
+        touched = sorted(r[0] for r in batch.select("_bucket").distinct().collect())
+        affected = existing.filter(F.col("_bucket").isin(touched))
+        next_version = affected.agg(F.max(version_col)).collect()[0][0] or 0
+        batch = batch.withColumn(version_col, F.lit(next_version + 1).cast("long"))
+        merged = affected.select(batch.columns).unionByName(batch)
+
+    w = Window.partitionBy(key).orderBy(F.col(version_col).desc())
+    deduped = (
+        merged.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+    # Materialize before overwriting partitions we just read from.
+    deduped = deduped.localCheckpoint(eager=True)
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        deduped.write.mode("overwrite").partitionBy("_bucket").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+
+def read_upserted(spark: SparkSession, path: str) -> DataFrame:
+    """Read an upserted table, hiding the bookkeeping columns."""
+    df = spark.read.parquet(path)
+    return df.drop(*[c for c in ("_bucket", "_ingest_version") if c in df.columns])

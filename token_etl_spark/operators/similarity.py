@@ -32,6 +32,14 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def l2_normalize(a: Column) -> Column:
+    """Unit-normalize an array<double> column (JVM-side). On the unit
+    sphere cosine similarity reduces to a plain dot product, which is what
+    spherical k-means exploits."""
+    n = norm(a)
+    return F.transform(a, lambda x: x / n)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -173,6 +181,59 @@ def lloyd_refine(assigned: DataFrame) -> DataFrame:
     )
 
 
+def _assign_to_centroids(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign each ``(corpus_id, cv)`` row to its max-cosine centroid from
+    the broadcast ``(centroid_id, centroid_vec)`` frame."""
+    scored = base.join(F.broadcast(cents)).withColumn(
+        "sim", cosine(F.col("cv"), F.col("centroid_vec"))
+    )
+    w = Window.partitionBy("corpus_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("corpus_id", "cv", "centroid_id")
+    )
+
+
+def spherical_kmeans(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means trainer for the IVF coarse quantizer (ROADMAP 2).
+
+    Classic Lloyd alternation on the unit sphere: assign → per-cell mean →
+    re-project the mean onto the sphere. Init is the same deterministic
+    corpus sample as ``ivf_assign``. Each iteration is one low-cardinality
+    shuffle (cell × dim) over the corpus; the evolving centroid table stays
+    broadcast. ``localCheckpoint`` truncates the per-iteration lineage so
+    the plan does not grow exponentially with ``n_iters`` (same pattern as
+    operators/graph.py pointer doubling).
+
+    Returns a ``(centroid_id, centroid_vec)`` frame with unit-norm vectors.
+    """
+    base = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        l2_normalize(F.col(vec_col).cast("array<double>")).alias("cv"),
+    ).localCheckpoint(eager=False)
+    cents = (
+        base.orderBy("corpus_id")
+        .limit(n_centroids)
+        .select(
+            F.row_number().over(Window.orderBy("corpus_id")).alias("centroid_id"),
+            F.col("cv").alias("centroid_vec"),
+        )
+    )
+    for _ in range(n_iters):
+        assigned = _assign_to_centroids(base, cents)
+        cents = lloyd_refine(assigned).withColumn(
+            "centroid_vec", l2_normalize(F.col("centroid_vec"))
+        ).localCheckpoint(eager=True)
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -181,6 +242,7 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF search: assign corpus to centroid cells once, probe each
     query's ``n_probe`` nearest cells only.
@@ -188,8 +250,22 @@ def ivf_topk(
     Expected comparisons per query: |corpus| × n_probe / n_centroids.
     The cell join shuffles on ``centroid_id`` — low cardinality but
     balanced when centroids are sampled from the data distribution.
+
+    ``refine_iters > 0`` trains the quantizer with spherical k-means
+    instead of the raw sample — tighter cells, higher recall at the same
+    n_probe (measured in PERF.md).
     """
-    assigned, cents = ivf_assign(corpus, n_centroids, id_col, vec_col)
+    if refine_iters > 0:
+        cents = F.broadcast(
+            spherical_kmeans(corpus, n_centroids, refine_iters, id_col, vec_col)
+        )
+        base = corpus.select(
+            F.col(id_col).alias("corpus_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+        assigned = _assign_to_centroids(base, cents)
+    else:
+        assigned, cents = ivf_assign(corpus, n_centroids, id_col, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
     )
