@@ -69,3 +69,56 @@ def test_simhash_near_dups_have_close_hashes(spark):
 
     assert hamming(out[0], out[3]) == 0  # identical token multiset
     assert hamming(out[0], out[1]) < hamming(out[0], out[2])
+
+
+def test_star_edges_linear_and_same_components(spark):
+    """A bucket with k members emits k-1 star edges (vs k(k-1)/2 pairs),
+    and the resulting connected components match the pair-form clusters
+    for exact-copy groups."""
+    from token_etl_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_star_edges,
+        minhash_dedup,
+        minhash_dedup_clusters,
+    )
+    from token_etl_spark.operators.graph import connected_components
+    from token_etl_spark.operators.dedup import minhash_signatures, shingle_arrays
+    from pyspark.sql import functions as F
+
+    texts = []
+    for c in range(3):  # 3 clusters of 6 exact copies each
+        for i in range(6):
+            texts.append((c * 10 + i, f"unique cluster {c} body text repeated words here okay"))
+    for i in range(50, 60):  # singletons
+        texts.append((i, f"totally different document number {i} with its own words {i}"))
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+
+    arrays = shingle_arrays(df)
+    sigs = minhash_signatures(arrays.select("id", F.explode("sh").alias("shingle")))
+    n_pairs = lsh_candidate_pairs(sigs).count()
+    star = lsh_star_edges(sigs)
+    n_star = star.count()
+    assert n_star < n_pairs  # 3×5=15 star edges vs 3×15=45 pairs
+    # exactly k-1 edges per exact-copy cluster (spurious band collisions
+    # involving singletons may add a few more; verification drops those)
+    in_cluster = star.filter((F.col("id_a") < 50) & (F.col("id_b") < 50)).count()
+    assert in_cluster == 15
+
+    pair_cc = connected_components(minhash_dedup(df).select("id_a", "id_b"))
+    star_cc = minhash_dedup_clusters(df)
+    as_map = lambda cc: {r.id: r.component for r in cc.collect()}
+    assert as_map(pair_cc) == as_map(star_cc)
+
+
+def test_minhash_clusters_unverified_superset(spark):
+    """verify=False keeps at least the verified clusters' members."""
+    from token_etl_spark.operators.dedup import minhash_dedup_clusters
+
+    rows = [(i, "the same exact duplicated text content") for i in range(4)] + [
+        (99, "another unrelated piece of writing entirely different")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    verified = {r.id for r in minhash_dedup_clusters(df).collect()}
+    loose = {r.id for r in minhash_dedup_clusters(df, verify=False).collect()}
+    assert verified <= loose
+    assert verified == {0, 1, 2, 3}

@@ -30,3 +30,28 @@ def test_dedup_keep_list(spark):
     assert got[1] and not got[2] and not got[3]   # cluster {1,2,3} keeps 1
     assert got[7] and not got[9]                  # cluster {7,9} keeps 7
     assert all(got[i] for i in (0, 4, 5, 6, 8))   # singletons kept
+
+
+def test_keep_list_from_components_matches_pair_form(spark):
+    from pyspark.sql import functions as F
+
+    from token_etl_spark.operators.graph import (
+        connected_components,
+        dedup_keep_list,
+        keep_list_from_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    all_ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 99]], "doc_id long")
+    via_pairs = {
+        (r.doc_id, r.keep) for r in dedup_keep_list(pairs, all_ids).collect()
+    }
+    comps = connected_components(pairs)
+    via_comps = {
+        (r.doc_id, r.keep)
+        for r in keep_list_from_components(comps, all_ids).collect()
+    }
+    assert via_pairs == via_comps
+    assert (99, True) in via_comps  # singleton kept

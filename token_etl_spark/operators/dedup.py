@@ -13,7 +13,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from token_etl_spark.operators.text import tokens
@@ -96,16 +96,11 @@ def minhash_signatures(shingled: DataFrame, num_hashes: int = 32) -> DataFrame:
     return sig
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8, sig_len: int = 32) -> DataFrame:
-    """Band the signatures and emit candidate pairs per matching bucket.
-
-    ``sig_len`` must divide evenly into ``bands``; each band's slice is
-    hashed to a bucket key, docs sharing any (band, bucket) become a
-    candidate pair. Self-join happens on the (band, bucket) key only —
-    the quadratic blowup is confined to bucket-local groups.
-    """
+def _banded(signatures: DataFrame, bands: int, sig_len: int) -> DataFrame:
+    """(id, band, bucket) frame: each band's signature slice hashed to a
+    bucket key. Shared by the pair-emitting and star-edge-emitting paths."""
     rows_per_band = sig_len // bands
-    banded = signatures.select(
+    return signatures.select(
         "id",
         F.explode(
             F.array(
@@ -127,6 +122,19 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8, sig_len: int = 32
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8, sig_len: int = 32) -> DataFrame:
+    """Band the signatures and emit candidate pairs per matching bucket.
+
+    ``sig_len`` must divide evenly into ``bands``; each band's slice is
+    hashed to a bucket key, docs sharing any (band, bucket) become a
+    candidate pair. Self-join happens on the (band, bucket) key only —
+    the quadratic blowup is confined to bucket-local groups (a k-member
+    bucket emits k(k-1)/2 pairs; see ``lsh_star_edges`` for the linear
+    alternative when clusters are large).
+    """
+    banded = _banded(signatures, bands, sig_len)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -135,6 +143,63 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8, sig_len: int = 32
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+
+
+def lsh_star_edges(signatures: DataFrame, bands: int = 8, sig_len: int = 32) -> DataFrame:
+    """Linear-output LSH candidates (PERF.md scaling probe follow-up): each
+    (band, bucket) group emits member → min-id STAR edges instead of the
+    full clique — k-1 edges where the pair form emits k(k-1)/2.
+
+    The star graph has the same connected components as the clique graph
+    (every member touches the bucket minimum), so downstream
+    ``connected_components`` + ``dedup_keep_list`` are unaffected, while
+    LSH output stays linear in corpus size even when a duplicate cluster
+    has millions of members. One shuffle: the window min over
+    (band, bucket).
+    """
+    banded = _banded(signatures, bands, sig_len)
+    w = Window.partitionBy("band", "bucket")
+    return (
+        banded.withColumn("rep", F.min("id").over(w))
+        .filter(F.col("id") != F.col("rep"))
+        .select(F.col("rep").alias("id_a"), F.col("id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    verify: bool = True,
+) -> DataFrame:
+    """Cluster-form MinHash+LSH dedup for large duplicate clusters: star
+    edges → (optional) Jaccard verify → connected components. Returns
+    (id, component) with component = min doc id of the near-dup cluster.
+
+    Semantics vs ``minhash_dedup``: verification runs on the star edges
+    only (linear), not every bucket-local pair — a member whose star edge
+    fails the threshold drops out even if it is near some *other* member.
+    For exact-copy clusters (the case that explodes pair counts) every
+    star edge verifies identically, so the clusters match the pair form;
+    for borderline near-dups the cluster form is the standard
+    at-scale approximation (verify=False skips verification entirely and
+    trusts band collisions, the cheapest and loosest setting).
+    """
+    from token_etl_spark.operators.graph import connected_components
+
+    arrays = shingle_arrays(df, text_col, id_col, k)
+    arrays.persist()
+    exploded = arrays.select("id", F.explode("sh").alias("shingle"))
+    sigs = minhash_signatures(exploded, num_hashes)
+    edges = lsh_star_edges(sigs, bands, sig_len=num_hashes)
+    if verify:
+        edges = jaccard_verify(edges, arrays, threshold).select("id_a", "id_b")
+    return connected_components(edges)
 
 
 def jaccard_verify(candidates: DataFrame, shingle_sets: DataFrame, threshold: float = 0.5) -> DataFrame:

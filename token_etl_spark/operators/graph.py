@@ -91,3 +91,16 @@ def dedup_keep_list(pairs: DataFrame, all_ids: DataFrame, id_col: str = "doc_id"
     )
     singletons = all_ids.select(id_col).join(decided.select(id_col), id_col, "left_anti")
     return decided.unionByName(singletons.withColumn("keep", F.lit(True)))
+
+
+def keep_list_from_components(
+    comps: DataFrame, all_ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """``dedup_keep_list`` for a precomputed (id, component) frame (e.g.
+    ``minhash_dedup_clusters`` output) — skips the redundant component
+    pass: keep = (id == component, the cluster min) plus all singletons."""
+    decided = comps.select(
+        F.col("id").alias(id_col), (F.col("id") == F.col("component")).alias("keep")
+    )
+    singletons = all_ids.select(id_col).join(decided.select(id_col), id_col, "left_anti")
+    return decided.unionByName(singletons.withColumn("keep", F.lit(True)))

@@ -172,6 +172,14 @@ def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keep_list(pairs, docs)
 
 
+def q_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-output near-dup clustering: LSH star edges (k-1 per bucket
+    instead of k(k-1)/2 pairs) → verify → connected components. The
+    100 TB-safe form of ext_dedup_keep_list's pair stage."""
+    docs = t(spark, sf_dir, "documents")
+    return D.minhash_dedup_clusters(docs, threshold=JACCARD_THRESHOLD)
+
+
 # --- similarity search -----------------------------------------------------
 
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -296,6 +304,7 @@ SPECS = [
     QuerySpec("ext_minhash_neardup", q_minhash_neardup, None, ("dedup",), bench=True),
     QuerySpec("ext_simhash", q_simhash, None, ("dedup",)),
     QuerySpec("ext_dedup_keep_list", q_dedup_keep_list, None, ("dedup", "graph")),
+    QuerySpec("ext_minhash_clusters", q_minhash_clusters, None, ("dedup", "graph")),
     QuerySpec("ext_ann_bruteforce", q_ann_bruteforce, SQL_ANN_BRUTEFORCE, ("similarity",), bench=True),
     QuerySpec("ext_embedding_neardup", q_embedding_neardup, SQL_EMBEDDING_NEARDUP, ("similarity", "dedup")),
     QuerySpec("ext_ann_lsh", q_ann_lsh, None, ("similarity",)),
