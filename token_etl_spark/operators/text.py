@@ -79,6 +79,25 @@ def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).drop("_toks")
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document repetition signals used by pretraining quality filters:
+    type-token ratio (distinct/total tokens — low means repetitive) and
+    top-token share (most frequent token's fraction — high means
+    degenerate repetition).
+
+    Computed via explode + two keyed aggregations instead of per-row
+    array lambdas: both shuffles key on (doc, token) / doc and map-side
+    combine, so the plan scales with corpus size, not document length.
+    Zero-token documents drop out (same as the explode in the oracle).
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    counts = tok.groupBy(id_col, "tok").agg(F.count("*").alias("c"))
+    return counts.groupBy(id_col).agg(
+        (F.count("*") / F.sum("c")).alias("type_token_ratio"),
+        (F.max("c") / F.sum("c")).alias("top_token_share"),
+    )
+
+
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-hit language heuristic: score every language's stopword
     set against the distinct-token set; predict the argmax, 'und'

@@ -69,6 +69,23 @@ FROM base
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (type-token ratio, top-token share)."""
+    docs = t(spark, sf_dir, "documents")
+    return X.repetition_stats(docs)
+
+
+SQL_REPETITION_STATS = f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM base),
+cnt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok)
+SELECT doc_id,
+       CAST(count(*) AS DOUBLE) / sum(c) AS type_token_ratio,
+       CAST(max(c) AS DOUBLE) / sum(c) AS top_token_share
+FROM cnt GROUP BY doc_id
+"""
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     out = X.language_id(docs)
@@ -299,6 +316,7 @@ SPECS = [
     QuerySpec("ext_dedup_exact", q_dedup_exact, SQL_DEDUP_EXACT, ("dedup",), bench=True),
     QuerySpec("ext_text_stats", q_text_stats, SQL_TEXT_STATS, ("text",), bench=True),
     QuerySpec("ext_text_langid", q_text_langid, SQL_TEXT_LANGID, ("text",)),
+    QuerySpec("ext_repetition_stats", q_repetition_stats, SQL_REPETITION_STATS, ("text",)),
     QuerySpec("ext_text_fingerprint", q_text_fingerprint, SQL_TEXT_FINGERPRINT, ("text",)),
     QuerySpec("ext_ngram_jaccard", q_ngram_jaccard, SQL_NGRAM_JACCARD, ("dedup",)),
     QuerySpec("ext_minhash_neardup", q_minhash_neardup, None, ("dedup",), bench=True),

@@ -79,12 +79,16 @@ def run_foreach_batch_upsert(
     q.awaitTermination()
 
 
-def run_to_memory(stream_df: DataFrame, query_name: str = "hourly_metrics") -> None:
-    """Drain all available input into an in-memory table (test harness)."""
+def run_to_memory(
+    stream_df: DataFrame, query_name: str = "hourly_metrics", output_mode: str = "complete"
+) -> None:
+    """Drain all available input into an in-memory table (test harness).
+    ``complete`` suits aggregations; row-level operators (dedup, filters)
+    require ``append``."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
