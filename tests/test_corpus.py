@@ -35,3 +35,18 @@ def test_corpus_summary_accounting(spark):
     assert s["n_exact_dups"] == 1
     assert s["n_near_dups"] == 1
     assert 0 < s["kept_est_tokens"] <= s["total_est_tokens"]
+
+
+def test_prepare_corpus_large_cluster_form_agrees(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    base = {
+        r["doc_id"]: (r["keep"], r["is_near_dup"])
+        for r in prepare_corpus(docs, jaccard_threshold=0.5).collect()
+    }
+    star = {
+        r["doc_id"]: (r["keep"], r["is_near_dup"])
+        for r in prepare_corpus(
+            docs, jaccard_threshold=0.5, large_clusters=True
+        ).collect()
+    }
+    assert base == star

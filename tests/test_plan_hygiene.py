@@ -59,3 +59,23 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     assert "== Final Plan ==" in plan
     # '*' prefix marks operators inside a WholeStageCodegen span
     assert "* HashAggregate" in plan and "* Project" in plan
+
+
+def test_tpch3_plans_broadcast_and_no_cartesian(spark, sf_dir):
+    # the argmin/argmax/semi/anti wave: dims broadcast, facts never
+    # cartesian (value-share's 1-row scalar crossJoin is a
+    # BroadcastNestedLoopJoin over one row, not a CartesianProduct)
+    for name in (
+        "tpch_min_cost_supplier",
+        "tpch_returned_revenue",
+        "tpch_qty_heavy_suppliers",
+        "tpch_supplier_part_counts",
+        "tpch_waiting_orders",
+        "tpch_late_priority_mix",
+        "tpch_value_share_parts",
+        "tpch_top_supplier",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+    assert _plan(spark, sf_dir, "tpch_returned_revenue").count("BroadcastHashJoin") >= 2
+    assert _plan(spark, sf_dir, "tpch_min_cost_supplier").count("BroadcastHashJoin") >= 2

@@ -13,8 +13,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from token_etl_spark.operators.dedup import exact_dedup, minhash_dedup
-from token_etl_spark.operators.graph import dedup_keep_list
+from token_etl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup,
+    minhash_dedup_clusters,
+)
+from token_etl_spark.operators.graph import dedup_keep_list, keep_list_from_components
 from token_etl_spark.operators.text import quality_stats, token_estimate
 
 
@@ -24,10 +28,17 @@ def prepare_corpus(
     max_tokens: int = 100_000,
     min_alpha_ratio: float = 0.5,
     jaccard_threshold: float = 0.6,
+    large_clusters: bool = False,
 ) -> DataFrame:
     """documents(doc_id, text, ...) → per-doc decision frame:
     (doc_id, n_tokens, est_tokens, passed_quality, is_exact_dup,
     is_near_dup, keep). ``keep`` docs form the training corpus.
+
+    ``large_clusters=True`` swaps the near-dup stage to the star-edge
+    cluster form (linear LSH output; PERF.md "Giant-cluster dedup") —
+    use when duplicate clusters may be huge (boilerplate, templates).
+    Exact dedup before it already collapses identical copies, so the
+    default pair form is right for typical web-scale mixes.
     """
     scored = quality_stats(docs).withColumn("est_tokens", token_estimate(F.col("text")))
     scored = scored.withColumn(
@@ -46,8 +57,14 @@ def prepare_corpus(
     exact_survivors = quality_docs.join(exact_keep, "doc_id", "left_semi")
 
     # near-dup clustering over exact survivors only
-    pairs = minhash_dedup(exact_survivors, threshold=jaccard_threshold)
-    near_decisions = dedup_keep_list(pairs, exact_survivors.select("doc_id"))
+    if large_clusters:
+        comps = minhash_dedup_clusters(exact_survivors, threshold=jaccard_threshold)
+        near_decisions = keep_list_from_components(
+            comps, exact_survivors.select("doc_id")
+        )
+    else:
+        pairs = minhash_dedup(exact_survivors, threshold=jaccard_threshold)
+        near_decisions = dedup_keep_list(pairs, exact_survivors.select("doc_id"))
 
     decisions = (
         scored.select("doc_id", "n_tokens", "est_tokens", "passed_quality")

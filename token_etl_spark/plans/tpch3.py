@@ -35,10 +35,10 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For each large STANDARD part, the EUROPE supplier(s) offering the
     minimum unit cost (l_extendedprice / l_quantity) observed in lineitem.
 
-    The argmin is realized as a broadcast join back on (partkey, unit_cost):
-    the min is taken per part, then rows whose row-wise unit cost equals it
-    survive. At 100 TB the per-part min aggregate is a map-side-combinable
-    shuffle on l_partkey and the dimension sides stay broadcast.
+    The argmin is a window min over p_partkey followed by an equality
+    filter on the row-wise unit cost — one shuffle on the part key and a
+    single scan of the fact table (the join-back form scans the candidate
+    subplan twice; verified with .explain). Dimension sides broadcast.
     """
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part")
@@ -62,18 +62,12 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(big_parts), li.l_partkey == big_parts.p_partkey)
         .select("p_partkey", "p_name", "s_name", "n_name", "unit_cost")
     )
-    min_cost = (
-        cand.groupBy("p_partkey")
-        .agg(F.min("unit_cost").alias("min_cost"))
-        .withColumnRenamed("p_partkey", "m_partkey")
-    )
     return (
-        cand.join(
-            min_cost,
-            (cand.p_partkey == min_cost.m_partkey)
-            & (cand.unit_cost == min_cost.min_cost),
+        cand.withColumn(
+            "min_cost", F.min("unit_cost").over(W.partitionBy("p_partkey"))
         )
-        .select("p_partkey", "p_name", "s_name", "n_name", F.col("min_cost").alias("unit_cost"))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .select("p_partkey", "p_name", "s_name", "n_name", "unit_cost")
         .distinct()
     )
 
@@ -294,8 +288,83 @@ GROUP BY s_name
 """
 
 
+# --- Q10-style: revenue lost to returned items, per customer ---------------
+
+def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top revenue-losing customers from returned items in 1996H2: 4-way
+    join (fact filtered first; customer/nation broadcast), one keyed agg."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+SQL_RETURNED_REVENUE = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+"""
+
+
+# --- Q12-style: late-shipment priority mix per return flag -----------------
+
+def q_late_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For 1996's late shipments (> 90 days after order), counts of
+    urgent/high vs other orders per return flag (conditional-sum pivot of
+    the classic shipmode query — this schema has no l_shipmode)."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+            & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(urgent.cast("bigint")).alias("high_line_count"),
+            F.sum((~urgent).cast("bigint")).alias("low_line_count"),
+        )
+    )
+
+
+SQL_LATE_PRIORITY_MIX = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+"""
+
+
 SPECS = [
     QuerySpec("tpch_min_cost_supplier", q_min_cost_supplier, SQL_MIN_COST_SUPPLIER, ("join-argmin", "join-multiway")),
+    QuerySpec("tpch_returned_revenue", q_returned_revenue, SQL_RETURNED_REVENUE, ("join-multiway", "agg")),
+    QuerySpec("tpch_late_priority_mix", q_late_priority_mix, SQL_LATE_PRIORITY_MIX, ("agg-conditional",)),
     QuerySpec("tpch_value_share_parts", q_value_share_parts, SQL_VALUE_SHARE_PARTS, ("having", "subquery-scalar")),
     QuerySpec("tpch_top_supplier", q_top_supplier, SQL_TOP_SUPPLIER, ("join-argmax", "window")),
     QuerySpec("tpch_supplier_part_counts", q_supplier_part_counts, SQL_SUPPLIER_PART_COUNTS, ("join-anti", "agg-distinct")),
