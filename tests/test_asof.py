@@ -34,3 +34,61 @@ def test_asof_equal_ts_inclusive_vs_strict(spark):
     assert incl["tag"] == "exact"  # <= semantics by default
     strict = asof_join(left, right, "user", "ts", "rts", ["tag"], strict=True).collect()[0]
     assert strict["tag"] is None   # < semantics when strict
+
+
+def test_range_join_matches_naive_theta(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from token_etl_spark.operators.asof import range_join
+
+    base = dt.datetime(2024, 1, 1)
+    lrows = [(i, 1, base + dt.timedelta(seconds=i * 700)) for i in range(10)]
+    rrows = [(j, 1, base + dt.timedelta(seconds=j * 500 + 250)) for j in range(14)]
+    left = spark.createDataFrame(lrows, "lid long, k long, lts timestamp")
+    right = spark.createDataFrame(rrows, "rid long, k long, rts timestamp")
+
+    got = {
+        (r.lid, r.rid)
+        for r in range_join(left, right, ["k"], "lts", "rts", lower=0, upper=1000).collect()
+    }
+    naive = {
+        (r.lid, r.rid)
+        for r in left.join(right, "k")
+        .filter(
+            F.unix_timestamp("rts").between(
+                F.unix_timestamp("lts"), F.unix_timestamp("lts") + 1000
+            )
+        )
+        .collect()
+    }
+    assert got == naive and len(got) > 0
+
+
+def test_range_join_negative_lower_window(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from token_etl_spark.operators.asof import range_join
+
+    base = dt.datetime(2024, 6, 1)
+    left = spark.createDataFrame(
+        [(0, 1, base)], "lid long, k long, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (0, 1, base - dt.timedelta(seconds=50)),
+            (1, 1, base + dt.timedelta(seconds=50)),
+            (2, 1, base + dt.timedelta(seconds=500)),
+        ],
+        "rid long, k long, rts timestamp",
+    )
+    got = {
+        r.rid
+        for r in range_join(
+            left, right, ["k"], "lts", "rts", lower=-100, upper=100
+        ).collect()
+    }
+    assert got == {0, 1}

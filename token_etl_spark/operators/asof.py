@@ -65,3 +65,48 @@ def asof_join(
         F.col(f"_rfill.{c}").alias(c) for c in right_payload
     ]
     return out.select(*cols)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    lower: int = 0,
+    upper: int = 3600,
+) -> DataFrame:
+    """Banded time-range join: every left row paired with the right rows
+    whose timestamp lies in ``[left_ts + lower, left_ts + upper]``
+    (seconds, inclusive) with equal ``on`` keys.
+
+    A naive inequality join degenerates to a broadcast-nested-loop in
+    Spark. This form bucketizes both sides by ``width = upper - lower + 1``
+    seconds: a left row's window spans at most two buckets, so the left
+    side explodes ×2 onto (keys, bucket) and the pairing happens in an
+    equi hash join, with the exact range applied as a post-filter —
+    O(matches) work after one shuffle each side, no theta join anywhere.
+
+    Both inputs must not share ambiguous column names beyond ``on``
+    (rename timestamps/payloads before calling, as with any self-join).
+    """
+    if upper < lower:
+        raise ValueError("upper must be >= lower")
+    width = upper - lower + 1
+    l_sec = F.unix_timestamp(F.col(left_ts))
+    r_sec = F.unix_timestamp(F.col(right_ts))
+    r_b = right.withColumn("_bucket", F.floor(r_sec / width))
+    base = F.floor((l_sec + F.lit(lower)) / width)
+    l_b = left.withColumn(
+        "_bucket", F.explode(F.array(base, base + 1))
+    )
+    return (
+        l_b.join(r_b, [*on, "_bucket"])
+        .filter(
+            F.unix_timestamp(F.col(right_ts)).between(
+                F.unix_timestamp(F.col(left_ts)) + lower,
+                F.unix_timestamp(F.col(left_ts)) + upper,
+            )
+        )
+        .drop("_bucket")
+    )

@@ -369,6 +369,46 @@ GROUP BY 1
 
 # --- as-of join (custom operator; composition of built-ins) ----------------
 
+def q_range_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: for each click, the purchases by the same user
+    within the following hour (count + min delay). The banded rewrite
+    keeps the pairing an equi hash join (operators/asof.py range_join);
+    the oracle states the range predicate directly."""
+    from token_etl_spark.operators.asof import range_join
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts")
+    )
+    joined = range_join(
+        clicks, purchases, ["user_id"], "click_ts", "purchase_ts", lower=0, upper=3600
+    )
+    return joined.groupBy("click_id").agg(
+        F.count("*").alias("n_purchases"),
+        (
+            F.min(F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts"))
+        ).alias("min_delay_s"),
+    )
+
+
+SQL_RANGE_JOIN_PURCHASES = """
+-- floor(epoch()) mirrors Spark's unix_timestamp second-truncation
+SELECT c.event_id AS click_id,
+       count(*) AS n_purchases,
+       CAST(min(floor(epoch(p.ts)) - floor(epoch(c.ts))) AS BIGINT) AS min_delay_s
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND floor(epoch(p.ts)) >= floor(epoch(c.ts))
+ AND floor(epoch(p.ts)) <= floor(epoch(c.ts)) + 3600
+GROUP BY c.event_id
+"""
+
+
 def q_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
@@ -445,6 +485,7 @@ SPECS = [
     QuerySpec("rel_pivot_priority", q_pivot_priority, SQL_PIVOT_PRIORITY, ("pivot",)),
     QuerySpec("rel_topk_orders", q_topk_orders, SQL_TOPK_ORDERS, ("window-rank",)),
     QuerySpec("rel_asof_last_click", q_asof_last_click, SQL_ASOF_LAST_CLICK, ("join-asof",), bench=True),
+    QuerySpec("rel_range_join_purchases", q_range_join_purchases, SQL_RANGE_JOIN_PURCHASES, ("join-range",)),
     QuerySpec("rel_sql_api", q_sql_api, SQL_SQL_API, ("sql-api",)),
     QuerySpec("rel_date_parts", q_date_parts, SQL_DATE_PARTS, ("functions-date",)),
     QuerySpec("rel_string_ops", q_string_ops, SQL_STRING_OPS, ("functions-string",)),
