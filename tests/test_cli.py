@@ -42,3 +42,36 @@ def test_cli_all_four_pipelines(spark, tmp_path):
     assert tokens.count() == 3 and "dappChanges" in tokens.columns
     dapps = spark.read.parquet(str(tmp_path / "dapps"))
     assert dapps.count() > 0 and "_key" in dapps.columns
+
+
+def test_cli_corpus_pipeline(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog by the river"),
+            (1, "the quick brown fox jumps over the lazy dog by the stream"),
+            (2, "THE  quick brown fox jumps over the lazy dog by the river"),
+            (3, "entirely different text about distributed query engines"),
+            (4, "z"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(str(tmp_path / "docs"))
+    cli.main(
+        ["corpus", "--documents", str(tmp_path / "docs"),
+         "--out", str(tmp_path / "decisions"), "--jaccard-threshold", "0.5"]
+    )
+    decisions = spark.read.parquet(str(tmp_path / "decisions"))
+    d = {r.doc_id: r for r in decisions.collect()}
+    assert len(d) == 5
+    assert d[0].keep and d[3].keep
+    assert not d[2].keep  # exact dup
+    assert not d[1].keep  # near dup
+    assert not d[4].keep  # quality
+
+    cli.main(
+        ["corpus", "--documents", str(tmp_path / "docs"),
+         "--out", str(tmp_path / "decisions2"), "--jaccard-threshold", "0.5",
+         "--large-clusters"]
+    )
+    d2 = {r.doc_id: r.keep for r in spark.read.parquet(str(tmp_path / "decisions2")).collect()}
+    assert d2 == {k: r.keep for k, r in d.items()}

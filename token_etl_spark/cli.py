@@ -8,6 +8,11 @@ over parquet paths:
     python -m token_etl_spark.cli wallets  --transfers T --metadata M --out O
     python -m token_etl_spark.cli tokens   --transfers T --metadata M [--dapps D] --out O
     python -m token_etl_spark.cli dapps    --transfers T --registry D --out O
+
+Plus the training-corpus extension pipeline:
+
+    python -m token_etl_spark.cli corpus   --documents P --out O
+        [--jaccard-threshold F] [--large-clusters]
 """
 
 from __future__ import annotations
@@ -46,6 +51,12 @@ def main(argv: list[str] | None = None) -> None:
     dap.add_argument("--registry", required=True)
     dap.add_argument("--out", required=True)
 
+    cor = sub.add_parser("corpus")
+    cor.add_argument("--documents", required=True)
+    cor.add_argument("--out", required=True)
+    cor.add_argument("--jaccard-threshold", type=float, default=0.6)
+    cor.add_argument("--large-clusters", action="store_true")
+
     args = p.parse_args(argv)
     spark = get_spark(f"token_etl_spark_{args.cmd}")
 
@@ -81,6 +92,17 @@ def main(argv: list[str] | None = None) -> None:
             spark.read.parquet(args.transfers), read_json_registry(spark, args.registry)
         )
         write_parquet(out, args.out)
+    elif args.cmd == "corpus":
+        from token_etl_spark.pipelines.corpus import corpus_summary, prepare_corpus
+
+        decisions = prepare_corpus(
+            spark.read.parquet(args.documents),
+            jaccard_threshold=args.jaccard_threshold,
+            large_clusters=args.large_clusters,
+        )
+        write_parquet(decisions, args.out)
+        for row in corpus_summary(spark.read.parquet(args.out)).collect():
+            print(row.asDict())
     print(f"{args.cmd}: wrote {args.out}")
 
 

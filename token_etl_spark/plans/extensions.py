@@ -301,6 +301,17 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(attach_binary_payload(docs), decode_stub="fake")
 
 
+def q_user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (applyInPandas recurrence — the one
+    operator family where the Pandas path is genuinely required; no SQL
+    oracle exists because the adjust=False recurrence has no stable
+    closed form)."""
+    from token_etl_spark.operators.timeseries import grouped_ewma
+
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return grouped_ewma(ev, ["user_id"], "ts", "value", alpha=0.3)
+
+
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data prep: quality gate → exact dedup →
     near-dup clusters → per-doc keep decision (rows-only: MinHash stage
@@ -331,4 +342,5 @@ SPECS = [
     QuerySpec("ext_multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL_META, ("multimodal",)),
     QuerySpec("ext_multimodal_decode", q_multimodal_decode, None, ("multimodal",)),
     QuerySpec("ext_corpus_prep", q_corpus_prep, None, ("dedup", "text", "pipeline")),
+    QuerySpec("ext_user_value_ewma", q_user_value_ewma, None, ("timeseries", "pandas-udf")),
 ]
