@@ -322,6 +322,32 @@ def q_changelog_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_changelog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map machinery round-trip, oracle-checked: hourly volumes are
+    collapsed into a Map<ts,volume> changelog (map_from_entries over
+    sorted entries — the A11 pattern) then exploded back to rows via
+    map_entries. Proves key dedup/ordering semantics with a plain-row
+    output the hash compare can canonicalize (the map-typed
+    evt_changelog_map stays rows-only; ROADMAP notes driver map-hash
+    corner cases)."""
+    hourly = q_hourly_volume(spark, sf_dir)
+    m = hourly.select(
+        F.map_from_entries(changelog_entries("hour_ts", "trading_volume")).alias("m")
+    )
+    e = m.select(F.explode(F.map_entries("m")).alias("kv"))
+    return e.select(
+        F.col("kv.key").alias("hour_ts"), F.col("kv.value").alias("trading_volume")
+    )
+
+
+SQL_CHANGELOG_ROUNDTRIP = """
+SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS hour_ts,
+       sum(value) AS trading_volume
+FROM events
+GROUP BY 1
+"""
+
+
 def q_wallet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL wallet-enricher pipeline run over driver data: events are
     mapped onto the transfers edge shape (event_type partitions as the
@@ -364,5 +390,6 @@ SPECS = [
     QuerySpec("evt_daily_event_types", q_daily_event_types, SQL_DAILY_EVENT_TYPES, ("domain", "agg-collect")),
     QuerySpec("evt_sessionization", q_sessionization, SQL_SESSIONIZATION, ("domain", "window-session"), bench=True),
     QuerySpec("evt_changelog_map", q_changelog_map, None, ("domain", "map-collapse")),
+    QuerySpec("evt_changelog_roundtrip", q_changelog_roundtrip, SQL_CHANGELOG_ROUNDTRIP, ("domain", "map-collapse")),
     QuerySpec("evt_wallet_pipeline", q_wallet_pipeline, None, ("domain", "pipeline")),
 ]

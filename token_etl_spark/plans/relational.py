@@ -369,6 +369,36 @@ GROUP BY 1
 
 # --- as-of join (custom operator; composition of built-ins) ----------------
 
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as a declared surface: per-order
+    sorted quantity array, folded sum (F.aggregate), filtered count
+    (F.filter), element-wise transform (F.transform). The fold runs over
+    the SORTED array so the double accumulation order is pinned — that is
+    what makes the DuckDB list_aggregate oracle hash-match."""
+    li = t(spark, sf_dir, "lineitem")
+    arr = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_quantity")).alias("qty_arr")
+    )
+    return arr.select(
+        "l_orderkey",
+        F.col("qty_arr"),
+        F.aggregate("qty_arr", F.lit(0.0), lambda acc, x: acc + x).alias("qty_sum"),
+        F.size(F.filter("qty_arr", lambda x: x >= 30.0)).cast("long").alias("n_big"),
+        F.transform("qty_arr", lambda x: x * 2.0).alias("doubled"),
+    )
+
+
+SQL_ARRAY_OPS = """
+SELECT l_orderkey,
+       list_sort(list(l_quantity)) AS qty_arr,
+       list_aggregate(list_sort(list(l_quantity)), 'sum') AS qty_sum,
+       len(list_filter(list_sort(list(l_quantity)), x -> x >= 30.0)) AS n_big,
+       list_transform(list_sort(list(l_quantity)), x -> x * 2.0) AS doubled
+FROM lineitem
+GROUP BY l_orderkey
+"""
+
+
 def q_range_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded range join: for each click, the purchases by the same user
     within the following hour (count + min delay). The banded rewrite
@@ -486,6 +516,7 @@ SPECS = [
     QuerySpec("rel_topk_orders", q_topk_orders, SQL_TOPK_ORDERS, ("window-rank",)),
     QuerySpec("rel_asof_last_click", q_asof_last_click, SQL_ASOF_LAST_CLICK, ("join-asof",), bench=True),
     QuerySpec("rel_range_join_purchases", q_range_join_purchases, SQL_RANGE_JOIN_PURCHASES, ("join-range",)),
+    QuerySpec("rel_array_ops", q_array_ops, SQL_ARRAY_OPS, ("functions-array", "higher-order")),
     QuerySpec("rel_sql_api", q_sql_api, SQL_SQL_API, ("sql-api",)),
     QuerySpec("rel_date_parts", q_date_parts, SQL_DATE_PARTS, ("functions-date",)),
     QuerySpec("rel_string_ops", q_string_ops, SQL_STRING_OPS, ("functions-string",)),
