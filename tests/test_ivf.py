@@ -122,3 +122,28 @@ def test_ivf_refined_recall_comparable_to_raw(spark):
         assert set(refined) == set(truth)  # every query answered
         refined_mean += rec(refined)
     assert refined_mean / 3 >= raw_mean / 3 - 0.05
+
+
+def test_persisted_ivf_index_matches_inline_search(spark, tmp_path):
+    from token_etl_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_search,
+        ivf_topk,
+    )
+
+    corpus = _corpus(spark, n=150)
+    queries = corpus.limit(6)
+    path = str(tmp_path / "ivf_index")
+    build_ivf_index(corpus, path, n_centroids=4, refine_iters=2)
+
+    via_index = _topk_sets(ivf_search(spark, path, queries, k=5, n_probe=2))
+    inline = _topk_sets(
+        ivf_topk(corpus, queries, k=5, n_centroids=4, n_probe=2, refine_iters=2)
+    )
+    assert via_index == inline
+
+    # partition-pruned layout: one directory per centroid cell
+    import os
+
+    cells = [d for d in os.listdir(path + "/assignments") if d.startswith("centroid_id=")]
+    assert 1 < len(cells) <= 4

@@ -46,3 +46,38 @@ def test_salted_aggregate_rejects_nonmergeable(spark):
         raise AssertionError("should have raised")
     except ValueError as e:
         assert "avg" in str(e)
+
+
+def test_hot_key_join_matches_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from token_etl_spark.operators.skew import hot_key_join
+
+    big = spark.range(20000).select(
+        F.when(F.col("id") % 10 < 8, F.lit(7)).otherwise(F.col("id") % 100).alias("k"),
+        (F.col("id") % 13).cast("double").alias("v"),
+    )
+    small = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 3.0).alias("w")
+    )
+    plain = big.join(small, "k").groupBy("k").agg(
+        F.count("*").alias("n"), F.sum(F.col("v") + F.col("w")).alias("s")
+    )
+    hybrid = hot_key_join(big, small, "k", n_hot=4).groupBy("k").agg(
+        F.count("*").alias("n"), F.sum(F.col("v") + F.col("w")).alias("s")
+    )
+    p = {(r.k): (r.n, round(r.s, 6)) for r in plain.collect()}
+    h = {(r.k): (r.n, round(r.s, 6)) for r in hybrid.collect()}
+    assert p == h
+
+
+def test_hot_key_join_left_keeps_unmatched(spark):
+    from pyspark.sql import functions as F
+
+    from token_etl_spark.operators.skew import hot_key_join
+
+    big = spark.range(1000).select((F.col("id") % 7).alias("k"), F.col("id").alias("v"))
+    small = spark.createDataFrame([(0, "zero"), (1, "one")], "k long, name string")
+    out = hot_key_join(big, small, "k", n_hot=2, how="left")
+    assert out.count() == 1000
+    assert out.filter(F.col("name").isNull()).count() == big.filter(~F.col("k").isin([0, 1])).count()

@@ -288,6 +288,74 @@ def ivf_topk(
     )
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    refine_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Train and persist an IVF index: ``{path}/centroids`` (the spherical
+    k-means quantizer) and ``{path}/assignments`` (corpus rows keyed by
+    centroid cell, partitioned by cell for partition-pruned probes).
+
+    Decouples the train cost from query batches: repeated ``ivf_search``
+    calls skip both training and corpus assignment. At 100 TB the
+    assignments table is the corpus re-partitioned once; each probe reads
+    only n_probe/n_centroids of it via partition pruning.
+    """
+    cents = spherical_kmeans(corpus, n_centroids, refine_iters, id_col, vec_col)
+    base = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    assigned = _assign_to_centroids(base, F.broadcast(cents))
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{path}/assignments"
+    )
+
+
+def ivf_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k search against a persisted IVF index (``build_ivf_index``).
+
+    The centroid table is broadcast to rank cells per query; the
+    assignments scan is filtered to the probed cells — a partition-pruned
+    read, not a full corpus scan (cells are parquet partitions).
+    """
+    cents = F.broadcast(spark.read.parquet(f"{path}/centroids"))
+    assigned = spark.read.parquet(f"{path}/assignments")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    q_scored = q.join(cents).withColumn("sim", cosine(F.col("qv"), F.col("centroid_vec")))
+    wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    probes = (
+        q_scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "centroid_id")
+    )
+    cand = probes.join(assigned, "centroid_id").filter(
+        F.col("query_id") != F.col("corpus_id")
+    )
+    scored = cand.withColumn("cosine_sim", cosine(F.col("qv"), F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("corpus_id").alias("neighbor_id"), "cosine_sim", "rank")
+    )
+
+
 def embedding_near_dups(
     corpus: DataFrame,
     threshold: float = 0.95,

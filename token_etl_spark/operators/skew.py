@@ -78,3 +78,45 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return big_salted.join(small_replicated, [key, "_salt"], how).drop("_salt")
+
+
+def hot_key_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_hot: int = 16,
+    sample_fraction: float = 0.01,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant join for a NON-broadcastable small side: detect the
+    big side's hottest keys from a seeded sample, route those rows through
+    a broadcast join against the small side's matching slice, and the
+    long tail through a normal shuffle join; union the halves.
+
+    Beats uniform salting when hot keys are few but the small side is too
+    large to replicate x n_salts: only the hot-key slice (≤ n_hot rows'
+    worth of dim keys) is broadcast. The sample keeps detection cost a
+    narrow scan; the collected hot-key list is bounded by ``n_hot``.
+
+    Supported ``how``: inner / left (each input row lands in exactly one
+    branch — key sets are disjoint — so the union is exact).
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"hot_key_join supports inner/left, got {how}")
+    hot_rows = (
+        big.sample(fraction=sample_fraction, seed=42)
+        .groupBy(key)
+        .count()
+        .orderBy(F.col("count").desc(), F.col(key))
+        .limit(n_hot)
+        .collect()
+    )
+    hot_keys = [r[0] for r in hot_rows]
+    if not hot_keys:
+        return big.join(small, key, how)
+    big_hot = big.filter(F.col(key).isin(hot_keys))
+    big_tail = big.filter(~F.col(key).isin(hot_keys))
+    small_hot = small.filter(F.col(key).isin(hot_keys))
+    hot_joined = big_hot.join(F.broadcast(small_hot), key, how)
+    tail_joined = big_tail.join(small, key, how)
+    return hot_joined.unionByName(tail_joined)

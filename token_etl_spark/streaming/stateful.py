@@ -61,3 +61,52 @@ def streaming_running_balance(events_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+EWMA_OUTPUT_SCHEMA = "user_id bigint, ts_sec bigint, value double, ewma double"
+EWMA_STATE_SCHEMA = "ewma double, initialized boolean"
+
+
+def _make_ewma_updater(alpha: float):
+    def _update_ewma(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            ewma, initialized = state.get
+        else:
+            ewma, initialized = 0.0, False
+        out = []
+        rows = pd.concat(list(pdfs)).sort_values("ts_sec")
+        for _, row in rows.iterrows():
+            x = float(row["value"])
+            ewma = x if not initialized else alpha * x + (1 - alpha) * ewma
+            initialized = True
+            out.append((user_id, int(row["ts_sec"]), x, ewma))
+        state.update((ewma, initialized))
+        yield pd.DataFrame(out, columns=["user_id", "ts_sec", "value", "ewma"])
+
+    return _update_ewma
+
+
+def streaming_ewma(events_stream: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Streaming twin of ``operators/timeseries.grouped_ewma`` (ROADMAP):
+    the adjust=False recurrence carried across micro-batches in per-key
+    state — one (double, bool) per user, so state is bounded by key
+    cardinality. Within a micro-batch rows fold in event-time order;
+    across batches the carry value continues exactly where the last batch
+    ended, which equals the batch recurrence whenever arrival order
+    respects event time (tested against grouped_ewma on a replayed
+    stream)."""
+    shaped = events_stream.select(
+        "user_id",
+        F.unix_timestamp("ts").cast("long").alias("ts_sec"),
+        F.col("value").cast("double").alias("value"),
+    )
+    return shaped.groupBy("user_id").applyInPandasWithState(
+        _make_ewma_updater(alpha),
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
