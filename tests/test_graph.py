@@ -55,3 +55,48 @@ def test_keep_list_from_components_matches_pair_form(spark):
     }
     assert via_pairs == via_comps
     assert (99, True) in via_comps  # singleton kept
+
+
+def _py_pagerank(edges, damping=0.85, iters=50):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    out = {}
+    for u, v in edges:
+        out.setdefault(u, []).append(v)
+    rank = {n: 1.0 for n in nodes}
+    N = len(nodes)
+    for _ in range(iters):
+        dangling = sum(rank[n] for n in nodes if n not in out)
+        new = {}
+        for n in nodes:
+            new[n] = (1 - damping) + damping * dangling / N
+        for u, vs in out.items():
+            share = rank[u] / len(vs)
+            for v in vs:
+                new[v] += damping * share
+        rank = new
+    return rank
+
+
+def test_pagerank_matches_python_reference(spark):
+    from token_etl_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3)]  # 4 is source-only; no dangling? 2->3,3->1
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.rank for r in pagerank(df, max_iterations=60, tol=1e-12).collect()}
+    exp = _py_pagerank(edges)
+    assert set(got) == set(exp)
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-6, (k, got[k], exp[k])
+
+
+def test_pagerank_handles_dangling_nodes(spark):
+    from token_etl_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 3)]  # 3 is dangling (no out-edges)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.rank for r in pagerank(df, max_iterations=60, tol=1e-12).collect()}
+    exp = _py_pagerank(edges)
+    total = sum(got.values())
+    assert abs(total - 3.0) < 1e-6  # rank mass conserved (sums to N)
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-6

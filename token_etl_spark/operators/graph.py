@@ -104,3 +104,94 @@ def keep_list_from_components(
     )
     singletons = all_ids.select(id_col).join(decided.select(id_col), id_col, "left_anti")
     return decided.unionByName(singletons.withColumn("keep", F.lit(True)))
+
+
+def iterate_to_fixpoint(
+    state: DataFrame,
+    step,
+    converged,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Generic distributed fixpoint driver (the machinery behind
+    connected components, generalized): repeatedly apply
+    ``step(state) -> state`` until ``converged(old, new)`` or the
+    iteration cap. Each round's result is ``localCheckpoint``ed so plan
+    lineage stays flat — without it, iteration i's plan nests all i-1
+    prior plans and Catalyst planning time grows without bound.
+
+    ``converged`` gets both frames; typical probes are anti-join
+    emptiness or an aggregate delta, each one small job per round.
+    """
+    state = state.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        new_state = step(state).localCheckpoint(eager=True)
+        if converged(state, new_state):
+            return new_state
+        state = new_state
+    return state
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    max_iterations: int = 15,
+    tol: float = 1e-6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Power-iteration PageRank over (src, dst) edges → (id, rank),
+    built on ``iterate_to_fixpoint``.
+
+    Per round: one shuffle to sum incoming contributions (map-side
+    combinable) plus the convergence delta. Dangling nodes (no out-edges)
+    redistribute uniformly via a scalar correction so ranks sum to the
+    node count, matching the standard formulation. Out-degrees are
+    precomputed once and joined per round — at 100 TB both frames hash
+    on node id and AQE handles hub skew.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    out_deg = edges.groupBy(src).agg(F.count("*").alias("out_deg"))
+    e = edges.join(out_deg, src).select(
+        F.col(src).alias("from_id"), F.col(dst).alias("to_id"), "out_deg"
+    ).localCheckpoint(eager=True)
+
+    init = nodes.withColumn("rank", F.lit(1.0))
+
+    def step(ranks: DataFrame) -> DataFrame:
+        contrib = (
+            e.join(ranks.withColumnRenamed("id", "from_id"), "from_id")
+            .groupBy("to_id")
+            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("in_sum"))
+        )
+        # rank mass sitting on dangling nodes, redistributed uniformly
+        dangling = (
+            ranks.join(out_deg.withColumnRenamed(src, "id"), "id", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        base = (1.0 - damping) + damping * dangling / n
+        return nodes.join(
+            contrib.withColumnRenamed("to_id", "id"), "id", "left"
+        ).select(
+            "id",
+            (
+                F.lit(base) + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+            ).alias("rank"),
+        )
+
+    def converged(old: DataFrame, new: DataFrame) -> bool:
+        delta = (
+            old.withColumnRenamed("rank", "old_rank")
+            .join(new, "id")
+            .agg(F.sum(F.abs(F.col("rank") - F.col("old_rank"))))
+            .collect()[0][0]
+        )
+        return delta is not None and delta < tol * n
+
+    return iterate_to_fixpoint(init, step, converged, max_iterations)

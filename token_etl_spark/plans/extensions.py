@@ -312,6 +312,23 @@ def q_user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_ewma(ev, ["user_id"], "ts", "value", alpha=0.3)
 
 
+def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative fixpoint surface: PageRank over the customer→supplier
+    order graph (who concentrates purchase flow). Rows-only — power
+    iteration has no tractable SQL oracle; the algorithm itself is
+    verified against a pure-python reference in test_graph.py."""
+    from token_etl_spark.operators.graph import pagerank
+
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .distinct()
+    )
+    return pagerank(edges, max_iterations=5, tol=1e-4)
+
+
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data prep: quality gate → exact dedup →
     near-dup clusters → per-doc keep decision (rows-only: MinHash stage
@@ -343,4 +360,5 @@ SPECS = [
     QuerySpec("ext_multimodal_decode", q_multimodal_decode, None, ("multimodal",)),
     QuerySpec("ext_corpus_prep", q_corpus_prep, None, ("dedup", "text", "pipeline")),
     QuerySpec("ext_user_value_ewma", q_user_value_ewma, None, ("timeseries", "pandas-udf")),
+    QuerySpec("ext_supplier_pagerank", q_supplier_pagerank, None, ("graph", "iterative")),
 ]
