@@ -60,3 +60,55 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_zorder_write_narrows_per_file_ranges_on_both_columns(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from token_etl_spark.operators.layout import write_zordered
+
+    # two independent uniform columns — a single-column sort would leave
+    # the other column's per-file range at ~full span
+    df = (
+        spark.range(40000)
+        .select(
+            (F.hash(F.col("id")) % 10000).alias("x"),
+            (F.hash(F.col("id") + 1) % 10000).alias("y"),
+        )
+        .filter((F.col("x") >= 0) & (F.col("y") >= 0))
+    )
+    zpath = str(tmp_path / "zordered")
+    npath = str(tmp_path / "naive")
+    write_zordered(df, zpath, ["x", "y"], n_files=8)
+    df.repartition(8).write.parquet(npath)
+
+    def mean_file_span(path, col):
+        spans = []
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo = min(
+                md.row_group(i).column(
+                    [md.schema.column(j).name for j in range(md.num_columns)].index(col)
+                ).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(
+                    [md.schema.column(j).name for j in range(md.num_columns)].index(col)
+                ).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            spans.append(hi - lo)
+        return sum(spans) / len(spans)
+
+    full_span = 10000.0
+    for col in ("x", "y"):
+        z_span = mean_file_span(zpath, col)
+        n_span = mean_file_span(npath, col)
+        # naive files cover ~the full range; z-ordered files cover a
+        # fraction of it on BOTH columns simultaneously
+        assert n_span > 0.9 * full_span
+        assert z_span < 0.6 * full_span, (col, z_span)

@@ -1,0 +1,70 @@
+"""Physical-layout operators: Z-order clustering for multi-column data
+skipping.
+
+Parquet scans prune row groups / files on min-max statistics. A sort on
+one column gives perfect pruning for that column and none for others;
+interleaving the bits of several columns (a Z-order / Morton curve)
+makes every file cover a narrow range of EVERY clustered column, so
+predicates on any of them skip most files. This is the table-format
+"OPTIMIZE ZORDER BY" technique expressed with plain DataFrame ops.
+
+Scale shape: one agg for per-column min/max (broadcast scalars), a
+narrow map computing the z-value (shift/mask arithmetic, codegen'd), one
+range repartition + within-partition sort — the same cost as any global
+sort-for-layout. Fixed-width binning from min/max keeps the computation
+distribution-free; heavily skewed columns would want quantile binning
+(the bins are the only thing to swap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _interleave(bucket_cols: list[Column], bits: int) -> Column:
+    """Interleave the low ``bits`` of each bucket id into one z-value."""
+    n = len(bucket_cols)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(bucket_cols):
+            bit = F.shiftright(c, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return z
+
+
+def zorder_value(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
+    """Attach ``_z``: the Morton interleave of ``cols`` bucketed into
+    2^bits fixed-width bins between each column's min and max."""
+    stats = df.agg(
+        *[F.min(c).alias(f"_min_{c}") for c in cols],
+        *[F.max(c).alias(f"_max_{c}") for c in cols],
+    ).collect()[0]
+    buckets = []
+    top = (1 << bits) - 1
+    for c in cols:
+        lo, hi = float(stats[f"_min_{c}"]), float(stats[f"_max_{c}"])
+        span = hi - lo if hi > lo else 1.0
+        b = F.least(
+            F.lit(top),
+            F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * F.lit(top)).cast("long"),
+        )
+        buckets.append(F.greatest(F.lit(0), b))
+    return df.withColumn("_z", _interleave(buckets, bits))
+
+
+def write_zordered(
+    df: DataFrame, path: str, cols: list[str], n_files: int = 8, bits: int = 8
+) -> None:
+    """Write ``df`` as parquet clustered on the Z-order of ``cols``:
+    range-partitioned then sorted by ``_z`` so each output file covers a
+    narrow hyper-rectangle of the clustered columns (verified via file
+    min-max statistics in tests)."""
+    (
+        zorder_value(df, cols, bits)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -445,6 +445,68 @@ FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
 """
 
 
+# --- statistical aggregate pack --------------------------------------------
+
+def q_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per return flag: sample stddev/variance,
+    correlation and sample covariance of quantity vs extended price."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.stddev_samp("l_quantity").alias("qty_stddev"),
+        F.var_samp("l_quantity").alias("qty_var"),
+        F.corr("l_quantity", "l_extendedprice").alias("qty_price_corr"),
+        F.covar_samp("l_quantity", "l_extendedprice").alias("qty_price_covar"),
+        F.avg("l_discount").alias("mean_discount"),
+    )
+
+
+SQL_STATS_PACK = """
+SELECT l_returnflag,
+       stddev_samp(l_quantity) AS qty_stddev,
+       var_samp(l_quantity) AS qty_var,
+       corr(l_quantity, l_extendedprice) AS qty_price_corr,
+       covar_samp(l_quantity, l_extendedprice) AS qty_price_covar,
+       avg(l_discount) AS mean_discount
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# --- window pack 2: lead / first_value / last_value / percent_rank ---------
+
+def q_window_pack2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second window pack over each customer's order history: next order
+    date (lead), first/last order value in the running frame, and the
+    percent rank of the order's price within the customer."""
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lead("o_orderdate", 1).over(w).alias("next_order_date"),
+        F.first("o_totalprice").over(wf).alias("first_price"),
+        F.last("o_totalprice").over(wf).alias("running_last_price"),
+        F.percent_rank().over(
+            W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+        ).alias("price_pct_rank"),
+    )
+
+
+SQL_WINDOW_PACK2 = """
+SELECT o_orderkey, o_custkey,
+       lead(o_orderdate, 1) OVER w AS next_order_date,
+       first_value(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS first_price,
+       last_value(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS running_last_price,
+       percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+         AS price_pct_rank
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
 SPECS = [
     QuerySpec("tpch_priority_counts", q_priority_counts, SQL_PRIORITY_COUNTS, ("join-semi", "agg")),
     QuerySpec("tpch_promo_share", q_promo_share, SQL_PROMO_SHARE, ("agg-conditional",)),
@@ -456,6 +518,8 @@ SPECS = [
     QuerySpec("rel_range_window", q_range_window, SQL_RANGE_WINDOW, ("window-range",)),
     QuerySpec("rel_median_prices", q_median_prices, SQL_MEDIAN_PRICES, ("agg-percentile",)),
     QuerySpec("rel_approx_active_users", q_approx_active_users, None, ("agg-approx",)),
+    QuerySpec("rel_stats_pack", q_stats_pack, SQL_STATS_PACK, ("agg-statistical",)),
+    QuerySpec("rel_window_pack2", q_window_pack2, SQL_WINDOW_PACK2, ("window-analytic",)),
     QuerySpec("tpch_nation_year_volume", q_nation_year_volume, SQL_NATION_YEAR_VOLUME, ("join-multiway",)),
     QuerySpec("tpch_order_count_distribution", q_order_count_distribution, SQL_ORDER_COUNT_DISTRIBUTION, ("join-outer", "agg")),
     QuerySpec("tpch_small_quantity_revenue", q_small_quantity_revenue, SQL_SMALL_QUANTITY_REVENUE, ("subquery",)),
