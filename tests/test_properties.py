@@ -88,3 +88,68 @@ def test_collapse_map_keys_are_distinct_ts(spark, vals):
     df = s.createDataFrame(vals, "ts long, v double")
     m = collapse_to_map(df, "ts", "v", "m").collect()[0]["m"]
     assert set(m) == {ts for ts, _ in vals}
+
+
+@given(
+    lrows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 5000)), min_size=1, max_size=15
+    ),
+    rrows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 5000)), min_size=1, max_size=15
+    ),
+    bounds=st.tuples(st.integers(-600, 600), st.integers(0, 1200)),
+)
+@FAST
+def test_range_join_equals_theta_join(spark, lrows, rrows, bounds):
+    """The banded range join equals the naive theta join for arbitrary
+    key/timestamp layouts and window bounds (including negative lower)."""
+    import datetime as dt
+
+    from token_etl_spark.operators.asof import range_join
+
+    lower, width = bounds
+    upper = lower + width
+    base = dt.datetime(2024, 1, 1)
+    l = _get(spark).createDataFrame(
+        [(i, k, base + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(lrows)],
+        "lid long, k long, lts timestamp",
+    )
+    r = _get(spark).createDataFrame(
+        [(j, k, base + dt.timedelta(seconds=s)) for j, (k, s) in enumerate(rrows)],
+        "rid long, k long, rts timestamp",
+    )
+    got = {
+        (x.lid, x.rid)
+        for x in range_join(l, r, ["k"], "lts", "rts", lower, upper).collect()
+    }
+    exp = {
+        (x.lid, x.rid)
+        for x in l.join(r, "k")
+        .filter(
+            F.unix_timestamp("rts").between(
+                F.unix_timestamp("lts") + lower, F.unix_timestamp("lts") + upper
+            )
+        )
+        .collect()
+    }
+    assert got == exp
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=40), min_size=1, max_size=10
+    )
+)
+@FAST
+def test_repetition_stats_invariants(spark, texts):
+    """TTR and top-token share are both in (0, 1]; share >= 1/n_distinct;
+    zero-token docs are absent."""
+    from token_etl_spark.operators.text import repetition_stats
+
+    df = _get(spark).createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = repetition_stats(df).collect()
+    for r in rows:
+        assert 0.0 < r.type_token_ratio <= 1.0
+        assert 0.0 < r.top_token_share <= 1.0

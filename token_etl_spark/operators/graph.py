@@ -125,7 +125,7 @@ def iterate_to_fixpoint(
     state = state.localCheckpoint(eager=True)
     for _ in range(max_iterations):
         new_state = step(state).localCheckpoint(eager=True)
-        if converged(state, new_state):
+        if converged is not None and converged(state, new_state):
             return new_state
         state = new_state
     return state
@@ -135,7 +135,7 @@ def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
     max_iterations: int = 15,
-    tol: float = 1e-6,
+    tol: float | None = 1e-6,
     src: str = "src",
     dst: str = "dst",
 ) -> DataFrame:
@@ -163,27 +163,40 @@ def pagerank(
 
     init = nodes.withColumn("rank", F.lit(1.0))
 
+    # dangling node SET is static; only its rank mass changes per round
+    dangling_ids = nodes.join(
+        out_deg.withColumnRenamed(src, "id"), "id", "left_anti"
+    ).localCheckpoint(eager=True)
+
     def step(ranks: DataFrame) -> DataFrame:
         contrib = (
             e.join(ranks.withColumnRenamed("id", "from_id"), "from_id")
             .groupBy("to_id")
             .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("in_sum"))
         )
-        # rank mass sitting on dangling nodes, redistributed uniformly
-        dangling = (
-            ranks.join(out_deg.withColumnRenamed(src, "id"), "id", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+        # dangling rank mass enters the plan as a broadcast 1-row frame —
+        # no driver-side collect per iteration
+        dangling = ranks.join(dangling_ids, "id", "left_semi").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling")
         )
-        base = (1.0 - damping) + damping * dangling / n
-        return nodes.join(
-            contrib.withColumnRenamed("to_id", "id"), "id", "left"
-        ).select(
-            "id",
-            (
-                F.lit(base) + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
-            ).alias("rank"),
+        return (
+            nodes.join(contrib.withColumnRenamed("to_id", "id"), "id", "left")
+            .join(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping)
+                    * (
+                        F.col("_dangling") / F.lit(float(n))
+                        + F.coalesce(F.col("in_sum"), F.lit(0.0))
+                    )
+                ).alias("rank"),
+            )
         )
+
+    if tol is None:
+        return iterate_to_fixpoint(init, step, None, max_iterations)
 
     def converged(old: DataFrame, new: DataFrame) -> bool:
         delta = (

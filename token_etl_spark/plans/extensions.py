@@ -326,7 +326,7 @@ def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
         .distinct()
     )
-    return pagerank(edges, max_iterations=5, tol=1e-4)
+    return pagerank(edges, max_iterations=5, tol=None)  # fixed rounds, no probe jobs
 
 
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
