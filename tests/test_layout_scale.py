@@ -87,7 +87,7 @@ def test_zorder_write_narrows_per_file_ranges_on_both_columns(spark, tmp_path):
 
     def mean_file_span(path, col):
         spans = []
-        for f in glob.glob(path + "/*.parquet"):
+        for f in glob.glob(path + "/**/*.parquet", recursive=True):
             md = pq.ParquetFile(f).metadata
             lo = min(
                 md.row_group(i).column(
@@ -108,7 +108,17 @@ def test_zorder_write_narrows_per_file_ranges_on_both_columns(spark, tmp_path):
     for col in ("x", "y"):
         z_span = mean_file_span(zpath, col)
         n_span = mean_file_span(npath, col)
-        # naive files cover ~the full range; z-ordered files cover a
-        # fraction of it on BOTH columns simultaneously
+        # naive files cover ~the full range; z-prefix-aligned files
+        # cover a deterministic aligned sub-rectangle on BOTH columns:
+        # 8 files = 3 prefix bits over 2 columns → one axis halved, the
+        # other quartered (~0.5 and ~0.25 of full span + bin-edge noise)
         assert n_span > 0.9 * full_span
         assert z_span < 0.6 * full_span, (col, z_span)
+        assert z_span < 0.7 * n_span, (col, z_span, n_span)
+
+    # prefix split is deterministic: every file's (x,y) rectangle is one
+    # aligned z-block, so re-running the write yields identical spans
+    zpath2 = str(tmp_path / "zordered2")
+    write_zordered(df, zpath2, ["x", "y"], n_files=8)
+    for col in ("x", "y"):
+        assert mean_file_span(zpath2, col) == mean_file_span(zpath, col)

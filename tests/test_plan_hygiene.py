@@ -61,6 +61,36 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     assert "* HashAggregate" in plan and "* Project" in plan
 
 
+def test_plan_construction_launches_no_jobs(spark, sf_dir):
+    """Building every declared plan must not run a Spark job: a
+    driver-side .collect() at plan-build time (the Q22 anti-pattern)
+    splits a query in two and serializes scheduling at scale. Scalars
+    enter plans via 1-row broadcast crossJoins instead."""
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.schemas import TESTDATA_TABLES
+
+    # warm the table cache: the unavoidable 1-task parquet footer read per
+    # table happens here, once — NOT during plan construction
+    for name in TESTDATA_TABLES:
+        load_table(spark, sf_dir, name)
+
+    sc = spark.sparkContext
+    group = "plan-build-hygiene"
+    sc.setJobGroup(group, "plan construction must be lazy")
+    try:
+        for name, spec in SPECS.items():
+            if "iterative" in spec.tags:
+                # fixpoint drivers (connected components, PageRank) must
+                # run jobs to converge — exempt by declared tag
+                continue
+            spec.fn(spark, sf_dir)
+        tracker = sc.statusTracker()
+        eager = tracker.getJobIdsForGroup(group)
+        assert not eager, f"plan construction launched jobs: {eager}"
+    finally:
+        sc.setJobGroup("", "")
+
+
 def test_tpch3_plans_broadcast_and_no_cartesian(spark, sf_dir):
     # the argmin/argmax/semi/anti wave: dims broadcast, facts never
     # cartesian (value-share's 1-row scalar crossJoin is a

@@ -46,13 +46,25 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+#: Memoized logical plans per (session, sf_dir, table). The testdata
+#: tables are immutable, and ``spark.read.parquet`` launches a 1-task
+#: schema/footer job per call — building 91 query plans would re-list and
+#: re-infer every table dozens of times. One read per session instead;
+#: DataFrames are immutable plans, so sharing the root scan is safe.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one driver table (S1/S3 analog: full-collection scan)."""
     ensure_session_confs(spark)
-    df = spark.read.parquet(table_path(sf_dir, name))
-    for col in _NANO_TS_COLS.get(name, ()):
-        if col in df.columns and dict(df.dtypes)[col] == "bigint":
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(table_path(sf_dir, name))
+        for col in _NANO_TS_COLS.get(name, ()):
+            if col in df.columns and dict(df.dtypes)[col] == "bigint":
+                df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        _TABLE_CACHE[key] = df
     return df
 
 

@@ -56,15 +56,32 @@ def zorder_value(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
 def write_zordered(
     df: DataFrame, path: str, cols: list[str], n_files: int = 8, bits: int = 8
 ) -> None:
-    """Write ``df`` as parquet clustered on the Z-order of ``cols``:
-    range-partitioned then sorted by ``_z`` so each output file covers a
-    narrow hyper-rectangle of the clustered columns (verified via file
-    min-max statistics in tests)."""
+    """Write ``df`` as parquet clustered on the Z-order of ``cols``.
+
+    Files are split on the HIGH BITS of the z-value (``_zp`` = the
+    z-prefix), not on sampled range boundaries: ``repartitionByRange``
+    samples its cut points, so a boundary can land mid-block and one
+    file then straddles two far-apart hyper-rectangles on some axis
+    (observed: per-file span blowing past the clustering bound on one
+    column). A z-prefix is deterministic — every file covers exactly one
+    aligned sub-rectangle of the clustered columns, run after run.
+
+    ``n_files`` is rounded up to a power of two (2^k prefixes). The
+    prefix lands on disk as a ``_zp=<id>`` partition directory, so
+    readers get coarse partition pruning on top of the per-file min-max
+    stats; within each file rows stay z-sorted for row-group pruning.
+    """
+    k = max(1, (n_files - 1).bit_length())
+    shift = bits * len(cols) - k
     (
         zorder_value(df, cols, bits)
-        .repartitionByRange(n_files, "_z")
-        .sortWithinPartitions("_z")
+        .withColumn("_zp", F.shiftright(F.col("_z"), shift))
+        # all rows of one prefix hash to one task → exactly one file per
+        # prefix directory (collisions only mean a task writes two dirs)
+        .repartition(1 << k, "_zp")
+        .sortWithinPartitions("_zp", "_z")
         .drop("_z")
         .write.mode("overwrite")
+        .partitionBy("_zp")
         .parquet(path)
     )

@@ -349,8 +349,8 @@ SPECS = [
     QuerySpec("ext_ngram_jaccard", q_ngram_jaccard, SQL_NGRAM_JACCARD, ("dedup",)),
     QuerySpec("ext_minhash_neardup", q_minhash_neardup, None, ("dedup",), bench=True),
     QuerySpec("ext_simhash", q_simhash, None, ("dedup",)),
-    QuerySpec("ext_dedup_keep_list", q_dedup_keep_list, None, ("dedup", "graph")),
-    QuerySpec("ext_minhash_clusters", q_minhash_clusters, None, ("dedup", "graph")),
+    QuerySpec("ext_dedup_keep_list", q_dedup_keep_list, None, ("dedup", "graph", "iterative")),
+    QuerySpec("ext_minhash_clusters", q_minhash_clusters, None, ("dedup", "graph", "iterative")),
     QuerySpec("ext_ann_bruteforce", q_ann_bruteforce, SQL_ANN_BRUTEFORCE, ("similarity",), bench=True),
     QuerySpec("ext_embedding_neardup", q_embedding_neardup, SQL_EMBEDDING_NEARDUP, ("similarity", "dedup")),
     QuerySpec("ext_ann_lsh", q_ann_lsh, None, ("similarity",)),
@@ -358,7 +358,7 @@ SPECS = [
     QuerySpec("ext_token_estimate", q_token_estimate, SQL_TOKEN_ESTIMATE, ("text",)),
     QuerySpec("ext_multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL_META, ("multimodal",)),
     QuerySpec("ext_multimodal_decode", q_multimodal_decode, None, ("multimodal",)),
-    QuerySpec("ext_corpus_prep", q_corpus_prep, None, ("dedup", "text", "pipeline")),
+    QuerySpec("ext_corpus_prep", q_corpus_prep, None, ("dedup", "text", "pipeline", "iterative")),
     QuerySpec("ext_user_value_ewma", q_user_value_ewma, None, ("timeseries", "pandas-udf")),
     QuerySpec("ext_supplier_pagerank", q_supplier_pagerank, None, ("graph", "iterative")),
 ]

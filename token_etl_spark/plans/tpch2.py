@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F, Window as W
 
-from token_etl_spark.plans.base import QuerySpec, t
+from token_etl_spark.plans.base import SQL_DAY, QuerySpec, t
 
 
 # --- Q4-style: order-priority counts for orders with ≥1 lineitem (semi) ----
@@ -283,12 +283,16 @@ WHERE p_brand = 'Brand#5'
 # --- Q22-style: above-average-balance customers with no orders -------------
 
 def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The average-balance scalar enters the plan via a 1-row broadcast
+    crossJoin (as in Q17/Q11) — plan construction launches zero jobs and
+    the whole query runs as one Spark job."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
     recent = o.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
-    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).collect()[0][0]
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
     return (
-        c.filter(F.col("c_acctbal") > avg_bal)
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
         .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("numcust"), F.sum("c_acctbal").alias("totacctbal"))
@@ -305,13 +309,43 @@ GROUP BY c_mktsegment
 """
 
 
-# --- approx distinct (scale variant of A6; rows-only: estimator-specific) --
+# --- approx distinct (scale variant of A6; tolerance-style oracle) ---------
 
 def q_approx_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL estimate per day, checked against the exact count in the same
+    plan. The HLL value itself is estimator-specific (DuckDB's sketch
+    differs), so the contract is a tolerance bound: emit the EXACT count
+    plus a boolean ``hll_within_10pct``; the oracle recomputes the exact
+    count and asserts the boolean TRUE. A hash match therefore proves
+    both the exact path and that Spark's HLL (rsd=0.05 default) stayed
+    within 10% relative error on every group."""
     ev = t(spark, sf_dir, "events")
-    return ev.groupBy(
-        ((F.unix_timestamp("ts").cast("long") / 86400).cast("long") * 86400).alias("day_ts")
-    ).agg(F.approx_count_distinct("user_id").alias("approx_users"))
+    return (
+        ev.groupBy(
+            ((F.unix_timestamp("ts").cast("long") / 86400).cast("long") * 86400).alias("day_ts")
+        )
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("exact_users"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            "day_ts",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.10 * F.col("exact_users")
+            ).alias("hll_within_10pct"),
+        )
+    )
+
+
+SQL_APPROX_ACTIVE_USERS = f"""
+SELECT {SQL_DAY.format(ts='ts')} AS day_ts,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS hll_within_10pct
+FROM events
+GROUP BY 1
+"""
 
 
 # --- Q8-style: market share of one nation per year -------------------------
@@ -517,7 +551,7 @@ SPECS = [
     QuerySpec("rel_except_nations", q_except_nations, SQL_EXCEPT_NATIONS, ("setop",)),
     QuerySpec("rel_range_window", q_range_window, SQL_RANGE_WINDOW, ("window-range",)),
     QuerySpec("rel_median_prices", q_median_prices, SQL_MEDIAN_PRICES, ("agg-percentile",)),
-    QuerySpec("rel_approx_active_users", q_approx_active_users, None, ("agg-approx",)),
+    QuerySpec("rel_approx_active_users", q_approx_active_users, SQL_APPROX_ACTIVE_USERS, ("agg-approx",)),
     QuerySpec("rel_stats_pack", q_stats_pack, SQL_STATS_PACK, ("agg-statistical",)),
     QuerySpec("rel_window_pack2", q_window_pack2, SQL_WINDOW_PACK2, ("window-analytic",)),
     QuerySpec("tpch_nation_year_volume", q_nation_year_volume, SQL_NATION_YEAR_VOLUME, ("join-multiway",)),
