@@ -81,6 +81,41 @@ def test_incremental_upsert_matches_full_and_skips_untouched_buckets(spark, tmp_
     assert rewritten != set(before)  # ...but not every bucket
 
 
+def test_upsert_read_failure_is_not_first_write(spark, tmp_path):
+    """A corrupt/unreadable existing table must RAISE, not be silently
+    treated as table-absent (which would overwrite surviving buckets with
+    batch-only contents)."""
+    import pytest
+
+    from token_etl_spark.io.sinks import upsert_by_key_incremental
+
+    path = tmp_path / "corrupt_upsert"
+    path.mkdir()
+    (path / "part-00000.parquet").write_bytes(b"not a parquet file")
+    batch = spark.createDataFrame([("a", 1)], "_key string, v int")
+    with pytest.raises(Exception) as exc_info:
+        upsert_by_key_incremental(spark, batch, str(path), n_buckets=4)
+    # the guard must not have swallowed the error into a fresh overwrite
+    assert "PATH_NOT_FOUND" not in str(exc_info.value)
+
+
+def test_upsert_within_batch_duplicate_keys_deterministic(spark, tmp_path):
+    """Duplicate keys inside ONE batch share an _ingest_version; the
+    winner must be the same row on every rerun (content-hash tiebreak)."""
+    from token_etl_spark.io.sinks import read_upserted, upsert_by_key_incremental
+
+    rows = [("dup", i) for i in range(20)] + [("solo", 99)]
+    winners = set()
+    for attempt in range(3):
+        path = str(tmp_path / f"dup_batch_{attempt}")
+        batch = spark.createDataFrame(rows, "_key string, v int").repartition(8)
+        upsert_by_key_incremental(spark, batch, path, n_buckets=4)
+        got = {r["_key"]: r["v"] for r in read_upserted(spark, path).collect()}
+        assert got["solo"] == 99 and len(got) == 2
+        winners.add(got["dup"])
+    assert len(winners) == 1  # same winner across independent runs
+
+
 def test_incremental_upsert_repeated_batches_keep_latest(spark, tmp_path):
     from token_etl_spark.io.sinks import read_upserted, upsert_by_key_incremental
 

@@ -81,3 +81,36 @@ def test_hot_key_join_left_keeps_unmatched(spark):
     out = hot_key_join(big, small, "k", n_hot=2, how="left")
     assert out.count() == 1000
     assert out.filter(F.col("name").isNull()).count() == big.filter(~F.col("k").isin([0, 1])).count()
+
+
+def test_hot_key_join_left_keeps_null_keys(spark):
+    """NULL big-side keys must survive a left hybrid join: `isin(hot)`
+    evaluates to NULL for them, so a naive hot/tail split drops the row
+    from BOTH branches. A skewed NULL key also lands in the hot sample —
+    it must never poison the tail's NOT-IN filter."""
+    from pyspark.sql import functions as F
+
+    from token_etl_spark.operators.skew import hot_key_join
+
+    # 60% NULL keys (NULL is the hottest "key" the sampler sees), the
+    # rest split between a hot key and a tail.
+    big = spark.range(2000).select(
+        F.when(F.col("id") % 10 < 6, F.lit(None).cast("long"))
+        .when(F.col("id") % 10 < 9, F.lit(1))
+        .otherwise(F.col("id") % 50)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.createDataFrame([(1, "one"), (2, "two")], "k long, name string")
+    for how in ("inner", "left"):
+        plain = big.join(small, "k", how)
+        hybrid = hot_key_join(big, small, "k", n_hot=2, sample_fraction=1.0, how=how)
+        assert hybrid.count() == plain.count(), how
+        # Counter, not sorted(): None keys are unorderable against ints
+        from collections import Counter
+
+        p = Counter((r.k, r.v, r.name) for r in plain.collect())
+        h = Counter((r.k, r.v, r.name) for r in hybrid.collect())
+        assert p == h, how
+    left = hot_key_join(big, small, "k", n_hot=2, sample_fraction=1.0, how="left")
+    assert left.filter(F.col("k").isNull()).count() == big.filter(F.col("k").isNull()).count()

@@ -15,8 +15,40 @@ itself requires).
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+
+def _read_existing(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read the target table, distinguishing "does not exist yet" (→ None)
+    from real failures. A bare ``except Exception`` here would treat a
+    transient storage error or corrupt footer as first-write and let the
+    subsequent overwrite discard existing rows — only the analyzer's
+    path-not-found is a legitimate first-write signal; everything else
+    re-raises.
+    """
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
+
+
+def _latest_per_key(merged: DataFrame, key: str, version_col: str) -> DataFrame:
+    """Keep the highest-version row per key. Duplicate keys WITHIN one
+    batch share a version, so break ties deterministically on the row's
+    content hash — the winner is arbitrary-but-stable across retries
+    (input order inside a shuffled batch is not reproducible; a hash is).
+    """
+    tiebreak = F.xxhash64(*[F.col(c) for c in merged.columns])
+    w = Window.partitionBy(key).orderBy(F.col(version_col).desc(), tiebreak.desc())
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
@@ -46,13 +78,9 @@ def upsert_by_key(
     whole-row latest, which the reference's document-update also does for
     supplied fields).
     """
-    try:
-        existing = spark.read.parquet(path)
-        has_existing = True
-    except Exception:
-        has_existing = False
+    existing = _read_existing(spark, path)
 
-    if has_existing:
+    if existing is not None:
         if version_col not in existing.columns:
             existing = existing.withColumn(version_col, F.lit(0).cast("long"))
         next_version = existing.agg(F.max(version_col)).collect()[0][0] or 0
@@ -61,8 +89,7 @@ def upsert_by_key(
     else:
         merged = new_df.withColumn(version_col, F.lit(1).cast("long"))
 
-    w = Window.partitionBy(key).orderBy(F.col(version_col).desc())
-    deduped = merged.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    deduped = _latest_per_key(merged, key, version_col)
 
     # Write via a temp location then swap is unnecessary for tests; we
     # materialize to avoid reading and overwriting the same files in one job.
@@ -95,13 +122,9 @@ def upsert_by_key_incremental(
     batch = new_df.withColumn(
         "_bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
     )
-    try:
-        existing = spark.read.parquet(path)
-        has_existing = True
-    except Exception:
-        has_existing = False
+    existing = _read_existing(spark, path)
 
-    if not has_existing:
+    if existing is None:
         merged = batch.withColumn(version_col, F.lit(1).cast("long"))
     else:
         touched = sorted(r[0] for r in batch.select("_bucket").distinct().collect())
@@ -110,10 +133,7 @@ def upsert_by_key_incremental(
         batch = batch.withColumn(version_col, F.lit(next_version + 1).cast("long"))
         merged = affected.select(batch.columns).unionByName(batch)
 
-    w = Window.partitionBy(key).orderBy(F.col(version_col).desc())
-    deduped = (
-        merged.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
-    )
+    deduped = _latest_per_key(merged, key, version_col)
     # Materialize before overwriting partitions we just read from.
     deduped = deduped.localCheckpoint(eager=True)
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")

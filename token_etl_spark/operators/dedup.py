@@ -194,12 +194,18 @@ def minhash_dedup_clusters(
 
     arrays = shingle_arrays(df, text_col, id_col, k)
     arrays.persist()
-    exploded = arrays.select("id", F.explode("sh").alias("shingle"))
-    sigs = minhash_signatures(exploded, num_hashes)
-    edges = lsh_star_edges(sigs, bands, sig_len=num_hashes)
-    if verify:
-        edges = jaccard_verify(edges, arrays, threshold).select("id_a", "id_b")
-    return connected_components(edges)
+    try:
+        exploded = arrays.select("id", F.explode("sh").alias("shingle"))
+        sigs = minhash_signatures(exploded, num_hashes)
+        edges = lsh_star_edges(sigs, bands, sig_len=num_hashes)
+        if verify:
+            edges = jaccard_verify(edges, arrays, threshold).select("id_a", "id_b")
+        # connected_components localCheckpoints every round, so its result
+        # no longer references `arrays` — safe to release the cache here
+        # instead of leaking it across calls.
+        return connected_components(edges)
+    finally:
+        arrays.unpersist()
 
 
 def jaccard_verify(candidates: DataFrame, shingle_sets: DataFrame, threshold: float = 0.5) -> DataFrame:
@@ -235,27 +241,40 @@ def minhash_dedup(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    persist_shingles: bool = False,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline → verified (id_a, id_b, jaccard).
 
-    Hybrid plan: per-doc shingle arrays are computed once (narrow,
-    persisted) and reused by both consumers — the signature aggregation
-    (exploded + grouped min-aggs: whole-stage-codegen'd murmur3, measured
-    ~2× faster than per-element array-transform lambdas) and the
-    candidate verify (array intersection, no re-shingling). Shuffles:
-    signature groupBy, bucket self-join, two verify joins — none scale
-    with shingle count beyond the first.
+    The per-doc shingle arrays feed two consumers — the signature
+    aggregation (exploded + grouped min-aggs: whole-stage-codegen'd
+    murmur3, measured ~2× faster than per-element array-transform
+    lambdas) and the candidate verify (array intersection, no
+    re-shingling). By default the plan stays fully LAZY (zero jobs at
+    build time; plan-hygiene gate) and the narrow shingle map is simply
+    computed by both branches. ``persist_shingles=True`` caches the
+    arrays, eagerly materializes the (small) verified-pairs output, and
+    releases the cache before returning — caching without that eager
+    cut-point would leak the blocks forever (there is no later unpersist
+    hook once a lazy result escapes).
 
-    ``minhash_signatures_narrow`` remains available: it trades that
+    ``minhash_signatures_narrow`` remains available: it trades the
     signature shuffle for per-row lambda CPU — the right call when the
     cluster is shuffle-bound rather than CPU-bound.
     """
     arrays = shingle_arrays(df, text_col, id_col, k)
-    arrays.persist()
-    exploded = arrays.select("id", F.explode("sh").alias("shingle"))
-    sigs = minhash_signatures(exploded, num_hashes)
-    cands = lsh_candidate_pairs(sigs, bands, sig_len=num_hashes)
-    return jaccard_verify(cands, arrays, threshold)
+    if persist_shingles:
+        arrays.persist()
+    try:
+        exploded = arrays.select("id", F.explode("sh").alias("shingle"))
+        sigs = minhash_signatures(exploded, num_hashes)
+        cands = lsh_candidate_pairs(sigs, bands, sig_len=num_hashes)
+        verified = jaccard_verify(cands, arrays, threshold)
+        if persist_shingles:
+            verified = verified.localCheckpoint(eager=True)
+        return verified
+    finally:
+        if persist_shingles:
+            arrays.unpersist()
 
 
 def ngram_jaccard_pairs(

@@ -111,11 +111,20 @@ def hot_key_join(
         .limit(n_hot)
         .collect()
     )
-    hot_keys = [r[0] for r in hot_rows]
+    # NULL keys: a NULL sampled into hot_keys would turn the tail filter
+    # into `x NOT IN (..., NULL)` = NULL (dropping the whole tail), and a
+    # NULL big-side key evaluates both `isin` branches to NULL (dropping
+    # the row from BOTH halves — wrong for how='left'). Keep hot_keys
+    # NULL-free and route NULL-key rows to the tail branch, where the
+    # ordinary join gives them normal inner/left semantics.
+    hot_keys = [r[0] for r in hot_rows if r[0] is not None]
     if not hot_keys:
         return big.join(small, key, how)
-    big_hot = big.filter(F.col(key).isin(hot_keys))
-    big_tail = big.filter(~F.col(key).isin(hot_keys))
+    # isNotNull() & isin(): FALSE AND NULL = FALSE, so is_hot is never
+    # NULL and ~is_hot keeps NULL-key rows in the tail.
+    is_hot = F.col(key).isNotNull() & F.col(key).isin(hot_keys)
+    big_hot = big.filter(is_hot)
+    big_tail = big.filter(~is_hot)
     small_hot = small.filter(F.col(key).isin(hot_keys))
     hot_joined = big_hot.join(F.broadcast(small_hot), key, how)
     tail_joined = big_tail.join(small, key, how)
