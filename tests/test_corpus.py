@@ -37,6 +37,28 @@ def test_corpus_summary_accounting(spark):
     assert 0 < s["kept_est_tokens"] <= s["total_est_tokens"]
 
 
+def test_prepare_corpus_default_survives_giant_near_dup_cluster(spark):
+    """A 500-member NEAR-dup cluster (template + unique suffix, so exact
+    dedup can NOT collapse it) must flow through the default pipeline:
+    the star-edge cluster form emits O(k) LSH edges where the pair form
+    emits k(k-1)/2 ≈ 125k. Exactly one template instance survives."""
+    base = (
+        "shared boilerplate template text that repeats across many scraped "
+        "pages with navigation header footer copyright notice and contact "
+        "information all identical between the page instances"
+    )
+    rows = [(i, f"{base} unique page token page{i}") for i in range(500)]
+    rows += [(1000 + i, f"genuinely distinct document number {i} about topic "
+              f"{'alpha beta gamma delta epsilon'.split()[i]} with its own words") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = {r["doc_id"]: r for r in prepare_corpus(docs, jaccard_threshold=0.6).collect()}
+    cluster_kept = [i for i in range(500) if d[i]["keep"]]
+    assert cluster_kept == [0]  # min-id representative only
+    assert sum(1 for i in range(500) if d[i]["is_near_dup"]) == 499
+    for i in range(1000, 1005):
+        assert d[i]["keep"], i
+
+
 def test_prepare_corpus_large_cluster_form_agrees(spark):
     docs = spark.createDataFrame(DOCS, "doc_id long, text string")
     base = {

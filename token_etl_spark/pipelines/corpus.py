@@ -28,17 +28,22 @@ def prepare_corpus(
     max_tokens: int = 100_000,
     min_alpha_ratio: float = 0.5,
     jaccard_threshold: float = 0.6,
-    large_clusters: bool = False,
+    large_clusters: bool = True,
 ) -> DataFrame:
     """documents(doc_id, text, ...) → per-doc decision frame:
     (doc_id, n_tokens, est_tokens, passed_quality, is_exact_dup,
     is_near_dup, keep). ``keep`` docs form the training corpus.
 
-    ``large_clusters=True`` swaps the near-dup stage to the star-edge
-    cluster form (linear LSH output; PERF.md "Giant-cluster dedup") —
-    use when duplicate clusters may be huge (boilerplate, templates).
-    Exact dedup before it already collapses identical copies, so the
-    default pair form is right for typical web-scale mixes.
+    The near-dup stage DEFAULTS to the star-edge cluster form (linear
+    LSH output; PERF.md "Giant-cluster dedup"): cluster sizes in a raw
+    corpus are unknown ahead of time, and the pair form's in-bucket
+    k(k-1)/2 emission is a measured scale-killer once a boilerplate/
+    template cluster gets large (OOM at 500-copy clusters in the PERF.md
+    probe — exact dedup only collapses IDENTICAL copies, so near-copy
+    templates still form giant clusters). ``large_clusters=False``
+    selects the pair form: tighter near-dup semantics (every candidate
+    pair individually Jaccard-verified), right when clusters are known
+    small or as the small-scale verifier for the cluster form.
     """
     scored = quality_stats(docs).withColumn("est_tokens", token_estimate(F.col("text")))
     scored = scored.withColumn(
@@ -91,6 +96,13 @@ def prepare_corpus(
         .select("doc_id", "n_tokens", "est_tokens", "passed_quality",
                 "is_exact_dup", "is_near_dup", "keep")
     )
+    # Eager cut-point so the quality-stats cache can be released before
+    # the result escapes (a lazy return would leak the persisted blocks
+    # forever — same lifecycle bug fixed in minhash_dedup). The pipeline
+    # already runs jobs here regardless: the near-dup stage's connected
+    # components iterate to a fixpoint.
+    decisions = decisions.localCheckpoint(eager=True)
+    scored.unpersist()
     return decisions
 
 
