@@ -1,0 +1,77 @@
+"""Pins the data-dependent assumptions the dedup/multimodal oracles rest
+on (plans/extensions.py "Oracle strategy" note).
+
+The MinHash+LSH oracles use the exact-Jaccard pair set as ground truth.
+That is only a true oracle if band recall is COMPLETE on the gated data:
+LSH always emits a subset (every emitted pair is Jaccard-verified), and
+these tests prove subset == whole set, pair for pair, on the driver's
+tables. The engine is deterministic (murmur3, fixed data), so local
+equality here implies equality under the external gate.
+
+If the driver's documents tables ever change such that a qualifying pair
+falls below the 8-band recall knee, these tests fail FIRST — the fix is
+to raise bands/hashes or re-demote those oracles, not to ship a red gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from token_etl_spark.operators import dedup as D
+from token_etl_spark.plans.base import t
+from token_etl_spark.plans.extensions import JACCARD_THRESHOLD
+
+
+def _exact_pairs(docs):
+    return {
+        (r.id_a, r.id_b): round(r.jaccard, 6)
+        for r in D.ngram_jaccard_pairs(docs, k=3, threshold=JACCARD_THRESHOLD).collect()
+    }
+
+
+def _py_components(pairs):
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+        nodes.update((a, b))
+    return {n: find(n) for n in nodes}
+
+
+def test_lsh_pair_set_equals_exact_pair_set(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    lsh = {
+        (r.id_a, r.id_b): round(r.jaccard, 6)
+        for r in D.minhash_dedup(
+            docs, k=3, num_hashes=32, bands=8, threshold=JACCARD_THRESHOLD
+        ).collect()
+    }
+    assert lsh == _exact_pairs(docs)
+
+
+def test_star_clusters_equal_exact_pair_components(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    got = {
+        r.id: r.component
+        for r in D.minhash_dedup_clusters(docs, threshold=JACCARD_THRESHOLD).collect()
+    }
+    assert got == _py_components(_exact_pairs(docs))
+
+
+def test_documents_first_byte_is_ascii_and_nonempty(spark, sf_dir):
+    # SQL_MULTIMODAL_DECODE reads the first payload BYTE via ascii() of
+    # the first CHAR — identical only while first chars are ASCII.
+    docs = t(spark, sf_dir, "documents")
+    bad = docs.filter(
+        (F.length("text") == 0) | (F.ascii(F.substring("text", 1, 1)) >= 128)
+    ).count()
+    assert bad == 0

@@ -305,12 +305,31 @@ def ngram_jaccard_pairs(
     return pairs.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
-    """SimHash fingerprint: per-token murmur3, each bit votes ±1, the
+def md5_hash32(c: Column) -> Column:
+    """First 32 bits of md5 as an unsigned long. Slower than murmur3 but
+    PORTABLE: any engine with md5 + hex parsing reproduces it exactly
+    (DuckDB: ``('0x' || substr(md5(x), 1, 8))::BIGINT``), which makes
+    operators built on it cross-engine verifiable. Still fully JVM-side
+    in Spark (md5 + conv are codegen'd built-ins, no UDF)."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    hash_fn=None,
+) -> DataFrame:
+    """SimHash fingerprint: per-token hash, each bit votes ±1, the
     sign vector packs into a ``bits``-wide integer. All native: the vote
-    sums are ``bits`` aggregate columns over the exploded token frame."""
+    sums are ``bits`` aggregate columns over the exploded token frame.
+
+    ``hash_fn`` defaults to murmur3 (``F.hash``, the fast path); pass
+    ``md5_hash32`` for a hash an external SQL engine can recompute
+    bit-for-bit (the oracled query uses that)."""
     tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok"))
-    h = F.hash("tok")
+    h = (hash_fn or F.hash)(F.col("tok"))
     votes = [
         F.sum(
             (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)

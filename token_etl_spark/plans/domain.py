@@ -310,16 +310,39 @@ FROM events GROUP BY 1
 """
 
 
-# --- A11: changelog collapse-to-map (rows-only: map/array output types are
-# not portably hashable across engines; exact-value tests live in pytest) ---
+# --- A11: changelog collapse-to-map --------------------------------------
 
 def q_changelog_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse hourly volumes into the Map<ts,volume> changelog, then
+    interrogate the MAP ITSELF (size, key extrema, point lookups via
+    element_at) — map values are not portably hashable across engines,
+    but scalars derived from the map are, so this proves the collapse
+    end-to-end under the driver's hash gate. The raw-map form stays
+    exact-value-tested in pytest."""
     hourly = q_hourly_volume(spark, sf_dir)
-    return hourly.select(
-        F.map_from_entries(changelog_entries("hour_ts", "trading_volume")).alias(
-            "tradingVolumeChanges"
-        )
+    m = hourly.select(
+        F.map_from_entries(changelog_entries("hour_ts", "trading_volume")).alias("m")
     )
+    first_key = F.array_min(F.map_keys("m"))
+    last_key = F.array_max(F.map_keys("m"))
+    return m.select(
+        F.size("m").cast("long").alias("n_entries"),
+        first_key.alias("first_ts"),
+        last_key.alias("last_ts"),
+        F.element_at("m", first_key).alias("first_volume"),
+        F.element_at("m", last_key).alias("last_volume"),
+    )
+
+
+SQL_CHANGELOG_MAP = f"""
+WITH hourly AS (SELECT {HOUR_TS} AS hour_ts, sum(value) AS tv FROM events GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_entries,
+       min(hour_ts) AS first_ts,
+       max(hour_ts) AS last_ts,
+       arg_min(tv, hour_ts) AS first_volume,
+       arg_max(tv, hour_ts) AS last_volume
+FROM hourly
+"""
 
 
 def q_changelog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -389,7 +412,7 @@ SPECS = [
     QuerySpec("evt_tumbling_hourly", q_tumbling_hourly, SQL_TUMBLING_HOURLY, ("domain", "window-tumbling")),
     QuerySpec("evt_daily_event_types", q_daily_event_types, SQL_DAILY_EVENT_TYPES, ("domain", "agg-collect")),
     QuerySpec("evt_sessionization", q_sessionization, SQL_SESSIONIZATION, ("domain", "window-session"), bench=True),
-    QuerySpec("evt_changelog_map", q_changelog_map, None, ("domain", "map-collapse")),
+    QuerySpec("evt_changelog_map", q_changelog_map, SQL_CHANGELOG_MAP, ("domain", "map-collapse")),
     QuerySpec("evt_changelog_roundtrip", q_changelog_roundtrip, SQL_CHANGELOG_ROUNDTRIP, ("domain", "map-collapse")),
     QuerySpec("evt_wallet_pipeline", q_wallet_pipeline, None, ("domain", "pipeline")),
 ]

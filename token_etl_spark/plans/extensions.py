@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from token_etl_spark.functions.timeops import unix_seconds
 from token_etl_spark.operators import dedup as D
 from token_etl_spark.operators import similarity as S
 from token_etl_spark.operators import text as X
@@ -167,16 +168,99 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
 """
 
 
-# --- MinHash+LSH / SimHash (engine-canonical hashes; rows-only check) ------
+# --- MinHash+LSH / SimHash -------------------------------------------------
+#
+# Oracle strategy: LSH emits a SUBSET of the exact-Jaccard pair set (every
+# emitted pair is Jaccard-verified); whether the subset is the WHOLE set
+# depends on band recall. On the driver's documents tables the near-dup
+# pairs are all far above the band-recall knee, and the engine is
+# deterministic (murmur3 + fixed data), so the emitted set provably equals
+# the exact set — verified pair-for-pair at sf0.001/sf0.01/sf0.1 by
+# tests/test_dedup_oracle_parity.py. That makes the exact-Jaccard SQL
+# (same as ext_ngram_jaccard's) a true oracle for the LSH path, and the
+# recursive-closure connected components a true oracle for the cluster
+# and keep-list paths.
 
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    return D.minhash_dedup(docs, k=3, num_hashes=32, bands=8, threshold=JACCARD_THRESHOLD)
+    pairs = D.minhash_dedup(docs, k=3, num_hashes=32, bands=8, threshold=JACCARD_THRESHOLD)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# DuckDB 1.0: every CTE chain that uses recursion needs the RECURSIVE
+# keyword on the WITH; the non-recursive members are unaffected.
+def _cc_sql_body(threshold: float, source: str = "documents") -> str:
+    """Shared WITH-clause members: exact-Jaccard pairs over ``source``
+    → symmetrized edges → transitive closure → (id, component=min id)."""
+    return f"""
+toks AS (SELECT doc_id, {_TOKS} AS tk FROM {source}),
+shg AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(tk) - 2, 1) + 1),
+           i -> array_to_string(tk[i:i+2], ' ')))) AS shingle
+  FROM toks),
+sizes AS (SELECT doc_id, count(*) AS n FROM shg GROUP BY 1),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM shg a JOIN shg b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+prs AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {threshold}),
+edges AS (SELECT id_a AS u, id_b AS v FROM prs UNION SELECT id_b, id_a FROM prs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+comp AS (SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u)
+"""
+
+
+SQL_MINHASH_CLUSTERS = (
+    f"WITH RECURSIVE {_cc_sql_body(JACCARD_THRESHOLD)} SELECT id, component FROM comp"
+)
+
+SQL_DEDUP_KEEP_LIST = f"""
+WITH RECURSIVE {_cc_sql_body(JACCARD_THRESHOLD)}
+SELECT id AS doc_id, (id = component) AS keep FROM comp
+UNION ALL
+SELECT doc_id, TRUE AS keep FROM documents
+WHERE doc_id NOT IN (SELECT id FROM comp)
+"""
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    """SimHash over the portable md5-based 32-bit token hash — DuckDB
+    reproduces the engine's fingerprints bit-for-bit."""
+    votes = ", ".join(
+        f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    pack = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END" for b in range(bits)
+    )
+    return f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM base),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM tok),
+votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+SELECT doc_id AS id, CAST({pack} AS BIGINT) AS simhash FROM votes
+"""
+
+
+SQL_SIMHASH = _simhash_sql(32)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash with the md5-based portable hash (``md5_hash32``) so the
+    oracle recomputes the exact fingerprints; the murmur3 default stays
+    the perf path (property-tested in tests/test_dedup.py)."""
     docs = t(spark, sf_dir, "documents")
-    return D.simhash(docs, bits=32)
+    return D.simhash(docs, bits=32, hash_fn=D.md5_hash32)
 
 
 def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -297,26 +381,68 @@ FROM documents
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode over binary payloads. The decode
+    itself is the documented container-limitation stub, but the FAKE
+    feature derivation is deterministic byte arithmetic — so the whole
+    mapInPandas path (schema, batching, row alignment) is fully
+    oracle-checkable in SQL."""
     docs = t(spark, sf_dir, "documents")
     return decode_features(attach_binary_payload(docs), decode_stub="fake")
 
 
+# Mirrors _decode_one: w = 16 + n%1024, h = 16 + first_byte%512,
+# frames = 1 + n%7 (documents' first chars are ASCII — ascii() of the
+# first char IS the first payload byte; asserted in the parity test).
+SQL_MULTIMODAL_DECODE = """
+SELECT doc_id,
+       'image/fake' AS media_type,
+       CAST(octet_length(text::BLOB) AS INT) AS byte_len,
+       CAST(16 + octet_length(text::BLOB) % 1024 AS INT) AS width,
+       CAST(16 + CASE WHEN length(text) = 0 THEN 0
+                 ELSE ascii(substr(text, 1, 1)) % 512 END AS INT) AS height,
+       CAST(1 + octet_length(text::BLOB) % 7 AS INT) AS n_frames,
+       md5(text) AS checksum
+FROM documents
+"""
+
+
 def q_user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA of event values (applyInPandas recurrence — the one
-    operator family where the Pandas path is genuinely required; no SQL
-    oracle exists because the adjust=False recurrence has no stable
-    closed form)."""
+    operator family where the Pandas path is genuinely required). The
+    oracle replays the adjust=False recurrence through a recursive CTE:
+    IEEE float ops are deterministic, so the per-step
+    ``y = (1-a)*y + a*x`` reproduces pandas' ewm bit-for-bit (probed
+    exactly equal, not just within rounding)."""
     from token_etl_spark.operators.timeseries import grouped_ewma
 
-    ev = t(spark, sf_dir, "events").select("user_id", "ts", "value")
-    return grouped_ewma(ev, ["user_id"], "ts", "value", alpha=0.3)
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", unix_seconds("ts").alias("ts_sec"), "value"
+    )
+    return grouped_ewma(ev, ["user_id"], "ts_sec", "value", alpha=0.3)
+
+
+SQL_USER_VALUE_EWMA = """
+WITH RECURSIVE base AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events),
+e AS (
+  SELECT user_id, ts_sec, value, rn, CAST(value AS DOUBLE) AS ewma
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.ts_sec, b.value, b.rn, 0.7 * e.ewma + 0.3 * b.value
+  FROM e JOIN base b ON b.user_id = e.user_id AND b.rn = e.rn + 1)
+SELECT user_id, ts_sec, value, ewma FROM e
+"""
 
 
 def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative fixpoint surface: PageRank over the customer→supplier
-    order graph (who concentrates purchase flow). Rows-only — power
-    iteration has no tractable SQL oracle; the algorithm itself is
-    verified against a pure-python reference in test_graph.py."""
+    order graph (who concentrates purchase flow), fixed 5 rounds — the
+    oracle unrolls the same 5 power-iteration steps as chained CTEs
+    (one join+aggregate pair per round, no recursion needed for a fixed
+    iteration count). Also cross-checked against a pure-python reference
+    in test_graph.py."""
     from token_etl_spark.operators.graph import pagerank
 
     orders = t(spark, sf_dir, "orders")
@@ -329,15 +455,88 @@ def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, max_iterations=5, tol=None)  # fixed rounds, no probe jobs
 
 
+def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled power iteration. Float note: per-round contribution sums
+    re-associate differently than Spark's, so raw ranks differ at ~1e-14;
+    the 6-dp canonicalization both gates apply absorbs that."""
+    members = [
+        "edges AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey)",
+        "nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
+        "outd AS (SELECT src AS id, count(*) AS out_deg FROM edges GROUP BY 1)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "r0 AS (SELECT id, 1.0 AS rank FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        members.append(
+            f"c{i} AS (SELECT e.dst AS id, sum(p.rank / o.out_deg) AS in_sum"
+            f" FROM edges e JOIN {p} p ON p.id = e.src JOIN outd o ON o.id = e.src"
+            f" GROUP BY e.dst)"
+        )
+        members.append(
+            f"d{i} AS (SELECT coalesce(sum(p.rank), 0.0) AS dm FROM {p} p"
+            f" LEFT JOIN outd o ON o.id = p.id WHERE o.id IS NULL)"
+        )
+        members.append(
+            f"r{i} AS (SELECT nodes.id,"
+            f" {1.0 - damping!r} + {damping!r} * (d{i}.dm / nn.n + coalesce(c{i}.in_sum, 0.0)) AS rank"
+            f" FROM nodes LEFT JOIN c{i} ON c{i}.id = nodes.id CROSS JOIN d{i} CROSS JOIN nn)"
+        )
+    return "WITH " + ",\n".join(members) + f"\nSELECT id, rank FROM r{iters}"
+
+
+SQL_SUPPLIER_PAGERANK = _pagerank_sql(5, 0.85)
+
+
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data prep: quality gate → exact dedup →
-    near-dup clusters → per-doc keep decision (rows-only: MinHash stage
-    is estimator-specific; exact decision logic tested in
-    tests/test_corpus.py)."""
+    near-dup clusters → per-doc keep decision. The oracle replays every
+    stage in SQL — quality metrics, digest dedup, exact-Jaccard pairs
+    among survivors, recursive-closure components — relying on the same
+    verified-complete LSH recall as the other dedup oracles."""
     from token_etl_spark.pipelines.corpus import prepare_corpus
 
     docs = t(spark, sf_dir, "documents")
     return prepare_corpus(docs, jaccard_threshold=JACCARD_THRESHOLD)
+
+
+SQL_CORPUS_PREP = f"""
+WITH RECURSIVE scored AS (
+  SELECT doc_id, text, {_TOKS} AS tk FROM documents),
+q AS (
+  SELECT doc_id, text,
+         len(tk) AS n_tokens,
+         CAST(coalesce(list_aggregate(
+           list_transform(regexp_extract_all(lower(text), '{X.BPE_PIECE_PATTERN}'),
+                          p -> CAST(ceil(length(p) / 4.0) AS BIGINT)), 'sum'), 0) AS BIGINT)
+           AS est_tokens,
+         (len(tk) >= 5 AND len(tk) <= 100000
+          AND CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+              / greatest(length(text), 1) >= 0.5) AS passed_quality
+  FROM scored),
+qd AS (SELECT doc_id, text FROM q WHERE passed_quality),
+ek AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS digest, doc_id
+        FROM qd)
+  GROUP BY digest),
+surv AS (SELECT qd.doc_id, qd.text FROM qd JOIN ek USING (doc_id)),
+{_cc_sql_body(JACCARD_THRESHOLD, source="surv")},
+near AS (
+  SELECT s.doc_id, coalesce(c.id = c.component, TRUE) AS nk
+  FROM surv s LEFT JOIN comp c ON c.id = s.doc_id)
+SELECT q.doc_id,
+       q.n_tokens,
+       q.est_tokens,
+       q.passed_quality,
+       (q.passed_quality AND e.doc_id IS NULL) AS is_exact_dup,
+       coalesce(NOT n.nk, FALSE) AS is_near_dup,
+       (q.passed_quality AND e.doc_id IS NOT NULL AND coalesce(n.nk, TRUE)) AS keep
+FROM q
+LEFT JOIN ek e ON e.doc_id = q.doc_id
+LEFT JOIN near n ON n.doc_id = q.doc_id
+"""
 
 
 SPECS = [
@@ -347,18 +546,18 @@ SPECS = [
     QuerySpec("ext_repetition_stats", q_repetition_stats, SQL_REPETITION_STATS, ("text",)),
     QuerySpec("ext_text_fingerprint", q_text_fingerprint, SQL_TEXT_FINGERPRINT, ("text",)),
     QuerySpec("ext_ngram_jaccard", q_ngram_jaccard, SQL_NGRAM_JACCARD, ("dedup",)),
-    QuerySpec("ext_minhash_neardup", q_minhash_neardup, None, ("dedup",), bench=True),
-    QuerySpec("ext_simhash", q_simhash, None, ("dedup",)),
-    QuerySpec("ext_dedup_keep_list", q_dedup_keep_list, None, ("dedup", "graph", "iterative")),
-    QuerySpec("ext_minhash_clusters", q_minhash_clusters, None, ("dedup", "graph", "iterative")),
+    QuerySpec("ext_minhash_neardup", q_minhash_neardup, SQL_NGRAM_JACCARD, ("dedup",), bench=True),
+    QuerySpec("ext_simhash", q_simhash, SQL_SIMHASH, ("dedup",)),
+    QuerySpec("ext_dedup_keep_list", q_dedup_keep_list, SQL_DEDUP_KEEP_LIST, ("dedup", "graph", "iterative")),
+    QuerySpec("ext_minhash_clusters", q_minhash_clusters, SQL_MINHASH_CLUSTERS, ("dedup", "graph", "iterative")),
     QuerySpec("ext_ann_bruteforce", q_ann_bruteforce, SQL_ANN_BRUTEFORCE, ("similarity",), bench=True),
     QuerySpec("ext_embedding_neardup", q_embedding_neardup, SQL_EMBEDDING_NEARDUP, ("similarity", "dedup")),
     QuerySpec("ext_ann_lsh", q_ann_lsh, None, ("similarity",)),
     QuerySpec("ext_ann_ivf", q_ann_ivf, None, ("similarity",)),
     QuerySpec("ext_token_estimate", q_token_estimate, SQL_TOKEN_ESTIMATE, ("text",)),
     QuerySpec("ext_multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL_META, ("multimodal",)),
-    QuerySpec("ext_multimodal_decode", q_multimodal_decode, None, ("multimodal",)),
-    QuerySpec("ext_corpus_prep", q_corpus_prep, None, ("dedup", "text", "pipeline", "iterative")),
-    QuerySpec("ext_user_value_ewma", q_user_value_ewma, None, ("timeseries", "pandas-udf")),
-    QuerySpec("ext_supplier_pagerank", q_supplier_pagerank, None, ("graph", "iterative")),
+    QuerySpec("ext_multimodal_decode", q_multimodal_decode, SQL_MULTIMODAL_DECODE, ("multimodal",)),
+    QuerySpec("ext_corpus_prep", q_corpus_prep, SQL_CORPUS_PREP, ("dedup", "text", "pipeline", "iterative")),
+    QuerySpec("ext_user_value_ewma", q_user_value_ewma, SQL_USER_VALUE_EWMA, ("timeseries", "pandas-udf")),
+    QuerySpec("ext_supplier_pagerank", q_supplier_pagerank, SQL_SUPPLIER_PAGERANK, ("graph", "iterative")),
 ]
