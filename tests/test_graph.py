@@ -22,6 +22,26 @@ def test_connected_components_long_chain(spark):
     assert len(got) == n + 1
 
 
+def test_connected_components_probe_cadence_invariant(spark):
+    """Result must not depend on how often convergence is probed —
+    including probe_every=0 (pure fixed-iteration, zero probe jobs) and
+    cadences that don't divide the convergence round."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)] + [(100, 101), (101, 102)],
+        "id_a long, id_b long",
+    )
+    expected = None
+    for k in (0, 1, 2, 3, 5):
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(pairs, max_iterations=15, probe_every=k).collect()
+        }
+        if expected is None:
+            expected = got
+        assert got == expected, f"probe_every={k}"
+    assert set(expected.values()) == {0, 100}
+
+
 def test_dedup_keep_list(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 9)], "id_a long, id_b long")
     all_ids = spark.createDataFrame([(i,) for i in range(10)], ["doc_id"])

@@ -125,3 +125,43 @@ def test_dapp_matching_and_rollup(spark, transfers):
     assert rows["dapp-swap"]["addresses"] == sorted(rows["dapp-swap"]["addresses"])
     if "dapp-lend" in rows:
         assert rows["dapp-lend"]["image"] == "default.png"  # na.fill parity
+
+
+def test_ingest_ranges_retries_transient_failure_idempotently(spark, tmp_path):
+    """Reference operational contract (TransferEnricher.scala:94-110):
+    one transient source failure per range must not abort the run or
+    corrupt the sink; a wholesale re-run of an already-ingested range
+    must be a no-op (upsert idempotence)."""
+    from token_etl_spark.io.sinks import read_upserted
+    from token_etl_spark.pipelines.transfers import ingest_ranges
+
+    path = str(tmp_path / "ingest")
+    failures = {"n": 0}
+
+    def load_batch(lo, hi):
+        if (lo, hi) == (100, 199) and failures["n"] == 0:
+            failures["n"] += 1
+            raise RuntimeError("transient source failure")
+        return spark.range(lo, hi + 1).select(
+            F.concat(F.lit("k"), F.col("id")).alias("_key"),
+            F.col("id").alias("block_number"),
+        )
+
+    ranges = [(0, 99), (100, 199), (200, 299)]
+    done = ingest_ranges(
+        spark, ranges, load_batch, path, max_retries=2, backoff_s=0.01
+    )
+    assert done == 3 and failures["n"] == 1
+    got = read_upserted(spark, path)
+    assert got.count() == 300  # every range landed exactly once
+    # re-running an ingested range is a no-op on contents
+    ingest_ranges(spark, [(100, 199)], load_batch, path)
+    assert read_upserted(spark, path).count() == 300
+
+    # a PERSISTENTLY failing range raises after exhausting retries
+    def always_fail(lo, hi):
+        raise RuntimeError("source down")
+
+    with pytest.raises(RuntimeError, match="source down"):
+        ingest_ranges(spark, [(300, 399)], always_fail, path,
+                      max_retries=1, backoff_s=0.01)

@@ -25,9 +25,19 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 10,
+    probe_every: int = 2,
 ) -> DataFrame:
     """(id_a, id_b) edges → (id, component) with component = min node id
-    in the component. Converges in O(diameter) rounds (capped)."""
+    in the component. Converges in O(diameter) rounds (capped).
+
+    The convergence probe (did any label change?) is one small but
+    SERIAL driver job; probing every round doubles the per-round job
+    count for graphs that converge slowly. ``probe_every=k`` checks only
+    every k-th round — worst case k-1 extra (cheap, already-converged)
+    compute rounds in exchange for 1/k the probe jobs. Dedup graphs have
+    tiny diameters, so the default k=2 typically means exactly ONE probe
+    before exit. ``probe_every=0`` disables probing entirely (pure
+    fixed-iteration mode: zero driver syncs beyond the checkpoints)."""
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -40,7 +50,7 @@ def connected_components(
         .select(F.col("u").alias("id"), F.least("component", F.col("u")).alias("component"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         # hop: min label among neighbors
         neighbor_min = (
             edges.join(labels.withColumnRenamed("id", "v"), "v")
@@ -67,16 +77,17 @@ def connected_components(
         # localCheckpoint truncates lineage — without it each round's plan
         # nests the previous one and planning time grows without bound.
         new_labels = doubled.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        if probe_every and (it + 1) % probe_every == 0:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                return new_labels
         labels = new_labels
-        if changed == 0:
-            break
     return labels
 
 
