@@ -1,0 +1,141 @@
+"""Unit tests for operators/curation.py (decontamination, PII scan,
+hash splits, source mixing, quantile band, cross-corpus dedup)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from token_etl_spark.operators import curation as C
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def _expected_bucket(key: object, n: int) -> int:
+    return int(hashlib.md5(str(key).encode()).hexdigest()[:6], 16) % n
+
+
+def test_hash_bucket_matches_python_md5(spark):
+    df = spark.range(0, 50).select(
+        "id", C.hash_bucket(F.col("id"), 100).alias("b")
+    )
+    for row in df.collect():
+        assert row.b == _expected_bucket(row.id, 100), row.id
+
+
+def test_hash_split_deterministic_disjoint_complete(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = C.hash_split(df, val_pct=10, test_pct=10)
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000
+    # ~80/10/10 with md5-uniform buckets; generous tolerance.
+    assert 1500 < counts["train"] < 1900
+    assert 100 < counts["val"] < 320
+    assert 100 < counts["test"] < 320
+    # rerun → identical assignment (deterministic, no rand())
+    again = C.hash_split(df, val_pct=10, test_pct=10)
+    assert out.exceptAll(again).count() == 0
+
+
+def test_hash_split_stable_under_corpus_growth(spark):
+    """Adding rows never moves an existing row between splits."""
+    small = C.hash_split(spark.range(0, 500).withColumnRenamed("id", "doc_id"))
+    big = C.hash_split(spark.range(0, 1000).withColumnRenamed("id", "doc_id"))
+    joined = small.alias("s").join(big.alias("b"), "doc_id").where(
+        F.col("s.split") != F.col("b.split")
+    )
+    assert joined.count() == 0
+
+
+def test_weighted_source_mix_rates(spark):
+    rows = [(i, f"text {i}", "keep_all" if i % 2 == 0 else "drop_all") for i in range(400)]
+    df = _docs(spark, rows)
+    out = C.weighted_source_mix(df, {"keep_all": 1.0, "drop_all": 0.0})
+    kept = {r.source for r in out.select("source").distinct().collect()}
+    assert kept == {"keep_all"}
+    assert out.count() == 200
+    # default rate applies to unlisted sources
+    half = C.weighted_source_mix(df, {}, default_rate=0.5)
+    n = half.count()
+    assert 140 < n < 260
+
+
+def test_ngram_decontaminate_flags_overlap(spark):
+    bench = _docs(spark, [(100, "the quick brown fox jumps over", "bench")])
+    docs = _docs(
+        spark,
+        [
+            (1, "the quick brown fox sat down", "a"),   # shares 'the quick brown', 'quick brown fox'
+            (2, "completely different words entirely here", "a"),
+            (3, "lazy dogs sleep all day long", "a"),
+        ],
+    )
+    out = C.ngram_decontaminate(docs, bench, k=3, min_overlap=1)
+    got = {r.doc_id: r.n_overlap for r in out.collect()}
+    assert got == {1: 2}
+    # raising min_overlap drops the single-hit doc
+    assert C.ngram_decontaminate(docs, bench, k=3, min_overlap=3).count() == 0
+
+
+def test_pii_scan_counts_and_redaction(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "mail me at a.b-c@test.org or x@y.io now", "s"),
+            (2, "server 192.168.1.1 and 10.0.0.255 up", "s"),
+            (3, "call 555-123-4567 today", "s"),
+            (4, "nothing sensitive here", "s"),
+        ],
+    )
+    out = {r.doc_id: r for r in C.pii_scan(df).collect()}
+    assert (out[1].n_email, out[1].n_ip, out[1].n_phone) == (2, 0, 0)
+    assert out[1].redacted == "mail me at <EMAIL> or <EMAIL> now"
+    assert (out[2].n_email, out[2].n_ip, out[2].n_phone) == (0, 2, 0)
+    assert out[2].redacted == "server <IP> and <IP> up"
+    assert (out[3].n_email, out[3].n_ip, out[3].n_phone) == (0, 0, 1)
+    assert out[3].redacted == "call <PHONE> today"
+    assert (out[4].n_email, out[4].n_ip, out[4].n_phone) == (0, 0, 0)
+    assert out[4].redacted == "nothing sensitive here"
+
+
+def test_quantile_band_filter_exact_and_approx(spark):
+    df = spark.range(1, 101).select(F.col("id").alias("v"))
+    kept = C.quantile_band_filter(df, "v", 0.05, 0.95, exact=True)
+    vals = sorted(r.v for r in kept.collect())
+    # p05 of 1..100 ≈ 5.95, p95 ≈ 95.05 → keep 6..95
+    assert vals[0] == 6 and vals[-1] == 95
+    approx = C.quantile_band_filter(df, "v", 0.05, 0.95, exact=False)
+    n = approx.count()
+    assert 85 <= n <= 95  # sketch boundaries may shift by a rank or two
+
+
+def test_quantile_band_filter_no_driver_jobs(spark):
+    """Plan construction must not launch jobs (broadcast crossJoin, not
+    collect)."""
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    df = spark.range(1, 1001).select(F.col("id").alias("v"))
+    _plan = C.quantile_band_filter(df, "v", 0.1, 0.9)
+    after = tracker.getJobIdsForGroup(None)
+    assert before == after
+
+
+def test_cross_corpus_dedup_removes_exact_matches(spark):
+    ref = _docs(spark, [(1, "Shared   Content here", "ref"), (2, "ref only", "ref")])
+    docs = _docs(
+        spark,
+        [
+            (10, "shared content HERE", "crawl"),  # normalized match → dropped
+            (11, "brand new document", "crawl"),
+            (12, "ref only", "crawl"),             # exact match → dropped
+        ],
+    )
+    kept = C.cross_corpus_dedup(docs, ref)
+    assert sorted(r.doc_id for r in kept.collect()) == [11]
+    assert "_digest" not in kept.columns
+    # broadcast variant agrees
+    kept_b = C.cross_corpus_dedup(docs, ref, broadcast_reference=True)
+    assert sorted(r.doc_id for r in kept_b.collect()) == [11]

@@ -1,0 +1,221 @@
+"""Training-data curation operators: benchmark decontamination, PII
+scanning/redaction, deterministic dataset splits, weighted source
+mixing, quantile-band filtering, and cross-corpus dedup.
+
+No reference analog (the reference stops at token ETL); this is the
+selection/curation layer a pretraining pipeline runs between raw
+ingestion and dedup (BASELINE.json north star). Design rules:
+
+- Everything is built-in-function only — no Python boundary, every
+  expression stays inside whole-stage codegen.
+- All sampling/splitting is *deterministic content hashing* (md5 of a
+  key), never ``rand()``: reruns, retries, and late-arriving partitions
+  must land every row in the same split on a 1000-executor cluster, and
+  the DuckDB oracle must be able to reproduce the assignment bit-for-bit.
+- The benchmark/reference sides of decontamination and cross-corpus
+  dedup are the small side by construction (an eval suite is MBs, the
+  corpus is TBs): broadcast them, keep the TB side shuffle-free until
+  the one aggregation that needs a shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from token_etl_spark.operators.dedup import normalized, shingles
+
+# ---------------------------------------------------------------------------
+# deterministic hash buckets
+
+
+def hash_bucket(key: Column | str, n_buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, n_buckets) from md5 of the key.
+
+    Uses the first 6 hex digits (24 bits — uniform and plenty for
+    percent-style bucketing) so the DuckDB oracle can reproduce it:
+
+        spark : conv(substr(md5(CAST(k AS STRING)), 1, 6), 16, 10) % n
+        duckdb: CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 6) AS BIGINT) % n
+
+    Never use ``rand()`` for splits: non-deterministic under task retry,
+    and invisible to an oracle.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 6), 16, 10).cast("long")
+        % F.lit(n_buckets)
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    val_pct: int = 10,
+    test_pct: int = 10,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content hash of the key.
+
+    Buckets 0..test_pct-1 → test, next val_pct → val, rest → train, so
+    growing the corpus never moves an existing row between splits.
+    Narrow (per-row projection): zero shuffles, survives any scale.
+    """
+    b = hash_bucket(key_col)
+    split = (
+        F.when(b < test_pct, F.lit("test"))
+        .when(b < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn(out_col, split)
+
+
+def weighted_source_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    default_rate: float = 1.0,
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Per-source deterministic downsampling: keep a ``weights[source]``
+    fraction of each source's rows (default ``default_rate`` for sources
+    not listed).
+
+    This is the "domain mixing" step of corpus assembly (e.g. keep 100%
+    of curated sources, 10% of crawl). Hash-threshold keep decision is
+    a narrow projection — no shuffle, no rand(), rerun-stable.
+    """
+    rate = F.lit(float(default_rate))
+    for src, w in sorted(weights.items()):
+        rate = F.when(F.col(source_col) == src, F.lit(float(w))).otherwise(rate)
+    keep = hash_bucket(key_col, n_buckets) < (rate * n_buckets).cast("long")
+    return df.where(keep)
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    min_overlap: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag training documents that share ≥ ``min_overlap`` distinct
+    k-token shingles with a benchmark/eval corpus (train-test
+    contamination scan, as run before any pretraining launch).
+
+    Plan shape for 100 TB: the benchmark side is small by construction
+    (eval suites are MBs) — its distinct shingle set is broadcast, so
+    the corpus side is a map-side semi-join over its exploded shingles;
+    the only shuffle is the per-doc overlap count. Returns
+    (id, n_overlap) for contaminated documents only — the common next
+    step is an anti-join to drop them.
+    """
+    bench_sh = shingles(benchmark, text_col=text_col, id_col=id_col, k=k).select(
+        "shingle"
+    ).distinct()
+    doc_sh = shingles(docs, text_col=text_col, id_col=id_col, k=k)
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_overlap"))
+        .where(F.col("n_overlap") >= min_overlap)
+    )
+    return hits.select(F.col("id").alias(id_col), "n_overlap")
+
+
+# ---------------------------------------------------------------------------
+# PII scan / redaction
+
+# RE2-safe patterns (no lookaround) so the DuckDB oracle runs them
+# verbatim; Java regex accepts the same syntax.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+_PII = [("email", EMAIL_RE, "<EMAIL>"), ("ip", IPV4_RE, "<IP>"), ("phone", PHONE_RE, "<PHONE>")]
+
+
+def pii_scan(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PII hit counts + redacted text (emails, IPv4s,
+    NNN-NNN-NNNN phones). Pure regexp built-ins in one narrow select —
+    codegen'd, shuffle-free; redaction replaces in a fixed order
+    (email → ip → phone) so output is deterministic.
+    """
+    c = F.col(text_col)
+    red = c
+    for _, pat, token in _PII:
+        red = F.regexp_replace(red, pat, token)
+    return df.select(
+        id_col,
+        *[F.regexp_count(c, F.lit(pat)).alias(f"n_{name}") for name, pat, _ in _PII],
+        red.alias("redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# quantile-band filtering
+
+
+def quantile_band_filter(
+    df: DataFrame,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Keep rows whose ``value_col`` lies within the [lo, hi] quantile
+    band (the standard outlier filter on doc length / token count).
+
+    The 1-row quantile frame enters the plan as a broadcast crossJoin —
+    no driver-side ``.collect()``, the whole thing is one job (same
+    pattern as plans/tpch3.py Q17). ``exact=False`` switches to
+    ``approx_percentile`` — at 100 TB the exact percentile's global sort
+    is the wrong plan; t-digest sketch merges map-side.
+    """
+    fn = "percentile" if exact else "approx_percentile"
+    extra = "" if exact else f", {accuracy}"
+    q = df.agg(
+        F.expr(f"{fn}({value_col}, array({lo}D, {hi}D){extra})").alias("_q")
+    ).select(F.col("_q")[0].alias("_lo"), F.col("_q")[1].alias("_hi"))
+    return (
+        df.crossJoin(F.broadcast(q))
+        .where(F.col(value_col).between(F.col("_lo"), F.col("_hi")))
+        .drop("_lo", "_hi")
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus dedup
+
+
+def cross_corpus_dedup(
+    docs: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    broadcast_reference: bool = False,
+) -> DataFrame:
+    """Drop documents whose normalized content already appears in a
+    reference corpus (dedup of a new crawl against the already-trained
+    corpus) — exact-match tier; near-dup tier is
+    ``dedup.minhash_dedup_clusters`` over the union.
+
+    Anti-join on md5(normalized text). Default is a shuffled anti-join
+    (both sides TB-scale); pass ``broadcast_reference=True`` when the
+    reference digest set fits an executor (e.g. a single eval suite).
+    """
+    digest = F.md5(normalized(F.col(text_col)))
+    ref = reference.select(digest.alias("_digest")).distinct()
+    if broadcast_reference:
+        ref = F.broadcast(ref)
+    return docs.withColumn("_digest", digest).join(ref, "_digest", "left_anti").drop(
+        "_digest"
+    )

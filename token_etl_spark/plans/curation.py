@@ -1,0 +1,242 @@
+"""Corpus-curation queries: decontamination, PII scan, deterministic
+splits, source mixing, quantile-band filtering, cross-corpus dedup
+(operators/curation.py) over the ``documents`` table.
+
+No reference analog — this is the selection layer between raw ingest
+and dedup in a pretraining pipeline. Every query here is exactly
+oracle-able because every sampling decision is content-hash based
+(md5), never ``rand()``.
+
+The PII query *injects* deterministic synthetic PII (derived from
+doc_id, identically in Spark and DuckDB) before scanning: the driver's
+synthetic corpus contains none, and an all-zeros scan would prove
+nothing about the regexes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from token_etl_spark.operators import curation as C
+from token_etl_spark.plans.base import QuerySpec, t
+from token_etl_spark.plans.extensions import SQL_TOKENS
+
+_TOKS = SQL_TOKENS.format(col="text")
+
+#: DuckDB fragment: distinct 3-token shingles of ``tk`` (mirrors
+#: operators/dedup.py shingles(k=3); same form as SQL_NGRAM_JACCARD).
+_SHINGLES = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(tk) - 2, 1) + 1),"
+    " i -> array_to_string(tk[i:i+2], ' ')))"
+)
+
+#: DuckDB fragment: the cross-engine md5 bucket of curation.hash_bucket.
+_BUCKET = "CAST('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 6) AS BIGINT) % {n}"
+
+#: DuckDB fragment: normalized-content digest (dedup.normalized + md5).
+_DIGEST = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+
+# --- benchmark decontamination --------------------------------------------
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination scan of the corpus against a synthetic eval set
+    (every 97th document)."""
+    docs = t(spark, sf_dir, "documents")
+    benchmark = docs.where(F.col("doc_id") % 97 == 0)
+    return C.ngram_decontaminate(docs, benchmark, k=3, min_overlap=2)
+
+
+SQL_DECONTAMINATE = f"""
+WITH bench AS (
+  SELECT DISTINCT unnest({_SHINGLES}) AS shingle
+  FROM (SELECT {_TOKS} AS tk FROM documents WHERE doc_id % 97 = 0)),
+sh AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS shingle
+  FROM (SELECT doc_id, {_TOKS} AS tk FROM documents))
+SELECT doc_id, count(*) AS n_overlap
+FROM sh JOIN bench USING (shingle)
+GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
+# --- PII scan --------------------------------------------------------------
+
+
+def _inject_pii(docs: DataFrame) -> DataFrame:
+    """Append deterministic synthetic PII to every 7th document —
+    identical expression in the oracle so both engines scan the same
+    corpus."""
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1 call 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-0199"),
+    )
+    return docs.withColumn(
+        "text", F.when(F.col("doc_id") % 7 == 0, injected).otherwise(F.col("text"))
+    )
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _inject_pii(t(spark, sf_dir, "documents"))
+    out = C.pii_scan(docs)
+    return out.where(
+        (F.col("n_email") + F.col("n_ip") + F.col("n_phone")) > 0
+    ).select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ip").cast("long").alias("n_ip"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        "redacted",
+    )
+
+
+_SQL_PII_TEXT = (
+    "CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.1 call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199'"
+    " ELSE text END"
+)
+
+SQL_PII_SCAN = f"""
+WITH corpus AS (SELECT doc_id, {_SQL_PII_TEXT} AS text FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{C.EMAIL_RE}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{C.IPV4_RE}')) AS BIGINT) AS n_ip,
+       CAST(len(regexp_extract_all(text, '{C.PHONE_RE}')) AS BIGINT) AS n_phone,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{C.EMAIL_RE}', '<EMAIL>', 'g'),
+           '{C.IPV4_RE}', '<IP>', 'g'),
+           '{C.PHONE_RE}', '<PHONE>', 'g') AS redacted
+FROM corpus
+WHERE len(regexp_extract_all(text, '{C.EMAIL_RE}'))
+    + len(regexp_extract_all(text, '{C.IPV4_RE}'))
+    + len(regexp_extract_all(text, '{C.PHONE_RE}')) > 0
+"""
+
+
+# --- deterministic split ---------------------------------------------------
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratification check: per-(source, split) row counts of the
+    deterministic 80/10/10 hash split."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        C.hash_split(docs, val_pct=10, test_pct=10)
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_HASH_SPLIT = f"""
+SELECT source,
+       CASE WHEN b < 10 THEN 'test' WHEN b < 20 THEN 'val' ELSE 'train' END AS split,
+       count(*) AS n
+FROM (SELECT source, {_BUCKET.format(key="doc_id", n=100)} AS b FROM documents)
+GROUP BY 1, 2
+"""
+
+
+# --- weighted source mixing ------------------------------------------------
+
+_MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
+_MIX_DEFAULT = 0.8
+
+
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    kept = C.weighted_source_mix(docs, _MIX_WEIGHTS, default_rate=_MIX_DEFAULT)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+_MIX_CASE = (
+    "CASE source "
+    + " ".join(f"WHEN '{s}' THEN {w}" for s, w in sorted(_MIX_WEIGHTS.items()))
+    + f" ELSE {_MIX_DEFAULT} END"
+)
+
+SQL_SOURCE_MIX = f"""
+SELECT source, count(*) AS n_kept, min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM (SELECT source, doc_id,
+             {_BUCKET.format(key="doc_id", n=10000)} AS b,
+             {_MIX_CASE} AS rate
+      FROM documents)
+WHERE b < CAST(rate * 10000 AS BIGINT)
+GROUP BY source
+"""
+
+
+# --- quantile-band filter --------------------------------------------------
+
+
+def q_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep documents inside the [p05, p95] char-length band; per-source
+    survivor stats. The quantile frame is a broadcast 1-row crossJoin,
+    not a driver collect."""
+    docs = t(spark, sf_dir, "documents")
+    kept = C.quantile_band_filter(docs, "n_chars", 0.05, 0.95, exact=True)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
+SQL_QUANTILE_FILTER = """
+WITH q AS (SELECT quantile_cont(n_chars, 0.05) AS lo, quantile_cont(n_chars, 0.95) AS hi
+           FROM documents)
+SELECT source, count(*) AS n_kept, round(avg(n_chars), 6) AS avg_chars
+FROM documents, q
+WHERE n_chars BETWEEN lo AND hi
+GROUP BY source
+"""
+
+
+# --- cross-corpus dedup ----------------------------------------------------
+
+
+def q_crosscorpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup a 'new crawl' (doc_id % 13 != 0) against the
+    'already-trained' reference (doc_id % 13 = 0) by normalized digest."""
+    docs = t(spark, sf_dir, "documents")
+    crawl = docs.where(F.col("doc_id") % 13 != 0)
+    ref = docs.where(F.col("doc_id") % 13 == 0)
+    kept = C.cross_corpus_dedup(crawl, ref)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+SQL_CROSSCORPUS_DEDUP = f"""
+WITH ref AS (
+  SELECT DISTINCT {_DIGEST} AS d FROM documents WHERE doc_id % 13 = 0)
+SELECT source, count(*) AS n_kept, min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM documents
+WHERE doc_id % 13 != 0
+  AND {_DIGEST} NOT IN (SELECT d FROM ref)
+GROUP BY source
+"""
+
+
+SPECS = [
+    QuerySpec("ext_decontaminate", q_decontaminate, SQL_DECONTAMINATE, ("curation", "text")),
+    QuerySpec("ext_pii_scan", q_pii_scan, SQL_PII_SCAN, ("curation", "text"), bench=True),
+    QuerySpec("ext_hash_split", q_hash_split, SQL_HASH_SPLIT, ("curation",)),
+    QuerySpec("ext_source_mix", q_source_mix, SQL_SOURCE_MIX, ("curation",)),
+    QuerySpec("ext_quantile_filter", q_quantile_filter, SQL_QUANTILE_FILTER, ("curation",)),
+    QuerySpec("ext_crosscorpus_dedup", q_crosscorpus_dedup, SQL_CROSSCORPUS_DEDUP, ("curation", "dedup")),
+]

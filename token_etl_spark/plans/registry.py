@@ -7,7 +7,7 @@ This is the single source of truth consumed by ``__spark_entry__.py``
 
 from __future__ import annotations
 
-from token_etl_spark.plans import domain, extensions, relational, tpch, tpch2, tpch3
+from token_etl_spark.plans import curation, domain, extensions, relational, tpch, tpch2, tpch3
 from token_etl_spark.plans.base import QuerySpec
 
 # The external driver's correctness gate verifies the FIRST 50 registry
@@ -43,6 +43,7 @@ _BY_NAME = {s.name: s for s in _REST}
 _ALL: list[QuerySpec] = [
     *domain.SPECS,
     *extensions.SPECS,
+    *curation.SPECS,  # new this round → inside the 50-entry window
     *[_BY_NAME[n] for n in _PRIORITY_NAMES],
     *[s for s in _REST if s.name not in _PRIORITY_NAMES],
 ]
