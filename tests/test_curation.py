@@ -123,6 +123,36 @@ def test_quantile_band_filter_no_driver_jobs(spark):
     assert before == after
 
 
+def test_pack_sequences_budget_and_determinism(spark):
+    rows = [(i, " ".join(["tok"] * 50), "s") for i in range(200)]  # 50 tokens each
+    df = _docs(spark, rows)
+    out = C.pack_sequences(df, budget=120, n_shards=4).collect()
+    assert len(out) == 200
+    by_id = {r.doc_id: r for r in out}
+    assert all(r.n_tokens == 50 for r in out)
+    # every doc starts in the sequence containing its start offset
+    for r in out:
+        assert r.seq_id == (r.start_offset // 120)
+    # within a shard, offsets are a 0-based cumulative layout: the
+    # smallest is 0 and they step by exactly n_tokens
+    shards = {}
+    for r in out:
+        shards.setdefault(r.shard, []).append(r.start_offset)
+    for offs in shards.values():
+        offs.sort()
+        assert offs[0] == 0
+        assert all(b - a == 50 for a, b in zip(offs, offs[1:]))
+    # deterministic: rerun gives identical assignment
+    again = {r.doc_id: r for r in C.pack_sequences(df, budget=120, n_shards=4).collect()}
+    assert by_id == again
+
+
+def test_pack_sequences_single_window_shuffle(spark):
+    df = _docs(spark, [(i, "a b c", "s") for i in range(50)])
+    plan = C.pack_sequences(df, budget=8, n_shards=2)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # one hash partition on shard, nothing else
+
+
 def test_cross_corpus_dedup_removes_exact_matches(spark):
     ref = _docs(spark, [(1, "Shared   Content here", "ref"), (2, "ref only", "ref")])
     docs = _docs(

@@ -20,10 +20,11 @@ ingestion and dedup (BASELINE.json north star). Design rules:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from token_etl_spark.operators.dedup import normalized, shingles
+from token_etl_spark.operators.text import token_count
 
 # ---------------------------------------------------------------------------
 # deterministic hash buckets
@@ -91,6 +92,62 @@ def weighted_source_mix(
         rate = F.when(F.col(source_col) == src, F.lit(float(w))).otherwise(rate)
     keep = hash_bucket(key_col, n_buckets) < (rate * n_buckets).cast("long")
     return df.where(keep)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    n_shards: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str | None = None,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences
+    (concat-and-chunk packing: shuffle deterministically, lay documents
+    end-to-end, cut every ``budget`` tokens).
+
+    Two-level design so it scales: documents are first hash-sharded
+    (``n_shards`` ≈ cluster parallelism at the target scale), then each
+    shard packs independently under one window sort — sequences never
+    span shards, so there is exactly one shuffle and no global sort.
+    The within-shard order is md5(id): a deterministic corpus shuffle,
+    rerun-stable and oracle-reproducible (never ``rand()``).
+
+    Returns (id, shard, seq_id, n_tokens, start_offset): ``seq_id`` is
+    the sequence the document *starts* in; ``start_offset`` its token
+    offset within the shard's concatenation.
+    """
+    toks = (
+        F.col(token_col).cast("long")
+        if token_col
+        else token_count(text_col).cast("long")
+    )
+    base = df.select(
+        id_col,
+        toks.alias("n_tokens"),
+        hash_bucket(id_col, n_shards).alias("shard"),
+        F.md5(F.col(id_col).cast("string")).alias("_key"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).alias("start_offset")
+    return base.select(
+        id_col,
+        "shard",
+        F.floor((cum - F.col("n_tokens")) / F.lit(float(budget)))
+        .cast("long")
+        .alias("seq_id"),
+        "n_tokens",
+        start,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -85,3 +85,30 @@ def write_zordered(
         .partitionBy("_zp")
         .parquet(path)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 32,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a hash-bucketed (and bucket-sorted) parquet table.
+
+    Bucketing is THE co-location primitive at 100 TB: two tables
+    bucketed on the same key with the same bucket count join with ZERO
+    shuffle on either side (and zero sort if ``sort=True``) — the
+    exchange that dominates a fact-fact join is paid once at write time
+    and amortized over every subsequent join/groupBy on that key.
+    ``n_buckets`` should be sized so one bucket of the larger table fits
+    an executor core's working set (at 100 TB think thousands, not 32).
+
+    Bucketed layout requires the table catalog (file listings carry no
+    bucket metadata), hence ``saveAsTable`` rather than a path write.
+    """
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)

@@ -204,6 +204,37 @@ GROUP BY source
 """
 
 
+# --- sequence packing ------------------------------------------------------
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack the corpus into 512-token training sequences across 8
+    shards (deterministic md5 shuffle order; sequences never span
+    shards)."""
+    docs = t(spark, sf_dir, "documents")
+    return C.pack_sequences(docs, budget=512, n_shards=8)
+
+
+SQL_SEQUENCE_PACK = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         {_BUCKET.format(key="doc_id", n=8)} AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS k
+  FROM documents),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY k
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM base)
+SELECT doc_id, shard,
+       CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS seq_id,
+       n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_offset
+FROM c
+"""
+
+
 # --- cross-corpus dedup ----------------------------------------------------
 
 
@@ -239,4 +270,5 @@ SPECS = [
     QuerySpec("ext_source_mix", q_source_mix, SQL_SOURCE_MIX, ("curation",)),
     QuerySpec("ext_quantile_filter", q_quantile_filter, SQL_QUANTILE_FILTER, ("curation",)),
     QuerySpec("ext_crosscorpus_dedup", q_crosscorpus_dedup, SQL_CROSSCORPUS_DEDUP, ("curation", "dedup")),
+    QuerySpec("ext_sequence_pack", q_sequence_pack, SQL_SEQUENCE_PACK, ("curation", "window")),
 ]
