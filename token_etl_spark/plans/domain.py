@@ -375,8 +375,12 @@ def q_wallet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL wallet-enricher pipeline run over driver data: events are
     mapped onto the transfers edge shape (event_type partitions as the
     'token', user ring as counterparty), then the full balance/whale
-    changelog pipeline produces TOKEN_WALLETS documents. Rows-only (map
-    output); exact-value coverage lives in tests/test_pipelines.py."""
+    changelog pipeline produces TOKEN_WALLETS documents
+    (WalletEnricher.scala:23-81 semantics). The map-typed changelog is
+    exploded back to (key, ts, isWhale, balance) rows so the driver can
+    hash-compare against a full SQL replay of the pipeline — map
+    construction/ordering itself is proven by evt_changelog_roundtrip
+    and tests/test_pipelines.py."""
     from token_etl_spark.pipelines.wallets import wallet_balance_changelogs
 
     ev = t(spark, sf_dir, "events")
@@ -395,7 +399,44 @@ def q_wallet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(et, 100000.0, 0.001) for et in ["click", "view", "purchase", "signup", "error"]],
         "contract_address string, circulating_supply double, whale_threshold double",
     )
-    return wallet_balance_changelogs(transfers, meta, densify=False)
+    out = wallet_balance_changelogs(transfers, meta, densify=False)
+    e = out.select("_key", "address", F.explode("balanceChangeLogs").alias("ts", "v"))
+    return e.select(
+        "_key",
+        "address",
+        "ts",
+        F.col("v.isWhale").alias("isWhale"),
+        F.col("v.balance").alias("balance"),
+    )
+
+
+SQL_WALLET_PIPELINE = """
+WITH base AS (
+  SELECT event_type AS contract_address,
+         CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS hts,
+         'u' || CAST(user_id AS VARCHAR) AS from_a,
+         'u' || CAST((user_id + 1) % 50 AS VARCHAR) AS to_a,
+         value
+  FROM events),
+flows AS (
+  SELECT contract_address, hts, address, sum(sv) AS hourly_balance
+  FROM (
+    SELECT contract_address, hts, from_a AS address, -value AS sv FROM base
+    UNION ALL
+    SELECT contract_address, hts, to_a AS address, value AS sv FROM base) u
+  GROUP BY 1, 2, 3),
+balances AS (
+  SELECT contract_address, address, hts,
+         sum(hourly_balance) OVER (PARTITION BY contract_address, address
+             ORDER BY hts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS balance
+  FROM flows)
+SELECT contract_address || '_' || address AS _key,
+       address,
+       hts AS ts,
+       balance >= (100000.0 * 0.001) AS isWhale,
+       balance
+FROM balances
+"""
 
 
 SPECS = [
@@ -414,5 +455,5 @@ SPECS = [
     QuerySpec("evt_sessionization", q_sessionization, SQL_SESSIONIZATION, ("domain", "window-session"), bench=True),
     QuerySpec("evt_changelog_map", q_changelog_map, SQL_CHANGELOG_MAP, ("domain", "map-collapse")),
     QuerySpec("evt_changelog_roundtrip", q_changelog_roundtrip, SQL_CHANGELOG_ROUNDTRIP, ("domain", "map-collapse")),
-    QuerySpec("evt_wallet_pipeline", q_wallet_pipeline, None, ("domain", "pipeline")),
+    QuerySpec("evt_wallet_pipeline", q_wallet_pipeline, SQL_WALLET_PIPELINE, ("domain", "pipeline")),
 ]
