@@ -153,6 +153,28 @@ def test_pack_sequences_single_window_shuffle(spark):
     assert plan.count("Exchange") == 1  # one hash partition on shard, nothing else
 
 
+def test_null_and_empty_text_edges(spark):
+    df = _docs(
+        spark,
+        [(1, None, "s"), (2, "", "s"), (3, "normal text here", None)],
+    )
+    # pii: NULL text → NULL counts (mirrors SQL semantics), empty → zeros
+    pii = {r.doc_id: r for r in C.pii_scan(df).collect()}
+    assert pii[1].n_email is None and pii[1].redacted is None
+    assert (pii[2].n_email, pii[2].redacted) == (0, "")
+    # split: total function — every row lands in exactly one split
+    assert C.hash_split(df).where(F.col("split").isNull()).count() == 0
+    # packing: NULL text packs as a 0-token doc, never a NULL seq
+    packed = {r.doc_id: r for r in C.pack_sequences(df, budget=8, n_shards=2).collect()}
+    assert packed[1].n_tokens == 0 and packed[1].seq_id is not None
+    # NULL source takes the default rate (matches SQL CASE semantics)
+    assert C.weighted_source_mix(df, {"s": 0.0}, default_rate=1.0).count() == 1
+    # NULL-digest rows survive the anti-join (NULL never equi-matches)
+    ref = _docs(spark, [(9, "normal text here", "r")])
+    kept = sorted(r.doc_id for r in C.cross_corpus_dedup(df, ref).collect())
+    assert kept == [1, 2]
+
+
 def test_cross_corpus_dedup_removes_exact_matches(spark):
     ref = _docs(spark, [(1, "Shared   Content here", "ref"), (2, "ref only", "ref")])
     docs = _docs(

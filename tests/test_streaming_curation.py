@@ -1,0 +1,63 @@
+"""Streaming curation: PII redaction and stream-static decontamination
+agree with their batch twins (streaming/curation.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from token_etl_spark.io.sources import load_table
+from token_etl_spark.operators import curation as C
+from token_etl_spark.streaming.curation import (
+    benchmark_shingle_set,
+    streaming_decontaminate,
+    streaming_pii_redact,
+)
+from token_etl_spark.streaming.dedup import read_file_stream
+from token_etl_spark.streaming.hourly import run_to_memory
+
+
+def _staged_docs(spark, sf_dir, tmp_path, name):
+    docs = load_table(spark, sf_dir, "documents")
+    staged = str(tmp_path / name)
+    docs.write.parquet(staged)
+    return docs, staged
+
+
+def test_streaming_pii_matches_batch(spark, sf_dir, tmp_path):
+    docs, staged = _staged_docs(spark, sf_dir, tmp_path, "pii_stream")
+    stream = read_file_stream(spark, staged, docs.schema)
+    run_to_memory(streaming_pii_redact(stream), "pii_out", output_mode="append")
+    got = spark.sql("SELECT * FROM pii_out")
+    exp = C.pii_scan(docs)
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0
+
+
+def test_streaming_decontaminate_matches_batch(spark, sf_dir, tmp_path):
+    docs, staged = _staged_docs(spark, sf_dir, tmp_path, "decon_stream")
+    bench = docs.where(F.col("doc_id") % 11 == 0)
+    bench_sh = benchmark_shingle_set(bench, k=3)
+    stream = read_file_stream(spark, staged, docs.schema)
+    out = streaming_decontaminate(stream, bench_sh, k=3, mode="drop")
+    run_to_memory(out, "decon_out", output_mode="append")
+    kept = spark.sql("SELECT doc_id FROM decon_out")
+    # batch twin: docs with ANY shared shingle (min_overlap=1) are dropped
+    contaminated = C.ngram_decontaminate(docs, bench, k=3, min_overlap=1)
+    exp = docs.join(contaminated, "doc_id", "left_anti").select("doc_id")
+    assert kept.count() == exp.count()
+    assert kept.exceptAll(exp).count() == 0
+
+
+def test_streaming_decontaminate_flag_mode_keeps_all(spark, sf_dir, tmp_path):
+    docs, staged = _staged_docs(spark, sf_dir, tmp_path, "decon_flag")
+    bench = docs.where(F.col("doc_id") % 11 == 0)
+    stream = read_file_stream(spark, staged, docs.schema)
+    out = streaming_decontaminate(stream, benchmark_shingle_set(bench), mode="flag")
+    run_to_memory(out, "decon_flag_out", output_mode="append")
+    got = spark.sql("SELECT * FROM decon_flag_out")
+    assert got.count() == docs.count()
+    assert "contaminated" in got.columns
+    # every benchmark doc overlaps itself
+    n_bench = bench.count()
+    flagged = got.where("contaminated").count()
+    assert flagged >= n_bench

@@ -126,6 +126,9 @@ def pack_sequences(
         if token_col
         else token_count(text_col).cast("long")
     )
+    # NULL text/token-count packs as an empty (0-token) document — a NULL
+    # would otherwise poison its own seq_id while the window sum skips it.
+    toks = F.coalesce(toks, F.lit(0).cast("long"))
     base = df.select(
         id_col,
         toks.alias("n_tokens"),

@@ -54,13 +54,19 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: i
     return base.select("id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
+def shingle_array_expr(toks: Column, k: int = 3) -> Column:
+    """Distinct k-shingle array from an already-MATERIALIZED tokens
+    column (must be a plain column reference, not the tokenizer
+    expression — see the CSE note on :func:`shingles`)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " ")))
+
+
 def shingle_arrays(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
     """Per-doc distinct shingle ARRAY: (id, sh, n_shingles) — the narrow
     (shuffle-free) representation; `shingles` is its exploded form."""
     base = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
-    toks = F.col("toks")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1)))
-    sh = F.array_distinct(F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " ")))
+    sh = shingle_array_expr(F.col("toks"), k)
     return base.select("id", sh.alias("sh")).withColumn("n_shingles", F.size("sh"))
 
 
