@@ -34,32 +34,7 @@ def test_partitioned_layout_prunes(spark, tmp_path):
     assert n_parts == 1
 
 
-def test_bucketed_join_has_no_shuffle(spark, tmp_path):
-    # bucketBy requires saveAsTable → lands in the session warehouse dir
-    # (static conf; cleaned up via DROP TABLE below)
-    left = spark.range(0, 10000).select(
-        F.col("id").alias("k"), (F.col("id") % 7).cast("double").alias("v")
-    )
-    right = spark.range(0, 10000).select(
-        F.col("id").alias("k"), (F.col("id") % 3).cast("double").alias("w")
-    )
-    left.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("bkt_left")
-    right.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("bkt_right")
-
-    joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
-    # disable broadcast so the join strategy decision is about bucketing
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        plan = _explain(joined)
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-    try:
-        assert "SortMergeJoin" in plan
-        assert "Exchange" not in plan  # bucket co-location removed both shuffles
-        assert joined.count() == 10000
-    finally:
-        spark.sql("DROP TABLE IF EXISTS bkt_left")
-        spark.sql("DROP TABLE IF EXISTS bkt_right")
+# bucketed-join co-location is proven in tests/test_bucketing.py
 
 
 def test_zorder_write_narrows_per_file_ranges_on_both_columns(spark, tmp_path):

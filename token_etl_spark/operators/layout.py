@@ -87,6 +87,46 @@ def write_zordered(
     )
 
 
+def dir_size_bytes(spark, path: str) -> int:
+    """On-disk byte size of a path via the Hadoop FileSystem API — a
+    driver-side LISTING (no data read), valid for local paths and any
+    HDFS-compatible store (s3a/gs/abfs)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.getContentSummary(hpath).getLength()
+
+
+def compact_files(
+    spark,
+    path: str,
+    out_path: str,
+    target_mb: int = 128,
+    sort_col: str | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ceil(bytes / target_mb) files of ~``target_mb`` each; returns the
+    file count written.
+
+    The small-files problem is an operational killer at 100 TB —
+    streaming sinks and per-partition upserts leave thousands of KB-size
+    files per directory, and scan tasks + NameNode/listing pressure
+    scale with FILE COUNT, not bytes. Sizing comes from the directory
+    listing (no data read to plan), the rewrite is one round-robin
+    repartition (or a range partition on ``sort_col``, which keeps the
+    rewrite clustered for min-max pruning). Compact per partition
+    directory in production so only cold partitions rewrite.
+    """
+    df = spark.read.parquet(path)
+    n_files = max(1, -(-dir_size_bytes(spark, path) // (target_mb << 20)))
+    if sort_col is not None:
+        df = df.repartitionByRange(n_files, sort_col).sortWithinPartitions(sort_col)
+    else:
+        df = df.repartition(n_files)
+    df.write.mode("overwrite").parquet(out_path)
+    return n_files
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
