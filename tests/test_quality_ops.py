@@ -1,0 +1,120 @@
+"""Unit tests for the quality-gate operators: Gopher document filter,
+C4 line filter, exact stratified sampling, single-pass table profile."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from token_etl_spark.operators.curation import stratified_sample_exact
+from token_etl_spark.operators.profile import profile_table
+from token_etl_spark.operators.text import gopher_filter, line_filter
+
+
+def test_gopher_filter_flags_each_rule(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on a mat and it is fine today ok"),  # clean
+            (2, "short text the"),  # too few words
+            (3, "zz " * 40),  # mean word len low + no stopwords
+            (4, "extraordinarily incomprehensible " * 10 + "the"),  # mean len high
+            (5, "the thing ### #### ## is ... odd ... here ... now ok"),  # symbols
+        ],
+        ["doc_id", "text"],
+    )
+    out = gopher_filter(
+        docs, min_words=5, max_words=50, min_mean_word_len=2.5,
+        max_mean_word_len=8.0, max_symbol_ratio=0.2, min_stopword_hits=1,
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[1]["keep"] and got[1]["reject_reasons"] == ""
+    assert got[2]["reject_reasons"] == "too_few_words"
+    assert "mean_word_len_low" in got[3]["reject_reasons"]
+    assert "too_few_stopwords" in got[3]["reject_reasons"]
+    assert got[4]["reject_reasons"] == "mean_word_len_high"
+    assert got[5]["reject_reasons"] == "symbol_ratio_high"
+    # reasons are ordered per GOPHER_RULES, not discovery order
+    assert got[3]["reject_reasons"] == "mean_word_len_low|too_few_stopwords"
+
+
+def test_gopher_filter_empty_doc(spark):
+    out = gopher_filter(spark.createDataFrame([(1, "")], ["doc_id", "text"]))
+    row = out.collect()[0]
+    assert row["n_words"] == 0 and not row["keep"]
+    assert row["mean_word_len"] == 0.0
+
+
+def test_line_filter_applies_c4_rules(spark):
+    text = "\n".join(
+        [
+            "this line is long enough and ends well.",  # kept
+            "too short.",  # < 5 words
+            "this line has no terminal punctuation at all",  # no '.'
+            "enable javascript to view this full content page.",  # blocklist
+            "a config block follows here { verbose = true }.",  # brace
+            "another perfectly reasonable closing sentence stands here.",  # kept
+        ]
+    )
+    out = line_filter(spark.createDataFrame([(1, text)], ["doc_id", "text"]))
+    row = out.collect()[0]
+    assert row["n_lines"] == 6
+    assert row["n_kept"] == 2
+    assert row["cleaned"].split("\n") == [
+        "this line is long enough and ends well.",
+        "another perfectly reasonable closing sentence stands here.",
+    ]
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).cast("string").alias("src")
+    )
+    a = stratified_sample_exact(df, "src", k=20, key_col="doc_id", seed="s0")
+    counts = {r["src"]: r["n"] for r in a.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert counts == {str(i): 20 for i in range(7)}
+    # deterministic: same seed → same set; different seed → different set
+    b = stratified_sample_exact(df, "src", k=20, key_col="doc_id", seed="s0")
+    assert a.exceptAll(b).count() == 0
+    c = stratified_sample_exact(df, "src", k=20, key_col="doc_id", seed="s1")
+    assert a.drop("sample_rank").exceptAll(c.drop("sample_rank")).count() > 0
+
+
+def test_stratified_sample_rank_limit_pushed(spark):
+    """row_number <= k must plan as WindowGroupLimit (per-task k-heap),
+    not a full per-stratum sort feeding a filter."""
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).cast("string").alias("src")
+    )
+    plan = stratified_sample_exact(df, "src", k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_profile_table_counts_nulls_and_distincts(spark):
+    df = spark.createDataFrame(
+        [
+            Row(a=1, b="x", c=None),
+            Row(a=2, b="y", c=1.5),
+            Row(a=2, b=None, c=2.5),
+            Row(a=None, b="x", c=2.5),
+        ]
+    )
+    prof = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert set(prof) == {"a", "b", "c"}
+    assert all(r["n_rows"] == 4 for r in prof.values())
+    assert (prof["a"]["n_nulls"], prof["a"]["n_distinct"]) == (1, 2)
+    assert (prof["b"]["n_nulls"], prof["b"]["n_distinct"]) == (1, 2)
+    assert (prof["c"]["n_nulls"], prof["c"]["n_distinct"]) == (1, 2)
+    assert prof["a"]["min_val"] == "1" and prof["a"]["max_val"] == "2"
+    assert prof["b"]["min_val"] == "x" and prof["b"]["max_val"] == "y"
+
+
+def test_profile_table_single_scan(spark):
+    """The profile must read the table once — one Aggregate over one
+    scan (Expand handles the multi-distinct), no union of per-column
+    subplans."""
+    df = spark.range(100).select(
+        F.col("id").alias("a"), (F.col("id") % 3).alias("b")
+    )
+    plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
+    assert plan.count("Range") == 1

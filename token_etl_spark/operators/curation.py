@@ -94,6 +94,35 @@ def weighted_source_mix(
     return df.where(keep)
 
 
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    seed: str = "s0",
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Exactly ``k`` rows per stratum, chosen by deterministic md5 order
+    of ``key_col`` ⊕ ``seed`` — a seeded-shuffle top-k, never ``rand()``
+    (rerun/retry-stable, oracle-reproducible; a new seed is a fresh
+    independent sample).
+
+    Scale shape: one shuffle on ``strata_col``; the per-stratum "sort"
+    is rank-limited — Spark's WindowGroupLimit pushes ``row_number <= k``
+    below the sort so each task keeps a k-row heap instead of sorting
+    its whole stratum. Skewed strata still funnel to one task each: for
+    a handful of giant strata prefer the shuffle-free hash-threshold
+    form (``weighted_source_mix``) and accept ±√n count noise, or
+    pre-thin with a hash threshold at ~4k/|stratum| before ranking.
+    """
+    rk = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(seed)))
+    w = Window.partitionBy(strata_col).orderBy(rk.asc())
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # sequence packing
 

@@ -142,6 +142,123 @@ def token_estimate(text: Column | str) -> Column:
     return F.aggregate(per_piece, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
+#: Rule names in evaluation order — the reject-reason string is the
+#: '|'-join of every failed rule, in this fixed order, so it is
+#: deterministic and oracle-portable.
+GOPHER_RULES = (
+    "too_few_words",
+    "too_many_words",
+    "mean_word_len_low",
+    "mean_word_len_high",
+    "symbol_ratio_high",
+    "too_few_stopwords",
+)
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_symbol_ratio: float = 0.1,
+    min_stopword_hits: int = 1,
+) -> DataFrame:
+    """Gopher-style document quality gate (Rae et al. 2021 §A1.1, public
+    heuristics): word-count bounds, mean-word-length band, symbol-to-word
+    ratio, and a minimum stopword presence. Adds per-signal columns, a
+    ``reject_reasons`` string ('|'-joined failed rules in GOPHER_RULES
+    order, '' when clean) and ``keep``.
+
+    Everything is built-in expressions over one materialized token array
+    (a single projection, whole-stage codegen'd, no shuffle) — at 100 TB
+    this runs at scan speed and is exactly the kind of cheap pre-filter
+    that belongs BEFORE any shuffle-bearing dedup stage.
+    """
+    c = F.col(text_col)
+    out = df.withColumn("_toks", tokens(c))
+    toks = F.col("_toks")
+    n = F.size(toks)
+    mean_len = F.when(
+        n > 0,
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double") / n,
+    ).otherwise(F.lit(0.0))
+    symbols = F.size(F.regexp_extract_all(c, F.lit(r"#|\.\.\."), 0))
+    sym_ratio = symbols.cast("double") / F.greatest(n, F.lit(1))
+    hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+        )
+    )
+    out = out.withColumns(
+        {
+            "n_words": n.cast("long"),
+            "mean_word_len": mean_len,
+            "symbol_ratio": sym_ratio,
+            "stopword_hits": hits.cast("long"),
+        }
+    ).drop("_toks")
+    fails = {
+        "too_few_words": F.col("n_words") < min_words,
+        "too_many_words": F.col("n_words") > max_words,
+        "mean_word_len_low": F.col("mean_word_len") < min_mean_word_len,
+        "mean_word_len_high": F.col("mean_word_len") > max_mean_word_len,
+        "symbol_ratio_high": F.col("symbol_ratio") > max_symbol_ratio,
+        "too_few_stopwords": F.col("stopword_hits") < min_stopword_hits,
+    }
+    reasons = F.concat(
+        *[
+            F.when(fails[r], F.array(F.lit(r))).otherwise(
+                F.array().cast("array<string>")
+            )
+            for r in GOPHER_RULES
+        ]
+    )
+    return out.withColumn("reject_reasons", F.array_join(reasons, "|")).withColumn(
+        "keep", F.col("reject_reasons") == ""
+    )
+
+
+def line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 5,
+    blocklist: tuple[str, ...] = ("javascript", "lorem ipsum", "{"),
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2, public
+    heuristics): within each document keep only lines that end in
+    terminal punctuation, have ≥ ``min_words`` words, and contain no
+    blocklisted phrase. Adds ``cleaned`` (the surviving lines re-joined),
+    ``n_lines`` and ``n_kept``.
+
+    The per-line loop is an array lambda (`F.filter` over the
+    split-on-newline array), NOT an explode + re-aggregate: no shuffle,
+    no row-count blowup, and document boundaries never leave the row —
+    the whole operator is one codegen'd projection, which is what you
+    want when the corpus is 100 TB and the mean document has 50 lines.
+    """
+    c = F.col(text_col)
+    lines = F.split(c, "\n")
+
+    def keep_line(line: Column) -> Column:
+        ok = F.size(F.split(F.trim(line), r"\s+")) >= min_words
+        ok = ok & line.endswith(".")
+        low = F.lower(line)
+        for phrase in blocklist:
+            ok = ok & ~low.contains(phrase.lower())
+        return ok
+
+    kept = F.filter(lines, keep_line)
+    return df.withColumns(
+        {
+            "n_lines": F.size(lines).cast("long"),
+            "n_kept": F.size(kept).cast("long"),
+            "cleaned": F.array_join(kept, "\n"),
+        }
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprints:
 

@@ -1,0 +1,183 @@
+"""Quality-gate and observability queries: Gopher-style document
+filtering, C4-style line cleaning, exact stratified sampling, and
+single-pass table profiling (operators/text.py, operators/curation.py,
+operators/profile.py).
+
+No reference analog — these are the document-quality and observability
+layers of a pretraining pipeline (BASELINE.json north star). The
+line-filter query *injects* deterministic line structure and blocklist
+phrases (identical literal replaces in Spark and DuckDB) because the
+synthetic corpus is single-line and symbol-free — an all-pass filter
+would prove nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from token_etl_spark.operators import curation as C
+from token_etl_spark.operators import text as X
+from token_etl_spark.operators.profile import profile_table
+from token_etl_spark.plans.base import QuerySpec, t
+from token_etl_spark.plans.extensions import SQL_TOKENS
+
+_TOKS = SQL_TOKENS.format(col="text")
+_EN_STOP = "['" + "','".join(X.STOPWORDS["en"]) + "']"
+
+
+# --- Gopher-style quality gate ---------------------------------------------
+
+_G = dict(min_words=25, max_words=90, min_mean_word_len=3.8, max_mean_word_len=5.2)
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    out = X.gopher_filter(docs, **_G)
+    return out.select(
+        "doc_id",
+        "n_words",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("symbol_ratio", 6).alias("symbol_ratio"),
+        "stopword_hits",
+        "reject_reasons",
+        "keep",
+    )
+
+
+_G_CASES = " || ".join(
+    f"(CASE WHEN {cond} THEN ['{rule}'] ELSE CAST([] AS VARCHAR[]) END)"
+    for rule, cond in [
+        ("too_few_words", f"n_words < {_G['min_words']}"),
+        ("too_many_words", f"n_words > {_G['max_words']}"),
+        ("mean_word_len_low", f"mean_word_len < {_G['min_mean_word_len']}"),
+        ("mean_word_len_high", f"mean_word_len > {_G['max_mean_word_len']}"),
+        ("symbol_ratio_high", "symbol_ratio > 0.1"),
+        ("too_few_stopwords", "stopword_hits < 1"),
+    ]
+)
+
+SQL_GOPHER_QUALITY = f"""
+WITH base AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS mean_word_len,
+         CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
+             / greatest(len(toks), 1) AS symbol_ratio,
+         CAST(len(list_intersect(list_distinct(toks), {_EN_STOP})) AS BIGINT) AS stopword_hits
+  FROM base)
+SELECT doc_id, n_words, round(mean_word_len, 6) AS mean_word_len,
+       round(symbol_ratio, 6) AS symbol_ratio, stopword_hits,
+       coalesce(array_to_string({_G_CASES}, '|'), '') AS reject_reasons,
+       coalesce(array_to_string({_G_CASES}, '|'), '') = '' AS keep
+FROM m
+"""
+
+
+# --- C4-style line filter --------------------------------------------------
+
+
+def _structured(docs: DataFrame) -> DataFrame:
+    """Deterministically inject line structure + blocklist phrases:
+    ' row ' becomes a sentence break, ' slow ' becomes ' javascript ',
+    and every 11th document gains a brace line."""
+    base = F.replace(
+        F.replace(F.col("text"), F.lit(" row "), F.lit(".\n")),
+        F.lit(" slow "),
+        F.lit(" javascript "),
+    )
+    withbrace = F.concat(base, F.lit("\nconfig { debug } end."))
+    return docs.withColumn(
+        "text", F.when(F.col("doc_id") % 11 == 0, withbrace).otherwise(base)
+    )
+
+
+def q_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _structured(t(spark, sf_dir, "documents"))
+    out = X.line_filter(docs)
+    return out.select("doc_id", "n_lines", "n_kept", "cleaned")
+
+
+_SQL_STRUCT_TEXT = (
+    "CASE WHEN doc_id % 11 = 0 THEN "
+    "replace(replace(text, ' row ', '.' || chr(10)), ' slow ', ' javascript ')"
+    " || chr(10) || 'config { debug } end.'"
+    " ELSE replace(replace(text, ' row ', '.' || chr(10)), ' slow ', ' javascript ') END"
+)
+
+SQL_LINE_FILTER = f"""
+WITH corpus AS (SELECT doc_id, {_SQL_STRUCT_TEXT} AS text FROM documents),
+f AS (
+  SELECT doc_id,
+         string_split(text, chr(10)) AS lines,
+         list_filter(string_split(text, chr(10)),
+                     l -> len(string_split_regex(trim(l), '\\s+')) >= 5
+                          AND ends_with(l, '.')
+                          AND NOT contains(lower(l), 'javascript')
+                          AND NOT contains(lower(l), 'lorem ipsum')
+                          AND NOT contains(lower(l), '{{')) AS kept
+  FROM corpus)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       coalesce(array_to_string(kept, chr(10)), '') AS cleaned
+FROM f
+"""
+
+
+# --- exact stratified sample -----------------------------------------------
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    out = C.stratified_sample_exact(docs, "source", k=10, seed="s0")
+    return out.select("source", "doc_id", F.col("sample_rank").cast("long").alias("sample_rank"))
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT source, doc_id, sample_rank
+FROM (SELECT source, doc_id,
+             CAST(row_number() OVER (
+                 PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR) || 's0')) AS BIGINT) AS sample_rank
+      FROM documents)
+WHERE sample_rank <= 10
+"""
+
+
+# --- single-pass table profile ---------------------------------------------
+
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return profile_table(docs, _PROFILE_COLS)
+
+
+_PROFILE_AGGS = ", ".join(
+    f"count({c}) AS nn_{c}, count(DISTINCT {c}) AS nd_{c}, "
+    f"CAST(min({c}) AS VARCHAR) AS mn_{c}, CAST(max({c}) AS VARCHAR) AS mx_{c}"
+    for c in _PROFILE_COLS
+)
+_PROFILE_ROWS = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS col_name, total AS n_rows, total - nn_{c} AS n_nulls, "
+    f"nd_{c} AS n_distinct, mn_{c} AS min_val, mx_{c} AS max_val FROM s"
+    for c in _PROFILE_COLS
+)
+
+SQL_TABLE_PROFILE = f"""
+WITH s AS (SELECT count(*) AS total, {_PROFILE_AGGS} FROM documents)
+{_PROFILE_ROWS}
+"""
+
+
+SPECS = [
+    QuerySpec("ext_gopher_quality", q_gopher_quality, SQL_GOPHER_QUALITY, ("curation", "text")),
+    QuerySpec("ext_line_filter", q_line_filter, SQL_LINE_FILTER, ("curation", "text")),
+    QuerySpec("ext_stratified_sample", q_stratified_sample, SQL_STRATIFIED_SAMPLE, ("curation", "window")),
+    QuerySpec("ext_table_profile", q_table_profile, SQL_TABLE_PROFILE, ("profile",)),
+]
