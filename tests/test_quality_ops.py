@@ -8,7 +8,9 @@ from pyspark.sql import functions as F
 
 from token_etl_spark.operators.curation import stratified_sample_exact
 from token_etl_spark.operators.profile import profile_table
-from token_etl_spark.operators.text import gopher_filter, line_filter
+import pytest
+
+from token_etl_spark.operators.text import chunk_documents, gopher_filter, line_filter
 
 
 def test_gopher_filter_flags_each_rule(spark):
@@ -87,6 +89,35 @@ def test_stratified_sample_rank_limit_pushed(spark):
     )
     plan = stratified_sample_exact(df, "src", k=5)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    words = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame([(1, words), (2, "a b"), (3, "")], ["doc_id", "text"])
+    out = chunk_documents(df, chunk_tokens=4, overlap=2)  # stride 2
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    # doc 1: ceil((10-4)/2)+1 = 4 chunks at starts 0,2,4,6
+    ones = sorted(k for k in rows if k[0] == 1)
+    assert ones == [(1, i) for i in range(4)]
+    assert rows[(1, 0)]["chunk_text"] == "w0 w1 w2 w3"
+    assert rows[(1, 1)]["chunk_text"] == "w2 w3 w4 w5"  # 2-token overlap
+    assert rows[(1, 3)]["chunk_text"] == "w6 w7 w8 w9"
+    assert rows[(1, 3)]["n_tokens"] == 4
+    # short doc: exactly one (ragged) chunk
+    assert rows[(2, 0)]["chunk_text"] == "a b" and rows[(2, 0)]["n_tokens"] == 2
+    assert (2, 1) not in rows
+    # empty doc: one empty chunk, not zero rows (caller can filter)
+    assert rows[(3, 0)]["chunk_text"] == "" and rows[(3, 0)]["n_tokens"] == 0
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_chunk_documents_ragged_tail_boundary(spark):
+    # 7 tokens, chunk 4 stride 2 → ceil(3/2)+1 = 3 chunks; last is ragged
+    df = spark.createDataFrame([(1, "a b c d e f g")], ["doc_id", "text"])
+    out = chunk_documents(df, chunk_tokens=4, overlap=2).collect()
+    got = {r["chunk_id"]: (r["chunk_text"], r["n_tokens"]) for r in out}
+    assert got == {0: ("a b c d", 4), 1: ("c d e f", 4), 2: ("e f g", 3)}
 
 
 def test_profile_table_counts_nulls_and_distincts(spark):

@@ -259,6 +259,55 @@ def line_filter(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window document chunking (RAG indexing / context-window
+    prep): one output row per ``chunk_tokens``-token window advancing by
+    ``chunk_tokens - overlap``. Short documents yield exactly one chunk;
+    the final chunk is the ragged tail (``n_tokens`` < chunk_tokens).
+
+    Output: ``id_col, chunk_id, start_tok, n_tokens, chunk_text``.
+
+    The window enumeration is an array transform + one explode — a
+    narrow per-row generator, no shuffle, no Python boundary. Output row
+    count ≈ corpus_tokens / stride regardless of document length, so the
+    operator scales with data volume, not document count; at 100 TB the
+    explode feeds straight into the downstream embed/write stage without
+    ever materializing per-document state.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    with_toks = df.withColumn("_toks", toks)
+    n = F.size("_toks")
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(chunk_tokens)) / F.lit(float(stride))).cast("long") + 1
+    )
+    windows = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            (i * stride).alias("start_tok"),
+            F.least(n.cast("long") - i * stride, F.lit(chunk_tokens).cast("long")).alias(
+                "n_tokens"
+            ),
+            F.array_join(F.slice(F.col("_toks"), (i * stride + 1).cast("int"), chunk_tokens), " ").alias(
+                "chunk_text"
+            ),
+        ),
+    )
+    return (
+        with_toks.select(F.col(id_col), F.explode(windows).alias("_c"))
+        .select(id_col, "_c.chunk_id", "_c.start_tok", "_c.n_tokens", "_c.chunk_text")
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprints:
 

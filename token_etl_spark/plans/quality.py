@@ -148,6 +148,30 @@ WHERE sample_rank <= 10
 """
 
 
+# --- sliding-window chunking -----------------------------------------------
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return X.chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
+SQL_CHUNK_DOCUMENTS = f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+n AS (
+  SELECT doc_id, tk, len(tk) AS n,
+         CASE WHEN len(tk) <= 32 THEN 1
+              ELSE CAST(ceil((len(tk) - 32) / 24.0) AS BIGINT) + 1 END AS nc
+  FROM base),
+e AS (SELECT doc_id, tk, n, unnest(range(0, nc)) AS chunk_id FROM n)
+SELECT doc_id, chunk_id,
+       chunk_id * 24 AS start_tok,
+       least(n - chunk_id * 24, 32) AS n_tokens,
+       coalesce(array_to_string(tk[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' '), '') AS chunk_text
+FROM e
+"""
+
+
 # --- single-pass table profile ---------------------------------------------
 
 _PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
@@ -180,4 +204,5 @@ SPECS = [
     QuerySpec("ext_line_filter", q_line_filter, SQL_LINE_FILTER, ("curation", "text")),
     QuerySpec("ext_stratified_sample", q_stratified_sample, SQL_STRATIFIED_SAMPLE, ("curation", "window")),
     QuerySpec("ext_table_profile", q_table_profile, SQL_TABLE_PROFILE, ("profile",)),
+    QuerySpec("ext_chunk_documents", q_chunk_documents, SQL_CHUNK_DOCUMENTS, ("curation", "text")),
 ]

@@ -33,14 +33,14 @@ from token_etl_spark.plans.base import QuerySpec
 #      round 1 (CORRECTNESS_r01.json) — re-verified locally every run
 #      by scripts/check_correctness.py.
 #   Window math (round 2): domain 16 + extensions 20 + curation 7 +
-#   quality 4 = 47; the 3 priority rel_* names below fill slots 47-49.
-#   rel_date_parts / rel_string_ops / rel_ship_delay_histogram rotate
-#   just past the window this round (local sweep still covers them) and
-#   rotate back in next round once the queries above are driver-green.
+#   quality 5 = 48; the 2 priority rel_* names below fill slots 48-49.
+#   rel_sql_api / rel_date_parts / rel_string_ops /
+#   rel_ship_delay_histogram rotate just past the window this round
+#   (local sweep still covers them) and rotate back in next round once
+#   the queries above are driver-green.
 _PRIORITY_NAMES = [
     "rel_approx_active_users",
     "rel_array_ops",
-    "rel_sql_api",
 ]
 
 _REST: list[QuerySpec] = [
