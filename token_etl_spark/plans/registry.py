@@ -58,6 +58,7 @@ _ALL: list[QuerySpec] = [
     *quality.SPECS,  # new this round → inside the 50-entry window
     *[_BY_NAME[n] for n in _PRIORITY_NAMES],
     *[s for s in _REST if s.name not in _PRIORITY_NAMES],
+    *quality.MIX_SPECS,  # new late-round → end, rotates into the window next round
 ]
 
 _names = [s.name for s in _ALL]
