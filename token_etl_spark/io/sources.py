@@ -44,6 +44,12 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # The testdata stores timestamps as TIMESTAMP(MICROS, isAdjustedToUTC
+    # =false); by default Spark 4 surfaces these as TIMESTAMP_NTZ, which
+    # watermarks/event-time ops reject and which diverges from the LTZ
+    # semantics every oracle was validated under. With the session pinned
+    # to UTC, reading them as TIMESTAMP (LTZ) is value-identical.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 #: Memoized logical plans per (session, sf_dir, table). The testdata

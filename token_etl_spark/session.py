@@ -46,6 +46,10 @@ def get_spark(app_name: str = "token_etl_spark", master: str | None = None) -> S
         # TIMESTAMP(NANOS) which vanilla Spark rejects; read them as long
         # nanos and convert in io.sources.load_table (exact integer math).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Testdata timestamps are TIMESTAMP(MICROS) without UTC adjustment;
+        # read them as TIMESTAMP (LTZ, session tz = UTC) rather than NTZ so
+        # event-time streaming ops accept them (values identical under UTC).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # Changelog maps resolve duplicate timestamp keys by last writer
         # (reference behavior on Spark 3.4; entries are pre-sorted so the
         # winner is deterministic — functions/timeops.py).
