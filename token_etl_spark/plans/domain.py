@@ -295,6 +295,25 @@ FROM sessions GROUP BY user_id, session_id
 # --- A7/A8: multi-agg with sorted collect_set rollup -----------------------
 
 def q_daily_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/A8 rollup (countDistinct + sorted collect_set per day, ref
+    s/etl/BaseEnricher.scala:345-346,364-368). The sorted set is emitted
+    as a '|'-joined STRING: the driver's value hasher canonicalizes rows
+    through a pandas hash table, which cannot hash list cells (observed
+    r2: "TypeError: unhashable type: 'list'"), so the contract column is
+    the scalar rendering — lossless for event_type values, which contain
+    no '|'. The raw-array form stays exact-value-tested in
+    tests/test_array_contracts.py."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy(bucket(unix_seconds("ts"), DAY).alias("day_ts")).agg(
+        F.countDistinct("event_type").alias("n_types"),
+        F.concat_ws("|", F.sort_array(F.collect_set("event_type"))).alias("types"),
+    )
+
+
+def q_daily_event_types_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-array sibling of ``q_daily_event_types`` (pytest-only — the
+    driver gate needs scalar columns; exact list values are asserted in
+    tests/test_array_contracts.py)."""
     ev = t(spark, sf_dir, "events")
     return ev.groupBy(bucket(unix_seconds("ts"), DAY).alias("day_ts")).agg(
         F.countDistinct("event_type").alias("n_types"),
@@ -305,7 +324,7 @@ def q_daily_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DAILY_EVENT_TYPES = f"""
 SELECT {DAY_TS} AS day_ts,
        count(DISTINCT event_type) AS n_types,
-       list_sort(list(DISTINCT event_type)) AS types
+       array_to_string(list_sort(list(DISTINCT event_type)), '|') AS types
 FROM events GROUP BY 1
 """
 

@@ -374,7 +374,34 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted quantity array, folded sum (F.aggregate), filtered count
     (F.filter), element-wise transform (F.transform). The fold runs over
     the SORTED array so the double accumulation order is pinned — that is
-    what makes the DuckDB list_aggregate oracle hash-match."""
+    what makes the DuckDB list_aggregate oracle hash-match.
+
+    The two array outputs are emitted as '|'-joined STRINGS: the driver's
+    value hasher canonicalizes through a pandas hash table, which cannot
+    hash list cells (observed r2: "TypeError: unhashable type: 'list'").
+    Element rendering is pinned by casting each double to string on both
+    engines (quantities are integral doubles, so both render "N.0"); the
+    raw-array form stays exact-value-tested in
+    tests/test_array_contracts.py."""
+    li = t(spark, sf_dir, "lineitem")
+    arr = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_quantity")).alias("qty_arr")
+    )
+    return arr.select(
+        "l_orderkey",
+        F.concat_ws("|", F.transform("qty_arr", lambda x: x.cast("string"))).alias("qty_arr"),
+        F.aggregate("qty_arr", F.lit(0.0), lambda acc, x: acc + x).alias("qty_sum"),
+        F.size(F.filter("qty_arr", lambda x: x >= 30.0)).cast("long").alias("n_big"),
+        F.concat_ws(
+            "|", F.transform("qty_arr", lambda x: (x * 2.0).cast("string"))
+        ).alias("doubled"),
+    )
+
+
+def q_array_ops_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-array sibling of ``q_array_ops`` (pytest-only — the driver
+    gate needs scalar columns; exact list values are asserted in
+    tests/test_array_contracts.py)."""
     li = t(spark, sf_dir, "lineitem")
     arr = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_list("l_quantity")).alias("qty_arr")
@@ -390,10 +417,12 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_ARRAY_OPS = """
 SELECT l_orderkey,
-       list_sort(list(l_quantity)) AS qty_arr,
+       array_to_string(list_transform(list_sort(list(l_quantity)),
+                                      x -> CAST(x AS VARCHAR)), '|') AS qty_arr,
        list_aggregate(list_sort(list(l_quantity)), 'sum') AS qty_sum,
        len(list_filter(list_sort(list(l_quantity)), x -> x >= 30.0)) AS n_big,
-       list_transform(list_sort(list(l_quantity)), x -> x * 2.0) AS doubled
+       array_to_string(list_transform(list_sort(list(l_quantity)),
+                                      x -> CAST(x * 2.0 AS VARCHAR)), '|') AS doubled
 FROM lineitem
 GROUP BY l_orderkey
 """
