@@ -336,15 +336,105 @@ WHERE list_cosine_similarity(a.v, b.v) >= {NEARDUP_COSINE}
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH top-k. Fully oracled: the hyperplanes are
+    deterministic literals (seeded numpy), so the DuckDB oracle embeds the
+    SAME plane constants and replays bucketing + in-bucket ranking with
+    list_inner_product/list_cosine_similarity — an exact hash-match
+    contract, not a tolerance bound. Sign flips would need |dot| ~ 1e-15
+    (never observed; swept at sf0.001/0.01/0.1)."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return S.lsh_topk(emb, queries, k=10, n_planes=4)
+    out = S.lsh_topk(emb, queries, k=10, n_planes=4)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k (sampled quantizer, n_probe=4 of 16 cells). Fully
+    oracled: centroid choice is deterministic (first 16 corpus ids), so
+    the DuckDB oracle replays assignment → probe ranking → in-cell
+    ranking exactly — hash-match, not tolerance."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return S.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4)
+    out = S.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _plane_literal(plane: list[float]) -> str:
+    """One hyperplane as a DuckDB DOUBLE[] literal. repr() gives the
+    shortest round-trip float string, so DuckDB parses the bit-identical
+    double Spark uses (the planes enter the Spark plan as F.lit of the
+    same Python floats)."""
+    return "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+
+
+def _ann_lsh_sql(k: int = 10, n_planes: int = 4, dim: int = 64, seed: int = 42) -> str:
+    planes = S._hyperplanes(dim, n_planes, seed)
+    bucket = " + ".join(
+        f"(CASE WHEN list_inner_product(v, {_plane_literal(p)}) > 0 THEN {1 << b} ELSE 0 END)"
+        for b, p in enumerate(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+s AS (
+  SELECT query_id, b.vec_id AS neighbor_id, list_cosine_similarity(qv, b.v) AS sim
+  FROM q JOIN b USING (bucket) WHERE query_id <> b.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM s)
+SELECT query_id, neighbor_id, round(sim, 6) AS cosine_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+SQL_ANN_LSH = _ann_lsh_sql()
+
+
+def _ann_ivf_sql(k: int = 10, n_centroids: int = 16, n_probe: int = 4) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e ORDER BY vec_id LIMIT {n_centroids}),
+asg AS (
+  SELECT corpus_id, centroid_id FROM (
+    SELECT e.vec_id AS corpus_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id) AS rn
+    FROM e CROSS JOIN cents c) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, c.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.centroid_id) AS rn
+    FROM q CROSS JOIN cents c) WHERE rn <= {n_probe}),
+cand AS (
+  SELECT p.query_id, a.corpus_id FROM probes p JOIN asg a USING (centroid_id)
+  WHERE p.query_id <> a.corpus_id),
+scored AS (
+  SELECT c.query_id, c.corpus_id AS neighbor_id, list_cosine_similarity(q.qv, e.v) AS sim
+  FROM cand c JOIN q ON q.query_id = c.query_id JOIN e ON e.vec_id = c.corpus_id),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, round(sim, 6) AS cosine_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+SQL_ANN_IVF = _ann_ivf_sql()
 
 
 def q_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -552,8 +642,8 @@ SPECS = [
     QuerySpec("ext_minhash_clusters", q_minhash_clusters, SQL_MINHASH_CLUSTERS, ("dedup", "graph", "iterative")),
     QuerySpec("ext_ann_bruteforce", q_ann_bruteforce, SQL_ANN_BRUTEFORCE, ("similarity",), bench=True),
     QuerySpec("ext_embedding_neardup", q_embedding_neardup, SQL_EMBEDDING_NEARDUP, ("similarity", "dedup")),
-    QuerySpec("ext_ann_lsh", q_ann_lsh, None, ("similarity",)),
-    QuerySpec("ext_ann_ivf", q_ann_ivf, None, ("similarity",)),
+    QuerySpec("ext_ann_lsh", q_ann_lsh, SQL_ANN_LSH, ("similarity",)),
+    QuerySpec("ext_ann_ivf", q_ann_ivf, SQL_ANN_IVF, ("similarity",)),
     QuerySpec("ext_token_estimate", q_token_estimate, SQL_TOKEN_ESTIMATE, ("text",)),
     QuerySpec("ext_multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL_META, ("multimodal",)),
     QuerySpec("ext_multimodal_decode", q_multimodal_decode, SQL_MULTIMODAL_DECODE, ("multimodal",)),
