@@ -8,6 +8,12 @@ which lets Catalyst prune aggregate/projection expressions that don't
 affect the row count, noop materializes every output column with zero
 driver-side transfer. Warmup runs absorb JVM + codegen startup so
 per-query numbers reflect steady state.
+
+Each headline query is timed N_RUNS times (default 3) and reported as
+the MEDIAN, with per-query min/max/runs in a "spread" field — single-run
+sub-second numbers on a shared local[32] box cannot distinguish plan
+regressions from run-to-run variance (the r1→r2 +14% drift was exactly
+that ambiguity).
 """
 
 from __future__ import annotations
@@ -47,11 +53,17 @@ def main() -> None:
         except Exception:
             pass
 
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
+    spread: dict[str, dict] = {}
     for name in BENCH_SET:
-        start = time.perf_counter()
-        force(SPECS[name].fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - start, 4)
+        runs: list[float] = []
+        for _ in range(n_runs):
+            start = time.perf_counter()
+            force(SPECS[name].fn(spark, sf_dir))
+            runs.append(round(time.perf_counter() - start, 4))
+        timings[name] = sorted(runs)[len(runs) // 2]  # median
+        spread[name] = {"runs": runs, "min": min(runs), "max": max(runs)}
 
     total = round(sum(timings.values()), 4)
     result = {
@@ -59,6 +71,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "n_runs": n_runs,
+        "spread": spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 

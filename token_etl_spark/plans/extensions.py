@@ -639,7 +639,10 @@ SPECS = [
     QuerySpec("ext_minhash_neardup", q_minhash_neardup, SQL_NGRAM_JACCARD, ("dedup",), bench=True),
     QuerySpec("ext_simhash", q_simhash, SQL_SIMHASH, ("dedup",)),
     QuerySpec("ext_dedup_keep_list", q_dedup_keep_list, SQL_DEDUP_KEEP_LIST, ("dedup", "graph", "iterative")),
-    QuerySpec("ext_minhash_clusters", q_minhash_clusters, SQL_MINHASH_CLUSTERS, ("dedup", "graph", "iterative")),
+    # bench=True: the star-edge cluster form is the plan you'd run at
+    # 100 TB (linear output per bucket), so it is a headline number
+    # alongside the pair form it replaces in pipelines/corpus.py.
+    QuerySpec("ext_minhash_clusters", q_minhash_clusters, SQL_MINHASH_CLUSTERS, ("dedup", "graph", "iterative"), bench=True),
     QuerySpec("ext_ann_bruteforce", q_ann_bruteforce, SQL_ANN_BRUTEFORCE, ("similarity",), bench=True),
     QuerySpec("ext_embedding_neardup", q_embedding_neardup, SQL_EMBEDDING_NEARDUP, ("similarity", "dedup")),
     QuerySpec("ext_ann_lsh", q_ann_lsh, SQL_ANN_LSH, ("similarity",)),
