@@ -115,6 +115,36 @@ def test_token_budget_cap_per_source(spark):
     assert out.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
 
 
+def test_token_budget_cap_two_phase_equals_single_window(spark):
+    # skewed: one giant source (the 100 TB serialization case the
+    # two-phase form exists for) + one small source
+    rows = [(i, "big" if i < 3000 else "small", "tok " * (1 + i % 17)) for i in range(3400)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    two_phase = token_budget_cap(df, budget_tokens=5000)  # default: 256-way
+    single = token_budget_cap(df, budget_tokens=5000, n_buckets=1)
+    a = {(r["doc_id"], r["cum_tokens"]) for r in two_phase.collect()}
+    b = {(r["doc_id"], r["cum_tokens"]) for r in single.collect()}
+    assert a == b and len(a) > 0
+    # the capped source keeps the first boundary-crossing doc ("within
+    # one document of budget"); the small source fits entirely
+    caps = {r["source"]: r["m"] for r in
+            two_phase.groupBy("source").agg(F.max("cum_tokens").alias("m")).collect()}
+    assert caps["big"] >= 5000
+    assert caps["small"] < 5000
+    assert two_phase.filter("source = 'small'").count() == 400  # nothing dropped
+
+
+def test_token_budget_cap_two_phase_parallelism(spark):
+    # the in-bucket cumsum window must partition on (source, bucket),
+    # not source alone — assert the executed plan's window spec
+    df = spark.createDataFrame(
+        [(i, "only", "w " * 5) for i in range(500)], ["doc_id", "source", "text"]
+    )
+    out = token_budget_cap(df, budget_tokens=1000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_bkt" in plan, plan  # two-phase window key present
+
+
 def test_epoch_upsample_copy_counts(spark):
     df = spark.createDataFrame(
         [(i, "s%d" % (i % 4)) for i in range(2000)], ["doc_id", "source"]

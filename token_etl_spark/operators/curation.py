@@ -102,6 +102,7 @@ def token_budget_cap(
     token_col: str | None = None,
     text_col: str = "text",
     seed: str = "s0",
+    n_buckets: int = 256,
 ) -> DataFrame:
     """Cap each source at ``budget_tokens``: documents are taken in
     deterministic md5 order and kept while the budget is not yet
@@ -110,23 +111,58 @@ def token_budget_cap(
     budget — same convention as ``pack_sequences`` chunk assignment).
 
     This is the token-quota side of corpus mixing ("2B tokens of
-    source X"), dual to the rate-based ``weighted_source_mix``. One
-    shuffle on the source column; the cumulative sum moves already-
-    scored (doc, n_tokens) rows, never text. Skew caveat as with any
-    per-stratum window: a single giant source serializes into one task
-    — pre-thin with a hash threshold when |source| ≫ budget.
+    source X"), dual to the rate-based ``weighted_source_mix``.
+
+    Scale: the cumulative sum runs TWO-PHASE so a giant source does not
+    serialize into one task. The md5 order key is RANGE-bucketed by its
+    leading hex byte — 256 buckets; all keys in bucket b sort strictly
+    before bucket b+1, so per-bucket cumsums compose into the exact
+    global cumsum:
+
+      1. windowed cumsum per (source, bucket) — 256-way parallel per
+         source;
+      2. per-bucket token totals → prefix offsets via a window over the
+         tiny (|sources| × 256) totals frame, broadcast back.
+
+    Identical output to the single-window form (``n_buckets=1`` falls
+    back to it; any other value selects the 256-way two-phase path;
+    equivalence pinned in tests/test_quality_ops.py). The shuffled rows
+    carry only (keys, n_tokens), never text.
     """
     tok = F.col(token_col) if token_col else token_count(F.col(text_col))
-    w = (
-        Window.partitionBy(source_col)
-        .orderBy(F.md5(F.concat(F.col(key_col).cast("string"), F.lit(seed))))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    out = df.withColumn("_n_tok", tok.cast("long")).withColumn(
-        "_cum_tok", F.sum("_n_tok").over(w)
-    )
+    ord_key = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(seed)))
+    base = df.withColumn("_n_tok", tok.cast("long")).withColumn("_ord", ord_key)
+    if n_buckets <= 1:
+        w = Window.partitionBy(source_col).orderBy("_ord").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        out = base.withColumn("_cum_tok", F.sum("_n_tok").over(w))
+    else:
+        # leading hex byte of the order key → range bucket 0..255 (a
+        # fixed-width prefix is what keeps bucket ranges order-exact)
+        bkt = F.conv(F.substring("_ord", 1, 2), 16, 10).cast("long")
+        base = base.withColumn("_bkt", bkt)
+        w_in = Window.partitionBy(source_col, "_bkt").orderBy("_ord").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        totals = base.groupBy(source_col, "_bkt").agg(F.sum("_n_tok").alias("_bkt_tot"))
+        w_off = Window.partitionBy(source_col).orderBy("_bkt").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = totals.select(
+            source_col,
+            "_bkt",
+            F.coalesce(F.sum("_bkt_tot").over(w_off), F.lit(0)).alias("_off"),
+        )
+        out = (
+            base.withColumn("_cum_in_bkt", F.sum("_n_tok").over(w_in))
+            .join(F.broadcast(offsets), [source_col, "_bkt"])
+            .withColumn("_cum_tok", F.col("_off") + F.col("_cum_in_bkt"))
+            .drop("_bkt", "_cum_in_bkt", "_off")
+        )
     return (
         out.where(F.col("_cum_tok") - F.col("_n_tok") < budget_tokens)
+        .drop("_ord")
         .withColumnRenamed("_n_tok", "n_tokens")
         .withColumnRenamed("_cum_tok", "cum_tokens")
     )
