@@ -109,6 +109,41 @@ def test_pagerank_matches_python_reference(spark):
         assert abs(got[k] - exp[k]) < 1e-6, (k, got[k], exp[k])
 
 
+def test_fixpoint_probe_cadence(spark):
+    """probe_every=k must run the convergence probe only every k-th
+    round — the probe is the one serial driver job per round, so cadence
+    is the scale knob."""
+    from token_etl_spark.operators.graph import iterate_to_fixpoint
+
+    state = spark.createDataFrame([(1, 0)], "id long, v long")
+    calls = []
+
+    def step(s):
+        return s.select("id", (F.col("v") + 1).alias("v"))
+
+    def converged(old, new):
+        calls.append(1)
+        return False  # never converge: run all rounds
+
+    out = iterate_to_fixpoint(state, step, converged, max_iterations=9, probe_every=3)
+    assert len(calls) == 3  # probes at rounds 3, 6, 9 only
+    assert out.collect()[0]["v"] == 9  # all rounds still executed
+
+
+def test_pagerank_probe_interval_still_converges(spark):
+    from token_etl_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.id: r.rank
+        for r in pagerank(df, max_iterations=60, tol=1e-12, probe_every=5).collect()
+    }
+    exp = _py_pagerank(edges)
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-6
+
+
 def test_pagerank_handles_dangling_nodes(spark):
     from token_etl_spark.operators.graph import pagerank
 

@@ -39,7 +39,7 @@ def ensure_session_confs(spark: SparkSession) -> None:
     """Apply the engine's semantic session confs to an externally-created
     session (the driver's verify harness passes its OWN SparkSession to
     entry()/queries() — it won't have gone through session.get_spark).
-    Both confs are runtime-settable SQL confs.
+    All confs set here are runtime-settable SQL confs.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
