@@ -402,6 +402,107 @@ FROM ranked WHERE rank <= {k}
 SQL_ANN_LSH = _ann_lsh_sql()
 
 
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with the spherical-k-means-trained quantizer (refine_iters=2)
+    — the scale path with the tighter cells (recall table in PERF.md).
+    Fully oracled: k-means init is the deterministic corpus sample and
+    Lloyd iterations are pure float arithmetic, so the DuckDB oracle
+    unrolls both training iterations (assign → per-cell/per-dim mean →
+    renormalize) and replays the probe/rank search exactly."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = S.ivf_topk(
+        emb, queries, k=10, n_centroids=16, n_probe=4, refine_iters=2
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _ann_ivf_kmeans_sql(
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 2,
+    dim: int = 64,
+) -> str:
+    """DuckDB replay of spherical k-means training + IVF search.
+
+    Mirrors operators/similarity.py exactly: ``en`` is the l2-normalized
+    corpus (spherical_kmeans normalizes once up front), ``c0`` the
+    deterministic init (16 smallest vec_ids, centroid_id = 1-based rank),
+    and each iteration i is assign(c{i-1}) → per-(cell, dim) mean →
+    renormalize. The final search assigns the UN-normalized corpus to
+    the trained centroids by cosine, matching ivf_topk."""
+    members = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "en AS (SELECT vec_id,"
+        " list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS nv FROM e)",
+        f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id, nv AS cv"
+        f" FROM en ORDER BY vec_id LIMIT {n_centroids})",
+    ]
+    for i in range(1, n_iters + 1):
+        p = f"c{i - 1}"
+        members.append(
+            f"a{i} AS (SELECT vec_id, centroid_id, nv FROM ("
+            f" SELECT en.vec_id, c.centroid_id, en.nv,"
+            f" row_number() OVER (PARTITION BY en.vec_id"
+            f" ORDER BY list_cosine_similarity(en.nv, c.cv) DESC, c.centroid_id) AS rn"
+            f" FROM en CROSS JOIN {p} c) WHERE rn = 1)"
+        )
+        members.append(
+            f"m{i} AS (SELECT centroid_id, r.pos, avg(nv[CAST(r.pos AS INT)]) AS m"
+            f" FROM a{i} CROSS JOIN range(1, {dim + 1}) r(pos) GROUP BY 1, 2)"
+        )
+        members.append(
+            f"g{i} AS (SELECT centroid_id, list(m ORDER BY pos) AS mv FROM m{i} GROUP BY 1)"
+        )
+        members.append(
+            f"c{i} AS (SELECT centroid_id,"
+            f" list_transform(mv, x -> x / sqrt(list_inner_product(mv, mv))) AS cv FROM g{i})"
+        )
+    cf = f"c{n_iters}"
+    members += [
+        f"""asg AS (
+  SELECT corpus_id, centroid_id FROM (
+    SELECT e.vec_id AS corpus_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id) AS rn
+    FROM e CROSS JOIN {cf} c) WHERE rn = 1)""",
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5)",
+        f"""probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, c.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.centroid_id) AS rn
+    FROM q CROSS JOIN {cf} c) WHERE rn <= {n_probe})""",
+        """cand AS (
+  SELECT p.query_id, a.corpus_id FROM probes p JOIN asg a USING (centroid_id)
+  WHERE p.query_id <> a.corpus_id)""",
+        """scored AS (
+  SELECT c.query_id, c.corpus_id AS neighbor_id, list_cosine_similarity(q.qv, e.v) AS sim
+  FROM cand c JOIN q ON q.query_id = c.query_id JOIN e ON e.vec_id = c.corpus_id)""",
+        """ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(members)
+        + f"""
+SELECT query_id, neighbor_id, round(sim, 6) AS cosine_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+    )
+
+
+SQL_ANN_IVF_KMEANS = _ann_ivf_kmeans_sql()
+
+
 def _ann_ivf_sql(k: int = 10, n_centroids: int = 16, n_probe: int = 4) -> str:
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -647,6 +748,7 @@ SPECS = [
     QuerySpec("ext_embedding_neardup", q_embedding_neardup, SQL_EMBEDDING_NEARDUP, ("similarity", "dedup")),
     QuerySpec("ext_ann_lsh", q_ann_lsh, SQL_ANN_LSH, ("similarity",)),
     QuerySpec("ext_ann_ivf", q_ann_ivf, SQL_ANN_IVF, ("similarity",)),
+    QuerySpec("ext_ann_ivf_kmeans", q_ann_ivf_kmeans, SQL_ANN_IVF_KMEANS, ("similarity", "iterative")),
     QuerySpec("ext_token_estimate", q_token_estimate, SQL_TOKEN_ESTIMATE, ("text",)),
     QuerySpec("ext_multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL_META, ("multimodal",)),
     QuerySpec("ext_multimodal_decode", q_multimodal_decode, SQL_MULTIMODAL_DECODE, ("multimodal",)),

@@ -34,9 +34,10 @@ from token_etl_spark.plans.base import QuerySpec
 #      driver rows. The r2 window (domain/extensions/curation/quality,
 #      46/50 green in CORRECTNESS_r02.json) rotates out and stays covered
 #      by the local DuckDB sweep (scripts/check_correctness.py).
-#   Window math (round 3): 6 + 4 + tpch 5 + tpch2 21 + tpch3 8 = 44;
-#   slots 44-49 take the first 6 relational specs. After this round every
-#   one of the 105 declared queries has had a green driver row.
+#   Window math (round 3): 6 + 4 + 1 new + tpch 5 + tpch2 21 + tpch3 8
+#   = 45; slots 45-49 take the first 5 relational specs. After this
+#   round every declared query except the brand-new ones has had a
+#   green driver row.
 _PRIORITY_NAMES = [
     # never driver-tested (r1+r2 rotation gaps)
     "rel_sql_api",
@@ -50,6 +51,8 @@ _PRIORITY_NAMES = [
     "rel_array_ops",
     "ext_ann_lsh",
     "ext_ann_ivf",
+    # new this round (trained-quantizer IVF, exact unrolled-Lloyd oracle)
+    "ext_ann_ivf_kmeans",
 ]
 
 _MODULE_ORDER: list[QuerySpec] = [
