@@ -52,3 +52,25 @@ def test_fingerprint_set_invariant_to_order_and_dups(spark):
     rows = fingerprint(df).collect()
     assert rows[0]["fp_set"] == rows[1]["fp_set"]       # same token set
     assert rows[0]["fp_rolling"] != rows[1]["fp_rolling"]  # order-sensitive
+
+
+def test_line_dedup_keep_first_order_preserving(spark):
+    from token_etl_spark.operators.text import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta\nalpha\ngamma\nbeta"),  # dups at 3rd and 5th
+            (2, "Alpha\n  alpha  \nALPHA"),  # case/whitespace-insensitive
+            (3, "unique one\nunique two"),  # nothing to drop
+            (4, ""),  # empty doc
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert got[1]["deduped"] == "alpha\nbeta\ngamma"
+    assert (got[1]["n_lines"], got[1]["n_unique"]) == (5, 3)
+    # first occurrence's ORIGINAL text survives, not the normal form
+    assert got[2]["deduped"] == "Alpha"
+    assert got[2]["n_unique"] == 1
+    assert got[3]["deduped"] == "unique one\nunique two"
+    assert got[4]["deduped"] == ""

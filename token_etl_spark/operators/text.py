@@ -259,6 +259,37 @@ def line_filter(
     )
 
 
+def line_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Intra-document line deduplication (RefinedWeb/Gopher-style
+    repetition removal, public heuristics): within each document keep
+    only the FIRST occurrence of each line, compared case- and
+    whitespace-insensitively, preserving original line text and order.
+    Adds ``n_lines``, ``n_unique`` and ``deduped`` (survivors re-joined).
+
+    Like ``line_filter`` this is pure array lambdas — no explode, no
+    shuffle, document boundaries never leave the row; one codegen'd
+    projection over a 100 TB corpus. Keep-first is
+    ``array_position(normalized, norm(line)) == index+1`` — first
+    occurrence of a line's normal form is at its own index. Worst case
+    O(lines²) per document, which is the right trade against an explode
+    + window + re-aggregate (two shuffles) at typical line counts.
+    """
+    c = F.col(text_col)
+    lines = F.split(c, "\n")
+    normed = F.transform(lines, lambda l: F.trim(F.lower(l)))
+    kept = F.filter(
+        lines,
+        lambda l, i: F.array_position(normed, F.trim(F.lower(l))) == i + F.lit(1),
+    )
+    return df.withColumns(
+        {
+            "n_lines": F.size(lines).cast("long"),
+            "n_unique": F.size(kept).cast("long"),
+            "deduped": F.array_join(kept, "\n"),
+        }
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

@@ -128,6 +128,60 @@ FROM f
 """
 
 
+# --- intra-document line dedup ---------------------------------------------
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style intra-doc line dedup over injected line
+    structure: documents are chunked into 3-word lines (the corpus is
+    single-line, so structure must be synthesized — same rationale as
+    the line-filter query) and every 5th document gets its first line
+    re-appended, guaranteeing the keep-first path actually fires. The
+    oracle replays chunking, injection, and keep-first dedup exactly;
+    ``dedup_fp`` pins the surviving text byte-for-byte via md5."""
+    docs = t(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(tk) / F.lit(3.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: F.array_join(F.slice(tk, i * 3 + 1, 3), " "),
+    )
+    joined = F.array_join(lines, "\n")
+    synth_text = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(joined, F.lit("\n"), F.element_at(lines, 1)),
+    ).otherwise(joined)
+    out = X.line_dedup(docs.select("doc_id", synth_text.alias("text")))
+    return out.select(
+        "doc_id", "n_lines", "n_unique", F.md5("deduped").alias("dedup_fp")
+    )
+
+
+SQL_LINE_DEDUP = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+ls AS (
+  SELECT doc_id,
+         list_transform(range(0, CAST(ceil(len(tk)/3.0) AS BIGINT)),
+                        i -> array_to_string(tk[i*3+1 : i*3+3], ' ')) AS lines
+  FROM toks),
+synth AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN array_to_string(lines, chr(10)) || chr(10) || lines[1]
+              ELSE array_to_string(lines, chr(10)) END AS text
+  FROM ls),
+l AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM synth),
+n AS (SELECT doc_id, lines, list_transform(lines, x -> trim(lower(x))) AS nls FROM l),
+k AS (
+  SELECT doc_id, len(lines) AS n_lines,
+         list_filter(lines, (x, i) -> list_position(nls, trim(lower(x))) = i) AS kept
+  FROM n)
+SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines, CAST(len(kept) AS BIGINT) AS n_unique,
+       md5(array_to_string(kept, chr(10))) AS dedup_fp
+FROM k
+"""
+
+
 # --- exact stratified sample -----------------------------------------------
 
 
@@ -263,6 +317,7 @@ FROM e GROUP BY 1, 2
 SPECS = [
     QuerySpec("ext_gopher_quality", q_gopher_quality, SQL_GOPHER_QUALITY, ("curation", "text")),
     QuerySpec("ext_line_filter", q_line_filter, SQL_LINE_FILTER, ("curation", "text")),
+    QuerySpec("ext_line_dedup", q_line_dedup, SQL_LINE_DEDUP, ("curation", "text", "dedup")),
     QuerySpec("ext_stratified_sample", q_stratified_sample, SQL_STRATIFIED_SAMPLE, ("curation", "window")),
     QuerySpec("ext_table_profile", q_table_profile, SQL_TABLE_PROFILE, ("profile",)),
     QuerySpec("ext_chunk_documents", q_chunk_documents, SQL_CHUNK_DOCUMENTS, ("curation", "text")),

@@ -34,10 +34,9 @@ from token_etl_spark.plans.base import QuerySpec
 #      driver rows. The r2 window (domain/extensions/curation/quality,
 #      46/50 green in CORRECTNESS_r02.json) rotates out and stays covered
 #      by the local DuckDB sweep (scripts/check_correctness.py).
-#   Window math (round 3): 6 + 4 + 1 new + tpch 5 + tpch2 21 + tpch3 8
-#   = 45; slots 45-49 take the first 5 relational specs. After this
-#   round every declared query except the brand-new ones has had a
-#   green driver row.
+#   Window math (round 3): 6 + 4 + 2 new + tpch 5 + tpch2 21 + tpch3 8
+#   = 46; slots 46-49 take the first 4 relational specs. After this
+#   round every declared query has had a green driver row.
 _PRIORITY_NAMES = [
     # never driver-tested (r1+r2 rotation gaps)
     "rel_sql_api",
@@ -51,8 +50,10 @@ _PRIORITY_NAMES = [
     "rel_array_ops",
     "ext_ann_lsh",
     "ext_ann_ivf",
-    # new this round (trained-quantizer IVF, exact unrolled-Lloyd oracle)
+    # new this round (trained-quantizer IVF, exact unrolled-Lloyd oracle;
+    # intra-doc line dedup)
     "ext_ann_ivf_kmeans",
+    "ext_line_dedup",
 ]
 
 _MODULE_ORDER: list[QuerySpec] = [
