@@ -38,3 +38,27 @@ def test_bench_set_is_subset_of_queries():
 
     assert set(BENCH_SET) <= set(QUERIES)
     assert len(BENCH_SET) >= 10
+
+
+def test_window_queries_emit_only_hashable_scalars(spark):
+    """The driver's value hasher canonicalizes through a pandas hash
+    table, which rejects list/map/struct cells (r2: evt_daily_event_types
+    and rel_array_ops went red with "unhashable type: 'list'"). Every
+    query inside the 50-entry correctness window must therefore emit only
+    scalar columns; complex-typed forms belong in pytest-only siblings.
+    Schema-only check (no execution), so it covers all 50 fast."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name in list(SPECS)[:50]:
+        df = SPECS[name].fn(spark, "/root/testdata/sf0.001")
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert not offenders, offenders
+
+
+def test_all_queries_have_oracles():
+    """108/108 since round 3 — a regression here silently downgrades a
+    query to the driver's weaker rows-only check."""
+    assert set(ORACLES) == set(QUERIES)
