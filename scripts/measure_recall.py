@@ -65,6 +65,13 @@ def main() -> None:
                 f" recall@{k}={recall(truth, approx):.3f} ({time.time() - t0:.1f}s)"
             )
 
+    t0 = time.time()
+    approx = topk_sets(S.quantized_topk(emb, queries, k=k))
+    print(
+        f"int8 quantized full scan: recall@{k}={recall(truth, approx):.3f}"
+        f" ({time.time() - t0:.1f}s)"
+    )
+
 
 if __name__ == "__main__":
     main()
