@@ -69,20 +69,19 @@ def test_lsh_topk_subset_of_bruteforce_universe(spark):
     assert len(overlap) > 0
 
 
-def test_quantize_unit_vec_range_and_extreme(spark):
+def test_quantize_vec_range_and_extreme(spark):
     from pyspark.sql import functions as F
-    from token_etl_spark.operators.similarity import l2_normalize, quantize_unit_vec
+    from token_etl_spark.operators.similarity import quantize_vec
 
     df = spark.createDataFrame(
         [(1, [3.0, 4.0]), (2, [0.0, -2.0]), (3, [1.0, 1.0, 1.0, 1.0])],
         ["id", "v"],
     )
     out = df.select(
-        "id",
-        quantize_unit_vec(l2_normalize(F.col("v").cast("array<double>"))).alias("q"),
+        "id", quantize_vec(F.col("v").cast("array<double>")).alias("q")
     ).collect()
     got = {r["id"]: r["q"] for r in out}
-    assert got[1] == [95, 127]  # unit [0.6,0.8], scale by max|x|=0.8 → floor(95.75), floor(127.5)
+    assert got[1] == [95, 127]  # scale by max|x|=4 → floor(95.75), floor(127.5)
     assert max(abs(x) for r in out for x in r["q"]) == 127  # max component always ±127
     assert got[2] == [0, -127]
     assert got[3] == [127, 127, 127, 127]

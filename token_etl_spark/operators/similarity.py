@@ -356,18 +356,26 @@ def ivf_search(
     )
 
 
-def quantize_unit_vec(v: Column) -> Column:
-    """Symmetric int8-range quantization of a UNIT vector: each component
-    maps to round(x * 127 / max|x|) via ``floor(y + 0.5)`` — an explicit
+def quantize_vec(v: Column) -> Column:
+    """Symmetric int8-range quantization: each component maps to
+    round(x * 127 / max|x|) via ``floor(y + 0.5)`` — an explicit
     round-half-up, chosen over engine ``round()`` builtins because their
     half-way rules differ (Spark bround = half-even, DuckDB = half-away)
     while floor(+0.5) is identical IEEE arithmetic everywhere, which is
     what lets the DuckDB oracle replay quantization bit-for-bit.
 
+    The mapping is scale-invariant (the norm cancels: (x/n)·127/(mx/n)
+    = x·127/mx), so DO NOT pre-normalize the input — composing with
+    l2_normalize changes nothing mathematically but nests the norm fold
+    inside this function's per-element lambda, and higher-order lambdas
+    get no common-subexpression elimination (the round-1 shingle trap,
+    PERF.md): measured 37 s vs 0.5 s for 2,000 × 64-dim vectors. As
+    written the only inlined subexpression is the one array_max scan —
+    O(dim²) per vector, the acceptable no-CSE cost.
+
     At 100 TB this is the storage/IO lever for ANN: 8× smaller than
-    float64 columns (64 B → 8 B per 64-dim vector payload in practice),
-    and candidate scoring becomes integer arithmetic. A unit vector has
-    max|x| ≥ 1/√dim > 0, so the scale is never degenerate."""
+    float64 columns, and candidate scoring becomes integer arithmetic.
+    Requires a nonzero vector (max|x| > 0), which embeddings are."""
     mx = F.array_max(F.transform(v, F.abs))
     return F.transform(v, lambda x: F.floor(x * F.lit(127.0) / mx + F.lit(0.5)).cast("long"))
 
@@ -379,16 +387,16 @@ def quantized_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k over int8-quantized unit vectors: normalize →
-    quantize (``quantize_unit_vec``) → broadcast queries → INTEGER dot
-    product → per-query rank. Integer scores make ranking exactly
-    reproducible across engines (no float-tie ambiguity at all — ties
-    break on neighbor_id deterministically), so the oracle contract is a
-    hash match. Recall vs exact cosine is measured in PERF.md."""
+    """Approximate top-k over int8-quantized vectors (``quantize_vec``,
+    scale-invariant so dot-of-quantized approximates cosine): broadcast
+    queries → INTEGER dot product → per-query rank. Integer scores make
+    ranking exactly reproducible across engines (no float-tie ambiguity
+    at all — ties break on neighbor_id deterministically), so the oracle
+    contract is a hash match. Recall vs exact cosine in PERF.md."""
     def prep(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
-        nv = l2_normalize(F.col(vec_col).cast("array<double>"))
         return df.select(
-            F.col(id_col).alias(out_id), quantize_unit_vec(nv).alias(out_vec)
+            F.col(id_col).alias(out_id),
+            quantize_vec(F.col(vec_col).cast("array<double>")).alias(out_vec),
         )
 
     q = F.broadcast(prep(queries, "query_id", "qv"))

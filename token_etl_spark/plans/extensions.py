@@ -554,10 +554,9 @@ def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_ANN_QUANTIZED = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-n AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS nv FROM e),
-m AS (SELECT vec_id, nv, list_max(list_transform(nv, x -> abs(x))) AS mx FROM n),
+m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
 qz AS (SELECT vec_id,
-              list_transform(nv, x -> CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT)) AS qv
+              list_transform(v, x -> CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT)) AS qv
        FROM m),
 q AS (SELECT vec_id AS query_id, qv FROM qz WHERE vec_id < 5),
 s AS (
