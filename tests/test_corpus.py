@@ -72,3 +72,23 @@ def test_prepare_corpus_large_cluster_form_agrees(spark):
         ).collect()
     }
     assert base == star
+
+
+def test_prepare_corpus_dedup_lines_stage(spark):
+    # doc 10: a line repeated 3x — with dedup_lines the cleaned text
+    # becomes an exact duplicate of doc 11, so the digest stage collapses
+    # them; without it they are merely near-dups at best
+    line = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = spark.createDataFrame(
+        [(10, "\n".join([line] * 3)), (11, line)], ["doc_id", "text"]
+    )
+    with_stage = {
+        r["doc_id"]: r
+        for r in prepare_corpus(docs, jaccard_threshold=0.5, dedup_lines=True).collect()
+    }
+    assert with_stage[10]["keep"] is True  # min doc_id wins the digest group
+    assert with_stage[11]["is_exact_dup"] is True and with_stage[11]["keep"] is False
+    without = {
+        r["doc_id"]: r for r in prepare_corpus(docs, jaccard_threshold=0.5).collect()
+    }
+    assert without[11]["is_exact_dup"] is False  # raw texts differ

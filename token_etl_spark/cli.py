@@ -12,7 +12,7 @@ over parquet paths:
 Plus the training-corpus extension pipeline:
 
     python -m token_etl_spark.cli corpus   --documents P --out O
-        [--jaccard-threshold F] [--large-clusters]
+        [--jaccard-threshold F] [--large-clusters] [--dedup-lines]
 """
 
 from __future__ import annotations
@@ -56,6 +56,7 @@ def main(argv: list[str] | None = None) -> None:
     cor.add_argument("--out", required=True)
     cor.add_argument("--jaccard-threshold", type=float, default=0.6)
     cor.add_argument("--large-clusters", action="store_true")
+    cor.add_argument("--dedup-lines", action="store_true")
 
     args = p.parse_args(argv)
     spark = get_spark(f"token_etl_spark_{args.cmd}")
@@ -99,6 +100,7 @@ def main(argv: list[str] | None = None) -> None:
             spark.read.parquet(args.documents),
             jaccard_threshold=args.jaccard_threshold,
             large_clusters=args.large_clusters,
+            dedup_lines=args.dedup_lines,
         )
         write_parquet(decisions, args.out)
         for row in corpus_summary(spark.read.parquet(args.out)).collect():

@@ -19,7 +19,7 @@ from token_etl_spark.operators.dedup import (
     minhash_dedup_clusters,
 )
 from token_etl_spark.operators.graph import dedup_keep_list, keep_list_from_components
-from token_etl_spark.operators.text import quality_stats, token_estimate
+from token_etl_spark.operators.text import line_dedup, quality_stats, token_estimate
 
 
 def prepare_corpus(
@@ -29,6 +29,7 @@ def prepare_corpus(
     min_alpha_ratio: float = 0.5,
     jaccard_threshold: float = 0.6,
     large_clusters: bool = True,
+    dedup_lines: bool = False,
 ) -> DataFrame:
     """documents(doc_id, text, ...) → per-doc decision frame:
     (doc_id, n_tokens, est_tokens, passed_quality, is_exact_dup,
@@ -44,7 +45,20 @@ def prepare_corpus(
     selects the pair form: tighter near-dup semantics (every candidate
     pair individually Jaccard-verified), right when clusters are known
     small or as the small-scale verifier for the cluster form.
+
+    ``dedup_lines=True`` prepends intra-document line dedup
+    (``operators/text.py line_dedup``) so boilerplate repeated INSIDE a
+    document is removed before any doc-level stage — quality metrics,
+    digests, and shingles then see the cleaned text (the standard
+    pipeline order: narrow per-row rewriting before anything shuffles).
+    Off by default: the gate corpus is single-line.
     """
+    if dedup_lines:
+        docs = (
+            line_dedup(docs)
+            .withColumn("text", F.col("deduped"))
+            .drop("n_lines", "n_unique", "deduped")
+        )
     scored = quality_stats(docs).withColumn("est_tokens", token_estimate(F.col("text")))
     scored = scored.withColumn(
         "passed_quality",
