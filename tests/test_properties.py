@@ -153,3 +153,55 @@ def test_repetition_stats_invariants(spark, texts):
     for r in rows:
         assert 0.0 < r.type_token_ratio <= 1.0
         assert 0.0 < r.top_token_share <= 1.0
+
+
+@given(
+    lines=st.lists(
+        st.text(alphabet="abc X", min_size=0, max_size=6), min_size=1, max_size=12
+    )
+)
+@FAST
+def test_line_dedup_idempotent_and_conservative(spark, lines):
+    from token_etl_spark.operators.text import line_dedup
+
+    df = _get(spark).createDataFrame([(1, "\n".join(lines))], ["doc_id", "text"])
+    once = line_dedup(df).collect()[0]
+    # idempotent: dedup of the deduped text changes nothing
+    df2 = _get(spark).createDataFrame([(1, once["deduped"])], ["doc_id", "text"])
+    twice = line_dedup(df2).collect()[0]
+    assert twice["deduped"] == once["deduped"]
+    assert twice["n_lines"] == twice["n_unique"] == once["n_unique"]
+    # conservative: survivors are a subsequence of the original lines
+    orig, kept = lines, once["deduped"].split("\n")
+    it = iter(orig)
+    assert all(any(k == o for o in it) for k in kept), (orig, kept)
+    # normalized survivors are unique
+    normed = [k.strip().lower() for k in kept]
+    assert len(normed) == len(set(normed))
+
+
+@given(
+    vec=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=16,
+    ).filter(lambda v: any(x != 0.0 for x in v))
+)
+@FAST
+def test_quantize_vec_bounds_and_scale_invariance(spark, vec):
+    from token_etl_spark.operators.similarity import quantize_vec
+
+    df = _get(spark).createDataFrame([(1, vec), (2, [x * 3.0 for x in vec])], ["id", "v"])
+    out = {r["id"]: r["q"] for r in df.select(
+        "id", quantize_vec(F.col("v").cast("array<double>")).alias("q")
+    ).collect()}
+    assert all(-127 <= x <= 127 for x in out[1])
+    assert max(abs(x) for x in out[1]) == 127  # extreme component saturates
+    # sign preserved for exact-zero components
+    for x, q in zip(vec, out[1]):
+        if x == 0.0:
+            assert q == 0
+    # scale-invariant up to float rounding at half-up boundaries
+    assert all(abs(a - b) <= 1 for a, b in zip(out[1], out[2]))
