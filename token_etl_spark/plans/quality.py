@@ -182,6 +182,45 @@ FROM k
 """
 
 
+# --- global heavy hitters (corpus vocabulary top-k) ------------------------
+
+TOP_TOKENS_K = 50
+
+
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide most-frequent tokens (vocabulary/contamination
+    observability). Shape at 100 TB: explode is a narrow generator, the
+    count groupBy is map-side combinable on a near-uniform key space, and
+    the final top-k ranks the DISTINCT-token frame — vocabulary-sized,
+    orders of magnitude smaller than the corpus — so the single-partition
+    window at the end is over thousands of rows, not billions. Ties break
+    on the token string for a deterministic oracle."""
+    docs = t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(X.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_TOKENS_K)
+        .select("rank", "token", "n")
+    )
+
+
+SQL_TOP_TOKENS = f"""
+WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),
+c AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+r AS (SELECT token, n,
+             CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
+      FROM c)
+SELECT rank, token, n FROM r WHERE rank <= {TOP_TOKENS_K}
+"""
+
+
 # --- exact stratified sample -----------------------------------------------
 
 
@@ -318,6 +357,7 @@ SPECS = [
     QuerySpec("ext_gopher_quality", q_gopher_quality, SQL_GOPHER_QUALITY, ("curation", "text")),
     QuerySpec("ext_line_filter", q_line_filter, SQL_LINE_FILTER, ("curation", "text")),
     QuerySpec("ext_line_dedup", q_line_dedup, SQL_LINE_DEDUP, ("curation", "text", "dedup")),
+    QuerySpec("ext_top_tokens", q_top_tokens, SQL_TOP_TOKENS, ("text", "agg-topk")),
     QuerySpec("ext_stratified_sample", q_stratified_sample, SQL_STRATIFIED_SAMPLE, ("curation", "window")),
     QuerySpec("ext_table_profile", q_table_profile, SQL_TABLE_PROFILE, ("profile",)),
     QuerySpec("ext_chunk_documents", q_chunk_documents, SQL_CHUNK_DOCUMENTS, ("curation", "text")),
