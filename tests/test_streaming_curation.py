@@ -61,3 +61,18 @@ def test_streaming_decontaminate_flag_mode_keeps_all(spark, sf_dir, tmp_path):
     n_bench = bench.count()
     flagged = got.where("contaminated").count()
     assert flagged >= n_bench
+
+
+def test_streaming_line_cleanup_matches_batch(spark, sf_dir, tmp_path):
+    from token_etl_spark.operators.text import line_dedup, line_filter
+    from token_etl_spark.streaming.curation import streaming_line_cleanup
+
+    docs, staged = _staged_docs(spark, sf_dir, tmp_path, "linecleanup_stream")
+    stream = read_file_stream(spark, staged, docs.schema)
+    run_to_memory(
+        streaming_line_cleanup(stream), "lineclean_out", output_mode="append"
+    )
+    got = spark.sql("SELECT * FROM lineclean_out")
+    exp = line_dedup(line_filter(docs))
+    assert got.count() == exp.count() > 0
+    assert got.exceptAll(exp).count() == 0

@@ -33,6 +33,24 @@ def streaming_pii_redact(
     return pii_scan(stream, text_col=text_col, id_col=id_col)
 
 
+def streaming_line_cleanup(
+    stream: DataFrame, text_col: str = "text", dedup_lines: bool = True
+) -> DataFrame:
+    """Ingest-time line hygiene on a document stream: C4-style line
+    filtering (``line_filter``) and intra-document line dedup
+    (``line_dedup``), both stateless narrow projections — the batch
+    expression trees apply verbatim, so stream and batch provably agree
+    row-for-row (tested). Line-level cleanup belongs at ingest for the
+    same reason PII redaction does: it is per-row, needs no state, and
+    shrinks every byte that flows downstream."""
+    from token_etl_spark.operators.text import line_dedup, line_filter
+
+    out = line_filter(stream, text_col=text_col)
+    if dedup_lines:
+        out = line_dedup(out, text_col=text_col)
+    return out
+
+
 def benchmark_shingle_set(
     benchmark: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
