@@ -109,3 +109,21 @@ def test_tpch3_plans_broadcast_and_no_cartesian(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
     assert _plan(spark, sf_dir, "tpch_returned_revenue").count("BroadcastHashJoin") >= 2
     assert _plan(spark, sf_dir, "tpch_min_cost_supplier").count("BroadcastHashJoin") >= 2
+
+
+def test_ann_query_sides_broadcast(spark, sf_dir):
+    """The small side (query set, centroid table, quantized queries) must
+    broadcast in every ANN plan — a shuffle of the corpus against 5 query
+    rows is the exact regression these gates exist for."""
+    for name in ("ext_ann_bruteforce", "ext_ann_quantized", "ext_ann_ivf",
+                 "ext_ann_ivf_kmeans", "ext_ann_lsh"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Broadcast" in plan, name
+
+
+def test_two_phase_budget_cap_plan(spark, sf_dir):
+    """ext_token_budget's data-side shuffle must key on (source, bucket)
+    — not source alone — and the offsets frame must broadcast."""
+    plan = _plan(spark, sf_dir, "ext_token_budget")
+    assert "_bkt" in plan
+    assert "BroadcastHashJoin" in plan
