@@ -58,6 +58,59 @@ def test_window_queries_emit_only_hashable_scalars(spark):
     assert not offenders, offenders
 
 
+def test_oracle_dtype_parity_with_spark_schema(spark):
+    """The driver's value hasher is dtype-sensitive at the pandas level:
+    DuckDB silently widens integer window/group sums (sum(BIGINT) →
+    HUGEINT → pandas float64) while Spark emits int64, redding a row even
+    when every value matches (r3 ext_token_budget). Guard: materialize
+    every oracle via .df() at sf0.001 and assert each column's pandas
+    dtype *kind* matches the kind implied by the Spark plan's schema
+    (analysis-only — no Spark job). A float kind is accepted for an
+    integral Spark column only when the duck column actually contains
+    nulls (then Spark's toPandas widens identically)."""
+    import duckdb
+    from pyspark.sql import types as T
+
+    con = duckdb.connect()
+    for name in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('/root/testdata/sf0.001/{name}.parquet')"
+        )
+
+    def expected_kinds(dt, has_nulls):
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            return {"i", "u", "f"} if has_nulls else {"i", "u"}
+        if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+            return {"f"}
+        if isinstance(dt, T.BooleanType):
+            return {"b", "O"} if has_nulls else {"b"}
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            return {"M", "O"}
+        if isinstance(dt, T.StringType):
+            return {"O"}
+        return {"O"}
+
+    offenders = []
+    for name, spec in SPECS.items():
+        if spec.oracle is None:
+            continue
+        sdf = spec.fn(spark, "/root/testdata/sf0.001")
+        spark_types = {f.name.lower(): f.dataType for f in sdf.schema.fields}
+        pdf = con.execute(spec.oracle).df()
+        pdf.columns = [c.lower() for c in pdf.columns]
+        for col in pdf.columns:
+            st = spark_types.get(col)
+            if st is None:
+                offenders.append((name, col, "missing-on-spark-side"))
+                continue
+            kind = pdf[col].dtype.kind
+            if kind not in expected_kinds(st, bool(pdf[col].isna().any())):
+                offenders.append(
+                    (name, col, f"spark={st.simpleString()} duck_kind={kind}")
+                )
+    assert not offenders, offenders
+
+
 def test_all_queries_have_oracles():
     """108/108 since round 3 — a regression here silently downgrades a
     query to the driver's weaker rows-only check."""

@@ -310,8 +310,8 @@ WITH base AS (
   FROM documents),
 c AS (
   SELECT doc_id, source, n_tokens,
-         sum(n_tokens) OVER (PARTITION BY source ORDER BY k
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY k
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
   FROM base)
 SELECT doc_id, source, n_tokens, cum_tokens
 FROM c WHERE cum_tokens - n_tokens < 500
