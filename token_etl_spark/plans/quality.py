@@ -187,14 +187,23 @@ FROM k
 TOP_TOKENS_K = 50
 
 
+TOP_TOKENS_BUCKETS = 64
+
+
 def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide most-frequent tokens (vocabulary/contamination
-    observability). Shape at 100 TB: explode is a narrow generator, the
-    count groupBy is map-side combinable on a near-uniform key space, and
-    the final top-k ranks the DISTINCT-token frame — vocabulary-sized,
-    orders of magnitude smaller than the corpus — so the single-partition
-    window at the end is over thousands of rows, not billions. Ties break
-    on the token string for a deterministic oracle."""
+    observability), exact two-phase top-k. Shape at 100 TB: explode is a
+    narrow generator and the count groupBy is map-side combinable — but
+    the distinct-token frame of a web crawl runs to billions (typos,
+    URLs, numbers), so a bare global ``Window.orderBy`` would sort the
+    whole vocabulary through one task. Phase 1 therefore takes a
+    per-hash-bucket ``row_number() <= K`` (any global top-K member is
+    top-K within its bucket — row_number only decreases when rows are
+    removed), leaving at most K x BUCKETS survivors; phase 2 runs the
+    global rank over that bounded frame. Exact, same oracle; equivalence
+    to the single-phase form is pinned in
+    tests/test_quality.py::test_top_tokens_two_phase_equivalence.
+    Ties break on the token string for a deterministic oracle."""
     docs = t(spark, sf_dir, "documents")
     counts = (
         docs.select(F.explode(X.tokens("text")).alias("token"))
@@ -203,9 +212,18 @@ def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    wb = Window.partitionBy("bucket").orderBy(F.col("n").desc(), F.col("token"))
+    survivors = (
+        counts.withColumn(
+            "bucket", F.pmod(F.xxhash64("token"), F.lit(TOP_TOKENS_BUCKETS))
+        )
+        .withColumn("bucket_rank", F.row_number().over(wb))
+        .filter(F.col("bucket_rank") <= TOP_TOKENS_K)
+        .drop("bucket", "bucket_rank")
+    )
     w = Window.orderBy(F.col("n").desc(), F.col("token"))
     return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        survivors.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_TOKENS_K)
         .select("rank", "token", "n")
     )
