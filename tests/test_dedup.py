@@ -110,6 +110,34 @@ def test_star_edges_linear_and_same_components(spark):
     assert as_map(pair_cc) == as_map(star_cc)
 
 
+def test_minhash_pair_form_bucket_cap(spark):
+    """The quadratic pair form must fail EXPLICITLY — not OOM — on a
+    giant duplicate cluster (r3 verdict: measured OOM at 500-copy
+    clusters at scale). A 500-copy cluster puts 500 members into the
+    same (band, bucket) for every band; with max_bucket below that the
+    plan raises the documented error at execution time, and the linear
+    star form handles the identical input fine."""
+    import pytest
+
+    from token_etl_spark.operators import dedup as D
+
+    rows = [(i, "the very same duplicated body of text for every copy") for i in range(500)]
+    rows += [(1000 + i, f"distinct filler document {i} about topic {i}") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    with pytest.raises(Exception, match="max_bucket"):
+        D.minhash_dedup(df, max_bucket=100).count()
+
+    # the production path for this shape: linear star edges, same input
+    cc = D.minhash_dedup_clusters(df)
+    comp = {r.id: r.component for r in cc.collect()}
+    assert all(comp[i] == 0 for i in range(500))
+
+    # unguarded form still available explicitly
+    n = D.minhash_dedup(df, max_bucket=None).count()
+    assert n == 500 * 499 / 2
+
+
 def test_minhash_clusters_unverified_superset(spark):
     """verify=False keeps at least the verified clusters' members."""
     from token_etl_spark.operators.dedup import minhash_dedup_clusters

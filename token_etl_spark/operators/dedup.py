@@ -130,7 +130,12 @@ def _banded(signatures: DataFrame, bands: int, sig_len: int) -> DataFrame:
     ).select("id", "bb.band", "bb.bucket")
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8, sig_len: int = 32) -> DataFrame:
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 8,
+    sig_len: int = 32,
+    max_bucket: int | None = None,
+) -> DataFrame:
     """Band the signatures and emit candidate pairs per matching bucket.
 
     ``sig_len`` must divide evenly into ``bands``; each band's slice is
@@ -139,8 +144,38 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8, sig_len: int = 32
     the quadratic blowup is confined to bucket-local groups (a k-member
     bucket emits k(k-1)/2 pairs; see ``lsh_star_edges`` for the linear
     alternative when clusters are large).
+
+    ``max_bucket`` guards the quadratic path: when set, any (band,
+    bucket) group larger than the cap raises an explicit runtime error
+    (JVM-side ``assert_true`` inside the plan — no driver-side action at
+    plan-build time, so plan hygiene holds) instead of silently emitting
+    k(k-1)/2 pairs and OOMing the shuffle. A giant bucket means a giant
+    duplicate cluster, which is exactly the case the linear
+    ``minhash_dedup_clusters`` star form exists for — the error message
+    says so. The guard's bucket-size count groups on the same
+    (band, bucket) key as the self-join, so it adds no new shuffle key.
     """
     banded = _banded(signatures, bands, sig_len)
+    if max_bucket is not None:
+        sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("bucket_n"))
+        banded = (
+            banded.join(sizes, ["band", "bucket"])
+            .filter(
+                F.assert_true(
+                    F.col("bucket_n") <= F.lit(max_bucket),
+                    F.format_string(
+                        "LSH bucket size %s exceeds max_bucket="
+                        + str(max_bucket)
+                        + ": pair emission would be quadratic in the duplicate-"
+                        "cluster size; use minhash_dedup_clusters (linear star "
+                        "edges) for corpora with large duplicate clusters, or "
+                        "raise max_bucket explicitly.",
+                        F.col("bucket_n"),
+                    ),
+                ).isNull()
+            )
+            .drop("bucket_n")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -248,8 +283,15 @@ def minhash_dedup(
     bands: int = 8,
     threshold: float = 0.5,
     share_shingles: bool = True,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline → verified (id_a, id_b, jaccard).
+
+    ``max_bucket`` (default 10,000) bounds the quadratic in-bucket pair
+    emission: a larger bucket raises an explicit error at execution time
+    instead of silently OOMing — ``minhash_dedup_clusters`` (linear star
+    edges) is the production path for corpora with giant duplicate
+    clusters. Pass ``max_bucket=None`` to restore the unguarded form.
 
     The per-doc shingle arrays feed two consumers — the signature
     aggregation (exploded + grouped min-aggs: whole-stage-codegen'd
@@ -276,7 +318,7 @@ def minhash_dedup(
         arrays = arrays.localCheckpoint(eager=False)
     exploded = arrays.select("id", F.explode("sh").alias("shingle"))
     sigs = minhash_signatures(exploded, num_hashes)
-    cands = lsh_candidate_pairs(sigs, bands, sig_len=num_hashes)
+    cands = lsh_candidate_pairs(sigs, bands, sig_len=num_hashes, max_bucket=max_bucket)
     return jaccard_verify(cands, arrays, threshold)
 
 
