@@ -73,6 +73,8 @@ def test_streaming_line_cleanup_matches_batch(spark, sf_dir, tmp_path):
         streaming_line_cleanup(stream), "lineclean_out", output_mode="append"
     )
     got = spark.sql("SELECT * FROM lineclean_out")
-    exp = line_dedup(line_filter(docs))
+    # sequential hygiene: dedup runs on line_filter's 'cleaned' output,
+    # so 'deduped' = filtered-then-deduped text (stages compose).
+    exp = line_dedup(line_filter(docs), text_col="cleaned")
     assert got.count() == exp.count() > 0
     assert got.exceptAll(exp).count() == 0

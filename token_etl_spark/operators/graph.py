@@ -135,18 +135,21 @@ def iterate_to_fixpoint(
     emptiness or an aggregate delta — each one small but SERIAL driver
     job. ``probe_every=k`` runs the probe only every k-th round (same
     trade as ``connected_components``: at most k-1 extra cheap rounds
-    after the true fixpoint in exchange for 1/k the driver syncs). The
-    probe compares the last probed state to the current one — a
-    superset interval, so equality still implies the fixpoint.
+    after the true fixpoint in exchange for 1/k the driver syncs). On a
+    probe round the probe compares the round's INPUT to its OUTPUT — the
+    single-round delta — which is the strictly-correct fixpoint test for
+    both monotone probes (anti-join emptiness: no change this round ⇒
+    fixpoint) and norm-delta probes (PageRank tol: interval deltas can
+    partially cancel across rounds and under-report the last round's
+    delta, so an interval probe could declare convergence early —
+    ADVICE r3). Same sync count as the interval form.
     """
     state = state.localCheckpoint(eager=True)
-    last_probed = state
     for it in range(max_iterations):
         new_state = step(state).localCheckpoint(eager=True)
         if converged is not None and (it + 1) % max(probe_every, 1) == 0:
-            if converged(last_probed, new_state):
+            if converged(state, new_state):
                 return new_state
-            last_probed = new_state
         state = new_state
     return state
 
@@ -170,10 +173,12 @@ def pagerank(
     round — at 100 TB both frames hash on node id and AQE handles hub
     skew.
 
-    Tol-mode convergence is probed only every ``probe_every`` rounds (the
-    L1 delta over the probe interval — an upper bound on the last round's
-    delta for this contraction), so the serial driver-sync job count is
-    iterations/probe_every, not iterations.
+    Tol-mode convergence is probed only every ``probe_every`` rounds, and
+    the probe measures the SINGLE-ROUND L1 delta (the probe round's input
+    vs output — per-component deltas can change sign across rounds and
+    partially cancel, so an interval delta is NOT an upper bound on the
+    last round's delta; ADVICE r3). Serial driver-sync job count stays
+    iterations/probe_every.
     """
     nodes = (
         edges.select(F.col(src).alias("id"))

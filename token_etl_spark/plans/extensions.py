@@ -408,7 +408,16 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fully oracled: k-means init is the deterministic corpus sample and
     Lloyd iterations are pure float arithmetic, so the DuckDB oracle
     unrolls both training iterations (assign → per-cell/per-dim mean →
-    renormalize) and replays the probe/rank search exactly."""
+    renormalize) and replays the probe/rank search exactly.
+
+    Oracle assumption: the per-cell/per-dim ``avg`` is float arithmetic
+    whose accumulation order is NOT pinned on either engine (Spark
+    partition order, DuckDB group order), so centroid coordinates can in
+    principle differ in the last ulp and flip a near-tie assignment or
+    rank. The sf sweep (0.001/0.01/0.1 in PERF.md + the local runner)
+    guards this empirically; if a mismatch ever appears, pin summation
+    order on both sides (sum over list(v ORDER BY vec_id) / count) as
+    q_array_ops does with its fold."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     out = S.ivf_topk(
@@ -539,11 +548,14 @@ SQL_ANN_IVF = _ann_ivf_sql()
 
 
 def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k over int8-quantized unit embeddings (the ANN storage/IO
-    lever at 100 TB — see operators/similarity.py quantize_unit_vec).
-    Integer dot scores rank with zero float-tie ambiguity, so the oracle
-    (same normalize → floor-half-up quantize → integer dot replay in
-    DuckDB) is an exact hash-match contract."""
+    """Top-k over int8-quantized embeddings (the ANN storage/IO lever at
+    100 TB — see operators/similarity.py quantize_vec). quantize_vec is
+    scale-invariant (symmetric max-abs scale, so the vector's norm
+    cancels and the RAW vector is quantized — no per-element norm fold,
+    the r3 no-CSE fix). Integer dot scores rank with zero float-tie
+    ambiguity, so the oracle (same max-abs scale → floor-half-up
+    quantize → integer dot replay in DuckDB) is an exact hash-match
+    contract."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     out = S.quantized_topk(emb, queries, k=10)
@@ -782,12 +794,16 @@ SPECS = [
     QuerySpec("ext_embedding_neardup", q_embedding_neardup, SQL_EMBEDDING_NEARDUP, ("similarity", "dedup")),
     QuerySpec("ext_ann_lsh", q_ann_lsh, SQL_ANN_LSH, ("similarity",)),
     QuerySpec("ext_ann_ivf", q_ann_ivf, SQL_ANN_IVF, ("similarity",)),
-    QuerySpec("ext_ann_ivf_kmeans", q_ann_ivf_kmeans, SQL_ANN_IVF_KMEANS, ("similarity", "iterative")),
+    # bench=True (r4): the trained-quantizer IVF is the ANN scale path —
+    # round-over-round tracking matters more than the brute-force baseline.
+    QuerySpec("ext_ann_ivf_kmeans", q_ann_ivf_kmeans, SQL_ANN_IVF_KMEANS, ("similarity", "iterative"), bench=True),
     QuerySpec("ext_ann_quantized", q_ann_quantized, SQL_ANN_QUANTIZED, ("similarity",)),
     QuerySpec("ext_token_estimate", q_token_estimate, SQL_TOKEN_ESTIMATE, ("text",)),
     QuerySpec("ext_multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL_META, ("multimodal",)),
     QuerySpec("ext_multimodal_decode", q_multimodal_decode, SQL_MULTIMODAL_DECODE, ("multimodal",)),
-    QuerySpec("ext_corpus_prep", q_corpus_prep, SQL_CORPUS_PREP, ("dedup", "text", "pipeline", "iterative")),
+    # bench=True (r4): the end-to-end corpus-prep pipeline (hygiene +
+    # star-edge dedup + CC keep-list) is the headline 100 TB workload.
+    QuerySpec("ext_corpus_prep", q_corpus_prep, SQL_CORPUS_PREP, ("dedup", "text", "pipeline", "iterative"), bench=True),
     QuerySpec("ext_user_value_ewma", q_user_value_ewma, SQL_USER_VALUE_EWMA, ("timeseries", "pandas-udf")),
     QuerySpec("ext_supplier_pagerank", q_supplier_pagerank, SQL_SUPPLIER_PAGERANK, ("graph", "iterative")),
 ]

@@ -37,8 +37,11 @@ def streaming_line_cleanup(
     stream: DataFrame, text_col: str = "text", dedup_lines: bool = True
 ) -> DataFrame:
     """Ingest-time line hygiene on a document stream: C4-style line
-    filtering (``line_filter``) and intra-document line dedup
-    (``line_dedup``), both stateless narrow projections — the batch
+    filtering (``line_filter``) then intra-document line dedup
+    (``line_dedup``) applied SEQUENTIALLY — dedup runs on line_filter's
+    ``cleaned`` output, so ``deduped`` holds the filtered-then-deduped
+    text (a consumer reading ``deduped`` gets both hygiene stages, not
+    just one). Both are stateless narrow projections — the batch
     expression trees apply verbatim, so stream and batch provably agree
     row-for-row (tested). Line-level cleanup belongs at ingest for the
     same reason PII redaction does: it is per-row, needs no state, and
@@ -47,7 +50,7 @@ def streaming_line_cleanup(
 
     out = line_filter(stream, text_col=text_col)
     if dedup_lines:
-        out = line_dedup(out, text_col=text_col)
+        out = line_dedup(out, text_col="cleaned")
     return out
 
 
