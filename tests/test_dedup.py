@@ -138,6 +138,41 @@ def test_minhash_pair_form_bucket_cap(spark):
     assert n == 500 * 499 / 2
 
 
+def test_simhash_neardup_equals_allpairs_hamming(spark):
+    """Perfect-recall property: with max_hamming < bands, pigeonhole
+    guarantees two fingerprints within the hamming budget agree exactly
+    on at least one band — so the banded pipeline must return EXACTLY
+    the all-pairs hamming filter, not an approximation."""
+    from token_etl_spark.operators import dedup as D
+
+    rows = [(i, f"unique document number {i} about subject {i % 7} with words") for i in range(40)]
+    rows += [(100 + i, "shared boilerplate template text repeated many times " + ("extra" if i % 2 else "")) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    banded = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in D.simhash_neardup(df, max_hamming=3, bands=4).collect()
+    }
+
+    fps = D.simhash(df)
+    a = fps.select(F.col("id").alias("id_a"), F.col("simhash").alias("fp_a"))
+    b = fps.select(F.col("id").alias("id_b"), F.col("simhash").alias("fp_b"))
+    allpairs = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("long"))
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+        .collect()
+    }
+    assert banded == allpairs
+    # the exact-copy cluster must be found: 3 even-index copies pairwise
+    even = {100, 102, 104}
+    assert {(x, y) for (x, y, h) in banded if x in even and y in even and h == 0} == {
+        (100, 102), (100, 104), (102, 104)
+    }
+
+
 def test_minhash_clusters_unverified_superset(spark):
     """verify=False keeps at least the verified clusters' members."""
     from token_etl_spark.operators.dedup import minhash_dedup_clusters

@@ -134,7 +134,9 @@ def ivf_assign(
 
     Returns (assigned corpus with ``centroid_id``, centroids frame).
     One narrow pass over the corpus — the centroid table is tiny and
-    broadcast; nothing shuffles until a later per-cell operation.
+    broadcast, and the assignment argmax is map-only
+    (``_assign_to_centroids``); nothing shuffles until a later per-cell
+    operation.
     """
     cents = F.broadcast(
         corpus.orderBy(id_col)
@@ -147,15 +149,7 @@ def ivf_assign(
     base = corpus.select(
         F.col(id_col).alias("corpus_id"), F.col(vec_col).cast("array<double>").alias("cv")
     )
-    scored = base.join(cents).withColumn(
-        "sim", cosine(F.col("cv"), F.col("centroid_vec"))
-    )
-    w = Window.partitionBy("corpus_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("corpus_id", "cv", "centroid_id")
-    )
+    assigned = _assign_to_centroids(base, cents)
     return assigned, cents
 
 
@@ -182,16 +176,37 @@ def lloyd_refine(assigned: DataFrame) -> DataFrame:
 
 
 def _assign_to_centroids(base: DataFrame, cents: DataFrame) -> DataFrame:
-    """Assign each ``(corpus_id, cv)`` row to its max-cosine centroid from
-    the broadcast ``(centroid_id, centroid_vec)`` frame."""
-    scored = base.join(F.broadcast(cents)).withColumn(
-        "sim", cosine(F.col("cv"), F.col("centroid_vec"))
+    """Assign each ``(corpus_id, cv)`` row to its max-cosine centroid.
+
+    MAP-ONLY: the centroid set is collapsed to a single broadcast row
+    (array of (centroid_id, centroid_vec) structs) and the argmax is a
+    per-row ``array_max`` over a ``transform`` fold — no shuffle. The
+    previous form (broadcast join + ``Window.partitionBy(corpus_id)``)
+    shuffled the n_centroids-times-expanded corpus on corpus_id once per
+    call — i.e. per Lloyd iteration — which is a full-corpus shuffle at
+    100 TB for what is semantically a narrow operation. Ties break to
+    the smallest centroid_id (struct max on (sim, -centroid_id)),
+    matching the oracle's ``row_number() OVER (ORDER BY sim DESC,
+    centroid_id)`` exactly; the cosine is the same expression, so the
+    float bits agree."""
+    carr = F.broadcast(
+        cents.agg(
+            F.collect_list(F.struct("centroid_id", "centroid_vec")).alias("_cents")
+        )
     )
-    w = Window.partitionBy("corpus_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    best = F.array_max(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                cosine(F.col("cv"), c.getField("centroid_vec")).alias("sim"),
+                (-c.getField("centroid_id")).alias("neg_id"),
+            ),
+        )
+    )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("corpus_id", "cv", "centroid_id")
+        base.join(carr)
+        .withColumn("_best", best)
+        .select("corpus_id", "cv", (-F.col("_best.neg_id")).alias("centroid_id"))
     )
 
 

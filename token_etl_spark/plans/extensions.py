@@ -255,6 +255,60 @@ SELECT doc_id AS id, CAST({pack} AS BIGINT) AS simhash FROM votes
 SQL_SIMHASH = _simhash_sql(32)
 
 
+def _simhash_fp_cte(bits: int = 32) -> str:
+    """Shared fingerprint CTE body (md5-based portable hash), reused by
+    SQL_SIMHASH and SQL_SIMHASH_NEARDUP."""
+    votes = ", ".join(
+        f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    pack = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END" for b in range(bits)
+    )
+    return f"""base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM base),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM tok),
+votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+fp AS (SELECT doc_id AS id, CAST({pack} AS BIGINT) AS fp FROM votes)"""
+
+
+def _simhash_neardup_sql(bits: int = 32, bands: int = 4, max_hamming: int = 3) -> str:
+    """DuckDB replay of the hamming-LSH pipeline: same banding (bit
+    slices), same bucket join, same popcount verify — with
+    max_hamming < bands the banded result provably equals the all-pairs
+    hamming filter, so the replay doubles as an exactness witness."""
+    bw = bits // bands
+    mask = (1 << bw) - 1
+    return f"""
+WITH {_simhash_fp_cte(bits)},
+banded AS (
+  SELECT id, fp, band, (fp >> (band * {bw})) & {mask} AS val
+  FROM fp CROSS JOIN (SELECT unnest(range(0, {bands})) AS band)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.fp AS fp_a, b.fp AS fp_b
+  FROM banded a JOIN banded b USING (band, val)
+  WHERE a.id < b.id),
+scored AS (
+  SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+  FROM cand)
+SELECT id_a, id_b, hamming FROM scored WHERE hamming <= {max_hamming}
+"""
+
+
+SQL_SIMHASH_NEARDUP = _simhash_neardup_sql(32, 4, 3)
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-LSH near-dup over SimHash fingerprints (bands=4,
+    max_hamming=3): with max_hamming < bands the banding has PERFECT
+    recall (pigeonhole on bit-slice disagreements), so the bucketed join
+    returns exactly the all-pairs hamming-<=3 set without ever forming
+    all pairs. md5-portable hash so the oracle replays the fingerprints
+    bit-for-bit."""
+    docs = t(spark, sf_dir, "documents")
+    return D.simhash_neardup(docs, bits=32, bands=4, max_hamming=3, hash_fn=D.md5_hash32)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash with the md5-based portable hash (``md5_hash32``) so the
     oracle recomputes the exact fingerprints; the murmur3 default stays
@@ -785,6 +839,7 @@ SPECS = [
     QuerySpec("ext_ngram_jaccard", q_ngram_jaccard, SQL_NGRAM_JACCARD, ("dedup",)),
     QuerySpec("ext_minhash_neardup", q_minhash_neardup, SQL_NGRAM_JACCARD, ("dedup",), bench=True),
     QuerySpec("ext_simhash", q_simhash, SQL_SIMHASH, ("dedup",)),
+    QuerySpec("ext_simhash_neardup", q_simhash_neardup, SQL_SIMHASH_NEARDUP, ("dedup",)),
     QuerySpec("ext_dedup_keep_list", q_dedup_keep_list, SQL_DEDUP_KEEP_LIST, ("dedup", "graph", "iterative")),
     # bench=True: the star-edge cluster form is the plan you'd run at
     # 100 TB (linear output per bucket), so it is a headline number

@@ -40,6 +40,8 @@ _PRIORITY_NAMES = [
     # never driver-green (the r3 gap closers)
     "ext_token_budget",
     "ext_top_tokens",
+    # new in round 4
+    "ext_simhash_neardup",
 ]
 
 _MODULE_ORDER: list[QuerySpec] = [
