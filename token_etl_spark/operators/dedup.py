@@ -130,6 +130,44 @@ def _banded(signatures: DataFrame, bands: int, sig_len: int) -> DataFrame:
     ).select("id", "bb.band", "bb.bucket")
 
 
+def _cap_bucket_size(
+    banded: DataFrame, keys: list[str], max_bucket: int, what: str
+) -> DataFrame:
+    """Gate a quadratic bucket join: annotate each row with its bucket's
+    size via a window count over ``keys`` and assert the cap INSIDE the
+    plan (a filter, so Catalyst cannot prune the assertion away).
+
+    Shape matters twice over: (a) the window partitions on the SAME keys
+    the downstream self-join shuffles on, so both join inputs read the
+    one exchange (ReusedExchange) and the guard adds no extra scan,
+    aggregation branch, or shuffle key; (b) the assert evaluates in the
+    post-shuffle window stage — BEFORE any pair is emitted — so an
+    oversized bucket fails fast with the documented message instead of
+    OOMing mid-join. (A broadcast-guard variant was rejected: a lazy
+    ``localCheckpoint`` of the shared frame triggers AQE stage execution
+    at plan-build time, violating the no-jobs-at-plan-build gate.)"""
+    wcap = Window.partitionBy(*keys)
+    return (
+        banded.withColumn("bucket_n", F.count("*").over(wcap))
+        .filter(
+            F.assert_true(
+                F.col("bucket_n") <= F.lit(max_bucket),
+                F.format_string(
+                    what
+                    + " bucket size %s exceeds max_bucket="
+                    + str(max_bucket)
+                    + ": pair emission would be quadratic in the duplicate-"
+                    "cluster size; use the linear star/cluster form "
+                    "(minhash_dedup_clusters) for corpora with large duplicate "
+                    "clusters, or raise max_bucket explicitly.",
+                    F.col("bucket_n"),
+                ),
+            ).isNull()
+        )
+        .drop("bucket_n")
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 8,
@@ -152,30 +190,14 @@ def lsh_candidate_pairs(
     k(k-1)/2 pairs and OOMing the shuffle. A giant bucket means a giant
     duplicate cluster, which is exactly the case the linear
     ``minhash_dedup_clusters`` star form exists for — the error message
-    says so. The guard's bucket-size count groups on the same
-    (band, bucket) key as the self-join, so it adds no new shuffle key.
+    says so. Guard mechanics (``_cap_bucket_size``): a window count over
+    the SAME (band, bucket) key the self-join shuffles on — the join
+    inputs reuse the one exchange, and the assert evaluates post-shuffle
+    but before any pair is emitted.
     """
     banded = _banded(signatures, bands, sig_len)
     if max_bucket is not None:
-        sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("bucket_n"))
-        banded = (
-            banded.join(sizes, ["band", "bucket"])
-            .filter(
-                F.assert_true(
-                    F.col("bucket_n") <= F.lit(max_bucket),
-                    F.format_string(
-                        "LSH bucket size %s exceeds max_bucket="
-                        + str(max_bucket)
-                        + ": pair emission would be quadratic in the duplicate-"
-                        "cluster size; use minhash_dedup_clusters (linear star "
-                        "edges) for corpora with large duplicate clusters, or "
-                        "raise max_bucket explicitly.",
-                        F.col("bucket_n"),
-                    ),
-                ).isNull()
-            )
-            .drop("bucket_n")
-        )
+        banded = _cap_bucket_size(banded, ["band", "bucket"], max_bucket, "LSH")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -392,23 +414,7 @@ def simhash_candidate_pairs(
         ).alias("bb"),
     ).select("id", "fp", F.col("bb.band").alias("band"), F.col("bb.val").alias("val"))
     if max_bucket is not None:
-        sizes = banded.groupBy("band", "val").agg(F.count("*").alias("bucket_n"))
-        banded = (
-            banded.join(sizes, ["band", "val"])
-            .filter(
-                F.assert_true(
-                    F.col("bucket_n") <= F.lit(max_bucket),
-                    F.format_string(
-                        "SimHash band bucket size %s exceeds max_bucket="
-                        + str(max_bucket)
-                        + ": pair emission would be quadratic; raise max_bucket "
-                        "or pre-collapse exact duplicates first.",
-                        F.col("bucket_n"),
-                    ),
-                ).isNull()
-            )
-            .drop("bucket_n")
-        )
+        banded = _cap_bucket_size(banded, ["band", "val"], max_bucket, "SimHash band")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
