@@ -356,3 +356,55 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         lambda acc, t: acc * F.lit(31).cast("long") + F.hash(t).cast("long"),
     )
     return df.withColumn("fp_set", F.md5(sorted_set)).withColumn("fp_rolling", rolling)
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """Per-document distinctive terms: term frequency × inverse document
+    frequency, top-``k`` per document → (doc_id, term, tf, df, tfidf,
+    rank). Corpus keyword extraction / topic observability for a
+    pretraining pipeline.
+
+    Shape at 100 TB: explode is narrow; the (doc, term) count is
+    map-side combinable; document frequency aggregates the (doc, term)
+    frame down to vocabulary size; the tf↔df join shuffles on term
+    (both sides already keyed by it); the corpus doc count enters as a
+    broadcast ONE-ROW cross join (no driver-side collect); the final
+    top-k window partitions per document, bounded by per-doc distinct
+    terms — never a global sort.
+
+    Determinism across engines: the RANKING uses integers only
+    (tf DESC, df ASC, term ASC). The emitted ``tfidf`` weight is the
+    ratio form tf × (n_docs / df) — one IEEE divide and one multiply,
+    both exactly rounded, so any IEEE SQL engine reproduces the float
+    bit-for-bit. A ln-based idf would rank the same way but its libm
+    last-ulp drift across engines could flip a rounded 6dp boundary in
+    a hash gate; the ratio form is a monotone transform of 1/df at
+    fixed tf, so top-k membership ordered by (tf, df) is unchanged.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    ndocs = df.agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term")
+    )
+    return (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(ndocs))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * (F.col("n_docs").cast("double") / F.col("df"))).alias("tfidf"),
+            "rank",
+        )
+    )

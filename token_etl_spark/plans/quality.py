@@ -239,6 +239,37 @@ SELECT rank, token, n FROM r WHERE rank <= {TOP_TOKENS_K}
 """
 
 
+# --- TF-IDF distinctive terms ----------------------------------------------
+
+TFIDF_K = 5
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 distinctive terms per document (operators/text.py
+    tfidf_top_terms): integer-only ranking (tf DESC, df ASC, term) and a
+    ratio-form idf weight built from exactly-rounded IEEE ops, so the
+    DuckDB replay hash-matches bit-for-bit. See the operator docstring
+    for the 100 TB shuffle shape."""
+    docs = t(spark, sf_dir, "documents")
+    return X.tfidf_top_terms(docs, k=TFIDF_K)
+
+
+SQL_TFIDF_TERMS = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+r AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         tf.tf * (CAST(n.n_docs AS DOUBLE) / dfreq.df) AS tfidf,
+         CAST(row_number() OVER (
+             PARTITION BY tf.doc_id
+             ORDER BY tf.tf DESC, dfreq.df ASC, tf.term) AS BIGINT) AS rank
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+SELECT doc_id, term, tf, df, tfidf, rank FROM r WHERE rank <= {TFIDF_K}
+"""
+
+
 # --- exact stratified sample -----------------------------------------------
 
 
@@ -376,6 +407,7 @@ SPECS = [
     QuerySpec("ext_line_filter", q_line_filter, SQL_LINE_FILTER, ("curation", "text")),
     QuerySpec("ext_line_dedup", q_line_dedup, SQL_LINE_DEDUP, ("curation", "text", "dedup")),
     QuerySpec("ext_top_tokens", q_top_tokens, SQL_TOP_TOKENS, ("text", "agg-topk")),
+    QuerySpec("ext_tfidf_terms", q_tfidf_terms, SQL_TFIDF_TERMS, ("text", "agg-topk", "join")),
     QuerySpec("ext_stratified_sample", q_stratified_sample, SQL_STRATIFIED_SAMPLE, ("curation", "window")),
     QuerySpec("ext_table_profile", q_table_profile, SQL_TABLE_PROFILE, ("profile",)),
     QuerySpec("ext_chunk_documents", q_chunk_documents, SQL_CHUNK_DOCUMENTS, ("curation", "text")),

@@ -42,6 +42,7 @@ _PRIORITY_NAMES = [
     "ext_top_tokens",
     # new in round 4
     "ext_simhash_neardup",
+    "ext_tfidf_terms",
 ]
 
 _MODULE_ORDER: list[QuerySpec] = [
