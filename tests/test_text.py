@@ -74,3 +74,31 @@ def test_line_dedup_keep_first_order_preserving(spark):
     assert got[2]["n_unique"] == 1
     assert got[3]["deduped"] == "unique one\nunique two"
     assert got[4]["deduped"] == ""
+
+
+def test_crossdoc_line_dedup_first_occurrence_wins(spark):
+    """A line survives only at its first (doc_id, idx) occurrence
+    corpus-wide: later docs lose it, and so do later occurrences inside
+    the SAME doc. Untouched docs keep every line."""
+    import hashlib
+
+    from token_etl_spark.operators.text import crossdoc_line_dedup
+
+    rows = [
+        (1, "shared boiler\nunique one"),
+        (2, "unique two\nshared boiler"),          # loses 'shared boiler' to doc 1
+        (3, "Shared Boiler\nunique three"),        # normalized match, loses too
+        (4, "repeat me\nrepeat me\nunique four"),  # same-doc repeat removed
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in crossdoc_line_dedup(df).collect()}
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert (got[1].n_lines, got[1].n_kept) == (2, 2)
+    assert got[1].dedup_fp == md5("shared boiler\nunique one")
+    assert (got[2].n_lines, got[2].n_kept) == (2, 1)
+    assert got[2].dedup_fp == md5("unique two")
+    assert (got[3].n_lines, got[3].n_kept) == (2, 1)
+    assert got[3].dedup_fp == md5("unique three")
+    assert (got[4].n_lines, got[4].n_kept) == (3, 2)
+    assert got[4].dedup_fp == md5("repeat me\nunique four")

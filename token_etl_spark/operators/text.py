@@ -408,3 +408,57 @@ def tfidf_top_terms(
             "rank",
         )
     )
+
+
+def crossdoc_line_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CORPUS-level exact line dedup (the Dolma / RefinedWeb paragraph-
+    dedup recipe, public pipelines): each distinct line (compared case-
+    and whitespace-insensitively) survives only at its FIRST occurrence
+    in the corpus — ordered by (doc_id, line index) — and is removed
+    everywhere else, including later occurrences inside the same
+    document. Returns (doc_id, n_lines, n_kept, dedup_fp) with
+    ``dedup_fp`` = md5 of the surviving lines re-joined in order.
+
+    Complements ``line_dedup`` (intra-document only, narrow): this one
+    must see the whole corpus. Shape at 100 TB: posexplode is narrow;
+    the canonical-occurrence pick is a groupBy(norm) ``min(struct(doc,
+    idx))`` — map-side combinable, ONE row per distinct line out — and
+    the join back is on the same norm key (hot boilerplate lines give
+    probe-side fanout only; AQE skew-split applies). Reassembly groups
+    by doc_id with ``array_sort(collect_list(struct(idx, line)))``,
+    bounded by per-document line counts. No windows over unbounded
+    partitions, no global sort.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    occ = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(lines).alias("idx", "line")
+    ).withColumn("norm", F.trim(F.lower(F.col("line"))))
+    first = occ.groupBy("norm").agg(
+        F.min(F.struct(F.col("doc_id").alias("d"), F.col("idx").alias("i"))).alias("fst")
+    )
+    kept = (
+        occ.join(first, "norm")
+        .filter((F.col("doc_id") == F.col("fst.d")) & (F.col("idx") == F.col("fst.i")))
+        .select("doc_id", "idx", "line")
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "line"))),
+                lambda s: s.getField("line"),
+            ),
+            "\n",
+        ).alias("kept_text"),
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.size(lines).cast("long").alias("n_lines")
+    )
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.md5(F.coalesce(F.col("kept_text"), F.lit(""))).alias("dedup_fp"),
+    )

@@ -182,6 +182,56 @@ FROM k
 """
 
 
+# --- corpus-level (cross-document) line dedup ------------------------------
+
+
+def q_crossdoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma/RefinedWeb-style corpus-level paragraph dedup over the same
+    injected 3-word-line structure as ext_line_dedup (the corpus is
+    single-line): each distinct normalized line survives only at its
+    first (doc_id, idx) occurrence corpus-wide — duplicate documents and
+    shared boilerplate chunks both exercise the cross-document path."""
+    docs = t(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(tk) / F.lit(3.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: F.array_join(F.slice(tk, i * 3 + 1, 3), " "),
+    )
+    synth = docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    return X.crossdoc_line_dedup(synth)
+
+
+SQL_CROSSDOC_LINE_DEDUP = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+ls AS (
+  SELECT doc_id,
+         list_transform(range(0, CAST(ceil(len(tk)/3.0) AS BIGINT)),
+                        i -> array_to_string(tk[i*3+1 : i*3+3], ' ')) AS lines
+  FROM toks),
+occ AS (
+  SELECT doc_id,
+         unnest(lines) AS line,
+         unnest(range(0, len(lines))) AS idx
+  FROM ls),
+ranked AS (
+  SELECT doc_id, idx, line,
+         row_number() OVER (PARTITION BY trim(lower(line))
+                            ORDER BY doc_id, idx) AS rn
+  FROM occ),
+kept AS (SELECT doc_id, idx, line FROM ranked WHERE rn = 1),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         array_to_string(list(line ORDER BY idx), chr(10)) AS kept_text
+  FROM kept GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(len(b.lines) AS BIGINT) AS n_lines,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       md5(coalesce(a.kept_text, '')) AS dedup_fp
+FROM ls b LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # --- global heavy hitters (corpus vocabulary top-k) ------------------------
 
 TOP_TOKENS_K = 50
@@ -408,6 +458,7 @@ SPECS = [
     QuerySpec("ext_line_dedup", q_line_dedup, SQL_LINE_DEDUP, ("curation", "text", "dedup")),
     QuerySpec("ext_top_tokens", q_top_tokens, SQL_TOP_TOKENS, ("text", "agg-topk")),
     QuerySpec("ext_tfidf_terms", q_tfidf_terms, SQL_TFIDF_TERMS, ("text", "agg-topk", "join")),
+    QuerySpec("ext_crossdoc_line_dedup", q_crossdoc_line_dedup, SQL_CROSSDOC_LINE_DEDUP, ("text", "dedup")),
     QuerySpec("ext_stratified_sample", q_stratified_sample, SQL_STRATIFIED_SAMPLE, ("curation", "window")),
     QuerySpec("ext_table_profile", q_table_profile, SQL_TABLE_PROFILE, ("profile",)),
     QuerySpec("ext_chunk_documents", q_chunk_documents, SQL_CHUNK_DOCUMENTS, ("curation", "text")),

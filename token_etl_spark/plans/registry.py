@@ -43,6 +43,7 @@ _PRIORITY_NAMES = [
     # new in round 4
     "ext_simhash_neardup",
     "ext_tfidf_terms",
+    "ext_crossdoc_line_dedup",
 ]
 
 _MODULE_ORDER: list[QuerySpec] = [
