@@ -106,3 +106,44 @@ def test_quantized_topk_shape_and_recall(spark, sf_dir):
     exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, queries, k=10).collect()}
     approx = {(r.query_id, r.neighbor_id) for r in rows}
     assert len(exact & approx) / len(exact) > 0.3  # sanity floor, honest recall in PERF.md
+
+
+def test_semantic_dedup_exemplar_rule(spark):
+    """Planted exact duplicates: identical vectors share a cluster and a
+    centroid_sim, so exactly the smallest id of each identical group is
+    kept; singletons far from everything are all kept."""
+    import math
+
+    from token_etl_spark.operators.similarity import semantic_dedup
+
+    # 20 base vectors on distinct axes (orthogonal → cosine 0 between
+    # groups), ids 100/101/102 duplicate vector axis-0, 200/201 axis-1.
+    rows = []
+    dim = 24
+    def axis(i, scale=1.0):
+        v = [0.0] * dim
+        v[i % dim] = scale
+        return v
+    for i in range(20):
+        rows.append((i, axis(i)))
+    rows += [(100, axis(0, 2.0)), (101, axis(0, 3.0)), (102, axis(0, 0.5))]
+    rows += [(200, axis(1, 4.0)), (201, axis(1, 0.25))]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = semantic_dedup(df, n_centroids=4, n_iters=1, threshold=0.99)
+    got = {r["id"]: r for r in out.collect()}
+    assert len(got) == 25
+    ax0 = [0, 100, 101, 102]
+    ax1 = [1, 200, 201]
+    # identical directions → cosine 1 ≥ 0.99 → one exemplar each
+    for group in (ax0, ax1):
+        kept = [i for i in group if got[i]["kept"]]
+        assert kept == [min(group)], group
+        sims = {round(got[i]["centroid_sim"], 9) for i in group}
+        assert len(sims) == 1  # same direction → same centroid_sim
+        for i in group:
+            assert got[i]["n_dups"] == len(group) - 1
+    # orthogonal singletons under a 0.99 threshold: no dups unless the
+    # k-means centroid merged axes (cosine between distinct axes is 0)
+    for i in range(2, 20):
+        assert got[i]["kept"], i
+        assert got[i]["n_dups"] == 0

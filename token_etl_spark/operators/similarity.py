@@ -460,3 +460,100 @@ def embedding_near_dups(
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space with spherical k-means, then flag semantic
+    near-duplicates WITHIN each cluster (pairwise cosine >= threshold)
+    and keep one exemplar per duplicate neighborhood — the member with
+    the LOWEST cosine similarity to its centroid (the paper's
+    diversity-preserving exemplar rule), ties broken on id.
+
+    Keep rule (deterministic, star-form): a row is dropped iff some
+    same-cluster neighbor with cosine >= threshold precedes it in
+    (centroid_sim ASC, id ASC) order. Like ``lsh_star_edges`` vs the
+    pair form, this is a per-row decision against the neighborhood —
+    no transitive closure, no quadratic *output*.
+
+    100 TB shape: training is ``spherical_kmeans`` (broadcast centroid
+    table, one low-cardinality shuffle per Lloyd iteration); assignment
+    is MAP-ONLY (``_assign_to_centroids``); the in-cluster pair join
+    shuffles the corpus once on centroid_id. Per-cluster work is
+    quadratic in cluster size — the paper's own regime, made tractable
+    by scaling n_centroids with the corpus (cluster size ~ n/k stays
+    bounded when k grows with n). With k partitions ~ k clusters the
+    join parallelizes per cluster; skewed (oversized) clusters are the
+    known failure mode and should be re-split by raising n_centroids.
+
+    Returns one row per corpus row: (id, centroid_id, centroid_sim,
+    n_dups, kept).
+    """
+    base = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cents = spherical_kmeans(corpus, n_centroids, n_iters, id_col, vec_col)
+    carr = F.broadcast(
+        cents.agg(F.collect_list(F.struct("centroid_id", "centroid_vec")).alias("_cents"))
+    )
+    best = F.array_max(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                cosine(F.col("v"), c.getField("centroid_vec")).alias("sim"),
+                (-c.getField("centroid_id")).alias("neg_id"),
+            ),
+        )
+    )
+    assigned = (
+        base.join(carr)
+        .withColumn("_b", best)
+        .select(
+            "id",
+            "v",
+            (-F.col("_b.neg_id")).alias("centroid_id"),
+            F.col("_b.sim").alias("centroid_sim"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = assigned.select(
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        "centroid_id",
+        F.col("centroid_sim").alias("sim_a"),
+    )
+    b = assigned.select(
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        "centroid_id",
+        F.col("centroid_sim").alias("sim_b"),
+    )
+    dup = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .groupBy(F.col("id_b").alias("id"))
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.max(
+                (
+                    F.struct(F.col("sim_a"), F.col("id_a"))
+                    < F.struct(F.col("sim_b"), F.col("id_b"))
+                ).cast("int")
+            ).alias("has_pred"),
+        )
+    )
+    return assigned.join(dup, "id", "left").select(
+        "id",
+        "centroid_id",
+        "centroid_sim",
+        F.coalesce("n_dups", F.lit(0)).alias("n_dups"),
+        (F.coalesce("has_pred", F.lit(0)) == 0).alias("kept"),
+    )

@@ -485,21 +485,15 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_ivf_kmeans_sql(
-    k: int = 10,
-    n_centroids: int = 16,
-    n_probe: int = 4,
-    n_iters: int = 2,
-    dim: int = 64,
-) -> str:
-    """DuckDB replay of spherical k-means training + IVF search.
+def _kmeans_cte_members(n_centroids: int, n_iters: int, dim: int) -> list[str]:
+    """Shared DuckDB CTE chain replaying spherical k-means training.
 
     Mirrors operators/similarity.py exactly: ``en`` is the l2-normalized
     corpus (spherical_kmeans normalizes once up front), ``c0`` the
-    deterministic init (16 smallest vec_ids, centroid_id = 1-based rank),
+    deterministic init (n smallest vec_ids, centroid_id = 1-based rank),
     and each iteration i is assign(c{i-1}) → per-(cell, dim) mean →
-    renormalize. The final search assigns the UN-normalized corpus to
-    the trained centroids by cosine, matching ivf_topk."""
+    renormalize. Trained centroids land in CTE ``c{n_iters}`` as
+    (centroid_id, cv); the raw corpus is ``e`` (vec_id, v)."""
     members = [
         "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
         "en AS (SELECT vec_id,"
@@ -527,6 +521,21 @@ def _ann_ivf_kmeans_sql(
             f"c{i} AS (SELECT centroid_id,"
             f" list_transform(mv, x -> x / sqrt(list_inner_product(mv, mv))) AS cv FROM g{i})"
         )
+    return members
+
+
+def _ann_ivf_kmeans_sql(
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 2,
+    dim: int = 64,
+) -> str:
+    """DuckDB replay of spherical k-means training + IVF search
+    (training CTEs shared via ``_kmeans_cte_members``). The final search
+    assigns the UN-normalized corpus to the trained centroids by cosine,
+    matching ivf_topk."""
+    members = _kmeans_cte_members(n_centroids, n_iters, dim)
     cf = f"c{n_iters}"
     members += [
         f"""asg AS (
@@ -564,6 +573,73 @@ FROM ranked WHERE rank <= {k}
 
 
 SQL_ANN_IVF_KMEANS = _ann_ivf_kmeans_sql()
+
+
+SEMDEDUP_COSINE = 0.3
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.py semantic_dedup): spherical
+    k-means clustering + within-cluster cosine near-dup flagging, keeping
+    the lowest-centroid-sim exemplar per duplicate neighborhood. Fully
+    oracled: the DuckDB replay reuses the unrolled k-means training CTEs
+    (``_kmeans_cte_members``, proven by ext_ann_ivf_kmeans) and restates
+    the keep rule as a struct-ordering comparison. The 0.3 threshold is
+    calibrated to the synthetic embeddings (random vectors top out near
+    0.51 pairwise cosine) so the drop path is actually exercised."""
+    emb = t(spark, sf_dir, "embeddings")
+    out = S.semantic_dedup(emb, n_centroids=16, n_iters=2, threshold=SEMDEDUP_COSINE)
+    return out.select(
+        F.col("id").alias("vec_id"),
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+        F.round("centroid_sim", 6).alias("centroid_sim"),
+        F.col("n_dups").cast("long").alias("n_dups"),
+        F.col("kept").cast("int").cast("long").alias("kept"),
+    )
+
+
+def _semantic_dedup_sql(
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    threshold: float = SEMDEDUP_COSINE,
+    dim: int = 64,
+) -> str:
+    """DuckDB replay of SemDeDup: shared k-means training CTEs, then
+    full-corpus assignment with the winning cosine retained, in-cluster
+    near-dup pairs, and the (centroid_sim, id) exemplar keep rule."""
+    members = _kmeans_cte_members(n_centroids, n_iters, dim)
+    cf = f"c{n_iters}"
+    members += [
+        f"""asg AS (
+  SELECT vec_id, centroid_id, sim FROM (
+    SELECT e.vec_id, c.centroid_id, list_cosine_similarity(e.v, c.cv) AS sim,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id) AS rn
+    FROM e CROSS JOIN {cf} c) WHERE rn = 1)""",
+        f"""dup AS (
+  SELECT b.vec_id AS vid, count(*) AS n_dups,
+         max(CASE WHEN (a.sim, a.vec_id) < (b.sim, b.vec_id) THEN 1 ELSE 0 END) AS has_pred
+  FROM asg a
+  JOIN asg b ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE list_cosine_similarity(ea.v, eb.v) >= {threshold}
+  GROUP BY 1)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(members)
+        + """
+SELECT asg.vec_id, CAST(asg.centroid_id AS BIGINT) AS centroid_id,
+       round(asg.sim, 6) AS centroid_sim,
+       CAST(coalesce(d.n_dups, 0) AS BIGINT) AS n_dups,
+       CAST(CASE WHEN coalesce(d.has_pred, 0) = 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM asg LEFT JOIN dup d ON d.vid = asg.vec_id
+"""
+    )
+
+
+SQL_SEMANTIC_DEDUP = _semantic_dedup_sql()
 
 
 def _ann_ivf_sql(k: int = 10, n_centroids: int = 16, n_probe: int = 4) -> str:
@@ -852,6 +928,10 @@ SPECS = [
     # bench=True (r4): the trained-quantizer IVF is the ANN scale path —
     # round-over-round tracking matters more than the brute-force baseline.
     QuerySpec("ext_ann_ivf_kmeans", q_ann_ivf_kmeans, SQL_ANN_IVF_KMEANS, ("similarity", "iterative"), bench=True),
+    # bench=True (r4): embedding-space dedup is the third dedup modality
+    # (exact / lexical-minhash / semantic) — track its k-means + in-cluster
+    # pair-join cost round over round.
+    QuerySpec("ext_semantic_dedup", q_semantic_dedup, SQL_SEMANTIC_DEDUP, ("similarity", "dedup", "iterative"), bench=True),
     QuerySpec("ext_ann_quantized", q_ann_quantized, SQL_ANN_QUANTIZED, ("similarity",)),
     QuerySpec("ext_token_estimate", q_token_estimate, SQL_TOKEN_ESTIMATE, ("text",)),
     QuerySpec("ext_multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL_META, ("multimodal",)),
