@@ -191,3 +191,39 @@ def test_cross_corpus_dedup_removes_exact_matches(spark):
     # broadcast variant agrees
     kept_b = C.cross_corpus_dedup(docs, ref, broadcast_reference=True)
     assert sorted(r.doc_id for r in kept_b.collect()) == [11]
+
+
+def test_importance_weights_separates_target_like_docs(spark):
+    """Docs sharing the target side's bigrams must out-score docs made of
+    disjoint vocabulary, and sub-2-token docs score exactly 0."""
+    from token_etl_spark.operators.curation import importance_weights
+
+    target_text = "the quick brown fox jumps over the lazy dog"
+    other_text = "zzz yyy xxx www vvv uuu ttt sss"
+    rows = (
+        [(i, target_text, "tgt") for i in range(5)]
+        + [(10 + i, target_text, "raw") for i in range(3)]   # target-like raw docs
+        + [(20 + i, other_text, "raw") for i in range(5)]    # disjoint raw docs
+        + [(30, "single", "raw"), (31, "", "raw")]           # no bigrams
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {
+        r["doc_id"]: r
+        for r in importance_weights(
+            df, target_sources=("tgt",), n_buckets=64
+        ).collect()
+    }
+    assert len(out) == 15
+    target_like = [out[10 + i]["avg_weight"] for i in range(3)]
+    disjoint = [out[20 + i]["avg_weight"] for i in range(5)]
+    assert min(target_like) > max(disjoint)
+    for d in (30, 31):
+        assert out[d]["n_bigrams"] == 0
+        assert out[d]["score"] == 0.0
+        assert out[d]["avg_weight"] == 0.0
+    # determinism: re-running yields identical scores
+    again = {
+        r["doc_id"]: r["score"]
+        for r in importance_weights(df, target_sources=("tgt",), n_buckets=64).collect()
+    }
+    assert {k: v["score"] for k, v in out.items()} == again

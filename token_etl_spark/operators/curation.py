@@ -422,3 +422,118 @@ def cross_corpus_dedup(
     return docs.withColumn("_digest", digest).join(ref, "_digest", "left_anti").drop(
         "_digest"
     )
+
+
+def bigrams(text: Column | str) -> Column:
+    """Adjacent word-pair array from the shared tokenizer (``text.tokens``).
+
+    Guarded ``sequence``: Spark's ``sequence(1, n)`` DESCENDS when n < 1
+    (sequence(1, 0) = [1, 0]), so short docs must short-circuit to an
+    empty array rather than rely on an empty range."""
+    from token_etl_spark.operators.text import tokens
+
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def importance_weights(
+    docs: DataFrame,
+    target_sources: tuple[str, ...] = ("src0",),
+    n_buckets: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """DSIR-style data-selection scoring (Xie et al. 2023,
+    arXiv:2302.03169): score every document by how much its hashed-bigram
+    distribution resembles a target distribution versus the raw corpus.
+
+    Features are md5-hash-bucketed bigrams (``hash_bucket`` — portable,
+    oracle-replayable). Per bucket b with add-1 smoothing over target
+    occurrence count t_b (docs whose source is in ``target_sources``) and
+    raw count r_b (everything else):
+
+        w_b = ((t_b + 1) * (R + B)) / ((r_b + 1) * (T + B))
+
+    i.e. the RATIO form p̂_target(b) / p̂_raw(b). DSIR proper sums log
+    w_b; this operator scores with the linear-domain sum Σ c_b·w_b (and
+    its per-bigram mean) because every arithmetic op involved (+, *, /)
+    is exactly-rounded IEEE and therefore bit-reproducible by the DuckDB
+    oracle, while log is correctly-rounded in neither engine — the same
+    trade ``tfidf_top_terms`` makes with its ratio idf. Ranking by the
+    linear-domain score upweights the same high-w_b buckets; it is a
+    declared variant, not the paper's exact estimator.
+
+    100 TB shape: the bigram explode is narrow; the two aggregations
+    (per-bucket stats, per-doc counts) are map-side-combinable groupBys;
+    the weight table is B rows — broadcast — so scoring is one shuffle
+    of the (doc, bucket) count frame, whose cardinality is capped at
+    n_docs × B regardless of corpus bytes. The per-doc fold runs over
+    the bucket-sorted term array so double accumulation order is pinned
+    (the ``q_array_ops`` pattern). In production the target side would
+    be a separate small corpus; here target docs are a source-subset of
+    the same frame, which keeps the oracle single-table.
+    """
+    bg = bigrams(F.col(text_col))
+    occ = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.explode(bg).alias("bg"),
+    ).withColumn("bucket", hash_bucket(F.col("bg"), n_buckets))
+    is_target = F.col("source").isin(*target_sources)
+    stats = occ.groupBy("bucket").agg(
+        F.sum(is_target.cast("long")).alias("t_b"),
+        F.sum((~is_target).cast("long")).alias("r_b"),
+    )
+    tot = stats.agg(
+        F.sum("t_b").alias("t_total"), F.sum("r_b").alias("r_total")
+    )
+    wtab = (
+        stats.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "w",
+            ((F.col("t_b") + 1) * (F.col("r_total") + n_buckets)).cast("double")
+            / ((F.col("r_b") + 1) * (F.col("t_total") + n_buckets)).cast("double"),
+        )
+        .select("bucket", "w")
+    )
+    dc = occ.groupBy("doc_id", "source", "bucket").agg(F.count("*").alias("c"))
+    terms = dc.join(F.broadcast(wtab), "bucket").withColumn(
+        "term", F.col("c").cast("double") * F.col("w")
+    )
+    per_doc = terms.groupBy("doc_id", "source").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bucket", "term"))),
+                lambda s: s.getField("term"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(source_col).alias("source"))
+        .join(per_doc, ["doc_id", "source"], "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("score", F.lit(0.0)).alias("score"),
+            F.when(
+                F.coalesce("n_bigrams", F.lit(0)) > 0,
+                F.col("score") / F.col("n_bigrams").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("avg_weight"),
+        )
+    )

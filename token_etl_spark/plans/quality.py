@@ -320,6 +320,73 @@ SELECT doc_id, term, tf, df, tfidf, rank FROM r WHERE rank <= {TFIDF_K}
 """
 
 
+# --- DSIR-style importance weights -----------------------------------------
+
+IMP_TARGETS = ("src0", "src1")
+IMP_BUCKETS = 512
+
+
+def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-bigram importance scoring against a target source mix
+    (operators/curation.py importance_weights — DSIR ratio-form variant;
+    see the operator docstring for the exactly-rounded-ops contract and
+    the 100 TB shuffle shape). src0+src1 play the 'target distribution'
+    role (10% of the corpus)."""
+    docs = t(spark, sf_dir, "documents")
+    out = C.importance_weights(
+        docs, target_sources=IMP_TARGETS, n_buckets=IMP_BUCKETS
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        "n_bigrams",
+        F.round("score", 6).alias("score"),
+        F.round("avg_weight", 6).alias("avg_weight"),
+    )
+
+
+_IMP_TGT = "('" + "','".join(IMP_TARGETS) + "')"
+
+SQL_IMPORTANCE_WEIGHTS = f"""
+WITH toks AS (SELECT doc_id, source, {_TOKS} AS tk FROM documents),
+bg AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg
+  FROM toks),
+occ AS (
+  SELECT doc_id, source,
+         CAST('0x' || substr(md5(bg), 1, 6) AS BIGINT) % {IMP_BUCKETS} AS bucket
+  FROM bg),
+stats AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN source IN {_IMP_TGT} THEN 1 ELSE 0 END) AS BIGINT) AS t_b,
+         CAST(sum(CASE WHEN source IN {_IMP_TGT} THEN 0 ELSE 1 END) AS BIGINT) AS r_b
+  FROM occ GROUP BY 1),
+tot AS (SELECT CAST(sum(t_b) AS BIGINT) AS t_total,
+               CAST(sum(r_b) AS BIGINT) AS r_total FROM stats),
+w AS (
+  SELECT bucket,
+         CAST((t_b + 1) * (r_total + {IMP_BUCKETS}) AS DOUBLE)
+         / CAST((r_b + 1) * (t_total + {IMP_BUCKETS}) AS DOUBLE) AS w
+  FROM stats CROSS JOIN tot),
+dc AS (SELECT doc_id, source, bucket, count(*) AS c FROM occ GROUP BY 1, 2, 3),
+terms AS (
+  SELECT doc_id, source, bucket, c, CAST(c AS DOUBLE) * w AS term
+  FROM dc JOIN w USING (bucket)),
+pd AS (
+  SELECT doc_id, source, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         list_aggregate(list(term ORDER BY bucket), 'sum') AS score
+  FROM terms GROUP BY 1, 2)
+SELECT d.doc_id, d.source,
+       CAST(coalesce(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       round(coalesce(pd.score, 0.0), 6) AS score,
+       round(CASE WHEN coalesce(pd.n_bigrams, 0) > 0
+                  THEN pd.score / CAST(pd.n_bigrams AS DOUBLE) ELSE 0.0 END, 6)
+         AS avg_weight
+FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+"""
+
+
 # --- exact stratified sample -----------------------------------------------
 
 
@@ -459,6 +526,7 @@ SPECS = [
     QuerySpec("ext_top_tokens", q_top_tokens, SQL_TOP_TOKENS, ("text", "agg-topk")),
     QuerySpec("ext_tfidf_terms", q_tfidf_terms, SQL_TFIDF_TERMS, ("text", "agg-topk", "join")),
     QuerySpec("ext_crossdoc_line_dedup", q_crossdoc_line_dedup, SQL_CROSSDOC_LINE_DEDUP, ("text", "dedup")),
+    QuerySpec("ext_importance_weights", q_importance_weights, SQL_IMPORTANCE_WEIGHTS, ("curation", "text")),
     QuerySpec("ext_stratified_sample", q_stratified_sample, SQL_STRATIFIED_SAMPLE, ("curation", "window")),
     QuerySpec("ext_table_profile", q_table_profile, SQL_TABLE_PROFILE, ("profile",)),
     QuerySpec("ext_chunk_documents", q_chunk_documents, SQL_CHUNK_DOCUMENTS, ("curation", "text")),

@@ -44,6 +44,8 @@ _PRIORITY_NAMES = [
     "ext_simhash_neardup",
     "ext_tfidf_terms",
     "ext_crossdoc_line_dedup",
+    "ext_semantic_dedup",
+    "ext_importance_weights",
 ]
 
 _MODULE_ORDER: list[QuerySpec] = [
