@@ -78,3 +78,46 @@ def test_streaming_line_cleanup_matches_batch(spark, sf_dir, tmp_path):
     exp = line_dedup(line_filter(docs), text_col="cleaned")
     assert got.count() == exp.count() > 0
     assert got.exceptAll(exp).count() == 0
+
+
+def test_streaming_importance_score_matches_batch(spark, sf_dir, tmp_path):
+    """Stream scoring with the offline-fit weight table reproduces the
+    batch scores (within fold-order ulps), and unseen-bucket bigrams take
+    the smoothed default weight instead of dropping out."""
+    from token_etl_spark.streaming.curation import streaming_importance_score
+
+    docs, staged = _staged_docs(spark, sf_dir, tmp_path, "imp_stream")
+    wtab = C.importance_weight_table(docs, target_sources=("src0",), n_buckets=64)
+    stream = read_file_stream(spark, staged, docs.schema)
+    run_to_memory(
+        streaming_importance_score(stream, wtab, n_buckets=64),
+        "imp_out",
+        output_mode="append",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in spark.sql(
+            "SELECT doc_id, n_bigrams, score, avg_weight FROM imp_out"
+        ).collect()
+    }
+    exp = {
+        r["doc_id"]: r
+        for r in C.importance_weights(
+            docs, target_sources=("src0",), n_buckets=64
+        ).collect()
+    }
+    assert set(got) == set(exp)
+    for d, e in exp.items():
+        g = got[d]
+        assert g["n_bigrams"] == e["n_bigrams"], d
+        assert abs(g["score"] - e["score"]) < 1e-9 * max(1.0, abs(e["score"])), d
+        assert abs(g["avg_weight"] - e["avg_weight"]) < 1e-9, d
+    # default-weight path: vocabulary never seen at fit time still scores
+    novel = spark.createDataFrame(
+        [(999999, "qqqqx zzzzx wwwwx qqqqx zzzzx", "en", "srcX", 29)], docs.schema
+    )
+    out = streaming_importance_score(
+        novel, wtab, n_buckets=64
+    ).collect()  # batch DataFrame through the same expression tree
+    assert out[0]["n_bigrams"] == 4
+    assert out[0]["score"] > 0.0

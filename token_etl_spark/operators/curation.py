@@ -445,6 +445,52 @@ def bigrams(text: Column | str) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _bigram_occurrences(
+    docs: DataFrame,
+    n_buckets: int,
+    text_col: str,
+    id_col: str,
+    source_col: str,
+) -> DataFrame:
+    """(doc_id, source, bucket) — one row per bigram occurrence."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.explode(bigrams(F.col(text_col))).alias("bg"),
+    ).withColumn("bucket", hash_bucket(F.col("bg"), n_buckets))
+
+
+def importance_weight_table(
+    docs: DataFrame,
+    target_sources: tuple[str, ...] = ("src0",),
+    n_buckets: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Fit the DSIR-style bucket→weight table (see ``importance_weights``).
+
+    Returns one row per OBSERVED bucket: (bucket, t_b, r_b, t_total,
+    r_total, w). The totals columns let a consumer derive the smoothed
+    default weight for buckets never observed at fit time —
+    ``(r_total + B) / (t_total + B)``, i.e. the formula at t_b = r_b = 0
+    — which the streaming scorer needs because an infinite stream WILL
+    hash new bigrams into unobserved buckets. B rows: broadcastable.
+    """
+    occ = _bigram_occurrences(docs, n_buckets, text_col, id_col, source_col)
+    is_target = F.col("source").isin(*target_sources)
+    stats = occ.groupBy("bucket").agg(
+        F.sum(is_target.cast("long")).alias("t_b"),
+        F.sum((~is_target).cast("long")).alias("r_b"),
+    )
+    tot = stats.agg(F.sum("t_b").alias("t_total"), F.sum("r_b").alias("r_total"))
+    return stats.crossJoin(F.broadcast(tot)).withColumn(
+        "w",
+        ((F.col("t_b") + 1) * (F.col("r_total") + n_buckets)).cast("double")
+        / ((F.col("r_b") + 1) * (F.col("t_total") + n_buckets)).cast("double"),
+    )
+
+
 def importance_weights(
     docs: DataFrame,
     target_sources: tuple[str, ...] = ("src0",),
@@ -483,29 +529,10 @@ def importance_weights(
     be a separate small corpus; here target docs are a source-subset of
     the same frame, which keeps the oracle single-table.
     """
-    bg = bigrams(F.col(text_col))
-    occ = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(source_col).alias("source"),
-        F.explode(bg).alias("bg"),
-    ).withColumn("bucket", hash_bucket(F.col("bg"), n_buckets))
-    is_target = F.col("source").isin(*target_sources)
-    stats = occ.groupBy("bucket").agg(
-        F.sum(is_target.cast("long")).alias("t_b"),
-        F.sum((~is_target).cast("long")).alias("r_b"),
-    )
-    tot = stats.agg(
-        F.sum("t_b").alias("t_total"), F.sum("r_b").alias("r_total")
-    )
-    wtab = (
-        stats.crossJoin(F.broadcast(tot))
-        .withColumn(
-            "w",
-            ((F.col("t_b") + 1) * (F.col("r_total") + n_buckets)).cast("double")
-            / ((F.col("r_b") + 1) * (F.col("t_total") + n_buckets)).cast("double"),
-        )
-        .select("bucket", "w")
-    )
+    occ = _bigram_occurrences(docs, n_buckets, text_col, id_col, source_col)
+    wtab = importance_weight_table(
+        docs, target_sources, n_buckets, text_col, id_col, source_col
+    ).select("bucket", "w")
     dc = occ.groupBy("doc_id", "source", "bucket").agg(F.count("*").alias("c"))
     terms = dc.join(F.broadcast(wtab), "bucket").withColumn(
         "term", F.col("c").cast("double") * F.col("w")

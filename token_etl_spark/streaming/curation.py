@@ -98,3 +98,60 @@ def streaming_decontaminate(
     if mode == "drop":
         return flagged.where(~F.col("contaminated")).drop("contaminated")
     return flagged
+
+
+def streaming_importance_score(
+    stream: DataFrame,
+    weight_table: DataFrame,
+    n_buckets: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score a document stream against a PRE-FIT DSIR-style weight table
+    (``operators/curation.importance_weight_table``) — the
+    fit-offline/score-at-ingest split: the target-vs-raw fit is a batch
+    job over the existing corpus; admission scoring of new documents is
+    this stateless per-row fold, so it belongs at ingest next to PII
+    redaction and decontamination.
+
+    The weight table (≤ B rows) collapses to ONE broadcast row holding a
+    bucket→w map plus the smoothed default weight for buckets never seen
+    at fit time. Scoring is a narrow projection: fold the row's bigram
+    array, looking each md5 bucket up in the map — no explode, no
+    shuffle, no state. The fold runs in bigram order (not the batch
+    op's bucket-sorted order), so scores can differ from the batch
+    operator in the last ulps; consumers comparing the two should round
+    (tested at 1e-9).
+    """
+    from token_etl_spark.operators.curation import bigrams, hash_bucket
+
+    wrow = weight_table.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", "w"))
+        ).alias("_w"),
+        (
+            (F.max("r_total") + n_buckets).cast("double")
+            / (F.max("t_total") + n_buckets).cast("double")
+        ).alias("_w0"),
+    )
+    term = lambda b: F.coalesce(  # noqa: E731
+        F.element_at(F.col("_w"), hash_bucket(b, n_buckets)), F.col("_w0")
+    )
+    n = F.size(F.col("_bg"))
+    return (
+        stream.withColumn("_bg", bigrams(F.col(text_col)))
+        .crossJoin(F.broadcast(wrow))
+        .withColumn("n_bigrams", F.greatest(n, F.lit(0)).cast("long"))
+        .withColumn(
+            "score",
+            F.aggregate(F.col("_bg"), F.lit(0.0), lambda acc, b: acc + term(b)),
+        )
+        .withColumn(
+            "avg_weight",
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.col("score") / F.col("n_bigrams").cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("_bg", "_w", "_w0")
+    )
