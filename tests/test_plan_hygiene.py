@@ -127,3 +127,23 @@ def test_two_phase_budget_cap_plan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ext_token_budget")
     assert "_bkt" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_semantic_dedup_plan_broadcasts_centroids(spark, sf_dir):
+    """SemDeDup's assignment must be map-only (centroid array broadcast,
+    BroadcastNestedLoopJoin of a 1-row frame) and the in-cluster pair
+    join must be the only corpus-on-corpus join, keyed on centroid_id —
+    no cartesian product of the corpus against itself."""
+    plan = _plan(spark, sf_dir, "ext_semantic_dedup")
+    assert "Broadcast" in plan
+    assert "centroid_id" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_importance_weights_plan(spark, sf_dir):
+    """The bucket→weight table (≤ B rows) must broadcast into the
+    per-doc scoring join; the totals row likewise. No cartesian outside
+    the intended 1-row crossJoin, no full-frame sort."""
+    plan = _plan(spark, sf_dir, "ext_importance_weights")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
