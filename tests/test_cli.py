@@ -75,3 +75,28 @@ def test_cli_corpus_pipeline(spark, tmp_path):
     )
     d2 = {r.doc_id: r.keep for r in spark.read.parquet(str(tmp_path / "decisions2")).collect()}
     assert d2 == {k: r.keep for k, r in d.items()}
+
+
+def test_cli_semdedup_and_select(spark, sf_dir, tmp_path):
+    from token_etl_spark.io.sources import load_table
+
+    load_table(spark, sf_dir, "embeddings").write.parquet(str(tmp_path / "emb"))
+    cli.main(
+        ["semdedup", "--embeddings", str(tmp_path / "emb"),
+         "--out", str(tmp_path / "sem"), "--centroids", "8", "--iters", "1"]
+    )
+    sem = spark.read.parquet(str(tmp_path / "sem"))
+    assert sem.count() == 500
+    assert set(sem.columns) == {"id", "centroid_id", "centroid_sim", "n_dups", "kept"}
+
+    load_table(spark, sf_dir, "documents").write.parquet(str(tmp_path / "docs_sel"))
+    cli.main(
+        ["select", "--documents", str(tmp_path / "docs_sel"),
+         "--out", str(tmp_path / "scores"), "--target-sources", "src0,src1",
+         "--buckets", "128", "--fit-out", str(tmp_path / "wtab")]
+    )
+    scores = spark.read.parquet(str(tmp_path / "scores"))
+    assert scores.count() == 500
+    wtab = spark.read.parquet(str(tmp_path / "wtab"))
+    assert wtab.count() <= 128
+    assert {"bucket", "w", "t_total", "r_total"} <= set(wtab.columns)

@@ -9,10 +9,14 @@ over parquet paths:
     python -m token_etl_spark.cli tokens   --transfers T --metadata M [--dapps D] --out O
     python -m token_etl_spark.cli dapps    --transfers T --registry D --out O
 
-Plus the training-corpus extension pipeline:
+Plus the training-corpus extension pipelines:
 
     python -m token_etl_spark.cli corpus   --documents P --out O
         [--jaccard-threshold F] [--large-clusters] [--dedup-lines]
+    python -m token_etl_spark.cli semdedup --embeddings P --out O
+        [--centroids N] [--iters N] [--threshold F]
+    python -m token_etl_spark.cli select   --documents P --out O
+        [--target-sources s0,s1] [--buckets N] [--fit-out P]
 """
 
 from __future__ import annotations
@@ -57,6 +61,20 @@ def main(argv: list[str] | None = None) -> None:
     cor.add_argument("--jaccard-threshold", type=float, default=0.6)
     cor.add_argument("--large-clusters", action="store_true")
     cor.add_argument("--dedup-lines", action="store_true")
+
+    sem = sub.add_parser("semdedup")
+    sem.add_argument("--embeddings", required=True)
+    sem.add_argument("--out", required=True)
+    sem.add_argument("--centroids", type=int, default=16)
+    sem.add_argument("--iters", type=int, default=2)
+    sem.add_argument("--threshold", type=float, default=0.3)
+
+    sel = sub.add_parser("select")
+    sel.add_argument("--documents", required=True)
+    sel.add_argument("--out", required=True)
+    sel.add_argument("--target-sources", default="src0")
+    sel.add_argument("--buckets", type=int, default=512)
+    sel.add_argument("--fit-out", help="also persist the bucket→weight table")
 
     args = p.parse_args(argv)
     spark = get_spark(f"token_etl_spark_{args.cmd}")
@@ -105,6 +123,30 @@ def main(argv: list[str] | None = None) -> None:
         write_parquet(decisions, args.out)
         for row in corpus_summary(spark.read.parquet(args.out)).collect():
             print(row.asDict())
+    elif args.cmd == "semdedup":
+        from token_etl_spark.operators.similarity import semantic_dedup
+
+        out = semantic_dedup(
+            spark.read.parquet(args.embeddings),
+            n_centroids=args.centroids,
+            n_iters=args.iters,
+            threshold=args.threshold,
+        )
+        write_parquet(out, args.out)
+    elif args.cmd == "select":
+        from token_etl_spark.operators.curation import (
+            importance_weight_table,
+            importance_weights,
+        )
+
+        docs = spark.read.parquet(args.documents)
+        targets = tuple(args.target_sources.split(","))
+        if args.fit_out:
+            write_parquet(
+                importance_weight_table(docs, targets, args.buckets), args.fit_out
+            )
+        out = importance_weights(docs, targets, args.buckets)
+        write_parquet(out, args.out)
     print(f"{args.cmd}: wrote {args.out}")
 
 
