@@ -147,3 +147,24 @@ def test_semantic_dedup_exemplar_rule(spark):
     for i in range(2, 20):
         assert got[i]["kept"], i
         assert got[i]["n_dups"] == 0
+
+
+def test_semantic_dedup_cluster_cap_guard(spark):
+    """A degenerate clustering (one giant cell) must raise the explicit
+    in-plan cap error before quadratic pair emission, and the guard must
+    stay silent when every cluster is under the cap."""
+    import pytest
+
+    from token_etl_spark.operators.similarity import semantic_dedup
+
+    dim = 8
+    giant = [(i, [1.0] + [0.0] * (dim - 1)) for i in range(300)]
+    df = spark.createDataFrame(giant, ["vec_id", "embedding"])
+    with pytest.raises(Exception, match="semantic-dedup cluster"):
+        semantic_dedup(
+            df, n_centroids=4, n_iters=1, threshold=0.99, max_cluster=100
+        ).collect()
+    ok = semantic_dedup(
+        df, n_centroids=4, n_iters=1, threshold=0.99, max_cluster=500
+    )
+    assert ok.count() == 300

@@ -130,8 +130,19 @@ def _banded(signatures: DataFrame, bands: int, sig_len: int) -> DataFrame:
     ).select("id", "bb.band", "bb.bucket")
 
 
+_CAP_ADVICE = (
+    "use the linear star/cluster form "
+    "(minhash_dedup_clusters) for corpora with large duplicate "
+    "clusters, or raise max_bucket explicitly."
+)
+
+
 def _cap_bucket_size(
-    banded: DataFrame, keys: list[str], max_bucket: int, what: str
+    banded: DataFrame,
+    keys: list[str],
+    max_bucket: int,
+    what: str,
+    advice: str = _CAP_ADVICE,
 ) -> DataFrame:
     """Gate a quadratic bucket join: annotate each row with its bucket's
     size via a window count over ``keys`` and assert the cap INSIDE the
@@ -157,9 +168,7 @@ def _cap_bucket_size(
                     + " bucket size %s exceeds max_bucket="
                     + str(max_bucket)
                     + ": pair emission would be quadratic in the duplicate-"
-                    "cluster size; use the linear star/cluster form "
-                    "(minhash_dedup_clusters) for corpora with large duplicate "
-                    "clusters, or raise max_bucket explicitly.",
+                    "cluster size; " + advice,
                     F.col("bucket_n"),
                 ),
             ).isNull()

@@ -469,6 +469,7 @@ def semantic_dedup(
     threshold: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cluster: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space with spherical k-means, then flag semantic
@@ -492,6 +493,13 @@ def semantic_dedup(
     bounded when k grows with n). With k partitions ~ k clusters the
     join parallelizes per cluster; skewed (oversized) clusters are the
     known failure mode and should be re-split by raising n_centroids.
+    ``max_cluster`` guards that failure mode the same way
+    ``lsh_candidate_pairs(max_bucket=...)`` guards LSH buckets: an
+    in-plan window count over centroid_id (the pair join's own shuffle
+    key — the exchange is reused, no extra scan) that raises an explicit
+    error BEFORE any quadratic pair is emitted, instead of OOMing
+    mid-join when the clustering degenerates (e.g. a boilerplate spike
+    collapsing into one cell).
 
     Returns one row per corpus row: (id, centroid_id, centroid_sim,
     n_dups, kept).
@@ -523,13 +531,28 @@ def semantic_dedup(
         )
         .localCheckpoint(eager=False)
     )
-    a = assigned.select(
+    paired_src = assigned
+    if max_cluster is not None:
+        from token_etl_spark.operators.dedup import _cap_bucket_size
+
+        paired_src = _cap_bucket_size(
+            assigned,
+            ["centroid_id"],
+            max_cluster,
+            "semantic-dedup cluster",
+            advice=(
+                "raise n_centroids so cluster size ~ n/k stays bounded "
+                "(SemDeDup scales k with the corpus), or raise max_cluster "
+                "explicitly."
+            ),
+        )
+    a = paired_src.select(
         F.col("id").alias("id_a"),
         F.col("v").alias("va"),
         "centroid_id",
         F.col("centroid_sim").alias("sim_a"),
     )
-    b = assigned.select(
+    b = paired_src.select(
         F.col("id").alias("id_b"),
         F.col("v").alias("vb"),
         "centroid_id",
