@@ -185,3 +185,66 @@ def test_minhash_clusters_unverified_superset(spark):
     loose = {r.id for r in minhash_dedup_clusters(df, verify=False).collect()}
     assert verified <= loose
     assert verified == {0, 1, 2, 3}
+
+
+def test_duplicated_spans_exact_values(spark):
+    """Hand-computed ExactSubstr stats on a 3-doc corpus with k=4:
+    docs 10 and 11 share an 8-token prefix (5 duplicated windows whose
+    interval union covers tokens 1..8), doc 12 shares nothing."""
+    from token_etl_spark.operators.dedup import duplicated_spans
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        (10, shared + " india juliet kilo"),
+        (11, shared + " lima mike november"),
+        (12, "oscar papa quebec romeo sierra tango uniform victor whiskey"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in duplicated_spans(df, k=4).collect()}
+    for i in (10, 11):
+        r = out[i]
+        assert r.n_tokens == 11 and r.n_windows == 8
+        # windows starting at 1..5 are shared; union covers tokens 1..8
+        assert r.n_dup_windows == 5
+        assert r.dup_tokens == 8
+        assert abs(r.dup_fraction - 8 / 11) < 1e-6
+    r = out[12]
+    assert (r.n_dup_windows, r.dup_tokens, r.dup_fraction) == (0, 0, 0.0)
+
+
+def test_duplicated_spans_internal_repeat_and_short_doc(spark):
+    """A repeat INSIDE one document counts (ExactSubstr semantics), and
+    docs shorter than k report zero windows without erroring."""
+    from token_etl_spark.operators.dedup import duplicated_spans
+
+    rows = [
+        # 'a b c' appears at positions 1 and 4: two occurrences of the
+        # k=3 window, both duplicated; union covers tokens 1..6 fully
+        (1, "a b c a b c"),
+        (2, "x y"),  # shorter than k
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in duplicated_spans(df, k=3).collect()}
+    r = out[1]
+    assert r.n_windows == 4
+    assert r.n_dup_windows == 2  # positions 1 and 4 ('a b c' twice)
+    assert r.dup_tokens == 6
+    assert r.dup_fraction == 1.0
+    r = out[2]
+    assert (r.n_tokens, r.n_windows, r.n_dup_windows, r.dup_tokens) == (2, 0, 0, 0)
+
+
+def test_duplicated_spans_overlap_union_not_double_counted(spark):
+    """Three copies of one doc: every window duplicated, covered tokens
+    = n_tokens exactly (the lag-window union must not double count
+    overlapping windows)."""
+    from token_etl_spark.operators.dedup import duplicated_spans
+
+    text = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(i, text) for i in range(3)], "doc_id long, text string"
+    )
+    for r in duplicated_spans(df, k=4).collect():
+        assert r.n_dup_windows == r.n_windows == 7
+        assert r.dup_tokens == r.n_tokens == 10
+        assert r.dup_fraction == 1.0

@@ -474,6 +474,106 @@ def simhash_neardup(
     )
 
 
+def duplicated_spans(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicated-substring statistics — the ExactSubstr recipe of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499) re-expressed relationally: every k-token
+    rolling window of every document is fingerprinted; a window whose
+    fingerprint occurs more than once CORPUS-WIDE (including repeats
+    inside the same document) is *duplicated*; per document this reports
+    how many windows exist, how many are duplicated, and how many token
+    positions are covered by at least one duplicated window (the mass
+    ExactSubstr would cut). The paper builds a suffix array — the right
+    single-machine structure, but not a distributed-shuffle shape; the
+    fixed-k rolling-window formulation is the standard map/reduce
+    equivalent (fingerprint → global occurrence count → interval union)
+    and is what this engine runs at corpus scale.
+
+    Returns (id, n_tokens, n_windows, n_dup_windows, dup_tokens,
+    dup_fraction) — one row per input document, zeros when nothing is
+    duplicated or the document is shorter than k tokens.
+
+    Plan shape for 100 TB: the window fingerprint array is a narrow
+    per-row ``transform`` over the materialized token array (no
+    re-tokenization per window — the CSE trap documented on
+    :func:`shingles`); ``posexplode`` emits ~one row per corpus token.
+    The global occurrence count is a single window count partitioned by
+    fingerprint (ONE shuffle on a uniformly-distributed md5 key — no
+    join back, no second shuffle of the occurrence frame), then the
+    per-document interval union is a lag window over the (much smaller)
+    duplicated subset keyed by document. Fingerprints here are full md5
+    hex strings so the DuckDB oracle replays them byte-for-byte; at
+    production scale halve the shuffle bytes by packing the fingerprint
+    into two BIGINTs (same plan, engine-local hashing).
+
+    Token-position coverage is the classic sorted-interval union: window
+    starts are strictly increasing within a document, so each duplicated
+    window at position p newly covers ``min(k, p - prev_p)`` tokens
+    (``prev_p`` = previous duplicated start, ``p - k`` when none — i.e.
+    full k). Summing that per document is the union length without any
+    per-token explode.
+    """
+    base = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+    n = F.size(F.col("toks"))
+    stats = base.select(
+        "id",
+        n.cast("long").alias("n_tokens"),
+        F.greatest(n - (k - 1), F.lit(0)).cast("long").alias("n_windows"),
+        F.col("toks"),
+    )
+    fps = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.md5(F.array_join(F.slice(F.col("toks"), i, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = stats.select(
+        "id", F.posexplode(fps).alias("pos0", "fp")
+    ).select("id", (F.col("pos0") + 1).alias("pos"), "fp")
+    w_fp = Window.partitionBy("fp")
+    dup = occ.withColumn("n_occ", F.count("*").over(w_fp)).filter(F.col("n_occ") > 1)
+    w_doc = Window.partitionBy("id").orderBy("pos")
+    cov = F.least(
+        F.lit(k).cast("long"),
+        F.col("pos") - F.coalesce(F.lag("pos").over(w_doc), F.col("pos") - k),
+    )
+    per_doc = (
+        dup.withColumn("cov", cov)
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_dup_windows"),
+            F.sum("cov").alias("dup_tokens"),
+        )
+    )
+    return (
+        stats.drop("toks")
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            "n_tokens",
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                    / F.col("n_tokens").cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_fraction"),
+        )
+    )
+
+
 def md5_hash32(c: Column) -> Column:
     """First 32 bits of md5 as an unsigned long. Slower than murmur3 but
     PORTABLE: any engine with md5 + hex parsing reproduces it exactly

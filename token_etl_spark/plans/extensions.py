@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from token_etl_spark.functions.timeops import unix_seconds
 from token_etl_spark.operators import dedup as D
+from token_etl_spark.operators import sketch as K
 from token_etl_spark.operators import similarity as S
 from token_etl_spark.operators import text as X
 from token_etl_spark.operators.multimodal import attach_binary_payload, decode_features
@@ -906,8 +907,131 @@ LEFT JOIN near n ON n.doc_id = q.doc_id
 """
 
 
+# --- exact duplicated spans (ExactSubstr statistics) -----------------------
+
+DUP_SPAN_K = 8
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring statistics (operators/dedup.py
+    duplicated_spans — the Lee et al. 2022 ExactSubstr recipe as a
+    fingerprint → global-count → interval-union relational plan; see the
+    operator docstring for the 100 TB shuffle shape). The oracle replays
+    the k=8 rolling-window md5 fingerprints, the corpus-wide occurrence
+    count, and the lag-window interval union byte-for-byte."""
+    docs = t(spark, sf_dir, "documents")
+    return D.duplicated_spans(docs, k=DUP_SPAN_K).withColumnRenamed("id", "doc_id")
+
+
+SQL_DUP_SPANS = f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+st AS (
+  SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens,
+         CAST(greatest(len(tk) - {DUP_SPAN_K - 1}, 0) AS BIGINT) AS n_windows
+  FROM base),
+occ AS (
+  SELECT doc_id,
+         unnest(range(1, n_tokens - {DUP_SPAN_K - 2})) AS pos,
+         unnest(list_transform(range(1, n_tokens - {DUP_SPAN_K - 2}),
+                i -> md5(array_to_string(tk[i : i + {DUP_SPAN_K - 1}], ' ')))) AS fp
+  FROM st WHERE n_tokens >= {DUP_SPAN_K}),
+marked AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY fp) AS n_occ FROM occ),
+dup AS (
+  SELECT doc_id, pos,
+         least({DUP_SPAN_K}, pos - coalesce(
+             lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+             pos - {DUP_SPAN_K})) AS cov
+  FROM marked WHERE n_occ > 1),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows,
+         CAST(sum(cov) AS BIGINT) AS dup_tokens
+  FROM dup GROUP BY 1)
+SELECT st.doc_id, st.n_tokens, st.n_windows,
+       coalesce(agg.n_dup_windows, 0) AS n_dup_windows,
+       coalesce(agg.dup_tokens, 0) AS dup_tokens,
+       CASE WHEN st.n_tokens > 0
+            THEN round(CAST(coalesce(agg.dup_tokens, 0) AS DOUBLE) / st.n_tokens, 6)
+            ELSE 0.0 END AS dup_fraction
+FROM st LEFT JOIN agg USING (doc_id)
+"""
+
+
+# --- count-min sketch frequency estimation ---------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 32
+CMS_TOPK = 30
+
+
+def q_countmin_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch vs. truth on the corpus heavy hitters
+    (operators/sketch.py): exact token counts feed a depth×width=4×32
+    counter table (cell-wise identical to streaming every occurrence —
+    the mergeability property), the top-30 tokens are selected by the
+    same two-phase bucketed rank as ``ext_top_tokens``, and each is
+    point-queried against the broadcast sketch. ``overcount`` =
+    est − truth is ≥ 0 by construction (CMS never underestimates); the
+    32-wide table is deliberately small enough to collide on this
+    vocabulary so the bound is exercised, not vacuous. The oracle
+    replays the md5 row-salted bucketing and min-over-rows exactly."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(X.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    cms = K.countmin_table(
+        counts, item_col="token", weight_col="n", depth=CMS_DEPTH, width=CMS_WIDTH
+    )
+    wb = Window.partitionBy("bucket").orderBy(F.col("n").desc(), F.col("token"))
+    survivors = (
+        counts.withColumn("bucket", F.pmod(F.xxhash64("token"), F.lit(64)))
+        .withColumn("bucket_rank", F.row_number().over(wb))
+        .filter(F.col("bucket_rank") <= CMS_TOPK)
+        .drop("bucket", "bucket_rank")
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    top = (
+        survivors.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= CMS_TOPK)
+    )
+    est = K.countmin_estimate(
+        top, cms, item_col="token", depth=CMS_DEPTH, width=CMS_WIDTH
+    )
+    return est.select(
+        "rank", "token", "n", "est_n", (F.col("est_n") - F.col("n")).alias("overcount")
+    )
+
+
+SQL_COUNTMIN_FREQS = f"""
+WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),
+c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+cells AS (
+  SELECT token, n, hr,
+         CAST('0x' || substr(md5(CAST(hr AS VARCHAR) || ':' || token), 1, 6) AS BIGINT)
+             % {CMS_WIDTH} AS bucket
+  FROM (SELECT token, n, unnest(range(0, {CMS_DEPTH})) AS hr FROM c)),
+cms AS (SELECT hr, bucket, CAST(sum(n) AS BIGINT) AS cnt FROM cells GROUP BY 1, 2),
+r AS (SELECT token, n,
+             CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
+      FROM c),
+top AS (SELECT * FROM r WHERE rank <= {CMS_TOPK}),
+est AS (
+  SELECT top.rank, top.token, top.n, min(cms.cnt) AS est_n
+  FROM top
+  JOIN cells ON cells.token = top.token
+  JOIN cms ON cms.hr = cells.hr AND cms.bucket = cells.bucket
+  GROUP BY 1, 2, 3)
+SELECT rank, token, n, est_n, est_n - n AS overcount FROM est
+"""
+
+
 SPECS = [
     QuerySpec("ext_dedup_exact", q_dedup_exact, SQL_DEDUP_EXACT, ("dedup",), bench=True),
+    QuerySpec("ext_dup_spans", q_dup_spans, SQL_DUP_SPANS, ("dedup", "text")),
+    QuerySpec("ext_countmin_freqs", q_countmin_freqs, SQL_COUNTMIN_FREQS, ("sketch", "text", "agg-topk")),
     QuerySpec("ext_text_stats", q_text_stats, SQL_TEXT_STATS, ("text",), bench=True),
     QuerySpec("ext_text_langid", q_text_langid, SQL_TEXT_LANGID, ("text",)),
     QuerySpec("ext_repetition_stats", q_repetition_stats, SQL_REPETITION_STATS, ("text",)),

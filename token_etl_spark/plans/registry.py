@@ -41,6 +41,8 @@ _PRIORITY_NAMES = [
     "ext_token_budget",
     "ext_top_tokens",
     # new in round 4
+    "ext_dup_spans",
+    "ext_countmin_freqs",
     "ext_simhash_neardup",
     "ext_tfidf_terms",
     "ext_crossdoc_line_dedup",
