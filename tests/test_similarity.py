@@ -168,3 +168,46 @@ def test_semantic_dedup_cluster_cap_guard(spark):
         df, n_centroids=4, n_iters=1, threshold=0.99, max_cluster=500
     )
     assert ok.count() == 300
+
+
+def test_prototypicality_filter_drops_cluster_core(spark):
+    """Two well-separated clusters; within each, members closest to the
+    centroid get the lowest proto_rank and are dropped at drop_pct."""
+    from token_etl_spark.operators.similarity import prototypicality_filter
+
+    # cluster A along +x (even ids), cluster B along +y (odd ids) —
+    # interleaved so the deterministic min-id init seeds BOTH clusters;
+    # each has one member pointing slightly off-axis (least prototypical)
+    rows = []
+    for i, off in zip((0, 2, 4, 6), (0.0, 0.01, 0.02, 0.9)):
+        rows.append((i, [1.0, off, 0.0, 0.0]))
+    for i, off in zip((1, 3, 5, 7), (0.0, 0.01, 0.02, 0.9)):
+        rows.append((i, [off, 1.0, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = prototypicality_filter(df, n_centroids=2, n_iters=2, drop_pct=25).collect()
+    by_id = {r.id: r for r in out}
+    assert len(by_id) == 8
+    clusters = {}
+    for r in out:
+        clusters.setdefault(r.centroid_id, []).append(r)
+    assert sorted(len(v) for v in clusters.values()) == [4, 4]
+    for members in clusters.values():
+        # 25% of 4 = exactly 1 dropped: the rank-1 (most prototypical) member
+        dropped = [r for r in members if not r.kept]
+        assert len(dropped) == 1 and dropped[0].proto_rank == 1
+        # the off-axis member (0.9 perturbation) must survive
+        tail = max(members, key=lambda r: r.proto_rank)
+        assert tail.kept and tail.id in (6, 7)
+        assert all(r.cluster_n == 4 for r in members)
+
+
+def test_prototypicality_drop_boundary_integer_exact(spark):
+    """(n * drop_pct) div 100 boundary: with n=5 and drop_pct=39 exactly
+    1 row drops; with drop_pct=40 exactly 2 drop."""
+    from token_etl_spark.operators.similarity import prototypicality_filter
+
+    rows = [(i, [1.0, i * 0.05, 0.0, 0.0]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for pct, expect_dropped in ((39, 1), (40, 2)):
+        out = prototypicality_filter(df, n_centroids=1, n_iters=1, drop_pct=pct).collect()
+        assert sum(1 for r in out if not r.kept) == expect_dropped

@@ -462,6 +462,100 @@ def embedding_near_dups(
     )
 
 
+def _assign_with_sim(
+    corpus: DataFrame,
+    n_centroids: int,
+    n_iters: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Train spherical k-means and assign every corpus row to its
+    max-cosine centroid, RETAINING the winning cosine: (id, v,
+    centroid_id, centroid_sim). Assignment is the same map-only
+    broadcast-argmax as ``_assign_to_centroids`` (ties to the smallest
+    centroid_id via struct max on (sim, -id), matching the oracle's
+    row_number ordering bit-for-bit); shared by ``semantic_dedup`` and
+    ``prototypicality_filter``."""
+    base = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cents = spherical_kmeans(corpus, n_centroids, n_iters, id_col, vec_col)
+    carr = F.broadcast(
+        cents.agg(F.collect_list(F.struct("centroid_id", "centroid_vec")).alias("_cents"))
+    )
+    best = F.array_max(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                cosine(F.col("v"), c.getField("centroid_vec")).alias("sim"),
+                (-c.getField("centroid_id")).alias("neg_id"),
+            ),
+        )
+    )
+    return (
+        base.join(carr)
+        .withColumn("_b", best)
+        .select(
+            "id",
+            "v",
+            (-F.col("_b.neg_id")).alias("centroid_id"),
+            F.col("_b.sim").alias("centroid_sim"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+def prototypicality_filter(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    drop_pct: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SSL-prototype diversification — the second stage of D4 (Tirumala
+    et al. 2023, "D4: Improving LLM Pretraining via Document De-Duplication
+    and Diversification", arXiv:2308.12284): after SemDeDup removes
+    semantic near-duplicates, rank each cluster's members by cosine
+    similarity to their centroid and DROP the most prototypical
+    ``drop_pct`` percent — the redundant "template" documents nearest
+    the cluster center — keeping the diverse tail.
+
+    Per cluster of size n the drop count is ``(n * drop_pct) div 100``
+    (integer arithmetic, so the oracle reproduces the boundary exactly);
+    rank 1 = highest centroid similarity, ties on id. Returns one row
+    per corpus row: (id, centroid_id, centroid_sim, cluster_n,
+    proto_rank, kept).
+
+    100 TB shape: training and assignment are the ``semantic_dedup``
+    path (broadcast centroid table, map-only argmax); the rank and the
+    cluster count share ONE shuffle on centroid_id (two windows over the
+    same partition key reuse the exchange). Unlike SemDeDup's in-cluster
+    pair join there is nothing quadratic here — per-cluster cost is the
+    sort, so this stage scales strictly better than the dedup stage that
+    precedes it; oversized clusters are bounded the same way (grow
+    n_centroids with the corpus).
+    """
+    assigned = _assign_with_sim(corpus, n_centroids, n_iters, id_col, vec_col)
+    w_rank = Window.partitionBy("centroid_id").orderBy(
+        F.col("centroid_sim").desc(), F.col("id")
+    )
+    w_n = Window.partitionBy("centroid_id")
+    drop_n = F.expr(f"(cluster_n * {int(drop_pct)}) div 100")
+    return (
+        assigned.withColumn("proto_rank", F.row_number().over(w_rank).cast("long"))
+        .withColumn("cluster_n", F.count("*").over(w_n).cast("long"))
+        .select(
+            "id",
+            "centroid_id",
+            "centroid_sim",
+            "cluster_n",
+            "proto_rank",
+            (F.col("proto_rank") > drop_n).alias("kept"),
+        )
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -504,33 +598,7 @@ def semantic_dedup(
     Returns one row per corpus row: (id, centroid_id, centroid_sim,
     n_dups, kept).
     """
-    base = corpus.select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-    )
-    cents = spherical_kmeans(corpus, n_centroids, n_iters, id_col, vec_col)
-    carr = F.broadcast(
-        cents.agg(F.collect_list(F.struct("centroid_id", "centroid_vec")).alias("_cents"))
-    )
-    best = F.array_max(
-        F.transform(
-            F.col("_cents"),
-            lambda c: F.struct(
-                cosine(F.col("v"), c.getField("centroid_vec")).alias("sim"),
-                (-c.getField("centroid_id")).alias("neg_id"),
-            ),
-        )
-    )
-    assigned = (
-        base.join(carr)
-        .withColumn("_b", best)
-        .select(
-            "id",
-            "v",
-            (-F.col("_b.neg_id")).alias("centroid_id"),
-            F.col("_b.sim").alias("centroid_sim"),
-        )
-        .localCheckpoint(eager=False)
-    )
+    assigned = _assign_with_sim(corpus, n_centroids, n_iters, id_col, vec_col)
     paired_src = assigned
     if max_cluster is not None:
         from token_etl_spark.operators.dedup import _cap_bucket_size

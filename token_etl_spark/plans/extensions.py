@@ -643,6 +643,71 @@ FROM asg LEFT JOIN dup d ON d.vid = asg.vec_id
 SQL_SEMANTIC_DEDUP = _semantic_dedup_sql()
 
 
+PROTO_DROP_PCT = 25
+
+
+def q_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 diversification stage (operators/similarity.py
+    prototypicality_filter): rank cluster members by centroid cosine and
+    drop the most prototypical 25% per cluster. The oracle reuses the
+    unrolled k-means training CTEs and the SemDeDup assignment CTE, then
+    restates the rank/count windows and the integer drop boundary."""
+    emb = t(spark, sf_dir, "embeddings")
+    out = S.prototypicality_filter(
+        emb, n_centroids=16, n_iters=2, drop_pct=PROTO_DROP_PCT
+    )
+    return out.select(
+        F.col("id").alias("vec_id"),
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+        F.round("centroid_sim", 6).alias("centroid_sim"),
+        "cluster_n",
+        "proto_rank",
+        F.col("kept").cast("int").cast("long").alias("kept"),
+    )
+
+
+def _prototypicality_sql(
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    drop_pct: int = PROTO_DROP_PCT,
+    dim: int = 64,
+) -> str:
+    """DuckDB replay of the D4 prototype-drop stage: shared k-means
+    training CTEs + full-corpus assignment, then per-cluster rank/count
+    windows and the integer-arithmetic drop boundary."""
+    members = _kmeans_cte_members(n_centroids, n_iters, dim)
+    cf = f"c{n_iters}"
+    members += [
+        f"""asg AS (
+  SELECT vec_id, centroid_id, sim FROM (
+    SELECT e.vec_id, c.centroid_id, list_cosine_similarity(e.v, c.cv) AS sim,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id) AS rn
+    FROM e CROSS JOIN {cf} c) WHERE rn = 1)""",
+        """ranked AS (
+  SELECT vec_id, centroid_id, sim,
+         row_number() OVER (PARTITION BY centroid_id ORDER BY sim DESC, vec_id) AS proto_rank,
+         count(*) OVER (PARTITION BY centroid_id) AS cluster_n
+  FROM asg)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(members)
+        + f"""
+SELECT vec_id, CAST(centroid_id AS BIGINT) AS centroid_id,
+       round(sim, 6) AS centroid_sim,
+       CAST(cluster_n AS BIGINT) AS cluster_n,
+       CAST(proto_rank AS BIGINT) AS proto_rank,
+       CAST(CASE WHEN proto_rank > (cluster_n * {int(drop_pct)}) // 100
+                 THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM ranked
+"""
+    )
+
+
+SQL_PROTOTYPICALITY = _prototypicality_sql()
+
+
 def _ann_ivf_sql(k: int = 10, n_centroids: int = 16, n_probe: int = 4) -> str:
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1056,6 +1121,7 @@ SPECS = [
     # (exact / lexical-minhash / semantic) — track its k-means + in-cluster
     # pair-join cost round over round.
     QuerySpec("ext_semantic_dedup", q_semantic_dedup, SQL_SEMANTIC_DEDUP, ("similarity", "dedup", "iterative"), bench=True),
+    QuerySpec("ext_prototypicality", q_prototypicality, SQL_PROTOTYPICALITY, ("similarity", "curation", "iterative")),
     QuerySpec("ext_ann_quantized", q_ann_quantized, SQL_ANN_QUANTIZED, ("similarity",)),
     QuerySpec("ext_token_estimate", q_token_estimate, SQL_TOKEN_ESTIMATE, ("text",)),
     QuerySpec("ext_multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL_META, ("multimodal",)),

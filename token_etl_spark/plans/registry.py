@@ -47,6 +47,7 @@ _PRIORITY_NAMES = [
     "ext_tfidf_terms",
     "ext_crossdoc_line_dedup",
     "ext_semantic_dedup",
+    "ext_prototypicality",
     "ext_importance_weights",
 ]
 
