@@ -121,3 +121,24 @@ def test_streaming_importance_score_matches_batch(spark, sf_dir, tmp_path):
     ).collect()  # batch DataFrame through the same expression tree
     assert out[0]["n_bigrams"] == 4
     assert out[0]["score"] > 0.0
+
+
+def test_streaming_countmin_matches_batch(spark, sf_dir, tmp_path):
+    """The running sketch after draining the stream equals the batch
+    sketch of the same corpus, cell for cell (bounded-state property:
+    the aggregation state IS the depth×width table)."""
+    from token_etl_spark.operators.sketch import countmin_table
+    from token_etl_spark.streaming.curation import streaming_countmin
+
+    docs, staged = _staged_docs(spark, sf_dir, tmp_path, "cms_stream")
+    stream = read_file_stream(spark, staged, docs.schema)
+    run_to_memory(
+        streaming_countmin(stream, depth=4, width=64),
+        "cms_out",
+        output_mode="complete",
+    )
+    got = sorted(map(tuple, spark.sql("SELECT * FROM cms_out").collect()))
+    from token_etl_spark.operators.text import tokens as _toks
+    occ = docs.select(F.explode(_toks(F.col("text"))).alias("token"))
+    want = sorted(map(tuple, countmin_table(occ, depth=4, width=64).collect()))
+    assert got == want

@@ -155,3 +155,29 @@ def streaming_importance_score(
         )
         .drop("_bg", "_w", "_w0")
     )
+
+
+def streaming_countmin(
+    stream: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Running count-min sketch over a document stream's tokens — the
+    streaming twin of ``operators/sketch.py countmin_table`` (same
+    md5-salted bucketing, cell-wise identical counters, tested against
+    the batch build).
+
+    This is the workload sketches were invented for: the stream is
+    unbounded but the aggregation state is the SKETCH — exactly
+    depth × width counters, regardless of how many tokens or distinct
+    tokens flow past — so the running aggregate never grows. Contrast a
+    streaming ``groupBy(token)``: its state is the live vocabulary,
+    unbounded on an open web crawl. Emit mode: ``update``/``complete``
+    (a running aggregate); downstream consumers point-query a snapshot
+    via ``countmin_estimate``, or union snapshots from several streams
+    by cell-wise addition (mergeability, tested)."""
+    from token_etl_spark.operators.sketch import countmin_table
+
+    occ = stream.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    return countmin_table(occ, item_col="token", depth=depth, width=width)
