@@ -49,6 +49,7 @@ _PRIORITY_NAMES = [
     "ext_semantic_dedup",
     "ext_prototypicality",
     "ext_importance_weights",
+    "rel_full_outer",
 ]
 
 _MODULE_ORDER: list[QuerySpec] = [

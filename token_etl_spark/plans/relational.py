@@ -224,6 +224,58 @@ SELECT s_nationkey AS nationkey FROM supplier
 """
 
 
+# --- full-outer join of two aggregates -------------------------------------
+
+
+def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join coverage: per-nation customer counts (nations
+    ≡ 0 mod 3) vs supplier counts (nations ≡ 0 mod 2). The modulus
+    filters are deliberate: they guarantee BOTH null sides appear at
+    every scale factor (a fixed acctbal threshold only does at one sf),
+    so the outer semantics — null-preserving coalesce on the key, null
+    counts on the missing side — are actually exercised. Scale shape:
+    two map-side-combinable aggregates over nationkey (25 rows each),
+    then a tiny-frame join; at a real scale both sides would broadcast,
+    but full-outer cannot broadcast in Spark (both sides must preserve
+    unmatched rows), so it shuffles — which is why the aggregates run
+    FIRST and only 25-row frames reach the outer join."""
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    cc = (
+        c.filter(F.col("c_nationkey") % 3 == 0)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    sc = (
+        s.filter(F.col("s_nationkey") % 2 == 0)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return cc.join(sc, "nationkey", "full_outer").select(
+        "nationkey",
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        (F.col("n_customers").isNotNull() & F.col("n_suppliers").isNotNull()).alias(
+            "in_both"
+        ),
+    )
+
+
+SQL_FULL_OUTER = """
+WITH cc AS (
+  SELECT c_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS n_customers
+  FROM customer WHERE c_nationkey % 3 = 0 GROUP BY 1),
+sc AS (
+  SELECT s_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS n_suppliers
+  FROM supplier WHERE s_nationkey % 2 = 0 GROUP BY 1)
+SELECT coalesce(cc.nationkey, sc.nationkey) AS nationkey,
+       coalesce(cc.n_customers, 0) AS n_customers,
+       coalesce(sc.n_suppliers, 0) AS n_suppliers,
+       (cc.nationkey IS NOT NULL AND sc.nationkey IS NOT NULL) AS in_both
+FROM cc FULL OUTER JOIN sc ON cc.nationkey = sc.nationkey
+"""
+
+
 # --- A10: pivot with explicit values (BaseEnricher.scala:430-435) ----------
 
 PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
@@ -541,6 +593,7 @@ SPECS = [
     QuerySpec("rel_semi_join", q_semi_join, SQL_SEMI_JOIN, ("join-semi",)),
     QuerySpec("rel_anti_join", q_anti_join, SQL_ANTI_JOIN, ("join-anti",)),
     QuerySpec("rel_union_distinct", q_union_distinct, SQL_UNION_DISTINCT, ("setop",)),
+    QuerySpec("rel_full_outer", q_full_outer, SQL_FULL_OUTER, ("join-outer",)),
     QuerySpec("rel_pivot_priority", q_pivot_priority, SQL_PIVOT_PRIORITY, ("pivot",)),
     QuerySpec("rel_topk_orders", q_topk_orders, SQL_TOPK_ORDERS, ("window-rank",)),
     QuerySpec("rel_asof_last_click", q_asof_last_click, SQL_ASOF_LAST_CLICK, ("join-asof",), bench=True),
