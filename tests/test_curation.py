@@ -227,3 +227,26 @@ def test_importance_weights_separates_target_like_docs(spark):
         for r in importance_weights(df, target_sources=("tgt",), n_buckets=64).collect()
     }
     assert {k: v["score"] for k, v in out.items()} == again
+
+
+def test_bigram_lm_quality_hand_computed(spark):
+    """Tiny LM fit on one reference doc, scores checked by hand:
+    reference 'a b a b' gives c2={'a b':2,'b a':1}, c1={a:2,b:1}, V=2."""
+    from token_etl_spark.operators.curation import bigram_lm_quality
+
+    rows = [
+        (1, "ref", "a b a b"),
+        (2, "raw", "a b c"),   # p(a b)=3/4, p(b c)=1/3
+        (3, "raw", "z z"),     # unseen prefix: p=1/V=1/2... with add-1: 1/(0+2)
+        (4, "raw", "a"),       # no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.doc_id: r for r in bigram_lm_quality(df, reference_sources=("ref",)).collect()}
+    assert out[2].n_bigrams == 2
+    assert abs(out[2].score - (3 / 4 + 1 / 3)) < 1e-12
+    assert abs(out[2].avg_p - (3 / 4 + 1 / 3) / 2) < 1e-12
+    assert out[3].n_bigrams == 1 and abs(out[3].avg_p - 0.5) < 1e-12
+    assert out[4].n_bigrams == 0 and out[4].score == 0.0 and out[4].avg_p == 0.0
+    # the reference doc scores itself: 3/4 + 2/3 + 3/4
+    assert out[1].n_bigrams == 3
+    assert abs(out[1].score - (3 / 4 + 2 / 3 + 3 / 4)) < 1e-12

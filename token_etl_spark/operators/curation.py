@@ -460,6 +460,99 @@ def _bigram_occurrences(
     ).withColumn("bucket", hash_bucket(F.col("bg"), n_buckets))
 
 
+def bigram_lm_quality(
+    docs: DataFrame,
+    reference_sources: tuple[str, ...] = ("src0",),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data", arXiv:1911.00359): score every document by how well a small
+    n-gram LM trained on a trusted reference corpus predicts it — fluent,
+    reference-like text scores high; gibberish and boilerplate score low.
+    CCNet uses a KenLM 5-gram and ranks by perplexity; this is the
+    bigram add-1 variant with the LINEAR-domain mean in place of the log
+    perplexity: p(w₂|w₁) = (c₂(w₁,w₂)+1)/(c₁(w₁)+V) from reference
+    counts, scored as mean over the document's bigrams. The reasons are
+    the engine's standard oracle contract (importance_weights makes the
+    identical trade): every op involved (+, *, /) is exactly-rounded
+    IEEE and bit-reproducible by DuckDB, while log/exp are correctly
+    rounded in neither engine. Ranking by mean conditional probability
+    orders documents the same direction as (anti-)perplexity; it is a
+    declared variant, not KenLM.
+
+    100 TB shape: LM fitting is two map-side-combinable groupBys over
+    the REFERENCE subset only (bigram and prefix counts); both LM frames
+    are vocabulary-sized and join broadcast, so scoring the TB-scale
+    corpus side is narrow until the one per-doc aggregation. The per-doc
+    mean folds over the position-sorted probability array so double
+    accumulation order is pinned (the ``importance_weights`` /
+    ``q_array_ops`` pattern). In production the reference would be a
+    separate curated corpus (CCNet uses Wikipedia); here it is a
+    source-subset of the same frame, keeping the oracle single-table.
+    Unseen prefix ⇒ p = 1/V (c₂ and c₁ both 0) — the smoothing floor.
+
+    Returns (doc_id, source, n_bigrams, score, avg_p): ``score`` the
+    pinned-order probability sum, ``avg_p`` its per-bigram mean (the
+    ranking signal), both rounded at the query layer only.
+    """
+    is_ref = F.col(source_col).isin(*reference_sources)
+    ref_occ = (
+        docs.filter(is_ref)
+        .select(F.explode(bigrams(F.col(text_col))).alias("bg"))
+        .withColumn("w1", F.split(F.col("bg"), " ")[0])
+    )
+    c2 = ref_occ.groupBy("bg").agg(F.count("*").alias("c2"))
+    c1 = ref_occ.groupBy("w1").agg(F.count("*").alias("c1"))
+    # vocab = distinct first-words of reference bigrams (the conditioning
+    # contexts), a 1-row broadcast
+    vocab = c1.agg(F.count("*").alias("v"))
+    occ = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.posexplode(bigrams(F.col(text_col))).alias("pos", "bg"),
+    ).withColumn("w1", F.split(F.col("bg"), " ")[0])
+    probs = (
+        occ.join(F.broadcast(c2), "bg", "left")
+        .join(F.broadcast(c1), "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "p",
+            (F.coalesce("c2", F.lit(0)) + 1).cast("double")
+            / (F.coalesce("c1", F.lit(0)) + F.col("v")).cast("double"),
+        )
+    )
+    per_doc = probs.groupBy("doc_id", "source").agg(
+        F.count("*").alias("n_bigrams"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "p"))),
+                lambda s: s.getField("p"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(source_col).alias("source"))
+        .join(per_doc, ["doc_id", "source"], "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("score", F.lit(0.0)).alias("score"),
+            F.when(
+                F.coalesce("n_bigrams", F.lit(0)) > 0,
+                F.col("score") / F.col("n_bigrams").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("avg_p"),
+        )
+    )
+
+
 def importance_weight_table(
     docs: DataFrame,
     target_sources: tuple[str, ...] = ("src0",),

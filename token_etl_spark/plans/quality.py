@@ -387,6 +387,64 @@ FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
 """
 
 
+# --- CCNet-style bigram-LM quality score -----------------------------------
+
+LM_REF = ("src0", "src1")
+
+
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring against a reference source mix
+    (operators/curation.py bigram_lm_quality — CCNet linear-mean
+    variant; see the operator docstring for the exactly-rounded-ops
+    contract and the broadcast-LM 100 TB shape). src0+src1 play the
+    'trusted reference corpus' role."""
+    docs = t(spark, sf_dir, "documents")
+    out = C.bigram_lm_quality(docs, reference_sources=LM_REF)
+    return out.select(
+        "doc_id",
+        "source",
+        "n_bigrams",
+        F.round("score", 6).alias("score"),
+        F.round("avg_p", 6).alias("avg_p"),
+    )
+
+
+_LM_REF_SQL = "('" + "','".join(LM_REF) + "')"
+
+SQL_LM_QUALITY = f"""
+WITH toks AS (SELECT doc_id, source, {_TOKS} AS tk FROM documents),
+occ AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg,
+         unnest(range(1, len(tk))) AS pos
+  FROM toks),
+c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2
+       FROM occ WHERE source IN {_LM_REF_SQL} GROUP BY 1),
+c1 AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(count(*) AS BIGINT) AS c1
+       FROM occ WHERE source IN {_LM_REF_SQL} GROUP BY 1),
+v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c1),
+pr AS (
+  SELECT o.doc_id, o.source, o.pos,
+         CAST(coalesce(c2.c2, 0) + 1 AS DOUBLE)
+         / CAST(coalesce(c1.c1, 0) + v.v AS DOUBLE) AS p
+  FROM occ o
+  LEFT JOIN c2 USING (bg)
+  LEFT JOIN c1 ON c1.w1 = string_split(o.bg, ' ')[1]
+  CROSS JOIN v),
+pd AS (
+  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_bigrams,
+         list_aggregate(list(p ORDER BY pos), 'sum') AS score
+  FROM pr GROUP BY 1, 2)
+SELECT d.doc_id, d.source,
+       CAST(coalesce(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       round(coalesce(pd.score, 0.0), 6) AS score,
+       round(CASE WHEN coalesce(pd.n_bigrams, 0) > 0
+                  THEN pd.score / CAST(pd.n_bigrams AS DOUBLE) ELSE 0.0 END, 6)
+         AS avg_p
+FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+"""
+
+
 # --- exact stratified sample -----------------------------------------------
 
 
@@ -527,6 +585,7 @@ SPECS = [
     QuerySpec("ext_tfidf_terms", q_tfidf_terms, SQL_TFIDF_TERMS, ("text", "agg-topk", "join")),
     QuerySpec("ext_crossdoc_line_dedup", q_crossdoc_line_dedup, SQL_CROSSDOC_LINE_DEDUP, ("text", "dedup")),
     QuerySpec("ext_importance_weights", q_importance_weights, SQL_IMPORTANCE_WEIGHTS, ("curation", "text")),
+    QuerySpec("ext_lm_quality", q_lm_quality, SQL_LM_QUALITY, ("curation", "text")),
     QuerySpec("ext_stratified_sample", q_stratified_sample, SQL_STRATIFIED_SAMPLE, ("curation", "window")),
     QuerySpec("ext_table_profile", q_table_profile, SQL_TABLE_PROFILE, ("profile",)),
     QuerySpec("ext_chunk_documents", q_chunk_documents, SQL_CHUNK_DOCUMENTS, ("curation", "text")),

@@ -49,6 +49,7 @@ _PRIORITY_NAMES = [
     "ext_semantic_dedup",
     "ext_prototypicality",
     "ext_importance_weights",
+    "ext_lm_quality",
     "rel_full_outer",
 ]
 
