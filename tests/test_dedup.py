@@ -248,3 +248,39 @@ def test_duplicated_spans_overlap_union_not_double_counted(spark):
         assert r.n_dup_windows == r.n_windows == 7
         assert r.dup_tokens == r.n_tokens == 10
         assert r.dup_fraction == 1.0
+
+
+def test_dedup_spans_rewrite_keeps_first_occurrence(spark):
+    """Corpus-first occurrence survives; later duplicated spans are cut."""
+    from token_etl_spark.operators.dedup import dedup_spans_rewrite
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        (10, shared + " india juliet kilo"),
+        (11, shared + " lima mike november"),
+        (12, "oscar papa quebec romeo sierra tango uniform victor whiskey"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in dedup_spans_rewrite(df, k=4).collect()}
+    # first doc (lowest id) keeps everything
+    assert out[10].n_removed == 0 and out[10].cleaned == rows[0][1]
+    # second doc loses the 8-token shared prefix, keeps its unique tail
+    assert out[11].n_removed == 8 and out[11].cleaned == "lima mike november"
+    assert out[12].n_removed == 0 and out[12].cleaned == rows[2][1]
+
+
+def test_dedup_spans_rewrite_internal_repeat_and_identical_docs(spark):
+    from token_etl_spark.operators.dedup import dedup_spans_rewrite
+
+    rows = [
+        (1, "a b c a b c"),  # second 'a b c' run removed
+        (2, "x y z w x y z w"),  # doc-internal repeat: tokens 5..8 cut
+        (3, "p q r s t u v w"),
+        (4, "p q r s t u v w"),  # exact copy of 3: fully removed
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in dedup_spans_rewrite(df, k=3).collect()}
+    assert out[1].cleaned == "a b c" and out[1].n_removed == 3
+    assert out[2].cleaned == "x y z w" and out[2].n_removed == 4
+    assert out[3].n_removed == 0 and out[3].cleaned == rows[2][1]
+    assert out[4].n_removed == 8 and out[4].cleaned == ""

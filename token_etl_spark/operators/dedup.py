@@ -574,6 +574,77 @@ def duplicated_spans(
     )
 
 
+def dedup_spans_rewrite(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr REWRITE (the transform `duplicated_spans` only
+    measures): remove every duplicated k-token window occurrence except
+    the corpus-FIRST one — Lee et al. 2022's "remove all but one" rule
+    at fixed-window granularity — and rebuild the document text from
+    the surviving token positions.
+
+    Occurrence ranking is deterministic: ``row_number`` per fingerprint
+    ordered by (doc_id, pos); occurrences ranked ≥ 2 are removal spans.
+    Tokens covered by any removal span are cut; the first occurrence
+    (and every non-duplicated token) survives, so one copy of every
+    substring remains in the corpus. Fixed-k windows approximate the
+    paper's maximal-match semantics: a duplicated run of length L ≥ k is
+    covered by its L−k+1 windows and removed wholesale in later
+    documents; runs shorter than k are below the dedup granularity by
+    definition. A removal span in a later document may partially overlap
+    a span that document keeps — the cut is position-based, not
+    re-matched; this is the declared fixed-k approximation.
+
+    Plan shape for 100 TB, on top of `duplicated_spans`' fingerprint
+    shuffle: the removal positions per document collapse to ONE sorted
+    array (a small per-doc state — only duplicated window starts, not
+    tokens), joined back to the corpus on id; the rebuild is then a
+    narrow higher-order filter — token at 1-based position p survives
+    iff no removal start s satisfies s ≤ p < s+k. Per-row cost is
+    O(n_tokens × n_removal_spans) in the worst (heavily duplicated)
+    case, all JVM-side; no per-token explode-and-range-join.
+
+    Returns (id, n_tokens, n_removed, cleaned).
+    """
+    base = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+    n = F.size(F.col("toks"))
+    fps = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.md5(F.array_join(F.slice(F.col("toks"), i, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = base.select("id", F.posexplode(fps).alias("pos0", "fp")).select(
+        "id", (F.col("pos0") + 1).alias("pos"), "fp"
+    )
+    w_rank = Window.partitionBy("fp").orderBy("id", "pos")
+    removals = (
+        occ.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") >= 2)
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
+    )
+    joined = base.join(removals, "id", "left").withColumn(
+        "starts", F.coalesce("starts", F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda x, i: ~F.exists(
+            F.col("starts"), lambda s: (s <= i + 1) & (i + 1 < s + k)
+        ),
+    )
+    return joined.select(
+        "id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("cleaned"),
+    )
+
+
 def md5_hash32(c: Column) -> Column:
     """First 32 bits of md5 as an unsigned long. Slower than murmur3 but
     PORTABLE: any engine with md5 + hex parsing reproduces it exactly

@@ -1021,6 +1021,48 @@ FROM st LEFT JOIN agg USING (doc_id)
 """
 
 
+def q_dup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr rewrite (operators/dedup.py dedup_spans_rewrite):
+    duplicated k=8-window occurrences beyond the corpus-first are cut
+    from the text. ``clean_fp`` pins the rewritten text byte-for-byte
+    via md5; the oracle replays fingerprinting, (doc_id, pos) occurrence
+    ranking, and the indexed-lambda token filter exactly."""
+    docs = t(spark, sf_dir, "documents")
+    out = D.dedup_spans_rewrite(docs, k=DUP_SPAN_K).withColumnRenamed("id", "doc_id")
+    return out.select(
+        "doc_id", "n_tokens", "n_removed", F.md5("cleaned").alias("clean_fp")
+    )
+
+
+SQL_DUP_SPAN_REWRITE = f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+st AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM base),
+occ AS (
+  SELECT doc_id,
+         unnest(range(1, n - {DUP_SPAN_K - 2})) AS pos,
+         unnest(list_transform(range(1, n - {DUP_SPAN_K - 2}),
+                i -> md5(array_to_string(tk[i : i + {DUP_SPAN_K - 1}], ' ')))) AS fp
+  FROM st WHERE n >= {DUP_SPAN_K}),
+rk AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn
+  FROM occ),
+rm AS (SELECT doc_id, list(pos ORDER BY pos) AS starts FROM rk WHERE rn >= 2 GROUP BY 1),
+j AS (
+  SELECT st.doc_id, st.tk, st.n,
+         coalesce(rm.starts, CAST([] AS BIGINT[])) AS starts
+  FROM st LEFT JOIN rm USING (doc_id)),
+kept AS (
+  SELECT doc_id, n,
+         list_filter(tk, (x, i) ->
+             len(list_filter(starts, s -> s <= i AND i < s + {DUP_SPAN_K})) = 0) AS kt
+  FROM j)
+SELECT doc_id, n AS n_tokens, CAST(n - len(kt) AS BIGINT) AS n_removed,
+       md5(coalesce(array_to_string(kt, ' '), '')) AS clean_fp
+FROM kept
+"""
+
+
 # --- count-min sketch frequency estimation ---------------------------------
 
 CMS_DEPTH = 4
@@ -1096,6 +1138,7 @@ SELECT rank, token, n, est_n, est_n - n AS overcount FROM est
 SPECS = [
     QuerySpec("ext_dedup_exact", q_dedup_exact, SQL_DEDUP_EXACT, ("dedup",), bench=True),
     QuerySpec("ext_dup_spans", q_dup_spans, SQL_DUP_SPANS, ("dedup", "text")),
+    QuerySpec("ext_dup_span_rewrite", q_dup_span_rewrite, SQL_DUP_SPAN_REWRITE, ("dedup", "text")),
     QuerySpec("ext_countmin_freqs", q_countmin_freqs, SQL_COUNTMIN_FREQS, ("sketch", "text", "agg-topk")),
     QuerySpec("ext_text_stats", q_text_stats, SQL_TEXT_STATS, ("text",), bench=True),
     QuerySpec("ext_text_langid", q_text_langid, SQL_TEXT_LANGID, ("text",)),

@@ -42,6 +42,7 @@ _PRIORITY_NAMES = [
     "ext_top_tokens",
     # new in round 4
     "ext_dup_spans",
+    "ext_dup_span_rewrite",
     "ext_countmin_freqs",
     "ext_simhash_neardup",
     "ext_tfidf_terms",
