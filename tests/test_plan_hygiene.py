@@ -147,3 +147,50 @@ def test_importance_weights_plan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ext_importance_weights")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dup_spans_single_fingerprint_shuffle(spark, sf_dir):
+    """ext_dup_spans must count occurrences with a window over fp (one
+    hash-partition exchange) — no join of the occurrence frame back to
+    itself — and the tiny per-doc aggregate must broadcast-join to the
+    stats side."""
+    plan = _plan(spark, sf_dir, "ext_dup_spans")
+    assert plan.count("hashpartitioning(fp") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dup_span_rewrite_plan(spark, sf_dir):
+    """The rewrite's removal-span state joins back per doc; the token
+    rebuild is a higher-order filter (no per-token explode join, no
+    cartesian)."""
+    plan = _plan(spark, sf_dir, "ext_dup_span_rewrite")
+    assert plan.count("hashpartitioning(fp") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_countmin_sketch_broadcasts(spark, sf_dir):
+    """The CMS table (depth×width rows) must broadcast into the
+    point-query join — estimation must stay narrow on the probe side."""
+    plan = _plan(spark, sf_dir, "ext_countmin_freqs")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lm_quality_lm_frames_broadcast(spark, sf_dir):
+    """Both LM frames (bigram counts, prefix counts) and the vocab row
+    must broadcast — corpus-side scoring must not shuffle on the join
+    keys."""
+    plan = _plan(spark, sf_dir, "ext_lm_quality")
+    assert plan.count("BroadcastHashJoin") >= 2
+    # the only exchanges on the corpus side are the two aggregations
+    # (LM fit is reference-subset-only) and the per-doc fold
+    assert "CartesianProduct" not in plan
+
+
+def test_prototypicality_single_cluster_shuffle(spark, sf_dir):
+    """Rank and cluster-count windows must share ONE exchange on
+    centroid_id (same partition key ⇒ reused shuffle)."""
+    plan = _plan(spark, sf_dir, "ext_prototypicality")
+    assert plan.count("hashpartitioning(centroid_id") == 1
+    assert "CartesianProduct" not in plan
