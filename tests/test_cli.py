@@ -100,3 +100,25 @@ def test_cli_semdedup_and_select(spark, sf_dir, tmp_path):
     wtab = spark.read.parquet(str(tmp_path / "wtab"))
     assert wtab.count() <= 128
     assert {"bucket", "w", "t_total", "r_total"} <= set(wtab.columns)
+
+
+def test_cli_spandedup_and_lmscore(spark, sf_dir, tmp_path):
+    from token_etl_spark.cli import main
+    from token_etl_spark.io.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = str(tmp_path / "docs_in")
+    docs.write.parquet(staged)
+
+    out1 = str(tmp_path / "span_out")
+    main(["spandedup", "--documents", staged, "--out", out1, "--k", "8"])
+    got = spark.read.parquet(out1)
+    assert got.count() == docs.count()
+    assert set(got.columns) == {"id", "n_tokens", "n_removed", "cleaned"}
+
+    out2 = str(tmp_path / "lm_out")
+    main(["lmscore", "--documents", staged, "--out", out2,
+          "--reference-sources", "src0,src1"])
+    got2 = spark.read.parquet(out2)
+    assert got2.count() == docs.count()
+    assert set(got2.columns) == {"doc_id", "source", "n_bigrams", "score", "avg_p"}

@@ -17,6 +17,10 @@ Plus the training-corpus extension pipelines:
         [--centroids N] [--iters N] [--threshold F]
     python -m token_etl_spark.cli select   --documents P --out O
         [--target-sources s0,s1] [--buckets N] [--fit-out P]
+    python -m token_etl_spark.cli spandedup --documents P --out O
+        [--k N] [--stats-only]
+    python -m token_etl_spark.cli lmscore  --documents P --out O
+        [--reference-sources s0,s1]
 """
 
 from __future__ import annotations
@@ -75,6 +79,21 @@ def main(argv: list[str] | None = None) -> None:
     sel.add_argument("--target-sources", default="src0")
     sel.add_argument("--buckets", type=int, default=512)
     sel.add_argument("--fit-out", help="also persist the bucket→weight table")
+
+    spn = sub.add_parser("spandedup")
+    spn.add_argument("--documents", required=True)
+    spn.add_argument("--out", required=True)
+    spn.add_argument("--k", type=int, default=8)
+    spn.add_argument(
+        "--stats-only",
+        action="store_true",
+        help="report duplicated-span coverage without rewriting the text",
+    )
+
+    lm = sub.add_parser("lmscore")
+    lm.add_argument("--documents", required=True)
+    lm.add_argument("--out", required=True)
+    lm.add_argument("--reference-sources", default="src0")
 
     args = p.parse_args(argv)
     spark = get_spark(f"token_etl_spark_{args.cmd}")
@@ -146,6 +165,23 @@ def main(argv: list[str] | None = None) -> None:
                 importance_weight_table(docs, targets, args.buckets), args.fit_out
             )
         out = importance_weights(docs, targets, args.buckets)
+        write_parquet(out, args.out)
+    elif args.cmd == "spandedup":
+        from token_etl_spark.operators.dedup import (
+            dedup_spans_rewrite,
+            duplicated_spans,
+        )
+
+        docs = spark.read.parquet(args.documents)
+        fn = duplicated_spans if args.stats_only else dedup_spans_rewrite
+        write_parquet(fn(docs, k=args.k), args.out)
+    elif args.cmd == "lmscore":
+        from token_etl_spark.operators.curation import bigram_lm_quality
+
+        out = bigram_lm_quality(
+            spark.read.parquet(args.documents),
+            reference_sources=tuple(args.reference_sources.split(",")),
+        )
         write_parquet(out, args.out)
     print(f"{args.cmd}: wrote {args.out}")
 
