@@ -424,25 +424,39 @@ def cross_corpus_dedup(
     )
 
 
-def bigrams(text: Column | str) -> Column:
-    """Adjacent word-pair array from the shared tokenizer (``text.tokens``).
+def bigram_array_expr(toks: Column) -> Column:
+    """Adjacent word-pair array from a tokens column.
 
-    Guarded ``sequence``: Spark's ``sequence(1, n)`` DESCENDS when n < 1
-    (sequence(1, 0) = [1, 0]), so short docs must short-circuit to an
-    empty array rather than rely on an empty range."""
-    from token_etl_spark.operators.text import tokens
+    Built with ``zip_with`` over two ``slice``s rather than an indexed
+    ``transform`` lambda: higher-order lambdas get no common-
+    subexpression elimination, so ``element_at(toks, i)`` with an inline
+    tokenizer expression re-runs the regex split TWICE PER BIGRAM —
+    O(len²) per document (the ``dedup.shingles`` CSE trap; the indexed
+    form cost ext_importance_weights 65 s at sf0.1). ``zip_with``'s
+    array operands are plain function ARGUMENTS, evaluated once each
+    before the per-element lambda runs, so this form is O(len) even
+    when ``toks`` is the tokenizer expression itself.
 
-    toks = tokens(text)
+    Guarded ``when``: Spark's ``sequence(1, n)`` family misbehaves for
+    n < 1 (and slice lengths must be non-negative), so sub-2-token docs
+    short-circuit to an empty array."""
     n = F.size(toks)
     return F.when(
         n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat(
-                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
-            ),
+        F.zip_with(
+            F.slice(toks, F.lit(1), n - 1),
+            F.slice(toks, F.lit(2), n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def bigrams(text: Column | str) -> Column:
+    """Adjacent word-pair array from raw text via the shared tokenizer
+    (``text.tokens``); O(len) per document — see ``bigram_array_expr``."""
+    from token_etl_spark.operators.text import tokens
+
+    return bigram_array_expr(tokens(text))
 
 
 def _bigram_occurrences(

@@ -29,7 +29,9 @@ from token_etl_spark.plans.base import QuerySpec
 #      after the r3 window was fixed; now also two-phase bucketed).
 #      After this round every declared query has had a green driver row.
 #   2. New queries added this round follow, so they get their first
-#      driver rows immediately.
+#      driver rows immediately (span-dedup pair, count-min, simhash LSH,
+#      TF-IDF, cross-doc line dedup, SemDeDup + D4 prototypicality,
+#      DSIR importance, bigram-LM quality, full-outer join).
 #   3. The fill rotates the r2 window back IN (extensions/curation/
 #      quality/domain — last driver-verified in round 2) and rotates the
 #      r3 window OUT (tpch/tpch2/tpch3/relational, all ever-green in
