@@ -139,8 +139,13 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-appended, guaranteeing the keep-first path actually fires. The
     oracle replays chunking, injection, and keep-first dedup exactly;
     ``dedup_fp`` pins the surviving text byte-for-byte via md5."""
-    docs = t(spark, sf_dir, "documents")
-    tk = F.split(F.col("text"), " ")
+    # tk is MATERIALIZED before the per-index transform references it —
+    # an inline split would re-run once per chunk inside the no-CSE
+    # lambda (the bigram_array_expr / shingles trap)
+    base = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("tk")
+    )
+    tk = F.col("tk")
     n_chunks = F.ceil(F.size(tk) / F.lit(3.0)).cast("int")
     lines = F.transform(
         F.sequence(F.lit(0), n_chunks - F.lit(1)),
@@ -151,7 +156,7 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 5 == 0,
         F.concat(joined, F.lit("\n"), F.element_at(lines, 1)),
     ).otherwise(joined)
-    out = X.line_dedup(docs.select("doc_id", synth_text.alias("text")))
+    out = X.line_dedup(base.select("doc_id", synth_text.alias("text")))
     return out.select(
         "doc_id", "n_lines", "n_unique", F.md5("deduped").alias("dedup_fp")
     )
@@ -191,14 +196,17 @@ def q_crossdoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-line): each distinct normalized line survives only at its
     first (doc_id, idx) occurrence corpus-wide — duplicate documents and
     shared boilerplate chunks both exercise the cross-document path."""
-    docs = t(spark, sf_dir, "documents")
-    tk = F.split(F.col("text"), " ")
+    # same materialize-before-lambda rule as q_line_dedup above
+    base = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("tk")
+    )
+    tk = F.col("tk")
     n_chunks = F.ceil(F.size(tk) / F.lit(3.0)).cast("int")
     lines = F.transform(
         F.sequence(F.lit(0), n_chunks - F.lit(1)),
         lambda i: F.array_join(F.slice(tk, i * 3 + 1, 3), " "),
     )
-    synth = docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    synth = base.select("doc_id", F.array_join(lines, "\n").alias("text"))
     return X.crossdoc_line_dedup(synth)
 
 
