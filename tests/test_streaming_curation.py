@@ -142,3 +142,31 @@ def test_streaming_countmin_matches_batch(spark, sf_dir, tmp_path):
     occ = docs.select(F.explode(_toks(F.col("text"))).alias("token"))
     want = sorted(map(tuple, countmin_table(occ, depth=4, width=64).collect()))
     assert got == want
+
+
+def test_streaming_lm_score_matches_batch(spark, sf_dir, tmp_path):
+    """Stream scoring against the pre-fit LM agrees with the batch
+    operator (fold order differs → compare rounded)."""
+    from token_etl_spark.operators.curation import bigram_lm_quality, bigram_lm_tables
+    from token_etl_spark.streaming.curation import streaming_lm_score
+
+    docs, staged = _staged_docs(spark, sf_dir, tmp_path, "lm_stream")
+    c2, c1 = bigram_lm_tables(docs, reference_sources=("src0", "src1"))
+    stream = read_file_stream(spark, staged, docs.schema)
+    run_to_memory(
+        streaming_lm_score(stream, c2, c1), "lm_out", output_mode="append"
+    )
+    got = {
+        r.doc_id: r
+        for r in spark.sql("SELECT doc_id, n_bigrams, score, avg_p FROM lm_out").collect()
+    }
+    want = {
+        r.doc_id: r
+        for r in bigram_lm_quality(docs, reference_sources=("src0", "src1")).collect()
+    }
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        assert g.n_bigrams == w.n_bigrams
+        assert abs(g.score - w.score) < 1e-9
+        assert abs(g.avg_p - w.avg_p) < 1e-9

@@ -474,6 +474,28 @@ def _bigram_occurrences(
     ).withColumn("bucket", hash_bucket(F.col("bg"), n_buckets))
 
 
+def bigram_lm_tables(
+    docs: DataFrame,
+    reference_sources: tuple[str, ...] = ("src0",),
+    text_col: str = "text",
+    source_col: str = "source",
+) -> tuple[DataFrame, DataFrame]:
+    """Fit the reference bigram LM used by ``bigram_lm_quality``:
+    returns ``(bigram_counts, prefix_counts)`` — (bg, c2) and (w1, c1)
+    frames over the reference subset. Both are vocabulary-sized
+    (broadcastable); persisting them is the fit-offline half of the
+    fit/score split the streaming scorer needs."""
+    is_ref = F.col(source_col).isin(*reference_sources)
+    ref_occ = (
+        docs.filter(is_ref)
+        .select(F.explode(bigrams(F.col(text_col))).alias("bg"))
+        .withColumn("w1", F.split(F.col("bg"), " ")[0])
+    )
+    c2 = ref_occ.groupBy("bg").agg(F.count("*").alias("c2"))
+    c1 = ref_occ.groupBy("w1").agg(F.count("*").alias("c1"))
+    return c2, c1
+
+
 def bigram_lm_quality(
     docs: DataFrame,
     reference_sources: tuple[str, ...] = ("src0",),
@@ -512,14 +534,7 @@ def bigram_lm_quality(
     pinned-order probability sum, ``avg_p`` its per-bigram mean (the
     ranking signal), both rounded at the query layer only.
     """
-    is_ref = F.col(source_col).isin(*reference_sources)
-    ref_occ = (
-        docs.filter(is_ref)
-        .select(F.explode(bigrams(F.col(text_col))).alias("bg"))
-        .withColumn("w1", F.split(F.col("bg"), " ")[0])
-    )
-    c2 = ref_occ.groupBy("bg").agg(F.count("*").alias("c2"))
-    c1 = ref_occ.groupBy("w1").agg(F.count("*").alias("c1"))
+    c2, c1 = bigram_lm_tables(docs, reference_sources, text_col, source_col)
     # vocab = distinct first-words of reference bigrams (the conditioning
     # contexts), a 1-row broadcast
     vocab = c1.agg(F.count("*").alias("v"))

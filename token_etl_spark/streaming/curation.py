@@ -181,3 +181,63 @@ def streaming_countmin(
 
     occ = stream.select(F.explode(tokens(F.col(text_col))).alias("token"))
     return countmin_table(occ, item_col="token", depth=depth, width=width)
+
+
+def streaming_lm_score(
+    stream: DataFrame,
+    bigram_counts: DataFrame,
+    prefix_counts: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Score a document stream against a PRE-FIT reference bigram LM
+    (``operators/curation.bigram_lm_tables``) — the same fit-offline/
+    score-at-ingest split as ``streaming_importance_score``: the LM fit
+    is a batch job over the trusted reference corpus; admission scoring
+    of new documents is this stateless per-row fold.
+
+    Both LM frames are vocabulary-sized and collapse to ONE broadcast
+    row holding a bigram→c2 map, a prefix→c1 map, and the vocab size V.
+    Scoring folds the row's bigram array with p = (c2+1)/(c1+V) lookups
+    — no explode, no shuffle, no state; unseen prefixes hit the 1/V
+    smoothing floor automatically via the missing-key coalesce. The fold
+    runs in bigram order (not the batch op's position-sorted order), so
+    scores can differ from ``bigram_lm_quality`` in the last ulps;
+    consumers comparing the two should round (tested at 1e-9)."""
+    from token_etl_spark.operators.curation import bigrams
+
+    lmrow = (
+        bigram_counts.agg(
+            F.map_from_entries(F.collect_list(F.struct("bg", "c2"))).alias("_c2")
+        )
+        .crossJoin(
+            prefix_counts.agg(
+                F.map_from_entries(F.collect_list(F.struct("w1", "c1"))).alias("_c1"),
+                F.count("*").alias("_v"),
+            )
+        )
+    )
+
+    def p(b):
+        w1 = F.split(b, " ")[0]
+        return (
+            (F.coalesce(F.element_at(F.col("_c2"), b), F.lit(0)) + 1).cast("double")
+            / (F.coalesce(F.element_at(F.col("_c1"), w1), F.lit(0)) + F.col("_v")).cast(
+                "double"
+            )
+        )
+
+    n = F.size(F.col("_bg"))
+    return (
+        stream.withColumn("_bg", bigrams(F.col(text_col)))
+        .crossJoin(F.broadcast(lmrow))
+        .withColumn("n_bigrams", F.greatest(n, F.lit(0)).cast("long"))
+        .withColumn(
+            "score", F.aggregate(F.col("_bg"), F.lit(0.0), lambda acc, b: acc + p(b))
+        )
+        .withColumn(
+            "avg_p",
+            F.when(F.col("n_bigrams") > 0, F.col("score") / F.col("n_bigrams"))
+            .otherwise(F.lit(0.0)),
+        )
+        .drop("_bg", "_c2", "_c1", "_v")
+    )
