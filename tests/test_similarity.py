@@ -211,3 +211,58 @@ def test_prototypicality_drop_boundary_integer_exact(spark):
     for pct, expect_dropped in ((39, 1), (40, 2)):
         out = prototypicality_filter(df, n_centroids=1, n_iters=1, drop_pct=pct).collect()
         assert sum(1 for r in out if not r.kept) == expect_dropped
+
+
+def test_centroid_passthrough_matches_internal_training(spark, sf_dir):
+    """semantic_dedup / prototypicality_filter with a pre-trained
+    centroid table produce row-identical output to internal training
+    (same params) — the train-once-reuse contract of d4_select."""
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.operators.similarity import (
+        prototypicality_filter,
+        semantic_dedup,
+        spherical_kmeans,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = spherical_kmeans(emb, n_centroids=8, n_iters=2)
+    a = sorted(map(tuple, semantic_dedup(emb, 8, 2, 0.3).collect()))
+    b = sorted(map(tuple, semantic_dedup(emb, 8, 2, 0.3, centroids=cents).collect()))
+    assert a == b
+    c = sorted(map(tuple, prototypicality_filter(emb, 8, 2, 25).collect()))
+    d = sorted(
+        map(tuple, prototypicality_filter(emb, 8, 2, 25, centroids=cents).collect())
+    )
+    assert c == d
+
+
+def test_d4_select_composes_both_stages(spark, sf_dir):
+    """keep == semdedup_kept AND proto_kept; stage-2 quota applies to
+    the deduplicated cluster sizes (cluster_n counts survivors only)."""
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.operators.similarity import d4_select, semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = d4_select(emb, n_centroids=8, n_iters=2, threshold=0.3, drop_pct=25)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    sem_keep = {r.id for r in rows if r.semdedup_kept}
+    final_keep = {r.id for r in rows if r.keep}
+    assert final_keep < sem_keep  # drop_pct=25 strictly shrinks the set
+    for r in rows:
+        if not r.semdedup_kept:
+            assert r.proto_kept is None and not r.keep
+        else:
+            assert r.proto_kept is not None
+            assert r.keep == (r.semdedup_kept and r.proto_kept)
+    # stage-1 decisions must equal a standalone SemDeDup run
+    sem_alone = {
+        r.id for r in semantic_dedup(emb, 8, 2, 0.3).collect() if r.kept
+    }
+    assert sem_keep == sem_alone
+    # per-cluster survivor counts: cluster_n sums to |survivors|
+    per_cluster = {}
+    for r in rows:
+        if r.semdedup_kept:
+            per_cluster.setdefault(r.centroid_id, set()).add(r.cluster_n)
+    assert all(len(v) == 1 for v in per_cluster.values())

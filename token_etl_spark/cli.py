@@ -72,6 +72,12 @@ def main(argv: list[str] | None = None) -> None:
     sem.add_argument("--centroids", type=int, default=16)
     sem.add_argument("--iters", type=int, default=2)
     sem.add_argument("--threshold", type=float, default=0.3)
+    sem.add_argument(
+        "--d4",
+        action="store_true",
+        help="run full D4 (SemDeDup + prototype drop, one shared training run)",
+    )
+    sem.add_argument("--drop-pct", type=int, default=25)
 
     sel = sub.add_parser("select")
     sel.add_argument("--documents", required=True)
@@ -143,14 +149,24 @@ def main(argv: list[str] | None = None) -> None:
         for row in corpus_summary(spark.read.parquet(args.out)).collect():
             print(row.asDict())
     elif args.cmd == "semdedup":
-        from token_etl_spark.operators.similarity import semantic_dedup
+        from token_etl_spark.operators.similarity import d4_select, semantic_dedup
 
-        out = semantic_dedup(
-            spark.read.parquet(args.embeddings),
-            n_centroids=args.centroids,
-            n_iters=args.iters,
-            threshold=args.threshold,
-        )
+        emb = spark.read.parquet(args.embeddings)
+        if args.d4:
+            out = d4_select(
+                emb,
+                n_centroids=args.centroids,
+                n_iters=args.iters,
+                threshold=args.threshold,
+                drop_pct=args.drop_pct,
+            )
+        else:
+            out = semantic_dedup(
+                emb,
+                n_centroids=args.centroids,
+                n_iters=args.iters,
+                threshold=args.threshold,
+            )
         write_parquet(out, args.out)
     elif args.cmd == "select":
         from token_etl_spark.operators.curation import (

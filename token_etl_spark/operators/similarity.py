@@ -468,18 +468,27 @@ def _assign_with_sim(
     n_iters: int,
     id_col: str,
     vec_col: str,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """Train spherical k-means and assign every corpus row to its
-    max-cosine centroid, RETAINING the winning cosine: (id, v,
-    centroid_id, centroid_sim). Assignment is the same map-only
-    broadcast-argmax as ``_assign_to_centroids`` (ties to the smallest
-    centroid_id via struct max on (sim, -id), matching the oracle's
-    row_number ordering bit-for-bit); shared by ``semantic_dedup`` and
-    ``prototypicality_filter``."""
+    """Train spherical k-means (or accept a PRE-TRAINED ``centroids``
+    frame — (centroid_id, centroid_vec), e.g. from ``spherical_kmeans``)
+    and assign every corpus row to its max-cosine centroid, RETAINING
+    the winning cosine: (id, v, centroid_id, centroid_sim). Assignment
+    is the same map-only broadcast-argmax as ``_assign_to_centroids``
+    (ties to the smallest centroid_id via struct max on (sim, -id),
+    matching the oracle's row_number ordering bit-for-bit); shared by
+    ``semantic_dedup`` and ``prototypicality_filter``, which accept the
+    same ``centroids`` pass-through so one training run serves dedup,
+    diversification, AND the IVF index (train once, reuse — at 100 TB
+    the Lloyd iterations are corpus-wide shuffles worth sharing)."""
     base = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    cents = spherical_kmeans(corpus, n_centroids, n_iters, id_col, vec_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else spherical_kmeans(corpus, n_centroids, n_iters, id_col, vec_col)
+    )
     carr = F.broadcast(
         cents.agg(F.collect_list(F.struct("centroid_id", "centroid_vec")).alias("_cents"))
     )
@@ -512,6 +521,7 @@ def prototypicality_filter(
     drop_pct: int = 25,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SSL-prototype diversification — the second stage of D4 (Tirumala
     et al. 2023, "D4: Improving LLM Pretraining via Document De-Duplication
@@ -536,7 +546,9 @@ def prototypicality_filter(
     precedes it; oversized clusters are bounded the same way (grow
     n_centroids with the corpus).
     """
-    assigned = _assign_with_sim(corpus, n_centroids, n_iters, id_col, vec_col)
+    assigned = _assign_with_sim(
+        corpus, n_centroids, n_iters, id_col, vec_col, centroids
+    )
     w_rank = Window.partitionBy("centroid_id").orderBy(
         F.col("centroid_sim").desc(), F.col("id")
     )
@@ -564,6 +576,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster: int | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space with spherical k-means, then flag semantic
@@ -598,7 +611,9 @@ def semantic_dedup(
     Returns one row per corpus row: (id, centroid_id, centroid_sim,
     n_dups, kept).
     """
-    assigned = _assign_with_sim(corpus, n_centroids, n_iters, id_col, vec_col)
+    assigned = _assign_with_sim(
+        corpus, n_centroids, n_iters, id_col, vec_col, centroids
+    )
     paired_src = assigned
     if max_cluster is not None:
         from token_etl_spark.operators.dedup import _cap_bucket_size
@@ -647,4 +662,71 @@ def semantic_dedup(
         "centroid_sim",
         F.coalesce("n_dups", F.lit(0)).alias("n_dups"),
         (F.coalesce("has_pred", F.lit(0)) == 0).alias("kept"),
+    )
+
+
+def d4_select(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    threshold: float = 0.3,
+    drop_pct: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """End-to-end D4 (Tirumala et al. 2023, arXiv:2308.12284): SemDeDup
+    then SSL-prototype diversification, exactly as the paper composes
+    them — duplicates go first, then the most prototypical survivors.
+
+    One spherical-k-means training run is SHARED by both stages (the
+    ``centroids`` pass-through): training is the only corpus-wide
+    iterative cost, so at 100 TB it must not run twice — and sharing it
+    also keeps both stages' cluster geometry consistent, which the
+    second stage's per-cluster quota assumes. Prototypicality ranks the
+    SURVIVORS of the dedup stage (left-semi join), so the drop quota
+    applies to the deduplicated cluster sizes, matching the paper's
+    ordering.
+
+    Returns one row per corpus row: (id, centroid_id, centroid_sim,
+    n_dups, semdedup_kept, cluster_n, proto_rank, proto_kept, keep) —
+    ``keep`` = survived both stages; rows dropped by stage 1 carry null
+    stage-2 columns.
+    """
+    cents = spherical_kmeans(corpus, n_centroids, n_iters, id_col, vec_col)
+    sem = semantic_dedup(
+        corpus,
+        n_centroids,
+        n_iters,
+        threshold,
+        id_col,
+        vec_col,
+        max_cluster,
+        centroids=cents,
+    )
+    survivors = corpus.join(
+        sem.filter(F.col("kept")).select(F.col("id").alias(id_col)),
+        id_col,
+        "left_semi",
+    )
+    proto = prototypicality_filter(
+        survivors, n_centroids, n_iters, drop_pct, id_col, vec_col, centroids=cents
+    )
+    return (
+        sem.select(
+            "id",
+            "centroid_id",
+            "centroid_sim",
+            "n_dups",
+            F.col("kept").alias("semdedup_kept"),
+        )
+        .join(
+            proto.select("id", "cluster_n", "proto_rank", F.col("kept").alias("proto_kept")),
+            "id",
+            "left",
+        )
+        .withColumn(
+            "keep",
+            F.col("semdedup_kept") & F.coalesce(F.col("proto_kept"), F.lit(False)),
+        )
     )
