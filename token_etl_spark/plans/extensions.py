@@ -1138,7 +1138,10 @@ SELECT rank, token, n, est_n, est_n - n AS overcount FROM est
 SPECS = [
     QuerySpec("ext_dedup_exact", q_dedup_exact, SQL_DEDUP_EXACT, ("dedup",), bench=True),
     QuerySpec("ext_dup_spans", q_dup_spans, SQL_DUP_SPANS, ("dedup", "text")),
-    QuerySpec("ext_dup_span_rewrite", q_dup_span_rewrite, SQL_DUP_SPAN_REWRITE, ("dedup", "text")),
+    # bench=True (r4): the ExactSubstr rewrite shuffles ~1 row per corpus
+    # token — the sub-document dedup workload whose cost is data volume,
+    # not document count; track it round over round.
+    QuerySpec("ext_dup_span_rewrite", q_dup_span_rewrite, SQL_DUP_SPAN_REWRITE, ("dedup", "text"), bench=True),
     QuerySpec("ext_countmin_freqs", q_countmin_freqs, SQL_COUNTMIN_FREQS, ("sketch", "text", "agg-topk")),
     QuerySpec("ext_text_stats", q_text_stats, SQL_TEXT_STATS, ("text",), bench=True),
     QuerySpec("ext_text_langid", q_text_langid, SQL_TEXT_LANGID, ("text",)),
