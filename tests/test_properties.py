@@ -205,3 +205,64 @@ def test_quantize_vec_bounds_and_scale_invariance(spark, vec):
             assert q == 0
     # scale-invariant up to float rounding at half-up boundaries
     assert all(abs(a - b) <= 1 for a, b in zip(out[1], out[2]))
+
+
+@given(
+    tokens_=st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd"]),
+        min_size=1,
+        max_size=40,
+    ),
+    depth=st.integers(min_value=1, max_value=4),
+    width=st.integers(min_value=2, max_value=16),
+)
+@FAST
+def test_countmin_never_underestimates(spark, tokens_, depth, width):
+    """CMS guarantee on arbitrary streams and sketch shapes: est ≥ truth
+    for every item, and total mass per hash row equals stream length."""
+    from token_etl_spark.operators.sketch import countmin_estimate, countmin_table
+
+    s = _get(spark)
+    occ = s.createDataFrame([(t,) for t in tokens_], "token string")
+    truth = occ.groupBy("token").agg(F.count("*").alias("n"))
+    cms = countmin_table(occ, depth=depth, width=width)
+    est = countmin_estimate(truth, cms, depth=depth, width=width)
+    for r in est.collect():
+        assert r.est_n >= r.n
+    mass = cms.groupBy("row").agg(F.sum("cnt").alias("m")).collect()
+    assert all(r.m == len(tokens_) for r in mass)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["x", "y", "z"]), min_size=0, max_size=12
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.integers(min_value=2, max_value=4),
+)
+@FAST
+def test_duplicated_spans_invariants(spark, docs, k):
+    """Bounds hold on arbitrary corpora: dup windows ≤ windows, covered
+    tokens ≤ n_tokens, and the rewrite removes exactly the tokens the
+    removal spans cover (n_removed ≤ n_tokens; clean text token count =
+    n_tokens − n_removed)."""
+    from token_etl_spark.operators.dedup import dedup_spans_rewrite, duplicated_spans
+
+    s = _get(spark)
+    df = s.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    stats = {r.id: r for r in duplicated_spans(df, k=k).collect()}
+    rewritten = {r.id: r for r in dedup_spans_rewrite(df, k=k).collect()}
+    assert set(stats) == set(rewritten) == set(range(len(docs)))
+    for i in stats:
+        st_, rw = stats[i], rewritten[i]
+        assert 0 <= st_.n_dup_windows <= st_.n_windows
+        assert 0 <= st_.dup_tokens <= st_.n_tokens
+        assert (st_.n_dup_windows == 0) == (st_.dup_tokens == 0)
+        assert 0 <= rw.n_removed <= rw.n_tokens
+        kept_tokens = [t for t in rw.cleaned.split(" ") if t]
+        assert len(kept_tokens) == rw.n_tokens - rw.n_removed
+        # the rewrite can only remove spans that the stats flagged
+        assert rw.n_removed <= st_.dup_tokens
