@@ -3,11 +3,14 @@
 Images/audio/video are opaque ``binary`` columns with a typed metadata
 struct alongside. The Spark-side contract — schema, partition-parallel
 Arrow batching via ``mapInPandas``, deterministic output shape — is real
-and tested; the actual media decode is STUBBED (no image/audio libs in
-this container): ``decode_stub="fake"`` produces deterministic fake
-features from the bytes, ``decode_stub="error"`` raises
-NotImplementedError exactly where a real decoder (PIL/torchaudio/ffmpeg)
-would plug in.
+and tested. Decode tiers: ``parse_image_header`` is REAL (stdlib-only
+PNG/GIF/BMP/JPEG dimension extraction from actual bytes — the
+resolution-filter stage needs no pixel library; ``decode_stub=
+"headers"`` runs it inside the batch contract); PIXEL decode is STUBBED
+(no image/audio libs in this container): ``decode_stub="fake"`` produces
+deterministic fake features from the bytes, ``decode_stub="error"``
+raises NotImplementedError exactly where a real decoder
+(PIL/torchaudio/ffmpeg) would plug in.
 
 At 100 TB: binary payloads dominate I/O, so the metadata struct lives in
 its own (small) columns — predicates on media_type/byte_len prune row
@@ -18,11 +21,52 @@ memory stays flat regardless of payload size distribution.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
+    """REAL (format, width, height) extraction from actual image bytes —
+    stdlib-only, no PIL: PNG IHDR, GIF logical-screen descriptor, BMP
+    info header, and a JPEG SOF-marker scan. Returns None when the magic
+    bytes match no known format.
+
+    This is the one media stage that needs no pixel library, and at
+    100 TB it is also the one worth running FIRST: resolution/format
+    predicates (drop icons, keep ≥ 224×224) prune payloads before any
+    real decoder spends CPU on them — the same role the metadata struct
+    plays for row-group pruning, one level deeper into the bytes.
+    """
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+        w, h = struct.unpack(">II", payload[16:24])
+        return ("png", w, h)
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        w, h = struct.unpack("<HH", payload[6:10])
+        return ("gif", w, h)
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        w, h = struct.unpack("<ii", payload[18:26])
+        return ("bmp", w, abs(h))  # negative height = top-down DIB
+    if payload[:2] == b"\xff\xd8":  # JPEG: walk segments to a SOF marker
+        i = 2
+        while i + 9 <= len(payload):
+            if payload[i] != 0xFF:
+                break
+            marker = payload[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length field
+                continue
+            if i + 4 > len(payload):
+                break
+            seglen = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3) and i + 9 <= len(payload):
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return ("jpeg", w, h)
+            i += 2 + seglen
+    return None
 
 DECODED_SCHEMA = (
     "doc_id bigint, media_type string, byte_len int, width int, height int, n_frames int, checksum string"
@@ -57,6 +101,14 @@ def decode_features(df: DataFrame, decode_stub: str = "fake") -> DataFrame:
                 "media decode requires an image/audio library not present in this "
                 "container; plug PIL/torchaudio here"
             )
+        if decode_stub == "headers":
+            # REAL header parse (PNG/GIF/BMP/JPEG, stdlib-only); payloads
+            # whose magic matches no format fall through to the fake path
+            # so mixed corpora still produce a full frame.
+            parsed = parse_image_header(bytes(payload))
+            if parsed is not None:
+                _, w, h = parsed
+                return w, h, 1
         # Deterministic fake: derive pseudo-dimensions from the byte length
         # and first bytes so tests have stable expectations.
         n = len(payload)
