@@ -54,6 +54,7 @@ _PRIORITY_NAMES = [
     "ext_importance_weights",
     "ext_lm_quality",
     "rel_full_outer",
+    "rel_salted_agg",
 ]
 
 _MODULE_ORDER: list[QuerySpec] = [

@@ -224,6 +224,54 @@ SELECT s_nationkey AS nationkey FROM supplier
 """
 
 
+# --- salted (skew-resistant) aggregation -----------------------------------
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.py salted_aggregate)
+    under the correctness gate: lineitem grouped by l_returnflag — 3
+    keys over 60k+ rows, exactly the hot-key shape the salt exists for —
+    must equal the plain GROUP BY bit-for-bit. It does, deterministically,
+    because every aggregate here is order-insensitive at the VALUE level:
+    count/min/max trivially, and sum(l_quantity) because quantities are
+    integral-valued doubles (1..50) whose sums stay exact integers in
+    IEEE double regardless of accumulation order — so the per-salt
+    partial sums recombine to the same bits the single-phase sum
+    produces, and the DuckDB oracle is the plain aggregate. (A
+    non-integral double sum would need rounding on both sides.)"""
+    from token_etl_spark.operators.skew import salted_aggregate
+
+    li = t(spark, sf_dir, "lineitem")
+    out = salted_aggregate(
+        li,
+        ["l_returnflag"],
+        {
+            "sum_qty": ("sum", "l_quantity"),
+            "n_rows": ("count", "l_orderkey"),
+            "min_price": ("min", "l_extendedprice"),
+            "max_price": ("max", "l_extendedprice"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        "sum_qty",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "min_price",
+        "max_price",
+    )
+
+
+SQL_SALTED_AGG = """
+SELECT l_returnflag,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+       CAST(count(l_orderkey) AS BIGINT) AS n_rows,
+       min(l_extendedprice) AS min_price,
+       max(l_extendedprice) AS max_price
+FROM lineitem GROUP BY 1
+"""
+
+
 # --- full-outer join of two aggregates -------------------------------------
 
 
@@ -594,6 +642,7 @@ SPECS = [
     QuerySpec("rel_anti_join", q_anti_join, SQL_ANTI_JOIN, ("join-anti",)),
     QuerySpec("rel_union_distinct", q_union_distinct, SQL_UNION_DISTINCT, ("setop",)),
     QuerySpec("rel_full_outer", q_full_outer, SQL_FULL_OUTER, ("join-outer",)),
+    QuerySpec("rel_salted_agg", q_salted_agg, SQL_SALTED_AGG, ("agg", "skew")),
     QuerySpec("rel_pivot_priority", q_pivot_priority, SQL_PIVOT_PRIORITY, ("pivot",)),
     QuerySpec("rel_topk_orders", q_topk_orders, SQL_TOPK_ORDERS, ("window-rank",)),
     QuerySpec("rel_asof_last_click", q_asof_last_click, SQL_ASOF_LAST_CLICK, ("join-asof",), bench=True),
