@@ -55,6 +55,7 @@ _PRIORITY_NAMES = [
     "ext_lm_quality",
     "rel_full_outer",
     "rel_salted_agg",
+    "rel_salted_join",
 ]
 
 _MODULE_ORDER: list[QuerySpec] = [

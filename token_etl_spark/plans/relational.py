@@ -272,6 +272,36 @@ FROM lineitem GROUP BY 1
 """
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (operators/skew.py salted_join) under the gate:
+    lineitem (big, salted) joins part (small, replicated ×16) on
+    l_partkey, then aggregates brand revenue — identical to the plain
+    join by construction (the salt column matches itself), proven
+    against a plain-join oracle. The aggregate keeps the oracle frame
+    small; revenue sums are rounded on both sides (non-integral
+    doubles)."""
+    from token_etl_spark.operators.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    pt = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(
+        li, pt.withColumnRenamed("p_partkey", "l_partkey"), "l_partkey", n_salts=16
+    )
+    return joined.groupBy("p_brand").agg(
+        F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+SQL_SALTED_JOIN = """
+SELECT p_brand,
+       round(sum(l_extendedprice), 4) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+GROUP BY 1
+"""
+
+
 # --- full-outer join of two aggregates -------------------------------------
 
 
@@ -643,6 +673,7 @@ SPECS = [
     QuerySpec("rel_union_distinct", q_union_distinct, SQL_UNION_DISTINCT, ("setop",)),
     QuerySpec("rel_full_outer", q_full_outer, SQL_FULL_OUTER, ("join-outer",)),
     QuerySpec("rel_salted_agg", q_salted_agg, SQL_SALTED_AGG, ("agg", "skew")),
+    QuerySpec("rel_salted_join", q_salted_join, SQL_SALTED_JOIN, ("join", "skew")),
     QuerySpec("rel_pivot_priority", q_pivot_priority, SQL_PIVOT_PRIORITY, ("pivot",)),
     QuerySpec("rel_topk_orders", q_topk_orders, SQL_TOPK_ORDERS, ("window-rank",)),
     QuerySpec("rel_asof_last_click", q_asof_last_click, SQL_ASOF_LAST_CLICK, ("join-asof",), bench=True),
