@@ -708,6 +708,94 @@ FROM ranked
 SQL_PROTOTYPICALITY = _prototypicality_sql()
 
 
+def q_d4_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end D4 composition (operators/similarity.py d4_select):
+    SemDeDup keep-list, then prototype drop over the SURVIVORS with the
+    shared training run. The oracle chains the SemDeDup CTEs with a
+    survivor-filtered rank/count stage, so the composition itself — not
+    just its two stages — is driver-proven. Booleans are cast to BIGINT
+    for the hasher; dropped rows carry null stage-2 columns on both
+    sides."""
+    emb = t(spark, sf_dir, "embeddings")
+    out = S.d4_select(
+        emb,
+        n_centroids=16,
+        n_iters=2,
+        threshold=SEMDEDUP_COSINE,
+        drop_pct=PROTO_DROP_PCT,
+    )
+    return out.select(
+        F.col("id").alias("vec_id"),
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+        F.round("centroid_sim", 6).alias("centroid_sim"),
+        F.col("n_dups").cast("long").alias("n_dups"),
+        F.col("semdedup_kept").cast("int").cast("long").alias("semdedup_kept"),
+        F.col("cluster_n").cast("long").alias("cluster_n"),
+        F.col("proto_rank").cast("long").alias("proto_rank"),
+        F.col("proto_kept").cast("int").cast("long").alias("proto_kept"),
+        F.col("keep").cast("int").cast("long").alias("keep"),
+    )
+
+
+def _d4_select_sql(
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    threshold: float = SEMDEDUP_COSINE,
+    drop_pct: int = PROTO_DROP_PCT,
+    dim: int = 64,
+) -> str:
+    """DuckDB replay of the full D4 composition: SemDeDup CTEs (shared
+    k-means training + assignment + in-cluster dup scan), then the
+    rank/count windows over the keep-list survivors only."""
+    members = _kmeans_cte_members(n_centroids, n_iters, dim)
+    cf = f"c{n_iters}"
+    members += [
+        f"""asg AS (
+  SELECT vec_id, centroid_id, sim FROM (
+    SELECT e.vec_id, c.centroid_id, list_cosine_similarity(e.v, c.cv) AS sim,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id) AS rn
+    FROM e CROSS JOIN {cf} c) WHERE rn = 1)""",
+        f"""dup AS (
+  SELECT b.vec_id AS vid, count(*) AS n_dups,
+         max(CASE WHEN (a.sim, a.vec_id) < (b.sim, b.vec_id) THEN 1 ELSE 0 END) AS has_pred
+  FROM asg a
+  JOIN asg b ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE list_cosine_similarity(ea.v, eb.v) >= {threshold}
+  GROUP BY 1)""",
+        """sem AS (
+  SELECT asg.vec_id, asg.centroid_id, asg.sim,
+         CAST(coalesce(d.n_dups, 0) AS BIGINT) AS n_dups,
+         (coalesce(d.has_pred, 0) = 0) AS kept
+  FROM asg LEFT JOIN dup d ON d.vid = asg.vec_id)""",
+        """pr AS (
+  SELECT vec_id,
+         row_number() OVER (PARTITION BY centroid_id ORDER BY sim DESC, vec_id) AS proto_rank,
+         count(*) OVER (PARTITION BY centroid_id) AS cluster_n
+  FROM sem WHERE kept)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(members)
+        + f"""
+SELECT s.vec_id, CAST(s.centroid_id AS BIGINT) AS centroid_id,
+       round(s.sim, 6) AS centroid_sim, s.n_dups,
+       CAST(s.kept AS BIGINT) AS semdedup_kept,
+       CAST(p.cluster_n AS BIGINT) AS cluster_n,
+       CAST(p.proto_rank AS BIGINT) AS proto_rank,
+       CAST(p.proto_rank > (p.cluster_n * {int(drop_pct)}) // 100 AS BIGINT) AS proto_kept,
+       CAST(s.kept AND coalesce(
+           p.proto_rank > (p.cluster_n * {int(drop_pct)}) // 100, FALSE) AS BIGINT) AS keep
+FROM sem s LEFT JOIN pr p ON p.vec_id = s.vec_id
+"""
+    )
+
+
+SQL_D4_SELECT = _d4_select_sql()
+
+
 def _ann_ivf_sql(k: int = 10, n_centroids: int = 16, n_probe: int = 4) -> str:
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1168,6 +1256,7 @@ SPECS = [
     # pair-join cost round over round.
     QuerySpec("ext_semantic_dedup", q_semantic_dedup, SQL_SEMANTIC_DEDUP, ("similarity", "dedup", "iterative"), bench=True),
     QuerySpec("ext_prototypicality", q_prototypicality, SQL_PROTOTYPICALITY, ("similarity", "curation", "iterative")),
+    QuerySpec("ext_d4_select", q_d4_select, SQL_D4_SELECT, ("similarity", "dedup", "curation", "iterative", "pipeline")),
     QuerySpec("ext_ann_quantized", q_ann_quantized, SQL_ANN_QUANTIZED, ("similarity",)),
     QuerySpec("ext_token_estimate", q_token_estimate, SQL_TOKEN_ESTIMATE, ("text",)),
     QuerySpec("ext_multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL_META, ("multimodal",)),

@@ -51,6 +51,7 @@ _PRIORITY_NAMES = [
     "ext_crossdoc_line_dedup",
     "ext_semantic_dedup",
     "ext_prototypicality",
+    "ext_d4_select",
     "ext_importance_weights",
     "ext_lm_quality",
     "rel_full_outer",
