@@ -92,3 +92,33 @@ def test_prepare_corpus_dedup_lines_stage(spark):
         r["doc_id"]: r for r in prepare_corpus(docs, jaccard_threshold=0.5).collect()
     }
     assert without[11]["is_exact_dup"] is False  # raw texts differ
+
+
+def test_prepare_corpus_span_stage(spark):
+    """dedup_spans=True: cross-document boilerplate is cut before the
+    quality gate, so exact copies of a long doc collapse to (near-)empty
+    text and fail min_tokens instead of surviving to the dedup stages;
+    the corpus-first copy keeps its full text and passes."""
+    from token_etl_spark.pipelines.corpus import prepare_corpus
+
+    long_text = " ".join(f"tok{i}" for i in range(40))
+    fillers = ["apple banana cherry", "delta echo foxtrot", "maple willow cedar"]
+    rows = [(1, long_text), (2, long_text), (3, long_text)] + [
+        (10 + i, f"unique document variant {fillers[i]} with its own distinct "
+                 f"prose about {fillers[i]} topics and plenty {fillers[i]} of "
+                 f"ordinary words flowing naturally onward {fillers[i]} until the end")
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in prepare_corpus(
+        df, min_tokens=5, dedup_spans=True, span_k=8
+    ).collect()}
+    assert out[1].passed_quality and out[1].keep
+    for i in (2, 3):
+        assert not out[i].passed_quality  # span-rewritten to empty
+        assert not out[i].keep
+    for i in (10, 11, 12):
+        assert out[i].keep
+    # default path ignores the stage entirely
+    base = {r.doc_id: r for r in prepare_corpus(df, min_tokens=5).collect()}
+    assert base[2].passed_quality and base[2].is_exact_dup

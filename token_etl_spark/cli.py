@@ -65,6 +65,8 @@ def main(argv: list[str] | None = None) -> None:
     cor.add_argument("--jaccard-threshold", type=float, default=0.6)
     cor.add_argument("--large-clusters", action="store_true")
     cor.add_argument("--dedup-lines", action="store_true")
+    cor.add_argument("--dedup-spans", action="store_true")
+    cor.add_argument("--span-k", type=int, default=8)
 
     sem = sub.add_parser("semdedup")
     sem.add_argument("--embeddings", required=True)
@@ -144,6 +146,8 @@ def main(argv: list[str] | None = None) -> None:
             jaccard_threshold=args.jaccard_threshold,
             large_clusters=args.large_clusters,
             dedup_lines=args.dedup_lines,
+            dedup_spans=args.dedup_spans,
+            span_k=args.span_k,
         )
         write_parquet(decisions, args.out)
         for row in corpus_summary(spark.read.parquet(args.out)).collect():

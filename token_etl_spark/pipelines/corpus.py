@@ -30,6 +30,8 @@ def prepare_corpus(
     jaccard_threshold: float = 0.6,
     large_clusters: bool = True,
     dedup_lines: bool = False,
+    dedup_spans: bool = False,
+    span_k: int = 8,
 ) -> DataFrame:
     """documents(doc_id, text, ...) → per-doc decision frame:
     (doc_id, n_tokens, est_tokens, passed_quality, is_exact_dup,
@@ -52,12 +54,37 @@ def prepare_corpus(
     digests, and shingles then see the cleaned text (the standard
     pipeline order: narrow per-row rewriting before anything shuffles).
     Off by default: the gate corpus is single-line.
+
+    ``dedup_spans=True`` then applies the corpus-level ExactSubstr
+    rewrite (``operators/dedup.py dedup_spans_rewrite``): duplicated
+    ``span_k``-token windows beyond the corpus-first occurrence are cut
+    BEFORE quality scoring and doc-level dedup, so boilerplate shared
+    ACROSS documents (license headers, navigation chrome) stops
+    inflating token counts and shingle sets downstream. This stage is
+    the one pre-quality step that does shuffle (on the window
+    fingerprint); it runs after line dedup (intra-doc first shrinks the
+    fingerprint frame) and is off by default for the same single-line
+    gate-corpus reason. Caveat: the rewrite emits tokenizer-normalized
+    text (lowercased, punctuation stripped), so downstream digests see
+    the normalized form — standard for corpus prep, but not a byte-
+    preserving transform.
     """
     if dedup_lines:
         docs = (
             line_dedup(docs)
             .withColumn("text", F.col("deduped"))
             .drop("n_lines", "n_unique", "deduped")
+        )
+    if dedup_spans:
+        from token_etl_spark.operators.dedup import dedup_spans_rewrite
+
+        rewritten = dedup_spans_rewrite(docs, k=span_k).select(
+            F.col("id").alias("doc_id"), F.col("cleaned").alias("_span_text")
+        )
+        docs = (
+            docs.join(rewritten, "doc_id")
+            .withColumn("text", F.col("_span_text"))
+            .drop("_span_text")
         )
     scored = quality_stats(docs).withColumn("est_tokens", token_estimate(F.col("text")))
     scored = scored.withColumn(
