@@ -13,8 +13,9 @@ Plus the training-corpus extension pipelines:
 
     python -m token_etl_spark.cli corpus   --documents P --out O
         [--jaccard-threshold F] [--large-clusters] [--dedup-lines]
+        [--dedup-spans [--span-k N]]
     python -m token_etl_spark.cli semdedup --embeddings P --out O
-        [--centroids N] [--iters N] [--threshold F]
+        [--centroids N] [--iters N] [--threshold F] [--d4 [--drop-pct N]]
     python -m token_etl_spark.cli select   --documents P --out O
         [--target-sources s0,s1] [--buckets N] [--fit-out P]
     python -m token_etl_spark.cli spandedup --documents P --out O

@@ -599,9 +599,10 @@ SPECS = [
     QuerySpec("ext_chunk_documents", q_chunk_documents, SQL_CHUNK_DOCUMENTS, ("curation", "text")),
 ]
 
-#: Registered at the END of the registry (outside the driver's 50-entry
-#: correctness window this round) so they don't displace the in-window
-#: set; they rotate into the window next round. Local sweep covers them.
+#: Kept as a separate list for registry ordering control. As of round 4
+#: ext_token_budget heads the driver window via _PRIORITY_NAMES (it was
+#: the one never-driver-green query — r3 red on the oracle dtype, since
+#: fixed); ext_epoch_upsample was driver-verified green in r3.
 MIX_SPECS = [
     QuerySpec("ext_token_budget", q_token_budget, SQL_TOKEN_BUDGET, ("curation", "window")),
     QuerySpec("ext_epoch_upsample", q_epoch_upsample, SQL_EPOCH_UPSAMPLE, ("curation",)),
