@@ -284,3 +284,21 @@ def test_dedup_spans_rewrite_internal_repeat_and_identical_docs(spark):
     assert out[2].cleaned == "x y z w" and out[2].n_removed == 4
     assert out[3].n_removed == 0 and out[3].cleaned == rows[2][1]
     assert out[4].n_removed == 8 and out[4].cleaned == ""
+
+
+def test_span_fp_hash_form_equivalent(spark, sf_dir):
+    """portable_fp=False (two-xxhash64 struct fingerprints) produces the
+    same statistics and rewrites as the md5 oracle form on the real
+    documents table — the fingerprint only needs to be injective."""
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.operators.dedup import dedup_spans_rewrite, duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = sorted(map(tuple, duplicated_spans(docs, k=8).collect()))
+    b = sorted(map(tuple, duplicated_spans(docs, k=8, portable_fp=False).collect()))
+    assert a == b
+    c = sorted(map(tuple, dedup_spans_rewrite(docs, k=8).collect()))
+    d = sorted(
+        map(tuple, dedup_spans_rewrite(docs, k=8, portable_fp=False).collect())
+    )
+    assert c == d

@@ -474,11 +474,32 @@ def simhash_neardup(
     )
 
 
+def _span_fp(joined: Column, portable: bool) -> Column:
+    """Window fingerprint: md5 hex (portable — DuckDB replays it
+    byte-for-byte, the oracle contract) or a 128-bit pair of xxhash64s
+    (engine-local — ~half the shuffle bytes of the 32-char hex string
+    and no hex encode; the production default at corpus scale, where
+    128 bits keeps the collision expectation negligible at billions of
+    windows). Both operators take ``portable_fp`` and are
+    result-equivalent under either (tested) — the fingerprint only has
+    to be injective in practice, never inverted."""
+    if portable:
+        return F.md5(joined)
+    return F.struct(
+        F.xxhash64(joined).alias("h1"),
+        F.xxhash64(joined, F.lit(1)).alias("h2"),
+    )
+
+
+_HASH_FP_EMPTY = "array<struct<h1:bigint,h2:bigint>>"
+
+
 def duplicated_spans(
     df: DataFrame,
     k: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    portable_fp: bool = True,
 ) -> DataFrame:
     """Exact duplicated-substring statistics — the ExactSubstr recipe of
     Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
@@ -506,10 +527,11 @@ def duplicated_spans(
     fingerprint (ONE shuffle on a uniformly-distributed md5 key — no
     join back, no second shuffle of the occurrence frame), then the
     per-document interval union is a lag window over the (much smaller)
-    duplicated subset keyed by document. Fingerprints here are full md5
-    hex strings so the DuckDB oracle replays them byte-for-byte; at
-    production scale halve the shuffle bytes by packing the fingerprint
-    into two BIGINTs (same plan, engine-local hashing).
+    duplicated subset keyed by document. ``portable_fp=True`` (default)
+    fingerprints with full md5 hex strings so the DuckDB oracle replays
+    them byte-for-byte; ``portable_fp=False`` packs the fingerprint into
+    two xxhash64 BIGINTs — ~half the shuffle bytes, engine-local, same
+    plan and (tested) same result: the production setting.
 
     Token-position coverage is the classic sorted-interval union: window
     starts are strictly increasing within a document, so each duplicated
@@ -530,9 +552,13 @@ def duplicated_spans(
         n >= k,
         F.transform(
             F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.md5(F.array_join(F.slice(F.col("toks"), i, k), " ")),
+            lambda i: _span_fp(
+                F.array_join(F.slice(F.col("toks"), i, k), " "), portable_fp
+            ),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(
+        F.array().cast("array<string>" if portable_fp else _HASH_FP_EMPTY)
+    )
     occ = stats.select(
         "id", F.posexplode(fps).alias("pos0", "fp")
     ).select("id", (F.col("pos0") + 1).alias("pos"), "fp")
@@ -579,6 +605,7 @@ def dedup_spans_rewrite(
     k: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    portable_fp: bool = True,
 ) -> DataFrame:
     """ExactSubstr REWRITE (the transform `duplicated_spans` only
     measures): remove every duplicated k-token window occurrence except
@@ -615,9 +642,13 @@ def dedup_spans_rewrite(
         n >= k,
         F.transform(
             F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.md5(F.array_join(F.slice(F.col("toks"), i, k), " ")),
+            lambda i: _span_fp(
+                F.array_join(F.slice(F.col("toks"), i, k), " "), portable_fp
+            ),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(
+        F.array().cast("array<string>" if portable_fp else _HASH_FP_EMPTY)
+    )
     occ = base.select("id", F.posexplode(fps).alias("pos0", "fp")).select(
         "id", (F.col("pos0") + 1).alias("pos"), "fp"
     )
