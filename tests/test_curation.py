@@ -250,3 +250,27 @@ def test_bigram_lm_quality_hand_computed(spark):
     # the reference doc scores itself: 3/4 + 2/3 + 3/4
     assert out[1].n_bigrams == 3
     assert abs(out[1].score - (3 / 4 + 2 / 3 + 3 / 4)) < 1e-12
+
+
+def test_importance_weights_fast_bucket_path(spark, sf_dir):
+    """portable=False (xxhash64 bucketing) produces the same SHAPE of
+    scoring — identical row set, n_bigrams identical (bucketing does not
+    change bigram counts), scores valid — while the portable md5 form
+    stays the oracle default. Scores differ (different bucket
+    assignment), so equality is checked on the hash-independent columns
+    and score finiteness."""
+    import math
+
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.operators.curation import importance_weights
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    a = {r.doc_id: r for r in importance_weights(docs, ("src0",)).collect()}
+    b = {
+        r.doc_id: r
+        for r in importance_weights(docs, ("src0",), portable=False).collect()
+    }
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k].n_bigrams == b[k].n_bigrams
+        assert math.isfinite(b[k].score) and b[k].score >= 0

@@ -465,13 +465,47 @@ def _bigram_occurrences(
     text_col: str,
     id_col: str,
     source_col: str,
+    portable: bool = True,
 ) -> DataFrame:
-    """(doc_id, source, bucket) — one row per bigram occurrence."""
+    """(doc_id, source, bucket) — one row per bigram occurrence.
+    ``portable=False`` buckets with xxhash64 instead of the md5-prefix
+    form: same uniformity, a fraction of the per-bigram cost (no hex
+    substring/parse), engine-local — the production setting; md5 stays
+    the default because the DuckDB oracle replays it."""
+    bkt = (
+        hash_bucket(F.col("bg"), n_buckets)
+        if portable
+        else F.pmod(F.xxhash64(F.col("bg")), F.lit(n_buckets))
+    )
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(source_col).alias("source"),
         F.explode(bigrams(F.col(text_col))).alias("bg"),
-    ).withColumn("bucket", hash_bucket(F.col("bg"), n_buckets))
+    ).withColumn("bucket", bkt)
+
+
+def _bigram_bucket_counts(
+    docs: DataFrame,
+    n_buckets: int,
+    text_col: str,
+    id_col: str,
+    source_col: str,
+    portable: bool = True,
+) -> DataFrame:
+    """(doc_id, source, bucket, c) — per-document bucket counts, the ONE
+    frame both halves of DSIR scoring derive from: the bucket weight
+    table is a per-bucket re-aggregation of these counts (summing c is
+    identical to counting occurrences), and the per-doc score joins
+    them against the weights. Deriving both from one frame means the
+    corpus is exploded and hashed ONCE, not once per half — at 150k docs
+    the double explode was most of the operator's cost. Lazily
+    checkpointed so the two consumers share the materialization."""
+    occ = _bigram_occurrences(docs, n_buckets, text_col, id_col, source_col, portable)
+    return (
+        occ.groupBy("doc_id", "source", "bucket")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
 
 
 def bigram_lm_tables(
@@ -589,6 +623,8 @@ def importance_weight_table(
     text_col: str = "text",
     id_col: str = "doc_id",
     source_col: str = "source",
+    portable: bool = True,
+    bucket_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Fit the DSIR-style bucket→weight table (see ``importance_weights``).
 
@@ -598,12 +634,23 @@ def importance_weight_table(
     ``(r_total + B) / (t_total + B)``, i.e. the formula at t_b = r_b = 0
     — which the streaming scorer needs because an infinite stream WILL
     hash new bigrams into unobserved buckets. B rows: broadcastable.
+
+    ``bucket_counts`` lets a caller that already built the per-doc
+    bucket-count frame (``importance_weights`` does) share it instead of
+    re-exploding the corpus; summing per-doc counts per bucket is
+    exactly the occurrence count.
     """
-    occ = _bigram_occurrences(docs, n_buckets, text_col, id_col, source_col)
+    dc = (
+        bucket_counts
+        if bucket_counts is not None
+        else _bigram_bucket_counts(
+            docs, n_buckets, text_col, id_col, source_col, portable
+        )
+    )
     is_target = F.col("source").isin(*target_sources)
-    stats = occ.groupBy("bucket").agg(
-        F.sum(is_target.cast("long")).alias("t_b"),
-        F.sum((~is_target).cast("long")).alias("r_b"),
+    stats = dc.groupBy("bucket").agg(
+        F.sum(F.when(is_target, F.col("c")).otherwise(0)).alias("t_b"),
+        F.sum(F.when(~is_target, F.col("c")).otherwise(0)).alias("r_b"),
     )
     tot = stats.agg(F.sum("t_b").alias("t_total"), F.sum("r_b").alias("r_total"))
     return stats.crossJoin(F.broadcast(tot)).withColumn(
@@ -620,6 +667,7 @@ def importance_weights(
     text_col: str = "text",
     id_col: str = "doc_id",
     source_col: str = "source",
+    portable: bool = True,
 ) -> DataFrame:
     """DSIR-style data-selection scoring (Xie et al. 2023,
     arXiv:2302.03169): score every document by how much its hashed-bigram
@@ -651,11 +699,18 @@ def importance_weights(
     be a separate small corpus; here target docs are a source-subset of
     the same frame, which keeps the oracle single-table.
     """
-    occ = _bigram_occurrences(docs, n_buckets, text_col, id_col, source_col)
+    dc = _bigram_bucket_counts(
+        docs, n_buckets, text_col, id_col, source_col, portable
+    )
     wtab = importance_weight_table(
-        docs, target_sources, n_buckets, text_col, id_col, source_col
+        docs,
+        target_sources,
+        n_buckets,
+        text_col,
+        id_col,
+        source_col,
+        bucket_counts=dc,
     ).select("bucket", "w")
-    dc = occ.groupBy("doc_id", "source", "bucket").agg(F.count("*").alias("c"))
     terms = dc.join(F.broadcast(wtab), "bucket").withColumn(
         "term", F.col("c").cast("double") * F.col("w")
     )
