@@ -194,3 +194,12 @@ def test_prototypicality_single_cluster_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ext_prototypicality")
     assert plan.count("hashpartitioning(centroid_id") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_pq_broadcasts_codebook_and_lut(spark, sf_dir):
+    """PQ training/encoding must broadcast the codebook (map-only
+    assignment) and the search must broadcast the query LUT frame —
+    the corpus-side scan stays narrow over the compressed codes."""
+    plan = _plan(spark, sf_dir, "ext_ann_pq")
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan

@@ -266,3 +266,42 @@ def test_d4_select_composes_both_stages(spark, sf_dir):
         if r.semdedup_kept:
             per_cluster.setdefault(r.centroid_id, set()).add(r.cluster_n)
     assert all(len(v) == 1 for v in per_cluster.values())
+
+
+def test_pq_shapes_and_recall_floor(spark, sf_dir):
+    """Codebook is m×k_codes, codes are m-arrays over 1..k_codes, top-k
+    output is well-formed per query, and the shared-codebook
+    pass-through equals internal training (train once, reuse)."""
+    from pyspark.sql import functions as F
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.operators.similarity import (
+        brute_force_topk,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_train(emb, m=8, k=16, n_iters=2)
+    assert cb.count() == 8 * 16
+    codes = pq_encode(emb, cb).collect()
+    assert all(len(r.codes) == 8 for r in codes)
+    assert all(1 <= c <= 16 for r in codes for c in r.codes)
+
+    q = emb.filter(F.col("vec_id") < 5)
+    top = pq_topk(emb, q, k=10)
+    rows = top.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert set(per_q) == set(range(5))
+    for qq, rs in per_q.items():
+        assert sorted(r.rank for r in rs) == list(range(1, 11))
+        assert all(r.neighbor_id != qq for r in rs)
+        assert all(r.pq_dist >= 0 for r in rs)
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, q, k=10).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in rows}
+    assert len(exact & approx) / len(exact) > 0.15  # floor; curve in PERF.md
+
+    shared = sorted(map(tuple, pq_topk(emb, q, k=10, codebooks=cb).collect()))
+    assert shared == sorted(map(tuple, rows))

@@ -730,3 +730,239 @@ def d4_select(
             F.col("semdedup_kept") & F.coalesce(F.col("proto_kept"), F.lit(False)),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ)
+
+
+def _subvectors(vec: Column, m: int, dsub: int) -> Column:
+    """Split an array<double> into ``m`` contiguous ``dsub``-dim pieces."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.slice(vec, s * dsub + 1, dsub),
+    )
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance as a single pinned-order fold over the zipped
+    difference — one expression both engines replay term-for-term (the
+    ``dot``/cosine pattern; subtraction/multiply/add are exactly-rounded,
+    so the fold value is bit-identical when the element order is)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    n_iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train product-quantization codebooks (Jégou, Douze, Schmid 2011,
+    "Product Quantization for Nearest Neighbor Search", IEEE TPAMI
+    33(1)): split each vector into ``m`` contiguous ``dim/m``-dim
+    subvectors and run an independent ``k``-centroid L2 k-means in each
+    subspace. Vectors are l2-normalized FIRST (train, encode, and query
+    alike): on the unit sphere squared-L2 order equals cosine order
+    (‖a−b‖² = 2 − 2·a·b), so PQ distances rank like the engine's cosine
+    baselines. Returns (sub, code_id, code_vec) — m×k rows, the codebook
+    frame every other PQ operator broadcasts.
+
+    ALL m subspaces train in the SAME distributed job per Lloyd round:
+    the corpus explodes once into (vec_id, sub, sv) and assignment/
+    refinement group by (sub, code) — the subspace is just another key,
+    so training cost is one corpus pass per iteration regardless of m
+    (not m separate k-means runs). Init is deterministic (the k smallest
+    vec_ids seed every subspace, code_id = 1-based rank), assignment
+    breaks ties to the smallest code_id, and the L2 fold order is pinned
+    — the DuckDB oracle unrolls the whole loop exactly as
+    ``_kmeans_cte_members`` does for the IVF trainer.
+    """
+    dsub = dim // m
+    base = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        l2_normalize(F.col(vec_col).cast("array<double>")).alias("v"),
+    )
+    sub = base.select(
+        "vec_id", F.posexplode(_subvectors(F.col("v"), m, dsub)).alias("sub", "sv")
+    ).localCheckpoint(eager=False)
+    cents = (
+        sub.join(
+            F.broadcast(
+                base.orderBy("vec_id")
+                .limit(k)
+                .select(
+                    "vec_id",
+                    F.row_number().over(Window.orderBy("vec_id")).alias("code_id"),
+                )
+            ),
+            "vec_id",
+        )
+        .select("sub", "code_id", F.col("sv").alias("code_vec"))
+    )
+    for _ in range(n_iters):
+        assigned = _pq_assign(sub, cents)
+        cents = (
+            assigned.select("sub", "code_id", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("sub", "code_id", "pos")
+            .agg(F.avg("x").alias("mu"))
+            .groupBy("sub", "code_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mu"))),
+                    lambda s: s.getField("mu"),
+                ).alias("code_vec")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
+def _pq_assign(sub: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign every (vec_id, sub, sv) row to its min-L2 code in ITS
+    subspace — map-only: the m×k codebook collapses to one broadcast
+    array; the per-row argmin filters it by subspace inside the lambda
+    (ties to the smallest code_id via struct min on (d2, code_id))."""
+    carr = F.broadcast(
+        cents.agg(
+            F.collect_list(F.struct("sub", "code_id", "code_vec")).alias("_cb")
+        )
+    )
+    best = F.array_min(
+        F.transform(
+            F.filter(F.col("_cb"), lambda c: c.getField("sub") == F.col("sub")),
+            lambda c: F.struct(
+                _l2sq(F.col("sv"), c.getField("code_vec")).alias("d2"),
+                c.getField("code_id").alias("code_id"),
+            ),
+        )
+    )
+    return (
+        sub.join(carr)
+        .withColumn("_b", best)
+        .select("vec_id", "sub", "sv", F.col("_b.code_id").alias("code_id"))
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as its m-array of nearest code ids — the
+    compressed representation PQ exists for: m bytes a vector (vs
+    8·dim for raw doubles; 64× here), which is what makes a 100 TB
+    embedding corpus searchable from memory. Narrow: subvector split,
+    broadcast-codebook argmin per subspace, collect back to an array
+    ordered by subspace. One shuffle on vec_id to reassemble."""
+    dsub = dim // m
+    base = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        l2_normalize(F.col(vec_col).cast("array<double>")).alias("v"),
+    )
+    sub = base.select(
+        "vec_id", F.posexplode(_subvectors(F.col("v"), m, dsub)).alias("sub", "sv")
+    )
+    assigned = _pq_assign(sub, codebooks)
+    return (
+        assigned.groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code_id"))),
+                lambda s: s.getField("code_id"),
+            ).alias("codes")
+        )
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    m: int = 8,
+    k_codes: int = 16,
+    n_iters: int = 2,
+    k: int = 10,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: corpus vectors are replaced by
+    their m-byte codes; each query precomputes an m×k_codes lookup table
+    of exact subvector-to-code distances, and a candidate's approximate
+    distance is the SUM OF m TABLE LOOKUPS — no floating arithmetic per
+    corpus vector beyond m adds, the property that makes PQ scan
+    billions of codes per node. Returns (query_id, neighbor_id, pq_dist,
+    rank), rank ascending by distance then neighbor id.
+
+    Scale shape: codes and LUTs are built once (broadcast codebooks);
+    the scan is a broadcast of the query LUT frame against the code
+    corpus — the same broadcast-small-side shape as ``brute_force_topk``
+    but over 64×-compressed rows; drop-in behind an IVF probe for
+    IVF-PQ. ``codebooks`` shares a pre-trained frame (train once, like
+    ``d4_select`` shares k-means)."""
+    cb = codebooks if codebooks is not None else pq_train(
+        corpus, m, k_codes, n_iters, dim, id_col, vec_col
+    )
+    codes = pq_encode(corpus, cb, m, dim, id_col, vec_col)
+    dsub = dim // m
+    # one broadcast row: codebook as (sub, code_id, code_vec) structs
+    carr = F.broadcast(
+        cb.agg(F.collect_list(F.struct("sub", "code_id", "code_vec")).alias("_cb"))
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        l2_normalize(F.col(vec_col).cast("array<double>")).alias("qv"),
+    )
+    # LUT[sub][code-1] = l2sq(query subvector, code vector); built by
+    # sorting the broadcast codebook structs (sub asc, code_id asc) and
+    # folding distances into a nested array
+    lut = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.transform(
+            F.sequence(F.lit(1), F.lit(k_codes)),
+            lambda c: F.aggregate(
+                F.filter(
+                    F.col("_cb"),
+                    lambda e: (e.getField("sub") == s) & (e.getField("code_id") == c),
+                ),
+                F.lit(0.0),
+                lambda acc, e: acc
+                + _l2sq(F.slice(F.col("qv"), s * dsub + 1, dsub), e.getField("code_vec")),
+            ),
+        ),
+    )
+    q_lut = q.join(carr).select("query_id", "qv", lut.alias("lut"))
+    scored = (
+        F.broadcast(q_lut.drop("qv"))
+        .crossJoin(codes)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn(
+            "pq_dist",
+            F.aggregate(
+                F.zip_with(
+                    F.col("lut"),
+                    F.col("codes"),
+                    lambda row, code: F.element_at(row, code.cast("int")),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("pq_dist").asc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "pq_dist", "rank")
+    )

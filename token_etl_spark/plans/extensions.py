@@ -796,6 +796,118 @@ FROM sem s LEFT JOIN pr p ON p.vec_id = s.vec_id
 SQL_D4_SELECT = _d4_select_sql()
 
 
+PQ_M = 8
+PQ_CODES = 16
+PQ_ITERS = 2
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.py pq_train /
+    pq_encode / pq_topk): per-subspace L2 codebooks over the normalized
+    embeddings, m-byte codes, asymmetric-distance top-10 for queries
+    vec_id < 5. The oracle unrolls the whole thing — per-subspace Lloyd
+    training (subspace as a grouping key, the Spark plan's own shape),
+    encoding, the per-query LUT, and the ORDER-PINNED per-pair distance
+    sum (list ordered by subspace, matching the Spark fold)."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = S.pq_topk(emb, q, m=PQ_M, k_codes=PQ_CODES, n_iters=PQ_ITERS, k=10)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("pq_dist", 6).alias("pq_dist"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _ann_pq_sql(
+    m: int = PQ_M,
+    k_codes: int = PQ_CODES,
+    n_iters: int = PQ_ITERS,
+    k: int = 10,
+    dim: int = 64,
+) -> str:
+    """DuckDB replay of PQ train/encode/search. L2² between dsub-dim
+    lists is the same pinned fold both engines run; all Lloyd rounds are
+    unrolled; the final distance is a subspace-ordered list sum."""
+    dsub = dim // m
+
+    def l2sq(a: str, b: str) -> str:
+        return (
+            f"list_aggregate(list_transform(range(1, {dsub + 1}), i -> "
+            f"({a}[CAST(i AS INT)] - {b}[CAST(i AS INT)])"
+            f" * ({a}[CAST(i AS INT)] - {b}[CAST(i AS INT)])), 'sum')"
+        )
+
+    members = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "en AS (SELECT vec_id,"
+        " list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS nv FROM e)",
+        f"""sub AS (
+  SELECT vec_id, s.sub, nv[s.sub * {dsub} + 1 : s.sub * {dsub} + {dsub}] AS sv
+  FROM en CROSS JOIN (SELECT unnest(range(0, {m})) AS sub) s)""",
+        f"""c0 AS (
+  SELECT sub, row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS code_id,
+         sv AS cv
+  FROM sub WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT {k_codes}))""",
+    ]
+    for i in range(1, n_iters + 1):
+        p = f"c{i - 1}"
+        members.append(
+            f"""a{i} AS (
+  SELECT vec_id, sub, sv, code_id FROM (
+    SELECT sub.vec_id, sub.sub, sub.sv, c.code_id,
+           row_number() OVER (PARTITION BY sub.vec_id, sub.sub
+             ORDER BY {l2sq('sub.sv', 'c.cv')} ASC, c.code_id) AS rn
+    FROM sub JOIN {p} c ON c.sub = sub.sub) WHERE rn = 1)"""
+        )
+        members.append(
+            f"m{i} AS (SELECT sub, code_id, r.pos, avg(sv[CAST(r.pos AS INT)]) AS mu"
+            f" FROM a{i} CROSS JOIN range(1, {dsub + 1}) r(pos) GROUP BY 1, 2, 3)"
+        )
+        members.append(
+            f"c{i} AS (SELECT sub, code_id, list(mu ORDER BY pos) AS cv FROM m{i} GROUP BY 1, 2)"
+        )
+    cf = f"c{n_iters}"
+    members += [
+        f"""codes AS (
+  SELECT vec_id, sub, code_id FROM (
+    SELECT sub.vec_id, sub.sub, c.code_id,
+           row_number() OVER (PARTITION BY sub.vec_id, sub.sub
+             ORDER BY {l2sq('sub.sv', 'c.cv')} ASC, c.code_id) AS rn
+    FROM sub JOIN {cf} c ON c.sub = sub.sub) WHERE rn = 1)""",
+        "q AS (SELECT vec_id AS query_id, nv AS qv FROM en WHERE vec_id < 5)",
+        f"""lut AS (
+  SELECT q.query_id, c.sub, c.code_id,
+         {l2sq(f'q.qv[c.sub * {dsub} + 1 : c.sub * {dsub} + {dsub}]', 'c.cv')} AS d2
+  FROM q CROSS JOIN {cf} c)""",
+        """scored AS (
+  SELECT l.query_id, k.vec_id AS neighbor_id,
+         list_aggregate(list(l.d2 ORDER BY l.sub), 'sum') AS pq_dist
+  FROM codes k
+  JOIN lut l ON l.sub = k.sub AND l.code_id = k.code_id
+  WHERE l.query_id <> k.vec_id
+  GROUP BY 1, 2)""",
+        """ranked AS (
+  SELECT query_id, neighbor_id, pq_dist,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY pq_dist ASC, neighbor_id) AS rank
+  FROM scored)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(members)
+        + f"""
+SELECT query_id, neighbor_id, round(pq_dist, 6) AS pq_dist,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+    )
+
+
+SQL_ANN_PQ = _ann_pq_sql()
+
+
 def _ann_ivf_sql(k: int = 10, n_centroids: int = 16, n_probe: int = 4) -> str:
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1258,6 +1370,7 @@ SPECS = [
     QuerySpec("ext_prototypicality", q_prototypicality, SQL_PROTOTYPICALITY, ("similarity", "curation", "iterative")),
     QuerySpec("ext_d4_select", q_d4_select, SQL_D4_SELECT, ("similarity", "dedup", "curation", "iterative", "pipeline")),
     QuerySpec("ext_ann_quantized", q_ann_quantized, SQL_ANN_QUANTIZED, ("similarity",)),
+    QuerySpec("ext_ann_pq", q_ann_pq, SQL_ANN_PQ, ("similarity", "iterative")),
     QuerySpec("ext_token_estimate", q_token_estimate, SQL_TOKEN_ESTIMATE, ("text",)),
     QuerySpec("ext_multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL_META, ("multimodal",)),
     QuerySpec("ext_multimodal_decode", q_multimodal_decode, SQL_MULTIMODAL_DECODE, ("multimodal",)),

@@ -52,6 +52,7 @@ _PRIORITY_NAMES = [
     "ext_semantic_dedup",
     "ext_prototypicality",
     "ext_d4_select",
+    "ext_ann_pq",
     "ext_importance_weights",
     "ext_lm_quality",
     "rel_full_outer",
