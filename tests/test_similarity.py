@@ -305,3 +305,36 @@ def test_pq_shapes_and_recall_floor(spark, sf_dir):
 
     shared = sorted(map(tuple, pq_topk(emb, q, k=10, codebooks=cb).collect()))
     assert shared == sorted(map(tuple, rows))
+
+
+def test_ivfpq_shape_and_probe_pruning(spark, sf_dir):
+    """IVF-PQ returns well-formed per-query top-k, candidates only from
+    probed cells (n_probe=n_centroids degenerates to flat PQ — same
+    result set), and recall floor holds."""
+    from pyspark.sql import functions as F
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+        pq_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = ivfpq_topk(emb, q, n_centroids=8, n_probe=2, k=10).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert set(per_q) == set(range(5))
+    for qq, rs in per_q.items():
+        assert sorted(r.rank for r in rs) == list(range(1, 11))
+        assert all(r.neighbor_id != qq for r in rs)
+    # probing every cell == flat PQ over the same codebooks/params
+    full = sorted(
+        map(tuple, ivfpq_topk(emb, q, n_centroids=8, n_probe=8, k=10).collect())
+    )
+    flat = sorted(map(tuple, pq_topk(emb, q, k=10).collect()))
+    assert full == flat
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, q, k=10).collect()}
+    got = {(r.query_id, r.neighbor_id) for r in out}
+    assert len(exact & got) / len(exact) > 0.1

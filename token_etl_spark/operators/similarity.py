@@ -966,3 +966,101 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "pq_dist", "rank")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    coarse_iters: int = 2,
+    m: int = 8,
+    k_codes: int = 16,
+    pq_iters: int = 2,
+    k: int = 10,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search — the standard billion-scale ANN layout (Jégou et
+    al. 2011 §IV; FAISS ``IVFx,PQy``): a coarse spherical-k-means
+    quantizer routes each query to its ``n_probe`` nearest cells, and
+    within probed cells candidates are scored from their m-byte PQ codes
+    via the per-query lookup table — so the scan touches
+    |corpus|·n_probe/n_centroids candidates at m adds each, over data
+    64× smaller than raw vectors. This is the NON-RESIDUAL variant
+    (codes encode the vectors themselves, one codebook corpus-wide):
+    simpler, one shared LUT per query; classic FAISS IVFPQ encodes
+    per-cell residuals for tighter quantization — the documented next
+    fidelity step, same plan shape with a per-(query, cell) LUT.
+
+    Plan shape: coarse training + assignment and PQ training + encoding
+    are the existing shared-machinery paths (broadcast centroid/codebook
+    tables, map-only argmax/argmin); the probe table is |Q|·n_probe rows
+    (broadcast); the candidate join shuffles on centroid_id exactly like
+    ``ivf_topk`` but carries codes, not vectors. Returns (query_id,
+    neighbor_id, pq_dist, rank).
+    """
+    coarse = spherical_kmeans(corpus, n_centroids, coarse_iters, id_col, vec_col)
+    assigned = _assign_with_sim(
+        corpus, n_centroids, coarse_iters, id_col, vec_col, centroids=coarse
+    ).select(F.col("id").alias("vec_id"), "centroid_id")
+    cb = pq_train(corpus, m, k_codes, pq_iters, dim, id_col, vec_col)
+    codes = pq_encode(corpus, cb, m, dim, id_col, vec_col).join(assigned, "vec_id")
+
+    dsub = dim // m
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        l2_normalize(F.col(vec_col).cast("array<double>")).alias("qv"),
+    )
+    q_scored = q.join(F.broadcast(coarse)).withColumn(
+        "sim", cosine(F.col("qv"), F.col("centroid_vec"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    probes = (
+        q_scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "centroid_id")
+    )
+    carr = F.broadcast(
+        cb.agg(F.collect_list(F.struct("sub", "code_id", "code_vec")).alias("_cb"))
+    )
+    lut = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.transform(
+            F.sequence(F.lit(1), F.lit(k_codes)),
+            lambda c: F.aggregate(
+                F.filter(
+                    F.col("_cb"),
+                    lambda e: (e.getField("sub") == s) & (e.getField("code_id") == c),
+                ),
+                F.lit(0.0),
+                lambda acc, e: acc
+                + _l2sq(F.slice(F.col("qv"), s * dsub + 1, dsub), e.getField("code_vec")),
+            ),
+        ),
+    )
+    q_lut = q.join(carr).select("query_id", lut.alias("lut"))
+    cand = (
+        F.broadcast(probes.join(q_lut, "query_id"))
+        .join(codes, "centroid_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+    )
+    scored = cand.withColumn(
+        "pq_dist",
+        F.aggregate(
+            F.zip_with(
+                F.col("lut"),
+                F.col("codes"),
+                lambda row, code: F.element_at(row, code.cast("int")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("pq_dist").asc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "pq_dist", "rank")
+    )

@@ -53,6 +53,7 @@ _PRIORITY_NAMES = [
     "ext_prototypicality",
     "ext_d4_select",
     "ext_ann_pq",
+    "ext_ann_ivfpq",
     "ext_importance_weights",
     "ext_lm_quality",
     "rel_full_outer",
