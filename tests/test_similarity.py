@@ -338,3 +338,28 @@ def test_ivfpq_shape_and_probe_pruning(spark, sf_dir):
     exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, q, k=10).collect()}
     got = {(r.query_id, r.neighbor_id) for r in out}
     assert len(exact & got) / len(exact) > 0.1
+
+
+def test_ivfpq_residual_exact_when_codes_saturate(spark, sf_dir):
+    """Structural identity: with one code per vector (k_codes = |corpus|)
+    residual quantization is lossless, so in-probed-cell distances are
+    EXACT squared-L2 and recall over probed cells is perfect."""
+    from pyspark.sql import functions as F
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_residual_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
+    q = emb.filter(F.col("vec_id") < 4)
+    out = ivfpq_residual_topk(
+        emb, q, n_centroids=4, n_probe=4, k_codes=60, pq_iters=1, k=10
+    ).collect()
+    exact = {}
+    for r in brute_force_topk(emb, q, k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {}
+    for r in out:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert got == exact

@@ -1064,3 +1064,191 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "pq_dist", "rank")
     )
+
+
+def _residual_subs(
+    corpus: DataFrame,
+    coarse: DataFrame,
+    m: int,
+    dsub: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(vec_id, centroid_id, sub, sv): per-vector RESIDUAL subvectors —
+    normalized vector minus its assigned coarse centroid, split into m
+    pieces. The map-only coarse argmax reuses the broadcast-argmax
+    machinery; the subtraction and split are narrow."""
+    base = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        l2_normalize(F.col(vec_col).cast("array<double>")).alias("nv"),
+    )
+    carr = F.broadcast(
+        coarse.agg(
+            F.collect_list(F.struct("centroid_id", "centroid_vec")).alias("_cents")
+        )
+    )
+    best = F.array_max(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                cosine(F.col("nv"), c.getField("centroid_vec")).alias("sim"),
+                (-c.getField("centroid_id")).alias("neg_id"),
+                c.getField("centroid_vec").alias("cv"),
+            ),
+        )
+    )
+    resid = base.join(carr).withColumn("_b", best).select(
+        "vec_id",
+        (-F.col("_b.neg_id")).alias("centroid_id"),
+        F.zip_with(
+            F.col("nv"), F.col("_b.cv"), lambda x, y: x - y
+        ).alias("rv"),
+    )
+    return resid.select(
+        "vec_id",
+        "centroid_id",
+        F.posexplode(_subvectors(F.col("rv"), m, dsub)).alias("sub", "sv"),
+    )
+
+
+def ivfpq_residual_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    coarse_iters: int = 2,
+    m: int = 8,
+    k_codes: int = 16,
+    pq_iters: int = 2,
+    k: int = 10,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """RESIDUAL IVF-PQ — the faithful FAISS ``IVFx,PQy`` layout: PQ
+    codebooks are trained on, and codes encode, the residual between
+    each (normalized) vector and its assigned coarse centroid. Residuals
+    concentrate near the origin with far less variance than raw vectors,
+    so the same code budget quantizes much tighter; the price is a
+    PER-(QUERY, PROBED-CELL) lookup table — the query's residual against
+    THAT cell's centroid — instead of one LUT per query: |Q|·n_probe
+    LUTs, still a broadcast-scale frame.
+
+    Everything else matches ``ivfpq_topk``: coarse training/probing on
+    cosine, per-subspace L2 Lloyd training in one grouped job, candidate
+    scan = m LUT adds per m-byte code. Returns (query_id, neighbor_id,
+    pq_dist, rank); distances are exact squared-L2 between the query's
+    residual and the candidate's QUANTIZED residual within the shared
+    cell geometry.
+    """
+    dsub = dim // m
+    coarse = spherical_kmeans(corpus, n_centroids, coarse_iters, id_col, vec_col)
+    rsub = _residual_subs(corpus, coarse, m, dsub, id_col, vec_col).localCheckpoint(
+        eager=False
+    )
+
+    # PQ training on residual subvectors: same deterministic seed rule
+    # (the k smallest vec_ids seed every subspace) and Lloyd loop as
+    # pq_train, but over the residual frame.
+    cents = (
+        rsub.join(
+            F.broadcast(
+                corpus.select(F.col(id_col).alias("vec_id"))
+                .orderBy("vec_id")
+                .limit(k_codes)
+                .select(
+                    "vec_id",
+                    F.row_number().over(Window.orderBy("vec_id")).alias("code_id"),
+                )
+            ),
+            "vec_id",
+        ).select("sub", "code_id", F.col("sv").alias("code_vec"))
+    )
+    for _ in range(pq_iters):
+        assigned = _pq_assign(rsub.select("vec_id", "sub", "sv"), cents)
+        cents = (
+            assigned.select("sub", "code_id", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("sub", "code_id", "pos")
+            .agg(F.avg("x").alias("mu"))
+            .groupBy("sub", "code_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mu"))),
+                    lambda s: s.getField("mu"),
+                ).alias("code_vec")
+            )
+            .localCheckpoint(eager=True)
+        )
+    codes = (
+        _pq_assign(rsub.select("vec_id", "sub", "sv"), cents)
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code_id"))),
+                lambda s: s.getField("code_id"),
+            ).alias("codes")
+        )
+        .join(rsub.select("vec_id", "centroid_id").distinct(), "vec_id")
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        l2_normalize(F.col(vec_col).cast("array<double>")).alias("qv"),
+    )
+    q_scored = q.join(F.broadcast(coarse)).withColumn(
+        "sim", cosine(F.col("qv"), F.col("centroid_vec"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    probes = (
+        q_scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "centroid_id", "centroid_vec")
+    )
+    # per-(query, cell) LUT over the query residual against that cell
+    carr = F.broadcast(
+        cents.agg(F.collect_list(F.struct("sub", "code_id", "code_vec")).alias("_cb"))
+    )
+    qres = F.zip_with(F.col("qv"), F.col("centroid_vec"), lambda x, y: x - y)
+    lut = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.transform(
+            F.sequence(F.lit(1), F.lit(k_codes)),
+            lambda c: F.aggregate(
+                F.filter(
+                    F.col("_cb"),
+                    lambda e: (e.getField("sub") == s) & (e.getField("code_id") == c),
+                ),
+                F.lit(0.0),
+                lambda acc, e: acc
+                + _l2sq(F.slice(F.col("_qr"), s * dsub + 1, dsub), e.getField("code_vec")),
+            ),
+        ),
+    )
+    probe_lut = (
+        probes.join(carr)
+        .withColumn("_qr", qres)
+        .select("query_id", "centroid_id", lut.alias("lut"))
+    )
+    cand = (
+        F.broadcast(probe_lut)
+        .join(codes, "centroid_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+    )
+    scored = cand.withColumn(
+        "pq_dist",
+        F.aggregate(
+            F.zip_with(
+                F.col("lut"),
+                F.col("codes"),
+                lambda row, code: F.element_at(row, code.cast("int")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("pq_dist").asc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "pq_dist", "rank")
+    )

@@ -1042,6 +1042,148 @@ FROM ranked WHERE rank <= {k}
 SQL_ANN_IVFPQ = _ann_ivfpq_sql()
 
 
+def q_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ (operators/similarity.py ivfpq_residual_topk —
+    the faithful FAISS layout: codes encode vector-minus-cell-centroid,
+    LUTs are per (query, probed cell)). Oracle: the coarse k-means CTEs,
+    a residual-subvector CTE (indexed element-wise subtraction), the
+    renamed per-subspace Lloyd replay over residuals, and the per-cell
+    LUT join."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = S.ivfpq_residual_topk(
+        emb,
+        q,
+        n_centroids=16,
+        n_probe=IVFPQ_PROBE,
+        coarse_iters=2,
+        m=PQ_M,
+        k_codes=PQ_CODES,
+        pq_iters=PQ_ITERS,
+        k=10,
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("pq_dist", 6).alias("pq_dist"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _ann_ivfpq_residual_sql(
+    n_centroids: int = 16,
+    n_probe: int = IVFPQ_PROBE,
+    coarse_iters: int = 2,
+    m: int = PQ_M,
+    k_codes: int = PQ_CODES,
+    pq_iters: int = PQ_ITERS,
+    k: int = 10,
+    dim: int = 64,
+) -> str:
+    dsub = dim // m
+
+    def l2sq(a: str, b: str) -> str:
+        return (
+            f"list_aggregate(list_transform(range(1, {dsub + 1}), i -> "
+            f"({a}[CAST(i AS INT)] - {b}[CAST(i AS INT)])"
+            f" * ({a}[CAST(i AS INT)] - {b}[CAST(i AS INT)])), 'sum')"
+        )
+
+    members = _kmeans_cte_members(n_centroids, coarse_iters, dim)
+    cf = f"c{coarse_iters}"
+    members += [
+        # residual assignment on the NORMALIZED vector (mirrors
+        # _residual_subs: cosine(nv, centroid), ties to smallest id)
+        f"""rasg AS (
+  SELECT vec_id, centroid_id, cv FROM (
+    SELECT en.vec_id, c.centroid_id, c.cv,
+           row_number() OVER (PARTITION BY en.vec_id
+             ORDER BY list_cosine_similarity(en.nv, c.cv) DESC, c.centroid_id) AS rn
+    FROM en CROSS JOIN {cf} c) WHERE rn = 1)""",
+        f"""rv AS (
+  SELECT en.vec_id, rasg.centroid_id,
+         list_transform(range(1, {dim + 1}),
+           i -> en.nv[CAST(i AS INT)] - rasg.cv[CAST(i AS INT)]) AS rv
+  FROM en JOIN rasg ON rasg.vec_id = en.vec_id)""",
+        f"""psub AS (
+  SELECT vec_id, centroid_id, s.sub,
+         rv[s.sub * {dsub} + 1 : s.sub * {dsub} + {dsub}] AS sv
+  FROM rv CROSS JOIN (SELECT unnest(range(0, {m})) AS sub) s)""",
+        f"""pc0 AS (
+  SELECT sub, row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS code_id,
+         sv AS cv
+  FROM psub WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT {k_codes}))""",
+    ]
+    for i in range(1, pq_iters + 1):
+        p = f"pc{i - 1}"
+        members.append(
+            f"""pa{i} AS (
+  SELECT vec_id, sub, sv, code_id FROM (
+    SELECT psub.vec_id, psub.sub, psub.sv, c.code_id,
+           row_number() OVER (PARTITION BY psub.vec_id, psub.sub
+             ORDER BY {l2sq('psub.sv', 'c.cv')} ASC, c.code_id) AS rn
+    FROM psub JOIN {p} c ON c.sub = psub.sub) WHERE rn = 1)"""
+        )
+        members.append(
+            f"pm{i} AS (SELECT sub, code_id, r.pos, avg(sv[CAST(r.pos AS INT)]) AS mu"
+            f" FROM pa{i} CROSS JOIN range(1, {dsub + 1}) r(pos) GROUP BY 1, 2, 3)"
+        )
+        members.append(
+            f"pc{i} AS (SELECT sub, code_id, list(mu ORDER BY pos) AS cv FROM pm{i} GROUP BY 1, 2)"
+        )
+    pf = f"pc{pq_iters}"
+    members += [
+        f"""pcodes AS (
+  SELECT vec_id, sub, code_id FROM (
+    SELECT psub.vec_id, psub.sub, c.code_id,
+           row_number() OVER (PARTITION BY psub.vec_id, psub.sub
+             ORDER BY {l2sq('psub.sv', 'c.cv')} ASC, c.code_id) AS rn
+    FROM psub JOIN {pf} c ON c.sub = psub.sub) WHERE rn = 1)""",
+        "q AS (SELECT vec_id AS query_id, nv AS qv FROM en WHERE vec_id < 5)",
+        f"""probes AS (
+  SELECT query_id, qv, centroid_id, cv FROM (
+    SELECT q.query_id, q.qv, c.centroid_id, c.cv,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.centroid_id) AS rn
+    FROM q CROSS JOIN {cf} c) WHERE rn <= {n_probe})""",
+        f"""qres AS (
+  SELECT query_id, centroid_id,
+         list_transform(range(1, {dim + 1}),
+           i -> qv[CAST(i AS INT)] - cv[CAST(i AS INT)]) AS qr
+  FROM probes)""",
+        f"""lut AS (
+  SELECT qres.query_id, qres.centroid_id, c.sub, c.code_id,
+         {l2sq(f'qres.qr[c.sub * {dsub} + 1 : c.sub * {dsub} + {dsub}]', 'c.cv')} AS d2
+  FROM qres CROSS JOIN {pf} c)""",
+        """scored AS (
+  SELECT l.query_id, a.vec_id AS neighbor_id,
+         list_aggregate(list(l.d2 ORDER BY l.sub), 'sum') AS pq_dist
+  FROM rasg a
+  JOIN pcodes pk ON pk.vec_id = a.vec_id
+  JOIN lut l ON l.centroid_id = a.centroid_id
+            AND l.sub = pk.sub AND l.code_id = pk.code_id
+  WHERE l.query_id <> a.vec_id
+  GROUP BY 1, 2)""",
+        """ranked AS (
+  SELECT query_id, neighbor_id, pq_dist,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY pq_dist ASC, neighbor_id) AS rank
+  FROM scored)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(members)
+        + f"""
+SELECT query_id, neighbor_id, round(pq_dist, 6) AS pq_dist,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+    )
+
+
+SQL_ANN_IVFPQ_RESIDUAL = _ann_ivfpq_residual_sql()
+
+
 def _ann_ivf_sql(k: int = 10, n_centroids: int = 16, n_probe: int = 4) -> str:
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1506,6 +1648,7 @@ SPECS = [
     QuerySpec("ext_ann_quantized", q_ann_quantized, SQL_ANN_QUANTIZED, ("similarity",)),
     QuerySpec("ext_ann_pq", q_ann_pq, SQL_ANN_PQ, ("similarity", "iterative")),
     QuerySpec("ext_ann_ivfpq", q_ann_ivfpq, SQL_ANN_IVFPQ, ("similarity", "iterative")),
+    QuerySpec("ext_ann_ivfpq_residual", q_ann_ivfpq_residual, SQL_ANN_IVFPQ_RESIDUAL, ("similarity", "iterative")),
     QuerySpec("ext_token_estimate", q_token_estimate, SQL_TOKEN_ESTIMATE, ("text",)),
     QuerySpec("ext_multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL_META, ("multimodal",)),
     QuerySpec("ext_multimodal_decode", q_multimodal_decode, SQL_MULTIMODAL_DECODE, ("multimodal",)),

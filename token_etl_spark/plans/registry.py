@@ -54,6 +54,7 @@ _PRIORITY_NAMES = [
     "ext_d4_select",
     "ext_ann_pq",
     "ext_ann_ivfpq",
+    "ext_ann_ivfpq_residual",
     "ext_importance_weights",
     "ext_lm_quality",
     "rel_full_outer",
