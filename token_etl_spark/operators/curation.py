@@ -496,16 +496,21 @@ def _bigram_bucket_counts(
     frame both halves of DSIR scoring derive from: the bucket weight
     table is a per-bucket re-aggregation of these counts (summing c is
     identical to counting occurrences), and the per-doc score joins
-    them against the weights. Deriving both from one frame means the
-    corpus is exploded and hashed ONCE, not once per half — at 150k docs
-    the double explode was most of the operator's cost. Lazily
-    checkpointed so the two consumers share the materialization."""
+    them against the weights.
+
+    NOT checkpointed: ``localCheckpoint(eager=False)`` still materializes
+    the plan's RDD at CONSTRUCTION time (under AQE that submits the
+    shuffle map stage — a job before any action, the plan-build-hygiene
+    anti-pattern), and measured sf0.1 wall clock is ~2× WORSE with the
+    checkpoint than just letting the two consumers re-derive the frame
+    (5.1 s vs 2.4 s — the zip_with bigram fix made the explode cheap).
+    Column pruning gives the two consumers different canonical subtrees,
+    so Spark's exchange reuse does not merge them; a production pipeline
+    that wants single-scan sharing at 100 TB should persist this frame
+    explicitly between stages (write/read parquet), not checkpoint it
+    inside the query plan."""
     occ = _bigram_occurrences(docs, n_buckets, text_col, id_col, source_col, portable)
-    return (
-        occ.groupBy("doc_id", "source", "bucket")
-        .agg(F.count("*").alias("c"))
-        .localCheckpoint(eager=False)
-    )
+    return occ.groupBy("doc_id", "source", "bucket").agg(F.count("*").alias("c"))
 
 
 def bigram_lm_tables(
