@@ -203,3 +203,26 @@ def test_pq_broadcasts_codebook_and_lut(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ext_ann_pq")
     assert "Broadcast" in plan
     assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_bloom_decontaminate_probe_is_joinless(spark, sf_dir):
+    """The bitmap enters as a 1-row broadcast (BroadcastNestedLoopJoin
+    over one row); the corpus side must have NO hash join at all — the
+    probe is a filter expression — and exactly one exchange (the per-doc
+    count)."""
+    plan = _plan(spark, sf_dir, "ext_bloom_decontaminate")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastHashJoin" not in plan and "SortMergeJoin" not in plan
+    assert plan.count("hashpartitioning(id") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_prefilter_join_probes_before_join(spark, sf_dir):
+    """rel_bloom_join: the bloom probe (bitwise AND over the broadcast
+    bitmap) must sit on the orders side BEFORE the exact join, and the
+    exact join must still be present."""
+    plan = _plan(spark, sf_dir, "rel_bloom_join")
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row bitmap attach
+    # the probe filter compiles to element_at(...) & mask != 0
+    assert plan.count("element_at") >= 4
+    assert "CartesianProduct" not in plan

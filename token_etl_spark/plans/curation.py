@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from token_etl_spark.operators import bloom as B
 from token_etl_spark.operators import curation as C
 from token_etl_spark.plans.base import QuerySpec, t
 from token_etl_spark.plans.extensions import SQL_TOKENS
@@ -60,6 +61,70 @@ sh AS (
 SELECT doc_id, count(*) AS n_overlap
 FROM sh JOIN bench USING (shingle)
 GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
+# --- Bloom-filter decontamination (constant-memory scale path) -------------
+
+BLOOM_M = 1 << 15
+BLOOM_K = 4
+_BLOOM_WORDS = BLOOM_M // 32
+
+
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contamination scan as ``ext_decontaminate`` through the
+    Bloom-filter path (operators/bloom.py): the benchmark's shingle set
+    becomes a 4 KiB bitmap instead of a broadcast string set, and the
+    corpus side probes it with a codegen'd expression — no join at all.
+    ``n_maybe`` includes the filter's false positives (≈0.9%% per
+    shingle at sf0.1 load), identically on both engines: the oracle
+    replays the md5 bit addressing, word packing, and 4-hash AND probe
+    exactly, so the FP set is part of the verified contract. The exact
+    scan's flagged set is a subset of this one by construction (no false
+    negatives) — pinned in tests/test_bloom.py."""
+    docs = t(spark, sf_dir, "documents")
+    benchmark = docs.where(F.col("doc_id") % 97 == 0)
+    return B.bloom_decontaminate(
+        docs, benchmark, k=3, min_overlap=2, m_bits=BLOOM_M, k_hashes=BLOOM_K
+    )
+
+
+def _bf_pos(r: int, item: str) -> str:
+    """DuckDB fragment: bit position of ``item`` under hash row r
+    (mirrors bloom._bit_position = hash_bucket of 'bf{r}:item')."""
+    return (
+        f"(CAST('0x' || substr(md5('bf{r}:' || {item}), 1, 6) AS BIGINT)"
+        f" % {BLOOM_M})"
+    )
+
+
+def _bf_hit(r: int, item: str) -> str:
+    p = _bf_pos(r, item)
+    return f"(bf[{p} // 32 + 1] & (1::BIGINT << CAST({p} % 32 AS INT))) <> 0"
+
+
+SQL_BLOOM_DECONTAMINATE = f"""
+WITH bench AS (
+  SELECT DISTINCT unnest({_SHINGLES}) AS shingle
+  FROM (SELECT {_TOKS} AS tk FROM documents WHERE doc_id % 97 = 0)),
+bpos AS (
+  SELECT unnest([{", ".join(_bf_pos(r, "shingle") for r in range(BLOOM_K))}]) AS pos
+  FROM bench),
+bfw AS (
+  SELECT pos // 32 AS word, bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+  FROM bpos GROUP BY 1),
+bfd AS (
+  SELECT list_transform(range(0, {_BLOOM_WORDS}),
+                        w -> coalesce(bs[list_position(ws, w)], CAST(0 AS BIGINT))) AS bf
+  FROM (SELECT list(word ORDER BY word) AS ws, list(bits ORDER BY word) AS bs FROM bfw)),
+sh AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS shingle
+  FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)),
+hits AS (
+  SELECT doc_id FROM sh CROSS JOIN bfd
+  WHERE {" AND ".join(_bf_hit(r, "shingle") for r in range(BLOOM_K))})
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_maybe
+FROM hits GROUP BY 1 HAVING count(*) >= 2
 """
 
 
@@ -265,6 +330,7 @@ GROUP BY source
 
 SPECS = [
     QuerySpec("ext_decontaminate", q_decontaminate, SQL_DECONTAMINATE, ("curation", "text")),
+    QuerySpec("ext_bloom_decontaminate", q_bloom_decontaminate, SQL_BLOOM_DECONTAMINATE, ("curation", "text", "sketch")),
     QuerySpec("ext_pii_scan", q_pii_scan, SQL_PII_SCAN, ("curation", "text"), bench=True),
     QuerySpec("ext_hash_split", q_hash_split, SQL_HASH_SPLIT, ("curation",)),
     QuerySpec("ext_source_mix", q_source_mix, SQL_SOURCE_MIX, ("curation",)),

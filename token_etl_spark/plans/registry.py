@@ -60,6 +60,9 @@ _PRIORITY_NAMES = [
     "rel_full_outer",
     "rel_salted_agg",
     "rel_salted_join",
+    # new in round 4, second wave
+    "ext_bloom_decontaminate",
+    "rel_bloom_join",
 ]
 
 _MODULE_ORDER: list[QuerySpec] = [

@@ -658,8 +658,41 @@ GROUP BY c_nationkey
 """
 
 
+# --- Bloom-prefiltered join ------------------------------------------------
+
+
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders x BUILDING-segment customers through
+    ``bloom.bloom_prefilter_join``: the right side's key bitmap (4 KiB
+    broadcast) drops non-matching orders map-side BEFORE the exact join.
+    The prefilter is result-transparent — false positives die in the
+    exact join — so the oracle is the PLAIN join SQL; what the bloom
+    changes is the plan (the shuffle sees ~1/5 of orders), asserted in
+    tests/test_plan_hygiene.py. At this scale Catalyst broadcasts the
+    customer side anyway; the operator exists for the big-big selective
+    join where neither side broadcasts (operators/bloom.py docstring)."""
+    from token_etl_spark.operators.bloom import bloom_prefilter_join
+
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    joined = bloom_prefilter_join(orders, cust, "o_custkey", "c_custkey")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("o_totalprice").alias("total_price"),
+    )
+
+
+SQL_BLOOM_JOIN = """
+SELECT o_orderpriority, count(*) AS n_orders, sum(o_totalprice) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY 1
+"""
+
+
 SPECS = [
     QuerySpec("rel_scan_pushdown", q_scan_pushdown, SQL_SCAN_PUSHDOWN, ("scan", "filter")),
+    QuerySpec("rel_bloom_join", q_bloom_join, SQL_BLOOM_JOIN, ("join", "sketch")),
     QuerySpec("rel_json_props", q_json_props, SQL_JSON_PROPS, ("json",)),
     QuerySpec("rel_above_avg_customers", q_above_avg_customers, SQL_ABOVE_AVG_CUSTOMERS, ("subquery",)),
     QuerySpec("rel_notin_blacklist", q_notin_blacklist, SQL_NOTIN_BLACKLIST, ("filter",)),
