@@ -100,3 +100,106 @@ def countmin_estimate(
         .groupBy(*others)
         .agg(F.min("cnt").alias(est_col))
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (deterministic, oracle-replayable)
+
+#: Register count (2^8). Standard error 1.04/sqrt(m) ≈ 6.5%.
+HLL_M = 256
+
+#: rho range: the 48-bit md5-prefix hash gives rho ∈ [1, 49]
+#: (49 = all-zero hash, probability 2^-48).
+_HLL_W = 48
+
+def hll_alpha_m2(m: int = HLL_M) -> float:
+    """alpha_m * m^2 (Flajolet et al. 2007, valid m ≥ 128) computed once
+    in PYTHON so Spark plans and DuckDB oracles embed the SAME double
+    literal — never re-derived independently in each engine."""
+    return (0.7213 / (1.0 + 1.079 / m)) * float(m * m)
+
+
+HLL_ALPHA_M2 = hll_alpha_m2(HLL_M)
+
+
+def hll_registers(
+    df: DataFrame,
+    item_col: str,
+    group_cols: tuple[str, ...] = (),
+    m: int = HLL_M,
+) -> DataFrame:
+    """Per-group HLL register table: (group..., bucket, m_j) with
+    m_j = max over the bucket's items of rho(item) — rho being the
+    1-based position of the highest set bit counted from the top of a
+    48-bit hash (Flajolet et al. 2007, "HyperLogLog: the analysis of a
+    near-optimal cardinality estimation algorithm", AofA).
+
+    Why a sketch when ``countDistinct`` is exact? Exact distinct at
+    100 TB shuffles every distinct value; the register table is ≤ m rows
+    per group, merges across days/sources/partitions by cell-wise MAX
+    (duplicates can never raise a max — the insensitivity that makes the
+    estimate union-able), and the per-row work is two md5s.
+
+    Determinism contract: bucket and rho come from two independently
+    salted md5 prefixes ('hllb:'/'hllr:'), rho via the integer-exact
+    ``49 - length(bin(h))`` (both engines print minimal binary), never
+    float log2 — so the DuckDB oracle reproduces every register
+    byte-for-byte.
+    """
+    item = F.col(item_col).cast("string")
+    bucket = hash_bucket(F.concat(F.lit("hllb:"), item), m)
+    hv = F.conv(
+        F.substring(F.md5(F.concat(F.lit("hllr:"), item)), 1, 12), 16, 10
+    ).cast("long")
+    rho = F.when(hv == 0, F.lit(_HLL_W + 1)).otherwise(
+        F.lit(_HLL_W + 1) - F.length(F.bin(hv))
+    )
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: tuple[str, ...] = (),
+    m: int = HLL_M,
+) -> DataFrame:
+    """Collapse a register table to (group..., n_obs, v_zero, hll_est):
+    the raw HLL estimate alpha_m·m²/Σ 2^(−M_j), with absent registers
+    contributing 2^0 = 1 each (v_zero of them).
+
+    Bit-reproducibility: 2^(−M_j) is an exact binary fraction (a literal
+    power-of-two array lookup, not float ``pow``), the per-group fold
+    runs over the BUCKET-SORTED term array so double accumulation order
+    is pinned (the q_array_ops pattern), and the final
+    ``s_obs + v_zero`` / division happen in one fixed expression order —
+    the DuckDB oracle replays all of it exactly. The raw estimator is
+    emitted WITHOUT the small/large-range corrections of the paper
+    (those need ln, which is not correctly-rounded in either engine);
+    v_zero is returned so a consumer can apply linear counting
+    driver-side when it prefers.
+    """
+    pow2 = F.array(*[F.lit(float(1 << i)) for i in range(_HLL_W + 2)])
+    term = F.lit(1.0) / F.element_at(pow2, F.col("m_j").cast("int") + 1)
+    with_terms = registers.select(*group_cols, "bucket", term.alias("term"))
+    s_obs = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("bucket", "term"))),
+            lambda s: s.getField("term"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    agged = with_terms.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_obs"), s_obs.alias("s_obs")
+    )
+    v_zero = (F.lit(m) - F.col("n_obs")).cast("long")
+    s_sum = F.col("s_obs") + v_zero.cast("double")
+    return agged.select(
+        *group_cols,
+        "n_obs",
+        v_zero.alias("v_zero"),
+        (F.lit(hll_alpha_m2(m)) / s_sum).alias("hll_est"),
+    )

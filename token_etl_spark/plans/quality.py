@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from token_etl_spark.operators import curation as C
+from token_etl_spark.operators import sketch as K
 from token_etl_spark.operators import text as X
 from token_etl_spark.operators.profile import profile_table
 from token_etl_spark.plans.base import QuerySpec, t
@@ -294,6 +295,89 @@ r AS (SELECT token, n,
              CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
       FROM c)
 SELECT rank, token, n FROM r WHERE rank <= {TOP_TOKENS_K}
+"""
+
+
+# --- HyperLogLog distinct sketch -------------------------------------------
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct 3-token-shingle cardinality — the statistic
+    that sizes a MinHash dedup run — exact countDistinct vs the
+    deterministic HLL sketch (operators/sketch.py hll_registers /
+    hll_estimate; see those docstrings for the register/merge shape at
+    100 TB and the bit-reproducibility contract). Shingles, not tokens:
+    the synthetic vocabulary is ~30 words per source, far below the
+    m=256 raw-estimator regime (n/m ≳ 2.5), while the shingle frame
+    sits properly above it at the sf0.01 gate. ``rel_err_pct`` is
+    observability, not an assertion: the oracle replays the estimator
+    exactly, so the row hashes green whatever the error is — unlike
+    ``rel_approx_active_users``, whose engine-specific HLL forces a
+    tolerance-style contract."""
+    from token_etl_spark.operators.dedup import shingle_array_expr
+
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select("source", X.tokens("text").alias("toks"))
+    tok = base.select(
+        "source", F.explode(shingle_array_expr(F.col("toks"), k=3)).alias("token")
+    )
+    regs = K.hll_registers(tok, "token", ("source",))
+    est = K.hll_estimate(regs, ("source",))
+    exact = tok.groupBy("source").agg(
+        F.countDistinct("token").cast("long").alias("exact_distinct")
+    )
+    rel = (
+        (F.col("hll_est") - F.col("exact_distinct"))
+        / F.col("exact_distinct")
+        * F.lit(100.0)
+    )
+    return est.join(exact, "source").select(
+        "source",
+        "exact_distinct",
+        "n_obs",
+        "v_zero",
+        F.round("hll_est", 6).alias("hll_est"),
+        F.round(rel, 6).alias("rel_err_pct"),
+    )
+
+
+_HLL_AM2 = repr(K.hll_alpha_m2(K.HLL_M))
+
+#: same distinct-3-shingle fragment as plans/curation.py _SHINGLES
+#: (mirrors dedup.shingle_array_expr at k=3).
+_HLL_SHINGLES = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(tk) - 2, 1) + 1),"
+    " i -> array_to_string(tk[i:i+2], ' ')))"
+)
+
+SQL_HLL_DISTINCT = f"""
+WITH base AS (SELECT source, {_TOKS} AS tk FROM documents),
+tok AS (SELECT source, unnest({_HLL_SHINGLES}) AS token FROM base),
+h AS (
+  SELECT source,
+         CAST('0x' || substr(md5('hllb:' || token), 1, 6) AS BIGINT) % {K.HLL_M} AS bucket,
+         CAST('0x' || substr(md5('hllr:' || token), 1, 12) AS BIGINT) AS hv
+  FROM tok),
+r AS (
+  SELECT source, bucket,
+         max(CASE WHEN hv = 0 THEN 49 ELSE 49 - length(bin(hv)) END) AS m_j
+  FROM h GROUP BY 1, 2),
+s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_obs,
+         list_aggregate(list(1.0 / CAST(1::BIGINT << m_j AS DOUBLE) ORDER BY bucket),
+                        'sum') AS s_obs
+  FROM r GROUP BY 1),
+e AS (
+  SELECT source, n_obs, CAST({K.HLL_M} - n_obs AS BIGINT) AS v_zero,
+         {_HLL_AM2} / (s_obs + CAST({K.HLL_M} - n_obs AS DOUBLE)) AS est
+  FROM s),
+x AS (SELECT source, CAST(count(DISTINCT token) AS BIGINT) AS exact_distinct
+      FROM tok GROUP BY 1)
+SELECT e.source, x.exact_distinct, e.n_obs, e.v_zero,
+       round(e.est, 6) AS hll_est,
+       round((e.est - x.exact_distinct) / x.exact_distinct * 100.0, 6) AS rel_err_pct
+FROM e JOIN x USING (source)
 """
 
 
@@ -590,6 +674,7 @@ SPECS = [
     QuerySpec("ext_line_filter", q_line_filter, SQL_LINE_FILTER, ("curation", "text")),
     QuerySpec("ext_line_dedup", q_line_dedup, SQL_LINE_DEDUP, ("curation", "text", "dedup")),
     QuerySpec("ext_top_tokens", q_top_tokens, SQL_TOP_TOKENS, ("text", "agg-topk")),
+    QuerySpec("ext_hll_distinct", q_hll_distinct, SQL_HLL_DISTINCT, ("sketch", "text", "agg-approx")),
     QuerySpec("ext_tfidf_terms", q_tfidf_terms, SQL_TFIDF_TERMS, ("text", "agg-topk", "join")),
     QuerySpec("ext_crossdoc_line_dedup", q_crossdoc_line_dedup, SQL_CROSSDOC_LINE_DEDUP, ("text", "dedup")),
     QuerySpec("ext_importance_weights", q_importance_weights, SQL_IMPORTANCE_WEIGHTS, ("curation", "text")),

@@ -63,6 +63,7 @@ _PRIORITY_NAMES = [
     # new in round 4, second wave
     "ext_bloom_decontaminate",
     "rel_bloom_join",
+    "ext_hll_distinct",
 ]
 
 _MODULE_ORDER: list[QuerySpec] = [
