@@ -139,3 +139,66 @@ def test_hll_grouped_estimates_are_independent(spark):
     ).collect()[0]["hll_est"]
     assert by_g["small"] == solo
     assert abs(by_g["big"] - 5000) / 5000 < 0.26
+
+
+# --- histogram quantiles ---------------------------------------------------
+
+
+def test_histogram_estimate_within_one_bin_of_exact(spark, sf_dir):
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.operators.sketch import (
+        histogram_counts,
+        histogram_quantiles,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    lo, hi, bins = 900.0, 105000.0, 128
+    width = (hi - lo) / bins
+    hist = histogram_counts(li, "l_extendedprice", lo, hi, bins, ("l_returnflag",))
+    est = {
+        (r["l_returnflag"], r["q"]): r["est"]
+        for r in histogram_quantiles(
+            hist, (0.5, 0.9), lo, hi, bins, ("l_returnflag",)
+        ).collect()
+    }
+    exact = {
+        (r["l_returnflag"], q): r[f"p{int(q*100)}"]
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5D)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.9D)").alias("p90"),
+        )
+        .collect()
+        for q in (0.5, 0.9)
+    }
+    assert set(est) == set(exact)
+    for k, e in est.items():
+        assert abs(e - exact[k]) <= width, (k, e, exact[k])
+
+
+def test_histogram_shards_merge_by_addition(spark, sf_dir):
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.operators.sketch import histogram_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    lo, hi, bins = 900.0, 105000.0, 64
+    whole = histogram_counts(li, "l_extendedprice", lo, hi, bins)
+    parts = (
+        histogram_counts(
+            li.where(F.col("l_orderkey") % 2 == 0), "l_extendedprice", lo, hi, bins
+        )
+        .unionByName(
+            histogram_counts(
+                li.where(F.col("l_orderkey") % 2 == 1),
+                "l_extendedprice",
+                lo,
+                hi,
+                bins,
+            )
+        )
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert {(r["bin"], r["cnt"]) for r in whole.collect()} == {
+        (r["bin"], r["cnt"]) for r in parts.collect()
+    }

@@ -23,7 +23,7 @@ other operator in this package.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from token_etl_spark.operators.curation import hash_bucket
@@ -203,3 +203,88 @@ def hll_estimate(
         v_zero.alias("v_zero"),
         (F.lit(hll_alpha_m2(m)) / s_sum).alias("hll_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fixed-range histogram sketch → quantile estimates
+
+
+def histogram_counts(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Equi-width histogram sketch: (group..., bin, cnt) with
+    bin = clamp(floor((v − lo)/width), 0, n_bins−1). Fixed ``n_bins``
+    rows per group regardless of data volume, merges by cell-wise
+    ADDITION (shard per day/source, sum to combine), and the groupBy is
+    map-side combinable — the quantile answer at 100 TB without the
+    global sort that exact ``percentile`` needs. NULLs are dropped
+    (same as percentile); out-of-range values clamp into the edge bins,
+    so the sketch never loses mass — edge-bin estimates degrade instead.
+    """
+    width = (hi - lo) / n_bins
+    v = F.col(value_col).cast("double")
+    bin_ = F.least(
+        F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(n_bins - 1),
+    ).cast("long")
+    return (
+        df.where(v.isNotNull())
+        .select(*group_cols, bin_.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    qs: tuple[float, ...],
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch: for each q, find the
+    first bin whose cumulative count reaches target = q·n and
+    interpolate by rank inside it:
+
+        est = lo + width · (bin + (target − cum_before) / cnt_bin)
+
+    All heavy lifting is integer (window cumsums over the ≤ n_bins-row
+    sketch — exact, order-free); the only floats are the final fixed-
+    order interpolation (+,−,·,/ are exactly-rounded IEEE), so the
+    DuckDB oracle reproduces estimates bit-for-bit. Returns
+    (group..., q, n_rows, bin, est). The bin-selection predicate
+    cum_before < target ≤ cum picks exactly one bin per (group, q) for
+    q ∈ (0, 1]; cnt_bin > 0 there by construction.
+    """
+    width = (hi - lo) / n_bins
+    g = list(group_cols)
+    w = (
+        Window.partitionBy(*g)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*g)
+    cum = (
+        hist.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("n_rows", F.sum("cnt").over(wall))
+        .withColumn("cum_before", F.col("cum") - F.col("cnt"))
+    )
+    qdf = cum.select(
+        "*", F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    )
+    target = F.col("q") * F.col("n_rows").cast("double")
+    picked = qdf.where(
+        (F.col("cum_before").cast("double") < target)
+        & (target <= F.col("cum").cast("double"))
+    )
+    est = F.lit(lo) + F.lit(width) * (
+        F.col("bin").cast("double")
+        + (target - F.col("cum_before").cast("double")) / F.col("cnt").cast("double")
+    )
+    return picked.select(*g, "q", "n_rows", "bin", est.alias("est"))

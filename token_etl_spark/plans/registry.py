@@ -64,6 +64,7 @@ _PRIORITY_NAMES = [
     "ext_bloom_decontaminate",
     "rel_bloom_join",
     "ext_hll_distinct",
+    "ext_histogram_quantiles",
 ]
 
 _MODULE_ORDER: list[QuerySpec] = [

@@ -541,8 +541,73 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+# --- histogram-sketch quantiles (scale variant of rel_median_prices) -------
+
+HIST_LO, HIST_HI, HIST_BINS = 900.0, 105000.0, 128
+HIST_QS = (0.5, 0.9, 0.99)
+_HW = repr((HIST_HI - HIST_LO) / HIST_BINS)
+
+
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of l_extendedprice per return flag from a 128-bin
+    equi-width histogram sketch (operators/sketch.py histogram_counts /
+    histogram_quantiles). Unlike ``rel_median_prices``' exact
+    percentile — whose global per-group sort is the wrong plan at
+    100 TB — the sketch is one map-side-combinable groupBy into 128
+    cells per group, merged by addition, and the estimate is a pinned
+    fixed-order interpolation the oracle replays bit-for-bit (the bin
+    width divides by a power of two, so even the width literal is
+    exact)."""
+    from token_etl_spark.operators.sketch import (
+        histogram_counts,
+        histogram_quantiles,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    hist = histogram_counts(
+        li, "l_extendedprice", HIST_LO, HIST_HI, HIST_BINS, ("l_returnflag",)
+    )
+    out = histogram_quantiles(
+        hist, HIST_QS, HIST_LO, HIST_HI, HIST_BINS, ("l_returnflag",)
+    )
+    return out.select(
+        "l_returnflag", "q", "n_rows", "bin", F.round("est", 6).alias("est")
+    )
+
+
+_HQ = ", ".join(f"CAST({q} AS DOUBLE)" for q in HIST_QS)
+
+SQL_HISTOGRAM_QUANTILES = f"""
+WITH b AS (
+  SELECT l_returnflag,
+         CAST(least(greatest(floor((CAST(l_extendedprice AS DOUBLE)
+                                    - CAST({HIST_LO!r} AS DOUBLE))
+                                   / CAST({_HW} AS DOUBLE)), 0),
+                    {HIST_BINS - 1}) AS BIGINT) AS bin
+  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+h AS (SELECT l_returnflag, bin, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2),
+c AS (
+  SELECT l_returnflag, bin, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n_rows
+  FROM h),
+e AS (
+  SELECT l_returnflag, q, n_rows, bin,
+         CAST({HIST_LO!r} AS DOUBLE) + CAST({_HW} AS DOUBLE)
+           * (CAST(bin AS DOUBLE)
+              + (q * CAST(n_rows AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
+                / CAST(cnt AS DOUBLE)) AS est
+  FROM c CROSS JOIN (SELECT unnest([{_HQ}]) AS q)
+  WHERE CAST(cum - cnt AS DOUBLE) < q * CAST(n_rows AS DOUBLE)
+    AND q * CAST(n_rows AS DOUBLE) <= CAST(cum AS DOUBLE))
+SELECT l_returnflag, q, n_rows, bin, round(est, 6) AS est FROM e
+"""
+
+
 SPECS = [
     QuerySpec("tpch_priority_counts", q_priority_counts, SQL_PRIORITY_COUNTS, ("join-semi", "agg")),
+    QuerySpec("ext_histogram_quantiles", q_histogram_quantiles, SQL_HISTOGRAM_QUANTILES, ("sketch", "agg-approx")),
     QuerySpec("tpch_promo_share", q_promo_share, SQL_PROMO_SHARE, ("agg-conditional",)),
     QuerySpec("tpch_large_orders", q_large_orders, SQL_LARGE_ORDERS, ("having",)),
     QuerySpec("tpch_disjunctive_filter", q_disjunctive_filter, SQL_DISJUNCTIVE_FILTER, ("predicate",)),
