@@ -170,3 +170,26 @@ def test_streaming_lm_score_matches_batch(spark, sf_dir, tmp_path):
         assert g.n_bigrams == w.n_bigrams
         assert abs(g.score - w.score) < 1e-9
         assert abs(g.avg_p - w.avg_p) < 1e-9
+
+
+def test_streaming_bloom_decontaminate_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-side bloom probe == batch bloom scan: same bitmap, same
+    per-doc maybe-counts, so drop mode keeps exactly the batch
+    complement (FPs included — they are part of the deterministic
+    contract, not noise)."""
+    from token_etl_spark.operators import bloom as B
+    from token_etl_spark.operators.dedup import shingles
+    from token_etl_spark.streaming.curation import streaming_bloom_decontaminate
+
+    docs, staged = _staged_docs(spark, sf_dir, tmp_path, "bloom_decon_stream")
+    bench = docs.where(F.col("doc_id") % 11 == 0)
+    bench_sh = shingles(bench, k=3).select("shingle").distinct()
+    bf = B.bloom_bitmap(bench_sh, "shingle")
+    stream = read_file_stream(spark, staged, docs.schema)
+    out = streaming_bloom_decontaminate(stream, bf, k=3, mode="drop")
+    run_to_memory(out, "bloom_decon_out", output_mode="append")
+    kept = spark.sql("SELECT doc_id FROM bloom_decon_out")
+    flagged = B.bloom_decontaminate(docs, bench, k=3, min_overlap=1)
+    exp = docs.join(flagged, "doc_id", "left_anti").select("doc_id")
+    assert kept.count() == exp.count()
+    assert kept.exceptAll(exp).count() == 0

@@ -241,3 +241,52 @@ def streaming_lm_score(
         )
         .drop("_bg", "_c2", "_c1", "_v")
     )
+
+
+def streaming_bloom_decontaminate(
+    stream: DataFrame,
+    bloom_bf: DataFrame,
+    k: int = 3,
+    m_bits: int = 1 << 15,
+    k_hashes: int = 4,
+    min_overlap: int = 1,
+    text_col: str = "text",
+    mode: str = "drop",
+) -> DataFrame:
+    """Constant-memory twin of ``streaming_decontaminate``: probe each
+    stream document's shingles against a PRE-BUILT Bloom bitmap
+    (``operators/bloom.bloom_bitmap`` over the benchmark, fit offline —
+    the same fit/score split as ``streaming_importance_score``).
+
+    ``streaming_decontaminate`` broadcasts the benchmark's exact shingle
+    STRINGS; this broadcasts 4 KiB regardless of benchmark size — the
+    right trade when the 'benchmark' is a large deny-corpus rather than
+    an MB-scale eval suite. Stateless narrow projection per micro-batch:
+    the per-shingle probe runs inside a higher-order ``filter`` (the
+    bitmap enters the lambda as a plain column capture — O(1), allowed
+    under the PERF.md capture rule; the per-element md5s are inherent
+    probe work, not re-computation). No false negatives: every truly
+    contaminated document is flagged; FPs flag ≈(1−e^(−kn/m))^k extra
+    shingles, so ``mode='drop'`` over-drops slightly rather than ever
+    leaking contamination.
+    """
+    from token_etl_spark.operators.bloom import bloom_probe_expr
+
+    base = stream.withColumn("_toks", tokens(F.col(text_col))).withColumn(
+        "_sh", shingle_array_expr(F.col("_toks"), k)
+    )
+    n_maybe = F.size(
+        F.filter(
+            F.col("_sh"),
+            lambda x: bloom_probe_expr(x, F.col("bf"), m_bits, k_hashes),
+        )
+    )
+    flagged = (
+        base.crossJoin(F.broadcast(bloom_bf))
+        .withColumn("n_maybe", n_maybe)
+        .withColumn("contaminated", F.col("n_maybe") >= min_overlap)
+        .drop("_toks", "_sh", "bf")
+    )
+    if mode == "drop":
+        return flagged.where(~F.col("contaminated")).drop("contaminated")
+    return flagged
