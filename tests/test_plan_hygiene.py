@@ -226,3 +226,12 @@ def test_bloom_prefilter_join_probes_before_join(spark, sf_dir):
     # the probe filter compiles to element_at(...) & mask != 0
     assert plan.count("element_at") >= 4
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_query_sides_broadcast(spark, sf_dir):
+    """Query terms and the query-restricted df table must broadcast into
+    the postings scan; the only nested-loop is the 1-row stats attach."""
+    plan = _plan(spark, sf_dir, "ext_bm25_topk")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan

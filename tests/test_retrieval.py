@@ -1,0 +1,78 @@
+"""BM25 top-k (operators/retrieval.py): hand-computed scores on a tiny
+corpus, idf/tf/length-normalization monotonicity, and rank determinism
+on exact-duplicate documents."""
+
+from __future__ import annotations
+
+import pytest
+
+from token_etl_spark.operators.retrieval import BM25_B, BM25_K1, bm25_topk
+
+
+def _py_bm25(tf, df, dl, n_docs, avgdl, k1=BM25_K1, b=BM25_B):
+    idf = ((n_docs - df) + 0.5) / (df + 0.5)
+    den = tf + k1 * ((1.0 - b) + b * dl / avgdl)
+    return idf * ((tf * (k1 + 1.0)) / den)
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(
+        [(i, txt) for i, txt in enumerate(rows)], ["doc_id", "text"]
+    )
+
+
+def test_scores_match_python_reference(spark):
+    docs = _corpus(
+        spark,
+        [
+            "red fox jumps",            # doc0: fox
+            "red red dog sleeps here",  # doc1: no fox
+            "fox fox fox den",          # doc2: fox tf=3
+        ],
+    )
+    queries = spark.createDataFrame([("q", "fox red")], ["query_id", "query_text"])
+    got = {r["doc_id"]: r["bm25"] for r in bm25_topk(docs, queries, k=10).collect()}
+    n, avgdl = 3, (3 + 5 + 4) / 3.0
+    exp = {
+        0: _py_bm25(1, 2, 3, n, avgdl) + _py_bm25(1, 2, 3, n, avgdl),  # fox+red
+        1: _py_bm25(2, 2, 5, n, avgdl),                                # red only
+        2: _py_bm25(3, 2, 4, n, avgdl),                                # fox only
+    }
+    assert set(got) == set(exp)
+    for d in exp:
+        assert got[d] == pytest.approx(exp[d], rel=1e-12), d
+
+
+def test_rare_term_outweighs_common_term(spark):
+    # 'zebra' appears in 1 of 10 docs, 'the' in all 10: the zebra doc
+    # must outrank every the-only doc for the query 'zebra the'
+    docs = _corpus(
+        spark,
+        ["the zebra runs"] + [f"the word{i} here" for i in range(9)],
+    )
+    queries = spark.createDataFrame([("q", "zebra the")], ["query_id", "query_text"])
+    ranked = bm25_topk(docs, queries, k=10).orderBy("rank").collect()
+    assert ranked[0]["doc_id"] == 0
+
+
+def test_length_normalization(spark):
+    # same tf for the query term; longer doc scores lower
+    docs = _corpus(spark, ["fox a b c", "fox a b c d e f g h i j k"])
+    queries = spark.createDataFrame([("q", "fox")], ["query_id", "query_text"])
+    got = {r["doc_id"]: r["bm25"] for r in bm25_topk(docs, queries).collect()}
+    assert got[0] > got[1]
+
+
+def test_duplicate_docs_tie_break_on_doc_id(spark):
+    docs = _corpus(spark, ["fox den", "fox den", "fox den"])
+    queries = spark.createDataFrame([("q", "fox")], ["query_id", "query_text"])
+    ranked = bm25_topk(docs, queries, k=3).orderBy("rank").collect()
+    assert [r["doc_id"] for r in ranked] == [0, 1, 2]
+    assert len({r["bm25"] for r in ranked}) == 1
+
+
+def test_non_matching_docs_absent(spark):
+    docs = _corpus(spark, ["fox den", "dog house"])
+    queries = spark.createDataFrame([("q", "fox")], ["query_id", "query_text"])
+    got = bm25_topk(docs, queries, k=10).collect()
+    assert [r["doc_id"] for r in got] == [0]

@@ -1,0 +1,120 @@
+"""Lexical retrieval: BM25 top-k scoring of a document corpus against a
+small query set.
+
+No reference analog (the reference stops at token ETL); this is the
+retrieval probe a training-data pipeline runs for targeted corpus
+inspection ("which documents score highest for these probe queries?"),
+benchmark-leakage triage beyond exact-shingle overlap, and
+quality-by-retrievability audits. Scoring is Robertson–Spärck Jones
+BM25 (Robertson & Zaragoza 2009, "The Probabilistic Relevance
+Framework: BM25 and Beyond", FnTIR 3(4)) with one declared variant: the
+idf factor is the RATIO form (N − df + 0.5)/(df + 0.5) without the log,
+because log is correctly-rounded in neither engine while +, ×, / are
+exactly-rounded IEEE — the same trade ``tfidf_top_terms`` and the DSIR
+scorer make. Log is monotone, so each term's idf ORDER is preserved;
+multi-term totals weight rare terms more steeply than log-BM25 — a
+declared variant, not the textbook estimator.
+
+100 TB shape: the postings build is one explode + map-side-combinable
+groupBy (dl rides along as a constant group key — no separate
+doc-length join); the query side and its df sub-table are broadcast, so
+candidate selection is a map-side semi-join that keeps ONLY documents
+containing ≥1 query term; the per-(query, doc) fold runs over the
+term-sorted score array (pinned double accumulation — the q_array_ops
+pattern); and the final top-k ranks partition BY QUERY, so parallelism
+is query-count-wide and no single task ever sees the full corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from token_etl_spark.operators.text import tokens
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents per query under ratio-idf BM25.
+
+    ``queries`` is (query_id, query_text) — a SMALL frame (probes, not a
+    workload): it is broadcast twice (term match + df lookup), never
+    shuffled. Returns (query_id, rank, doc_id, dl, bm25) with rank ties
+    broken on doc_id so exact-duplicate documents order
+    deterministically.
+
+    Every float enters in one pinned expression order (constants are
+    Python-computed doubles embedded as literals; avgdl is one exact
+    division of exact integer sums), so the DuckDB oracle replays scores
+    bit-for-bit — see plans/quality.py SQL_BM25_TOPK.
+    """
+    k1p1 = k1 + 1.0
+    omb = 1.0 - b
+
+    base = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+    post = (
+        base.select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    stats = base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size("toks")).cast("long").alias("sum_dl"),
+    )
+    qterms = (
+        queries.select(
+            "query_id", F.explode(tokens("query_text")).alias("term")
+        ).distinct()
+    )
+    # df restricted to query terms: vocabulary-sized frame cut to a
+    # query-sized one BEFORE it is broadcast into the postings scan
+    qdf = (
+        post.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    matched = (
+        post.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(qdf), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)) / (
+        F.col("df").cast("double") + F.lit(0.5)
+    )
+    den = F.col("tf").cast("double") + F.lit(k1) * (
+        F.lit(omb) + F.lit(b) * F.col("dl").cast("double") / avgdl
+    )
+    num = F.col("tf").cast("double") * F.lit(k1p1)
+    term_score = idf * (num / den)
+    scored = matched.select(
+        "query_id", "doc_id", "dl", "term", term_score.alias("ts")
+    )
+    folded = scored.groupBy("query_id", "doc_id", "dl").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("term", "ts"))),
+                lambda s: s.getField("ts"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("bm25")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id")
+    )
+    return (
+        folded.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "dl", "bm25")
+    )

@@ -381,6 +381,79 @@ FROM e JOIN x USING (source)
 """
 
 
+# --- BM25 top-k retrieval --------------------------------------------------
+
+BM25_QUERIES = [
+    ("q0", "hash join merge"),
+    ("q1", "window sort order"),
+    ("q2", "spark table scan"),
+]
+BM25_TOPK = 10
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents per probe query under ratio-idf BM25
+    (operators/retrieval.py bm25_topk — see that docstring for the
+    declared no-log idf variant and the broadcast/fold/rank shape at
+    100 TB). The probe queries are drawn from the synthetic corpus
+    vocabulary so every term matches at every SF."""
+    from token_etl_spark.operators.retrieval import bm25_topk
+
+    docs = t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(BM25_QUERIES, ["query_id", "query_text"])
+    out = bm25_topk(docs, queries, k=BM25_TOPK)
+    return out.select(
+        "query_id",
+        "rank",
+        "doc_id",
+        F.col("dl").cast("long").alias("dl"),
+        F.round("bm25", 6).alias("bm25"),
+    )
+
+
+_B_K1 = 1.2
+_B_B = 0.75
+_B_VALUES = ", ".join(f"('{qid}', '{qt}')" for qid, qt in BM25_QUERIES)
+_TOKSQ = SQL_TOKENS.format(col="query_text")
+
+SQL_BM25_TOPK = f"""
+WITH q(query_id, query_text) AS (VALUES {_B_VALUES}),
+base AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+tf AS (
+  SELECT doc_id, CAST(dl AS BIGINT) AS dl, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM base)
+  GROUP BY 1, 2, 3),
+qt AS (SELECT DISTINCT query_id, term
+       FROM (SELECT query_id, unnest({_TOKSQ}) AS term FROM q)),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        FROM tf WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len(tk)) AS BIGINT) AS sum_dl FROM base),
+m AS (
+  SELECT qt.query_id, tf.doc_id, tf.dl, tf.term,
+         ((CAST(n_docs - df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+          / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+         * ((CAST(tf AS DOUBLE) * CAST({_B_K1 + 1.0!r} AS DOUBLE))
+            / (CAST(tf AS DOUBLE)
+               + CAST({_B_K1!r} AS DOUBLE)
+                 * (CAST({1.0 - _B_B!r} AS DOUBLE)
+                    + CAST({_B_B!r} AS DOUBLE) * CAST(tf.dl AS DOUBLE)
+                      / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS ts
+  FROM tf JOIN qt USING (term) JOIN dfq USING (term) CROSS JOIN stats),
+g AS (
+  SELECT query_id, doc_id, dl,
+         list_aggregate(list(ts ORDER BY term), 'sum') AS bm25
+  FROM m GROUP BY 1, 2, 3),
+r AS (
+  SELECT query_id, doc_id, dl, bm25,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank
+  FROM g)
+SELECT query_id, rank, doc_id, dl, round(bm25, 6) AS bm25
+FROM r WHERE rank <= {BM25_TOPK}
+"""
+
+
 # --- TF-IDF distinctive terms ----------------------------------------------
 
 TFIDF_K = 5
@@ -675,6 +748,7 @@ SPECS = [
     QuerySpec("ext_line_dedup", q_line_dedup, SQL_LINE_DEDUP, ("curation", "text", "dedup")),
     QuerySpec("ext_top_tokens", q_top_tokens, SQL_TOP_TOKENS, ("text", "agg-topk")),
     QuerySpec("ext_hll_distinct", q_hll_distinct, SQL_HLL_DISTINCT, ("sketch", "text", "agg-approx")),
+    QuerySpec("ext_bm25_topk", q_bm25_topk, SQL_BM25_TOPK, ("text", "retrieval", "agg-topk")),
     QuerySpec("ext_tfidf_terms", q_tfidf_terms, SQL_TFIDF_TERMS, ("text", "agg-topk", "join")),
     QuerySpec("ext_crossdoc_line_dedup", q_crossdoc_line_dedup, SQL_CROSSDOC_LINE_DEDUP, ("text", "dedup")),
     QuerySpec("ext_importance_weights", q_importance_weights, SQL_IMPORTANCE_WEIGHTS, ("curation", "text")),

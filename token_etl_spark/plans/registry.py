@@ -65,6 +65,7 @@ _PRIORITY_NAMES = [
     "rel_bloom_join",
     "ext_hll_distinct",
     "ext_histogram_quantiles",
+    "ext_bm25_topk",
 ]
 
 _MODULE_ORDER: list[QuerySpec] = [
