@@ -202,3 +202,55 @@ def test_histogram_shards_merge_by_addition(spark, sf_dir):
     assert {(r["bin"], r["cnt"]) for r in whole.collect()} == {
         (r["bin"], r["cnt"]) for r in parts.collect()
     }
+
+
+# --- KMV bottom-k ----------------------------------------------------------
+
+
+def test_kmv_small_set_is_exact(spark):
+    """Under k distinct items, the sketch IS the set: union_est exact,
+    n_both = true intersection."""
+    from token_etl_spark.operators.sketch import kmv_pairwise, kmv_sketch
+
+    rows = [("a", f"x{i}") for i in range(50)] + [
+        ("b", f"x{i}") for i in range(30, 80)
+    ]
+    df = spark.createDataFrame(rows, ["g", "item"])
+    ks = kmv_sketch(df, "item", ("g",), k=128)
+    out = kmv_pairwise(ks, "g", k=128).collect()[0]
+    assert out["n_both"] == 20           # x30..x49
+    assert out["union_est"] == 80.0      # exact: fewer than k distinct
+    assert out["inter_est"] == (20 / 128.0) * 80.0
+
+
+def test_kmv_estimates_track_truth(spark):
+    """5k/5k sets with 2k true overlap: union and intersection estimates
+    within 4/sqrt(k) relative error (k=128 -> 35%), jaccard likewise."""
+    from token_etl_spark.operators.sketch import kmv_pairwise, kmv_sketch
+
+    rows = [("a", f"v{i}") for i in range(5000)] + [
+        ("b", f"v{i}") for i in range(3000, 8000)
+    ]
+    df = spark.createDataFrame(rows, ["g", "item"])
+    out = kmv_pairwise(kmv_sketch(df, "item", ("g",)), "g").collect()[0]
+    true_union, true_inter = 8000, 2000
+    assert abs(out["union_est"] - true_union) / true_union < 0.35
+    assert abs(out["inter_est"] - true_inter) / true_inter < 0.35
+    assert abs(out["jaccard_est"] - 0.25) < 0.12
+
+
+def test_kmv_sketch_is_bottom_k_of_distinct(spark):
+    """Sketch rows are exactly the k smallest distinct hashes —
+    duplicates never inflate, ranks are dense from 1."""
+    from token_etl_spark.operators.sketch import kmv_sketch
+
+    df = spark.createDataFrame(
+        [("g", f"i{i % 200}") for i in range(2000)], ["g", "item"]
+    )
+    ks = kmv_sketch(df, "item", ("g",), k=64).collect()
+    assert len(ks) == 64
+    hs = sorted(r["h"] for r in ks)
+    assert [r["rank"] for r in sorted(ks, key=lambda r: r["h"])] == list(
+        range(1, 65)
+    )
+    assert len(set(hs)) == 64

@@ -288,3 +288,126 @@ def histogram_quantiles(
         + (target - F.col("cum_before").cast("double")) / F.col("cnt").cast("double")
     )
     return picked.select(*g, "q", "n_rows", "bin", est.alias("est"))
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k) distinct sketch → set-overlap estimates
+
+#: 2^48 — the md5-prefix hash space (exact double).
+_KMV_SPACE = float(1 << 48)
+
+KMV_K = 128
+
+
+def kmv_sketch(
+    df: DataFrame,
+    item_col: str,
+    group_cols: tuple[str, ...] = (),
+    k: int = KMV_K,
+    n_prebuckets: int = 64,
+) -> DataFrame:
+    """Per-group bottom-k sketch: the ``k`` smallest distinct 48-bit
+    md5-prefix hashes of the group's items (Beyer et al. 2007, "On
+    synopses for distinct value estimation under multiset operations",
+    SIGMOD). Returns (group..., h, rank) with rank ∈ [1, k].
+
+    What KMV adds over HLL: the synopsis is a SAMPLE of the hash space,
+    so two groups' sketches compose under set operations — union by
+    merge-and-trim, and INTERSECTION via the Jaccard of the merged
+    bottom-k (``kmv_pairwise``) — which register sketches cannot do.
+
+    Scale shape: distinct-then-rank would sort each group's whole
+    distinct frame through one partition, so phase 1 takes per-
+    (group, h % n_prebuckets) ``row_number() ≤ k`` (the bottom-k of the
+    group is bottom-k within its bucket), leaving ≤ k·n_prebuckets rows
+    per group for the real rank — the ``ext_top_tokens`` two-phase
+    pattern. Hashing is the usual salted md5 prefix: deterministic and
+    oracle-replayable.
+    """
+    item = F.col(item_col).cast("string")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("kmv:"), item)), 1, 12), 16, 10
+    ).cast("long")
+    g = list(group_cols)
+    hashes = df.select(*g, h.alias("h")).distinct()
+    wb = Window.partitionBy(*g, "pb").orderBy("h")
+    pre = (
+        hashes.withColumn("pb", F.col("h") % n_prebuckets)
+        .withColumn("pr", F.row_number().over(wb))
+        .where(F.col("pr") <= k)
+        .drop("pb", "pr")
+    )
+    w = Window.partitionBy(*g).orderBy("h")
+    return (
+        pre.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def kmv_estimate_expr(count_col: Column, max_h_col: Column, k: int) -> Column:
+    """Distinct-count estimate from a bottom-k set: (k−1)/U_k with
+    U_k = h_k/2^48 — computed as (k−1)·2^48 / h_k in one pinned order.
+    When the set holds fewer than k hashes the sketch IS the distinct
+    set, so the exact count is returned."""
+    return F.when(count_col < k, count_col.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(_KMV_SPACE) / max_h_col.cast("double")
+    )
+
+
+def kmv_pairwise(
+    ksets: DataFrame,
+    group_col: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """All-pairs set-overlap estimates from per-group bottom-k sketches:
+    for each unordered group pair (a < b), merge the two k-sets, keep
+    the k smallest distinct hashes X, and estimate
+
+        jaccard_est = |X ∩ A ∩ B| / k          (Beyer et al. §4)
+        union_est   = (k−1) / (max X / 2^48)
+        inter_est   = jaccard_est · union_est
+
+    Everything until the three final fixed-order float ops is integer
+    (ranks, counts, max) — the DuckDB oracle replays estimates
+    bit-for-bit. Input is sketch-sized (k rows per group), so this whole
+    operator runs on ≤ k·|groups| rows regardless of corpus bytes; the
+    pair frame is |groups|² / 2 × k rows — broadcast-scale for any sane
+    group count.
+    """
+    names = ksets.select(F.col(group_col).alias("ga")).distinct()
+    pairs = (
+        names.crossJoin(
+            ksets.select(F.col(group_col).alias("gb")).distinct()
+        ).where(F.col("ga") < F.col("gb"))
+    )
+    a = ksets.select(F.col(group_col).alias("ga"), F.col("h").alias("h"))
+    b = ksets.select(F.col(group_col).alias("gb"), F.col("h").alias("h"))
+    tagged = (
+        pairs.join(a, "ga").withColumn("in_a", F.lit(1)).withColumn("in_b", F.lit(0))
+        .unionByName(
+            pairs.join(b, "gb")
+            .withColumn("in_a", F.lit(0))
+            .withColumn("in_b", F.lit(1))
+            .select("ga", "gb", "h", "in_a", "in_b")
+        )
+    )
+    merged = tagged.groupBy("ga", "gb", "h").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    w = Window.partitionBy("ga", "gb").orderBy("h")
+    x = merged.withColumn("xr", F.row_number().over(w)).where(F.col("xr") <= k)
+    per_pair = x.groupBy("ga", "gb").agg(
+        F.count("*").alias("n_x"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
+        F.max("h").alias("h_k"),
+    )
+    union_est = kmv_estimate_expr(F.col("n_x"), F.col("h_k"), k)
+    jacc = F.col("n_both").cast("double") / F.lit(float(k))
+    return per_pair.select(
+        "ga",
+        "gb",
+        "n_both",
+        jacc.alias("jaccard_est"),
+        union_est.alias("union_est"),
+        (jacc * union_est).alias("inter_est"),
+    )

@@ -330,7 +330,10 @@ GROUP BY source
 
 SPECS = [
     QuerySpec("ext_decontaminate", q_decontaminate, SQL_DECONTAMINATE, ("curation", "text")),
-    QuerySpec("ext_bloom_decontaminate", q_bloom_decontaminate, SQL_BLOOM_DECONTAMINATE, ("curation", "text", "sketch")),
+    # bench=True (r4): the constant-memory decontamination path — the
+    # joinless probe plan is what runs at 100 TB, so it gets
+    # round-over-round tracking next to the exact broadcast scan.
+    QuerySpec("ext_bloom_decontaminate", q_bloom_decontaminate, SQL_BLOOM_DECONTAMINATE, ("curation", "text", "sketch"), bench=True),
     QuerySpec("ext_pii_scan", q_pii_scan, SQL_PII_SCAN, ("curation", "text"), bench=True),
     QuerySpec("ext_hash_split", q_hash_split, SQL_HASH_SPLIT, ("curation",)),
     QuerySpec("ext_source_mix", q_source_mix, SQL_SOURCE_MIX, ("curation",)),

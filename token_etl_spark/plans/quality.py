@@ -381,6 +381,89 @@ FROM e JOIN x USING (source)
 """
 
 
+# --- KMV pairwise set overlap ----------------------------------------------
+
+KMV_PAIR_K = 128
+
+
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated shingle-set overlap between every source pair from
+    bottom-k sketches (operators/sketch.py kmv_sketch / kmv_pairwise) —
+    the cross-source contamination/redundancy matrix a mixture designer
+    reads before setting sampling weights. KMV rather than HLL because
+    registers cannot intersect; bottom-k sets compose under union
+    (merge-and-trim) and give Jaccard directly. The whole pairwise stage
+    runs on k·|sources| sketch rows — corpus bytes only touch the
+    sketch build. Oracle replays hashing, ranks, merge, and the three
+    fixed-order float ops exactly."""
+    from token_etl_spark.operators.dedup import shingle_array_expr
+    from token_etl_spark.operators.sketch import kmv_pairwise, kmv_sketch
+
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select("source", X.tokens("text").alias("toks"))
+    items = base.select(
+        "source", F.explode(shingle_array_expr(F.col("toks"), k=3)).alias("item")
+    )
+    ks = kmv_sketch(items, "item", ("source",), k=KMV_PAIR_K)
+    out = kmv_pairwise(ks, "source", k=KMV_PAIR_K)
+    return out.select(
+        "ga",
+        "gb",
+        "n_both",
+        F.round("jaccard_est", 6).alias("jaccard_est"),
+        F.round("union_est", 6).alias("union_est"),
+        F.round("inter_est", 6).alias("inter_est"),
+    )
+
+
+_KMV_SP = repr(float(1 << 48))
+_KMV_UE = (
+    f"CASE WHEN n_x < {KMV_PAIR_K} THEN CAST(n_x AS DOUBLE)"
+    f" ELSE CAST({KMV_PAIR_K - 1}.0 AS DOUBLE) * CAST({_KMV_SP} AS DOUBLE)"
+    f" / CAST(h_k AS DOUBLE) END"
+)
+_KMV_J = f"CAST(n_both AS DOUBLE) / CAST({KMV_PAIR_K}.0 AS DOUBLE)"
+
+SQL_KMV_OVERLAP = f"""
+WITH base AS (SELECT source, {_TOKS} AS tk FROM documents),
+it AS (SELECT DISTINCT source, item
+       FROM (SELECT source, unnest({_HLL_SHINGLES}) AS item FROM base)),
+h AS (SELECT DISTINCT source,
+             CAST('0x' || substr(md5('kmv:' || item), 1, 12) AS BIGINT) AS h
+      FROM it),
+ks AS (SELECT source, h FROM (
+         SELECT source, h,
+                row_number() OVER (PARTITION BY source ORDER BY h) AS rank
+         FROM h)
+       WHERE rank <= {KMV_PAIR_K}),
+nm AS (SELECT DISTINCT source FROM ks),
+pr AS (SELECT a.source AS ga, b.source AS gb
+       FROM nm a CROSS JOIN nm b WHERE a.source < b.source),
+tg AS (
+  SELECT pr.ga, pr.gb, ks.h, 1 AS in_a, 0 AS in_b
+  FROM pr JOIN ks ON ks.source = pr.ga
+  UNION ALL
+  SELECT pr.ga, pr.gb, ks.h, 0 AS in_a, 1 AS in_b
+  FROM pr JOIN ks ON ks.source = pr.gb),
+mg AS (SELECT ga, gb, h, max(in_a) AS in_a, max(in_b) AS in_b
+       FROM tg GROUP BY 1, 2, 3),
+x AS (SELECT ga, gb, h, in_a, in_b FROM (
+        SELECT ga, gb, h, in_a, in_b,
+               row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS xr
+        FROM mg)
+      WHERE xr <= {KMV_PAIR_K}),
+pp AS (SELECT ga, gb, CAST(count(*) AS BIGINT) AS n_x,
+              CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+              max(h) AS h_k
+       FROM x GROUP BY 1, 2)
+SELECT ga, gb, n_both,
+       round({_KMV_J}, 6) AS jaccard_est,
+       round({_KMV_UE}, 6) AS union_est,
+       round(({_KMV_J}) * ({_KMV_UE}), 6) AS inter_est
+FROM pp
+"""
+
+
 # --- BM25 top-k retrieval --------------------------------------------------
 
 BM25_QUERIES = [
@@ -749,6 +832,7 @@ SPECS = [
     QuerySpec("ext_top_tokens", q_top_tokens, SQL_TOP_TOKENS, ("text", "agg-topk")),
     QuerySpec("ext_hll_distinct", q_hll_distinct, SQL_HLL_DISTINCT, ("sketch", "text", "agg-approx")),
     QuerySpec("ext_bm25_topk", q_bm25_topk, SQL_BM25_TOPK, ("text", "retrieval", "agg-topk")),
+    QuerySpec("ext_kmv_overlap", q_kmv_overlap, SQL_KMV_OVERLAP, ("sketch", "agg-approx", "setop")),
     QuerySpec("ext_tfidf_terms", q_tfidf_terms, SQL_TFIDF_TERMS, ("text", "agg-topk", "join")),
     QuerySpec("ext_crossdoc_line_dedup", q_crossdoc_line_dedup, SQL_CROSSDOC_LINE_DEDUP, ("text", "dedup")),
     QuerySpec("ext_importance_weights", q_importance_weights, SQL_IMPORTANCE_WEIGHTS, ("curation", "text")),

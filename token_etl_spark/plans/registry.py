@@ -66,6 +66,7 @@ _PRIORITY_NAMES = [
     "ext_hll_distinct",
     "ext_histogram_quantiles",
     "ext_bm25_topk",
+    "ext_kmv_overlap",
 ]
 
 _MODULE_ORDER: list[QuerySpec] = [
