@@ -193,3 +193,25 @@ def test_streaming_bloom_decontaminate_matches_batch(spark, sf_dir, tmp_path):
     exp = docs.join(flagged, "doc_id", "left_anti").select("doc_id")
     assert kept.count() == exp.count()
     assert kept.exceptAll(exp).count() == 0
+
+
+def test_streaming_hll_matches_batch_registers(spark, sf_dir, tmp_path):
+    """Running HLL registers after draining the stream equal the batch
+    registers cell for cell (bounded-state property: the aggregation
+    state IS the <= m-row register table per group)."""
+    from token_etl_spark.operators.sketch import hll_registers
+    from token_etl_spark.operators.text import tokens as _toks
+    from token_etl_spark.streaming.curation import streaming_hll
+
+    docs, staged = _staged_docs(spark, sf_dir, tmp_path, "hll_stream")
+    stream = read_file_stream(spark, staged, docs.schema)
+    exploded = stream.select("source", F.explode(_toks(F.col("text"))).alias("tok"))
+    run_to_memory(
+        streaming_hll(exploded, F.col("tok"), ("source",)),
+        "hll_out",
+        output_mode="complete",
+    )
+    got = sorted(map(tuple, spark.sql("SELECT * FROM hll_out").collect()))
+    batch = docs.select("source", F.explode(_toks(F.col("text"))).alias("tok"))
+    want = sorted(map(tuple, hll_registers(batch, "tok", ("source",)).collect()))
+    assert got == want

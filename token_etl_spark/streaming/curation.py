@@ -290,3 +290,31 @@ def streaming_bloom_decontaminate(
     if mode == "drop":
         return flagged.where(~F.col("contaminated")).drop("contaminated")
     return flagged
+
+
+def streaming_hll(
+    stream: DataFrame,
+    item_expr,
+    group_cols: tuple[str, ...] = (),
+    m: int = 256,
+) -> DataFrame:
+    """Running HyperLogLog registers over a stream — the streaming twin
+    of ``operators/sketch.py hll_registers`` (same salted md5 bucket/rho,
+    tested register-identical to the batch build).
+
+    Same bounded-state argument as ``streaming_countmin``, for DISTINCT
+    counts: streaming ``approx_count_distinct`` state is opaque and
+    engine-specific, while a streaming exact countDistinct's state is
+    the live distinct set — unbounded. Here the aggregation state is ≤ m
+    (bucket, max-rho) rows per group, forever, and a snapshot feeds
+    ``hll_estimate`` (or merges with other streams' registers by
+    cell-wise max) at read time. Emit mode: ``update``/``complete``.
+
+    ``item_expr`` is a Column (e.g. an exploded token/shingle) so the
+    caller controls the item granularity; pass the already-exploded
+    stream when items are one-per-row.
+    """
+    from token_etl_spark.operators.sketch import hll_registers
+
+    base = stream.select(*group_cols, item_expr.alias("_item"))
+    return hll_registers(base, "_item", group_cols, m=m)
