@@ -122,3 +122,17 @@ def test_cli_spandedup_and_lmscore(spark, sf_dir, tmp_path):
     got2 = spark.read.parquet(out2)
     assert got2.count() == docs.count()
     assert set(got2.columns) == {"doc_id", "source", "n_bigrams", "score", "avg_p"}
+
+
+def test_cli_query_runner(spark, sf_dir, tmp_path, capsys):
+    # --list needs no session and filters by tag
+    cli.main(["query", "--list", "--tag", "sketch"])
+    listed = capsys.readouterr().out
+    assert "ext_hll_distinct" in listed and "ext_countmin_freqs" in listed
+    # run one query to parquet and one to stdout
+    out = str(tmp_path / "q_out")
+    cli.main(["query", "ext_hll_distinct", "--data", sf_dir, "--out", out])
+    got = spark.read.parquet(out)
+    assert got.count() > 0 and "hll_est" in got.columns
+    cli.main(["query", "tpch_priority_counts", "--data", sf_dir, "--show", "3"])
+    assert "o_orderpriority" in capsys.readouterr().out

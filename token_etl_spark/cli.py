@@ -22,6 +22,12 @@ Plus the training-corpus extension pipelines:
         [--k N] [--stats-only]
     python -m token_etl_spark.cli lmscore  --documents P --out O
         [--reference-sources s0,s1]
+
+And a generic runner for any declared query in the registry (the full
+analytic surface — TPC-H-style, corpus curation, sketches, ANN, BM25):
+
+    python -m token_etl_spark.cli query NAME --data SF_DIR [--out O] [--show N]
+    python -m token_etl_spark.cli query --list [--tag TAG]
 """
 
 from __future__ import annotations
@@ -104,8 +110,40 @@ def main(argv: list[str] | None = None) -> None:
     lm.add_argument("--out", required=True)
     lm.add_argument("--reference-sources", default="src0")
 
+    qry = sub.add_parser("query")
+    qry.add_argument("name", nargs="?", default=None)
+    qry.add_argument("--data", default="/root/testdata/sf0.001")
+    qry.add_argument("--out", default=None)
+    qry.add_argument("--show", type=int, default=20)
+    qry.add_argument("--list", action="store_true", dest="list_queries")
+    qry.add_argument("--tag", default=None)
+
     args = p.parse_args(argv)
+
+    if args.cmd == "query" and args.list_queries:
+        # listing needs no SparkSession — keep it instant
+        from token_etl_spark.plans.registry import SPECS
+
+        for name, spec in SPECS.items():
+            if args.tag is None or args.tag in spec.tags:
+                print(f"{name}\t{','.join(spec.tags)}")
+        return
+
     spark = get_spark(f"token_etl_spark_{args.cmd}")
+
+    if args.cmd == "query":
+        from token_etl_spark.plans.registry import SPECS
+
+        if args.name is None or args.name not in SPECS:
+            raise SystemExit(
+                f"unknown query {args.name!r}; use --list to enumerate"
+            )
+        df = SPECS[args.name].fn(spark, args.data)
+        if args.out:
+            write_parquet(df, args.out)
+        else:
+            df.show(args.show, truncate=False)
+        return
 
     if args.cmd == "ingest":
         from token_etl_spark.pipelines.transfers import enrich_transfers
