@@ -458,8 +458,49 @@ FROM balances
 """
 
 
+# --- continuous-aggregate merge read ---------------------------------------
+
+#: 2024-01-21 00:00 UTC — hour-aligned, mid-range of the 30-day events
+#: window, so both the cold (rollup) and hot (raw) sides are non-empty
+#: at every SF.
+ROLLUP_CUTOFF_TS = 1_705_795_200
+
+
+def q_rollup_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate, serving path
+    (operators/rollup.py): hours before the cutoff come from the
+    materialized hourly rollup (simulated here by rolling up the cold
+    events in-plan — a pipeline would read the persisted table), the hot
+    tail is aggregated from raw. The union is EXACTLY the full hourly
+    aggregation, so the oracle is the plain GROUP BY — the same
+    result-transparency contract as ``rel_bloom_join``. The raw-side
+    filters compare the timestamp column to literals (pushed-down range
+    scans; cold files pruned by parquet min/max — asserted in
+    tests/test_rollup.py)."""
+    from token_etl_spark.operators.rollup import hourly_rollup, rollup_merge_read
+
+    ev = t(spark, sf_dir, "events")
+    cold_src = ev.where(
+        F.col("ts") < F.timestamp_seconds(F.lit(ROLLUP_CUTOFF_TS))
+    )
+    rollup = hourly_rollup(cold_src)
+    return rollup_merge_read(rollup, ev, ROLLUP_CUTOFF_TS)
+
+
+SQL_ROLLUP_MERGE_READ = f"""
+SELECT {HOUR_TS} AS hour_ts, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       sum(value) AS sum_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 SPECS = [
     QuerySpec("evt_hourly_volume", q_hourly_volume, SQL_HOURLY_VOLUME, ("domain", "agg")),
+    QuerySpec("evt_rollup_merge_read", q_rollup_merge_read, SQL_ROLLUP_MERGE_READ, ("domain", "agg", "rollup")),
     QuerySpec("evt_hourly_user_flow", q_hourly_user_flow, SQL_HOURLY_USER_FLOW, ("domain", "agg")),
     QuerySpec("evt_running_balance", q_running_balance, SQL_RUNNING_BALANCE, ("domain", "window-cumsum"), bench=True),
     QuerySpec("evt_prev_balance", q_prev_balance, SQL_PREV_BALANCE, ("domain", "window-lag")),

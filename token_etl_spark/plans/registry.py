@@ -60,13 +60,16 @@ _PRIORITY_NAMES = [
     "rel_full_outer",
     "rel_salted_agg",
     "rel_salted_join",
-    # new in round 4, second wave
+    # new in round 4, second wave (sketches + retrieval): each verified
+    # against its oracle at sf0.001/0.01/0.1 by the dtype-sensitive
+    # local runner before being declared
     "ext_bloom_decontaminate",
     "rel_bloom_join",
     "ext_hll_distinct",
     "ext_histogram_quantiles",
     "ext_bm25_topk",
     "ext_kmv_overlap",
+    "evt_rollup_merge_read",
 ]
 
 _MODULE_ORDER: list[QuerySpec] = [
