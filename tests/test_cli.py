@@ -136,3 +136,24 @@ def test_cli_query_runner(spark, sf_dir, tmp_path, capsys):
     assert got.count() > 0 and "hll_est" in got.columns
     cli.main(["query", "tpch_priority_counts", "--data", sf_dir, "--show", "3"])
     assert "o_orderpriority" in capsys.readouterr().out
+
+
+def test_cli_mixture(spark, sf_dir, tmp_path, capsys):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench_path = str(tmp_path / "bench")
+    import pyspark.sql.functions as F
+    docs.where(F.col("doc_id") % 97 == 0).write.parquet(bench_path)
+    out = str(tmp_path / "manifest")
+    cli.main(
+        ["mixture", "--documents", f"{sf_dir}/documents.parquet",
+         "--benchmark", bench_path, "--weights", "src0=2.0",
+         "--budget-tokens", "2000", "--pack-budget", "256",
+         "--shards", "4", "--out", out]
+    )
+    printed = capsys.readouterr().out
+    assert "n_copies" in printed
+    manifest = spark.read.parquet(out)
+    assert manifest.count() > 0
+    assert set(manifest.columns) == {
+        "doc_id", "source", "epoch", "shard", "seq_id", "n_tokens", "start_offset"
+    }

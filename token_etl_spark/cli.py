@@ -23,6 +23,11 @@ Plus the training-corpus extension pipelines:
     python -m token_etl_spark.cli lmscore  --documents P --out O
         [--reference-sources s0,s1]
 
+    python -m token_etl_spark.cli mixture  --documents P --out O
+        [--benchmark P [--exact-decon]] [--target-sources s0,s1 --top-pct F]
+        [--budget-tokens N] [--weights src0=2.5,src1=0.4]
+        [--pack-budget N] [--shards N]
+
 And a generic runner for any declared query in the registry (the full
 analytic surface — TPC-H-style, corpus curation, sketches, ANN, BM25):
 
@@ -33,6 +38,8 @@ analytic surface — TPC-H-style, corpus curation, sketches, ANN, BM25):
 from __future__ import annotations
 
 import argparse
+
+from pyspark.sql import functions as F
 
 from token_etl_spark.io.sinks import upsert_by_key, write_parquet
 from token_etl_spark.io.sources import read_json_registry
@@ -110,6 +117,18 @@ def main(argv: list[str] | None = None) -> None:
     lm.add_argument("--out", required=True)
     lm.add_argument("--reference-sources", default="src0")
 
+    mix = sub.add_parser("mixture")
+    mix.add_argument("--documents", required=True)
+    mix.add_argument("--out", required=True)
+    mix.add_argument("--benchmark", default=None)
+    mix.add_argument("--exact-decon", action="store_true")
+    mix.add_argument("--target-sources", default=None)
+    mix.add_argument("--top-pct", type=float, default=None)
+    mix.add_argument("--budget-tokens", type=int, default=None)
+    mix.add_argument("--weights", default=None, help="src0=2.5,src1=0.4")
+    mix.add_argument("--pack-budget", type=int, default=2048)
+    mix.add_argument("--shards", type=int, default=256)
+
     qry = sub.add_parser("query")
     qry.add_argument("name", nargs="?", default=None)
     qry.add_argument("--data", default="/root/testdata/sf0.001")
@@ -130,6 +149,46 @@ def main(argv: list[str] | None = None) -> None:
         return
 
     spark = get_spark(f"token_etl_spark_{args.cmd}")
+
+    if args.cmd == "mixture":
+        from token_etl_spark.pipelines.mixture import build_mixture
+
+        docs = spark.read.parquet(args.documents)
+        bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+        weights = (
+            {
+                kv.split("=")[0]: float(kv.split("=")[1])
+                for kv in args.weights.split(",")
+            }
+            if args.weights
+            else None
+        )
+        manifest = build_mixture(
+            docs,
+            benchmark=bench,
+            use_bloom=not args.exact_decon,
+            target_sources=(
+                tuple(args.target_sources.split(",")) if args.target_sources else None
+            ),
+            select_top_pct=args.top_pct,
+            budget_tokens=args.budget_tokens,
+            weights=weights,
+            pack_budget=args.pack_budget,
+            n_shards=args.shards,
+        )
+        write_parquet(manifest, args.out)
+        summary = (
+            spark.read.parquet(args.out)
+            .groupBy("source")
+            .agg(
+                F.countDistinct("doc_id").alias("n_docs"),
+                F.count("*").alias("n_copies"),
+                F.sum("n_tokens").alias("tokens"),
+            )
+        )
+        for row in summary.orderBy("source").collect():
+            print(row.asDict())
+        return
 
     if args.cmd == "query":
         from token_etl_spark.plans.registry import SPECS
