@@ -72,6 +72,29 @@ def main() -> None:
         f" ({time.time() - t0:.1f}s)"
     )
 
+    t0 = time.time()
+    approx = topk_sets(S.pq_topk(emb, queries, k=k))
+    print(
+        f"pq m=8 k_codes=16 full scan: recall@{k}={recall(truth, approx):.3f}"
+        f" ({time.time() - t0:.1f}s)"
+    )
+
+    for n_probe in (2, 4, 8):
+        t0 = time.time()
+        approx = topk_sets(S.ivfpq_topk(emb, queries, k=k, n_probe=n_probe))
+        print(
+            f"ivfpq n_probe={n_probe}: recall@{k}={recall(truth, approx):.3f}"
+            f" ({time.time() - t0:.1f}s)"
+        )
+
+    for n_probe in (2, 4, 8):
+        t0 = time.time()
+        approx = topk_sets(S.ivfpq_residual_topk(emb, queries, k=k, n_probe=n_probe))
+        print(
+            f"ivfpq-residual n_probe={n_probe}:"
+            f" recall@{k}={recall(truth, approx):.3f} ({time.time() - t0:.1f}s)"
+        )
+
 
 if __name__ == "__main__":
     main()

@@ -216,6 +216,7 @@ def spherical_kmeans(
     n_iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_means: bool = False,
 ) -> DataFrame:
     """Spherical k-means trainer for the IVF coarse quantizer (ROADMAP 2).
 
@@ -228,6 +229,14 @@ def spherical_kmeans(
     operators/graph.py pointer doubling).
 
     Returns a ``(centroid_id, centroid_vec)`` frame with unit-norm vectors.
+    ``keep_means=True`` additionally returns ``centroid_mean`` — the final
+    round's UN-normalized cell mean. The mean is the within-cell variance
+    minimizer, so residual encoders (``ivfpq_residual_topk``) must subtract
+    IT, not the re-projected direction: pushing the centroid back to the
+    sphere moves it away from the mean and measurably INFLATES residual
+    energy above the raw vectors (residual reconstruction MSE 0.83 vs raw
+    0.61 at sf0.1 defaults before this split; see PERF.md). Routing still
+    uses the normalized ``centroid_vec`` — cosine order on the sphere.
     """
     base = corpus.select(
         F.col(id_col).alias("corpus_id"),
@@ -242,11 +251,20 @@ def spherical_kmeans(
         )
     )
     for _ in range(n_iters):
-        assigned = _assign_to_centroids(base, cents)
-        cents = lloyd_refine(assigned).withColumn(
-            "centroid_vec", l2_normalize(F.col("centroid_vec"))
-        ).localCheckpoint(eager=True)
-    return cents
+        assigned = _assign_to_centroids(
+            base, cents.select("centroid_id", "centroid_vec")
+        )
+        cents = (
+            lloyd_refine(assigned)
+            .withColumnRenamed("centroid_vec", "centroid_mean")
+            .withColumn("centroid_vec", l2_normalize(F.col("centroid_mean")))
+            .localCheckpoint(eager=True)
+        )
+    if not keep_means:
+        return cents.select("centroid_id", "centroid_vec")
+    if n_iters == 0:
+        return cents.withColumn("centroid_mean", F.col("centroid_vec"))
+    return cents.select("centroid_id", "centroid_vec", "centroid_mean")
 
 
 def ivf_topk(
@@ -1075,8 +1093,13 @@ def _residual_subs(
     vec_col: str,
 ) -> DataFrame:
     """(vec_id, centroid_id, sub, sv): per-vector RESIDUAL subvectors —
-    normalized vector minus its assigned coarse centroid, split into m
-    pieces. The map-only coarse argmax reuses the broadcast-argmax
+    normalized vector minus its cell's MEAN, split into m pieces.
+    Assignment (routing) maximizes cosine against the normalized
+    ``centroid_vec``; the subtraction uses ``centroid_mean`` — the
+    variance-minimizing reconstruction centroid (see the
+    ``spherical_kmeans`` keep_means note: subtracting the re-normalized
+    direction instead measurably inflates residual energy above the raw
+    vectors). The map-only coarse argmax reuses the broadcast-argmax
     machinery; the subtraction and split are narrow."""
     base = corpus.select(
         F.col(id_col).alias("vec_id"),
@@ -1084,7 +1107,9 @@ def _residual_subs(
     )
     carr = F.broadcast(
         coarse.agg(
-            F.collect_list(F.struct("centroid_id", "centroid_vec")).alias("_cents")
+            F.collect_list(
+                F.struct("centroid_id", "centroid_vec", "centroid_mean")
+            ).alias("_cents")
         )
     )
     best = F.array_max(
@@ -1093,7 +1118,7 @@ def _residual_subs(
             lambda c: F.struct(
                 cosine(F.col("nv"), c.getField("centroid_vec")).alias("sim"),
                 (-c.getField("centroid_id")).alias("neg_id"),
-                c.getField("centroid_vec").alias("cv"),
+                c.getField("centroid_mean").alias("cm"),
             ),
         )
     )
@@ -1101,7 +1126,7 @@ def _residual_subs(
         "vec_id",
         (-F.col("_b.neg_id")).alias("centroid_id"),
         F.zip_with(
-            F.col("nv"), F.col("_b.cv"), lambda x, y: x - y
+            F.col("nv"), F.col("_b.cm"), lambda x, y: x - y
         ).alias("rv"),
     )
     return resid.select(
@@ -1127,12 +1152,19 @@ def ivfpq_residual_topk(
 ) -> DataFrame:
     """RESIDUAL IVF-PQ — the faithful FAISS ``IVFx,PQy`` layout: PQ
     codebooks are trained on, and codes encode, the residual between
-    each (normalized) vector and its assigned coarse centroid. Residuals
-    concentrate near the origin with far less variance than raw vectors,
-    so the same code budget quantizes much tighter; the price is a
+    each (normalized) vector and its cell's MEAN (``centroid_mean`` —
+    the reconstruction centroid). Routing stays on the normalized
+    ``centroid_vec`` (cosine); the subtraction must NOT: the mean is the
+    within-cell variance minimizer, and an earlier revision that
+    subtracted the re-projected (unit-norm) centroid instead measurably
+    inflated residual energy ABOVE the raw vectors (reconstruction MSE
+    0.83 vs raw PQ's 0.61 at sf0.1 defaults; recall@10 0.100 vs raw
+    0.194 — found by scripts/measure_recall.py, which is why that script
+    exists). With mean residuals the concentration argument holds again:
+    same code budget, tighter quantization. The price is a
     PER-(QUERY, PROBED-CELL) lookup table — the query's residual against
-    THAT cell's centroid — instead of one LUT per query: |Q|·n_probe
-    LUTs, still a broadcast-scale frame.
+    THAT cell's mean — instead of one LUT per query: |Q|·n_probe LUTs,
+    still a broadcast-scale frame.
 
     Everything else matches ``ivfpq_topk``: coarse training/probing on
     cosine, per-subspace L2 Lloyd training in one grouped job, candidate
@@ -1142,7 +1174,9 @@ def ivfpq_residual_topk(
     cell geometry.
     """
     dsub = dim // m
-    coarse = spherical_kmeans(corpus, n_centroids, coarse_iters, id_col, vec_col)
+    coarse = spherical_kmeans(
+        corpus, n_centroids, coarse_iters, id_col, vec_col, keep_means=True
+    )
     rsub = _residual_subs(corpus, coarse, m, dsub, id_col, vec_col).localCheckpoint(
         eager=False
     )
@@ -1202,13 +1236,14 @@ def ivfpq_residual_topk(
     probes = (
         q_scored.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= n_probe)
-        .select("query_id", "qv", "centroid_id", "centroid_vec")
+        .select("query_id", "qv", "centroid_id", "centroid_mean")
     )
-    # per-(query, cell) LUT over the query residual against that cell
+    # per-(query, cell) LUT over the query residual against that cell's
+    # MEAN (the reconstruction centroid — must match _residual_subs)
     carr = F.broadcast(
         cents.agg(F.collect_list(F.struct("sub", "code_id", "code_vec")).alias("_cb"))
     )
-    qres = F.zip_with(F.col("qv"), F.col("centroid_vec"), lambda x, y: x - y)
+    qres = F.zip_with(F.col("qv"), F.col("centroid_mean"), lambda x, y: x - y)
     lut = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
         lambda s: F.transform(

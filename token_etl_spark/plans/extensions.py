@@ -1044,11 +1044,14 @@ SQL_ANN_IVFPQ = _ann_ivfpq_sql()
 
 def q_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Residual IVF-PQ (operators/similarity.py ivfpq_residual_topk —
-    the faithful FAISS layout: codes encode vector-minus-cell-centroid,
-    LUTs are per (query, probed cell)). Oracle: the coarse k-means CTEs,
-    a residual-subvector CTE (indexed element-wise subtraction), the
-    renamed per-subspace Lloyd replay over residuals, and the per-cell
-    LUT join."""
+    the faithful FAISS layout: codes encode vector-minus-cell-MEAN
+    residuals — routing on the normalized centroid, reconstruction
+    against the variance-minimizing mean; see the operator docstring
+    for the measured recall bug this split fixed — and LUTs are per
+    (query, probed cell)). Oracle: the coarse k-means CTEs, a
+    residual-subvector CTE joining the mean table g{n} (indexed
+    element-wise subtraction), the renamed per-subspace Lloyd replay
+    over residuals, and the per-cell LUT join."""
     emb = t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
     out = S.ivfpq_residual_topk(
@@ -1089,22 +1092,28 @@ def _ann_ivfpq_residual_sql(
             f" * ({a}[CAST(i AS INT)] - {b}[CAST(i AS INT)])), 'sum')"
         )
 
+    if coarse_iters < 1:
+        raise ValueError("oracle replay needs >= 1 coarse iteration (g{i} CTE)")
     members = _kmeans_cte_members(n_centroids, coarse_iters, dim)
     cf = f"c{coarse_iters}"
+    gf = f"g{coarse_iters}"
     members += [
         # residual assignment on the NORMALIZED vector (mirrors
-        # _residual_subs: cosine(nv, centroid), ties to smallest id)
+        # _residual_subs: cosine(nv, centroid), ties to smallest id);
+        # the residual itself subtracts the cell MEAN (gf.mv — the
+        # reconstruction centroid), matching keep_means=True
         f"""rasg AS (
-  SELECT vec_id, centroid_id, cv FROM (
-    SELECT en.vec_id, c.centroid_id, c.cv,
+  SELECT vec_id, centroid_id FROM (
+    SELECT en.vec_id, c.centroid_id,
            row_number() OVER (PARTITION BY en.vec_id
              ORDER BY list_cosine_similarity(en.nv, c.cv) DESC, c.centroid_id) AS rn
     FROM en CROSS JOIN {cf} c) WHERE rn = 1)""",
         f"""rv AS (
   SELECT en.vec_id, rasg.centroid_id,
          list_transform(range(1, {dim + 1}),
-           i -> en.nv[CAST(i AS INT)] - rasg.cv[CAST(i AS INT)]) AS rv
-  FROM en JOIN rasg ON rasg.vec_id = en.vec_id)""",
+           i -> en.nv[CAST(i AS INT)] - g.mv[CAST(i AS INT)]) AS rv
+  FROM en JOIN rasg ON rasg.vec_id = en.vec_id
+  JOIN {gf} g ON g.centroid_id = rasg.centroid_id)""",
         f"""psub AS (
   SELECT vec_id, centroid_id, s.sub,
          rv[s.sub * {dsub} + 1 : s.sub * {dsub} + {dsub}] AS sv
@@ -1147,10 +1156,10 @@ def _ann_ivfpq_residual_sql(
              ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.centroid_id) AS rn
     FROM q CROSS JOIN {cf} c) WHERE rn <= {n_probe})""",
         f"""qres AS (
-  SELECT query_id, centroid_id,
+  SELECT probes.query_id, probes.centroid_id,
          list_transform(range(1, {dim + 1}),
-           i -> qv[CAST(i AS INT)] - cv[CAST(i AS INT)]) AS qr
-  FROM probes)""",
+           i -> probes.qv[CAST(i AS INT)] - g.mv[CAST(i AS INT)]) AS qr
+  FROM probes JOIN {gf} g ON g.centroid_id = probes.centroid_id)""",
         f"""lut AS (
   SELECT qres.query_id, qres.centroid_id, c.sub, c.code_id,
          {l2sq(f'qres.qr[c.sub * {dsub} + 1 : c.sub * {dsub} + {dsub}]', 'c.cv')} AS d2
