@@ -54,6 +54,17 @@ def main() -> None:
             f" ({time.time() - t0:.1f}s)"
         )
 
+    for n_planes in (4, 6, 8):
+        for ph in (1, 2):
+            t0 = time.time()
+            approx = topk_sets(
+                S.lsh_multiprobe_topk(emb, queries, k=k, n_planes=n_planes, probe_hamming=ph)
+            )
+            print(
+                f"lsh-multiprobe n_planes={n_planes} hamming<={ph}:"
+                f" recall@{k}={recall(truth, approx):.3f} ({time.time() - t0:.1f}s)"
+            )
+
     for refine in (0, 2):
         for n_probe in (1, 2, 4, 8):
             t0 = time.time()

@@ -363,3 +363,36 @@ def test_ivfpq_residual_exact_when_codes_saturate(spark, sf_dir):
     for r in out:
         got.setdefault(r.query_id, set()).add(r.neighbor_id)
     assert got == exact
+
+
+def test_lsh_multiprobe_dominates_single_probe(spark, sf_dir):
+    """At the same n_planes, probing Hamming-1 neighbors must find a
+    strict superset of the single-probe candidates (same planes, the
+    0-mask probe IS the single-probe bucket) — so recall can only rise;
+    on this corpus it rises strictly."""
+    from pyspark.sql import functions as F
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_multiprobe_topk,
+        lsh_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+
+    def sets(df):
+        out = {}
+        for r in df.select("query_id", "neighbor_id").collect():
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    truth = sets(brute_force_topk(emb, q, k=10))
+    single = sets(lsh_topk(emb, q, k=10, n_planes=4))
+    multi = sets(lsh_multiprobe_topk(emb, q, k=10, n_planes=4, probe_hamming=1))
+
+    def rec(d):
+        return sum(len(truth[qq] & d.get(qq, set())) for qq in truth)
+
+    assert rec(multi) >= rec(single)
+    assert rec(multi) > 0

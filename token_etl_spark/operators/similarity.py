@@ -121,6 +121,71 @@ def lsh_topk(
     )
 
 
+def lsh_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al. 2007, "Multi-probe LSH:
+    efficient indexing for high-dimensional similarity search", VLDB):
+    each query probes its own bucket PLUS every bucket within Hamming
+    distance ``probe_hamming`` of its code — near misses on one or two
+    hyperplane signs are exactly where true neighbors land, so recall
+    rises steeply while the corpus side keeps ONE bucket per vector
+    (same single narrow bucketing pass; only the tiny query side
+    explodes, by Σ C(n_planes, d) probes). This recovers the recall a
+    single-probe table only gets by shrinking n_planes — without the
+    bigger buckets: probing 1+n of 2^n buckets scans a ~(1+n)/2^n corpus
+    fraction vs 1/2^(n-1) for dropping a plane, a better
+    recall/comparisons frontier (measured in PERF.md).
+
+    A candidate sits in exactly one bucket and probe masks are distinct,
+    so no candidate pair duplicates — no dedup stage. Deterministic:
+    same seeded planes as ``lsh_topk``; oracle-replayable (the probe
+    masks are integer literals, the flip is a bitwise XOR).
+    """
+    import itertools
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("bucket", lsh_bucket(F.col("cv"), planes))
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("bucket", lsh_bucket(F.col("qv"), planes))
+    masks = [0]
+    for d in range(1, probe_hamming + 1):
+        for comb in itertools.combinations(range(n_planes), d):
+            masks.append(sum(1 << b for b in comb))
+    probe = F.explode(
+        F.array(*[F.lit(m_).cast("long") for m_ in masks])
+    ).alias("mask")
+    q = qb.select("query_id", "qv", "bucket", probe).select(
+        "query_id", "qv", F.col("bucket").bitwiseXOR(F.col("mask")).alias("bucket")
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     n_centroids: int = 16,

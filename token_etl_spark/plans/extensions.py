@@ -457,6 +457,72 @@ FROM ranked WHERE rank <= {k}
 SQL_ANN_LSH = _ann_lsh_sql()
 
 
+LSH_MP_PLANES = 6
+LSH_MP_HAMMING = 1
+
+
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k (operators/similarity.py
+    lsh_multiprobe_topk — each query also probes every bucket within
+    Hamming distance 1 of its code; see the operator docstring for the
+    recall/comparisons frontier argument and PERF.md for the measured
+    curve). Same exact-replay contract as ``ext_ann_lsh``: plane
+    constants are literals in both engines, the probe masks are integer
+    literals, and the flip is a bitwise XOR both engines compute
+    identically."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = S.lsh_multiprobe_topk(
+        emb, queries, k=10, n_planes=LSH_MP_PLANES, probe_hamming=LSH_MP_HAMMING
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _ann_lsh_multiprobe_sql(
+    k: int = 10,
+    n_planes: int = LSH_MP_PLANES,
+    probe_hamming: int = LSH_MP_HAMMING,
+    dim: int = 64,
+    seed: int = 42,
+) -> str:
+    import itertools
+
+    planes = S._hyperplanes(dim, n_planes, seed)
+    bucket = " + ".join(
+        f"(CASE WHEN list_inner_product(v, {_plane_literal(p)}) > 0 THEN {1 << b} ELSE 0 END)"
+        for b, p in enumerate(planes)
+    )
+    masks = [0]
+    for d in range(1, probe_hamming + 1):
+        for comb in itertools.combinations(range(n_planes), d):
+            masks.append(sum(1 << b_ for b_ in comb))
+    mask_list = ", ".join(str(m_) for m_ in masks)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+q0 AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+q AS (SELECT query_id, qv, xor(bucket, mask) AS bucket
+      FROM q0 CROSS JOIN (SELECT unnest([{mask_list}]) AS mask)),
+s AS (
+  SELECT query_id, b.vec_id AS neighbor_id, list_cosine_similarity(qv, b.v) AS sim
+  FROM q JOIN b USING (bucket) WHERE query_id <> b.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM s)
+SELECT query_id, neighbor_id, round(sim, 6) AS cosine_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+SQL_ANN_LSH_MULTIPROBE = _ann_lsh_multiprobe_sql()
+
+
 def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with the spherical-k-means-trained quantizer (refine_iters=2)
     — the scale path with the tighter cells (recall table in PERF.md).
@@ -1644,6 +1710,7 @@ SPECS = [
     QuerySpec("ext_ann_bruteforce", q_ann_bruteforce, SQL_ANN_BRUTEFORCE, ("similarity",), bench=True),
     QuerySpec("ext_embedding_neardup", q_embedding_neardup, SQL_EMBEDDING_NEARDUP, ("similarity", "dedup")),
     QuerySpec("ext_ann_lsh", q_ann_lsh, SQL_ANN_LSH, ("similarity",)),
+    QuerySpec("ext_ann_lsh_multiprobe", q_ann_lsh_multiprobe, SQL_ANN_LSH_MULTIPROBE, ("similarity",)),
     QuerySpec("ext_ann_ivf", q_ann_ivf, SQL_ANN_IVF, ("similarity",)),
     # bench=True (r4): the trained-quantizer IVF is the ANN scale path —
     # round-over-round tracking matters more than the brute-force baseline.

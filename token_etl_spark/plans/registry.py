@@ -70,6 +70,7 @@ _PRIORITY_NAMES = [
     "ext_bm25_topk",
     "ext_kmv_overlap",
     "evt_rollup_merge_read",
+    "ext_ann_lsh_multiprobe",
 ]
 
 _MODULE_ORDER: list[QuerySpec] = [
