@@ -91,3 +91,51 @@ def test_alignment_guard(spark, sf_dir):
         rollup_refresh(ev, rollup, CUT + 7)
     with pytest.raises(ValueError):
         rollup_merge_read(rollup, ev, CUT + 7)
+
+
+def test_hll_rollup_merge_law(spark, sf_dir):
+    """Element-wise max of shard register arrays == single-pass
+    registers of the whole — the property the oracle's one-pass replay
+    of the declared shard-merge query rests on."""
+    from token_etl_spark.operators.rollup import hourly_rollup_hll, merge_hll_rollups
+
+    ev = load_table(spark, sf_dir, "events")
+    a = hourly_rollup_hll(ev.where(F.col("user_id") % 2 == 0))
+    b = hourly_rollup_hll(ev.where(F.col("user_id") % 2 == 1))
+    merged = {
+        (r["hour_ts"], r["event_type"]): tuple(r["hll_regs"])
+        for r in merge_hll_rollups(a, b).collect()
+    }
+    whole = {
+        (r["hour_ts"], r["event_type"]): tuple(r["hll_regs"])
+        for r in hourly_rollup_hll(ev).collect()
+    }
+    assert merged == whole
+
+
+def test_hll_rollup_estimates_track_exact(spark, sf_dir):
+    """Per-(hour, type) distinct counts here are far below m, so the
+    linear-counting branch serves every cell — estimates must track the
+    exact count tightly (the raw harmonic estimator was ~185x off at
+    n=1; the correction exists exactly for this regime)."""
+    from token_etl_spark.operators.rollup import (
+        hll_estimate_from_regs,
+        hourly_rollup_hll,
+    )
+    from token_etl_spark.functions.timeops import hour_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    regs = hourly_rollup_hll(ev)
+    exact = ev.groupBy(
+        hour_bucket(F.unix_timestamp(F.col("ts"))).alias("hour_ts"), "event_type"
+    ).agg(F.countDistinct("user_id").alias("exact"))
+    joined = regs.join(exact, ["hour_ts", "event_type"]).select(
+        "exact", hll_estimate_from_regs("hll_regs").alias("est")
+    )
+    rows = joined.collect()
+    assert rows
+    for r in rows:
+        assert abs(r["est"] - r["exact"]) <= max(2.0, 0.15 * r["exact"]), r
+    total_exact = sum(r["exact"] for r in rows)
+    total_est = sum(r["est"] for r in rows)
+    assert abs(total_est - total_exact) / total_exact < 0.05

@@ -15,8 +15,10 @@ from token_etl_spark.functions.timeops import (
     HOUR,
     bucket,
     changelog_entries,
+    hour_bucket,
     unix_seconds,
 )
+from token_etl_spark.operators.sketch import hll_alpha_m2
 from token_etl_spark.operators.assemble import assemble_on_key
 from token_etl_spark.plans.base import SQL_DAY, SQL_HOUR, QuerySpec, t
 
@@ -498,9 +500,96 @@ GROUP BY 1, 2
 """
 
 
+def q_rollup_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per (hour, event_type) served from
+    the continuous aggregate's HLL register column: two shard rollups
+    (user_id parity halves) are built independently, merged by
+    element-wise register max, and estimated at read time
+    (operators/rollup.py hourly_rollup_hll / merge_hll_rollups /
+    hll_estimate_from_regs). The oracle computes registers in ONE pass —
+    equal to the shard-merge by the HLL merge law (max over any
+    partition = max over the whole; pinned in tests) — then replays the
+    dense-array fold in bucket order, so the estimate hash-matches
+    bit-for-bit. ``exact_users`` rides along for observability, as in
+    ``ext_hll_distinct``."""
+    from token_etl_spark.operators.rollup import (
+        hll_estimate_from_regs,
+        hourly_rollup_hll,
+        merge_hll_rollups,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    a = hourly_rollup_hll(ev.where(F.col("user_id") % 2 == 0))
+    b = hourly_rollup_hll(ev.where(F.col("user_id") % 2 == 1))
+    merged = merge_hll_rollups(a, b)
+    exact = ev.groupBy(
+        hour_bucket(F.unix_timestamp(F.col("ts"))).alias("hour_ts"), "event_type"
+    ).agg(F.countDistinct("user_id").cast("long").alias("exact_users"))
+    return (
+        merged.join(exact, ["hour_ts", "event_type"])
+        .select(
+            "hour_ts",
+            "event_type",
+            "exact_users",
+            F.round(hll_estimate_from_regs("hll_regs"), 6).alias("approx_users"),
+        )
+    )
+
+
+_HLL_AM2_256 = hll_alpha_m2(256)
+
+#: ln(256/V) literal table (operators/rollup.py hll_ln_table) — the
+#: linear-counting correction with ln computed once in Python, never at
+#: runtime in either engine.
+def _hll_ln_tab() -> str:
+    from token_etl_spark.operators.rollup import hll_ln_table
+
+    return ", ".join(repr(x) for x in hll_ln_table(256))
+
+
+_HLL_LN_TAB = _hll_ln_tab()
+
+SQL_ROLLUP_HLL_USERS = f"""
+WITH h AS (
+  SELECT {HOUR_TS} AS hour_ts, event_type,
+         CAST('0x' || substr(md5('hllb:' || CAST(user_id AS VARCHAR)), 1, 6) AS BIGINT) % 256 AS bucket,
+         CAST('0x' || substr(md5('hllr:' || CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) AS hv
+  FROM events),
+r AS (
+  SELECT hour_ts, event_type, bucket,
+         max(CASE WHEN hv = 0 THEN 49 ELSE 49 - length(bin(hv)) END) AS m_j
+  FROM h GROUP BY 1, 2, 3),
+g AS (
+  SELECT hour_ts, event_type,
+         list(bucket ORDER BY bucket) AS bs, list(m_j ORDER BY bucket) AS rs
+  FROM r GROUP BY 1, 2),
+d AS (
+  SELECT hour_ts, event_type,
+         list_transform(range(0, 256),
+                        b -> coalesce(rs[list_position(bs, b)], 0)) AS regs
+  FROM g),
+s AS (
+  SELECT hour_ts, event_type,
+         list_aggregate(list_transform(regs, x -> 1.0 / CAST(1::BIGINT << x AS DOUBLE)),
+                        'sum') AS ssum,
+         len(list_filter(regs, x -> x = 0)) AS v_zero
+  FROM d),
+x AS (
+  SELECT {HOUR_TS} AS hour_ts, event_type,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events GROUP BY 1, 2)
+SELECT s.hour_ts, s.event_type, x.exact_users,
+       round(CASE WHEN v_zero > 0 AND ({_HLL_AM2_256!r} / ssum) <= CAST(640.0 AS DOUBLE)
+                  THEN CAST(256.0 AS DOUBLE) * ([{_HLL_LN_TAB}])[CAST(v_zero AS INT)]
+                  ELSE {_HLL_AM2_256!r} / ssum END, 6) AS approx_users
+FROM s JOIN x USING (hour_ts, event_type)
+"""
+
+
 SPECS = [
     QuerySpec("evt_hourly_volume", q_hourly_volume, SQL_HOURLY_VOLUME, ("domain", "agg")),
     QuerySpec("evt_rollup_merge_read", q_rollup_merge_read, SQL_ROLLUP_MERGE_READ, ("domain", "agg", "rollup")),
+    QuerySpec("evt_rollup_hll_users", q_rollup_hll_users, SQL_ROLLUP_HLL_USERS, ("domain", "rollup", "sketch", "agg-approx")),
     QuerySpec("evt_hourly_user_flow", q_hourly_user_flow, SQL_HOURLY_USER_FLOW, ("domain", "agg")),
     QuerySpec("evt_running_balance", q_running_balance, SQL_RUNNING_BALANCE, ("domain", "window-cumsum"), bench=True),
     QuerySpec("evt_prev_balance", q_prev_balance, SQL_PREV_BALANCE, ("domain", "window-lag")),

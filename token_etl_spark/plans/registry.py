@@ -71,6 +71,7 @@ _PRIORITY_NAMES = [
     "ext_kmv_overlap",
     "evt_rollup_merge_read",
     "ext_ann_lsh_multiprobe",
+    "evt_rollup_hll_users",
 ]
 
 _MODULE_ORDER: list[QuerySpec] = [
