@@ -175,12 +175,14 @@ def hll_estimate(
     runs over the BUCKET-SORTED term array so double accumulation order
     is pinned (the q_array_ops pattern), and the final
     ``s_obs + v_zero`` / division happen in one fixed expression order —
-    the DuckDB oracle replays all of it exactly. The raw estimator is
-    emitted WITHOUT the small/large-range corrections of the paper
-    (those need ln, which is not correctly-rounded in either engine);
-    v_zero is returned so a consumer can apply linear counting
-    driver-side when it prefers.
+    the DuckDB oracle replays all of it exactly. The small-range
+    (linear-counting) correction applies below 2.5·m — per the paper —
+    with its only transcendental, ln(m/V), drawn from a Python-computed
+    literal table (``operators/rollup.hll_ln_table``) both engines index
+    identically, so no runtime ln anywhere.
     """
+    from token_etl_spark.operators.rollup import hll_ln_table
+
     pow2 = F.array(*[F.lit(float(1 << i)) for i in range(_HLL_W + 2)])
     term = F.lit(1.0) / F.element_at(pow2, F.col("m_j").cast("int") + 1)
     with_terms = registers.select(*group_cols, "bucket", term.alias("term"))
@@ -197,11 +199,15 @@ def hll_estimate(
     )
     v_zero = (F.lit(m) - F.col("n_obs")).cast("long")
     s_sum = F.col("s_obs") + v_zero.cast("double")
+    raw = F.lit(hll_alpha_m2(m)) / s_sum
+    ln_tab = F.array(*[F.lit(x) for x in hll_ln_table(m)])
+    lc = F.lit(float(m)) * F.element_at(ln_tab, v_zero.cast("int"))
+    est = F.when((v_zero > 0) & (raw <= F.lit(2.5 * m)), lc).otherwise(raw)
     return agged.select(
         *group_cols,
         "n_obs",
         v_zero.alias("v_zero"),
-        (F.lit(hll_alpha_m2(m)) / s_sum).alias("hll_est"),
+        est.alias("hll_est"),
     )
 
 

@@ -343,6 +343,15 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HLL_AM2 = repr(K.hll_alpha_m2(K.HLL_M))
 
+
+def _hll_ln_literals() -> str:
+    from token_etl_spark.operators.rollup import hll_ln_table
+
+    return ", ".join(repr(x) for x in hll_ln_table(K.HLL_M))
+
+
+_HLL_LN = _hll_ln_literals()
+
 #: same distinct-3-shingle fragment as plans/curation.py _SHINGLES
 #: (mirrors dedup.shingle_array_expr at k=3).
 _HLL_SHINGLES = (
@@ -370,7 +379,12 @@ s AS (
   FROM r GROUP BY 1),
 e AS (
   SELECT source, n_obs, CAST({K.HLL_M} - n_obs AS BIGINT) AS v_zero,
-         {_HLL_AM2} / (s_obs + CAST({K.HLL_M} - n_obs AS DOUBLE)) AS est
+         CASE WHEN ({K.HLL_M} - n_obs) > 0
+                   AND ({_HLL_AM2} / (s_obs + CAST({K.HLL_M} - n_obs AS DOUBLE)))
+                       <= CAST({2.5 * K.HLL_M!r} AS DOUBLE)
+              THEN CAST({float(K.HLL_M)!r} AS DOUBLE)
+                   * ([{_HLL_LN}])[CAST({K.HLL_M} - n_obs AS INT)]
+              ELSE {_HLL_AM2} / (s_obs + CAST({K.HLL_M} - n_obs AS DOUBLE)) END AS est
   FROM s),
 x AS (SELECT source, CAST(count(DISTINCT token) AS BIGINT) AS exact_distinct
       FROM tok GROUP BY 1)
