@@ -72,6 +72,7 @@ _PRIORITY_NAMES = [
     "evt_rollup_merge_read",
     "ext_ann_lsh_multiprobe",
     "evt_rollup_hll_users",
+    "rel_grouping_sets",
 ]
 
 _MODULE_ORDER: list[QuerySpec] = [

@@ -479,6 +479,38 @@ FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
 """
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — ((status, priority), (status), ()) but
+    NOT (priority): the combination rollup can't express (it's a prefix
+    chain) and cube over-produces. The DataFrame API has only
+    rollup/cube, so the idiomatic Spark form is cube + a
+    ``grouping_id`` filter — Catalyst prunes nothing here (cube expands
+    then filters), which is fine: the Expand operator emits each set's
+    rows in one pass either way. ``gid`` is emitted so the oracle's
+    GROUPING_ID (same MSB-first bit convention in both engines)
+    disambiguates NULL-as-value from NULL-as-aggregated."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            F.sum("o_totalprice").alias("total"),
+        )
+        .where(F.col("gid").isin(0, 1, 3))
+        .select("o_orderstatus", "o_orderpriority", F.col("gid").cast("long").alias("gid"), "n", "total")
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       count(*) AS n, sum(o_totalprice) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
 # --- statistical aggregate pack --------------------------------------------
 
 def q_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -628,4 +660,5 @@ SPECS = [
     QuerySpec("tpch_part_type_stats", q_part_type_stats, SQL_PART_TYPE_STATS, ("agg-distinct",)),
     QuerySpec("rel_rank_pack", q_rank_pack, SQL_RANK_PACK, ("window-rank",)),
     QuerySpec("rel_cube_counts", q_cube_counts, SQL_CUBE_COUNTS, ("grouping-sets",)),
+    QuerySpec("rel_grouping_sets", q_grouping_sets, SQL_GROUPING_SETS, ("grouping-sets",)),
 ]
