@@ -276,3 +276,58 @@ def test_profile_table_single_scan(spark):
     plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
     assert "Union" not in plan
     assert plan.count("Range") == 1
+
+
+def test_validate_constraint_semantics(spark):
+    """Deequ-style validate (operators/profile.py): each check kind's
+    metric and pass/fail on a frame with known violations, computed in
+    ONE aggregation pass (plan has a single Aggregate over the scan)."""
+    import io, contextlib
+    from token_etl_spark.operators import profile as P
+
+    rows = [
+        (1, "a", 10.0),
+        (2, "a", 20.0),
+        (3, "b", None),
+        (4, None, 40.0),
+        (4, "c", 50.0),  # duplicate id
+    ]
+    df = spark.createDataFrame(rows, ["id", "cat", "v"])
+    out = {
+        (r["check_name"], r["col_name"]): r
+        for r in P.validate(
+            df,
+            [
+                P.check_completeness("cat", 1.0),
+                P.check_completeness("v", 0.5),
+                P.check_uniqueness("id", 1.0),
+                P.check_min("v", 5.0),
+                P.check_max("v", 45.0),
+                P.check_values_in("cat", ("a", "b"), 0.5),
+                P.check_row_count(5),
+            ],
+        ).collect()
+    }
+    assert out[("completeness", "cat")]["metric"] == 0.8
+    assert not out[("completeness", "cat")]["passed"]
+    assert out[("completeness", "v")]["metric"] == 0.8
+    assert out[("completeness", "v")]["passed"]
+    assert out[("uniqueness", "id")]["metric"] == 0.8
+    assert not out[("uniqueness", "id")]["passed"]
+    assert out[("min_bound", "v")]["metric"] == 10.0
+    assert out[("min_bound", "v")]["passed"]
+    assert out[("max_bound", "v")]["metric"] == 50.0
+    assert not out[("max_bound", "v")]["passed"]
+    assert out[("values_in", "cat")]["metric"] == 0.6  # 3 of 5 (null + 'c' fail)
+    assert out[("values_in", "cat")]["passed"]
+    assert out[("row_count", "*")]["metric"] == 5.0
+    assert out[("row_count", "*")]["passed"]
+
+    plan_buf = io.StringIO()
+    with contextlib.redirect_stdout(plan_buf):
+        P.validate(df, [P.check_completeness("cat"), P.check_min("v", 0.0)]).explain(
+            "formatted"
+        )
+    # one scan feeding one aggregate chain — no join, no union of scans
+    plan = plan_buf.getvalue()
+    assert "Union" not in plan and "Join" not in plan

@@ -44,3 +44,98 @@ def profile_table(df: DataFrame, cols: list[str] | None = None, exact: bool = Tr
         "_total AS n_rows",
         f"stack({len(cols)}, {stack_args}) AS (col_name, n_nulls, n_distinct, min_val, max_val)",
     ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+
+
+# ---------------------------------------------------------------------------
+# constraint validation (Deequ-style unit tests for data)
+
+
+def check_completeness(col: str, min_ratio: float = 1.0) -> dict:
+    """Fraction of non-null values in ``col`` must reach ``min_ratio``."""
+    return {"check": "completeness", "column": col, "threshold": min_ratio}
+
+
+def check_uniqueness(col: str, min_ratio: float = 1.0) -> dict:
+    """distinct/total ratio for ``col`` must reach ``min_ratio`` (1.0 =
+    primary-key property)."""
+    return {"check": "uniqueness", "column": col, "threshold": min_ratio}
+
+
+def check_min(col: str, bound: float) -> dict:
+    """min(col) must be >= bound."""
+    return {"check": "min_bound", "column": col, "threshold": bound}
+
+
+def check_max(col: str, bound: float) -> dict:
+    """max(col) must be <= bound."""
+    return {"check": "max_bound", "column": col, "threshold": bound}
+
+
+def check_values_in(col: str, allowed: tuple, min_ratio: float = 1.0) -> dict:
+    """Fraction of rows whose ``col`` is in ``allowed`` must reach
+    ``min_ratio`` (nulls count as violations)."""
+    return {
+        "check": "values_in",
+        "column": col,
+        "threshold": min_ratio,
+        "allowed": tuple(allowed),
+    }
+
+
+def check_row_count(min_rows: int) -> dict:
+    """Table must have at least ``min_rows`` rows."""
+    return {"check": "row_count", "column": "*", "threshold": float(min_rows)}
+
+
+def validate(df: DataFrame, checks: list[dict]) -> DataFrame:
+    """Deequ-style constraint validation ("unit tests for data",
+    Schelter et al. 2018, "Automating large-scale data quality
+    verification", PVLDB 11(12)) in ONE aggregation pass: every check's
+    metric is an aggregate expression over the same scan, the 1-row
+    result is stacked to (check, column, metric, threshold, passed) —
+    the gate a 100 TB ingest runs before anything downstream trusts the
+    batch. All ratios divide exact integer counts once (deterministic,
+    oracle-replayable); no driver-side logic beyond assembling the plan.
+    """
+    aggs = [F.count(F.lit(1)).alias("_total")]
+    metric_exprs: list[tuple[dict, str]] = []
+    for i, ck in enumerate(checks):
+        c, kind = ck["column"], ck["check"]
+        name = f"_m{i}"
+        if kind == "completeness":
+            aggs.append(
+                (F.count(c).cast("double") / F.count(F.lit(1)).cast("double")).alias(name)
+            )
+        elif kind == "uniqueness":
+            aggs.append(
+                (
+                    F.countDistinct(c).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                ).alias(name)
+            )
+        elif kind == "min_bound":
+            aggs.append(F.min(c).cast("double").alias(name))
+        elif kind == "max_bound":
+            aggs.append(F.max(c).cast("double").alias(name))
+        elif kind == "values_in":
+            hit = F.when(F.col(c).isin(*ck["allowed"]), 1).otherwise(0)
+            aggs.append(
+                (F.sum(hit).cast("double") / F.count(F.lit(1)).cast("double")).alias(name)
+            )
+        elif kind == "row_count":
+            aggs.append(F.count(F.lit(1)).cast("double").alias(name))
+        else:
+            raise ValueError(f"unknown check kind {kind!r}")
+        metric_exprs.append((ck, name))
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{ck['check']}', '{ck['column']}', round({name}, 6),"
+        f" CAST({ck['threshold']!r} AS DOUBLE),"
+        f" round({name}, 6) {'<=' if ck['check'] == 'max_bound' else '>='}"
+        f" CAST({ck['threshold']!r} AS DOUBLE)"
+        for ck, name in metric_exprs
+    )
+    return one.selectExpr(
+        f"stack({len(metric_exprs)}, {stack_args})"
+        " AS (check_name, col_name, metric, threshold, passed)"
+    )

@@ -73,6 +73,7 @@ _PRIORITY_NAMES = [
     "ext_ann_lsh_multiprobe",
     "evt_rollup_hll_users",
     "rel_grouping_sets",
+    "ext_data_quality",
 ]
 
 _MODULE_ORDER: list[QuerySpec] = [

@@ -479,6 +479,64 @@ FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
 """
 
 
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint suite over orders in ONE aggregation pass
+    (operators/profile.py validate — 'unit tests for data', Schelter et
+    al. 2018). Includes a deliberately failing constraint
+    (uniqueness(o_custkey) — customers repeat across orders) so the
+    failed-row path is driver-verified, not just the all-green path.
+    Metrics are single divisions of exact counts; the oracle replays
+    each one."""
+    from token_etl_spark.operators import profile as P
+
+    orders = t(spark, sf_dir, "orders")
+    checks = [
+        P.check_completeness("o_custkey"),
+        P.check_uniqueness("o_orderkey"),
+        P.check_uniqueness("o_custkey"),  # fails: customers repeat
+        P.check_min("o_totalprice", 0.0),
+        P.check_max("o_totalprice", 600_000.0),
+        P.check_values_in("o_orderstatus", ("F", "O", "P")),
+        P.check_row_count(100),
+    ]
+    return P.validate(orders, checks)
+
+
+SQL_DATA_QUALITY = """
+WITH s AS (
+  SELECT count(*) AS total,
+         CAST(count(o_custkey) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m0,
+         CAST(count(DISTINCT o_orderkey) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m1,
+         CAST(count(DISTINCT o_custkey) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m2,
+         CAST(min(o_totalprice) AS DOUBLE) AS m3,
+         CAST(max(o_totalprice) AS DOUBLE) AS m4,
+         CAST(sum(CASE WHEN o_orderstatus IN ('F', 'O', 'P') THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS m5,
+         CAST(count(*) AS DOUBLE) AS m6
+  FROM orders)
+SELECT 'completeness' AS check_name, 'o_custkey' AS col_name, round(m0, 6) AS metric,
+       CAST(1.0 AS DOUBLE) AS threshold, round(m0, 6) >= CAST(1.0 AS DOUBLE) AS passed FROM s
+UNION ALL
+SELECT 'uniqueness', 'o_orderkey', round(m1, 6), CAST(1.0 AS DOUBLE),
+       round(m1, 6) >= CAST(1.0 AS DOUBLE) FROM s
+UNION ALL
+SELECT 'uniqueness', 'o_custkey', round(m2, 6), CAST(1.0 AS DOUBLE),
+       round(m2, 6) >= CAST(1.0 AS DOUBLE) FROM s
+UNION ALL
+SELECT 'min_bound', 'o_totalprice', round(m3, 6), CAST(0.0 AS DOUBLE),
+       round(m3, 6) >= CAST(0.0 AS DOUBLE) FROM s
+UNION ALL
+SELECT 'max_bound', 'o_totalprice', round(m4, 6), CAST(600000.0 AS DOUBLE),
+       round(m4, 6) <= CAST(600000.0 AS DOUBLE) FROM s
+UNION ALL
+SELECT 'values_in', 'o_orderstatus', round(m5, 6), CAST(1.0 AS DOUBLE),
+       round(m5, 6) >= CAST(1.0 AS DOUBLE) FROM s
+UNION ALL
+SELECT 'row_count', '*', round(m6, 6), CAST(100.0 AS DOUBLE),
+       round(m6, 6) >= CAST(100.0 AS DOUBLE) FROM s
+"""
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary GROUPING SETS — ((status, priority), (status), ()) but
     NOT (priority): the combination rollup can't express (it's a prefix
@@ -661,4 +719,5 @@ SPECS = [
     QuerySpec("rel_rank_pack", q_rank_pack, SQL_RANK_PACK, ("window-rank",)),
     QuerySpec("rel_cube_counts", q_cube_counts, SQL_CUBE_COUNTS, ("grouping-sets",)),
     QuerySpec("rel_grouping_sets", q_grouping_sets, SQL_GROUPING_SETS, ("grouping-sets",)),
+    QuerySpec("ext_data_quality", q_data_quality, SQL_DATA_QUALITY, ("profile", "validation")),
 ]
