@@ -215,3 +215,27 @@ def test_streaming_hll_matches_batch_registers(spark, sf_dir, tmp_path):
     batch = docs.select("source", F.explode(_toks(F.col("text"))).alias("tok"))
     want = sorted(map(tuple, hll_registers(batch, "tok", ("source",)).collect()))
     assert got == want
+
+
+def test_streaming_validate_matches_batch(spark, sf_dir, tmp_path):
+    from token_etl_spark.operators import profile as P
+    from token_etl_spark.streaming.curation import streaming_validate
+
+    docs, staged = _staged_docs(spark, sf_dir, tmp_path, "validate_stream")
+    checks = [
+        P.check_completeness("text", 1.0),
+        P.check_min("n_chars", 0.0),
+        P.check_row_count(10),
+    ]
+    stream = read_file_stream(spark, staged, docs.schema)
+    run_to_memory(
+        streaming_validate(stream, checks), "dq_out", output_mode="complete"
+    )
+    got = sorted(map(tuple, spark.sql("SELECT * FROM dq_out").collect()))
+    want = sorted(map(tuple, P.validate(docs, checks).collect()))
+    assert got == want
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        streaming_validate(stream, [P.check_uniqueness("doc_id")])

@@ -318,3 +318,28 @@ def streaming_hll(
 
     base = stream.select(*group_cols, item_expr.alias("_item"))
     return hll_registers(base, "_item", group_cols, m=m)
+
+
+def streaming_validate(stream: DataFrame, checks: list[dict]) -> DataFrame:
+    """Running Deequ-style quality metrics over a stream — the
+    streaming twin of ``operators/profile.validate``: same check specs,
+    same metric expressions, emitted as an updating aggregate
+    (``complete``/``update`` mode) so a dashboard watches completeness/
+    bounds/row-count drift as batches arrive.
+
+    ``uniqueness`` is rejected: exact countDistinct over an unbounded
+    stream needs unbounded state (Spark disallows it in streaming
+    aggregations for the same reason) — the bounded-state distinct
+    answer is the HLL register stream (``streaming_hll``), which a
+    consumer ratios against the running count; that split mirrors the
+    rollup design (mergeable-exact columns + register column).
+    """
+    from token_etl_spark.operators.profile import validate
+
+    for ck in checks:
+        if ck["check"] == "uniqueness":
+            raise ValueError(
+                "uniqueness needs unbounded state on a stream; track it"
+                " via streaming_hll registers instead"
+            )
+    return validate(stream, checks)
