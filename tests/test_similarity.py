@@ -396,3 +396,55 @@ def test_lsh_multiprobe_dominates_single_probe(spark, sf_dir):
 
     assert rec(multi) >= rec(single)
     assert rec(multi) > 0
+
+
+def test_semantic_dedup_boundary_blind_spot_documented(spark):
+    """SemDeDup's known limitation, pinned: a near-dup pair placed
+    symmetrically about two centroids' bisector assigns to DIFFERENT
+    clusters, so the in-cluster pair search cannot flag it — while the
+    clustering-free embedding_near_dups path does. This is the paper's
+    own trade (per-cluster quadratic work in exchange for boundary
+    misses); the engine carries both operators so a pipeline can chase
+    the boundary tail when it matters."""
+    from token_etl_spark.operators.similarity import (
+        embedding_near_dups,
+        semantic_dedup,
+    )
+    from pyspark.sql import functions as F
+
+    dim = 8
+
+    def vec(x, y):
+        v = [0.0] * dim
+        v[0], v[1] = x, y
+        return v
+
+    # fixed centroids on axes 0 and 1; the near-dup pair straddles the
+    # 45-degree bisector: cosine(v1, v2) ~ 0.9998, but v1 leans to c1
+    # and v2 to c2
+    cents = spark.createDataFrame(
+        [(1, vec(1.0, 0.0)), (2, vec(0.0, 1.0))],
+        ["centroid_id", "centroid_vec"],
+    )
+    rows = [
+        (10, vec(1.0, 0.98)),   # argmax -> centroid 1
+        (11, vec(0.98, 1.0)),   # argmax -> centroid 2
+        (20, vec(1.0, 0.0)),    # filler, cluster 1
+        (21, vec(0.0, 1.0)),    # filler, cluster 2
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    out = {r["id"]: r for r in semantic_dedup(
+        df, threshold=0.99, centroids=cents
+    ).collect()}
+    # the straddling pair is invisible to the in-cluster search
+    assert out[10]["kept"] and out[11]["kept"]
+    assert out[10]["n_dups"] == 0 and out[11]["n_dups"] == 0
+
+    # the LSH near-dup path sees it (same half-space under every plane
+    # with overwhelming probability at this cosine; assert it fires)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(df, threshold=0.99, dim=dim).collect()
+    }
+    assert (10, 11) in pairs
