@@ -448,3 +448,60 @@ def test_semantic_dedup_boundary_blind_spot_documented(spark):
         for r in embedding_near_dups(df, threshold=0.99, dim=dim).collect()
     }
     assert (10, 11) in pairs
+
+
+def test_semantic_dedup_multi_assign_closes_boundary(spark, sf_dir):
+    """n_assign=2 probes each row's top-2 cells in the pair search:
+    the bisector-straddling pair from the blind-spot test is now
+    flagged (one exemplar kept), and on real embeddings n_assign=1
+    stays row-identical to the original semantics."""
+    from pyspark.sql import functions as F
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.operators.similarity import semantic_dedup
+
+    dim = 8
+
+    def vec(x, y):
+        v = [0.0] * dim
+        v[0], v[1] = x, y
+        return v
+
+    cents = spark.createDataFrame(
+        [(1, vec(1.0, 0.0)), (2, vec(0.0, 1.0))],
+        ["centroid_id", "centroid_vec"],
+    )
+    rows = [
+        (10, vec(1.0, 0.98)),
+        (11, vec(0.98, 1.0)),
+        (20, vec(1.0, 0.0)),
+        (21, vec(0.0, 1.0)),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r["id"]: r
+        for r in semantic_dedup(
+            df, threshold=0.99, centroids=cents, n_assign=2
+        ).collect()
+    }
+    # the pair now meets in a shared probe cell: the exemplar rule keeps
+    # exactly one of {10, 11}; primary assignment is unchanged
+    assert out[10]["n_dups"] == 1 and out[11]["n_dups"] == 1
+    assert out[10]["kept"] != out[11]["kept"]
+    assert out[10]["centroid_id"] == 1 and out[11]["centroid_id"] == 2
+    assert out[20]["kept"] and out[21]["kept"]
+
+    # n_assign=1 equivalence on real embeddings
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = {
+        tuple(r)
+        for r in semantic_dedup(emb, n_centroids=8, n_iters=1)
+        .select("id", "centroid_id", "n_dups", "kept")
+        .collect()
+    }
+    same = {
+        tuple(r)
+        for r in semantic_dedup(emb, n_centroids=8, n_iters=1, n_assign=1)
+        .select("id", "centroid_id", "n_dups", "kept")
+        .collect()
+    }
+    assert base == same

@@ -651,6 +651,47 @@ def prototypicality_filter(
     )
 
 
+def _probe_cells(
+    corpus: DataFrame,
+    cents: DataFrame,
+    n_assign: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, cell): each row's top-``n_assign`` cells by cosine (ties to
+    the smallest centroid_id — the first element equals the
+    ``_assign_with_sim`` argmax, so n_assign=1 reproduces primary
+    assignment exactly). Map-only broadcast, narrow explode."""
+    base = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    carr = F.broadcast(
+        cents.agg(
+            F.collect_list(F.struct("centroid_id", "centroid_vec")).alias("_cents")
+        )
+    )
+    ranked = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.transform(
+                    F.col("_cents"),
+                    lambda c: F.struct(
+                        cosine(F.col("v"), c.getField("centroid_vec")).alias("sim"),
+                        (-c.getField("centroid_id")).alias("neg_id"),
+                    ),
+                )
+            )
+        ),
+        1,
+        n_assign,
+    )
+    return (
+        base.join(carr)
+        .select("id", F.explode(ranked).alias("_c"))
+        .select("id", (-F.col("_c.neg_id")).alias("cell"))
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -660,6 +701,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     max_cluster: int | None = None,
     centroids: DataFrame | None = None,
+    n_assign: int = 1,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space with spherical k-means, then flag semantic
@@ -691,13 +733,35 @@ def semantic_dedup(
     mid-join when the clustering degenerates (e.g. a boilerplate spike
     collapsing into one cell).
 
+    ``n_assign > 1`` probes each row's top-n cells in the PAIR SEARCH
+    (primary assignment still defines centroid_sim, the exemplar order,
+    and the output centroid_id): near-dup pairs straddling a cluster
+    bisector assign to different primary cells and are invisible at
+    n_assign=1 — the paper's known boundary blind spot, pinned in
+    tests/test_similarity.py — but any pair within a true near-dup
+    cosine shares a top-2 cell unless the tie is three-way. Cost:
+    the pair join's left/right sides grow n_assign-fold (candidate work
+    ×n_assign², still n/k-bounded per cell); pairs meeting in two
+    shared cells are deduplicated before counting. n_assign=1 is
+    bit-identical to the original semantics (the declared oracle runs
+    there).
+
     Returns one row per corpus row: (id, centroid_id, centroid_sim,
     n_dups, kept).
     """
-    assigned = _assign_with_sim(
-        corpus, n_centroids, n_iters, id_col, vec_col, centroids
+    cents = (
+        centroids
+        if centroids is not None
+        else spherical_kmeans(corpus, n_centroids, n_iters, id_col, vec_col)
     )
-    paired_src = assigned
+    assigned = _assign_with_sim(corpus, n_centroids, n_iters, id_col, vec_col, cents)
+    if n_assign > 1:
+        cells = _probe_cells(corpus, cents, n_assign, id_col, vec_col)
+        paired_src = assigned.drop("centroid_id").join(cells, "id").select(
+            "id", "v", F.col("cell").alias("centroid_id"), "centroid_sim"
+        )
+    else:
+        paired_src = assigned
     if max_cluster is not None:
         from token_etl_spark.operators.dedup import _cap_bucket_size
 
@@ -724,11 +788,17 @@ def semantic_dedup(
         "centroid_id",
         F.col("centroid_sim").alias("sim_b"),
     )
-    dup = (
+    pairs = (
         a.join(b, "centroid_id")
         .filter(F.col("id_a") != F.col("id_b"))
         .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
-        .groupBy(F.col("id_b").alias("id"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+    )
+    if n_assign > 1:
+        # a pair can meet in up to n_assign shared cells — count it once
+        pairs = pairs.distinct()
+    dup = (
+        pairs.groupBy(F.col("id_b").alias("id"))
         .agg(
             F.count("*").alias("n_dups"),
             F.max(
