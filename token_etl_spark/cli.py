@@ -94,6 +94,13 @@ def main(argv: list[str] | None = None) -> None:
         help="run full D4 (SemDeDup + prototype drop, one shared training run)",
     )
     sem.add_argument("--drop-pct", type=int, default=25)
+    sem.add_argument(
+        "--n-assign",
+        type=int,
+        default=1,
+        help="probe top-n cells in the pair search (closes the cluster-"
+        "boundary blind spot at n_assign^2 candidate cost)",
+    )
 
     sel = sub.add_parser("select")
     sel.add_argument("--documents", required=True)
@@ -268,6 +275,7 @@ def main(argv: list[str] | None = None) -> None:
                 n_centroids=args.centroids,
                 n_iters=args.iters,
                 threshold=args.threshold,
+                n_assign=args.n_assign,
             )
         write_parquet(out, args.out)
     elif args.cmd == "select":
