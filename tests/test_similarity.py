@@ -505,3 +505,57 @@ def test_semantic_dedup_multi_assign_closes_boundary(spark, sf_dir):
         .collect()
     }
     assert base == same
+
+
+def test_exact_rerank_identity_and_containment(spark, sf_dir):
+    """Re-ranking a candidate set that contains the true top-k returns
+    exactly the brute-force top-k; output is always a subset of the
+    candidates."""
+    from pyspark.sql import functions as F
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.operators.similarity import (
+        brute_force_topk,
+        exact_rerank,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 4)
+    cands = brute_force_topk(emb, q, k=30)
+    got = exact_rerank(cands, emb, q, k=10)
+    want = brute_force_topk(emb, q, k=10)
+    gset = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in got.collect()}
+    wset = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in want.collect()}
+    assert gset == wset
+    cset = {(r["query_id"], r["neighbor_id"]) for r in cands.collect()}
+    assert {(a, b) for a, b, _ in gset} <= cset
+
+
+def test_ivfpq_rerank_recall_dominates_pq_ranking(spark, sf_dir):
+    """Exact re-rank of the PQ candidates must not lose recall vs the
+    raw compressed ranking at the same probe width — and on this corpus
+    it strictly gains (0.194 -> 0.45 at R=50, PERF.md)."""
+    from pyspark.sql import functions as F
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_rerank_topk,
+        ivfpq_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 16)
+
+    def sets(df):
+        out = {}
+        for r in df.select("query_id", "neighbor_id").collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    truth = sets(brute_force_topk(emb, q, k=10))
+
+    def rec(d):
+        return sum(len(truth[qq] & d.get(qq, set())) for qq in truth)
+
+    base = rec(sets(ivfpq_topk(emb, q, k=10, n_probe=8)))
+    rr = rec(sets(ivfpq_rerank_topk(emb, q, rerank_r=50, k=10, n_probe=8)))
+    assert rr >= base
