@@ -74,6 +74,7 @@ _PRIORITY_NAMES = [
     "evt_rollup_hll_users",
     "rel_grouping_sets",
     "ext_data_quality",
+    "ext_ann_ivfpq_rerank",
 ]
 
 _MODULE_ORDER: list[QuerySpec] = [
