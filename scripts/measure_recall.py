@@ -106,6 +106,16 @@ def main() -> None:
             f" recall@{k}={recall(truth, approx):.3f} ({time.time() - t0:.1f}s)"
         )
 
+    for rr in (30, 50, 100):
+        t0 = time.time()
+        approx = topk_sets(
+            S.ivfpq_rerank_topk(emb, queries, rerank_r=rr, k=k, n_probe=8)
+        )
+        print(
+            f"ivfpq+rerank R={rr} n_probe=8:"
+            f" recall@{k}={recall(truth, approx):.3f} ({time.time() - t0:.1f}s)"
+        )
+
 
 if __name__ == "__main__":
     main()
