@@ -559,3 +559,43 @@ def test_ivfpq_rerank_recall_dominates_pq_ranking(spark, sf_dir):
     base = rec(sets(ivfpq_topk(emb, q, k=10, n_probe=8)))
     rr = rec(sets(ivfpq_rerank_topk(emb, q, rerank_r=50, k=10, n_probe=8)))
     assert rr >= base
+
+
+def test_lsh_margin_probe_t_full_equals_hamming1(spark, sf_dir):
+    """probe_t = n_planes selects every single-bit flip — identical
+    probe set, identical output to probe_hamming=1; smaller T returns a
+    valid subset-ranked result."""
+    from pyspark.sql import functions as F
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.operators.similarity import lsh_multiprobe_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 6)
+    full = {
+        tuple(r)
+        for r in lsh_multiprobe_topk(emb, q, k=10, n_planes=6, probe_hamming=1)
+        .select("query_id", "neighbor_id", "rank")
+        .collect()
+    }
+    margin_full = {
+        tuple(r)
+        for r in lsh_multiprobe_topk(emb, q, k=10, n_planes=6, probe_t=6)
+        .select("query_id", "neighbor_id", "rank")
+        .collect()
+    }
+    assert full == margin_full
+    small = lsh_multiprobe_topk(emb, q, k=10, n_planes=6, probe_t=2).collect()
+    assert small and all(r["query_id"] != r["neighbor_id"] for r in small)
+    # candidates from fewer probes are a subset universe: every result
+    # pair must also appear in the full single-flip result's universe
+    small_pairs = {(r["query_id"], r["neighbor_id"]) for r in small}
+    full_pairs = {(a, b) for a, b, _ in full}
+    # not necessarily subset of top-10s, but nothing impossible: re-run
+    # full with large k to get the whole candidate universe
+    universe = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_multiprobe_topk(
+            emb, q, k=10_000, n_planes=6, probe_hamming=1
+        ).collect()
+    }
+    assert small_pairs <= universe

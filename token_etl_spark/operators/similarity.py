@@ -129,6 +129,7 @@ def lsh_multiprobe_topk(
     dim: int = 64,
     seed: int = 42,
     probe_hamming: int = 1,
+    probe_t: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -149,6 +150,14 @@ def lsh_multiprobe_topk(
     so no candidate pair duplicates — no dedup stage. Deterministic:
     same seeded planes as ``lsh_topk``; oracle-replayable (the probe
     masks are integer literals, the flip is a bitwise XOR).
+
+    ``probe_t`` switches to the paper's MARGIN-RANKED selection: instead
+    of all C(n, d) Hamming-d flips, each query flips only the
+    ``probe_t`` planes whose boundary it sits closest to (smallest
+    |q·plane| — the flips most likely to hold a lost neighbor), probing
+    probe_t+1 buckets total. Same per-query determinism (margins are
+    pinned-fold dot products, ties break on the plane index), still
+    oracle-replayable.
     """
     import itertools
 
@@ -161,13 +170,38 @@ def lsh_multiprobe_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     ).withColumn("bucket", lsh_bucket(F.col("qv"), planes))
-    masks = [0]
-    for d in range(1, probe_hamming + 1):
-        for comb in itertools.combinations(range(n_planes), d):
-            masks.append(sum(1 << b for b in comb))
-    probe = F.explode(
-        F.array(*[F.lit(m_).cast("long") for m_ in masks])
-    ).alias("mask")
+    if probe_t is not None:
+        margins = F.array(
+            *[
+                F.struct(
+                    F.abs(
+                        dot(
+                            F.col("qv"),
+                            F.array(*[F.lit(float(x)) for x in planes[b]]),
+                        )
+                    ).alias("m"),
+                    F.lit(b).alias("b"),
+                )
+                for b in range(n_planes)
+            ]
+        )
+        pow2 = F.array(*[F.lit(1 << b).cast("long") for b in range(n_planes)])
+        chosen = F.slice(F.array_sort(margins), 1, probe_t)
+        masks_col = F.concat(
+            F.array(F.lit(0).cast("long")),
+            F.transform(
+                chosen, lambda s: F.element_at(pow2, s.getField("b") + 1)
+            ),
+        )
+        probe = F.explode(masks_col).alias("mask")
+    else:
+        masks = [0]
+        for d in range(1, probe_hamming + 1):
+            for comb in itertools.combinations(range(n_planes), d):
+                masks.append(sum(1 << b for b in comb))
+        probe = F.explode(
+            F.array(*[F.lit(m_).cast("long") for m_ in masks])
+        ).alias("mask")
     q = qb.select("query_id", "qv", "bucket", probe).select(
         "query_id", "qv", F.col("bucket").bitwiseXOR(F.col("mask")).alias("bucket")
     )

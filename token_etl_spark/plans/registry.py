@@ -75,6 +75,7 @@ _PRIORITY_NAMES = [
     "rel_grouping_sets",
     "ext_data_quality",
     "ext_ann_ivfpq_rerank",
+    "ext_ann_lsh_margin",
 ]
 
 _MODULE_ORDER: list[QuerySpec] = [
