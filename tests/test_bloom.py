@@ -102,3 +102,47 @@ def test_prefilter_actually_prunes(spark, sf_dir):
     )
     # n/m = 1000/32768 -> per-key FP ~ (1-e^-0.122)^4 ~ 1.7e-4
     assert survivors < 20_000 * 0.01
+
+
+def test_null_keys_dropped_not_crashed(spark):
+    """A NULL build key must not poison map_from_entries, and a NULL
+    probe key must behave like the exact join (no match) — nulls can
+    never equi-match, so dropping them preserves result identity."""
+    keys = spark.createDataFrame(
+        [("k1",), (None,), ("k2",), (None,)], "k string"
+    )
+    bf = B.bloom_bitmap(keys, "k", m_bits=1 << 12, k_hashes=4)
+    assert len(bf.collect()[0]["bf"]) == (1 << 12) // B.BITS_PER_WORD
+
+    left = spark.createDataFrame(
+        [(1, "k1"), (2, None), (3, "zzz")], "id long, k string"
+    )
+    right = spark.createDataFrame([("k1", 10)], "k string, v long")
+    got = {
+        (r["id"], r["v"])
+        for r in B.bloom_prefilter_join(left, right, "k", "k").select(
+            left["id"], "v"
+        ).collect()
+    }
+    plain = {
+        (r["id"], r["v"])
+        for r in left.join(right, left["k"] == right["k"]).select(
+            left["id"], "v"
+        ).collect()
+    }
+    assert got == plain == {(1, 10)}
+
+
+def test_m_bits_bounds_enforced(spark):
+    """m_bits beyond the 24-bit md5-prefix address space, or a
+    non-power-of-two size, is a loud error — never a silently worse
+    false-positive rate."""
+    import pytest
+
+    keys = spark.createDataFrame([("k",)], ["k"])
+    with pytest.raises(ValueError, match="2\\^24"):
+        B.bloom_bitmap(keys, "k", m_bits=1 << 25)
+    with pytest.raises(ValueError, match="power of two"):
+        B.bloom_bitmap(keys, "k", m_bits=96)
+    with pytest.raises(ValueError, match="multiple"):
+        B.bloom_bitmap(keys, "k", m_bits=(1 << 12) + 1)

@@ -76,3 +76,28 @@ def test_non_matching_docs_absent(spark):
     queries = spark.createDataFrame([("q", "fox")], ["query_id", "query_text"])
     got = bm25_topk(docs, queries, k=10).collect()
     assert [r["doc_id"] for r in got] == [0]
+
+
+def test_two_phase_rank_equals_single_window(spark):
+    """The per-(query, doc-hash-bucket) pre-rank discards only rows that
+    could never enter the global top-k: results are identical across
+    bucket counts, including n_prebuckets=1 (degenerate single window).
+    This is the guard for high-df probe terms whose candidate set
+    approaches corpus size (VERDICT r4)."""
+    docs = _corpus(
+        spark,
+        [f"the common word{i % 7} text{i}" for i in range(300)],
+    )
+    queries = spark.createDataFrame(
+        [("q0", "the word3"), ("q1", "common text5")],
+        ["query_id", "query_text"],
+    )
+    runs = [
+        {
+            (r["query_id"], r["rank"], r["doc_id"], r["bm25"])
+            for r in bm25_topk(docs, queries, k=15, n_prebuckets=nb).collect()
+        }
+        for nb in (1, 4, 64, 1024)
+    ]
+    assert all(s == runs[0] for s in runs[1:])
+    assert len(runs[0]) == 30  # 15 per query; 'the'/'common' match all 300

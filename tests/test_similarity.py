@@ -507,6 +507,53 @@ def test_semantic_dedup_multi_assign_closes_boundary(spark, sf_dir):
     assert base == same
 
 
+def test_semantic_dedup_max_cluster_guards_probe_cells(spark):
+    """max_cluster composes with n_assign>1: the cap is applied to the
+    PROBE-cell frame (the frame the pair join actually consumes), so the
+    multi-probe boundary fix is not silently discarded — the straddling
+    pair is still flagged under a passing cap, and the cap measures the
+    n_assign-inflated cell sizes (a cap below the inflated size raises
+    even though every PRIMARY cell would fit)."""
+    import pytest
+    from token_etl_spark.operators.similarity import semantic_dedup
+
+    dim = 8
+
+    def vec(x, y):
+        v = [0.0] * dim
+        v[0], v[1] = x, y
+        return v
+
+    cents = spark.createDataFrame(
+        [(1, vec(1.0, 0.0)), (2, vec(0.0, 1.0))],
+        ["centroid_id", "centroid_vec"],
+    )
+    rows = [
+        (10, vec(1.0, 0.98)),
+        (11, vec(0.98, 1.0)),
+        (20, vec(1.0, 0.0)),
+        (21, vec(0.0, 1.0)),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    # passing cap: multi-probe semantics intact (pair flagged)
+    out = {
+        r["id"]: r
+        for r in semantic_dedup(
+            df, threshold=0.99, centroids=cents, n_assign=2, max_cluster=10
+        ).collect()
+    }
+    assert out[10]["n_dups"] == 1 and out[11]["n_dups"] == 1
+    assert out[10]["kept"] != out[11]["kept"]
+
+    # n_assign=2 puts all 4 rows into both probe cells (size 4); primary
+    # cells hold only 2 each — a cap of 3 must trip on the PROBE frame
+    with pytest.raises(Exception, match="semantic-dedup cluster"):
+        semantic_dedup(
+            df, threshold=0.99, centroids=cents, n_assign=2, max_cluster=3
+        ).collect()
+
+
 def test_exact_rerank_identity_and_containment(spark, sf_dir):
     """Re-ranking a candidate set that contains the true top-k returns
     exactly the brute-force top-k; output is always a subset of the

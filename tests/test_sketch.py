@@ -208,8 +208,10 @@ def test_histogram_shards_merge_by_addition(spark, sf_dir):
 
 
 def test_kmv_small_set_is_exact(spark):
-    """Under k distinct items, the sketch IS the set: union_est exact,
-    n_both = true intersection."""
+    """Under k distinct items, the sketch IS the set: union_est,
+    jaccard_est, and inter_est are all exact — the merged bottom-k holds
+    the complete union (80 hashes), so the /min(n_x, k) denominator
+    returns the true jaccard, not an n_x/k underestimate."""
     from token_etl_spark.operators.sketch import kmv_pairwise, kmv_sketch
 
     rows = [("a", f"x{i}") for i in range(50)] + [
@@ -220,7 +222,8 @@ def test_kmv_small_set_is_exact(spark):
     out = kmv_pairwise(ks, "g", k=128).collect()[0]
     assert out["n_both"] == 20           # x30..x49
     assert out["union_est"] == 80.0      # exact: fewer than k distinct
-    assert out["inter_est"] == (20 / 128.0) * 80.0
+    assert out["jaccard_est"] == 20 / 80.0
+    assert out["inter_est"] == 20.0      # exact intersection
 
 
 def test_kmv_estimates_track_truth(spark):

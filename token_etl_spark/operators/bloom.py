@@ -72,16 +72,33 @@ def bloom_bitmap(
     that densifies absent words to 0. The result is broadcastable by
     construction (4 KiB at defaults), which is the entire point: probing
     becomes ``crossJoin(broadcast(bf))`` + a codegen'd expression.
+
+    NULL keys are dropped before hashing: a NULL can never equi-match
+    anything, and letting it through would put a NULL entry into
+    ``map_from_entries`` (runtime error). ``m_bits`` must be a
+    power-of-two multiple of 32 no larger than 2^24: positions come from
+    ``hash_bucket``'s 24-bit md5 prefix, so a wider filter would leave
+    bits above 2^24 permanently unset (a silently worse FP rate than the
+    formula), and a non-power-of-two size takes modulo bias.
     """
     if m_bits % BITS_PER_WORD:
         raise ValueError(f"m_bits must be a multiple of {BITS_PER_WORD}")
+    if m_bits > (1 << 24):
+        raise ValueError(
+            "m_bits > 2^24 exceeds the 24-bit md5-prefix address space: "
+            "bits above 16M could never be set and the realized FP rate "
+            "would silently exceed (1-e^(-kn/m))^k"
+        )
+    if m_bits & (m_bits - 1):
+        raise ValueError("m_bits must be a power of two (modulo-bias-free)")
     n_words = m_bits // BITS_PER_WORD
     c = F.col(key) if isinstance(key, str) else key
     pos = F.explode(
         F.array(*[_bit_position(c, r, m_bits) for r in range(k_hashes)])
     ).alias("pos")
     words = (
-        keys.select(pos)
+        keys.where(c.isNotNull())
+        .select(pos)
         .select(
             F.floor(F.col("pos") / BITS_PER_WORD).cast("long").alias("word"),
             F.element_at(

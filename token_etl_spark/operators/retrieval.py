@@ -21,8 +21,11 @@ doc-length join); the query side and its df sub-table are broadcast, so
 candidate selection is a map-side semi-join that keeps ONLY documents
 containing ≥1 query term; the per-(query, doc) fold runs over the
 term-sorted score array (pinned double accumulation — the q_array_ops
-pattern); and the final top-k ranks partition BY QUERY, so parallelism
-is query-count-wide and no single task ever sees the full corpus.
+pattern); and the final top-k is TWO-PHASE (per-(query, doc-hash-bucket)
+``row_number() ≤ k`` pre-rank, then the real rank over the ≤ k·n_buckets
+survivors — the ext_top_tokens pattern), so even a probe query built of
+high-df terms, whose candidate set approaches corpus size, never funnels
+through a single task's window sort.
 """
 
 from __future__ import annotations
@@ -44,6 +47,7 @@ def bm25_topk(
     b: float = BM25_B,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_prebuckets: int = 64,
 ) -> DataFrame:
     """Top-``k`` documents per query under ratio-idf BM25.
 
@@ -110,11 +114,24 @@ def bm25_topk(
             lambda acc, x: acc + x,
         ).alias("bm25")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("bm25").desc(), F.col("doc_id")
+    # Two-phase top-k: a global top-k member is top-k within its bucket,
+    # so the per-bucket pre-rank (parallel, bucket-sized sorts) discards
+    # all but ≤ k·n_prebuckets rows per query before the real rank —
+    # identical output to a single whole-candidate-set window, without
+    # the one-task sort a high-df query term would otherwise force.
+    from token_etl_spark.operators.curation import hash_bucket
+
+    order = (F.col("bm25").desc(), F.col("doc_id"))
+    wb = Window.partitionBy("query_id", "_pb").orderBy(*order)
+    pre = (
+        folded.withColumn("_pb", hash_bucket("doc_id", n_prebuckets))
+        .withColumn("_pr", F.row_number().over(wb))
+        .where(F.col("_pr") <= k)
+        .drop("_pb", "_pr")
     )
+    w = Window.partitionBy("query_id").orderBy(*order)
     return (
-        folded.withColumn("rank", F.row_number().over(w).cast("long"))
+        pre.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "dl", "bm25")
     )

@@ -800,7 +800,7 @@ def semantic_dedup(
         from token_etl_spark.operators.dedup import _cap_bucket_size
 
         paired_src = _cap_bucket_size(
-            assigned,
+            paired_src,
             ["centroid_id"],
             max_cluster,
             "semantic-dedup cluster",

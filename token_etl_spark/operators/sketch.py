@@ -369,9 +369,14 @@ def kmv_pairwise(
     for each unordered group pair (a < b), merge the two k-sets, keep
     the k smallest distinct hashes X, and estimate
 
-        jaccard_est = |X ∩ A ∩ B| / k          (Beyer et al. §4)
+        jaccard_est = |X ∩ A ∩ B| / min(|X|, k)   (Beyer et al. §4)
         union_est   = (k−1) / (max X / 2^48)
         inter_est   = jaccard_est · union_est
+
+    The min(|X|, k) denominator matches ``kmv_estimate_expr``'s
+    exactness contract: when the merged bottom-k holds fewer than k
+    hashes the sketch IS the complete union, so jaccard (and hence
+    inter_est) is exact, not a /k underestimate.
 
     Everything until the three final fixed-order float ops is integer
     (ranks, counts, max) — the DuckDB oracle replays estimates
@@ -408,7 +413,9 @@ def kmv_pairwise(
         F.max("h").alias("h_k"),
     )
     union_est = kmv_estimate_expr(F.col("n_x"), F.col("h_k"), k)
-    jacc = F.col("n_both").cast("double") / F.lit(float(k))
+    jacc = F.col("n_both").cast("double") / F.least(
+        F.col("n_x"), F.lit(k)
+    ).cast("double")
     return per_pair.select(
         "ga",
         "gb",

@@ -62,8 +62,10 @@ def build_mixture(
     ``weights`` replicates/downsamples per source (epoch column keeps
     copies apart). Packing always runs: each (doc, epoch) copy gets a
     unique ``doc:epoch`` key so repeated epochs land in different
-    sequences, and the manifest splits the key back — no join against
-    the upstream pipeline, only a 2-column doc→source lookup.
+    sequences; the manifest recovers (doc_id, epoch, source) by joining
+    back on that key — never by re-parsing it, so string doc_ids (or
+    ids containing ':') survive losslessly (the key is injective
+    because epoch, an integral type, is always the final segment).
     """
     out = docs
     if benchmark is not None:
@@ -98,15 +100,7 @@ def build_mixture(
         ),
     )
     packed = pack_sequences(copies, pack_budget, n_shards, id_col="copy_id")
-    split = F.split(F.col("copy_id"), ":")
-    manifest = packed.select(
-        split.getItem(0).cast("long").alias("doc_id"),
-        split.getItem(1).cast("long").alias("epoch"),
-        "shard",
-        "seq_id",
-        "n_tokens",
-        "start_offset",
-    )
-    return manifest.join(docs.select("doc_id", "source"), "doc_id").select(
+    keymap = copies.select("copy_id", "doc_id", "epoch", "source")
+    return packed.join(keymap, "copy_id").select(
         "doc_id", "source", "epoch", "shard", "seq_id", "n_tokens", "start_offset"
     )

@@ -183,8 +183,17 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
 # and keep-list paths.
 
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-form MinHash+LSH near-dup — the small-scale VERIFIER
+    (ext_minhash_clusters' star form is the 100 TB path). The explicit
+    ``max_bucket`` exercises the quadratic-emission guard on the gate
+    corpus itself: the in-plan window count runs (and passes — no gate
+    bucket is near 10k), so the guarded path is driver-proven, not just
+    pinned by the local OOM-fixture test (tests/test_dedup.py)."""
     docs = t(spark, sf_dir, "documents")
-    pairs = D.minhash_dedup(docs, k=3, num_hashes=32, bands=8, threshold=JACCARD_THRESHOLD)
+    pairs = D.minhash_dedup(
+        docs, k=3, num_hashes=32, bands=8, threshold=JACCARD_THRESHOLD,
+        max_bucket=10_000,
+    )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 

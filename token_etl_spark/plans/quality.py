@@ -436,7 +436,10 @@ _KMV_UE = (
     f" ELSE CAST({KMV_PAIR_K - 1}.0 AS DOUBLE) * CAST({_KMV_SP} AS DOUBLE)"
     f" / CAST(h_k AS DOUBLE) END"
 )
-_KMV_J = f"CAST(n_both AS DOUBLE) / CAST({KMV_PAIR_K}.0 AS DOUBLE)"
+_KMV_J = (
+    f"CAST(n_both AS DOUBLE)"
+    f" / CAST(least(n_x, {KMV_PAIR_K}) AS DOUBLE)"
+)
 
 SQL_KMV_OVERLAP = f"""
 WITH base AS (SELECT source, {_TOKS} AS tk FROM documents),
