@@ -157,3 +157,27 @@ def test_cli_mixture(spark, sf_dir, tmp_path, capsys):
     assert set(manifest.columns) == {
         "doc_id", "source", "epoch", "shard", "seq_id", "n_tokens", "start_offset"
     }
+
+
+def test_cli_mixture_prepare_composition(spark, sf_dir, tmp_path, capsys):
+    """One CLI call runs prepare_corpus and mixes only its keep-list."""
+    out = str(tmp_path / "manifest_prep")
+    cli.main(
+        ["mixture", "--documents", f"{sf_dir}/documents.parquet",
+         "--prepare", "--pack-budget", "512", "--shards", "4", "--out", out]
+    )
+    manifest = spark.read.parquet(out)
+    from token_etl_spark.pipelines.corpus import prepare_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = {r["doc_id"] for r in prepare_corpus(docs).where("keep").collect()}
+    got = {r["doc_id"] for r in manifest.collect()}
+    assert got == kept
+
+    import pytest
+
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        cli.main(
+            ["mixture", "--documents", f"{sf_dir}/documents.parquet",
+             "--prepare", "--decisions", out, "--out", out]
+        )

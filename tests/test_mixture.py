@@ -88,3 +88,43 @@ def test_importance_selection_stage(spark, sf_dir):
         import math
 
         assert n == math.ceil(r["t"] * 0.4), (r["source"], n, r["t"])
+
+
+def test_decisions_compose_with_prepare_corpus(spark, sf_dir):
+    """prepare_corpus → build_mixture end-to-end: only keep-list docs
+    enter the mixture, and the result equals mixing the pre-filtered
+    frame directly (the decisions path is a pure semi-join)."""
+    from token_etl_spark.pipelines.corpus import prepare_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    decisions = prepare_corpus(docs)
+    kept_ids = {r["doc_id"] for r in decisions.where("keep").collect()}
+    assert 0 < len(kept_ids) < docs.count()
+
+    via_decisions = build_mixture(
+        docs, decisions=decisions, pack_budget=512, n_shards=4
+    )
+    direct = build_mixture(
+        docs.where(F.col("doc_id").isin(kept_ids)),
+        pack_budget=512,
+        n_shards=4,
+    )
+    a = {tuple(r) for r in via_decisions.collect()}
+    b = {tuple(r) for r in direct.collect()}
+    assert a == b
+    assert {r[0] for r in a} <= kept_ids
+
+
+def test_string_doc_ids_survive_packing(spark):
+    """Manifest identity is recovered by joining on the copy key, not by
+    re-parsing it: string doc_ids — even ones containing ':' — come back
+    losslessly (ADVICE r4: the split-based form silently NULLed them)."""
+    docs = spark.createDataFrame(
+        [("url:a:1", "s", "alpha beta gamma"), ("url:b:2", "s", "delta eps zeta")],
+        "doc_id string, source string, text string",
+    )
+    manifest = build_mixture(docs, weights={"s": 2.0}, pack_budget=8, n_shards=2)
+    rows = manifest.collect()
+    assert {r["doc_id"] for r in rows} == {"url:a:1", "url:b:2"}
+    assert all(r["source"] == "s" for r in rows)
+    assert sorted(r["epoch"] for r in rows) == [1, 1, 2, 2]

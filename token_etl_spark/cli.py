@@ -127,6 +127,18 @@ def main(argv: list[str] | None = None) -> None:
     mix = sub.add_parser("mixture")
     mix.add_argument("--documents", required=True)
     mix.add_argument("--out", required=True)
+    mix.add_argument(
+        "--prepare",
+        action="store_true",
+        help="run prepare_corpus (quality gate + exact/near dedup) first "
+        "and mix only its keep-list",
+    )
+    mix.add_argument(
+        "--decisions",
+        default=None,
+        help="parquet decision frame from a prior `corpus` run "
+        "(doc_id, ..., keep) — mutually exclusive with --prepare",
+    )
     mix.add_argument("--benchmark", default=None)
     mix.add_argument("--exact-decon", action="store_true")
     mix.add_argument("--target-sources", default=None)
@@ -161,6 +173,15 @@ def main(argv: list[str] | None = None) -> None:
         from token_etl_spark.pipelines.mixture import build_mixture
 
         docs = spark.read.parquet(args.documents)
+        if args.prepare and args.decisions:
+            raise SystemExit("--prepare and --decisions are mutually exclusive")
+        decisions = None
+        if args.prepare:
+            from token_etl_spark.pipelines.corpus import prepare_corpus
+
+            decisions = prepare_corpus(docs)
+        elif args.decisions:
+            decisions = spark.read.parquet(args.decisions)
         bench = spark.read.parquet(args.benchmark) if args.benchmark else None
         weights = (
             {
@@ -172,6 +193,7 @@ def main(argv: list[str] | None = None) -> None:
         )
         manifest = build_mixture(
             docs,
+            decisions=decisions,
             benchmark=bench,
             use_bloom=not args.exact_decon,
             target_sources=(

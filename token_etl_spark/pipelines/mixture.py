@@ -40,6 +40,7 @@ from token_etl_spark.operators.curation import (
 
 def build_mixture(
     docs: DataFrame,
+    decisions: DataFrame | None = None,
     benchmark: DataFrame | None = None,
     use_bloom: bool = True,
     decon_k: int = 3,
@@ -52,6 +53,13 @@ def build_mixture(
     n_shards: int = 256,
 ) -> DataFrame:
     """documents(doc_id, source, text, ...) → mixture manifest.
+
+    ``decisions`` composes this builder with ``prepare_corpus``: pass
+    that pipeline's per-doc decision frame (doc_id, ..., keep) and only
+    ``keep`` documents enter the mixture — quality gates, exact dedup,
+    and near-dup clustering then run ONCE upstream instead of being
+    re-derived here (at 100 TB the decision frame is persisted parquet
+    between the two pipelines; the semi-join is key-only either way).
 
     Optional stages activate by argument: ``benchmark`` enables
     decontamination (Bloom bitmap by default — no false negatives, a
@@ -68,6 +76,9 @@ def build_mixture(
     because epoch, an integral type, is always the final segment).
     """
     out = docs
+    if decisions is not None:
+        keep = decisions.where(F.col("keep")).select("doc_id")
+        out = out.join(keep, "doc_id", "left_semi")
     if benchmark is not None:
         decon = bloom_decontaminate if use_bloom else ngram_decontaminate
         flagged = decon(out, benchmark, k=decon_k, min_overlap=decon_min_overlap)

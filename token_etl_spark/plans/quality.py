@@ -842,6 +842,79 @@ FROM e GROUP BY 1, 2
 """
 
 
+# --- end-to-end mixture manifest --------------------------------------------
+
+_MIX_BUDGET = 800
+_MIX_PACK = 256
+_MIX_SHARDS = 8
+
+
+def q_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END mixture build (pipelines/mixture.py build_mixture):
+    per-source token budget → epoch upsampling → sequence packing, in
+    one composed plan. Each stage is individually oracled elsewhere
+    (ext_token_budget / ext_epoch_upsample / ext_sequence_pack); this
+    query proves the COMPOSITION — the stages chain through the
+    injective doc:epoch copy key and the manifest joins identity back
+    losslessly. Decontamination and DSIR selection stay off here (both
+    individually oracled; their SQL replays are page-sized) — the CLI
+    wires the full pipeline."""
+    from token_etl_spark.pipelines.mixture import build_mixture
+
+    docs = t(spark, sf_dir, "documents")
+    return build_mixture(
+        docs,
+        budget_tokens=_MIX_BUDGET,
+        weights=_UP_WEIGHTS,
+        pack_budget=_MIX_PACK,
+        n_shards=_MIX_SHARDS,
+    )
+
+
+SQL_MIXTURE_MANIFEST = f"""
+WITH base AS (
+  SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR) || 's0') AS bk
+  FROM documents),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY bk
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ct
+  FROM base),
+kept AS (SELECT doc_id, source, n_tokens FROM cum WHERE ct - n_tokens < {_MIX_BUDGET}),
+rated AS (
+  SELECT doc_id, source, n_tokens, {_UP_CASE} AS rate,
+         {_BUCKET.format(key="doc_id", n=10_000)} AS b
+  FROM kept),
+nc AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(floor(rate) AS BIGINT)
+         + CASE WHEN b < CAST(floor((rate - floor(rate)) * 10000) AS BIGINT)
+                THEN 1 ELSE 0 END AS n_copies
+  FROM rated),
+copies AS (
+  SELECT doc_id, source, n_tokens, unnest(range(1, n_copies + 1)) AS epoch
+  FROM nc),
+keyed AS (
+  SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch, n_tokens,
+         CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR) AS cid
+  FROM copies),
+sh AS (
+  SELECT *, {_BUCKET.format(key="cid", n=_MIX_SHARDS)} AS shard, md5(cid) AS k
+  FROM keyed),
+pk AS (
+  SELECT doc_id, source, epoch, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY k
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM sh)
+SELECT doc_id, source, epoch, shard,
+       CAST(floor((cum - n_tokens) / {float(_MIX_PACK)!r}) AS BIGINT) AS seq_id,
+       n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_offset
+FROM pk
+"""
+
+
 SPECS = [
     QuerySpec("ext_gopher_quality", q_gopher_quality, SQL_GOPHER_QUALITY, ("curation", "text")),
     QuerySpec("ext_line_filter", q_line_filter, SQL_LINE_FILTER, ("curation", "text")),
@@ -866,4 +939,5 @@ SPECS = [
 MIX_SPECS = [
     QuerySpec("ext_token_budget", q_token_budget, SQL_TOKEN_BUDGET, ("curation", "window")),
     QuerySpec("ext_epoch_upsample", q_epoch_upsample, SQL_EPOCH_UPSAMPLE, ("curation",)),
+    QuerySpec("ext_mixture_manifest", q_mixture_manifest, SQL_MIXTURE_MANIFEST, ("curation", "pipeline", "window")),
 ]
