@@ -239,3 +239,48 @@ def test_streaming_validate_matches_batch(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError):
         streaming_validate(stream, [P.check_uniqueness("doc_id")])
+
+
+def test_streaming_kmv_matches_batch_sketch(spark, sf_dir, tmp_path):
+    """Merge-and-trim bottom-k over micro-batches is bit-identical to
+    the batch kmv_sketch over all data (bottom-k mergeability), with
+    maxFilesPerTrigger=1 forcing genuinely incremental merges."""
+    from token_etl_spark.operators.sketch import kmv_pairwise, kmv_sketch
+    from token_etl_spark.streaming.curation import run_streaming_kmv
+    from token_etl_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = str(tmp_path / "kmv_stream")
+    # several files -> several micro-batches
+    docs.repartition(4).write.parquet(staged)
+    state = str(tmp_path / "kmv_state")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    run_streaming_kmv(
+        stream,
+        F.explode(tokens(F.col("text"))),
+        state,
+        group_cols=("source",),
+        k=64,
+    )
+
+    batch_items = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("_item")
+    )
+    exp = {
+        (r["source"], r["h"], r["rank"])
+        for r in kmv_sketch(batch_items, "_item", ("source",), k=64).collect()
+    }
+    got = {
+        (r["source"], r["h"], r["rank"])
+        for r in spark.read.parquet(state).collect()
+    }
+    assert got == exp
+
+    # the state snapshot feeds pairwise overlap directly
+    ov = kmv_pairwise(spark.read.parquet(state), "source", k=64)
+    assert ov.count() > 0

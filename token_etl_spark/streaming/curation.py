@@ -343,3 +343,90 @@ def streaming_validate(stream: DataFrame, checks: list[dict]) -> DataFrame:
                 " via streaming_hll registers instead"
             )
     return validate(stream, checks)
+
+
+def merge_kmv_state(
+    batch_df: DataFrame,
+    state_path: str,
+    item_col: str = "_item",
+    group_cols: tuple[str, ...] = (),
+    k: int = 128,
+    n_prebuckets: int = 64,
+) -> None:
+    """Merge one micro-batch into a per-group bottom-k (KMV) state
+    table: sketch the batch, union with the stored sketch, keep the k
+    smallest distinct hashes per group, rewrite.
+
+    Exactness contract: bottom-k is a MERGEABLE summary —
+    bottomk(A ∪ B) = bottomk(bottomk(A) ∪ bottomk(B)) — so after any
+    number of batches, in any order, the state is bit-identical to the
+    batch ``kmv_sketch`` over the concatenated input (pytest-pinned).
+    The merge input is ≤ 2k rows per group (state k + batch k), so the
+    re-rank window is sketch-sized regardless of batch or stream size.
+    """
+    from pyspark.sql import Window
+    from token_etl_spark.operators.sketch import kmv_sketch
+
+    spark = batch_df.sparkSession
+    g = list(group_cols)
+    batch_sk = kmv_sketch(
+        batch_df, item_col, group_cols, k=k, n_prebuckets=n_prebuckets
+    ).select(*g, "h")
+    try:
+        prev = spark.read.parquet(state_path).select(*g, "h")
+        merged = prev.unionByName(batch_sk).distinct()
+    except Exception:
+        merged = batch_sk
+    w = Window.partitionBy(*g).orderBy("h")
+    trimmed = (
+        merged.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+    # materialize before overwriting the files the plan just read
+    trimmed.persist()
+    trimmed.count()
+    trimmed.write.mode("overwrite").parquet(state_path)
+    trimmed.unpersist()
+
+
+def run_streaming_kmv(
+    stream: DataFrame,
+    item_expr,
+    state_path: str,
+    group_cols: tuple[str, ...] = (),
+    k: int = 128,
+    n_prebuckets: int = 64,
+) -> None:
+    """Running bottom-k (KMV) distinct sketch over a stream — the
+    streaming twin of ``operators/sketch.py kmv_sketch``, completing the
+    sketch family's streaming story (bloom, HLL, count-min all have
+    twins; KMV was the gap — ROADMAP r4 item 5).
+
+    Unlike those three, bottom-k is NOT expressible as a pure streaming
+    aggregate: the state transition is merge-and-trim (an order
+    statistic), not a commutative cell-wise max/add. So this runs as a
+    ``foreachBatch`` merge into a keyed parquet state table — the
+    upsert-sink pattern (streaming/hourly.py) with the trim folded into
+    the merge. State is ≤ k rows per group forever; each micro-batch
+    shuffles only its own sketch. A snapshot of ``state_path`` feeds
+    ``kmv_estimate_expr`` / ``kmv_pairwise`` directly (same (group, h,
+    rank) shape as the batch sketch), giving running distinct counts AND
+    running cross-group set overlap — the one the register sketches
+    cannot answer.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        base = batch_df.select(*group_cols, item_expr.alias("_item"))
+        merge_kmv_state(
+            base, state_path, "_item", group_cols, k=k, n_prebuckets=n_prebuckets
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
