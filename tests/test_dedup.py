@@ -302,3 +302,43 @@ def test_span_fp_hash_form_equivalent(spark, sf_dir):
         map(tuple, dedup_spans_rewrite(docs, k=8, portable_fp=False).collect())
     )
     assert c == d
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """A short document quoted inside a long one: containment ~1 but
+    jaccard << any MinHash threshold — containment_pairs flags it,
+    minhash_dedup (jaccard 0.5) provably cannot."""
+    from token_etl_spark.operators.dedup import containment_pairs, minhash_dedup
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"longword{i} unique{i} filler{i}" for i in range(40))
+    rows = [
+        (1, quote),
+        (2, filler + " " + quote + " " + filler.replace("i", "j")),
+        (3, "completely unrelated text about spark catalyst optimizer internals"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {(r["id_a"], r["id_b"]): r for r in containment_pairs(df, threshold=0.9).collect()}
+    assert (1, 2) in got
+    r = got[(1, 2)]
+    assert r["containment"] == 1.0          # every shingle of 1 is in 2
+    assert r["n_common"] == r["n_a"] < r["n_b"]
+    assert all(k == (1, 2) for k in got)    # doc 3 matches nothing
+
+    # jaccard of the same pair is tiny -> the minhash path at 0.5 is silent
+    mh = minhash_dedup(df, threshold=0.5).collect()
+    assert not any({p["id_a"], p["id_b"]} == {1, 2} for p in mh)
+
+
+def test_containment_rare_shingle_blocking(spark):
+    """Pairs sharing ONLY shingles above the df cap are never
+    candidates: 30 docs all share one boilerplate sentence (df=30 > cap)
+    and nothing else -> zero pairs; dropping the cap finds them all."""
+    from token_etl_spark.operators.dedup import containment_pairs
+
+    boiler = "all rights reserved terms of service apply here"
+    rows = [(i, f"{boiler}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert containment_pairs(df, max_df=20, threshold=0.5).count() == 0
+    assert containment_pairs(df, max_df=30, threshold=0.5).count() == 30 * 29 / 2

@@ -646,3 +646,32 @@ def test_lsh_margin_probe_t_full_equals_hamming1(spark, sf_dir):
         ).collect()
     }
     assert small_pairs <= universe
+
+
+def test_semantic_decontaminate_flags_and_tiebreak(spark):
+    """Corpus vectors near a benchmark vector are flagged; best_match
+    ties (bit-identical sims from duplicate benchmark vectors) break to
+    the LOWEST benchmark id; orthogonal vectors pass clean."""
+    from token_etl_spark.operators.similarity import semantic_decontaminate
+
+    dim = 4
+
+    def vec(*xs):
+        return list(xs) + [0.0] * (dim - len(xs))
+
+    bench = spark.createDataFrame(
+        [(100, vec(1.0, 0.0)), (101, vec(1.0, 0.0)), (102, vec(0.0, 1.0))],
+        ["vec_id", "embedding"],
+    )
+    corpus = spark.createDataFrame(
+        [(1, vec(0.99, 0.14)), (2, vec(0.0, 0.0, 1.0)), (3, vec(0.0, 1.0))],
+        ["vec_id", "embedding"],
+    )
+    out = {
+        r["id"]: r
+        for r in semantic_decontaminate(corpus, bench, threshold=0.9).collect()
+    }
+    assert out[1]["contaminated"] and out[1]["best_match"] == 100  # tie -> min id
+    assert not out[2]["contaminated"]  # orthogonal to every benchmark vec
+    assert out[3]["contaminated"] and out[3]["best_match"] == 102
+    assert out[3]["best_sim"] == 1.0

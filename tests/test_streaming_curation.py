@@ -284,3 +284,34 @@ def test_streaming_kmv_matches_batch_sketch(spark, sf_dir, tmp_path):
     # the state snapshot feeds pairwise overlap directly
     ov = kmv_pairwise(spark.read.parquet(state), "source", k=64)
     assert ov.count() > 0
+
+
+def test_streaming_histogram_matches_batch(spark, sf_dir, tmp_path):
+    """Running histogram over micro-batches (complete mode) equals the
+    batch histogram_counts cell-for-cell."""
+    from token_etl_spark.operators.sketch import histogram_counts
+    from token_etl_spark.streaming.curation import streaming_histogram
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = str(tmp_path / "hist_stream")
+    docs.repartition(3).write.parquet(staged)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    out = streaming_histogram(
+        stream, "n_chars", 0.0, 2000.0, n_bins=32, group_cols=("source",)
+    )
+    run_to_memory(out, "hist_out", output_mode="complete")
+    got = {
+        (r["source"], r["bin"], r["cnt"])
+        for r in spark.sql("SELECT * FROM hist_out").collect()
+    }
+    exp = {
+        (r["source"], r["bin"], r["cnt"])
+        for r in histogram_counts(
+            docs, "n_chars", 0.0, 2000.0, n_bins=32, group_cols=("source",)
+        ).collect()
+    }
+    assert got == exp

@@ -102,3 +102,23 @@ def test_crossdoc_line_dedup_first_occurrence_wins(spark):
     assert got[3].dedup_fp == md5("unique three")
     assert (got[4].n_lines, got[4].n_kept) == (3, 2)
     assert got[4].dedup_fp == md5("repeat me\nunique four")
+
+
+def test_lexical_diversity_hand_computed(spark):
+    """TTR / hapax / top-share on a corpus small enough to count by
+    hand: tokens = [a a a b c] -> 5 tokens, 3 types, 2 hapax, top 3/5."""
+    from token_etl_spark.operators.text import lexical_diversity
+
+    df = spark.createDataFrame(
+        [("s", "a a a"), ("s", "b c"), ("t", "x y")],
+        "source string, text string",
+    )
+    out = {r["source"]: r for r in lexical_diversity(df).collect()}
+    s = out["s"]
+    assert (s["n_tokens"], s["n_distinct"], s["n_hapax"]) == (5, 3, 2)
+    assert s["type_token_ratio"] == 3 / 5
+    assert s["hapax_ratio"] == 2 / 3
+    assert s["top_share"] == 3 / 5
+    t_ = out["t"]
+    assert (t_["n_tokens"], t_["n_distinct"], t_["n_hapax"]) == (2, 2, 2)
+    assert t_["top_share"] == 0.5

@@ -713,3 +713,72 @@ def simhash(
         bit = (F.col(f"v{b}") > 0).cast("long") * F.lit(2**b).cast("long")
         packed = bit if packed is None else packed + bit
     return voted.select("id", packed.alias("simhash"))
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_df: int = 20,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle CONTAINMENT — the quote/
+    inclusion case Jaccard-banded LSH structurally misses: a short
+    document embedded inside a long one has containment
+    |Sa ∩ Sb| / min(|Sa|, |Sb|) ≈ 1 but Jaccard ≈ |Sa|/|Sb| → 0, far
+    below any MinHash band's recall knee (Broder 1997 distinguishes
+    resemblance from containment for exactly this reason).
+
+    Candidate generation is RARE-SHINGLE BLOCKING, not MinHash: two
+    documents are candidates iff they share at least one shingle with
+    document frequency ≤ ``max_df``. This is a declared semantic, not an
+    approximation to patch later — the oracle replays the same df cap,
+    so results are bit-stable at every scale. The cap is also what makes
+    the plan scale: a shingle with df ≤ d emits ≤ d(d−1)/2 pairs, so
+    boilerplate shingles ('terms of service apply') with corpus-wide df
+    are excluded from BLOCKING (never from the verify) and the pair
+    frame is linear-ish in corpus size instead of quadratic. Recall
+    argument: a contained document that shares ONLY ubiquitous shingles
+    with its container is boilerplate by definition — the pairs worth
+    flagging share content, and content shingles are rare.
+
+    Verify is exact: candidates join back to the full distinct-shingle
+    frame on (doc, shingle) — one shuffle keyed by doc — and the
+    intersection count divides by the SMALLER set size. Returns
+    (id_a, id_b, n_common, n_a, n_b, containment) for pairs with
+    containment ≥ ``threshold``, id_a < id_b.
+    """
+    sh = shingles(df, text_col=text_col, id_col=id_col, k=k)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    blocked = sh.join(rare, "shingle")
+    cands = (
+        blocked.alias("a")
+        .join(blocked.alias("b"), "shingle")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    common = (
+        cands.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        common.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .withColumn(
+            "containment",
+            F.col("n_common").cast("double")
+            / F.least("n_a", "n_b").cast("double"),
+        )
+        .where(F.col("containment") >= F.lit(float(threshold)))
+    )
+    return out.select("id_a", "id_b", "n_common", "n_a", "n_b", "containment")

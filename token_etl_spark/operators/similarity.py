@@ -579,6 +579,66 @@ def embedding_near_dups(
     )
 
 
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "vec_id",
+    bench_vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag corpus vectors
+    whose cosine similarity to ANY benchmark vector reaches
+    ``threshold`` — the semantic complement of the shingle-overlap scans
+    (``curation.ngram_decontaminate`` / ``bloom.bloom_decontaminate``),
+    catching paraphrased or reformatted eval leakage that shares no
+    exact n-gram.
+
+    Returns one row per corpus vector: (id, best_match, best_sim,
+    contaminated). ``best_match`` is the nearest benchmark vector
+    (ties broken on the LOWEST benchmark id, deterministically).
+
+    100 TB shape: eval suites are small, so the benchmark side collapses
+    to ONE broadcast row (id-sorted struct array — deterministic fold
+    order) and the scan is MAP-ONLY: per corpus row, an array transform
+    scores every benchmark vector and a struct ``array_max`` picks the
+    best — no join, no shuffle, whole output is corpus-partitioned. For
+    a benchmark too large to broadcast, pre-reduce it with
+    ``spherical_kmeans`` and decontaminate against centroids (coarse
+    pass) before exact-checking survivors.
+    """
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    barr = F.broadcast(
+        benchmark.select(
+            F.col(bench_id_col).alias("bid"),
+            F.col(bench_vec_col).cast("array<double>").alias("bv"),
+        ).agg(F.array_sort(F.collect_list(F.struct("bid", "bv"))).alias("_bench"))
+    )
+    best = F.array_max(
+        F.transform(
+            F.col("_bench"),
+            lambda s: F.struct(
+                cosine(F.col("v"), s.getField("bv")).alias("sim"),
+                (-s.getField("bid")).alias("neg_id"),
+            ),
+        )
+    )
+    return (
+        base.join(barr)
+        .withColumn("_best", best)
+        .select(
+            "id",
+            (-F.col("_best.neg_id")).alias("best_match"),
+            F.col("_best.sim").alias("best_sim"),
+            (F.col("_best.sim") >= F.lit(float(threshold))).alias("contaminated"),
+        )
+    )
+
+
 def _assign_with_sim(
     corpus: DataFrame,
     n_centroids: int,

@@ -462,3 +462,55 @@ def crossdoc_line_dedup(
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         F.md5(F.coalesce(F.col("kept_text"), F.lit(""))).alias("dedup_fp"),
     )
+
+
+def lexical_diversity(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group lexical-diversity profile — the vocabulary-health
+    numbers a mixture designer reads next to source token counts:
+
+      type_token_ratio  distinct tokens / total tokens (vocab richness)
+      hapax_ratio       share of the vocabulary appearing exactly once
+                        (the Zipf tail; collapses under boilerplate)
+      top_share         most frequent token's share of all tokens
+                        (head dominance; spikes on template spam)
+
+    Everything is exact integer counting until three final single
+    divisions — bit-replayable by the oracle with no float-order caveat
+    (the transcendental-free version of a Zipf-slope fit; slope needs
+    log-log regression, but these three ratios move the same way and
+    cost one shuffle). Plan: one token explode → one (group, token)
+    count (map-side combinable) → one group rollup carrying max() for
+    the top share. No windows, no sorts.
+    """
+    occ = df.select(
+        F.col(group_col).alias("g"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    per_tok = occ.groupBy("g", "tok").agg(F.count("*").alias("c"))
+    return (
+        per_tok.groupBy("g")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_distinct"),
+            F.sum((F.col("c") == 1).cast("long")).cast("long").alias("n_hapax"),
+            F.max("c").cast("long").alias("max_count"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_tokens",
+            "n_distinct",
+            "n_hapax",
+            (F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "type_token_ratio"
+            ),
+            (F.col("n_hapax").cast("double") / F.col("n_distinct").cast("double")).alias(
+                "hapax_ratio"
+            ),
+            (F.col("max_count").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "top_share"
+            ),
+        )
+    )

@@ -390,6 +390,122 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDECON_COSINE = 0.35
+
+
+def q_semantic_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination
+    (operators/similarity.py semantic_decontaminate): every corpus
+    vector scored against the full broadcast benchmark set, flagged at
+    cosine >= 0.35 — the semantic complement of the shingle scans
+    (ext_decontaminate / ext_bloom_decontaminate), for paraphrased
+    leakage that shares no exact n-gram. Map-only plan: one broadcast
+    row, no shuffle."""
+    emb = t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 17 == 0)
+    corpus = emb.filter(F.col("vec_id") % 17 != 0)
+    out = S.semantic_decontaminate(corpus, bench, threshold=SEMDECON_COSINE)
+    return out.select(
+        "id",
+        "best_match",
+        F.round("best_sim", 6).alias("best_sim"),
+        "contaminated",
+    )
+
+
+SQL_SEMANTIC_DECON = f"""
+WITH b AS (SELECT vec_id AS bid, embedding::DOUBLE[] AS bv FROM embeddings WHERE vec_id % 17 = 0),
+c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 17 <> 0),
+s AS (SELECT id, bid, list_cosine_similarity(v, bv) AS sim FROM c CROSS JOIN b),
+r AS (SELECT id, bid, sim,
+             row_number() OVER (PARTITION BY id ORDER BY sim DESC, bid) AS rn
+      FROM s)
+SELECT id, bid AS best_match, round(sim, 6) AS best_sim,
+       sim >= {SEMDECON_COSINE} AS contaminated
+FROM r WHERE rn = 1
+"""
+
+
+CONTAINMENT_MAX_DF = 20
+CONTAINMENT_THRESHOLD = 0.5
+
+
+def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dups (operators/dedup.py
+    containment_pairs): rare-shingle blocking (df <= 20 — a declared
+    semantic the oracle replays, and the bound that keeps per-shingle
+    pair emission at df(df-1)/2) + exact |∩|/min(|A|,|B|) verify —
+    the quote/inclusion case Jaccard-banded LSH structurally misses."""
+    docs = t(spark, sf_dir, "documents")
+    out = D.containment_pairs(
+        docs, k=3, max_df=CONTAINMENT_MAX_DF, threshold=CONTAINMENT_THRESHOLD
+    )
+    return out.select(
+        "id_a", "id_b", "n_common", "n_a", "n_b",
+        F.round("containment", 6).alias("containment"),
+    )
+
+
+SQL_CONTAINMENT_DEDUP = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(tk) - 2, 1) + 1),
+           i -> array_to_string(tk[i:i+2], ' ')))) AS shingle
+  FROM toks),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+rare AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+         WHERE df <= {CONTAINMENT_MAX_DF}),
+bl AS (SELECT doc_id, shingle FROM sh JOIN rare USING (shingle)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bl a JOIN bl b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2)
+SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       round(CAST(n_common AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / least(sa.n, sb.n) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical-diversity profile (operators/text.py
+    lexical_diversity): type-token ratio, hapax share, head dominance —
+    exact integer counting with three final divisions (the
+    transcendental-free stand-in for a Zipf-slope fit)."""
+    docs = t(spark, sf_dir, "documents")
+    out = X.lexical_diversity(docs, group_col="source")
+    return out.select(
+        "source", "n_tokens", "n_distinct", "n_hapax",
+        F.round("type_token_ratio", 6).alias("type_token_ratio"),
+        F.round("hapax_ratio", 6).alias("hapax_ratio"),
+        F.round("top_share", 6).alias("top_share"),
+    )
+
+
+SQL_LEXICAL_DIVERSITY = f"""
+WITH occ AS (SELECT source AS g, unnest({_TOKS}) AS tok FROM documents),
+pt AS (SELECT g, tok, count(*) AS c FROM occ GROUP BY 1, 2)
+SELECT g AS source,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS type_token_ratio,
+       round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS hapax_ratio,
+       round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_share
+FROM pt GROUP BY 1
+"""
+
+
 SQL_EMBEDDING_NEARDUP = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1854,6 +1970,9 @@ SPECS = [
     QuerySpec("ext_minhash_clusters", q_minhash_clusters, SQL_MINHASH_CLUSTERS, ("dedup", "graph", "iterative"), bench=True),
     QuerySpec("ext_ann_bruteforce", q_ann_bruteforce, SQL_ANN_BRUTEFORCE, ("similarity",), bench=True),
     QuerySpec("ext_embedding_neardup", q_embedding_neardup, SQL_EMBEDDING_NEARDUP, ("similarity", "dedup")),
+    QuerySpec("ext_semantic_decon", q_semantic_decon, SQL_SEMANTIC_DECON, ("similarity", "curation")),
+    QuerySpec("ext_containment_dedup", q_containment_dedup, SQL_CONTAINMENT_DEDUP, ("dedup", "text")),
+    QuerySpec("ext_lexical_diversity", q_lexical_diversity, SQL_LEXICAL_DIVERSITY, ("text", "profile")),
     QuerySpec("ext_ann_lsh", q_ann_lsh, SQL_ANN_LSH, ("similarity",)),
     QuerySpec("ext_ann_lsh_multiprobe", q_ann_lsh_multiprobe, SQL_ANN_LSH_MULTIPROBE, ("similarity",)),
     QuerySpec("ext_ann_lsh_margin", q_ann_lsh_margin, SQL_ANN_LSH_MARGIN, ("similarity",)),

@@ -38,6 +38,9 @@ from token_etl_spark.plans.base import QuerySpec
 _PRIORITY_NAMES = [
     # new in round 5
     "ext_mixture_manifest",
+    "ext_semantic_decon",
+    "ext_containment_dedup",
+    "ext_lexical_diversity",
     # last driver-green r1
     "rel_notin_blacklist",
     "rel_bool_flags",

@@ -430,3 +430,30 @@ def run_streaming_kmv(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_histogram(
+    stream: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Running equi-width histogram over a stream — the streaming twin
+    of ``operators/sketch.py histogram_counts`` (same bin rule, cell-
+    identical counters; completes the sketch family's streaming story
+    alongside bloom / HLL / count-min / KMV).
+
+    Bounded state by construction: the aggregation keys are (group, bin)
+    with bin ∈ [0, n_bins), so state is ≤ n_bins rows per group forever
+    — a pure streaming aggregate (cell-wise ADD is commutative), no
+    foreachBatch needed. Emit mode ``update``/``complete``; a snapshot
+    feeds ``histogram_quantiles`` unchanged, giving running p50/p95/p99
+    of any metric (doc length, quality score) as batches arrive.
+    """
+    from token_etl_spark.operators.sketch import histogram_counts
+
+    return histogram_counts(
+        stream, value_col, lo, hi, n_bins=n_bins, group_cols=group_cols
+    )
