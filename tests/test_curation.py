@@ -274,3 +274,21 @@ def test_importance_weights_fast_bucket_path(spark, sf_dir):
     for k in a:
         assert a[k].n_bigrams == b[k].n_bigrams
         assert math.isfinite(b[k].score) and b[k].score >= 0
+
+
+def test_temperature_weights_hand_computed(spark):
+    """Two sources with 100 and 400 tokens at alpha=0.5: tempered shares
+    sqrt(100):sqrt(400) = 1/3, 2/3; weights q/p = (1/3)/0.2 and
+    (2/3)/0.8 — tail upsampled, head downsampled, shares sum to 1."""
+    from token_etl_spark.operators.curation import temperature_weights
+
+    rows = [("tail", "w " * 100)] + [("head", "w " * 400)]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r["source"]: r for r in temperature_weights(df, alpha=0.5).collect()}
+    assert out["tail"]["n_tokens"] == 100 and out["head"]["n_tokens"] == 400
+    assert out["tail"]["temp_share"] == 10 / 30
+    assert out["head"]["temp_share"] == 20 / 30
+    assert out["tail"]["weight"] == (10 / 30) / 0.2
+    assert out["head"]["weight"] == (20 / 30) / 0.8
+    assert out["tail"]["weight"] > 1 > out["head"]["weight"]
+    assert abs(out["tail"]["temp_share"] + out["head"]["temp_share"] - 1) < 1e-12

@@ -342,3 +342,46 @@ def test_containment_rare_shingle_blocking(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     assert containment_pairs(df, max_df=20, threshold=0.5).count() == 0
     assert containment_pairs(df, max_df=30, threshold=0.5).count() == 30 * 29 / 2
+
+
+def test_minhash_index_roundtrip_and_append(spark, tmp_path):
+    """The persisted index matches incremental results across an append:
+    match against (ref1 + ref2 appended) == match against a fresh index
+    of ref1 ∪ ref2; the bucket cap trips on a boilerplate bucket."""
+    import pytest
+
+    from token_etl_spark.operators.dedup import (
+        minhash_index_frame,
+        minhash_match_index,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    ref1 = mk([(i, f"reference document number {i} about unique topic {i} stuff") for i in range(10)])
+    ref2 = mk([(100 + i, f"second wave reference {i} on fresh subject {i} words") for i in range(10)])
+    new = mk(
+        [(1000, "reference document number 3 about unique topic 3 stuff"),
+         (1001, "second wave reference 7 on fresh subject 7 words"),
+         (1002, "entirely novel content matching nothing in any index at all")]
+    )
+    path = str(tmp_path / "mh_index")
+    minhash_index_frame(ref1).write.parquet(path)
+    minhash_index_frame(ref2).write.mode("append").parquet(path)
+    via_append = {
+        (r.id_new, r.id_ref)
+        for r in minhash_match_index(new, spark.read.parquet(path), threshold=0.8).collect()
+    }
+    fresh = {
+        (r.id_new, r.id_ref)
+        for r in minhash_match_index(
+            new, minhash_index_frame(ref1.unionByName(ref2)), threshold=0.8
+        ).collect()
+    }
+    assert via_append == fresh == {(1000, 3), (1001, 107)}
+
+    # combined-population cap: 60 identical ref docs + 1 identical new doc
+    boiler = mk([(i, "the same boilerplate text everywhere always") for i in range(60)])
+    one = mk([(999, "the same boilerplate text everywhere always")])
+    with pytest.raises(Exception, match="max_bucket"):
+        minhash_match_index(
+            one, minhash_index_frame(boiler), threshold=0.5, max_bucket=50
+        ).count()

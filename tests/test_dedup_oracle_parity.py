@@ -75,3 +75,28 @@ def test_documents_first_byte_is_ascii_and_nonempty(spark, sf_dir):
         (F.length("text") == 0) | (F.ascii(F.substring("text", 1, 1)) >= 128)
     ).count()
     assert bad == 0
+
+
+def test_incremental_index_pair_set_equals_exact_cross_set(spark, sf_dir):
+    """ext_incremental_neardup's oracle assumption: the index-LSH
+    candidate set covers every exact cross-set Jaccard pair on the gate
+    corpus (same band-recall argument as the self-join form)."""
+    docs = t(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 13 == 0)
+    new = docs.where(F.col("doc_id") % 13 != 0)
+    index = D.minhash_index_frame(ref)
+    got = {
+        (r.id_new, r.id_ref): round(r.jaccard, 6)
+        for r in D.minhash_match_index(
+            new, index, threshold=JACCARD_THRESHOLD
+        ).collect()
+    }
+    # exact ground truth: all-pairs jaccard, filtered to cross-set
+    exact = {}
+    for (a, b), j in _exact_pairs(docs).items():
+        # ngram_jaccard_pairs emits id_a < id_b; orient to (new, ref)
+        if a % 13 == 0 and b % 13 != 0:
+            exact[(b, a)] = j
+        elif b % 13 == 0 and a % 13 != 0:
+            exact[(a, b)] = j
+    assert got == exact

@@ -746,3 +746,55 @@ def importance_weights(
             .alias("avg_weight"),
         )
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    text_col: str = "text",
+    token_col: str | None = None,
+) -> DataFrame:
+    """Temperature-based mixture weights (the multilingual/multi-source
+    sampling rule of mC4/UniMax lineage): tempered share
+    q_s = p_s^α / Σ_t p_t^α flattens the natural token shares p_s toward
+    uniform as α → 0, and ``weight = q_s / p_s`` is exactly the
+    per-source rate to hand :func:`epoch_upsample` — head sources
+    downsample below 1, tail sources replicate above 1, total token
+    budget is (approximately) preserved by construction.
+
+    Returns (source, n_tokens, nat_share, temp_share, weight) — a
+    |sources|-row frame from ONE map-side-combinable aggregation over
+    the corpus; everything after the exact integer token sums is a fixed
+    expression per row plus one PINNED-ORDER fold for Σ p^α (source-
+    sorted, the BM25/DSIR float rule), so the DuckDB oracle replays the
+    weights bit-for-bit. α = 0.5 (the default, and the declared-query
+    setting) evaluates p^α as IEEE-exact ``sqrt``; other α use ``pow``,
+    whose rounding is engine-specific — fine for production, excluded
+    from the oracle contract.
+    """
+    tok = F.col(token_col) if token_col else token_count(F.col(text_col))
+    per = df.groupBy(source_col).agg(F.sum(tok.cast("long")).cast("long").alias("n_tokens"))
+
+    def _pow(c: Column) -> Column:
+        if alpha == 0.5:
+            return F.sqrt(c.cast("double"))
+        return F.pow(c.cast("double"), F.lit(float(alpha)))
+
+    stats = per.agg(
+        F.sum("n_tokens").cast("long").alias("_tot"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(source_col, "n_tokens"))),
+            F.lit(0.0),
+            lambda acc, s: acc + _pow(s.getField("n_tokens")),
+        ).alias("_pow_sum"),
+    )
+    nat = F.col("n_tokens").cast("double") / F.col("_tot").cast("double")
+    temp = _pow(F.col("n_tokens")) / F.col("_pow_sum")
+    return per.crossJoin(F.broadcast(stats)).select(
+        source_col,
+        "n_tokens",
+        nat.alias("nat_share"),
+        temp.alias("temp_share"),
+        (temp / nat).alias("weight"),
+    )

@@ -748,8 +748,16 @@ def containment_pairs(
     intersection count divides by the SMALLER set size. Returns
     (id_a, id_b, n_common, n_a, n_b, containment) for pairs with
     containment ≥ ``threshold``, id_a < id_b.
+
+    The shingle frame feeds FIVE consumers (sizes, df counts, blocking,
+    and both verify sides), so it is cut with the same lazy
+    ``localCheckpoint`` as ``minhash_dedup(share_shingles=True)``:
+    tokenize+shingle runs once, the stored blocks serve every consumer,
+    and plan build stays job-free.
     """
-    sh = shingles(df, text_col=text_col, id_col=id_col, k=k)
+    sh = shingles(df, text_col=text_col, id_col=id_col, k=k).localCheckpoint(
+        eager=False
+    )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     rare = (
         sh.groupBy("shingle")
@@ -782,3 +790,99 @@ def containment_pairs(
         .where(F.col("containment") >= F.lit(float(threshold)))
     )
     return out.select("id_a", "id_b", "n_common", "n_a", "n_b", "containment")
+
+
+def minhash_index_frame(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """Per-doc near-dup index rows: (id, sig, sh, n_shingles) — the
+    MinHash signature plus the distinct-shingle array that exact
+    verification needs. One row per document, no explode persisted, so
+    the index is corpus-linear and appendable: persist it once, then
+    every new crawl deduplicates against it WITHOUT re-shingling the
+    already-kept corpus (``minhash_match_index``), and kept newcomers
+    append their own rows (parquet append — rows are per-doc
+    independent, so appends never rewrite)."""
+    arrays = shingle_arrays(df, text_col, id_col, k)
+    exploded = arrays.select("id", F.explode("sh").alias("shingle"))
+    sigs = minhash_signatures(exploded, num_hashes)
+    return arrays.join(sigs, "id").select("id", "sig", "sh", "n_shingles")
+
+
+def minhash_match_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Incremental near-dup: match a NEW batch against a persisted
+    ``minhash_index_frame`` — the LSH analog of ``cross_corpus_dedup``
+    (which only catches EXACT copies by digest). Returns verified
+    (id_new, id_ref, jaccard) pairs; new docs with no row are novel.
+
+    This is the steady-state shape of corpus dedup at 100 TB: the
+    10 TB/day crawl shingles and signs ONLY itself (corpus-side work is
+    a parquet scan of sig/band columns), candidates come from the
+    (band, bucket) equi-join of the two banded frames, and the exact
+    verify touches candidate pairs only. Per-(band, bucket) emission is
+    |new ∩ bucket| × |ref ∩ bucket| — ``max_bucket`` caps the COMBINED
+    bucket population in-plan (same guard as ``lsh_candidate_pairs``)
+    so a boilerplate bucket fails loudly before the cross-side join.
+    """
+    new_idx = minhash_index_frame(new_docs, text_col, id_col, k, num_hashes)
+    new_banded = _banded(new_idx.select("id", "sig"), bands, num_hashes).select(
+        F.col("id").alias("id_new"), "band", "bucket"
+    )
+    ref_banded = _banded(index.select("id", "sig"), bands, num_hashes).select(
+        F.col("id").alias("id_ref"), "band", "bucket"
+    )
+    if max_bucket is not None:
+        # tag-and-split (not semi-joins back to the sources): new and ref
+        # id spaces may overlap, and the tag costs nothing — the window
+        # count still partitions on (band, bucket) alone, so the cap sees
+        # the COMBINED population.
+        both = new_banded.select(
+            F.col("id_new").alias("id"), "band", "bucket", F.lit("n").alias("side")
+        ).unionByName(
+            ref_banded.select(
+                F.col("id_ref").alias("id"), "band", "bucket", F.lit("r").alias("side")
+            )
+        )
+        capped = _cap_bucket_size(both, ["band", "bucket"], max_bucket, "index-LSH")
+        new_banded = capped.where(F.col("side") == "n").select(
+            F.col("id").alias("id_new"), "band", "bucket"
+        )
+        ref_banded = capped.where(F.col("side") == "r").select(
+            F.col("id").alias("id_ref"), "band", "bucket"
+        )
+    cands = (
+        new_banded.join(ref_banded, ["band", "bucket"])
+        .select("id_new", "id_ref")
+        .distinct()
+    )
+    a = new_idx.select(
+        F.col("id").alias("id_new"), F.col("sh").alias("sh_a"), F.col("n_shingles").alias("n_a")
+    )
+    b = index.select(
+        F.col("id").alias("id_ref"), F.col("sh").alias("sh_b"), F.col("n_shingles").alias("n_b")
+    )
+    return (
+        cands.join(a, "id_new")
+        .join(b, "id_ref")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_new", "id_ref", "jaccard")
+    )

@@ -328,8 +328,47 @@ GROUP BY source
 """
 
 
+# --- temperature-based mixture weights --------------------------------------
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampling mixture weights at α=0.5 (operators/
+    curation.py temperature_weights): tempered share sqrt(p)/Σsqrt(p)
+    and the per-source epoch_upsample rate q/p. α=0.5 is the declared
+    setting because p^α is then IEEE-exact sqrt; the Σp^α fold is
+    source-order pinned (the BM25 float rule)."""
+    docs = t(spark, sf_dir, "documents")
+    out = C.temperature_weights(docs, alpha=0.5)
+    return out.select(
+        "source",
+        "n_tokens",
+        F.round("nat_share", 6).alias("nat_share"),
+        F.round("temp_share", 6).alias("temp_share"),
+        F.round("weight", 6).alias("weight"),
+    )
+
+
+SQL_TEMPERATURE_MIX = f"""
+WITH per AS (
+  SELECT source, CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1),
+st AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+         list_aggregate(list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY source),
+                        'sum') AS pow_sum
+  FROM per)
+SELECT source, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS nat_share,
+       round(sqrt(CAST(n_tokens AS DOUBLE)) / pow_sum, 6) AS temp_share,
+       round((sqrt(CAST(n_tokens AS DOUBLE)) / pow_sum)
+             / (CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE)), 6) AS weight
+FROM per CROSS JOIN st
+"""
+
+
 SPECS = [
     QuerySpec("ext_decontaminate", q_decontaminate, SQL_DECONTAMINATE, ("curation", "text")),
+    QuerySpec("ext_temperature_mix", q_temperature_mix, SQL_TEMPERATURE_MIX, ("curation",)),
     # bench=True (r4): the constant-memory decontamination path — the
     # joinless probe plan is what runs at 100 TB, so it gets
     # round-over-round tracking next to the exact broadcast scan.

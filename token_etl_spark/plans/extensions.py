@@ -345,6 +345,48 @@ def q_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_dedup_clusters(docs, threshold=JACCARD_THRESHOLD)
 
 
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup against a persisted MinHash index
+    (operators/dedup.py minhash_index_frame / minhash_match_index): the
+    'new crawl' (doc_id % 13 != 0) matches the 'already-kept' reference
+    (doc_id % 13 = 0) WITHOUT re-shingling the reference — the LSH
+    analog of ext_crosscorpus_dedup's exact-digest scan, and the
+    steady-state daily-dedup shape at 100 TB. Oracle: exact cross-set
+    Jaccard (same band-recall argument as ext_minhash_neardup,
+    pair-parity pinned at three SFs in tests/test_dedup_oracle_parity)."""
+    docs = t(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 13 == 0)
+    new = docs.where(F.col("doc_id") % 13 != 0)
+    index = D.minhash_index_frame(ref)
+    out = D.minhash_match_index(new, index, threshold=JACCARD_THRESHOLD)
+    return out.select(
+        "id_new", "id_ref", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+SQL_INCREMENTAL_NEARDUP = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(tk) - 2, 1) + 1),
+           i -> array_to_string(tk[i:i+2], ' ')))) AS shingle
+  FROM toks),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS id_new, b.doc_id AS id_ref, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id % 13 <> 0 AND b.doc_id % 13 = 0
+  GROUP BY 1, 2)
+SELECT id_new, id_ref,
+       round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = id_new
+JOIN sizes sb ON sb.doc_id = id_ref
+WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+"""
+
+
 # --- similarity search -----------------------------------------------------
 
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1968,6 +2010,7 @@ SPECS = [
     # 100 TB (linear output per bucket), so it is a headline number
     # alongside the pair form it replaces in pipelines/corpus.py.
     QuerySpec("ext_minhash_clusters", q_minhash_clusters, SQL_MINHASH_CLUSTERS, ("dedup", "graph", "iterative"), bench=True),
+    QuerySpec("ext_incremental_neardup", q_incremental_neardup, SQL_INCREMENTAL_NEARDUP, ("dedup", "pipeline")),
     QuerySpec("ext_ann_bruteforce", q_ann_bruteforce, SQL_ANN_BRUTEFORCE, ("similarity",), bench=True),
     QuerySpec("ext_embedding_neardup", q_embedding_neardup, SQL_EMBEDDING_NEARDUP, ("similarity", "dedup")),
     QuerySpec("ext_semantic_decon", q_semantic_decon, SQL_SEMANTIC_DECON, ("similarity", "curation")),

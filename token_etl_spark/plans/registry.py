@@ -41,6 +41,8 @@ _PRIORITY_NAMES = [
     "ext_semantic_decon",
     "ext_containment_dedup",
     "ext_lexical_diversity",
+    "ext_incremental_neardup",
+    "ext_temperature_mix",
     # last driver-green r1
     "rel_notin_blacklist",
     "rel_bool_flags",
