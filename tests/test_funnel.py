@@ -1,0 +1,125 @@
+"""Funnel + cohort retention (operators/funnel.py) and fuzzy matching
+(operators/fuzzy.py): hand-computed fixtures pin the anchored-first
+funnel semantics, the cohort triangle, and blocking completeness of the
+q-gram Levenshtein join."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from token_etl_spark.operators.funnel import (
+    funnel_counts,
+    funnel_reach,
+    retention_cohorts,
+)
+from token_etl_spark.operators.fuzzy import fuzzy_join
+
+
+def _ev(spark, rows):
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (u, typ, base + dt.timedelta(seconds=s)) for (u, typ, s) in rows
+    ]
+    return spark.createDataFrame(
+        data, "user_id long, event_type string, ts timestamp"
+    )
+
+
+def test_funnel_anchored_first_semantics(spark):
+    """u1 fully converts in order; u2's click precedes its only view
+    (no conversion past step 1); u3's purchase lands outside the window
+    anchored at the FIRST view; u4 never views (absent entirely)."""
+    ev = _ev(spark, [
+        (1, "view", 0), (1, "click", 10), (1, "purchase", 20),
+        (2, "click", 5), (2, "view", 30),           # click before view
+        (3, "view", 0), (3, "click", 50), (3, "purchase", 200),
+        (4, "click", 0), (4, "purchase", 1),
+    ])
+    reach = {r["user"]: r for r in funnel_reach(
+        ev, ["view", "click", "purchase"], window_s=100
+    ).collect()}
+    assert set(reach) == {1, 2, 3}
+    assert reach[1]["t3"] is not None
+    assert reach[2]["t2"] is None and reach[2]["t3"] is None
+    assert reach[3]["t2"] is not None and reach[3]["t3"] is None  # 200 > 0+100
+
+    counts = {r["step"]: r for r in funnel_counts(
+        ev, ["view", "click", "purchase"], window_s=100
+    ).collect()}
+    assert [counts[i]["n_users"] for i in (1, 2, 3)] == [3, 2, 1]
+    assert counts[3]["pct_of_step1"] == 1 / 3
+
+
+def test_funnel_greedy_earliest_qualifying(spark):
+    """The earliest qualifying event is taken at each step: a click
+    BEFORE the first view is ignored, the later one converts."""
+    ev = _ev(spark, [(1, "click", 0), (1, "view", 10), (1, "click", 20)])
+    r = funnel_reach(ev, ["view", "click"], window_s=100).collect()[0]
+    assert r["t2"] is not None
+    assert r["t2"] - r["t1"] == 10 * 1_000_000
+
+
+def test_retention_cohort_triangle(spark):
+    """Users split across two cohorts; offsets count from each user's
+    own first period."""
+    week = 7 * 86_400
+    ev = _ev(spark, [
+        (1, "view", 0), (1, "view", week + 5), (1, "view", 3 * week),
+        (2, "view", 10),
+        (3, "view", week), (3, "view", 2 * week),
+    ])
+    got = {
+        (r["cohort"], r["period_offset"]): r["n_users"]
+        for r in retention_cohorts(ev).collect()
+    }
+    c0 = min(c for c, _ in got)  # absolute week index of 2024-01-01
+    assert got[(c0, 0)] == 2           # users 1, 2
+    assert got[(c0, 1)] == 1           # user 1 returns week 1
+    assert got[(c0, 3)] == 1           # user 1 returns week 3
+    assert got[(c0 + 1, 0)] == 1       # user 3's cohort
+    assert got[(c0 + 1, 1)] == 1
+
+
+def test_fuzzy_join_blocking_complete_vs_exact(spark, sf_dir):
+    """rel_fuzzy_match's oracle assumption: q-gram blocking loses no
+    pair within max_dist on the gate tables — pinned against the
+    UNBLOCKED exact Levenshtein cross join."""
+    from token_etl_spark.io.sources import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    got = {
+        (r["lk"], r["rk"], r["dist"])
+        for r in fuzzy_join(cust, supp, "c_name", "s_name", max_dist=6).collect()
+    }
+    exact = {
+        (r["lk"], r["rk"], r["dist"])
+        for r in cust.select(F.col("c_name").alias("lk")).distinct()
+        .crossJoin(supp.select(F.col("s_name").alias("rk")).distinct())
+        .withColumn("dist", F.levenshtein("lk", "rk").cast("long"))
+        .where(F.col("dist") <= 6)
+        .collect()
+    }
+    assert got == exact and got
+
+
+def test_fuzzy_join_positional_vs_bag(spark):
+    """Positional grams block repetitive-alphabet keys apart; bag grams
+    collapse them into one giant candidate set — both verify the same
+    final pairs (the blocking only changes candidates)."""
+    left = spark.createDataFrame([("aaaa1",), ("aaaa2",), ("bbbb1",)], ["k"])
+    right = spark.createDataFrame([("aaaa1",), ("bbbb2",)], ["k"])
+    pos = {
+        (r["lk"], r["rk"], r["dist"])
+        for r in fuzzy_join(left, right, "k", "k", max_dist=1, q=2).collect()
+    }
+    bag = {
+        (r["lk"], r["rk"], r["dist"])
+        for r in fuzzy_join(
+            left, right, "k", "k", max_dist=1, q=2, block_pos=False
+        ).collect()
+    }
+    exp = {("aaaa1", "aaaa1", 0), ("aaaa2", "aaaa1", 1), ("bbbb1", "bbbb2", 1)}
+    assert pos == bag == exp

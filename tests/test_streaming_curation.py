@@ -315,3 +315,37 @@ def test_streaming_histogram_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == exp
+
+
+def test_streaming_semantic_decontaminate_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static semantic decon flags exactly the batch operator's
+    contaminated set; drop mode keeps the complement."""
+    from token_etl_spark.operators.similarity import semantic_decontaminate
+    from token_etl_spark.streaming.curation import (
+        streaming_semantic_decontaminate,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.where(F.col("vec_id") % 17 == 0)
+    corpus = emb.where(F.col("vec_id") % 17 != 0)
+    staged = str(tmp_path / "semdecon_stream")
+    corpus.write.parquet(staged)
+    stream = read_file_stream(spark, staged, corpus.schema)
+    out = streaming_semantic_decontaminate(stream, bench, threshold=0.35)
+    run_to_memory(out, "semdecon_out", output_mode="append")
+    got = {
+        (r["vec_id"], r["best_match"], r["contaminated"])
+        for r in spark.sql(
+            "SELECT vec_id, best_match, contaminated FROM semdecon_out"
+        ).collect()
+    }
+    exp = {
+        (r["id"], r["best_match"], r["contaminated"])
+        for r in semantic_decontaminate(corpus, bench, threshold=0.35).collect()
+    }
+    assert got == exp
+
+    drop = streaming_semantic_decontaminate(stream, bench, threshold=0.35, mode="drop")
+    run_to_memory(drop, "semdecon_drop", output_mode="append")
+    kept = {r["vec_id"] for r in spark.sql("SELECT vec_id FROM semdecon_drop").collect()}
+    assert kept == {v for v, _, c in exp if not c}

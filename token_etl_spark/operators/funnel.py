@@ -1,0 +1,133 @@
+"""Event-sequence analytics: ordered-step funnels and cohort retention.
+
+No reference analog (the reference stops at per-bucket aggregation —
+SURVEY §2.4); these are the two event-analytics shapes every product/
+telemetry warehouse asks of an events table, and both reduce to plain
+keyed aggregations + self-joins — no per-user iteration, no UDFs.
+
+Funnel semantics (DECLARED, anchored-first): a user converts step i at
+the EARLIEST event of step i's type that is strictly after their step
+i-1 time and within ``window_s`` seconds of their step-1 time. Anchoring
+the window at the first step-1 event (rather than sliding over all
+step-1 candidates) is the greedy semantics ClickHouse's windowFunnel
+popularized in 'strict order' mode — deterministic, exact, and
+replayable as three chained min() aggregations. Greedy-earliest is
+optimal GIVEN the anchor: taking the earliest qualifying event at each
+step maximizes the remaining window for later steps.
+
+All times are integer microseconds (``unix_micros`` / DuckDB
+``epoch_us``), so every comparison is integer-exact cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_reach(
+    events: DataFrame,
+    steps: list[str],
+    window_s: int = 86_400,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user funnel reach times: (user, t1, t2, ..., tN) in integer
+    microseconds, NULL from the first unconverted step onward.
+
+    Plan shape: one filtered min() aggregation per step, each joined on
+    the user key — N-1 shuffles of (user, ts) pairs, never the event
+    payload, and each stage's frame is one row per surviving user (the
+    funnel shrinks monotonically). At 100 TB this beats the
+    collect-events-per-user fold: no user's event list is ever
+    materialized, skew is bounded by per-user aggregation (map-side
+    combinable mins), and each stage broadcasts naturally once the
+    funnel narrows.
+    """
+    us = F.col(ts_col)
+    micros = F.unix_micros(us)
+    out = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(F.col(user_col).alias("user"))
+        .agg(F.min(micros).alias("t1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            events.where(F.col(type_col) == step)
+            .select(F.col(user_col).alias("user"), micros.alias("_ts"))
+            .join(out, "user")
+            .where(
+                (F.col("_ts") > F.col(f"t{i-1}"))
+                & (F.col("_ts") <= F.col("t1") + F.lit(window_s * 1_000_000))
+            )
+            .groupBy("user")
+            .agg(F.min("_ts").alias(f"t{i}"))
+        )
+        out = out.join(nxt, "user", "left")
+    return out
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    window_s: int = 86_400,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Funnel rollup: (step, step_name, n_users, pct_of_step1) — users
+    reaching each step under the anchored-first semantics. ``pct`` is
+    one final division of exact longs."""
+    reach = funnel_reach(events, steps, window_s, user_col, type_col, ts_col)
+    counts = reach.agg(
+        *[
+            F.count(F.col(f"t{i}")).cast("long").alias(f"n{i}")
+            for i in range(1, len(steps) + 1)
+        ]
+    )
+    rows = None
+    for i, name in enumerate(steps, start=1):
+        r = counts.select(
+            F.lit(i).cast("long").alias("step"),
+            F.lit(name).alias("step_name"),
+            F.col(f"n{i}").alias("n_users"),
+            (F.col(f"n{i}").cast("double") / F.col("n1").cast("double")).alias(
+                "pct_of_step1"
+            ),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_s: int = 7 * 86_400,
+) -> DataFrame:
+    """Classic cohort-retention triangle: users grouped by first-activity
+    period, counted in every later period they return.
+
+    Returns (cohort, period_offset, n_users): ``cohort`` is the user's
+    first-activity period index (floor(epoch_micros / period_micros) —
+    the single double division is the same IEEE op in both engines, so
+    the oracle replays it bit-for-bit), ``period_offset`` >= 0 the
+    distance of each active period from it. Two aggregations and one
+    join — the first-activity frame is (user, cohort) only; activity is
+    deduplicated to (user, period) BEFORE the join so the joined frame
+    is bounded by user-periods, not events.
+    """
+    period = F.floor(
+        F.unix_micros(F.col(ts_col)) / F.lit(float(period_s) * 1_000_000.0)
+    ).cast("long")
+    active = (
+        events.select(F.col(user_col).alias("user"), period.alias("period"))
+        .distinct()
+    )
+    first = active.groupBy("user").agg(F.min("period").alias("cohort"))
+    return (
+        active.join(first, "user")
+        .groupBy("cohort", (F.col("period") - F.col("cohort")).alias("period_offset"))
+        .agg(F.countDistinct("user").cast("long").alias("n_users"))
+    )

@@ -586,8 +586,84 @@ FROM s JOIN x USING (hour_ts, event_type)
 """
 
 
+# --- funnel + cohort retention ----------------------------------------------
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+FUNNEL_WINDOW_S = 86_400
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step conversion funnel view → click → purchase within 24h
+    (operators/funnel.py funnel_counts, anchored-first semantics —
+    docstring there): chained filtered-min aggregations, never a
+    per-user event-list fold. All comparisons in integer microseconds."""
+    from token_etl_spark.operators.funnel import funnel_counts
+
+    ev = t(spark, sf_dir, "events")
+    out = funnel_counts(ev, FUNNEL_STEPS, window_s=FUNNEL_WINDOW_S)
+    return out.select(
+        "step", "step_name", "n_users",
+        F.round("pct_of_step1", 6).alias("pct_of_step1"),
+    )
+
+
+_FW_US = FUNNEL_WINDOW_S * 1_000_000
+
+SQL_FUNNEL = f"""
+WITH t1 AS (SELECT user_id AS u, min(epoch_us(ts)) AS t1
+            FROM events WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY 1),
+t2 AS (SELECT e.user_id AS u, min(epoch_us(e.ts)) AS t2
+       FROM events e JOIN t1 ON e.user_id = t1.u
+       WHERE e.event_type = '{FUNNEL_STEPS[1]}'
+         AND epoch_us(e.ts) > t1.t1 AND epoch_us(e.ts) <= t1.t1 + {_FW_US}
+       GROUP BY 1),
+t3 AS (SELECT e.user_id AS u, min(epoch_us(e.ts)) AS t3
+       FROM events e JOIN t1 ON e.user_id = t1.u JOIN t2 ON e.user_id = t2.u
+       WHERE e.event_type = '{FUNNEL_STEPS[2]}'
+         AND epoch_us(e.ts) > t2.t2 AND epoch_us(e.ts) <= t1.t1 + {_FW_US}
+       GROUP BY 1),
+c AS (SELECT CAST((SELECT count(*) FROM t1) AS BIGINT) AS n1,
+             CAST((SELECT count(*) FROM t2) AS BIGINT) AS n2,
+             CAST((SELECT count(*) FROM t3) AS BIGINT) AS n3)
+SELECT CAST(1 AS BIGINT) AS step, '{FUNNEL_STEPS[0]}' AS step_name, n1 AS n_users,
+       round(CAST(n1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS pct_of_step1 FROM c
+UNION ALL
+SELECT CAST(2 AS BIGINT), '{FUNNEL_STEPS[1]}', n2,
+       round(CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) FROM c
+UNION ALL
+SELECT CAST(3 AS BIGINT), '{FUNNEL_STEPS[2]}', n3,
+       round(CAST(n3 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) FROM c
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle (operators/funnel.py
+    retention_cohorts): users bucketed by first-activity week, counted
+    in each later active week. The one double division (micros/week) is
+    the same IEEE op in both engines."""
+    from token_etl_spark.operators.funnel import retention_cohorts
+
+    ev = t(spark, sf_dir, "events")
+    return retention_cohorts(ev).select("cohort", "period_offset", "n_users")
+
+
+SQL_RETENTION = """
+WITH active AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 604800000000.0) AS BIGINT) AS period
+  FROM events),
+first AS (SELECT u, min(period) AS cohort FROM active GROUP BY 1)
+SELECT cohort, period - cohort AS period_offset,
+       CAST(count(DISTINCT active.u) AS BIGINT) AS n_users
+FROM active JOIN first ON active.u = first.u
+GROUP BY 1, 2
+"""
+
+
 SPECS = [
     QuerySpec("evt_hourly_volume", q_hourly_volume, SQL_HOURLY_VOLUME, ("domain", "agg")),
+    QuerySpec("evt_funnel", q_funnel, SQL_FUNNEL, ("domain", "funnel", "agg")),
+    QuerySpec("evt_retention_cohorts", q_retention_cohorts, SQL_RETENTION, ("domain", "funnel", "agg")),
     QuerySpec("evt_rollup_merge_read", q_rollup_merge_read, SQL_ROLLUP_MERGE_READ, ("domain", "agg", "rollup")),
     QuerySpec("evt_rollup_hll_users", q_rollup_hll_users, SQL_ROLLUP_HLL_USERS, ("domain", "rollup", "sketch", "agg-approx")),
     QuerySpec("evt_hourly_user_flow", q_hourly_user_flow, SQL_HOURLY_USER_FLOW, ("domain", "agg")),

@@ -43,6 +43,9 @@ _PRIORITY_NAMES = [
     "ext_lexical_diversity",
     "ext_incremental_neardup",
     "ext_temperature_mix",
+    "evt_funnel",
+    "evt_retention_cohorts",
+    "rel_fuzzy_match",
     # last driver-green r1
     "rel_notin_blacklist",
     "rel_bool_flags",

@@ -690,8 +690,52 @@ GROUP BY 1
 """
 
 
+# --- fuzzy (edit-distance) matching join ------------------------------------
+
+FUZZY_MAX_DIST = 6
+
+
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked Levenshtein entity-resolution join (operators/fuzzy.py
+    fuzzy_join): customer names matched to supplier names within edit
+    distance 6 — the fixed 'Customer#'/'Supplier#' prefixes cost 5
+    substitutions, so matches are same-or-one-digit-off id pairs.
+    Candidates from positional q-gram blocking. The Gravano count bound
+    does not cover dist=6 at these lengths, but completeness holds on
+    this data by structure — a pair within 6 spends 5 edits on the
+    prefix, leaving ≤ 1 digit substitution, which destroys ≤ 3 of the
+    ~8 surviving digit-region grams — and is pinned against the
+    unblocked exact join in tests/test_fuzzy.py. Verify is the integer
+    builtin ``levenshtein`` in BOTH engines."""
+    from token_etl_spark.operators.fuzzy import fuzzy_join
+
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    return fuzzy_join(cust, supp, "c_name", "s_name", max_dist=FUZZY_MAX_DIST, q=3)
+
+
+SQL_FUZZY_MATCH = f"""
+WITH lk AS (SELECT DISTINCT c_name AS k FROM customer),
+rk AS (SELECT DISTINCT s_name AS k FROM supplier),
+lg AS (SELECT k AS lk,
+              unnest(list_distinct(list_transform(
+                range(1, greatest(len(k) - 2, 1) + 1),
+                i -> CAST(i AS VARCHAR) || ':' || substr(k, CAST(i AS INT), 3)))) AS g
+       FROM lk),
+rg AS (SELECT k AS rk,
+              unnest(list_distinct(list_transform(
+                range(1, greatest(len(k) - 2, 1) + 1),
+                i -> CAST(i AS VARCHAR) || ':' || substr(k, CAST(i AS INT), 3)))) AS g
+       FROM rk),
+cand AS (SELECT DISTINCT lg.lk, rg.rk FROM lg JOIN rg USING (g))
+SELECT lk, rk, CAST(levenshtein(lk, rk) AS BIGINT) AS dist
+FROM cand WHERE levenshtein(lk, rk) <= {FUZZY_MAX_DIST}
+"""
+
+
 SPECS = [
     QuerySpec("rel_scan_pushdown", q_scan_pushdown, SQL_SCAN_PUSHDOWN, ("scan", "filter")),
+    QuerySpec("rel_fuzzy_match", q_fuzzy_match, SQL_FUZZY_MATCH, ("join", "string", "fuzzy")),
     QuerySpec("rel_bloom_join", q_bloom_join, SQL_BLOOM_JOIN, ("join", "sketch")),
     QuerySpec("rel_json_props", q_json_props, SQL_JSON_PROPS, ("json",)),
     QuerySpec("rel_above_avg_customers", q_above_avg_customers, SQL_ABOVE_AVG_CUSTOMERS, ("subquery",)),

@@ -457,3 +457,56 @@ def streaming_histogram(
     return histogram_counts(
         stream, value_col, lo, hi, n_bins=n_bins, group_cols=group_cols
     )
+
+
+def streaming_semantic_decontaminate(
+    stream: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.8,
+    vec_col: str = "embedding",
+    bench_id_col: str = "vec_id",
+    bench_vec_col: str = "embedding",
+    mode: str = "flag",
+) -> DataFrame:
+    """Embedding-space decontamination at ingest — the streaming twin of
+    ``operators/similarity.py semantic_decontaminate``, completing the
+    decontamination trio's streaming story (exact shingle scan, bloom
+    bitmap, and now semantic). Stateless stream-static shape: the STATIC
+    benchmark collapses to one broadcast id-sorted struct-array row, the
+    stream side evaluates a per-row max-cosine transform — no state
+    store, no watermark, same reason decontamination belongs at ingest.
+
+    ``mode='flag'`` appends (best_match, best_sim, contaminated) to the
+    stream row; ``mode='drop'`` keeps clean rows only.
+    """
+    from token_etl_spark.operators.similarity import cosine
+
+    barr = F.broadcast(
+        benchmark.select(
+            F.col(bench_id_col).alias("bid"),
+            F.col(bench_vec_col).cast("array<double>").alias("bv"),
+        ).agg(F.array_sort(F.collect_list(F.struct("bid", "bv"))).alias("_bench"))
+    )
+    v = F.col(vec_col).cast("array<double>")
+    best = F.array_max(
+        F.transform(
+            F.col("_bench"),
+            lambda s: F.struct(
+                cosine(v, s.getField("bv")).alias("sim"),
+                (-s.getField("bid")).alias("neg_id"),
+            ),
+        )
+    )
+    flagged = (
+        stream.crossJoin(barr)
+        .withColumn("_best", best)
+        .withColumn("best_match", -F.col("_best.neg_id"))
+        .withColumn("best_sim", F.col("_best.sim"))
+        .withColumn("contaminated", F.col("_best.sim") >= F.lit(float(threshold)))
+        .drop("_bench", "_best")
+    )
+    if mode == "drop":
+        return flagged.where(~F.col("contaminated")).drop(
+            "best_match", "best_sim", "contaminated"
+        )
+    return flagged
