@@ -1,0 +1,84 @@
+"""BPE vocabulary induction (operators/bpe.py): merge tables pinned
+against a pure-Python reference (Sennrich-style, overlapping pair
+counts, greedy non-overlapping rewrite, count-then-lexicographic
+argmax), and encode/train consistency."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from token_etl_spark.io.sources import load_table
+from token_etl_spark.operators.bpe import bpe_encode, bpe_train, merge_fold
+from token_etl_spark.operators.text import tokens
+
+
+def _py_bpe(word_counts: dict[str, int], n_merges: int):
+    vocab = {w: list(w) for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += word_counts[w]
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), c = best
+        merges.append((l, r, c))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+def _word_counts(spark, docs):
+    rows = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w").count().collect()
+    )
+    return {r["w"]: r["count"] for r in rows}
+
+
+def test_bpe_train_matches_python_reference(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    wc = _word_counts(spark, docs)
+    exp, _ = _py_bpe(wc, 8)
+    got = [
+        (r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_train(docs, n_merges=8).orderBy("merge_idx").collect()
+    ]
+    assert got == exp
+
+
+def test_bpe_encode_matches_python_segmentation(spark):
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low newer new"), (2, "wider wide new newer")],
+        "doc_id long, text string",
+    )
+    wc = _word_counts(spark, docs)
+    merges = bpe_train(docs, n_merges=6)
+    _, py_vocab = _py_bpe(wc, 6)
+    got = {
+        r["word"]: r["pieces"]
+        for r in bpe_encode(docs, merges).dropDuplicates(["word"]).collect()
+    }
+    assert got == {w: py_vocab[w] for w in got}
+
+
+def test_merge_fold_greedy_nonoverlapping(spark):
+    """[a,a,a] under (a,a) -> [aa,a]; merged symbol never re-fuses in
+    the same pass; non-matching symbols pass through untouched."""
+    df = spark.createDataFrame([(["a", "a", "a", "b", "a", "a"],)], "syms array<string>")
+    out = df.select(
+        merge_fold(F.col("syms"), F.lit("a"), F.lit("a")).alias("m")
+    ).collect()[0]["m"]
+    assert out == ["aa", "a", "b", "aa"]

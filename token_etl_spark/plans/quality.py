@@ -842,6 +842,62 @@ FROM e GROUP BY 1, 2
 """
 
 
+# --- BPE vocabulary induction ------------------------------------------------
+
+BPE_N_MERGES = 6
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE subword-merge training over the corpus (operators/bpe.py
+    bpe_train): 6 merges learned from the distinct-word frequency table.
+    Integer counts and exact string ops only, deterministic argmax
+    (count DESC, pair ASC), so the oracle — the training loop unrolled
+    CTE-per-iteration with the greedy rewrite as a string-accumulator
+    ``list_reduce`` — replays the merge table exactly."""
+    from token_etl_spark.operators.bpe import bpe_train
+
+    docs = t(spark, sf_dir, "documents")
+    return bpe_train(docs, n_merges=BPE_N_MERGES)
+
+
+def _bpe_sql(n: int) -> str:
+    blocks = [
+        f"""wd AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest({_TOKS}) AS tok FROM documents) GROUP BY 1),
+w0 AS (SELECT word, cnt,
+       array_to_string(list_transform(range(1, length(word) + 1),
+                       i -> substr(word, CAST(i AS INT), 1)), ' ') AS s
+       FROM wd)"""
+    ]
+    for i in range(1, n + 1):
+        blocks.append(
+            f"""p{i} AS (
+  SELECT split_part(pr, ' ', 1) AS l, split_part(pr, ' ', 2) AS r,
+         CAST(sum(cnt) AS BIGINT) AS c
+  FROM (SELECT cnt,
+               unnest(list_transform(range(1, len(string_split(s, ' '))),
+                      j -> string_split(s, ' ')[j] || ' ' || string_split(s, ' ')[j+1])) AS pr
+        FROM w{i-1})
+  GROUP BY 1, 2),
+b{i} AS (SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1),
+w{i} AS (SELECT word, cnt,
+         list_reduce(string_split(s, ' '), (acc, x) -> CASE
+           WHEN x = b.r AND regexp_extract(acc, '[^ ]*$') = b.l
+           THEN left(acc, length(acc) - length(b.l)) || b.l || b.r
+           ELSE acc || ' ' || x END) AS s
+         FROM w{i-1} CROSS JOIN b{i} b)"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS merge_idx, l AS left_sym,"
+        f" r AS right_sym, c AS pair_count FROM b{i}"
+        for i in range(1, n + 1)
+    )
+    return "WITH " + ",\n".join(blocks) + "\n" + sel
+
+
+SQL_BPE_MERGES = _bpe_sql(BPE_N_MERGES)
+
+
 # --- end-to-end mixture manifest --------------------------------------------
 
 _MIX_BUDGET = 800
@@ -940,4 +996,5 @@ MIX_SPECS = [
     QuerySpec("ext_token_budget", q_token_budget, SQL_TOKEN_BUDGET, ("curation", "window")),
     QuerySpec("ext_epoch_upsample", q_epoch_upsample, SQL_EPOCH_UPSAMPLE, ("curation",)),
     QuerySpec("ext_mixture_manifest", q_mixture_manifest, SQL_MIXTURE_MANIFEST, ("curation", "pipeline", "window")),
+    QuerySpec("ext_bpe_merges", q_bpe_merges, SQL_BPE_MERGES, ("text", "tokenizer", "iterative")),
 ]

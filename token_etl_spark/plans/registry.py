@@ -46,6 +46,7 @@ _PRIORITY_NAMES = [
     "evt_funnel",
     "evt_retention_cohorts",
     "rel_fuzzy_match",
+    "ext_bpe_merges",
     # last driver-green r1
     "rel_notin_blacklist",
     "rel_bool_flags",
