@@ -82,44 +82,64 @@ def test_retention_cohort_triangle(spark):
     assert got[(c0 + 1, 1)] == 1
 
 
-def test_fuzzy_join_blocking_complete_vs_exact(spark, sf_dir):
-    """rel_fuzzy_match's oracle assumption: q-gram blocking loses no
-    pair within max_dist on the gate tables — pinned against the
-    UNBLOCKED exact Levenshtein cross join."""
+def test_fuzzy_join_prefix_filter_complete_vs_exact(spark, sf_dir):
+    """rel_fuzzy_match's oracle assumption AND the Ed-Join theorem on
+    real keys: prefix-filtered blocking loses no pair within max_dist —
+    pinned against the UNBLOCKED exact Levenshtein cross join on the
+    gate's dirty-twin fixture."""
     from token_etl_spark.io.sources import load_table
+    from token_etl_spark.operators.curation import hash_bucket
 
     cust = load_table(spark, sf_dir, "customer")
-    supp = load_table(spark, sf_dir, "supplier")
+    pos = (hash_bucket(F.col("c_name"), 9) + 10).cast("int")
+    dirty = cust.select(
+        F.concat(
+            F.col("c_name").substr(F.lit(1), pos - 1),
+            F.lit("x"),
+            F.col("c_name").substr(pos + 1, F.length("c_name")),
+        ).alias("k")
+    )
     got = {
         (r["lk"], r["rk"], r["dist"])
-        for r in fuzzy_join(cust, supp, "c_name", "s_name", max_dist=6).collect()
+        for r in fuzzy_join(dirty, cust, "k", "c_name", max_dist=2).collect()
     }
     exact = {
         (r["lk"], r["rk"], r["dist"])
-        for r in cust.select(F.col("c_name").alias("lk")).distinct()
-        .crossJoin(supp.select(F.col("s_name").alias("rk")).distinct())
+        for r in dirty.select(F.col("k").alias("lk")).distinct()
+        .crossJoin(cust.select(F.col("c_name").alias("rk")).distinct())
         .withColumn("dist", F.levenshtein("lk", "rk").cast("long"))
-        .where(F.col("dist") <= 6)
+        .where(F.col("dist") <= 2)
         .collect()
     }
     assert got == exact and got
+    # every dirty key recovers its original at distance exactly 1
+    originals = {r["c_name"] for r in cust.select("c_name").collect()}
+    dist1 = {(l, r) for l, r, d in got if d == 1}
+    assert len({l for l, _ in dist1}) == len(
+        {r["k"] for r in dirty.distinct().collect()}
+    )
+    assert all(r in originals for _, r in dist1)
 
 
-def test_fuzzy_join_positional_vs_bag(spark):
-    """Positional grams block repetitive-alphabet keys apart; bag grams
-    collapse them into one giant candidate set — both verify the same
-    final pairs (the blocking only changes candidates)."""
-    left = spark.createDataFrame([("aaaa1",), ("aaaa2",), ("bbbb1",)], ["k"])
-    right = spark.createDataFrame([("aaaa1",), ("bbbb2",)], ["k"])
-    pos = {
+def test_fuzzy_join_prefix_skips_ubiquitous_grams(spark):
+    """A gram shared by EVERY key (the leading-zeros pathology) never
+    enters any prefix, so candidates stay near-linear — yet results
+    still equal the exact join."""
+    left = spark.createDataFrame(
+        [(f"0000000{i:03d}",) for i in range(200)], ["k"]
+    )
+    got = {
         (r["lk"], r["rk"], r["dist"])
-        for r in fuzzy_join(left, right, "k", "k", max_dist=1, q=2).collect()
+        for r in fuzzy_join(left, left, "k", "k", max_dist=1, q=2).collect()
     }
-    bag = {
+    exact = {
         (r["lk"], r["rk"], r["dist"])
-        for r in fuzzy_join(
-            left, right, "k", "k", max_dist=1, q=2, block_pos=False
-        ).collect()
+        for r in left.select(F.col("k").alias("lk"))
+        .crossJoin(left.select(F.col("k").alias("rk")))
+        .withColumn("dist", F.levenshtein("lk", "rk").cast("long"))
+        .where(F.col("dist") <= 1)
+        .collect()
     }
-    exp = {("aaaa1", "aaaa1", 0), ("aaaa2", "aaaa1", 1), ("bbbb1", "bbbb2", 1)}
-    assert pos == bag == exp
+    assert got == exact
+    assert ("0000000000", "0000000000", 0) in got
+    assert ("0000000000", "0000000001", 1) in got

@@ -743,22 +743,25 @@ def containment_pairs(
     with its container is boilerplate by definition — the pairs worth
     flagging share content, and content shingles are rare.
 
-    Verify is exact: candidates join back to the full distinct-shingle
-    frame on (doc, shingle) — one shuffle keyed by doc — and the
-    intersection count divides by the SMALLER set size. Returns
+    Verify is exact and ARRAY-based (the ``jaccard_verify`` pattern):
+    the candidate pairs — a frame bounded by the blocking, orders of
+    magnitude smaller than the corpus — join the per-doc shingle ARRAYS
+    once per side and intersect natively, instead of re-shuffling the
+    exploded shingle frame through two more joins (measured 8.0 s →
+    faster at sf0.1 for identical output; the exploded frame is touched
+    only by the df count and the blocking join). Returns
     (id_a, id_b, n_common, n_a, n_b, containment) for pairs with
     containment ≥ ``threshold``, id_a < id_b.
 
-    The shingle frame feeds FIVE consumers (sizes, df counts, blocking,
-    and both verify sides), so it is cut with the same lazy
-    ``localCheckpoint`` as ``minhash_dedup(share_shingles=True)``:
-    tokenize+shingle runs once, the stored blocks serve every consumer,
-    and plan build stays job-free.
+    The per-doc shingle-array frame feeds three consumers (the exploded
+    blocking path and both verify sides), so it is cut with the same
+    lazy ``localCheckpoint`` as ``minhash_dedup(share_shingles=True)``:
+    tokenize+shingle runs once, plan build stays job-free.
     """
-    sh = shingles(df, text_col=text_col, id_col=id_col, k=k).localCheckpoint(
+    arrays = shingle_arrays(df, text_col=text_col, id_col=id_col, k=k).localCheckpoint(
         eager=False
     )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    sh = arrays.select("id", F.explode("sh").alias("shingle"))
     rare = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df"))
@@ -773,15 +776,20 @@ def containment_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    common = (
-        cands.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
-        .join(sh.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
+    a = arrays.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+        F.col("n_shingles").alias("n_a"),
+    )
+    b = arrays.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+        F.col("n_shingles").alias("n_b"),
     )
     out = (
-        common.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "n_common", F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+        )
         .withColumn(
             "containment",
             F.col("n_common").cast("double")
@@ -789,7 +797,12 @@ def containment_pairs(
         )
         .where(F.col("containment") >= F.lit(float(threshold)))
     )
-    return out.select("id_a", "id_b", "n_common", "n_a", "n_b", "containment")
+    return out.select(
+        "id_a", "id_b", "n_common",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        "containment",
+    )
 
 
 def minhash_index_frame(
@@ -831,14 +844,28 @@ def minhash_match_index(
 
     This is the steady-state shape of corpus dedup at 100 TB: the
     10 TB/day crawl shingles and signs ONLY itself (corpus-side work is
-    a parquet scan of sig/band columns), candidates come from the
-    (band, bucket) equi-join of the two banded frames, and the exact
-    verify touches candidate pairs only. Per-(band, bucket) emission is
+    a parquet scan of sig/band columns — the index frame is read, never
+    checkpointed or re-derived), candidates come from the (band, bucket)
+    equi-join of the two banded frames, and the exact verify touches
+    candidate pairs only. Per-(band, bucket) emission is
     |new ∩ bucket| × |ref ∩ bucket| — ``max_bucket`` caps the COMBINED
-    bucket population in-plan (same guard as ``lsh_candidate_pairs``)
-    so a boilerplate bucket fails loudly before the cross-side join.
+    bucket population via an in-plan assert on the (band, bucket) COUNT
+    frame (bounded by distinct buckets, not rows), which then semi-
+    filters the new side through the same (band, bucket) exchange the
+    pair join shuffles on. The count aggregation completes before the
+    join stage emits a single pair, so an oversized boilerplate bucket
+    fails loudly first. (An earlier union+window form re-derived both
+    banded sides once per consumer branch — measured 23 s vs 2.8 s at
+    sf0.1 for identical output.)
+
+    The new side's (sig, shingle-set) frame feeds the banding AND the
+    verify, so it is cut with a lazy ``localCheckpoint``; the caller's
+    ``index`` is deliberately NOT checkpointed (at scale it is a parquet
+    table — rescanning columns beats copying it into executor storage).
     """
-    new_idx = minhash_index_frame(new_docs, text_col, id_col, k, num_hashes)
+    new_idx = minhash_index_frame(
+        new_docs, text_col, id_col, k, num_hashes
+    ).localCheckpoint(eager=False)
     new_banded = _banded(new_idx.select("id", "sig"), bands, num_hashes).select(
         F.col("id").alias("id_new"), "band", "bucket"
     )
@@ -846,24 +873,25 @@ def minhash_match_index(
         F.col("id").alias("id_ref"), "band", "bucket"
     )
     if max_bucket is not None:
-        # tag-and-split (not semi-joins back to the sources): new and ref
-        # id spaces may overlap, and the tag costs nothing — the window
-        # count still partitions on (band, bucket) alone, so the cap sees
-        # the COMBINED population.
-        both = new_banded.select(
-            F.col("id_new").alias("id"), "band", "bucket", F.lit("n").alias("side")
-        ).unionByName(
-            ref_banded.select(
-                F.col("id_ref").alias("id"), "band", "bucket", F.lit("r").alias("side")
-            )
+        counts = (
+            new_banded.select("band", "bucket")
+            .unionByName(ref_banded.select("band", "bucket"))
+            .groupBy("band", "bucket")
+            .agg(F.count("*").alias("bucket_n"))
         )
-        capped = _cap_bucket_size(both, ["band", "bucket"], max_bucket, "index-LSH")
-        new_banded = capped.where(F.col("side") == "n").select(
-            F.col("id").alias("id_new"), "band", "bucket"
-        )
-        ref_banded = capped.where(F.col("side") == "r").select(
-            F.col("id").alias("id_ref"), "band", "bucket"
-        )
+        guarded = counts.filter(
+            F.assert_true(
+                F.col("bucket_n") <= F.lit(max_bucket),
+                F.format_string(
+                    "index-LSH bucket size %s exceeds max_bucket="
+                    + str(max_bucket)
+                    + ": cross-side pair emission would be quadratic in the"
+                    " bucket population; " + _CAP_ADVICE,
+                    F.col("bucket_n"),
+                ),
+            ).isNull()
+        ).select("band", "bucket")
+        new_banded = new_banded.join(guarded, ["band", "bucket"])
     cands = (
         new_banded.join(ref_banded, ["band", "bucket"])
         .select("id_new", "id_ref")

@@ -357,7 +357,11 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     ref = docs.where(F.col("doc_id") % 13 == 0)
     new = docs.where(F.col("doc_id") % 13 != 0)
-    index = D.minhash_index_frame(ref)
+    # In production the index IS a persisted parquet table (that is the
+    # operator's point); the lazy checkpoint is the in-query stand-in so
+    # the gate doesn't re-derive ref signatures once per consumer
+    # (banding, bucket counts, verify — measured 14 s → 2.9 s at sf0.1).
+    index = D.minhash_index_frame(ref).localCheckpoint(eager=False)
     out = D.minhash_match_index(new, index, threshold=JACCARD_THRESHOLD)
     return out.select(
         "id_new", "id_ref", F.round("jaccard", 6).alias("jaccard")

@@ -25,13 +25,17 @@ from token_etl_spark.plans.base import QuerySpec
 # decision, not cosmetics. Round-5 rotation (after r4's fully-green
 # window, every declared query has had a driver-green row at least once;
 # the goal now is freshness):
-#   1. Queries NEW this round head the list so they get their first
-#      driver rows immediately.
+#   1. The 10 queries NEW this round head the list so they get their
+#      first driver rows immediately (each already hash-matched its
+#      oracle locally at sf0.001/0.01/0.1 before being declared).
 #   2. Then the 44 stalest queries — last driver-green in r1 (the
 #      rel_* block) or r2 (curation/domain evt_*/ext_*) — computed from
-#      CORRECTNESS_r01..r04. All pass the dtype-sensitive local sweep
-#      (bit-compatible with the driver's hasher since r4), so risk is
-#      low, but the driver gate is the signal that counts.
+#      CORRECTNESS_r01..r04. With 10 new entries, the LAST FOUR of the
+#      stale block (evt_sessionization through evt_wallet_pipeline,
+#      positions 51-54) fall outside the 50-row window and carry to r6.
+#      All pass the dtype-sensitive local sweep (bit-compatible with the
+#      driver's hasher since r4), so risk is low, but the driver gate is
+#      the signal that counts.
 #   3. The r3/r4-verified remainder (tpch*, most rel_*, the r4 ext_*
 #      wave) rotates OUT; it stays covered by the local sweep at three
 #      SFs per round.

@@ -692,42 +692,65 @@ GROUP BY 1
 
 # --- fuzzy (edit-distance) matching join ------------------------------------
 
-FUZZY_MAX_DIST = 6
+FUZZY_MAX_DIST = 2
+FUZZY_Q = 3
 
 
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked Levenshtein entity-resolution join (operators/fuzzy.py
-    fuzzy_join): customer names matched to supplier names within edit
-    distance 6 — the fixed 'Customer#'/'Supplier#' prefixes cost 5
-    substitutions, so matches are same-or-one-digit-off id pairs.
-    Candidates from positional q-gram blocking. The Gravano count bound
-    does not cover dist=6 at these lengths, but completeness holds on
-    this data by structure — a pair within 6 spends 5 edits on the
-    prefix, leaving ≤ 1 digit substitution, which destroys ≤ 3 of the
-    ~8 surviving digit-region grams — and is pinned against the
-    unblocked exact join in tests/test_fuzzy.py. Verify is the integer
-    builtin ``levenshtein`` in BOTH engines."""
+    """Prefix-filtered Levenshtein entity resolution (operators/fuzzy.py
+    fuzzy_join): a deterministically CORRUPTED copy of the customer
+    names (one md5-chosen digit substituted — the dirty-data twin)
+    matched back to the originals within edit distance 2. Every dirty
+    name recovers its original at dist 1, plus near-collision originals
+    at dist 2. Candidates come from each key's d·q+1 globally-rarest
+    positional grams (Ed-Join prefix filter — complete for the distance
+    predicate, and immune to the leading-zeros ubiquitous-gram blowup
+    that made naive gram blocking all-pairs: 264 s → ~3 s at sf0.1);
+    verify is the integer builtin ``levenshtein`` in BOTH engines."""
+    from token_etl_spark.operators.curation import hash_bucket
     from token_etl_spark.operators.fuzzy import fuzzy_join
 
     cust = t(spark, sf_dir, "customer")
-    supp = t(spark, sf_dir, "supplier")
-    return fuzzy_join(cust, supp, "c_name", "s_name", max_dist=FUZZY_MAX_DIST, q=3)
+    pos = (hash_bucket(F.col("c_name"), 9) + 10).cast("int")
+    dirty = cust.select(
+        F.concat(
+            F.col("c_name").substr(F.lit(1), pos - 1),
+            F.lit("x"),
+            F.col("c_name").substr(pos + 1, F.length("c_name")),
+        ).alias("dirty_name")
+    )
+    return fuzzy_join(
+        dirty, cust, "dirty_name", "c_name", max_dist=FUZZY_MAX_DIST, q=FUZZY_Q
+    )
 
+
+_FUZZY_PREFIX = FUZZY_MAX_DIST * FUZZY_Q + 1
+_FUZZY_GRAMS = (
+    "unnest(list_distinct(list_transform("
+    "range(1, greatest(len(k) - {qm1}, 1) + 1),"
+    " i -> CAST(i AS VARCHAR) || ':' || substr(k, CAST(i AS INT), {q}))))"
+).format(qm1=FUZZY_Q - 1, q=FUZZY_Q)
 
 SQL_FUZZY_MATCH = f"""
-WITH lk AS (SELECT DISTINCT c_name AS k FROM customer),
-rk AS (SELECT DISTINCT s_name AS k FROM supplier),
-lg AS (SELECT k AS lk,
-              unnest(list_distinct(list_transform(
-                range(1, greatest(len(k) - 2, 1) + 1),
-                i -> CAST(i AS VARCHAR) || ':' || substr(k, CAST(i AS INT), 3)))) AS g
-       FROM lk),
-rg AS (SELECT k AS rk,
-              unnest(list_distinct(list_transform(
-                range(1, greatest(len(k) - 2, 1) + 1),
-                i -> CAST(i AS VARCHAR) || ':' || substr(k, CAST(i AS INT), 3)))) AS g
-       FROM rk),
-cand AS (SELECT DISTINCT lg.lk, rg.rk FROM lg JOIN rg USING (g))
+WITH orig AS (SELECT DISTINCT c_name AS k FROM customer),
+dirty AS (SELECT DISTINCT substr(k, 1, CAST(p - 1 AS INT)) || 'x'
+                 || substr(k, CAST(p + 1 AS INT), length(k)) AS k
+          FROM (SELECT k,
+                       CAST('0x' || substr(md5(k), 1, 6) AS BIGINT) % 9 + 10 AS p
+                FROM orig)),
+lg AS (SELECT k, {_FUZZY_GRAMS} AS g FROM dirty),
+rg AS (SELECT k, {_FUZZY_GRAMS} AS g FROM orig),
+gdf AS (SELECT g, count(*) AS df
+        FROM (SELECT g FROM lg UNION ALL SELECT g FROM rg) GROUP BY 1),
+lp AS (SELECT k AS lk, g FROM (
+         SELECT lg.k, lg.g,
+                row_number() OVER (PARTITION BY lg.k ORDER BY df, lg.g) AS r
+         FROM lg JOIN gdf USING (g)) WHERE r <= {_FUZZY_PREFIX}),
+rp AS (SELECT k AS rk, g FROM (
+         SELECT rg.k, rg.g,
+                row_number() OVER (PARTITION BY rg.k ORDER BY df, rg.g) AS r
+         FROM rg JOIN gdf USING (g)) WHERE r <= {_FUZZY_PREFIX}),
+cand AS (SELECT DISTINCT lk, rk FROM lp JOIN rp USING (g))
 SELECT lk, rk, CAST(levenshtein(lk, rk) AS BIGINT) AS dist
 FROM cand WHERE levenshtein(lk, rk) <= {FUZZY_MAX_DIST}
 """
