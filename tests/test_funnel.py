@@ -143,3 +143,45 @@ def test_fuzzy_join_prefix_skips_ubiquitous_grams(spark):
     assert got == exact
     assert ("0000000000", "0000000000", 0) in got
     assert ("0000000000", "0000000001", 1) in got
+
+
+def test_fuzzy_join_complete_under_indels(spark, sf_dir):
+    """The r5 positional-gram bug: an insertion/deletion shifts every
+    later gram's position, so exact '<pos>:<gram>' blocking shared no
+    token between a dist-1 indel pair and silently dropped it. The
+    Ed-Join location condition (content match, |pos_l - pos_r| <= d)
+    must keep every such pair — pinned against the unblocked exact
+    cross join on insert-, delete-, AND substitute-corrupted keys."""
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.operators.curation import hash_bucket
+
+    cust = load_table(spark, sf_dir, "customer").limit(400)
+    pos = (hash_bucket(F.col("c_name"), 9) + 4).cast("int")
+    mode = hash_bucket(F.col("c_name"), 3)  # 0=insert 1=delete 2=substitute
+    head = F.col("c_name").substr(F.lit(1), pos - 1)
+    tail_from = F.when(mode == 1, pos + 1).otherwise(pos)  # delete skips one
+    tail = F.col("c_name").substr(tail_from, F.length("c_name"))
+    ins = F.when(mode == 2, F.lit("x")).when(mode == 0, F.lit("zz")).otherwise(F.lit(""))
+    sub_skip = F.col("c_name").substr(pos + 1, F.length("c_name"))
+    dirty = cust.select(
+        F.when(mode == 2, F.concat(head, F.lit("x"), sub_skip))
+        .otherwise(F.concat(head, ins, tail))
+        .alias("k")
+    )
+    got = {
+        (r["lk"], r["rk"], r["dist"])
+        for r in fuzzy_join(dirty, cust, "k", "c_name", max_dist=2).collect()
+    }
+    exact = {
+        (r["lk"], r["rk"], r["dist"])
+        for r in dirty.select(F.col("k").alias("lk")).distinct()
+        .crossJoin(cust.select(F.col("c_name").alias("rk")).distinct())
+        .withColumn("dist", F.levenshtein("lk", "rk").cast("long"))
+        .where(F.col("dist") <= 2)
+        .collect()
+    }
+    assert got == exact and got
+    # the corruption modes actually exercised indels, not just subs:
+    # insert mode adds 'zz' (dist 2), delete mode removes one char (dist 1)
+    dists = {d for _, _, d in got}
+    assert 1 in dists and 2 in dists

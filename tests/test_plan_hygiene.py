@@ -91,6 +91,61 @@ def test_plan_construction_launches_no_jobs(spark, sf_dir):
         sc.setJobGroup("", "")
 
 
+def test_lazy_checkpoint_helpers_launch_no_jobs(spark, sf_dir):
+    """Every lazy ``localCheckpoint(eager=False)`` in a NON-iterative
+    code path must sit on a narrow (shuffle-free) frame: under Spark 4.x
+    AQE, lazily checkpointing a shuffle-bearing frame materializes its
+    query stages at plan-BUILD time (the ext_incremental_neardup r5
+    regression — 4 jobs before the query even ran). The declared-query
+    gate above only catches this for frames reachable from a declared
+    plan; this test drives the shared helper functions directly, so a
+    future shuffle slipped into any of them fails here even if no
+    declared query exercises that parameterization.
+
+    Iterative helpers (spherical_kmeans, bpe_train, pagerank, connected
+    components, PQ training) are exempt by design: their eager
+    per-round checkpoints run jobs regardless, which is why their
+    internal lazy checkpoints (similarity.py _assign_with_sim /
+    _residual_subs, bpe.py vocab) are masked and harmless."""
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.where(docs.doc_id % 13 == 0)
+    new = docs.where(docs.doc_id % 13 != 0)
+
+    sc = spark.sparkContext
+    group = "lazy-ckpt-hygiene"
+    sc.setJobGroup(group, "helper plan construction must be lazy")
+    try:
+        # each of these embeds a lazy localCheckpoint in its plan
+        D.shingle_arrays(docs).localCheckpoint(eager=False)
+        D.minhash_index_frame(ref).localCheckpoint(eager=False)
+        D.minhash_match_index(new, D.minhash_index_frame(ref))
+        D.minhash_dedup(docs, share_shingles=True)
+        D.containment_pairs(docs)
+        eager = sc.statusTracker().getJobIdsForGroup(group)
+        assert not eager, f"helper plan construction launched jobs: {eager}"
+    finally:
+        sc.setJobGroup("", "")
+
+
+def test_minhash_index_frame_is_narrow(spark, sf_dir):
+    """The index frame must stay a single shuffle-free scan: no Exchange
+    in its physical plan. This is both the 100 TB property (index build
+    = one pass over the corpus) and the precondition that makes its
+    lazy checkpoint plan-build-job-free."""
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.operators.dedup import minhash_index_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        minhash_index_frame(docs).explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan and "Join" not in plan, plan
+
+
 def test_tpch3_plans_broadcast_and_no_cartesian(spark, sf_dir):
     # the argmin/argmax/semi/anti wave: dims broadcast, facts never
     # cartesian (value-share's 1-row scalar crossJoin is a

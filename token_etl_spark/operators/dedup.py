@@ -70,21 +70,28 @@ def shingle_arrays(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     return base.select("id", sh.alias("sh")).withColumn("n_shingles", F.size("sh"))
 
 
-def minhash_signatures_narrow(arrays: DataFrame, num_hashes: int = 32) -> DataFrame:
-    """MinHash signatures as a NARROW map over per-doc shingle arrays:
-    sig[i] = array_min(transform(sh, s → murmur3(s, salt=i))). No explode,
-    no aggregation, no shuffle — strictly less data movement than the
-    grouped form for the same hash count (use the grouped
-    `minhash_signatures` when shingles are already exploded)."""
+def minhash_sig_expr(sh: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature as a single narrow expression over a shingle
+    ARRAY column: sig[i] = array_min(transform(sh, s → murmur3(s,
+    salt=i))). Bit-identical to the grouped ``minhash_signatures`` (same
+    ``F.hash(shingle, lit(i))`` per element, same min) because ``sh`` is
+    never empty (``shingle_array_expr`` emits ≥ 1 shingle per doc)."""
     def _salted(i: int):
         # NB: a two-parameter lambda would be called as (element, index)
         # by F.transform — capture the salt via closure instead.
         return lambda s: F.hash(s, F.lit(i))
 
-    sig = F.array(
-        *[F.array_min(F.transform(F.col("sh"), _salted(i))) for i in range(num_hashes)]
+    return F.array(
+        *[F.array_min(F.transform(sh, _salted(i))) for i in range(num_hashes)]
     )
-    return arrays.select("id", sig.alias("sig"))
+
+
+def minhash_signatures_narrow(arrays: DataFrame, num_hashes: int = 32) -> DataFrame:
+    """MinHash signatures as a NARROW map over per-doc shingle arrays.
+    No explode, no aggregation, no shuffle — strictly less data movement
+    than the grouped form for the same hash count (use the grouped
+    `minhash_signatures` when shingles are already exploded)."""
+    return arrays.select("id", minhash_sig_expr(F.col("sh"), num_hashes).alias("sig"))
 
 
 def minhash_signatures(shingled: DataFrame, num_hashes: int = 32) -> DataFrame:
@@ -814,16 +821,25 @@ def minhash_index_frame(
 ) -> DataFrame:
     """Per-doc near-dup index rows: (id, sig, sh, n_shingles) — the
     MinHash signature plus the distinct-shingle array that exact
-    verification needs. One row per document, no explode persisted, so
-    the index is corpus-linear and appendable: persist it once, then
-    every new crawl deduplicates against it WITHOUT re-shingling the
-    already-kept corpus (``minhash_match_index``), and kept newcomers
-    append their own rows (parquet append — rows are per-doc
-    independent, so appends never rewrite)."""
+    verification needs. One row per document, so the index is
+    corpus-linear and appendable: persist it once, then every new crawl
+    deduplicates against it WITHOUT re-shingling the already-kept corpus
+    (``minhash_match_index``), and kept newcomers append their own rows
+    (parquet append — rows are per-doc independent, so appends never
+    rewrite).
+
+    The whole frame is a NARROW map (tokenize → shingle array →
+    per-element ``minhash_sig_expr``): no explode, no aggregation, no
+    join. That matters twice at scale: the index build is a single
+    shuffle-free scan of the corpus, and a lazy ``localCheckpoint`` of
+    this frame is plan-build-job-free (an earlier explode→groupBy→join
+    form made the same checkpoint materialize 4 AQE query stages at plan
+    construction under Spark 4.x — see ``_cap_bucket_size``'s note on
+    that trap)."""
     arrays = shingle_arrays(df, text_col, id_col, k)
-    exploded = arrays.select("id", F.explode("sh").alias("shingle"))
-    sigs = minhash_signatures(exploded, num_hashes)
-    return arrays.join(sigs, "id").select("id", "sig", "sh", "n_shingles")
+    return arrays.select(
+        "id", minhash_sig_expr(F.col("sh"), num_hashes).alias("sig"), "sh", "n_shingles"
+    )
 
 
 def minhash_match_index(
@@ -859,9 +875,12 @@ def minhash_match_index(
     sf0.1 for identical output.)
 
     The new side's (sig, shingle-set) frame feeds the banding AND the
-    verify, so it is cut with a lazy ``localCheckpoint``; the caller's
-    ``index`` is deliberately NOT checkpointed (at scale it is a parquet
-    table — rescanning columns beats copying it into executor storage).
+    verify, so it is cut with a lazy ``localCheckpoint`` — safe here
+    because ``minhash_index_frame`` is a narrow map (no shuffle in its
+    lineage, so the lazy checkpoint queues no AQE stage at plan build);
+    the caller's ``index`` is deliberately NOT checkpointed (at scale it
+    is a parquet table — rescanning columns beats copying it into
+    executor storage).
     """
     new_idx = minhash_index_frame(
         new_docs, text_col, id_col, k, num_hashes

@@ -8,21 +8,33 @@ attribution and metadata reconciliation. The all-pairs Levenshtein join
 is quadratic, so candidates come from q-gram blocking with PREFIX
 FILTERING (Xiao et al. 2008, "Ed-Join: an efficient algorithm for
 similarity joins with edit distance constraints", VLDB): one edit
-operation disturbs at most ``q`` positional q-grams, so two strings
-within edit distance ``d`` disagree on at most ``d·q`` grams per side —
-hence in ANY fixed global order of the gram universe, each string's
-``d·q + 1`` first ("rarest") grams must overlap the other's. Blocking
-only on those prefixes is therefore COMPLETE for the distance predicate
-while skipping ubiquitous grams entirely — the failure mode of naive
-gram blocking, where one corpus-wide gram (think a run of leading
-zeros) turns the candidate join into the all-pairs product it was meant
-to avoid (measured: 264 s naive vs ~3 s prefix-filtered at sf0.1, same
-output).
+operation disturbs at most ``q`` q-gram occurrences under
+POSITION-TOLERANT matching (content equal, positions within the edit
+distance), so two strings within edit distance ``d`` leave at most
+``d·q`` of each side's gram occurrences unmatched — hence in ANY fixed
+global order of the gram universe, each string's ``d·q + 1`` first
+("rarest") gram occurrences must contain a match of the other's.
+Blocking on those prefixes with the position-tolerant condition is
+therefore COMPLETE for the distance predicate while skipping ubiquitous
+grams entirely — the failure mode of naive gram blocking, where one
+corpus-wide gram (think a run of leading zeros) turns the candidate
+join into the all-pairs product it was meant to avoid (measured: 264 s
+naive vs ~3 s prefix-filtered at sf0.1, same output).
+
+Matching gram CONTENT with a position band — not exact '<pos>:<gram>'
+tokens — is load-bearing for completeness: an insertion or deletion
+shifts every later gram's position by one, so under exact positional
+matching a dist-1 indel pair ('abcdef' vs 'Xabcdef') shares NO token
+and is silently dropped. Ed-Join's location condition |pos_l − pos_r|
+≤ d keeps those pairs while still rejecting same-content grams from
+far-apart offsets. The standard companion length filter
+||left| − |right|| ≤ d (a necessary condition of edit distance) prunes
+candidates for free before the verify.
 
 Levenshtein itself is a built-in in BOTH engines (Spark ``levenshtein``,
-DuckDB ``levenshtein``), and the global gram order is (df, gram) with a
-deterministic row_number — everything integer/string-exact, so the
-DuckDB oracle replays candidates AND verdicts bit-for-bit.
+DuckDB ``levenshtein``), and the global gram order is (df, gram, pos)
+with a deterministic row_number — everything integer/string-exact, so
+the DuckDB oracle replays candidates AND verdicts bit-for-bit.
 """
 
 from __future__ import annotations
@@ -32,16 +44,17 @@ from pyspark.sql import functions as F
 
 
 def _pos_grams(c: Column, q: int) -> Column:
-    """Distinct positional q-grams of ``c`` as '<pos>:<gram>' strings.
-    Positional (not bag) gramming is what the Ed-Join disturbance bound
-    is stated over, and it keeps repetitive alphabets (ids, codes) from
-    sharing grams across offsets."""
+    """q-gram occurrences of ``c`` as an array of (p, g) structs — one
+    entry per position, content NOT deduplicated: the Ed-Join
+    disturbance bound counts occurrences, and collapsing repeated
+    contents (think 'aaaa') would shorten the gram set the prefix
+    length q·d+1 is calibrated against."""
     idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (q - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat(i.cast("string"), F.lit(":"), c.substr(i, F.lit(q))),
-        )
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            i.cast("int").alias("p"), c.substr(i, F.lit(q)).alias("g")
+        ),
     )
 
 
@@ -56,43 +69,69 @@ def fuzzy_join(
     """Inner join on ``levenshtein(left_key, right_key) <= max_dist``
     over distinct keys; returns (lk, rk, dist).
 
-    Candidates: each side keeps only its ``max_dist·q + 1`` first grams
-    under the global (df, gram) order — df counted over BOTH sides, so
-    the order is shared — and pairs must share one of those prefix
-    grams. Complete by the Ed-Join prefix-filter theorem; selective
-    because a gram's position in the order grows with its frequency, so
-    the ubiquitous grams that would emit quadratic candidates are
-    exactly the ones excluded from every prefix.
+    Candidates: each side keeps only its ``max_dist·q + 1`` first gram
+    occurrences under the global (df, gram, pos) order — df counted
+    over gram CONTENT across BOTH sides, so the order is shared — and
+    pairs must share a content-equal gram whose positions differ by at
+    most ``max_dist`` (Ed-Join's location condition: indels shift later
+    grams by at most the number of edits) between keys whose lengths
+    differ by at most ``max_dist``. Complete by the Ed-Join
+    prefix-filter theorem; selective because a gram's place in the
+    order grows with its frequency, so the ubiquitous grams that would
+    emit quadratic candidates are exactly the ones excluded from every
+    prefix.
 
     100 TB shape: gram explode is corpus-linear; the df count and the
-    per-key rank are one shuffle each over the gram frame; the candidate
-    join emits pairs only through rare grams (bounded by df² per gram,
-    with df small by construction of the prefix); the verify is a
-    codegen'd integer ``levenshtein`` over distinct candidate pairs.
+    per-key rank are one shuffle each over the gram frame; the
+    candidate join hash-partitions on gram content and emits pairs only
+    through rare grams (bounded by df² per gram, with df small by
+    construction of the prefix), with the position band and length
+    filter applied inside the join before any pair materializes
+    downstream; the verify is a codegen'd integer ``levenshtein`` over
+    distinct candidate pairs.
     """
     prefix_len = max_dist * q + 1
     lk = left.select(F.col(left_key).cast("string").alias("k")).distinct()
     rk = right.select(F.col(right_key).cast("string").alias("k")).distinct()
-    lg = lk.select("k", F.explode(_pos_grams(F.col("k"), q)).alias("g"))
-    rg = rk.select("k", F.explode(_pos_grams(F.col("k"), q)).alias("g"))
+
+    def grams(keys: DataFrame) -> DataFrame:
+        return keys.select(
+            "k", F.explode(_pos_grams(F.col("k"), q)).alias("pg")
+        ).select("k", F.col("pg.p").alias("p"), F.col("pg.g").alias("g"))
+
+    lg = grams(lk)
+    rg = grams(rk)
     gdf = (
         lg.unionByName(rg)
         .groupBy("g")
         .agg(F.count("*").alias("df"))
     )
-    w = Window.partitionBy("k").orderBy("df", "g")
+    w = Window.partitionBy("k").orderBy("df", "g", "p")
 
-    def prefix(grams: DataFrame) -> DataFrame:
+    def prefix(g: DataFrame) -> DataFrame:
         return (
-            grams.join(gdf, "g")
+            g.join(gdf, "g")
             .withColumn("_r", F.row_number().over(w))
             .where(F.col("_r") <= prefix_len)
-            .select("k", "g")
+            .select("k", "g", "p")
         )
 
-    lp = prefix(lg).select(F.col("k").alias("lk"), "g")
-    rp = prefix(rg).select(F.col("k").alias("rk"), "g")
-    cands = lp.join(rp, "g").select("lk", "rk").distinct()
+    lp = prefix(lg).select(
+        F.col("k").alias("lk"), F.col("g").alias("lg"), F.col("p").alias("lpos")
+    )
+    rp = prefix(rg).select(
+        F.col("k").alias("rk"), F.col("g").alias("rg"), F.col("p").alias("rpos")
+    )
+    cands = (
+        lp.join(
+            rp,
+            (F.col("lg") == F.col("rg"))
+            & (F.abs(F.col("lpos") - F.col("rpos")) <= max_dist)
+            & (F.abs(F.length("lk") - F.length("rk")) <= max_dist),
+        )
+        .select("lk", "rk")
+        .distinct()
+    )
     return (
         cands.withColumn("dist", F.levenshtein("lk", "rk").cast("long"))
         .where(F.col("dist") <= max_dist)

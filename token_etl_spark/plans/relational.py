@@ -703,10 +703,12 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched back to the originals within edit distance 2. Every dirty
     name recovers its original at dist 1, plus near-collision originals
     at dist 2. Candidates come from each key's d·q+1 globally-rarest
-    positional grams (Ed-Join prefix filter — complete for the distance
-    predicate, and immune to the leading-zeros ubiquitous-gram blowup
-    that made naive gram blocking all-pairs: 264 s → ~3 s at sf0.1);
-    verify is the integer builtin ``levenshtein`` in BOTH engines."""
+    gram occurrences matched by CONTENT within a ±d position band and a
+    ±d length band (Ed-Join prefix filter + location/length conditions —
+    complete for the distance predicate including indels, and immune to
+    the leading-zeros ubiquitous-gram blowup that made naive gram
+    blocking all-pairs: 264 s → ~3 s at sf0.1); verify is the integer
+    builtin ``levenshtein`` in BOTH engines."""
     from token_etl_spark.operators.curation import hash_bucket
     from token_etl_spark.operators.fuzzy import fuzzy_join
 
@@ -725,10 +727,12 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FUZZY_PREFIX = FUZZY_MAX_DIST * FUZZY_Q + 1
+# (p, g) occurrences — content NOT deduplicated, positions ride along for
+# Ed-Join's |pos_l - pos_r| <= d location condition (indel-shift safe)
 _FUZZY_GRAMS = (
-    "unnest(list_distinct(list_transform("
+    "unnest(list_transform("
     "range(1, greatest(len(k) - {qm1}, 1) + 1),"
-    " i -> CAST(i AS VARCHAR) || ':' || substr(k, CAST(i AS INT), {q}))))"
+    " i -> struct_pack(p := CAST(i AS INT), g := substr(k, CAST(i AS INT), {q}))))"
 ).format(qm1=FUZZY_Q - 1, q=FUZZY_Q)
 
 SQL_FUZZY_MATCH = f"""
@@ -738,19 +742,22 @@ dirty AS (SELECT DISTINCT substr(k, 1, CAST(p - 1 AS INT)) || 'x'
           FROM (SELECT k,
                        CAST('0x' || substr(md5(k), 1, 6) AS BIGINT) % 9 + 10 AS p
                 FROM orig)),
-lg AS (SELECT k, {_FUZZY_GRAMS} AS g FROM dirty),
-rg AS (SELECT k, {_FUZZY_GRAMS} AS g FROM orig),
+lg AS (SELECT k, pg.p AS p, pg.g AS g FROM (SELECT k, {_FUZZY_GRAMS} AS pg FROM dirty)),
+rg AS (SELECT k, pg.p AS p, pg.g AS g FROM (SELECT k, {_FUZZY_GRAMS} AS pg FROM orig)),
 gdf AS (SELECT g, count(*) AS df
         FROM (SELECT g FROM lg UNION ALL SELECT g FROM rg) GROUP BY 1),
-lp AS (SELECT k AS lk, g FROM (
-         SELECT lg.k, lg.g,
-                row_number() OVER (PARTITION BY lg.k ORDER BY df, lg.g) AS r
+lp AS (SELECT k AS lk, g, p FROM (
+         SELECT lg.k, lg.g, lg.p,
+                row_number() OVER (PARTITION BY lg.k ORDER BY df, lg.g, lg.p) AS r
          FROM lg JOIN gdf USING (g)) WHERE r <= {_FUZZY_PREFIX}),
-rp AS (SELECT k AS rk, g FROM (
-         SELECT rg.k, rg.g,
-                row_number() OVER (PARTITION BY rg.k ORDER BY df, rg.g) AS r
+rp AS (SELECT k AS rk, g, p FROM (
+         SELECT rg.k, rg.g, rg.p,
+                row_number() OVER (PARTITION BY rg.k ORDER BY df, rg.g, rg.p) AS r
          FROM rg JOIN gdf USING (g)) WHERE r <= {_FUZZY_PREFIX}),
-cand AS (SELECT DISTINCT lk, rk FROM lp JOIN rp USING (g))
+cand AS (SELECT DISTINCT lk, rk
+         FROM lp JOIN rp ON lp.g = rp.g
+          AND abs(lp.p - rp.p) <= {FUZZY_MAX_DIST}
+          AND abs(length(lk) - length(rk)) <= {FUZZY_MAX_DIST})
 SELECT lk, rk, CAST(levenshtein(lk, rk) AS BIGINT) AS dist
 FROM cand WHERE levenshtein(lk, rk) <= {FUZZY_MAX_DIST}
 """
