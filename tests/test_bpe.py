@@ -82,3 +82,27 @@ def test_merge_fold_greedy_nonoverlapping(spark):
         merge_fold(F.col("syms"), F.lit("a"), F.lit("a")).alias("m")
     ).collect()[0]["m"]
     assert out == ["aa", "a", "b", "aa"]
+
+
+def test_bpe_train_stops_at_natural_merge_count(spark):
+    """n_merges beyond the available adjacent pairs: the loop stops when
+    the pair frame is empty instead of letting an empty 'best' cross-join
+    the vocabulary away — the merge table truncates to the corpus's
+    natural merge count, with every emitted row intact."""
+    docs = spark.createDataFrame([("ab ab",)], ["text"])
+    merges = bpe_train(docs, n_merges=10)
+    rows = merges.orderBy("merge_idx").collect()
+    # 'ab' admits exactly one merge: a+b
+    assert [(r["left_sym"], r["right_sym"]) for r in rows] == [("a", "b")]
+    # encoding with the truncated table still works end-to-end
+    enc = bpe_encode(docs.withColumn("doc_id", F.lit(1)), merges).collect()
+    assert all(r["pieces"] == ["ab"] for r in enc)
+
+
+def test_bpe_train_no_pairs_returns_empty_table(spark):
+    """A corpus of single-character words has zero adjacent pairs: the
+    merge table is empty (correct schema), not an error."""
+    docs = spark.createDataFrame([("a b c",)], ["text"])
+    merges = bpe_train(docs, n_merges=4)
+    assert merges.count() == 0
+    assert merges.columns == ["merge_idx", "left_sym", "right_sym", "pair_count"]

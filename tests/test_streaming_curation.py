@@ -349,3 +349,66 @@ def test_streaming_semantic_decontaminate_matches_batch(spark, sf_dir, tmp_path)
     run_to_memory(drop, "semdecon_drop", output_mode="append")
     kept = {r["vec_id"] for r in spark.sql("SELECT vec_id FROM semdecon_drop").collect()}
     assert kept == {v for v, _, c in exp if not c}
+
+
+def test_kmv_state_corrupt_footer_raises_not_resets(spark, tmp_path):
+    """A corrupt state directory must RAISE, not be treated as
+    first-batch: the old bare ``except Exception`` let any read failure
+    silently discard all accumulated KMV state under the overwrite."""
+    import pytest
+    from token_etl_spark.streaming.curation import merge_kmv_state
+
+    state = tmp_path / "kmv_corrupt"
+    state.mkdir()
+    (state / "part-00000.parquet").write_bytes(b"this is not parquet")
+    batch = spark.createDataFrame([("a",), ("b",)], ["_item"])
+    with pytest.raises(Exception) as exc:
+        merge_kmv_state(batch, str(state), "_item", ())
+    # the state dir was NOT clobbered by a fresh overwrite
+    assert (state / "part-00000.parquet").read_bytes() == b"this is not parquet"
+    assert "not parquet" not in type(exc.value).__name__.lower() or True
+
+
+def test_kmv_state_swap_leaves_no_staging(spark, tmp_path):
+    """The staging-dir swap replaces the state in place and cleans up:
+    two merges leave exactly one state dir, no .staging leftovers, and
+    the merged sketch equals the batch sketch over the union."""
+    from token_etl_spark.operators.sketch import kmv_sketch
+    from token_etl_spark.streaming.curation import merge_kmv_state
+
+    state = str(tmp_path / "kmv_swap")
+    b1 = spark.createDataFrame([(f"w{i}",) for i in range(50)], ["_item"])
+    b2 = spark.createDataFrame([(f"w{i}",) for i in range(25, 75)], ["_item"])
+    merge_kmv_state(b1, state, "_item", (), k=16)
+    merge_kmv_state(b2, state, "_item", (), k=16)
+    assert not (tmp_path / "kmv_swap.staging").exists()
+    exp = {
+        (r["h"], r["rank"])
+        for r in kmv_sketch(b1.unionByName(b2), "_item", (), k=16).collect()
+    }
+    got = {(r["h"], r["rank"]) for r in spark.read.parquet(state).collect()}
+    assert got == exp
+
+
+def test_semantic_decontaminate_empty_benchmark_keeps_all(spark, sf_dir, tmp_path):
+    """Empty benchmark => contaminated is FALSE (not NULL) everywhere, so
+    drop mode keeps the whole corpus/stream instead of silently dropping
+    every row through a ~NULL filter — batch and streaming twins."""
+    from token_etl_spark.operators.similarity import semantic_decontaminate
+    from token_etl_spark.streaming.curation import streaming_semantic_decontaminate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    empty_bench = emb.where(F.lit(False))
+    n = emb.count()
+
+    flags = semantic_decontaminate(emb, empty_bench).collect()
+    assert len(flags) == n
+    assert all(r["contaminated"] is False for r in flags)
+
+    staged = str(tmp_path / "semdecon_empty")
+    emb.write.parquet(staged)
+    stream = read_file_stream(spark, staged, emb.schema)
+    drop = streaming_semantic_decontaminate(stream, empty_bench, mode="drop")
+    run_to_memory(drop, "semdecon_empty_out", output_mode="append")
+    kept = spark.sql("SELECT count(*) AS n FROM semdecon_empty_out").collect()[0]["n"]
+    assert kept == n

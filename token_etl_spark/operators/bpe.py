@@ -101,6 +101,14 @@ def bpe_train(
     """Learn ``n_merges`` BPE merges from the corpus. Returns the merge
     table (merge_idx, left_sym, right_sym, pair_count) in learning
     order — the artifact a tokenizer applies (see :func:`bpe_encode`).
+
+    May return FEWER than ``n_merges`` rows: once every word is a single
+    symbol there are no adjacent pairs left, and the loop stops at the
+    corpus's natural merge count instead of letting an empty ``best``
+    frame cross-join the vocabulary away (which silently emptied both
+    the vocab and the remaining merge rows). The eager per-iteration
+    checkpoint makes the emptiness probe free — ``best`` is already
+    materialized.
     """
     vocab = (
         word_counts(docs, text_col)
@@ -115,6 +123,8 @@ def bpe_train(
             .limit(1)
             .localCheckpoint(eager=True)
         )
+        if best.isEmpty():
+            break
         merges.append(
             best.select(
                 F.lit(i).cast("long").alias("merge_idx"),
@@ -131,6 +141,10 @@ def bpe_train(
                 merge_fold(F.col("syms"), F.col("l"), F.col("r")).alias("syms"),
             )
             .localCheckpoint(eager=True)
+        )
+    if not merges:  # every word already a single symbol
+        return docs.sparkSession.createDataFrame(
+            [], "merge_idx long, left_sym string, right_sym string, pair_count long"
         )
     out = merges[0]
     for m in merges[1:]:

@@ -597,7 +597,11 @@ def semantic_decontaminate(
 
     Returns one row per corpus vector: (id, best_match, best_sim,
     contaminated). ``best_match`` is the nearest benchmark vector
-    (ties broken on the LOWEST benchmark id, deterministically).
+    (ties broken on the LOWEST benchmark id, deterministically). An
+    EMPTY benchmark yields contaminated = false with NULL
+    best_match/best_sim — array_max over the empty array is NULL, and
+    an uncoalesced NULL flag turns any downstream ``~contaminated``
+    filter into drop-everything.
 
     100 TB shape: eval suites are small, so the benchmark side collapses
     to ONE broadcast row (id-sorted struct array — deterministic fold
@@ -634,7 +638,9 @@ def semantic_decontaminate(
             "id",
             (-F.col("_best.neg_id")).alias("best_match"),
             F.col("_best.sim").alias("best_sim"),
-            (F.col("_best.sim") >= F.lit(float(threshold))).alias("contaminated"),
+            F.coalesce(
+                F.col("_best.sim") >= F.lit(float(threshold)), F.lit(False)
+            ).alias("contaminated"),
         )
     )
 

@@ -351,9 +351,19 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     'new crawl' (doc_id % 13 != 0) matches the 'already-kept' reference
     (doc_id % 13 = 0) WITHOUT re-shingling the reference — the LSH
     analog of ext_crosscorpus_dedup's exact-digest scan, and the
-    steady-state daily-dedup shape at 100 TB. Oracle: exact cross-set
-    Jaccard (same band-recall argument as ext_minhash_neardup,
-    pair-parity pinned at three SFs in tests/test_dedup_oracle_parity)."""
+    steady-state daily-dedup shape at 100 TB.
+
+    DECLARED SEMANTIC (same as ext_minhash_neardup, see the module
+    comment above q_minhash_neardup): the engine emits the
+    band-colliding subset of the exact cross-set Jaccard pairs, every
+    emission verified; the exact-Jaccard SQL is a true oracle only
+    because on the gate corpora every qualifying pair sits far above the
+    band-recall knee (8 bands × 4 rows ≈ 40% collision probability AT
+    the 0.5 threshold — near-threshold pairs at other scales may
+    legitimately diverge). Pair-parity vs the unbanded exact join is
+    pinned at sf0.001/0.01/0.1 in tests/test_dedup_oracle_parity; a
+    caller needing guaranteed recall at an arbitrary scale should raise
+    ``bands`` or run the exact ``ngram_jaccard_pairs`` verifier."""
     docs = t(spark, sf_dir, "documents")
     ref = docs.where(F.col("doc_id") % 13 == 0)
     new = docs.where(F.col("doc_id") % 13 != 0)

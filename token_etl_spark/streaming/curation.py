@@ -363,8 +363,21 @@ def merge_kmv_state(
     batch ``kmv_sketch`` over the concatenated input (pytest-pinned).
     The merge input is ≤ 2k rows per group (state k + batch k), so the
     re-rank window is sketch-sized regardless of batch or stream size.
+
+    Durability: the state read goes through ``io.sinks._read_existing``,
+    which treats ONLY analyzer path-not-found as first-batch — a
+    transient storage error or corrupt footer re-raises instead of
+    silently discarding all accumulated state under the overwrite (the
+    exact hazard that helper documents). The rewrite lands in a staging
+    directory first and is then swapped in via filesystem rename, so the
+    files the merge plan read are never overwritten mid-read (no
+    persist/count eviction race) and a crash mid-write leaves the
+    previous state intact; only the delete→rename swap window is
+    non-atomic, the standard HDFS-rename tradeoff (a table format with
+    real MERGE would close it at 100 TB).
     """
     from pyspark.sql import Window
+    from token_etl_spark.io.sinks import _read_existing
     from token_etl_spark.operators.sketch import kmv_sketch
 
     spark = batch_df.sparkSession
@@ -372,21 +385,32 @@ def merge_kmv_state(
     batch_sk = kmv_sketch(
         batch_df, item_col, group_cols, k=k, n_prebuckets=n_prebuckets
     ).select(*g, "h")
-    try:
-        prev = spark.read.parquet(state_path).select(*g, "h")
-        merged = prev.unionByName(batch_sk).distinct()
-    except Exception:
+    prev = _read_existing(spark, state_path)
+    if prev is not None:
+        merged = prev.select(*g, "h").unionByName(batch_sk).distinct()
+    else:
         merged = batch_sk
     w = Window.partitionBy(*g).orderBy("h")
     trimmed = (
         merged.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )
-    # materialize before overwriting the files the plan just read
-    trimmed.persist()
-    trimmed.count()
-    trimmed.write.mode("overwrite").parquet(state_path)
-    trimmed.unpersist()
+    staging = state_path.rstrip("/") + ".staging"
+    trimmed.write.mode("overwrite").parquet(staging)
+    _swap_state_dir(spark, staging, state_path)
+
+
+def _swap_state_dir(spark, staging: str, final: str) -> None:
+    """Replace ``final`` with ``staging`` via the Hadoop FileSystem API
+    (filesystem-agnostic: local, HDFS, or any mounted FS)."""
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path
+    dst = hpath(final)
+    fs = dst.getFileSystem(sc._jsc.hadoopConfiguration())
+    if fs.exists(dst):
+        fs.delete(dst, True)
+    if not fs.rename(hpath(staging), dst):
+        raise IOError(f"state swap failed: rename {staging} -> {final}")
 
 
 def run_streaming_kmv(
@@ -477,7 +501,11 @@ def streaming_semantic_decontaminate(
     store, no watermark, same reason decontamination belongs at ingest.
 
     ``mode='flag'`` appends (best_match, best_sim, contaminated) to the
-    stream row; ``mode='drop'`` keeps clean rows only.
+    stream row; ``mode='drop'`` keeps clean rows only. An EMPTY
+    benchmark yields contaminated = false for every row (best_match /
+    best_sim stay NULL): array_max over the empty benchmark array is
+    NULL, and without the coalesce the drop-mode filter ``~NULL``
+    evaluated NULL and silently dropped the entire stream.
     """
     from token_etl_spark.operators.similarity import cosine
 
@@ -502,7 +530,10 @@ def streaming_semantic_decontaminate(
         .withColumn("_best", best)
         .withColumn("best_match", -F.col("_best.neg_id"))
         .withColumn("best_sim", F.col("_best.sim"))
-        .withColumn("contaminated", F.col("_best.sim") >= F.lit(float(threshold)))
+        .withColumn(
+            "contaminated",
+            F.coalesce(F.col("_best.sim") >= F.lit(float(threshold)), F.lit(False)),
+        )
         .drop("_bench", "_best")
     )
     if mode == "drop":
