@@ -925,10 +925,16 @@ def _semantic_dedup_sql(
     n_iters: int = 2,
     threshold: float = SEMDEDUP_COSINE,
     dim: int = 64,
+    n_assign: int = 1,
 ) -> str:
     """DuckDB replay of SemDeDup: shared k-means training CTEs, then
     full-corpus assignment with the winning cosine retained, in-cluster
-    near-dup pairs, and the (centroid_sim, id) exemplar keep rule."""
+    near-dup pairs, and the (centroid_sim, id) exemplar keep rule.
+    ``n_assign > 1`` replays the boundary-probe variant: candidate pairs
+    come from any shared top-``n_assign`` cell (deduplicated), while
+    centroid_sim / exemplar order / output centroid_id stay primary —
+    exactly ``_probe_cells``' deterministic top-n (cosine DESC,
+    centroid_id ASC)."""
     members = _kmeans_cte_members(n_centroids, n_iters, dim)
     cf = f"c{n_iters}"
     members += [
@@ -938,7 +944,10 @@ def _semantic_dedup_sql(
            row_number() OVER (PARTITION BY e.vec_id
              ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id) AS rn
     FROM e CROSS JOIN {cf} c) WHERE rn = 1)""",
-        f"""dup AS (
+    ]
+    if n_assign == 1:
+        members.append(
+            f"""dup AS (
   SELECT b.vec_id AS vid, count(*) AS n_dups,
          max(CASE WHEN (a.sim, a.vec_id) < (b.sim, b.vec_id) THEN 1 ELSE 0 END) AS has_pred
   FROM asg a
@@ -946,8 +955,31 @@ def _semantic_dedup_sql(
   JOIN e ea ON ea.vec_id = a.vec_id
   JOIN e eb ON eb.vec_id = b.vec_id
   WHERE list_cosine_similarity(ea.v, eb.v) >= {threshold}
+  GROUP BY 1)"""
+        )
+    else:
+        members += [
+            f"""cells AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id) AS rn
+    FROM e CROSS JOIN {cf} c) WHERE rn <= {n_assign})""",
+            """cand AS (
+  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+  FROM cells a JOIN cells b
+    ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id)""",
+            f"""dup AS (
+  SELECT sb.vec_id AS vid, count(*) AS n_dups,
+         max(CASE WHEN (sa.sim, sa.vec_id) < (sb.sim, sb.vec_id) THEN 1 ELSE 0 END) AS has_pred
+  FROM cand
+  JOIN asg sa ON sa.vec_id = cand.ida
+  JOIN asg sb ON sb.vec_id = cand.idb
+  JOIN e ea ON ea.vec_id = cand.ida
+  JOIN e eb ON eb.vec_id = cand.idb
+  WHERE list_cosine_similarity(ea.v, eb.v) >= {threshold}
   GROUP BY 1)""",
-    ]
+        ]
     return (
         "WITH "
         + ",\n".join(members)
@@ -962,6 +994,33 @@ FROM asg LEFT JOIN dup d ON d.vid = asg.vec_id
 
 
 SQL_SEMANTIC_DEDUP = _semantic_dedup_sql()
+
+
+def q_semantic_dedup_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with ``n_assign=2`` boundary probing (r4/r5 verdict
+    carry-over): near-dup pairs straddling a cluster bisector assign to
+    different primary cells and are invisible at n_assign=1; probing
+    each row's top-2 cells in the pair search closes that blind spot
+    while centroid_sim, the exemplar order, and the reported
+    centroid_id stay primary. The probe's top-2 rule is deterministic
+    (cosine DESC, centroid_id ASC), so the oracle replays it exactly —
+    this row upgrades the pytest-pinned boundary path to driver-gated.
+    Flags a SUPERSET of ext_semantic_dedup's duplicates (pinned in
+    tests/test_similarity.py)."""
+    emb = t(spark, sf_dir, "embeddings")
+    out = S.semantic_dedup(
+        emb, n_centroids=16, n_iters=2, threshold=SEMDEDUP_COSINE, n_assign=2
+    )
+    return out.select(
+        F.col("id").alias("vec_id"),
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+        F.round("centroid_sim", 6).alias("centroid_sim"),
+        F.col("n_dups").cast("long").alias("n_dups"),
+        F.col("kept").cast("int").cast("long").alias("kept"),
+    )
+
+
+SQL_SEMANTIC_DEDUP_PROBE2 = _semantic_dedup_sql(n_assign=2)
 
 
 PROTO_DROP_PCT = 25
@@ -2041,6 +2100,7 @@ SPECS = [
     # (exact / lexical-minhash / semantic) — track its k-means + in-cluster
     # pair-join cost round over round.
     QuerySpec("ext_semantic_dedup", q_semantic_dedup, SQL_SEMANTIC_DEDUP, ("similarity", "dedup", "iterative"), bench=True),
+    QuerySpec("ext_semantic_dedup_probe2", q_semantic_dedup_probe2, SQL_SEMANTIC_DEDUP_PROBE2, ("similarity", "dedup", "iterative")),
     QuerySpec("ext_prototypicality", q_prototypicality, SQL_PROTOTYPICALITY, ("similarity", "curation", "iterative")),
     QuerySpec("ext_d4_select", q_d4_select, SQL_D4_SELECT, ("similarity", "dedup", "curation", "iterative", "pipeline")),
     QuerySpec("ext_ann_quantized", q_ann_quantized, SQL_ANN_QUANTIZED, ("similarity",)),

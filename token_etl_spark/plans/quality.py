@@ -971,6 +971,159 @@ FROM pk
 """
 
 
+# --- FULL five-stage mixture: decon → DSIR select → budget → upsample → pack
+
+_MIX_SEL_PCT = 60.0
+
+
+def q_mixture_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE ``build_mixture`` path under the gate: Bloom
+    decontamination → DSIR importance selection (per-source top
+    ``_MIX_SEL_PCT``%) → per-source token budget → epoch upsampling →
+    sequence packing, one composed plan. ``ext_mixture_manifest`` proves
+    the budget→upsample→pack tail; this row adds the two head stages the
+    CLI previously wired untested-under-the-gate (r5 verdict item 4).
+    The oracle replays all five stages over the same single table: the
+    Bloom bitmap bit addressing, the DSIR bucket weights with the
+    pinned bucket-order double fold (selection orders on the UNROUNDED
+    score — bit-reproducible because every op is exactly-rounded IEEE,
+    the same contract ext_importance_weights verifies), then the
+    manifest tail verbatim."""
+    from token_etl_spark.pipelines.mixture import build_mixture
+
+    docs = t(spark, sf_dir, "documents")
+    benchmark = docs.where(F.col("doc_id") % 97 == 0)
+    return build_mixture(
+        docs,
+        benchmark=benchmark,
+        use_bloom=True,
+        target_sources=IMP_TARGETS,
+        select_top_pct=_MIX_SEL_PCT,
+        budget_tokens=_MIX_BUDGET,
+        weights=_UP_WEIGHTS,
+        pack_budget=_MIX_PACK,
+        n_shards=_MIX_SHARDS,
+    )
+
+
+def _mixture_full_sql() -> str:
+    from token_etl_spark.plans.curation import (
+        _BLOOM_WORDS,
+        _SHINGLES,
+        _bf_hit,
+        _bf_pos,
+        BLOOM_K,
+    )
+
+    return f"""
+WITH bench AS (
+  SELECT DISTINCT unnest({_SHINGLES}) AS shingle
+  FROM (SELECT {_TOKS} AS tk FROM documents WHERE doc_id % 97 = 0)),
+bpos AS (
+  SELECT unnest([{", ".join(_bf_pos(r, "shingle") for r in range(BLOOM_K))}]) AS pos
+  FROM bench),
+bfw AS (
+  SELECT pos // 32 AS word, bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+  FROM bpos GROUP BY 1),
+bfd AS (
+  SELECT list_transform(range(0, {_BLOOM_WORDS}),
+                        w -> coalesce(bs[list_position(ws, w)], CAST(0 AS BIGINT))) AS bf
+  FROM (SELECT list(word ORDER BY word) AS ws, list(bits ORDER BY word) AS bs FROM bfw)),
+dsh AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS shingle
+  FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)),
+contaminated AS (
+  SELECT doc_id FROM dsh CROSS JOIN bfd
+  WHERE {" AND ".join(_bf_hit(r, "shingle") for r in range(BLOOM_K))}
+  GROUP BY 1 HAVING count(*) >= 2),
+clean AS (
+  SELECT d.doc_id, d.source, d.text FROM documents d
+  LEFT JOIN contaminated c USING (doc_id) WHERE c.doc_id IS NULL),
+toks AS (SELECT doc_id, source, {_TOKS} AS tk FROM clean),
+bg AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg
+  FROM toks),
+occ AS (
+  SELECT doc_id, source,
+         CAST('0x' || substr(md5(bg), 1, 6) AS BIGINT) % {IMP_BUCKETS} AS bucket
+  FROM bg),
+stats AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN source IN {_IMP_TGT} THEN 1 ELSE 0 END) AS BIGINT) AS t_b,
+         CAST(sum(CASE WHEN source IN {_IMP_TGT} THEN 0 ELSE 1 END) AS BIGINT) AS r_b
+  FROM occ GROUP BY 1),
+tot AS (SELECT CAST(sum(t_b) AS BIGINT) AS t_total,
+               CAST(sum(r_b) AS BIGINT) AS r_total FROM stats),
+w AS (
+  SELECT bucket,
+         CAST((t_b + 1) * (r_total + {IMP_BUCKETS}) AS DOUBLE)
+         / CAST((r_b + 1) * (t_total + {IMP_BUCKETS}) AS DOUBLE) AS w
+  FROM stats CROSS JOIN tot),
+dcnt AS (SELECT doc_id, source, bucket, count(*) AS c FROM occ GROUP BY 1, 2, 3),
+terms AS (
+  SELECT doc_id, source, bucket, c, CAST(c AS DOUBLE) * w AS term
+  FROM dcnt JOIN w USING (bucket)),
+pd AS (
+  SELECT doc_id, source,
+         list_aggregate(list(term ORDER BY bucket), 'sum') AS score
+  FROM terms GROUP BY 1, 2),
+scored AS (
+  SELECT cl.doc_id, cl.source, coalesce(pd.score, 0.0) AS score
+  FROM clean cl LEFT JOIN pd ON pd.doc_id = cl.doc_id AND pd.source = cl.source),
+sel AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS r,
+           count(*) OVER (PARTITION BY source) AS n
+    FROM scored)
+  WHERE r <= CAST(ceil(n * {_MIX_SEL_PCT / 100.0!r}) AS BIGINT)),
+base AS (
+  SELECT d.doc_id, d.source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         md5(CAST(d.doc_id AS VARCHAR) || 's0') AS bk
+  FROM clean d JOIN sel USING (doc_id)),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY bk
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ct
+  FROM base),
+kept AS (SELECT doc_id, source, n_tokens FROM cum WHERE ct - n_tokens < {_MIX_BUDGET}),
+rated AS (
+  SELECT doc_id, source, n_tokens, {_UP_CASE} AS rate,
+         {_BUCKET.format(key="doc_id", n=10_000)} AS b
+  FROM kept),
+nc AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(floor(rate) AS BIGINT)
+         + CASE WHEN b < CAST(floor((rate - floor(rate)) * 10000) AS BIGINT)
+                THEN 1 ELSE 0 END AS n_copies
+  FROM rated),
+copies AS (
+  SELECT doc_id, source, n_tokens, unnest(range(1, n_copies + 1)) AS epoch
+  FROM nc),
+keyed AS (
+  SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch, n_tokens,
+         CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR) AS cid
+  FROM copies),
+shard AS (
+  SELECT *, {_BUCKET.format(key="cid", n=_MIX_SHARDS)} AS shard, md5(cid) AS k
+  FROM keyed),
+pk AS (
+  SELECT doc_id, source, epoch, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY k
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM shard)
+SELECT doc_id, source, epoch, shard,
+       CAST(floor((cum - n_tokens) / {float(_MIX_PACK)!r}) AS BIGINT) AS seq_id,
+       n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_offset
+FROM pk
+"""
+
+
+SQL_MIXTURE_FULL = _mixture_full_sql()
+
+
 SPECS = [
     QuerySpec("ext_gopher_quality", q_gopher_quality, SQL_GOPHER_QUALITY, ("curation", "text")),
     QuerySpec("ext_line_filter", q_line_filter, SQL_LINE_FILTER, ("curation", "text")),
@@ -996,5 +1149,6 @@ MIX_SPECS = [
     QuerySpec("ext_token_budget", q_token_budget, SQL_TOKEN_BUDGET, ("curation", "window")),
     QuerySpec("ext_epoch_upsample", q_epoch_upsample, SQL_EPOCH_UPSAMPLE, ("curation",)),
     QuerySpec("ext_mixture_manifest", q_mixture_manifest, SQL_MIXTURE_MANIFEST, ("curation", "pipeline", "window")),
+    QuerySpec("ext_mixture_full", q_mixture_full, SQL_MIXTURE_FULL, ("curation", "pipeline", "window", "sketch")),
     QuerySpec("ext_bpe_merges", q_bpe_merges, SQL_BPE_MERGES, ("text", "tokenizer", "iterative")),
 ]
