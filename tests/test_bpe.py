@@ -106,3 +106,44 @@ def test_bpe_train_no_pairs_returns_empty_table(spark):
     merges = bpe_train(docs, n_merges=4)
     assert merges.count() == 0
     assert merges.columns == ["merge_idx", "left_sym", "right_sym", "pair_count"]
+
+
+def test_bpe_encode_table_equals_compiled_chain(spark, sf_dir):
+    """The vocabulary-table rank-greedy encode (the realistic-scale
+    path) is row-identical to the compiled merge_fold chain on the real
+    corpus — the equivalence that licenses swapping paths at large
+    n_merges."""
+    from token_etl_spark.operators.bpe import bpe_encode_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(80)
+    merges = bpe_train(docs, n_merges=16)
+    exp = {
+        (r["id"], r["word"], tuple(r["pieces"]))
+        for r in bpe_encode(docs, merges).collect()
+    }
+    got = {
+        (r["id"], r["word"], tuple(r["pieces"]))
+        for r in bpe_encode_table(docs, merges).collect()
+    }
+    assert got == exp and got
+
+
+def test_bpe_encode_table_handles_unknown_words(spark):
+    """Words containing symbols never seen in training segment to
+    characters wherever no merge applies — same as the compiled chain."""
+    from token_etl_spark.operators.bpe import bpe_encode_table
+
+    train = spark.createDataFrame([("ab ab ab",)], ["text"])
+    merges = bpe_train(train, n_merges=4)
+    apply_to = spark.createDataFrame([(1, "xyz ab xab")], ["doc_id", "text"])
+    got = {
+        (r["word"], tuple(r["pieces"]))
+        for r in bpe_encode_table(apply_to, merges).collect()
+    }
+    exp = {
+        (r["word"], tuple(r["pieces"]))
+        for r in bpe_encode(apply_to, merges).collect()
+    }
+    assert got == exp
+    assert ("xyz", ("x", "y", "z")) in got
+    assert ("xab", ("x", "ab")) in got

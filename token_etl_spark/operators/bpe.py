@@ -165,6 +165,13 @@ def bpe_encode(
     construction), so it is collected once and compiled into a chain of
     ``merge_fold`` expressions — one narrow whole-stage-codegen'd
     projection over the corpus, no join, no shuffle, no per-row Python.
+
+    VIABILITY BOUND: the compiled expression tree is linear in
+    ``n_merges`` and Catalyst analysis/codegen cost grows with it —
+    fine at the declared gate sizes (6-16) and usable to the low
+    hundreds, but a production 32k-merge vocabulary must use
+    :func:`bpe_encode_table` (measured curve in PERF.md; the two are
+    equivalence-pinned in tests/test_bpe.py).
     """
     ordered = [
         (r["left_sym"], r["right_sym"])
@@ -176,3 +183,80 @@ def bpe_encode(
     return df.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("word")
     ).select("id", "word", expr.alias("pieces"))
+
+
+def _encode_word(word: str, rank: dict) -> list[str]:
+    """Python replay of the ``merge_fold`` chain for ONE word: repeatedly
+    pick the present pair with the lowest merge rank and fuse every
+    occurrence greedily left-to-right (one pass eliminates all
+    occurrences — fusing creates only pairs involving the new symbol,
+    never a fresh occurrence of the fused pair). For a well-formed merge
+    table (every merge's symbols built by strictly earlier merges —
+    bpe_train's invariant) this is exactly equivalent to applying the
+    merges in learning order, because fusing pair k can never create an
+    occurrence of a pair with rank < k; equivalence is pinned against
+    the compiled chain in tests/test_bpe.py."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank = None
+        for i in range(len(syms) - 1):
+            rk = rank.get((syms[i], syms[i + 1]))
+            if rk is not None and (best_rank is None or rk < best_rank):
+                best_rank = rk
+                best = (syms[i], syms[i + 1])
+        if best_rank is None:
+            return syms
+        l, r = best
+        out: list[str] = []
+        for x in syms:
+            if out and out[-1] == l and x == r:
+                out[-1] = l + r
+            else:
+                out.append(x)
+        syms = out
+    return syms
+
+
+def bpe_encode_table(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary-table BPE encode — the REALISTIC-scale path for merge
+    tables where :func:`bpe_encode`'s compiled expression chain stops
+    being viable (thousands of merges; see PERF.md for the measured
+    crossover). Same output schema and values: (id, word, pieces).
+
+    Shape: encode the DISTINCT-WORD table once (vocabulary-bounded — the
+    same insight that makes ``bpe_train`` corpus-size-independent after
+    its first shuffle), via an Arrow-batched ``mapInPandas`` running the
+    rank-greedy merge loop per distinct word, then join the segmentation
+    back to the exploded corpus on ``word``. At 100 TB the per-word
+    Python cost is amortized over every corpus occurrence (the
+    vocabulary is millions of rows; the corpus is trillions of tokens),
+    the encode of the vocab frame is embarrassingly parallel, and the
+    join back is a plain equi-join on word — broadcastable whenever the
+    segmented vocabulary fits, a shuffle join otherwise. The merge table
+    itself stays driver-side metadata (32k rows) shipped to executors in
+    the closure, exactly like a tokenizer file.
+    """
+    ordered = [
+        (r["left_sym"], r["right_sym"])
+        for r in merges.orderBy("merge_idx").collect()
+    ]
+    rank = {pair: i for i, pair in enumerate(ordered)}
+
+    words = df.select(F.explode(tokens(F.col(text_col))).alias("word")).distinct()
+
+    def enc(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["pieces"] = [_encode_word(w, rank) for w in pdf["word"]]
+            yield pdf
+
+    vocab_pieces = words.mapInPandas(enc, schema="word string, pieces array<string>")
+    corpus = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("word")
+    )
+    return corpus.join(vocab_pieces, "word").select("id", "word", "pieces")

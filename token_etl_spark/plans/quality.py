@@ -861,6 +861,16 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_sql(n: int) -> str:
+    blocks = _bpe_cte_blocks(n)
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS merge_idx, l AS left_sym,"
+        f" r AS right_sym, c AS pair_count FROM b{i}"
+        for i in range(1, n + 1)
+    )
+    return "WITH " + ",\n".join(blocks) + "\n" + sel
+
+
+def _bpe_cte_blocks(n: int) -> list:
     blocks = [
         f"""wd AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt
       FROM (SELECT unnest({_TOKS}) AS tok FROM documents) GROUP BY 1),
@@ -887,15 +897,45 @@ w{i} AS (SELECT word, cnt,
            ELSE acc || ' ' || x END) AS s
          FROM w{i-1} CROSS JOIN b{i} b)"""
         )
-    sel = "\nUNION ALL\n".join(
-        f"SELECT CAST({i} AS BIGINT) AS merge_idx, l AS left_sym,"
-        f" r AS right_sym, c AS pair_count FROM b{i}"
-        for i in range(1, n + 1)
+    return blocks
+
+
+def _bpe_encode_sql(n: int) -> str:
+    """Encode oracle: the training CTEs' final vocab frame w{n} ALREADY
+    holds every distinct word's post-merge segmentation (the training
+    loop rewrites the vocabulary each iteration), so encoding is a join
+    of the exploded corpus to w{n} — structurally the same
+    distinct-words-then-join-back shape as ``bpe_encode_table``."""
+    blocks = _bpe_cte_blocks(n)
+    blocks.append(f"cw AS (SELECT doc_id, unnest({_TOKS}) AS word FROM documents)")
+    return (
+        "WITH "
+        + ",\n".join(blocks)
+        + f"""
+SELECT cw.doc_id AS id, cw.word, string_split(w.s, ' ') AS pieces
+FROM cw JOIN w{n} w USING (word)
+"""
     )
-    return "WITH " + ",\n".join(blocks) + "\n" + sel
 
 
 SQL_BPE_MERGES = _bpe_sql(BPE_N_MERGES)
+SQL_BPE_ENCODE = _bpe_encode_sql(BPE_N_MERGES)
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with a trained merge table via the
+    REALISTIC-SCALE encode path (operators/bpe.py ``bpe_encode_table``:
+    rank-greedy segmentation of the DISTINCT-word table in an
+    Arrow-batched mapInPandas, joined back to the exploded corpus) —
+    the path a 32k-merge production vocabulary must take, now under the
+    driver gate. Equivalence with the compiled ``merge_fold`` chain is
+    pinned in tests/test_bpe.py; the oracle reads the segmentation
+    straight off the unrolled training CTEs' final vocabulary frame."""
+    from token_etl_spark.operators.bpe import bpe_encode_table, bpe_train
+
+    docs = t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=BPE_N_MERGES)
+    return bpe_encode_table(docs, merges)
 
 
 # --- end-to-end mixture manifest --------------------------------------------
@@ -1151,4 +1191,5 @@ MIX_SPECS = [
     QuerySpec("ext_mixture_manifest", q_mixture_manifest, SQL_MIXTURE_MANIFEST, ("curation", "pipeline", "window")),
     QuerySpec("ext_mixture_full", q_mixture_full, SQL_MIXTURE_FULL, ("curation", "pipeline", "window", "sketch")),
     QuerySpec("ext_bpe_merges", q_bpe_merges, SQL_BPE_MERGES, ("text", "tokenizer", "iterative")),
+    QuerySpec("ext_bpe_encode", q_bpe_encode, SQL_BPE_ENCODE, ("text", "tokenizer", "iterative")),
 ]
