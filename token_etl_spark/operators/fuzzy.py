@@ -83,12 +83,30 @@ def fuzzy_join(
 
     100 TB shape: gram explode is corpus-linear; the df count and the
     per-key rank are one shuffle each over the gram frame; the
-    candidate join hash-partitions on gram content and emits pairs only
-    through rare grams (bounded by df² per gram, with df small by
-    construction of the prefix), with the position band and length
-    filter applied inside the join before any pair materializes
-    downstream; the verify is a codegen'd integer ``levenshtein`` over
-    distinct candidate pairs.
+    candidate join enumerates the left occurrence's ``2d+1`` admissible
+    positions so the equi-key is (gram, EXACT position) — identical
+    output to joining on content with a position-band filter, but the
+    hash buckets keep positional selectivity (one content gram spread
+    over P positions costs Σ_p l_p·r_p, not (Σ_p l_p)(Σ_p r_p)). The
+    verify runs IN-STREAM on candidate occurrences (no candidate-sized
+    distinct shuffle — dedup happens after the distance filter, on the
+    output-sized survivor set); levenshtein is a codegen'd integer
+    builtin and the ~2× duplicate-occurrence evaluations are far
+    cheaper than shuffling the candidate set.
+
+    SATURATION CAVEAT (measured, PERF.md round 6): prefix filtering is
+    near-linear when keys have ``d·q+1`` rare grams — the
+    entity-resolution design case. On dense-ID corpora (zero-padded
+    serial numbers: only a handful of varying characters, every key
+    within a few edits of thousands of others) NO complete gram
+    blocking is selective: the candidate set provably saturates toward
+    the all-pairs product (measured 256M candidates from 15k×15k keys
+    at sf0.1), and runtime approaches the verified cross join. The r5
+    positional-exact variant looked fast on exactly that corpus because
+    it was silently incomplete, not because it solved it. For such
+    corpora the honest plan is the cross join within blocking partitions
+    the data actually supports (length, shared literal prefix), or a
+    stricter distance predicate.
     """
     prefix_len = max_dist * q + 1
     lk = left.select(F.col(left_key).cast("string").alias("k")).distinct()
@@ -116,24 +134,30 @@ def fuzzy_join(
             .select("k", "g", "p")
         )
 
-    lp = prefix(lg).select(
-        F.col("k").alias("lk"), F.col("g").alias("lg"), F.col("p").alias("lpos")
+    # delta-enumerate the left side's admissible partner positions:
+    # |pos_l - pos_r| <= d becomes the equi-condition pp == rpos
+    lp = (
+        prefix(lg)
+        .select(F.col("k").alias("lk"), F.col("g").alias("lg"), F.col("p").alias("lpos"))
+        .withColumn(
+            "pp",
+            F.explode(
+                F.array(*[F.col("lpos") + F.lit(i) for i in range(-max_dist, max_dist + 1)])
+            ),
+        )
     )
     rp = prefix(rg).select(
         F.col("k").alias("rk"), F.col("g").alias("rg"), F.col("p").alias("rpos")
     )
-    cands = (
-        lp.join(
-            rp,
-            (F.col("lg") == F.col("rg"))
-            & (F.abs(F.col("lpos") - F.col("rpos")) <= max_dist)
-            & (F.abs(F.length("lk") - F.length("rk")) <= max_dist),
-        )
-        .select("lk", "rk")
-        .distinct()
-    )
+    cands = lp.join(
+        rp,
+        (F.col("lg") == F.col("rg"))
+        & (F.col("pp") == F.col("rpos"))
+        & (F.abs(F.length("lk") - F.length("rk")) <= max_dist),
+    ).select("lk", "rk")
     return (
         cands.withColumn("dist", F.levenshtein("lk", "rk").cast("long"))
         .where(F.col("dist") <= max_dist)
         .select("lk", "rk", "dist")
+        .distinct()
     )

@@ -698,31 +698,44 @@ FUZZY_Q = 3
 
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-filtered Levenshtein entity resolution (operators/fuzzy.py
-    fuzzy_join): a deterministically CORRUPTED copy of the customer
-    names (one md5-chosen digit substituted — the dirty-data twin)
-    matched back to the originals within edit distance 2. Every dirty
-    name recovers its original at dist 1, plus near-collision originals
-    at dist 2. Candidates come from each key's d·q+1 globally-rarest
-    gram occurrences matched by CONTENT within a ±d position band and a
-    ±d length band (Ed-Join prefix filter + location/length conditions —
-    complete for the distance predicate including indels, and immune to
-    the leading-zeros ubiquitous-gram blowup that made naive gram
-    blocking all-pairs: 264 s → ~3 s at sf0.1); verify is the integer
-    builtin ``levenshtein`` in BOTH engines."""
+    fuzzy_join): deterministically CORRUPTED copies of diverse 12-hex
+    keys (md5 of the customer name) matched back to the originals
+    within edit distance 2 — one md5-chosen edit per key, cycling
+    through INSERT / DELETE / SUBSTITUTE so the gate drives all three
+    edit kinds (the r5 positional-gram bug was invisible to a
+    substitution-only fixture). Candidates come from each key's d·q+1
+    globally-rarest gram occurrences matched by CONTENT at
+    delta-enumerated positions within ±d plus the ±d length band
+    (Ed-Join prefix filter + location/length conditions — complete for
+    the distance predicate including indels); verify is the integer
+    builtin ``levenshtein`` in BOTH engines.
+
+    The diverse-key fixture is the operator's DESIGN CASE (record
+    linkage over natural identifiers, where every key has d·q+1 rare
+    grams and blocking is near-linear). The adversarial dense-ID case
+    (zero-padded serial numbers, where ANY complete gram blocking
+    saturates to all-pairs — measured in PERF.md round 6) stays pinned
+    against the exact cross join in tests/test_funnel.py."""
     from token_etl_spark.operators.curation import hash_bucket
     from token_etl_spark.operators.fuzzy import fuzzy_join
 
     cust = t(spark, sf_dir, "customer")
-    pos = (hash_bucket(F.col("c_name"), 9) + 10).cast("int")
-    dirty = cust.select(
-        F.concat(
-            F.col("c_name").substr(F.lit(1), pos - 1),
-            F.lit("x"),
-            F.col("c_name").substr(pos + 1, F.length("c_name")),
-        ).alias("dirty_name")
+    base = cust.select(
+        F.substring(F.md5(F.col("c_name").cast("binary")), 1, 12).alias("k0")
+    ).distinct()
+    pos = (hash_bucket(F.col("k0"), 8) + 2).cast("int")
+    mode = hash_bucket(F.col("k0"), 3)
+    head = F.col("k0").substr(F.lit(1), pos - 1)
+    keep_tail = F.col("k0").substr(pos, F.lit(12))
+    skip_tail = F.col("k0").substr(pos + 1, F.lit(12))
+    dirty = base.select(
+        F.when(mode == 0, F.concat(head, F.lit("z"), keep_tail))
+        .when(mode == 1, F.concat(head, skip_tail))
+        .otherwise(F.concat(head, F.lit("z"), skip_tail))
+        .alias("dirty_key")
     )
     return fuzzy_join(
-        dirty, cust, "dirty_name", "c_name", max_dist=FUZZY_MAX_DIST, q=FUZZY_Q
+        dirty, base, "dirty_key", "k0", max_dist=FUZZY_MAX_DIST, q=FUZZY_Q
     )
 
 
@@ -736,12 +749,19 @@ _FUZZY_GRAMS = (
 ).format(qm1=FUZZY_Q - 1, q=FUZZY_Q)
 
 SQL_FUZZY_MATCH = f"""
-WITH orig AS (SELECT DISTINCT c_name AS k FROM customer),
-dirty AS (SELECT DISTINCT substr(k, 1, CAST(p - 1 AS INT)) || 'x'
-                 || substr(k, CAST(p + 1 AS INT), length(k)) AS k
-          FROM (SELECT k,
-                       CAST('0x' || substr(md5(k), 1, 6) AS BIGINT) % 9 + 10 AS p
-                FROM orig)),
+WITH orig AS (SELECT DISTINCT substr(md5(c_name), 1, 12) AS k FROM customer),
+par AS (SELECT k,
+               CAST('0x' || substr(md5(k), 1, 6) AS BIGINT) % 8 + 2 AS p,
+               CAST('0x' || substr(md5(k), 1, 6) AS BIGINT) % 3 AS m
+        FROM orig),
+dirty AS (SELECT DISTINCT CASE
+            WHEN m = 0 THEN substr(k, 1, CAST(p - 1 AS INT)) || 'z'
+                            || substr(k, CAST(p AS INT), 12)
+            WHEN m = 1 THEN substr(k, 1, CAST(p - 1 AS INT))
+                            || substr(k, CAST(p + 1 AS INT), 12)
+            ELSE substr(k, 1, CAST(p - 1 AS INT)) || 'z'
+                 || substr(k, CAST(p + 1 AS INT), 12) END AS k
+          FROM par),
 lg AS (SELECT k, pg.p AS p, pg.g AS g FROM (SELECT k, {_FUZZY_GRAMS} AS pg FROM dirty)),
 rg AS (SELECT k, pg.p AS p, pg.g AS g FROM (SELECT k, {_FUZZY_GRAMS} AS pg FROM orig)),
 gdf AS (SELECT g, count(*) AS df
