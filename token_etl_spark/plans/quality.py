@@ -912,7 +912,7 @@ def _bpe_encode_sql(n: int) -> str:
         "WITH "
         + ",\n".join(blocks)
         + f"""
-SELECT cw.doc_id AS id, cw.word, string_split(w.s, ' ') AS pieces
+SELECT cw.doc_id AS id, cw.word, replace(w.s, ' ', '|') AS pieces
 FROM cw JOIN w{n} w USING (word)
 """
     )
@@ -930,12 +930,16 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the path a 32k-merge production vocabulary must take, now under the
     driver gate. Equivalence with the compiled ``merge_fold`` chain is
     pinned in tests/test_bpe.py; the oracle reads the segmentation
-    straight off the unrolled training CTEs' final vocabulary frame."""
+    straight off the unrolled training CTEs' final vocabulary frame.
+    ``pieces`` is emitted as a '|'-joined string (the q_array_ops
+    driver-hasher convention; unambiguous — tokens are pure [a-z0-9]);
+    the raw-array form stays exact-value-tested in tests/test_bpe.py."""
     from token_etl_spark.operators.bpe import bpe_encode_table, bpe_train
 
     docs = t(spark, sf_dir, "documents")
     merges = bpe_train(docs, n_merges=BPE_N_MERGES)
-    return bpe_encode_table(docs, merges)
+    out = bpe_encode_table(docs, merges)
+    return out.select("id", "word", F.concat_ws("|", "pieces").alias("pieces"))
 
 
 # --- end-to-end mixture manifest --------------------------------------------
