@@ -942,6 +942,82 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", "word", F.concat_ws("|", "pieces").alias("pieces"))
 
 
+# --- tokenizer-aware sequence packing ---------------------------------------
+
+_TOKPACK_BUDGET = 256
+_TOKPACK_SHARDS = 8
+
+
+def q_tokenized_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack training sequences by TRUE subword token counts: BPE-train
+    on the corpus, segment every document with ``bpe_encode_table``
+    (the realistic-scale encode path), and feed the per-doc piece count
+    into ``pack_sequences(token_col=...)`` — the budget a trainer
+    actually consumes is tokenizer tokens, not whitespace words, and
+    packing by the wrong unit over/under-fills every sequence. Composes
+    the round's tokenizer stages with the r2 packer through the
+    operator's existing ``token_col`` seam; documents whose text
+    tokenizes to nothing pack as 0-token entries (the packer's declared
+    NULL/empty rule). Oracle: per-doc piece counts read off the
+    unrolled training CTEs' final vocabulary frame, then the
+    ext_sequence_pack replay with that count column."""
+    from token_etl_spark.operators.bpe import bpe_encode_table, bpe_train
+    from token_etl_spark.operators.curation import pack_sequences
+
+    docs = t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=BPE_N_MERGES)
+    enc = bpe_encode_table(docs, merges)
+    ntok = enc.groupBy("id").agg(
+        F.sum(F.size("pieces")).cast("long").alias("bpe_tokens")
+    )
+    base = docs.join(ntok, docs.doc_id == ntok.id, "left").select(
+        "doc_id", F.coalesce("bpe_tokens", F.lit(0)).cast("long").alias("bpe_tokens")
+    )
+    return pack_sequences(
+        base,
+        budget=_TOKPACK_BUDGET,
+        n_shards=_TOKPACK_SHARDS,
+        id_col="doc_id",
+        token_col="bpe_tokens",
+    )
+
+
+def _tokenized_pack_sql(n: int) -> str:
+    blocks = _bpe_cte_blocks(n)
+    blocks.append(
+        f"""cw AS (SELECT doc_id, unnest({_TOKS}) AS word FROM documents),
+nt AS (SELECT cw.doc_id,
+              CAST(sum(len(string_split(w.s, ' '))) AS BIGINT) AS n_tokens
+       FROM cw JOIN w{n} w USING (word) GROUP BY 1),
+alln AS (SELECT d.doc_id, coalesce(nt.n_tokens, 0) AS n_tokens
+         FROM documents d LEFT JOIN nt USING (doc_id)),
+base AS (
+  SELECT doc_id, n_tokens,
+         {_BUCKET.format(key="doc_id", n=_TOKPACK_SHARDS)} AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS k
+  FROM alln),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY k
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM base)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(blocks)
+        + f"""
+SELECT doc_id, shard,
+       CAST(floor((cum - n_tokens) / {float(_TOKPACK_BUDGET)!r}) AS BIGINT) AS seq_id,
+       n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_offset
+FROM c
+"""
+    )
+
+
+SQL_TOKENIZED_PACK = _tokenized_pack_sql(BPE_N_MERGES)
+
+
 # --- end-to-end mixture manifest --------------------------------------------
 
 _MIX_BUDGET = 800
@@ -1196,4 +1272,5 @@ MIX_SPECS = [
     QuerySpec("ext_mixture_full", q_mixture_full, SQL_MIXTURE_FULL, ("curation", "pipeline", "window", "sketch")),
     QuerySpec("ext_bpe_merges", q_bpe_merges, SQL_BPE_MERGES, ("text", "tokenizer", "iterative")),
     QuerySpec("ext_bpe_encode", q_bpe_encode, SQL_BPE_ENCODE, ("text", "tokenizer", "iterative")),
+    QuerySpec("ext_tokenized_pack", q_tokenized_pack, SQL_TOKENIZED_PACK, ("text", "tokenizer", "curation", "window", "iterative")),
 ]

@@ -36,16 +36,18 @@ from token_etl_spark.plans.base import QuerySpec
 #      deserves a fresh driver row regardless of freshness age.
 #   3. The 4 r2-stale queries the r5 window couldn't fit
 #      (evt_sessionization .. evt_wallet_pipeline).
-#   4. 39 of the 45 r3-stale queries. The six that don't fit —
+#   4. 38 of the 45 r3-stale queries. The seven that don't fit —
 #      rel_intersect_nations, rel_except_nations, rel_rollup_counts,
-#      rel_cube_counts, rel_date_parts, rel_sql_api — are pure-native
-#      set-op/scalar plans with the lowest dtype risk; they pass the
-#      local three-SF sweep and rotate into r7.
+#      rel_cube_counts, rel_date_parts, rel_sql_api, ext_line_dedup —
+#      are pure-native set-op/scalar plans (plus one text filter) with
+#      the lowest dtype risk; they pass the local three-SF sweep and
+#      rotate into r7.
 _PRIORITY_NAMES = [
     # new in round 6
     "ext_mixture_full",
     "ext_semantic_dedup_probe2",
     "ext_bpe_encode",
+    "ext_tokenized_pack",
     # behavior changed in round 6
     "rel_fuzzy_match",
     "ext_incremental_neardup",
@@ -95,7 +97,6 @@ _PRIORITY_NAMES = [
     "rel_ship_delay_histogram",
     "evt_daily_event_types",
     "ext_epoch_upsample",
-    "ext_line_dedup",
 ]
 
 _MODULE_ORDER: list[QuerySpec] = [
