@@ -20,6 +20,7 @@ is a capability extension over the driver's ``events`` stream shape.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -50,3 +51,68 @@ def streaming_dedup_within_watermark(
     time — dropDuplicatesWithinWatermark matches on keys only).
     """
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_streaming_neardup(
+    stream: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    matches_path: str | None = None,
+) -> None:
+    """Streaming incremental NEAR-dup against a persisted MinHash index
+    — the streaming twin of ``operators/dedup.py minhash_match_index``,
+    and the steady-state daily-dedup loop run continuously: each
+    micro-batch shingles and signs ONLY itself, LSH-matches against the
+    parquet index at ``index_path``, appends verified (id_new, id_ref,
+    jaccard) pairs to ``matches_path`` (when given), and appends the
+    batch's NOVEL documents' per-doc index rows (``minhash_index_frame``
+    — rows are per-doc independent, so appends never rewrite) so later
+    batches deduplicate against everything already admitted.
+
+    Exactly the ``cross_corpus_dedup``-style foreachBatch upsert shape
+    (streaming/hourly.py), but with LSH matching instead of exact
+    digests: within-batch duplicates are resolved by the batch operator
+    semantics (a batch doc matching an INDEXED doc is dropped; two
+    near-dup docs first seen in the SAME batch are both admitted —
+    matching the batch operator, which only matches new-vs-index; run
+    ``minhash_dedup`` inside the batch first if within-batch pairs
+    matter). State is the index itself — bounded by admitted corpus
+    size, shared with the batch pipeline, and readable by it at any
+    time. Stream≡batch equivalence is pinned in
+    tests/test_streaming_dedup.py.
+    """
+    from token_etl_spark.io.sinks import _read_existing
+    from token_etl_spark.operators.dedup import minhash_index_frame, minhash_match_index
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        index = _read_existing(spark, index_path)
+        new_idx = minhash_index_frame(
+            batch_df, text_col, id_col, k, num_hashes
+        ).localCheckpoint(eager=False)
+        if index is not None:
+            matches = minhash_match_index(
+                batch_df, index, text_col, id_col, k, num_hashes, bands, threshold
+            ).localCheckpoint(eager=True)
+            if matches_path is not None:
+                matches.write.mode("append").parquet(matches_path)
+            dup_ids = matches.select(F.col("id_new").alias("id")).distinct()
+            novel = new_idx.join(dup_ids, "id", "left_anti")
+        else:
+            novel = new_idx
+        novel.write.mode("append").parquet(index_path)
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
