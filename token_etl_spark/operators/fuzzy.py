@@ -15,11 +15,14 @@ distance), so two strings within edit distance ``d`` leave at most
 global order of the gram universe, each string's ``d·q + 1`` first
 ("rarest") gram occurrences must contain a match of the other's.
 Blocking on those prefixes with the position-tolerant condition is
-therefore COMPLETE for the distance predicate while skipping ubiquitous
-grams entirely — the failure mode of naive gram blocking, where one
-corpus-wide gram (think a run of leading zeros) turns the candidate
-join into the all-pairs product it was meant to avoid (measured: 264 s
-naive vs ~3 s prefix-filtered at sf0.1, same output).
+therefore COMPLETE for the distance predicate, and selective whenever
+keys HAVE ``d·q + 1`` rare grams (the record-linkage design case —
+measured near-linear on diverse keys). When they don't — dense-ID
+corpora where every key is a few edits from thousands of others — no
+complete gram blocking is selective; see the saturation caveat on
+:func:`fuzzy_join` and PERF.md round 6 for the measurement (an earlier
+positional-exact variant looked fast on exactly that corpus because it
+silently dropped indel pairs).
 
 Matching gram CONTENT with a position band — not exact '<pos>:<gram>'
 tokens — is load-bearing for completeness: an insertion or deletion
