@@ -185,3 +185,18 @@ def test_fuzzy_join_complete_under_indels(spark, sf_dir):
     # insert mode adds 'zz' (dist 2), delete mode removes one char (dist 1)
     dists = {d for _, _, d in got}
     assert 1 in dists and 2 in dists
+
+
+def test_fuzzy_join_max_gram_df_guard(spark):
+    """max_gram_df is the in-plan quadratic guard: the dense-ID corpus
+    (every prefix saturated with corpus-wide grams) fails loudly BEFORE
+    pair emission; a generous cap and the default (None) still return
+    the complete result."""
+    import pytest
+
+    left = spark.createDataFrame([(f"0000000{i:03d}",) for i in range(60)], ["k"])
+    with pytest.raises(Exception, match="fuzzy-join gram"):
+        fuzzy_join(left, left, "k", "k", max_dist=1, q=2, max_gram_df=10).collect()
+    ok = fuzzy_join(left, left, "k", "k", max_dist=1, q=2, max_gram_df=10_000)
+    default = fuzzy_join(left, left, "k", "k", max_dist=1, q=2)
+    assert {tuple(r) for r in ok.collect()} == {tuple(r) for r in default.collect()}

@@ -61,6 +61,13 @@ def _pos_grams(c: Column, q: int) -> Column:
     )
 
 
+_FUZZY_CAP_ADVICE = (
+    "keys lack d*q+1 rare grams (the dense-ID pathology, PERF.md round 6):"
+    " raise q, pre-partition on a stronger blocking key, or run the"
+    " verified cross join the data actually requires."
+)
+
+
 def fuzzy_join(
     left: DataFrame,
     right: DataFrame,
@@ -68,6 +75,7 @@ def fuzzy_join(
     right_key: str,
     max_dist: int = 2,
     q: int = 3,
+    max_gram_df: int | None = None,
 ) -> DataFrame:
     """Inner join on ``levenshtein(left_key, right_key) <= max_dist``
     over distinct keys; returns (lk, rk, dist).
@@ -109,7 +117,15 @@ def fuzzy_join(
     it was silently incomplete, not because it solved it. For such
     corpora the honest plan is the cross join within blocking partitions
     the data actually supports (length, shared literal prefix), or a
-    stricter distance predicate.
+    stricter distance predicate. ``max_gram_df`` turns that saturation
+    from a silent slowdown into a loud in-plan failure: each side's
+    prefix occurrences are window-counted on the join's own
+    (gram, position) shuffle key (ReusedExchange — no extra scan) and
+    asserted ≤ the cap BEFORE any pair is emitted, the same
+    ``_cap_bucket_size`` discipline every other quadratic path in this
+    repo carries (LSH buckets, SemDeDup clusters, containment blocks).
+    Default None: completeness is never silently traded, and research
+    corpora that legitimately saturate still run.
     """
     prefix_len = max_dist * q + 1
     lk = left.select(F.col(left_key).cast("string").alias("k")).distinct()
@@ -152,6 +168,15 @@ def fuzzy_join(
     rp = prefix(rg).select(
         F.col("k").alias("rk"), F.col("g").alias("rg"), F.col("p").alias("rpos")
     )
+    if max_gram_df is not None:
+        from token_etl_spark.operators.dedup import _cap_bucket_size
+
+        lp = _cap_bucket_size(
+            lp, ["lg", "pp"], max_gram_df, "fuzzy-join gram", advice=_FUZZY_CAP_ADVICE
+        )
+        rp = _cap_bucket_size(
+            rp, ["rg", "rpos"], max_gram_df, "fuzzy-join gram", advice=_FUZZY_CAP_ADVICE
+        )
     cands = lp.join(
         rp,
         (F.col("lg") == F.col("rg"))
