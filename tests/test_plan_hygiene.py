@@ -146,6 +146,20 @@ def test_minhash_index_frame_is_narrow(spark, sf_dir):
     assert "Exchange" not in plan and "Join" not in plan, plan
 
 
+def test_round6_plans_no_cartesian(spark, sf_dir):
+    """Round-6 queries: no unintended cartesian anywhere (the 1-row
+    scalar/bitmap crossJoins in the mixture and bloom stages plan as
+    BroadcastNestedLoopJoin over one row, never CartesianProduct)."""
+    for name in (
+        "ext_mixture_full",
+        "ext_tokenized_pack",
+        "rel_fuzzy_match",
+        "ext_semantic_dedup_probe2",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+
+
 def test_tpch3_plans_broadcast_and_no_cartesian(spark, sf_dir):
     # the argmin/argmax/semi/anti wave: dims broadcast, facts never
     # cartesian (value-share's 1-row scalar crossJoin is a
