@@ -78,3 +78,116 @@ def test_streaming_ewma_matches_batch_recurrence(spark, sf_dir, tmp_path):
     )
     exp = {(r.user_id, r.ts_sec): round(r.ewma, 9) for r in batch.collect()}
     assert got == exp and len(got) > 0
+
+
+def test_streaming_funnel_matches_batch_on_inorder_replay(spark, sf_dir, tmp_path):
+    """streaming_funnel_reach over a time-split in-order replay (one file
+    per event-time range, file order pinned via mtimes) lands every user
+    on exactly the batch funnel_reach tuple — the anchored-first fold
+    carried across micro-batch boundaries in bounded per-user state."""
+    import os
+
+    from token_etl_spark.operators.funnel import funnel_reach
+    from token_etl_spark.streaming.stateful import streaming_funnel_reach
+
+    steps = ["view", "click", "purchase"]
+    events = load_table(spark, sf_dir, "events")
+    lo, hi = events.agg(
+        F.unix_micros(F.min("ts")), F.unix_micros(F.max("ts"))
+    ).first()
+    cuts = [lo + (hi - lo) * i // 3 for i in range(1, 3)] + [hi + 1]
+    staged = tmp_path / "funnel_stream"
+    staged.mkdir()
+    prev = lo - 1
+    for g, cut in enumerate(cuts):
+        part_dir = tmp_path / f"fg{g}"
+        (
+            events.where(
+                (F.unix_micros("ts") > prev) & (F.unix_micros("ts") <= cut)
+            )
+            .coalesce(1)
+            .write.parquet(str(part_dir))
+        )
+        prev = cut
+        part = next(p for p in part_dir.iterdir() if p.name.endswith(".parquet"))
+        dst = staged / f"fg{g}.parquet"
+        part.rename(dst)
+        os.utime(dst, (1_700_000_000 + g, 1_700_000_000 + g))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(staged))
+    )
+    out = streaming_funnel_reach(stream, steps, window_s=7 * 86_400)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        r["user"]: (r["t1"], r["t2"], r["t3"])
+        for r in spark.sql(
+            "SELECT user, t1, t2, t3 FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY user ORDER BY n_events DESC) rn FROM funnel_state) WHERE rn = 1"
+        ).collect()
+    }
+    exp = {
+        r["user"]: (r["t1"], r["t2"], r["t3"])
+        for r in funnel_reach(events, steps, window_s=7 * 86_400).collect()
+    }
+    assert got == exp and got
+    # the fixture exercises real conversions AND real nulls
+    assert any(v[2] is not None for v in exp.values())
+
+
+def test_streaming_funnel_state_is_bounded_and_monotone(spark, tmp_path):
+    """Replaying the SAME events again changes nothing (t-slots are
+    write-once), and a late step-1 event does not re-anchor — the
+    declared streaming divergence."""
+    import datetime as dt
+
+    from token_etl_spark.streaming.stateful import streaming_funnel_reach
+
+    def ev(u, typ, sec):
+        return (u, typ, dt.datetime(2024, 1, 1, 0, 0, sec), 1.0)
+
+    rows = [ev(1, "view", 10), ev(1, "click", 20), ev(1, "view", 5)]
+    batch1 = spark.createDataFrame(rows[:2], ["user_id", "event_type", "ts", "value"])
+    batch2 = spark.createDataFrame(rows[2:], ["user_id", "event_type", "ts", "value"])
+    staged = tmp_path / "funnel_mono"
+    staged.mkdir()
+    import os
+    for g, b in enumerate((batch1, batch2)):
+        d = tmp_path / f"fm{g}"
+        b.coalesce(1).write.parquet(str(d))
+        part = next(p for p in d.iterdir() if p.name.endswith(".parquet"))
+        dst = staged / f"fm{g}.parquet"
+        part.rename(dst)
+        os.utime(dst, (1_700_000_000 + g, 1_700_000_000 + g))
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(staged))
+    )
+    out = streaming_funnel_reach(stream, ["view", "click"], window_s=3600)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_mono")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.sql(
+        "SELECT t1, t2 FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY user ORDER BY n_events DESC) rn FROM funnel_mono) WHERE rn = 1"
+    ).collect()[0]
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()
+    # anchored at the FIRST-ARRIVED view (sec 10), not the late sec-5 one
+    assert final["t1"] == int((base + 10) * 1_000_000)
+    assert final["t2"] == int((base + 20) * 1_000_000)

@@ -110,3 +110,89 @@ def streaming_ewma(events_stream: DataFrame, alpha: float = 0.3) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _funnel_schemas(k: int) -> tuple[str, str]:
+    ts_cols = ", ".join(f"t{i} bigint" for i in range(1, k + 1))
+    return (f"user bigint, n_events bigint, {ts_cols}", f"n_events bigint, {ts_cols}")
+
+
+def streaming_funnel_reach(
+    events_stream: DataFrame,
+    steps: list[str],
+    window_s: int = 86_400,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming twin of ``operators/funnel.py funnel_reach``: per-user
+    anchored-first funnel progress carried in Spark state — one
+    (n_events, t1..tk) tuple of longs per user, so state is bounded by
+    user cardinality FOREVER, regardless of stream length or step count
+    blowups (the batch operator's per-stage frames become k fixed state
+    slots).
+
+    The batch anchored-first semantics IS a single event-time-ordered
+    greedy fold (anchor t1 at the first step-1 event; take the earliest
+    qualifying event per later step inside t1's window), so this
+    operator folds each micro-batch in event-time order on top of the
+    persisted slots. Equivalence with the batch operator holds whenever
+    arrival order respects event time across batches (pinned in
+    tests/test_streaming_stateful.py on a time-split replay); a step-1
+    event arriving AFTER a later one anchored the funnel does not
+    re-anchor — the standard streaming trade, same caveat as
+    ``streaming_running_balance``. Emits one progress row per user per
+    micro-batch (outputMode update); unreached steps are NULL.
+    """
+    k = len(steps)
+    out_schema, state_schema = _funnel_schemas(k)
+    window_us = window_s * 1_000_000
+    step_idx = {s: i for i, s in enumerate(steps)}
+    shaped = events_stream.select(
+        F.col(user_col).cast("long").alias("user"),
+        F.unix_micros(F.col(ts_col)).alias("tm"),
+        F.col(type_col).alias("typ"),
+    ).where(F.col("typ").isin(list(steps)))
+
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        if state.exists:
+            st = list(state.get)
+        else:
+            st = [0] + [-1] * k
+        n, t = st[0], st[1:]
+        rows = pd.concat(list(pdfs)).sort_values("tm", kind="stable")
+        for typ, tm in zip(rows["typ"], rows["tm"]):
+            n += 1
+            tm = int(tm)
+            i = step_idx[typ]
+            if i == 0:
+                if t[0] < 0:
+                    t[0] = tm
+            elif t[i] < 0 and t[i - 1] >= 0 and tm > t[i - 1] and tm <= t[0] + window_us:
+                t[i] = tm
+        state.update(tuple([n] + t))
+        yield pd.DataFrame(
+            [[user, n] + t],
+            columns=["user", "n_events"] + [f"t{i}" for i in range(1, k + 1)],
+        )
+
+    progress = shaped.groupBy("user").applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    # -1 is the in-state "unreached" sentinel (state slots are
+    # non-nullable longs); surface NULL like the batch operator
+    return progress.select(
+        "user",
+        "n_events",
+        *[
+            F.when(F.col(f"t{i}") >= 0, F.col(f"t{i}")).alias(f"t{i}")
+            for i in range(1, k + 1)
+        ],
+    )
