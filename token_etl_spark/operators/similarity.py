@@ -855,48 +855,75 @@ def semantic_dedup(
         else spherical_kmeans(corpus, n_centroids, n_iters, id_col, vec_col)
     )
     assigned = _assign_with_sim(corpus, n_centroids, n_iters, id_col, vec_col, cents)
+    _CLUSTER_ADVICE = (
+        "raise n_centroids so cluster size ~ n/k stays bounded "
+        "(SemDeDup scales k with the corpus), or raise max_cluster "
+        "explicitly."
+    )
     if n_assign > 1:
+        # Candidate IDs come from a cells-only self-join and are DEDUPED
+        # BEFORE the cosine verify: a pair can meet in up to n_assign
+        # shared cells, and verifying per-meeting computed every dim-d
+        # cosine up to n_assign times while shuffling full vectors
+        # through the cell join. Pair-IDs-first matches the oracle's
+        # cand CTE shape and attaches vectors/sims exactly once per
+        # distinct pair.
         cells = _probe_cells(corpus, cents, n_assign, id_col, vec_col)
-        paired_src = assigned.drop("centroid_id").join(cells, "id").select(
-            "id", "v", F.col("cell").alias("centroid_id"), "centroid_sim"
+        if max_cluster is not None:
+            from token_etl_spark.operators.dedup import _cap_bucket_size
+
+            cells = _cap_bucket_size(
+                cells, ["cell"], max_cluster, "semantic-dedup cluster",
+                advice=_CLUSTER_ADVICE,
+            )
+        cand = (
+            cells.select(F.col("id").alias("id_a"), "cell")
+            .join(cells.select(F.col("id").alias("id_b"), "cell"), "cell")
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        sa = assigned.select(
+            F.col("id").alias("id_a"), F.col("v").alias("va"),
+            F.col("centroid_sim").alias("sim_a"),
+        )
+        sb = assigned.select(
+            F.col("id").alias("id_b"), F.col("v").alias("vb"),
+            F.col("centroid_sim").alias("sim_b"),
+        )
+        pairs = (
+            cand.join(sa, "id_a")
+            .join(sb, "id_b")
+            .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+            .select("id_a", "id_b", "sim_a", "sim_b")
         )
     else:
         paired_src = assigned
-    if max_cluster is not None:
-        from token_etl_spark.operators.dedup import _cap_bucket_size
+        if max_cluster is not None:
+            from token_etl_spark.operators.dedup import _cap_bucket_size
 
-        paired_src = _cap_bucket_size(
-            paired_src,
-            ["centroid_id"],
-            max_cluster,
-            "semantic-dedup cluster",
-            advice=(
-                "raise n_centroids so cluster size ~ n/k stays bounded "
-                "(SemDeDup scales k with the corpus), or raise max_cluster "
-                "explicitly."
-            ),
+            paired_src = _cap_bucket_size(
+                paired_src, ["centroid_id"], max_cluster,
+                "semantic-dedup cluster", advice=_CLUSTER_ADVICE,
+            )
+        a = paired_src.select(
+            F.col("id").alias("id_a"),
+            F.col("v").alias("va"),
+            "centroid_id",
+            F.col("centroid_sim").alias("sim_a"),
         )
-    a = paired_src.select(
-        F.col("id").alias("id_a"),
-        F.col("v").alias("va"),
-        "centroid_id",
-        F.col("centroid_sim").alias("sim_a"),
-    )
-    b = paired_src.select(
-        F.col("id").alias("id_b"),
-        F.col("v").alias("vb"),
-        "centroid_id",
-        F.col("centroid_sim").alias("sim_b"),
-    )
-    pairs = (
-        a.join(b, "centroid_id")
-        .filter(F.col("id_a") != F.col("id_b"))
-        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
-        .select("id_a", "id_b", "sim_a", "sim_b")
-    )
-    if n_assign > 1:
-        # a pair can meet in up to n_assign shared cells — count it once
-        pairs = pairs.distinct()
+        b = paired_src.select(
+            F.col("id").alias("id_b"),
+            F.col("v").alias("vb"),
+            "centroid_id",
+            F.col("centroid_sim").alias("sim_b"),
+        )
+        pairs = (
+            a.join(b, "centroid_id")
+            .filter(F.col("id_a") != F.col("id_b"))
+            .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+            .select("id_a", "id_b", "sim_a", "sim_b")
+        )
     dup = (
         pairs.groupBy(F.col("id_b").alias("id"))
         .agg(
