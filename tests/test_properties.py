@@ -266,3 +266,58 @@ def test_duplicated_spans_invariants(spark, docs, k):
         assert len(kept_tokens) == rw.n_tokens - rw.n_removed
         # the rewrite can only remove spans that the stats flagged
         assert rw.n_removed <= st_.dup_tokens
+
+
+@given(
+    keys=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=8), min_size=1, max_size=12
+    ),
+    edits=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),   # which key
+            st.integers(min_value=0, max_value=7),    # position
+            st.sampled_from(["ins", "del", "sub"]),
+        ),
+        min_size=0,
+        max_size=6,
+    ),
+    q=st.integers(min_value=2, max_value=3),
+    d=st.integers(min_value=1, max_value=2),
+)
+@settings(max_examples=6, deadline=None)
+def test_fuzzy_join_complete_on_random_indel_corpora(spark, keys, edits, q, d):
+    """Adversarial completeness pin for the Ed-Join prefix filter: on
+    random tiny-alphabet corpora (maximally gram-colliding) with random
+    insert/delete/substitute corruptions, fuzzy_join equals the exact
+    verified cross join — for every (q, d) in the supported range. The
+    tiny 'abc' alphabet stresses exactly the repeated-gram multiset
+    bookkeeping where an occurrence-dedup bug would hide."""
+    from token_etl_spark.operators.fuzzy import fuzzy_join
+
+    left_keys = list(keys)
+    for which, pos, kind in edits:
+        k = left_keys[which % len(left_keys)]
+        p = pos % max(len(k), 1)
+        if kind == "ins":
+            k = k[:p] + "b" + k[p:]
+        elif kind == "del" and len(k) > 1:
+            k = k[:p] + k[p + 1:]
+        else:
+            k = k[:p] + ("a" if k[p:p + 1] != "a" else "c") + k[p + 1:]
+        left_keys[which % len(left_keys)] = k
+    sess = _get(spark)
+    left = sess.createDataFrame([(k,) for k in left_keys], ["k"])
+    right = sess.createDataFrame([(k,) for k in keys], ["k"])
+    got = {
+        (r["lk"], r["rk"], r["dist"])
+        for r in fuzzy_join(left, right, "k", "k", max_dist=d, q=q).collect()
+    }
+    exact = {
+        (r["lk"], r["rk"], r["dist"])
+        for r in left.select(F.col("k").alias("lk")).distinct()
+        .crossJoin(right.select(F.col("k").alias("rk")).distinct())
+        .withColumn("dist", F.levenshtein("lk", "rk").cast("long"))
+        .where(F.col("dist") <= d)
+        .collect()
+    }
+    assert got == exact

@@ -46,17 +46,32 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+PAD_CHAR = "\x01"
+
+
 def _pos_grams(c: Column, q: int) -> Column:
     """q-gram occurrences of ``c`` as an array of (p, g) structs — one
     entry per position, content NOT deduplicated: the Ed-Join
     disturbance bound counts occurrences, and collapsing repeated
     contents (think 'aaaa') would shorten the gram set the prefix
-    length q·d+1 is calibrated against."""
-    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (q - 1), F.lit(1)))
+    length q·d+1 is calibrated against.
+
+    The string is PADDED with q−1 sentinel characters on both ends
+    (Gravano et al. 2001, "Approximate string joins in a database
+    (almost) for free", VLDB — the standard q-gram profile), so every
+    key has ≥ q gram occurrences and boundary edits still disturb ≤ q
+    of them. Without padding, keys shorter than ~q have degenerate
+    profiles and indel pairs like ('ba','a') at q=2 share NO gram —
+    found by the randomized completeness test in tests/test_properties.
+    A sentinel colliding with data characters is completeness-safe (it
+    can only ADD candidates, which the levenshtein verify filters)."""
+    pad = F.lit(PAD_CHAR * (q - 1))
+    padded = F.concat(pad, c, pad)
+    idx = F.sequence(F.lit(1), F.length(c) + (q - 1))
     return F.transform(
         idx,
         lambda i: F.struct(
-            i.cast("int").alias("p"), c.substr(i, F.lit(q)).alias("g")
+            i.cast("int").alias("p"), padded.substr(i, F.lit(q)).alias("g")
         ),
     )
 
@@ -183,8 +198,47 @@ def fuzzy_join(
         & (F.col("pp") == F.col("rpos"))
         & (F.abs(F.length("lk") - F.length("rk")) <= max_dist),
     ).select("lk", "rk")
+
+    # SHORT-KEY BRANCH: a key with <= d·q gram occurrences (padded
+    # length |k|+q-1 <= d·q, i.e. |k| <= q(d-1)+1) has a VACUOUS
+    # match-count bound — gram blocking guarantees nothing for it
+    # (minimal case: lev('a','b') = 1 with zero shared grams; found by
+    # the randomized completeness test). Any partner of such a key is
+    # itself short (length band), so keys with |k| <= q(d-1)+1+d pair
+    # through a delta-enumerated LENGTH equi-join (no cartesian) and go
+    # straight to the verify. The short population is alphabet-bounded
+    # in principle and tiny in entity-resolution practice; max_gram_df
+    # caps its per-length buckets the same way it caps gram buckets.
+    short_bound = q * (max_dist - 1) + 1 + max_dist
+    sl = lk.where(F.length("k") <= short_bound).select(
+        F.col("k").alias("lk"), F.length("k").alias("ll")
+    )
+    sr = rk.where(F.length("k") <= short_bound).select(
+        F.col("k").alias("rk"), F.length("k").alias("rl")
+    )
+    if max_gram_df is not None:
+        from token_etl_spark.operators.dedup import _cap_bucket_size
+
+        sl = _cap_bucket_size(
+            sl, ["ll"], max_gram_df, "fuzzy-join short-key", advice=_FUZZY_CAP_ADVICE
+        )
+        sr = _cap_bucket_size(
+            sr, ["rl"], max_gram_df, "fuzzy-join short-key", advice=_FUZZY_CAP_ADVICE
+        )
+    short_cands = (
+        sl.withColumn(
+            "tl",
+            F.explode(
+                F.array(*[F.col("ll") + F.lit(i) for i in range(-max_dist, max_dist + 1)])
+            ),
+        )
+        .join(sr, F.col("tl") == F.col("rl"))
+        .select("lk", "rk")
+    )
+
     return (
-        cands.withColumn("dist", F.levenshtein("lk", "rk").cast("long"))
+        cands.unionByName(short_cands)
+        .withColumn("dist", F.levenshtein("lk", "rk").cast("long"))
         .where(F.col("dist") <= max_dist)
         .select("lk", "rk", "dist")
         .distinct()

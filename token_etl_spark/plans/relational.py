@@ -740,12 +740,16 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FUZZY_PREFIX = FUZZY_MAX_DIST * FUZZY_Q + 1
-# (p, g) occurrences — content NOT deduplicated, positions ride along for
-# Ed-Join's |pos_l - pos_r| <= d location condition (indel-shift safe)
+# (p, g) occurrences over the chr(1)-PADDED key (Gravano q-gram profile:
+# q-1 sentinels both ends, so short keys keep >= q grams and boundary
+# indels stay inside the disturbance bound) — content NOT deduplicated,
+# positions ride along for Ed-Join's |pos_l - pos_r| <= d condition
 _FUZZY_GRAMS = (
     "unnest(list_transform("
-    "range(1, greatest(len(k) - {qm1}, 1) + 1),"
-    " i -> struct_pack(p := CAST(i AS INT), g := substr(k, CAST(i AS INT), {q}))))"
+    "range(1, len(k) + {qm1} + 1),"
+    " i -> struct_pack(p := CAST(i AS INT),"
+    " g := substr(repeat(chr(1), {qm1}) || k || repeat(chr(1), {qm1}),"
+    " CAST(i AS INT), {q}))))"
 ).format(qm1=FUZZY_Q - 1, q=FUZZY_Q)
 
 SQL_FUZZY_MATCH = f"""
@@ -774,10 +778,18 @@ rp AS (SELECT k AS rk, g, p FROM (
          SELECT rg.k, rg.g, rg.p,
                 row_number() OVER (PARTITION BY rg.k ORDER BY df, rg.g, rg.p) AS r
          FROM rg JOIN gdf USING (g)) WHERE r <= {_FUZZY_PREFIX}),
-cand AS (SELECT DISTINCT lk, rk
-         FROM lp JOIN rp ON lp.g = rp.g
-          AND abs(lp.p - rp.p) <= {FUZZY_MAX_DIST}
-          AND abs(length(lk) - length(rk)) <= {FUZZY_MAX_DIST})
+gcand AS (SELECT lk, rk
+          FROM lp JOIN rp ON lp.g = rp.g
+           AND abs(lp.p - rp.p) <= {FUZZY_MAX_DIST}
+           AND abs(length(lk) - length(rk)) <= {FUZZY_MAX_DIST}),
+-- short-key branch: keys with <= d*q padded gram occurrences have a
+-- vacuous gram match bound; pair them via the length band directly
+scand AS (SELECT s.k AS lk, t.k AS rk
+          FROM dirty s JOIN orig t
+            ON abs(length(s.k) - length(t.k)) <= {FUZZY_MAX_DIST}
+          WHERE length(s.k) <= {FUZZY_Q * (FUZZY_MAX_DIST - 1) + 1 + FUZZY_MAX_DIST}
+            AND length(t.k) <= {FUZZY_Q * (FUZZY_MAX_DIST - 1) + 1 + FUZZY_MAX_DIST}),
+cand AS (SELECT DISTINCT lk, rk FROM (SELECT * FROM gcand UNION ALL SELECT * FROM scand))
 SELECT lk, rk, CAST(levenshtein(lk, rk) AS BIGINT) AS dist
 FROM cand WHERE levenshtein(lk, rk) <= {FUZZY_MAX_DIST}
 """
