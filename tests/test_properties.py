@@ -321,3 +321,35 @@ def test_fuzzy_join_complete_on_random_indel_corpora(spark, keys, edits, q, d):
         .collect()
     }
     assert got == exact
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=6), min_size=1, max_size=8
+    ),
+    n_merges=st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=4, deadline=None)
+def test_bpe_encode_paths_agree_on_random_corpora(spark, words, n_merges):
+    """The rank-greedy vocabulary-table encode equals the compiled
+    in-order merge_fold chain for ANY table bpe_train learns — the
+    well-formedness argument (fusing pair k never creates a pair of
+    rank < k) exercised on maximally-repetitive two-letter corpora,
+    where overlapping-merge bookkeeping ('aaaa' under (a,a)) is
+    hardest."""
+    from token_etl_spark.operators.bpe import bpe_encode, bpe_encode_table, bpe_train
+
+    sess = _get(spark)
+    docs = sess.createDataFrame([(" ".join(words),)], ["text"]).withColumn(
+        "doc_id", F.lit(1)
+    )
+    merges = bpe_train(docs, n_merges=n_merges)
+    chain = {
+        (r["word"], tuple(r["pieces"]))
+        for r in bpe_encode(docs, merges).collect()
+    }
+    table = {
+        (r["word"], tuple(r["pieces"]))
+        for r in bpe_encode_table(docs, merges).collect()
+    }
+    assert table == chain and table
