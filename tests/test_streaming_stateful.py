@@ -191,3 +191,36 @@ def test_streaming_funnel_state_is_bounded_and_monotone(spark, tmp_path):
     # anchored at the FIRST-ARRIVED view (sec 10), not the late sec-5 one
     assert final["t1"] == int((base + 10) * 1_000_000)
     assert final["t2"] == int((base + 20) * 1_000_000)
+
+
+def test_streaming_retention_matches_batch_triangle(spark, sf_dir, tmp_path):
+    """run_streaming_retention over shuffled micro-batches (arrival order
+    deliberately NOT event-time order) lands on exactly the batch
+    retention_cohorts triangle — set-union state is order-insensitive."""
+    from token_etl_spark.operators.funnel import retention_cohorts
+    from token_etl_spark.streaming.stateful import (
+        retention_from_state,
+        run_streaming_retention,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    staged = str(tmp_path / "retention_stream")
+    # repartition by hash => files mix event times across batches
+    events.repartition(4).write.parquet(staged)
+    state = str(tmp_path / "retention_state")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    run_streaming_retention(stream, state)
+
+    got = {
+        (r["cohort"], r["period_offset"], r["n_users"])
+        for r in retention_from_state(spark, state).collect()
+    }
+    exp = {
+        (r["cohort"], r["period_offset"], r["n_users"])
+        for r in retention_cohorts(events).collect()
+    }
+    assert got == exp and got

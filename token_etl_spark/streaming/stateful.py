@@ -196,3 +196,86 @@ def streaming_funnel_reach(
             for i in range(1, k + 1)
         ],
     )
+
+
+def merge_retention_state(
+    batch_df: DataFrame,
+    state_path: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_s: int = 7 * 86_400,
+) -> None:
+    """Merge one micro-batch's activity into the retention state table:
+    the DISTINCT (user, period) pairs seen so far — exactly the batch
+    operator's ``active`` frame, so any retention question asked of the
+    state equals the batch answer over the concatenated input (no
+    approximation, no ordering sensitivity: the state is a set union).
+    State is bounded by user-periods (users × observed periods), not
+    events; rewrite goes through the same staging-swap as
+    ``merge_kmv_state`` so a crash never clobbers the previous state."""
+    from token_etl_spark.io.sinks import _read_existing
+    from token_etl_spark.streaming.curation import _swap_state_dir
+
+    spark = batch_df.sparkSession
+    period = F.floor(
+        F.unix_micros(F.col(ts_col)) / F.lit(float(period_s) * 1_000_000.0)
+    ).cast("long")
+    batch_pairs = batch_df.select(
+        F.col(user_col).alias("user"), period.alias("period")
+    ).distinct()
+    prev = _read_existing(spark, state_path)
+    merged = (
+        batch_pairs
+        if prev is None
+        else prev.select("user", "period").unionByName(batch_pairs).distinct()
+    )
+    staging = state_path.rstrip("/") + ".staging"
+    merged.write.mode("overwrite").parquet(staging)
+    _swap_state_dir(spark, staging, state_path)
+
+
+def run_streaming_retention(
+    stream: DataFrame,
+    state_path: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_s: int = 7 * 86_400,
+) -> None:
+    """Streaming twin of ``operators/funnel.py retention_cohorts``: a
+    foreachBatch merge of distinct (user, period) activity into a keyed
+    parquet state table. Read the triangle at any time with
+    :func:`retention_from_state` — because the state IS the batch
+    operator's deduplicated activity frame, the streamed triangle is
+    bit-identical to the batch one over the same events, in any arrival
+    order (set-union state has no order sensitivity, unlike the funnel's
+    anchored fold). Completes the event-analytics streaming story:
+    funnel (ordered, stateful fold) + retention (unordered, mergeable
+    set)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_retention_state(batch_df, state_path, user_col, ts_col, period_s)
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def retention_from_state(spark, state_path: str) -> DataFrame:
+    """(cohort, period_offset, n_users) from a ``run_streaming_retention``
+    state table — the same two aggregations the batch operator runs on
+    its deduplicated activity frame."""
+    active = spark.read.parquet(state_path)
+    first = active.groupBy("user").agg(F.min("period").alias("cohort"))
+    return (
+        active.join(first, "user")
+        .groupBy(
+            "cohort", (F.col("period") - F.col("cohort")).alias("period_offset")
+        )
+        .agg(F.countDistinct("user").cast("long").alias("n_users"))
+    )
