@@ -353,3 +353,57 @@ def test_bpe_encode_paths_agree_on_random_corpora(spark, words, n_merges):
         for r in bpe_encode_table(docs, merges).collect()
     }
     assert table == chain and table
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=3, max_size=10),
+        min_size=2,
+        max_size=8,
+    ),
+    threshold=st.sampled_from([0.4, 0.6, 1.0]),
+)
+@settings(max_examples=5, deadline=None)
+def test_containment_pairs_complete_at_uncapped_df(spark, docs, threshold):
+    """With max_df >= every shingle's document frequency, rare-shingle
+    blocking is COMPLETE: containment >= threshold > 0 requires at least
+    one shared shingle, and every sharing pair is then a candidate —
+    pinned against a Python-exact containment over the same shingle
+    sets. (The declared production cap trades this recall for bounded
+    pair emission; this pins the uncapped limit the declared semantics
+    approach.)"""
+    from token_etl_spark.operators.dedup import containment_pairs
+    from token_etl_spark.operators.text import tokens
+
+    sess = _get(spark)
+    frame = sess.createDataFrame(
+        [(i, " ".join(words)) for i, words in enumerate(docs)], ["doc_id", "text"]
+    )
+    got = {
+        (r["id_a"], r["id_b"], round(r["containment"], 6))
+        for r in containment_pairs(
+            frame, k=3, max_df=10_000, threshold=threshold
+        ).collect()
+    }
+
+    # Python-exact replay using the engine's own tokenizer/shingling
+    # (the property under test is the BLOCKING, not the shingle rule)
+    sh_rows = frame.select(
+        "doc_id", F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(tokens(F.col("text"))) - 2, F.lit(1))),
+                lambda i: F.array_join(F.slice(tokens(F.col("text")), i, 3), " "),
+            )
+        ).alias("sh"),
+    ).collect()
+    sets = {r["doc_id"]: frozenset(r["sh"]) for r in sh_rows}
+    exp = set()
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sets[a] & sets[b])
+            c = inter / min(len(sets[a]), len(sets[b]))
+            if c >= threshold and inter > 0:
+                exp.add((a, b, round(c, 6)))
+    assert got == exp
