@@ -407,3 +407,41 @@ def test_containment_pairs_complete_at_uncapped_df(spark, docs, threshold):
             if c >= threshold and inter > 0:
                 exp.add((a, b, round(c, 6)))
     assert got == exp
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["x", "y", "z", "w", "v"]), min_size=1, max_size=12),
+        min_size=2,
+        max_size=10,
+    ),
+    max_hamming=st.integers(min_value=0, max_value=3),
+)
+@settings(max_examples=5, deadline=None)
+def test_simhash_neardup_exact_below_band_count(spark, docs, max_hamming):
+    """Pigeonhole exactness of hamming-LSH: with max_hamming < bands,
+    simhash_neardup equals the all-pairs hamming filter over the same
+    fingerprints — randomized corpora push fingerprints into every
+    near-tie the fixtures don't."""
+    from token_etl_spark.operators.dedup import simhash, simhash_neardup
+
+    sess = _get(spark)
+    frame = sess.createDataFrame(
+        [(i, " ".join(words)) for i, words in enumerate(docs)], ["doc_id", "text"]
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_neardup(
+            frame, bits=32, bands=4, max_hamming=max_hamming
+        ).collect()
+    }
+    fps = {r["id"]: r["simhash"] for r in simhash(frame).collect()}
+    ids = sorted(fps)
+    exp = set()
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            h = bin((fps[a] ^ fps[b]) & 0xFFFFFFFF).count("1")
+            if h <= max_hamming:
+                exp.add((a, b, h))
+    assert got == exp
