@@ -445,3 +445,66 @@ def test_simhash_neardup_exact_below_band_count(spark, docs, max_hamming):
             if h <= max_hamming:
                 exp.add((a, b, h))
     assert got == exp
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),            # user
+            st.sampled_from(["s1", "s2", "s3", "noise"]),     # type
+            st.integers(min_value=0, max_value=2_000),        # seconds
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    window_s=st.sampled_from([100, 500, 10_000]),
+)
+@settings(max_examples=6, deadline=None)
+def test_funnel_reach_equals_python_greedy_fold(spark, events, window_s):
+    """The declared anchored-first semantics IS a single event-time
+    greedy fold — pinned against a pure-Python reference on random event
+    soups (duplicate timestamps, out-of-order steps, window expiries).
+    This is also the exact fold streaming_funnel_reach carries in state,
+    so it transitively pins the streaming twin's semantics."""
+    import datetime as dt
+
+    from token_etl_spark.operators.funnel import funnel_reach
+
+    steps = ["s1", "s2", "s3"]
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    sess = _get(spark)
+    frame = sess.createDataFrame(
+        [
+            (u, t, base + dt.timedelta(seconds=s), 1.0)
+            for u, t, s in events
+        ],
+        ["user_id", "event_type", "ts", "value"],
+    )
+    got = {
+        r["user"]: (r["t1"], r["t2"], r["t3"])
+        for r in funnel_reach(frame, steps, window_s=window_s).collect()
+    }
+
+    base_us = int(base.timestamp()) * 1_000_000
+    exp = {}
+    by_user = {}
+    for u, t, s in sorted(events, key=lambda e: e[2]):
+        by_user.setdefault(u, []).append((t, base_us + s * 1_000_000))
+    for u, evs in by_user.items():
+        t = [None, None, None]
+        for typ, tm in evs:
+            if typ == "s1":
+                if t[0] is None:
+                    t[0] = tm
+            elif typ in ("s2", "s3"):
+                i = steps.index(typ)
+                if (
+                    t[i] is None
+                    and t[i - 1] is not None
+                    and tm > t[i - 1]
+                    and tm <= t[0] + window_s * 1_000_000
+                ):
+                    t[i] = tm
+        if t[0] is not None:
+            exp[u] = tuple(t)
+    assert got == exp
