@@ -147,3 +147,41 @@ def test_bpe_encode_table_handles_unknown_words(spark):
     assert got == exp
     assert ("xyz", ("x", "y", "z")) in got
     assert ("xab", ("x", "ab")) in got
+
+
+def test_bpe_oracles_guard_merge_exhaustion(spark):
+    """r6 ADVICE: the unrolled SQL oracles must not empty themselves when
+    the corpus exhausts its natural merges below BPE_N_MERGES — b{i} goes
+    empty and w{i} must fall through unchanged (LEFT JOIN + CASE), the
+    exact twin of bpe_train's early break. Engine and oracle are compared
+    on a corpus with exactly ONE natural merge under n_merges=6."""
+    import duckdb
+
+    from token_etl_spark.operators.bpe import bpe_encode_table
+    from token_etl_spark.plans.quality import _bpe_encode_sql, _bpe_sql
+
+    rows = [(1, "ab ab ab"), (2, "ab ab"), (3, "ab")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = bpe_train(docs, n_merges=6)
+    got_merges = [
+        (r["merge_idx"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in merges.orderBy("merge_idx").collect()
+    ]
+    got_enc = sorted(
+        (r["id"], r["word"], "|".join(r["pieces"]))
+        for r in bpe_encode_table(docs, merges).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES (1, 'ab ab ab'),"
+        " (2, 'ab ab'), (3, 'ab')) t(doc_id, text)"
+    )
+    exp_merges = [
+        (int(a), b, c, int(d)) for a, b, c, d in con.execute(_bpe_sql(6)).fetchall()
+    ]
+    assert got_merges == exp_merges == [(1, "a", "b", 6)]
+    exp_enc = sorted(
+        (int(i), w, p) for i, w, p in con.execute(_bpe_encode_sql(6)).fetchall()
+    )
+    assert got_enc == exp_enc and len(got_enc) == 6

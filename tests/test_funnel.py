@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from token_etl_spark.operators.funnel import (
     funnel_counts,
     funnel_reach,
+    funnel_reach_onepass,
     retention_cohorts,
 )
 from token_etl_spark.operators.fuzzy import fuzzy_join
@@ -50,6 +51,27 @@ def test_funnel_anchored_first_semantics(spark):
     ).collect()}
     assert [counts[i]["n_users"] for i in (1, 2, 3)] == [3, 2, 1]
     assert counts[3]["pct_of_step1"] == 1 / 3
+
+
+def test_funnel_onepass_equals_chained_on_real_events(spark, sf_dir):
+    """Single-scan vs chained funnel reach on the driver events table:
+    row-identical output (the chained form is the equivalence oracle for
+    the one-pass plan evt_funnel now runs)."""
+    from token_etl_spark.io.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    steps = ["view", "click", "purchase"]
+    key = lambda r: (r["user"], r["t1"], r["t2"], r["t3"])  # noqa: E731
+    exp = sorted(key(r) for r in funnel_reach(ev, steps, window_s=86_400).collect())
+    got = sorted(
+        key(r) for r in funnel_reach_onepass(ev, steps, window_s=86_400).collect()
+    )
+    assert got == exp and got
+    # funnel_counts (both reach plans) agree too
+    cc = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert cc(funnel_counts(ev, steps, onepass=True)) == cc(
+        funnel_counts(ev, steps, onepass=False)
+    )
 
 
 def test_funnel_greedy_earliest_qualifying(spark):

@@ -146,6 +146,20 @@ def test_minhash_index_frame_is_narrow(spark, sf_dir):
     assert "Exchange" not in plan and "Join" not in plan, plan
 
 
+def test_funnel_is_single_scan(spark, sf_dir):
+    """evt_funnel (r7: funnel_reach_onepass) must read the events table
+    exactly ONCE — the chained form's ~2(k−1) event re-scans were the
+    r6 verdict's efficiency carry — and resolve steps in one aggregate
+    fold, no per-stage joins of the event table."""
+    plan = _plan(spark, sf_dir, "evt_funnel")
+    # one scan node = one "Location:" detail block
+    assert plan.count("events.parquet") == 1, plan
+    assert "CartesianProduct" not in plan
+    # step-type pushdown reaches the scan; no joins anywhere in the plan
+    assert "PushedFilters: [In(event_type" in plan
+    assert "Join" not in plan
+
+
 def test_round6_plans_no_cartesian(spark, sf_dir):
     """Round-6 queries: no unintended cartesian anywhere (the 1-row
     scalar/bitmap crossJoins in the mixture and bloom stages plan as

@@ -468,7 +468,7 @@ def test_funnel_reach_equals_python_greedy_fold(spark, events, window_s):
     so it transitively pins the streaming twin's semantics."""
     import datetime as dt
 
-    from token_etl_spark.operators.funnel import funnel_reach
+    from token_etl_spark.operators.funnel import funnel_reach, funnel_reach_onepass
 
     steps = ["s1", "s2", "s3"]
     base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
@@ -483,6 +483,10 @@ def test_funnel_reach_equals_python_greedy_fold(spark, events, window_s):
     got = {
         r["user"]: (r["t1"], r["t2"], r["t3"])
         for r in funnel_reach(frame, steps, window_s=window_s).collect()
+    }
+    got_onepass = {
+        r["user"]: (r["t1"], r["t2"], r["t3"])
+        for r in funnel_reach_onepass(frame, steps, window_s=window_s).collect()
     }
 
     base_us = int(base.timestamp()) * 1_000_000
@@ -508,3 +512,5 @@ def test_funnel_reach_equals_python_greedy_fold(spark, events, window_s):
         if t[0] is not None:
             exp[u] = tuple(t)
     assert got == exp
+    # the single-scan conditional-aggregation form is the same fold
+    assert got_onepass == exp

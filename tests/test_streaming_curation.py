@@ -390,6 +390,31 @@ def test_kmv_state_swap_leaves_no_staging(spark, tmp_path):
     assert got == exp
 
 
+def test_kmv_state_recovers_interrupted_swap(spark, tmp_path):
+    """r6 ADVICE: a crash between delete(final) and rename(staging)
+    leaves only a COMPLETE .staging dir; the next merge must recover it
+    (rename into place) instead of silently restarting state from
+    scratch via _read_existing's path-not-found -> None."""
+    import shutil
+
+    from token_etl_spark.operators.sketch import kmv_sketch
+    from token_etl_spark.streaming.curation import merge_kmv_state
+
+    state = str(tmp_path / "kmv_crash")
+    b1 = spark.createDataFrame([(f"w{i}",) for i in range(50)], ["_item"])
+    b2 = spark.createDataFrame([(f"w{i}",) for i in range(25, 75)], ["_item"])
+    merge_kmv_state(b1, state, "_item", (), k=16)
+    # simulate the crash window: final deleted, complete staging left
+    shutil.move(state, state + ".staging")
+    merge_kmv_state(b2, state, "_item", (), k=16)
+    exp = {
+        (r["h"], r["rank"])
+        for r in kmv_sketch(b1.unionByName(b2), "_item", (), k=16).collect()
+    }
+    got = {(r["h"], r["rank"]) for r in spark.read.parquet(state).collect()}
+    assert got == exp  # b1's contribution survived the interrupted swap
+
+
 def test_semantic_decontaminate_empty_benchmark_keeps_all(spark, sf_dir, tmp_path):
     """Empty benchmark => contaminated is FALSE (not NULL) everywhere, so
     drop mode keeps the whole corpus/stream instead of silently dropping

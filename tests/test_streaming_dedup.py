@@ -97,14 +97,23 @@ def test_streaming_neardup_matches_sequential_batch(spark, sf_dir, tmp_path):
 
     index_path = str(tmp_path / "neardup_index")
     matches_path = str(tmp_path / "neardup_matches")
-    stream = (
-        spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(staged))
-    )
-    run_streaming_neardup(
-        stream, index_path, threshold=0.5, matches_path=matches_path
-    )
+    checkpoint_path = str(tmp_path / "neardup_ckpt")
+
+    def _run():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(staged))
+        )
+        run_streaming_neardup(
+            stream,
+            index_path,
+            threshold=0.5,
+            matches_path=matches_path,
+            checkpoint_path=checkpoint_path,
+        )
+
+    _run()
 
     # sequential batch replay with the same operators, same order
     exp_index_ids: set = set()
@@ -129,18 +138,37 @@ def test_streaming_neardup_matches_sequential_batch(spark, sf_dir, tmp_path):
             else index.unionByName(admitted)
         ).localCheckpoint()
 
-    got_ids = {r["id"] for r in spark.read.parquet(index_path).select("id").collect()}
+    from token_etl_spark.streaming.dedup import (
+        read_neardup_index,
+        read_neardup_matches,
+    )
+
+    def _observed():
+        ids = {
+            r["id"]
+            for r in read_neardup_index(spark, index_path).select("id").collect()
+        }
+        pairs = {
+            (r["id_new"], r["id_ref"], round(r["jaccard"], 6))
+            for r in read_neardup_matches(spark, matches_path).collect()
+        }
+        return ids, pairs
+
+    got_ids, got_matches = _observed()
     assert got_ids == exp_index_ids and got_ids
     assert exp_matches  # the recrawl fixture guarantees match pairs
-    got_matches = {
-        (r["id_new"], r["id_ref"], round(r["jaccard"], 6))
-        for r in spark.read.parquet(matches_path).collect()
-    }
     assert got_matches == exp_matches
     # the ten recrawled copies were matched to the index, not admitted
     assert not any(i >= 1_000_000 for i in got_ids)
     # the persisted index is directly usable by the batch matcher
     post = minhash_match_index(
-        docs.where(F.col("doc_id") % 3 == 0), spark.read.parquet(index_path)
+        docs.where(F.col("doc_id") % 3 == 0), read_neardup_index(spark, index_path)
     )
     assert post.count() > 0  # re-presented admitted docs self-match
+
+    # IDEMPOTENCY: re-running over the same source with the same
+    # checkpoint replays no batch (offsets are committed), and the
+    # batch_id-keyed overwrite writes mean even a replayed batch would
+    # rewrite its own partition, not append duplicates — state unchanged.
+    _run()
+    assert _observed() == (got_ids, got_matches)

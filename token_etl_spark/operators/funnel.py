@@ -80,7 +80,7 @@ def funnel_reach(
     return out
 
 
-def funnel_counts(
+def funnel_reach_onepass(
     events: DataFrame,
     steps: list[str],
     window_s: int = 86_400,
@@ -88,30 +88,120 @@ def funnel_counts(
     type_col: str = "event_type",
     ts_col: str = "ts",
 ) -> DataFrame:
+    """Single-scan form of :func:`funnel_reach` — identical output
+    (equivalence pinned in tests/test_funnel.py, and both match the
+    pure-Python greedy fold in tests/test_properties.py), different plan:
+    ONE pass over ``events`` and ONE shuffle on the user key, instead of
+    the chained form's ~2(k−1) event re-scans.
+
+    The anchored-first semantics IS a single event-time-ordered greedy
+    fold (the same fold ``streaming_funnel_reach`` carries in state), so
+    the plan is: filter to step-typed events, collect each user's
+    (tm, step_idx) pairs sorted by time, and ``F.aggregate`` the greedy
+    step resolution over that array — all inside whole-stage codegen, no
+    UDF. Ties (equal tm) resolve identically to the chained min() form:
+    a step-i event at exactly t_{i-1} fails the strict ``tm > t_{i-1}``
+    either way, regardless of fold order.
+
+    Per-user state is the user's OWN step-typed events (the same rows
+    the chained form shuffles into every stage, here shuffled once) —
+    bounded by per-user activity, not the corpus. A pathological user
+    with millions of step events would materialize that array in one
+    task; for such skew use the chained :func:`funnel_reach`, whose
+    per-stage min() aggregations are map-side combinable and never hold
+    a user's events together.
+    """
+    k = len(steps)
+    window_us = window_s * 1_000_000
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    micros = F.unix_micros(F.col(ts_col))
+    per_user = (
+        events.where(F.col(type_col).isin(list(steps)))
+        .select(
+            F.col(user_col).alias("user"),
+            F.struct(
+                micros.alias("tm"),
+                (F.array_position(step_arr, F.col(type_col)) - 1)
+                .cast("int")
+                .alias("i"),
+            ).alias("e"),
+        )
+        .groupBy("user")
+        .agg(F.array_sort(F.collect_list("e")).alias("es"))
+    )
+    init = F.array(*[F.lit(-1).cast("long") for _ in range(k)])
+
+    def upd(acc, e):
+        tm = e.getField("tm")
+        i = e.getField("i")
+
+        def slot(j):
+            cur = F.element_at(acc, j + 1)
+            first = (i == 0) & (j == 0) & (cur < 0)
+            later = (
+                (j == i)
+                & (j > 0)
+                & (cur < 0)
+                & (F.element_at(acc, j) >= 0)
+                & (tm > F.element_at(acc, j))
+                & (tm <= F.element_at(acc, 1) + F.lit(window_us))
+            )
+            return F.when(first | later, tm).otherwise(cur)
+
+        return F.transform(F.sequence(F.lit(0), F.lit(k - 1)), slot)
+
+    reach = per_user.select("user", F.aggregate("es", init, upd).alias("t"))
+    # -1 is the in-fold "unreached" sentinel; users with no step-1 event
+    # never anchor and are excluded, exactly like the chained form
+    return reach.where(F.element_at("t", 1) >= 0).select(
+        "user",
+        *[
+            F.when(F.element_at("t", i) >= 0, F.element_at("t", i)).alias(f"t{i}")
+            for i in range(1, k + 1)
+        ],
+    )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    window_s: int = 86_400,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    onepass: bool = True,
+) -> DataFrame:
     """Funnel rollup: (step, step_name, n_users, pct_of_step1) — users
     reaching each step under the anchored-first semantics. ``pct`` is
-    one final division of exact longs."""
-    reach = funnel_reach(events, steps, window_s, user_col, type_col, ts_col)
-    # the k per-step union branches below each read this 1-row frame —
-    # persist it lazily so the whole reach pipeline runs once, not k times
+    one final division of exact longs.
+
+    The per-step rows come from ONE explode over the 1-row counts frame
+    (not k unioned selects), so the reach pipeline runs exactly once and
+    nothing needs a persist. Default reach plan is the single-scan
+    :func:`funnel_reach_onepass`; ``onepass=False`` selects the chained
+    form (the skew-safe variant, and the equivalence oracle)."""
+    reach_fn = funnel_reach_onepass if onepass else funnel_reach
+    reach = reach_fn(events, steps, window_s, user_col, type_col, ts_col)
     counts = reach.agg(
         *[
             F.count(F.col(f"t{i}")).cast("long").alias(f"n{i}")
             for i in range(1, len(steps) + 1)
         ]
-    ).persist()
-    rows = None
-    for i, name in enumerate(steps, start=1):
-        r = counts.select(
-            F.lit(i).cast("long").alias("step"),
-            F.lit(name).alias("step_name"),
-            F.col(f"n{i}").alias("n_users"),
-            (F.col(f"n{i}").cast("double") / F.col("n1").cast("double")).alias(
-                "pct_of_step1"
-            ),
-        )
-        rows = r if rows is None else rows.unionByName(r)
-    return rows
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("step"),
+                F.lit(name).alias("step_name"),
+                F.col(f"n{i}").alias("n_users"),
+                (F.col(f"n{i}").cast("double") / F.col("n1").cast("double")).alias(
+                    "pct_of_step1"
+                ),
+            )
+            for i, name in enumerate(steps, start=1)
+        ]
+    )
+    return counts.select(F.explode(entries).alias("r")).select("r.*")
 
 
 def retention_cohorts(

@@ -871,6 +871,16 @@ def _bpe_sql(n: int) -> str:
 
 
 def _bpe_cte_blocks(n: int) -> list:
+    """Unrolled BPE training CTEs, one (pair-count, best-pair, rewrite)
+    block per merge. MERGE-EXHAUSTION GUARD: when the corpus's natural
+    merge count is below ``n``, ``p{i}``/``b{i}`` go empty — the rewrite
+    therefore LEFT JOINs the (0-or-1 row) best-pair frame and falls
+    through to the unmodified segmentation when it is empty, mirroring
+    the engine's ``bpe_train`` early-break: the merge-table oracle emits
+    no row for an empty ``b{i}`` (UNION ALL of empties) and the encode/
+    pack oracles keep the fully-merged vocabulary instead of emptying
+    every downstream CTE through a CROSS JOIN with nothing (equivalence
+    on an exhausted corpus pinned in tests/test_bpe.py)."""
     blocks = [
         f"""wd AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt
       FROM (SELECT unnest({_TOKS}) AS tok FROM documents) GROUP BY 1),
@@ -891,11 +901,13 @@ w0 AS (SELECT word, cnt,
   GROUP BY 1, 2),
 b{i} AS (SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1),
 w{i} AS (SELECT word, cnt,
-         list_reduce(string_split(s, ' '), (acc, x) -> CASE
-           WHEN x = b.r AND regexp_extract(acc, '[^ ]*$') = b.l
-           THEN left(acc, length(acc) - length(b.l)) || b.l || b.r
-           ELSE acc || ' ' || x END) AS s
-         FROM w{i-1} CROSS JOIN b{i} b)"""
+         CASE WHEN b.l IS NULL THEN s ELSE
+           list_reduce(string_split(s, ' '), (acc, x) -> CASE
+             WHEN x = b.r AND regexp_extract(acc, '[^ ]*$') = b.l
+             THEN left(acc, length(acc) - length(b.l)) || b.l || b.r
+             ELSE acc || ' ' || x END)
+         END AS s
+         FROM w{i-1} LEFT JOIN b{i} b ON TRUE)"""
         )
     return blocks
 

@@ -372,9 +372,11 @@ def merge_kmv_state(
     directory first and is then swapped in via filesystem rename, so the
     files the merge plan read are never overwritten mid-read (no
     persist/count eviction race) and a crash mid-write leaves the
-    previous state intact; only the delete→rename swap window is
-    non-atomic, the standard HDFS-rename tradeoff (a table format with
-    real MERGE would close it at 100 TB).
+    previous state intact; the one non-atomic window (between delete and
+    rename) is healed on the next merge by ``_recover_state_dir``, which
+    renames a lone complete staging dir into place before reading — the
+    standard HDFS-rename tradeoff (a table format with real MERGE would
+    close it at 100 TB).
     """
     from pyspark.sql import Window
     from token_etl_spark.io.sinks import _read_existing
@@ -385,6 +387,7 @@ def merge_kmv_state(
     batch_sk = kmv_sketch(
         batch_df, item_col, group_cols, k=k, n_prebuckets=n_prebuckets
     ).select(*g, "h")
+    _recover_state_dir(spark, state_path)
     prev = _read_existing(spark, state_path)
     if prev is not None:
         merged = prev.select(*g, "h").unionByName(batch_sk).distinct()
@@ -411,6 +414,27 @@ def _swap_state_dir(spark, staging: str, final: str) -> None:
         fs.delete(dst, True)
     if not fs.rename(hpath(staging), dst):
         raise IOError(f"state swap failed: rename {staging} -> {final}")
+
+
+def _recover_state_dir(spark, final: str) -> None:
+    """Crash recovery for the staging swap's one non-atomic window: a
+    failure between ``delete(final)`` and ``rename(staging, final)``
+    leaves no final dir but a COMPLETE ``.staging`` dir (the delete only
+    runs after the staging write returned, so a lone staging dir is
+    always a fully-written state). Without this, the next merge's
+    ``_read_existing`` would see path-not-found and silently restart
+    state from scratch. Finish the interrupted rename iff final is
+    missing AND staging exists; when final exists, staging is a leftover
+    of unknown completeness (crash mid-write) and is left alone — the
+    next successful merge overwrites it."""
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path
+    dst = hpath(final)
+    fs = dst.getFileSystem(sc._jsc.hadoopConfiguration())
+    staging = hpath(final.rstrip("/") + ".staging")
+    if not fs.exists(dst) and fs.exists(staging):
+        if not fs.rename(staging, dst):
+            raise IOError(f"state recovery failed: rename {staging} -> {final}")
 
 
 def run_streaming_kmv(

@@ -63,6 +63,7 @@ def run_streaming_neardup(
     bands: int = 8,
     threshold: float = 0.5,
     matches_path: str | None = None,
+    checkpoint_path: str | None = None,
 ) -> None:
     """Streaming incremental NEAR-dup against a persisted MinHash index
     — the streaming twin of ``operators/dedup.py minhash_match_index``,
@@ -85,15 +86,24 @@ def run_streaming_neardup(
     size, shared with the batch pipeline, and readable by it at any
     time. Stream≡batch equivalence is pinned in
     tests/test_streaming_dedup.py.
+
+    Idempotency: every write is keyed by ``batch_id`` — each batch's
+    index rows and match pairs land in their own ``batch_id=N``
+    partition dir with mode=overwrite, so a foreachBatch RETRY (or a
+    whole re-run over the same source with the same ``checkpoint_path``)
+    rewrites that batch's partition instead of appending duplicates.
+    Pass ``checkpoint_path`` so Structured Streaming tracks which source
+    files each batch consumed; readers see the partition column via
+    :func:`read_neardup_index` / :func:`read_neardup_matches`, which
+    drop it.
     """
-    from token_etl_spark.io.sinks import _read_existing
     from token_etl_spark.operators.dedup import minhash_index_frame, minhash_match_index
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        index = _read_existing(spark, index_path)
+        index = read_neardup_index(spark, index_path)
         new_idx = minhash_index_frame(
             batch_df, text_col, id_col, k, num_hashes
         ).localCheckpoint(eager=False)
@@ -102,17 +112,48 @@ def run_streaming_neardup(
                 batch_df, index, text_col, id_col, k, num_hashes, bands, threshold
             ).localCheckpoint(eager=True)
             if matches_path is not None:
-                matches.write.mode("append").parquet(matches_path)
+                matches.write.mode("overwrite").parquet(
+                    f"{matches_path.rstrip('/')}/batch_id={batch_id}"
+                )
             dup_ids = matches.select(F.col("id_new").alias("id")).distinct()
             novel = new_idx.join(dup_ids, "id", "left_anti")
         else:
             novel = new_idx
-        novel.write.mode("append").parquet(index_path)
+        novel.write.mode("overwrite").parquet(
+            f"{index_path.rstrip('/')}/batch_id={batch_id}"
+        )
 
-    q = (
+    writer = (
         stream.writeStream.foreachBatch(_sink)
         .outputMode("update")
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint_path is not None:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    q = writer.start()
     q.awaitTermination()
+
+
+def _read_partitioned_state(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a ``batch_id=N``-partitioned state dir, dropping the
+    partition column (it exists for write idempotency, not semantics);
+    None iff the path does not exist yet (same contract as
+    ``io.sinks._read_existing`` — anything but path-not-found
+    re-raises)."""
+    from token_etl_spark.io.sinks import _read_existing
+
+    df = _read_existing(spark, path)
+    if df is None:
+        return None
+    return df.drop("batch_id") if "batch_id" in df.columns else df
+
+
+def read_neardup_index(spark: SparkSession, index_path: str) -> DataFrame | None:
+    """The persisted index as ``minhash_match_index`` expects it (per-doc
+    rows, no partition column)."""
+    return _read_partitioned_state(spark, index_path)
+
+
+def read_neardup_matches(spark: SparkSession, matches_path: str) -> DataFrame | None:
+    """All verified (id_new, id_ref, jaccard) pairs appended so far."""
+    return _read_partitioned_state(spark, matches_path)

@@ -30,13 +30,24 @@ def _update_balances(
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     balance = state.get[0] if state.exists else 0.0
-    out = []
     rows = pd.concat(list(pdfs)).sort_values("ts_sec")
-    for _, row in rows.iterrows():
-        balance += row["signed_value"]
-        out.append((user_id, int(row["ts_sec"]), balance))
-    state.update((balance,))
-    yield pd.DataFrame(out, columns=["user_id", "ts_sec", "balance"])
+    # cumsum over [carried_balance, v1, v2, ...] performs the identical
+    # left-to-right float additions as the per-row fold it replaced
+    # (((balance + v1) + v2) + ...), just vectorized — bit-identical
+    # output, no iterrows
+    acc = pd.concat(
+        [pd.Series([balance]), rows["signed_value"].astype("float64")],
+        ignore_index=True,
+    ).cumsum()
+    bal = acc.iloc[1:].reset_index(drop=True)
+    state.update((float(acc.iloc[-1]),))
+    yield pd.DataFrame(
+        {
+            "user_id": user_id,
+            "ts_sec": rows["ts_sec"].astype("int64").reset_index(drop=True),
+            "balance": bal,
+        }
+    )
 
 
 def streaming_running_balance(events_stream: DataFrame) -> DataFrame:
@@ -214,9 +225,10 @@ def merge_retention_state(
     events; rewrite goes through the same staging-swap as
     ``merge_kmv_state`` so a crash never clobbers the previous state."""
     from token_etl_spark.io.sinks import _read_existing
-    from token_etl_spark.streaming.curation import _swap_state_dir
+    from token_etl_spark.streaming.curation import _recover_state_dir, _swap_state_dir
 
     spark = batch_df.sparkSession
+    _recover_state_dir(spark, state_path)
     period = F.floor(
         F.unix_micros(F.col(ts_col)) / F.lit(float(period_s) * 1_000_000.0)
     ).cast("long")
@@ -270,6 +282,9 @@ def retention_from_state(spark, state_path: str) -> DataFrame:
     """(cohort, period_offset, n_users) from a ``run_streaming_retention``
     state table — the same two aggregations the batch operator runs on
     its deduplicated activity frame."""
+    from token_etl_spark.streaming.curation import _recover_state_dir
+
+    _recover_state_dir(spark, state_path)
     active = spark.read.parquet(state_path)
     first = active.groupBy("user").agg(F.min("period").alias("cohort"))
     return (
