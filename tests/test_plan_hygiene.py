@@ -160,6 +160,18 @@ def test_funnel_is_single_scan(spark, sf_dir):
     assert "Join" not in plan
 
 
+def test_fuzzy_capped_plan_carries_in_plan_assert(spark, sf_dir):
+    """rel_fuzzy_match_capped must carry the gram-bucket assert INSIDE
+    the physical plan (assert_true over the window count on the join's
+    own (gram, position) key) — the uncapped row must not."""
+    capped = _plan(spark, sf_dir, "rel_fuzzy_match_capped")
+    # assert_true compiles to raise_error guarded by the window count
+    assert "raise_error" in capped and "bucket_n" in capped, capped
+    assert "CartesianProduct" not in capped
+    uncapped = _plan(spark, sf_dir, "rel_fuzzy_match")
+    assert "raise_error" not in uncapped
+
+
 def test_round6_plans_no_cartesian(spark, sf_dir):
     """Round-6 queries: no unintended cartesian anywhere (the 1-row
     scalar/bitmap crossJoins in the mixture and bloom stages plan as

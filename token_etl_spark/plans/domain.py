@@ -595,8 +595,11 @@ FUNNEL_WINDOW_S = 86_400
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-step conversion funnel view → click → purchase within 24h
     (operators/funnel.py funnel_counts, anchored-first semantics —
-    docstring there): chained filtered-min aggregations, never a
-    per-user event-list fold. All comparisons in integer microseconds."""
+    docstring there). Since r7 the reach plan is the single-scan
+    ``funnel_reach_onepass`` (one events pass + one user-key shuffle,
+    greedy fold in ``F.aggregate``); the oracle stays the chained
+    filtered-min CTEs — the equivalence the one-pass form is pinned
+    against. All comparisons in integer microseconds."""
     from token_etl_spark.operators.funnel import funnel_counts
 
     ev = t(spark, sf_dir, "events")
@@ -636,6 +639,37 @@ SELECT CAST(3 AS BIGINT), '{FUNNEL_STEPS[2]}', n3,
 """
 
 
+def q_funnel_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-USER funnel reach times (user, t1, t2, t3) from the
+    single-scan ``funnel_reach_onepass`` — the user-level frame the
+    rollup aggregates away, driver-proven directly: the oracle replays
+    the CHAINED filtered-min semantics (t1/t2/t3 CTEs LEFT JOINed on the
+    anchored users), so a green row certifies one-pass ≡ chained on
+    every user, not just the three step counts."""
+    from token_etl_spark.operators.funnel import funnel_reach_onepass
+
+    ev = t(spark, sf_dir, "events")
+    return funnel_reach_onepass(ev, FUNNEL_STEPS, window_s=FUNNEL_WINDOW_S)
+
+
+SQL_FUNNEL_REACH = f"""
+WITH t1 AS (SELECT user_id AS u, min(epoch_us(ts)) AS t1
+            FROM events WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY 1),
+t2 AS (SELECT e.user_id AS u, min(epoch_us(e.ts)) AS t2
+       FROM events e JOIN t1 ON e.user_id = t1.u
+       WHERE e.event_type = '{FUNNEL_STEPS[1]}'
+         AND epoch_us(e.ts) > t1.t1 AND epoch_us(e.ts) <= t1.t1 + {_FW_US}
+       GROUP BY 1),
+t3 AS (SELECT e.user_id AS u, min(epoch_us(e.ts)) AS t3
+       FROM events e JOIN t1 ON e.user_id = t1.u JOIN t2 ON e.user_id = t2.u
+       WHERE e.event_type = '{FUNNEL_STEPS[2]}'
+         AND epoch_us(e.ts) > t2.t2 AND epoch_us(e.ts) <= t1.t1 + {_FW_US}
+       GROUP BY 1)
+SELECT t1.u AS user, t1.t1 AS t1, t2.t2 AS t2, t3.t3 AS t3
+FROM t1 LEFT JOIN t2 ON t1.u = t2.u LEFT JOIN t3 ON t1.u = t3.u
+"""
+
+
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort-retention triangle (operators/funnel.py
     retention_cohorts): users bucketed by first-activity week, counted
@@ -663,6 +697,7 @@ GROUP BY 1, 2
 SPECS = [
     QuerySpec("evt_hourly_volume", q_hourly_volume, SQL_HOURLY_VOLUME, ("domain", "agg")),
     QuerySpec("evt_funnel", q_funnel, SQL_FUNNEL, ("domain", "funnel", "agg")),
+    QuerySpec("evt_funnel_reach", q_funnel_reach, SQL_FUNNEL_REACH, ("domain", "funnel", "agg")),
     QuerySpec("evt_retention_cohorts", q_retention_cohorts, SQL_RETENTION, ("domain", "funnel", "agg")),
     QuerySpec("evt_rollup_merge_read", q_rollup_merge_read, SQL_ROLLUP_MERGE_READ, ("domain", "agg", "rollup")),
     QuerySpec("evt_rollup_hll_users", q_rollup_hll_users, SQL_ROLLUP_HLL_USERS, ("domain", "rollup", "sketch", "agg-approx")),

@@ -716,8 +716,19 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     (zero-padded serial numbers, where ANY complete gram blocking
     saturates to all-pairs — measured in PERF.md round 6) stays pinned
     against the exact cross join in tests/test_funnel.py."""
-    from token_etl_spark.operators.curation import hash_bucket
     from token_etl_spark.operators.fuzzy import fuzzy_join
+
+    dirty, base = _fuzzy_fixture(spark, sf_dir)
+    return fuzzy_join(
+        dirty, base, "dirty_key", "k0", max_dist=FUZZY_MAX_DIST, q=FUZZY_Q
+    )
+
+
+def _fuzzy_fixture(spark: SparkSession, sf_dir: str):
+    """(dirty, base): diverse 12-hex keys (md5 of customer names) and one
+    deterministically md5-chosen corruption per key, cycling INSERT /
+    DELETE / SUBSTITUTE — shared by the capped and uncapped fuzzy rows."""
+    from token_etl_spark.operators.curation import hash_bucket
 
     cust = t(spark, sf_dir, "customer")
     base = cust.select(
@@ -734,8 +745,34 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(head, F.lit("z"), skip_tail))
         .alias("dirty_key")
     )
+    return dirty, base
+
+
+FUZZY_MAX_GRAM_DF = 256
+
+
+def q_fuzzy_match_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rel_fuzzy_match`` with the ``max_gram_df`` saturation guard ON —
+    the move that driver-proved the MinHash ``max_bucket`` guard in r5:
+    the cap only ASSERTS (window count over the candidate join's own
+    (gram, position) shuffle key, raising before any pair is emitted if
+    a bucket exceeds it), so the oracle is unchanged and a green driver
+    row proves the guarded plan end-to-end. 256 sits ~4x above the
+    largest measured bucket on this fixture at sf0.1 (60; sf0.01: 7) —
+    the diverse-key design case never trips it, while a dense-ID corpus
+    (PERF.md round 6's saturation pathology) would fail loudly instead
+    of silently going quadratic."""
+    from token_etl_spark.operators.fuzzy import fuzzy_join
+
+    dirty, base = _fuzzy_fixture(spark, sf_dir)
     return fuzzy_join(
-        dirty, base, "dirty_key", "k0", max_dist=FUZZY_MAX_DIST, q=FUZZY_Q
+        dirty,
+        base,
+        "dirty_key",
+        "k0",
+        max_dist=FUZZY_MAX_DIST,
+        q=FUZZY_Q,
+        max_gram_df=FUZZY_MAX_GRAM_DF,
     )
 
 
@@ -798,6 +835,7 @@ FROM cand WHERE levenshtein(lk, rk) <= {FUZZY_MAX_DIST}
 SPECS = [
     QuerySpec("rel_scan_pushdown", q_scan_pushdown, SQL_SCAN_PUSHDOWN, ("scan", "filter")),
     QuerySpec("rel_fuzzy_match", q_fuzzy_match, SQL_FUZZY_MATCH, ("join", "string", "fuzzy")),
+    QuerySpec("rel_fuzzy_match_capped", q_fuzzy_match_capped, SQL_FUZZY_MATCH, ("join", "string", "fuzzy", "guard")),
     QuerySpec("rel_bloom_join", q_bloom_join, SQL_BLOOM_JOIN, ("join", "sketch")),
     QuerySpec("rel_json_props", q_json_props, SQL_JSON_PROPS, ("json",)),
     QuerySpec("rel_above_avg_customers", q_above_avg_customers, SQL_ABOVE_AVG_CUSTOMERS, ("subquery",)),
