@@ -224,3 +224,92 @@ def test_streaming_retention_matches_batch_triangle(spark, sf_dir, tmp_path):
         for r in retention_cohorts(events).collect()
     }
     assert got == exp and got
+
+
+def test_streaming_funnel_out_of_order_boundary_is_pinned(spark, tmp_path):
+    """r6 verdict item 7: the arrival-order caveat as a CONTRACT. Late
+    (out-of-order) events arriving in a later micro-batch do NOT rewind
+    the fold: an earlier step-1 event cannot re-anchor a funnel that
+    already anchored, and an earlier qualifying step-i event cannot
+    replace a taken slot — while later-step progress from the late batch
+    still applies. The test replays exactly that and pins the declared
+    final state, which intentionally DIFFERS from the batch operator's
+    full-history answer (asserted too, so a silent semantics change in
+    either direction fails here)."""
+    import datetime as dt
+    import os
+
+    from token_etl_spark.operators.funnel import funnel_reach
+    from token_etl_spark.streaming.stateful import streaming_funnel_reach
+
+    steps = ["view", "click", "purchase"]
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    base_us = int(base.timestamp()) * 1_000_000
+
+    def _frame(rows):
+        return spark.createDataFrame(
+            [
+                (u, t, base + dt.timedelta(seconds=s))
+                for (u, t, s) in rows
+            ],
+            "user_id long, event_type string, ts timestamp",
+        )
+
+    # batch A (arrives first): u1 anchors late-ish, u2 anchors + clicks
+    batch_a = [(1, "view", 100), (1, "click", 110), (2, "view", 0), (2, "click", 50)]
+    # batch B (arrives second, carries OUT-OF-ORDER event times):
+    #   u1: a step-1 view EARLIER than the anchor + an in-order purchase
+    #   u2: a click EARLIER than the taken t2
+    batch_b = [(1, "view", 0), (1, "purchase", 120), (2, "click", 10)]
+
+    staged = tmp_path / "ooo_funnel"
+    staged.mkdir()
+    for g, rows in enumerate([batch_a, batch_b]):
+        part_dir = tmp_path / f"ooo_g{g}"
+        _frame(rows).coalesce(1).write.parquet(str(part_dir))
+        part = next(p for p in part_dir.iterdir() if p.name.endswith(".parquet"))
+        dst = staged / f"g{g}.parquet"
+        part.rename(dst)
+        os.utime(dst, (1_700_000_000 + g, 1_700_000_000 + g))
+
+    stream = (
+        spark.readStream.schema("user_id long, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(staged))
+    )
+    out = streaming_funnel_reach(stream, steps, window_s=86_400)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ooo_funnel_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["user"]: (r["t1"], r["t2"], r["t3"])
+        for r in spark.sql(
+            "SELECT user, t1, t2, t3 FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY user ORDER BY n_events DESC) rn FROM ooo_funnel_state)"
+            " WHERE rn = 1"
+        ).collect()
+    }
+    s = lambda sec: base_us + sec * 1_000_000  # noqa: E731
+    # declared: no re-anchor (u1 keeps t1=100), no slot replacement
+    # (u2 keeps t2=50), late batch still advances later steps (u1 t3)
+    assert got == {
+        1: (s(100), s(110), s(120)),
+        2: (s(0), s(50), None),
+    }
+    # and that is a DIFFERENT answer than the batch fold over the full
+    # history (which re-anchors u1 at 0 and takes u2's earlier click)
+    batch = {
+        r["user"]: (r["t1"], r["t2"], r["t3"])
+        for r in funnel_reach(
+            _frame(batch_a + batch_b), steps, window_s=86_400
+        ).collect()
+    }
+    assert batch == {
+        1: (s(0), s(110), s(120)),
+        2: (s(0), s(10), None),
+    }

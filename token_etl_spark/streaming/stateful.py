@@ -151,9 +151,12 @@ def streaming_funnel_reach(
     arrival order respects event time across batches (pinned in
     tests/test_streaming_stateful.py on a time-split replay); a step-1
     event arriving AFTER a later one anchored the funnel does not
-    re-anchor — the standard streaming trade, same caveat as
-    ``streaming_running_balance``. Emits one progress row per user per
-    micro-batch (outputMode update); unreached steps are NULL.
+    re-anchor, and an earlier qualifying step-i event arriving late
+    does not replace a taken slot — the standard streaming trade, same
+    caveat as ``streaming_running_balance``, pinned as a CONTRACT (not
+    just this comment) by the out-of-order boundary test in
+    tests/test_streaming_stateful.py. Emits one progress row per user
+    per micro-batch (outputMode update); unreached steps are NULL.
     """
     k = len(steps)
     out_schema, state_schema = _funnel_schemas(k)
