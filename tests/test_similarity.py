@@ -675,3 +675,22 @@ def test_semantic_decontaminate_flags_and_tiebreak(spark):
     assert not out[2]["contaminated"]  # orthogonal to every benchmark vec
     assert out[3]["contaminated"] and out[3]["best_match"] == 102
     assert out[3]["best_sim"] == 1.0
+
+
+def test_trained_centroids_memoized_and_deterministic(spark, sf_dir):
+    """r6 verdict item 6: the four declared centroid queries share ONE
+    training run per session via plans.extensions._trained_centroids —
+    the cache returns the same checkpointed frame, and that frame is
+    bit-identical to a fresh spherical_kmeans run (determinism is what
+    licenses memoizing under retraining oracles)."""
+    import token_etl_spark.operators.similarity as S
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.plans.extensions import _trained_centroids
+
+    a = _trained_centroids(spark, sf_dir)
+    assert _trained_centroids(spark, sf_dir) is a
+    emb = load_table(spark, sf_dir, "embeddings")
+    fresh = S.spherical_kmeans(emb, 16, 2)
+    ga = {(r["centroid_id"], tuple(r["centroid_vec"])) for r in a.collect()}
+    gf = {(r["centroid_id"], tuple(r["centroid_vec"])) for r in fresh.collect()}
+    assert ga == gf and len(ga) == 16

@@ -954,6 +954,7 @@ def d4_select(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster: int | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end D4 (Tirumala et al. 2023, arXiv:2308.12284): SemDeDup
     then SSL-prototype diversification, exactly as the paper composes
@@ -963,17 +964,23 @@ def d4_select(
     ``centroids`` pass-through): training is the only corpus-wide
     iterative cost, so at 100 TB it must not run twice — and sharing it
     also keeps both stages' cluster geometry consistent, which the
-    second stage's per-cluster quota assumes. Prototypicality ranks the
-    SURVIVORS of the dedup stage (left-semi join), so the drop quota
-    applies to the deduplicated cluster sizes, matching the paper's
-    ordering.
+    second stage's per-cluster quota assumes. A caller that ALREADY has
+    a trained table (an IVF index, a sibling query in the same session)
+    passes it via ``centroids`` and the composition trains zero times.
+    Prototypicality ranks the SURVIVORS of the dedup stage (left-semi
+    join), so the drop quota applies to the deduplicated cluster sizes,
+    matching the paper's ordering.
 
     Returns one row per corpus row: (id, centroid_id, centroid_sim,
     n_dups, semdedup_kept, cluster_n, proto_rank, proto_kept, keep) —
     ``keep`` = survived both stages; rows dropped by stage 1 carry null
     stage-2 columns.
     """
-    cents = spherical_kmeans(corpus, n_centroids, n_iters, id_col, vec_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else spherical_kmeans(corpus, n_centroids, n_iters, id_col, vec_col)
+    )
     sem = semantic_dedup(
         corpus,
         n_centroids,
