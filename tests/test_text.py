@@ -122,3 +122,95 @@ def test_lexical_diversity_hand_computed(spark):
     t_ = out["t"]
     assert (t_["n_tokens"], t_["n_distinct"], t_["n_hapax"]) == (2, 2, 2)
     assert t_["top_share"] == 0.5
+
+
+# --- winnowing fingerprints (Schleimer 2003) --------------------------------
+
+
+def _py_winnow(words, k, w):
+    """Pure-Python winnowing reference: md5-prefix shingle hashes,
+    per-window min, ties to the rightmost position."""
+    import hashlib
+
+    if len(words) < k:
+        return set()
+    grams = []
+    for i in range(1, len(words) - k + 2):
+        g = " ".join(words[i - 1 : i - 1 + k])
+        h = int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+        grams.append((h, -i, i))
+    sel = set()
+    n_win = max(len(grams) - w + 1, 1)
+    for j in range(n_win):
+        h, np_, p = min(grams[j : j + w])
+        sel.add((p, h))
+    return sel
+
+
+def test_winnow_matches_python_reference(spark, sf_dir):
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.operators.text import tokens, winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    toks = {
+        r["doc_id"]: r["tk"]
+        for r in docs.select("doc_id", tokens(F.col("text")).alias("tk")).collect()
+    }
+    exp = {
+        (d, p, h) for d, tk in toks.items() for (p, h) in _py_winnow(tk, 3, 4)
+    }
+    got = {
+        (r["id"], r["pos"], r["fp"])
+        for r in winnow_fingerprints(docs, k=3, window=4).collect()
+    }
+    assert got == exp and got
+
+
+def test_winnow_local_containment_guarantee(spark):
+    """The paper's guarantee: any shared token run of length >= w + k - 1
+    yields at least one shared selected fingerprint, at matching offsets
+    into the shared run."""
+    from token_etl_spark.operators.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w + k - 1
+    a = "x1 x2 " + shared + " y1"
+    b = "z9 " + shared + " q7 q8"
+    frame = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    rows = winnow_fingerprints(frame, k=3, window=4).collect()
+    fps = {1: set(), 2: set()}
+    for r in rows:
+        fps[r["id"]].add(r["fp"])
+    assert fps[1] & fps[2]
+
+
+def test_winnow_short_and_degenerate_docs(spark):
+    """Docs under k tokens emit nothing; docs with fewer shingles than
+    the window emit their single global minimum."""
+    from token_etl_spark.operators.text import winnow_fingerprints
+
+    frame = spark.createDataFrame(
+        [(1, "one two"), (2, "one two three"), (3, "")], ["doc_id", "text"]
+    )
+    rows = winnow_fingerprints(frame, k=3, window=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], []).append((r["pos"], r["fp"]))
+    assert 1 not in by_doc and 3 not in by_doc
+    assert len(by_doc[2]) == 1 and by_doc[2][0][0] == 1
+
+
+def test_winnow_plan_is_narrow(spark, sf_dir):
+    """The whole selection is one projection chain: no Exchange, no Join
+    in the physical plan."""
+    import contextlib
+    import io
+
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.operators.text import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        winnow_fingerprints(docs).explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan and "Join" not in plan, plan

@@ -358,6 +358,62 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fp_set", F.md5(sorted_set)).withColumn("fp_rolling", rolling)
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 3,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003,
+    "Winnowing: local algorithms for document fingerprinting", SIGMOD —
+    the MOSS algorithm): hash every ``k``-token shingle, slide a
+    ``window``-wide window over the hash sequence, and select each
+    window's MINIMUM hash (ties to the RIGHTMOST position — the paper's
+    rule, which makes selections consistent between overlapping
+    windows). The selected set is a deterministic, position-aware
+    fingerprint with the guarantee that any shared token run of length
+    ``window + k - 1`` between two documents yields at least one shared
+    selected fingerprint — the local-containment property plain MinHash
+    lacks (MinHash is whole-document; winnowing localizes matches).
+
+    Returns (id, pos, fp): the 1-based token position and 60-bit hash of
+    every selected shingle (distinct per doc — adjacent windows usually
+    select the same minimum; the density guarantee is 2/(window+1)).
+
+    Portability: the shingle hash is the repo's md5-hex-prefix integer
+    (first 15 hex digits → 60-bit positive BIGINT), so the DuckDB oracle
+    replays selections bit-for-bit. 100 TB shape: entirely NARROW — one
+    projection with per-row array ops (no explode-then-window, no
+    shuffle); a document's cost is O(tokens × window), and the output is
+    ~2/(window+1) of its shingles. Short docs (fewer shingles than the
+    window) yield their single global minimum; docs under ``k`` tokens
+    yield nothing."""
+    toks = tokens(F.col(text_col))
+    m = F.size(toks)
+    gram = lambda i: F.array_join(F.slice(toks, i, k), " ")  # noqa: E731
+    h = lambda i: F.conv(F.substring(F.md5(gram(i)), 1, 15), 16, 10).cast("long")  # noqa: E731
+    grams = F.transform(
+        F.sequence(F.lit(1), m - F.lit(k - 1)),
+        lambda i: F.struct(h(i).alias("h"), (-i).alias("np"), i.cast("int").alias("p")),
+    )
+    n_windows = F.greatest(F.size(grams) - F.lit(window - 1), F.lit(1))
+    selected = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda j: F.array_min(F.slice(grams, j, window)),
+        )
+    )
+    # array_distinct already dedupes repeated selections (same (h,np,p)
+    # struct chosen by adjacent windows), so no shuffle-bearing DISTINCT
+    # is needed after the explode — the plan stays a single narrow map
+    return (
+        df.where(m >= k)
+        .select(F.col(id_col).alias("id"), F.explode(selected).alias("_s"))
+        .select("id", F.col("_s.p").alias("pos"), F.col("_s.h").alias("fp"))
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
 ) -> DataFrame:

@@ -136,6 +136,48 @@ FROM documents
 """
 
 
+# --- winnowing fingerprints (MOSS) -----------------------------------------
+
+WINNOW_K = 3
+WINNOW_W = 4
+
+
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (operators/text.py
+    winnow_fingerprints; Schleimer et al. 2003): per-window minimum of
+    the md5-prefix shingle hashes, ties to the rightmost position. The
+    whole operator is one narrow projection (array ops + explode, no
+    shuffle); the oracle replays hash, windows, and the (h, -pos)
+    struct-min tie rule exactly — struct comparison is lexicographic in
+    both engines."""
+    docs = t(spark, sf_dir, "documents")
+    out = X.winnow_fingerprints(docs, k=WINNOW_K, window=WINNOW_W)
+    return out.select(F.col("id").alias("doc_id"), "pos", "fp")
+
+
+SQL_WINNOWING = f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+g AS (SELECT doc_id, tk, len(tk) AS m FROM base WHERE len(tk) >= {WINNOW_K}),
+grams AS (
+  SELECT doc_id,
+         list_transform(range(1, m - {WINNOW_K} + 2), i -> struct_pack(
+           h := CAST('0x' || substr(md5(array_to_string(
+                  tk[i:i+{WINNOW_K - 1}], ' ')), 1, 15) AS BIGINT),
+           np := -i, p := CAST(i AS INT))) AS gr
+  FROM g),
+sel AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(gr) - {WINNOW_W - 1}, 1) + 1),
+           j -> list_min(gr[j:j+{WINNOW_W - 1}]))) AS s
+  FROM grams)
+-- row-level DISTINCT = the engine's per-doc array_distinct (each struct
+-- is (h, np, p) with np/p determined by pos); DuckDB's list_distinct
+-- does not support struct elements
+SELECT DISTINCT doc_id, s.p AS pos, s.h AS fp FROM sel
+"""
+
+
 # --- n-gram Jaccard near-dup (exact pairwise baseline) ---------------------
 
 JACCARD_THRESHOLD = 0.3
@@ -2115,6 +2157,7 @@ SPECS = [
     QuerySpec("ext_text_langid", q_text_langid, SQL_TEXT_LANGID, ("text",)),
     QuerySpec("ext_repetition_stats", q_repetition_stats, SQL_REPETITION_STATS, ("text",)),
     QuerySpec("ext_text_fingerprint", q_text_fingerprint, SQL_TEXT_FINGERPRINT, ("text",)),
+    QuerySpec("ext_winnowing", q_winnowing, SQL_WINNOWING, ("text", "dedup")),
     QuerySpec("ext_ngram_jaccard", q_ngram_jaccard, SQL_NGRAM_JACCARD, ("dedup",)),
     QuerySpec("ext_minhash_neardup", q_minhash_neardup, SQL_NGRAM_JACCARD, ("dedup",), bench=True),
     QuerySpec("ext_simhash", q_simhash, SQL_SIMHASH, ("dedup",)),
