@@ -292,3 +292,36 @@ def test_temperature_weights_hand_computed(spark):
     assert out["head"]["weight"] == (20 / 30) / 0.8
     assert out["tail"]["weight"] > 1 > out["head"]["weight"]
     assert abs(out["tail"]["temp_share"] + out["head"]["temp_share"] - 1) < 1e-12
+
+
+def test_cluster_safe_split_no_cluster_straddles_splits(spark, sf_dir):
+    """Leakage-safety invariant: every near-dup cluster lands in exactly
+    one split; singletons get the same assignment plain hash_split of
+    their own id would give (append-stability)."""
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.operators.curation import cluster_safe_split, hash_split
+    from token_etl_spark.operators.dedup import minhash_dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = minhash_dedup_clusters(docs, threshold=0.3).localCheckpoint()
+    out = cluster_safe_split(docs, clusters).localCheckpoint()
+
+    n_multi = (
+        out.join(clusters.select(F.col("id").alias("doc_id"), "component"), "doc_id")
+        .groupBy("component")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .where(F.col("n_splits") > 1)
+        .count()
+    )
+    assert n_multi == 0
+    assert clusters.count() > 0  # the fixture actually has clusters
+
+    clustered_ids = {r["id"] for r in clusters.select("id").collect()}
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.select("doc_id")).collect()
+    }
+    for r in out.collect():
+        if r["doc_id"] not in clustered_ids:
+            assert r["split"] == plain[r["doc_id"]]
+            assert r["split_key"] == r["doc_id"]

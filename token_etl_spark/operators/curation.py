@@ -71,6 +71,43 @@ def hash_split(
     return df.withColumn(out_col, split)
 
 
+def cluster_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    key_col: str = "doc_id",
+    val_pct: int = 10,
+    test_pct: int = 10,
+) -> DataFrame:
+    """Leakage-safe train/val/test split: assign every document by the
+    hash of its NEAR-DUP CLUSTER representative, so near-duplicate
+    copies can never straddle a split boundary — the eval-contamination
+    failure mode of a plain per-document ``hash_split`` (a train doc's
+    near-copy landing in test silently inflates eval scores; Lee et al.
+    2022 "Deduplicating Training Data Makes Language Models Better"
+    measures exactly this leakage).
+
+    ``clusters`` is an (id, component) frame — ``minhash_dedup_clusters``
+    output, or any grouping worth isolating (URL host, source document
+    of chunks). Documents absent from it are singletons and key on
+    themselves, so the split distribution stays ~(test, val, train) =
+    (test_pct, val_pct, rest) percent of CLUSTERS (not documents —
+    a giant cluster moves as one unit, by design).
+
+    100 TB shape: one left join (clusters is the small side in any
+    deduplicated corpus — broadcast or shuffle on the doc key) + the
+    narrow ``hash_split`` projection. Deterministic and append-stable:
+    new members of an existing cluster follow their cluster; new
+    singletons hash independently.
+    """
+    comp = clusters.select(F.col("id").alias(key_col), F.col("component"))
+    keyed = (
+        df.join(comp, key_col, "left")
+        .withColumn("split_key", F.coalesce(F.col("component"), F.col(key_col)))
+        .drop("component")
+    )
+    return hash_split(keyed, key_col="split_key", val_pct=val_pct, test_pct=test_pct)
+
+
 def weighted_source_mix(
     df: DataFrame,
     weights: dict[str, float],

@@ -387,6 +387,40 @@ def q_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_dedup_clusters(docs, threshold=JACCARD_THRESHOLD)
 
 
+def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split (operators/curation.py cluster_safe_split):
+    near-dup clusters from ``minhash_dedup_clusters`` move into
+    train/val/test AS A UNIT (split decided by md5 of the cluster
+    representative; singletons key on themselves) — the
+    eval-decontamination composition of the dedup stack with
+    ``hash_split``. Oracle: the recursive connected-components replay
+    LEFT JOINed onto documents, then the same md5 bucket thresholds."""
+    docs = t(spark, sf_dir, "documents")
+    from token_etl_spark.operators.curation import cluster_safe_split
+
+    clusters = D.minhash_dedup_clusters(docs, threshold=JACCARD_THRESHOLD)
+    out = cluster_safe_split(docs, clusters)
+    return out.select("doc_id", "split_key", "split")
+
+
+SQL_CLUSTER_SAFE_SPLIT = f"""
+WITH RECURSIVE {_cc_sql_body(JACCARD_THRESHOLD)},
+keyed AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS split_key
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+b AS (
+  SELECT doc_id, split_key,
+         CAST('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 6) AS BIGINT)
+           % 100 AS bkt
+  FROM keyed)
+SELECT doc_id, split_key,
+       CASE WHEN bkt < 10 THEN 'test'
+            WHEN bkt < 20 THEN 'val'
+            ELSE 'train' END AS split
+FROM b
+"""
+
+
 def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup against a persisted MinHash index
     (operators/dedup.py minhash_index_frame / minhash_match_index): the
@@ -2167,6 +2201,7 @@ SPECS = [
     # 100 TB (linear output per bucket), so it is a headline number
     # alongside the pair form it replaces in pipelines/corpus.py.
     QuerySpec("ext_minhash_clusters", q_minhash_clusters, SQL_MINHASH_CLUSTERS, ("dedup", "graph", "iterative"), bench=True),
+    QuerySpec("ext_cluster_safe_split", q_cluster_safe_split, SQL_CLUSTER_SAFE_SPLIT, ("dedup", "curation", "graph", "iterative")),
     QuerySpec("ext_incremental_neardup", q_incremental_neardup, SQL_INCREMENTAL_NEARDUP, ("dedup", "pipeline")),
     QuerySpec("ext_ann_bruteforce", q_ann_bruteforce, SQL_ANN_BRUTEFORCE, ("similarity",), bench=True),
     QuerySpec("ext_embedding_neardup", q_embedding_neardup, SQL_EMBEDDING_NEARDUP, ("similarity", "dedup")),
