@@ -214,3 +214,37 @@ def test_winnow_plan_is_narrow(spark, sf_dir):
         winnow_fingerprints(docs).explain("formatted")
     plan = buf.getvalue()
     assert "Exchange" not in plan and "Join" not in plan, plan
+
+
+def test_winnow_overlap_detects_localized_copying(spark):
+    """A quoted passage shared between two otherwise-different documents
+    surfaces as an overlap pair; unrelated docs do not pair."""
+    from token_etl_spark.operators.text import winnow_overlap_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog again and again"
+    a = "intro words here " + quote + " closing remarks"
+    b = "totally different opening " + quote + " different ending too"
+    c = "nothing in common with either document at all whatsoever truly"
+    frame = spark.createDataFrame([(1, a), (2, b), (3, c)], ["doc_id", "text"])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["overlap"]
+        for r in winnow_overlap_pairs(frame, threshold=0.15).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.3
+    assert all(3 not in p for p in pairs)
+
+
+def test_winnow_overlap_max_fp_df_guard(spark):
+    """A corpus-wide boilerplate fingerprint trips the in-plan cap."""
+    import pytest
+    from token_etl_spark.operators.text import winnow_overlap_pairs
+
+    boiler = "standard footer text repeated on every single page here"
+    frame = spark.createDataFrame(
+        [(i, f"doc number {i} body content " + boiler) for i in range(20)],
+        ["doc_id", "text"],
+    )
+    with pytest.raises(Exception, match="winnow-overlap fingerprint"):
+        winnow_overlap_pairs(frame, max_fp_df=5).collect()
+    # and with a sufficient cap it runs
+    assert winnow_overlap_pairs(frame, max_fp_df=64).count() > 0

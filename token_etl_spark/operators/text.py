@@ -414,6 +414,73 @@ def winnow_fingerprints(
     )
 
 
+def winnow_overlap_pairs(
+    df: DataFrame,
+    k: int = 3,
+    window: int = 4,
+    threshold: float = 0.15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_fp_df: int | None = None,
+) -> DataFrame:
+    """MOSS-style local-overlap detection over winnowed fingerprints
+    (the application Schleimer et al. built winnowing FOR): two
+    documents sharing any token run of ``window + k - 1`` words share a
+    selected fingerprint, so joining on the fingerprint value finds
+    localized copying — boilerplate headers, quoted passages, partial
+    plagiarism — that whole-document Jaccard dilutes below its
+    threshold. Returns (id_a, id_b, n_shared, n_a, n_b, overlap) for
+    pairs with ``overlap >= threshold``, where overlap = |shared| /
+    min(|fps_a|, |fps_b|) — containment of the smaller fingerprint set,
+    the MOSS ranking statistic.
+
+    100 TB shape: the fingerprint frame is ~2/(window+1) of the shingle
+    volume (winnowing is the sampler), the join key is a 60-bit hash —
+    selective on natural text; corpus-wide boilerplate makes a hot
+    fingerprint, and ``max_fp_df`` turns that quadratic bucket into a
+    loud in-plan failure (the ``_cap_bucket_size`` discipline). Shared
+    counts shuffle once on fp, the per-pair aggregate once on the pair —
+    both bounded by true match volume, never all-pairs.
+    """
+    fps = (
+        winnow_fingerprints(df, k, window, text_col, id_col)
+        .select("id", "fp")
+        .distinct()
+    )
+    sizes = fps.groupBy("id").agg(F.count("*").alias("n"))
+    if max_fp_df is not None:
+        from token_etl_spark.operators.dedup import _cap_bucket_size
+
+        fps = _cap_bucket_size(
+            fps,
+            ["fp"],
+            max_fp_df,
+            "winnow-overlap fingerprint",
+            advice="corpus-wide boilerplate saturates this fingerprint; strip "
+            "it upstream (line_dedup) or raise max_fp_df explicitly.",
+        )
+    a = fps.select(F.col("id").alias("id_a"), "fp")
+    b = fps.select(F.col("id").alias("id_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "overlap",
+            F.col("n_shared") / F.least(F.col("n_a"), F.col("n_b")).cast("double"),
+        )
+        .where(F.col("overlap") >= threshold)
+        .select("id_a", "id_b", "n_shared", "n_a", "n_b", "overlap")
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
 ) -> DataFrame:

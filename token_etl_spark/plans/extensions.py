@@ -155,8 +155,11 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("doc_id"), "pos", "fp")
 
 
-SQL_WINNOWING = f"""
-WITH base AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+# Shared winnowing CTE chain (base -> grams -> per-window struct-min
+# selection). Row-level DISTINCT downstream = the engine's per-doc
+# array_distinct (each struct is (h, np, p) with np/p determined by
+# pos); DuckDB's list_distinct does not support struct elements.
+_WINNOW_CTE = f"""base AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
 g AS (SELECT doc_id, tk, len(tk) AS m FROM base WHERE len(tk) >= {WINNOW_K}),
 grams AS (
   SELECT doc_id,
@@ -170,11 +173,45 @@ sel AS (
          unnest(list_transform(
            range(1, greatest(len(gr) - {WINNOW_W - 1}, 1) + 1),
            j -> list_min(gr[j:j+{WINNOW_W - 1}]))) AS s
-  FROM grams)
--- row-level DISTINCT = the engine's per-doc array_distinct (each struct
--- is (h, np, p) with np/p determined by pos); DuckDB's list_distinct
--- does not support struct elements
+  FROM grams)"""
+
+SQL_WINNOWING = f"""
+WITH {_WINNOW_CTE}
 SELECT DISTINCT doc_id, s.p AS pos, s.h AS fp FROM sel
+"""
+
+WINNOW_OVERLAP_THRESHOLD = 0.15
+
+
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS pairwise overlap (operators/text.py winnow_overlap_pairs):
+    documents joined on shared winnowed fingerprints, ranked by
+    containment of the smaller fingerprint set. Exact integers
+    everywhere except the final division (same IEEE op both engines)."""
+    docs = t(spark, sf_dir, "documents")
+    out = X.winnow_overlap_pairs(
+        docs, k=WINNOW_K, window=WINNOW_W, threshold=WINNOW_OVERLAP_THRESHOLD
+    )
+    return out.select(
+        "id_a", "id_b", "n_shared", "n_a", "n_b", F.round("overlap", 6).alias("overlap")
+    )
+
+
+SQL_WINNOW_OVERLAP = f"""
+WITH {_WINNOW_CTE},
+fps AS (SELECT DISTINCT doc_id, s.h AS fp FROM sel),
+sizes AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, n_shared,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       round(CAST(n_shared AS DOUBLE) / least(sa.n, sb.n), 6) AS overlap
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_shared AS DOUBLE) / least(sa.n, sb.n) >= {WINNOW_OVERLAP_THRESHOLD}
 """
 
 
@@ -2192,6 +2229,7 @@ SPECS = [
     QuerySpec("ext_repetition_stats", q_repetition_stats, SQL_REPETITION_STATS, ("text",)),
     QuerySpec("ext_text_fingerprint", q_text_fingerprint, SQL_TEXT_FINGERPRINT, ("text",)),
     QuerySpec("ext_winnowing", q_winnowing, SQL_WINNOWING, ("text", "dedup")),
+    QuerySpec("ext_winnow_overlap", q_winnow_overlap, SQL_WINNOW_OVERLAP, ("text", "dedup", "join")),
     QuerySpec("ext_ngram_jaccard", q_ngram_jaccard, SQL_NGRAM_JACCARD, ("dedup",)),
     QuerySpec("ext_minhash_neardup", q_minhash_neardup, SQL_NGRAM_JACCARD, ("dedup",), bench=True),
     QuerySpec("ext_simhash", q_simhash, SQL_SIMHASH, ("dedup",)),
