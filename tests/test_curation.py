@@ -325,3 +325,21 @@ def test_cluster_safe_split_no_cluster_straddles_splits(spark, sf_dir):
         if r["doc_id"] not in clustered_ids:
             assert r["split"] == plain[r["doc_id"]]
             assert r["split_key"] == r["doc_id"]
+
+
+def test_stratified_sample_two_phase_equals_naive_window(spark, sf_dir):
+    """The n_prebuckets two-phase rank is row-identical to the single
+    whole-stratum window, across bucket counts including the degenerate
+    single bucket."""
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.operators.curation import stratified_sample_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = lambda df: sorted(  # noqa: E731
+        (r["source"], r["doc_id"], r["sample_rank"])
+        for r in df.select("source", "doc_id", "sample_rank").collect()
+    )
+    exp = key(stratified_sample_exact(docs, "source", k=10))
+    for nb in (1, 4, 64):
+        assert key(stratified_sample_exact(docs, "source", k=10, n_prebuckets=nb)) == exp
+    assert len(exp) > 0

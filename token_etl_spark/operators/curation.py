@@ -252,6 +252,7 @@ def stratified_sample_exact(
     key_col: str = "doc_id",
     seed: str = "s0",
     rank_col: str = "sample_rank",
+    n_prebuckets: int | None = None,
 ) -> DataFrame:
     """Exactly ``k`` rows per stratum, chosen by deterministic md5 order
     of ``key_col`` ⊕ ``seed`` — a seeded-shuffle top-k, never ``rand()``
@@ -261,15 +262,27 @@ def stratified_sample_exact(
     Scale shape: one shuffle on ``strata_col``; the per-stratum "sort"
     is rank-limited — Spark's WindowGroupLimit pushes ``row_number <= k``
     below the sort so each task keeps a k-row heap instead of sorting
-    its whole stratum. Skewed strata still funnel to one task each: for
-    a handful of giant strata prefer the shuffle-free hash-threshold
-    form (``weighted_source_mix``) and accept ±√n count noise, or
-    pre-thin with a hash threshold at ~4k/|stratum| before ranking.
+    its whole stratum. A stratum still funnels through ONE task; for
+    skewed strata set ``n_prebuckets``: the two-phase rank (the
+    ``bm25_topk`` discipline) pre-ranks per (stratum, md5-prebucket) —
+    a stratum's global top-k member is top-k within its prebucket, so
+    the parallel bucket-sized pre-ranks discard all but ≤ k·n_prebuckets
+    rows per stratum before the real rank. Identical output (pinned in
+    tests/test_curation.py), no single-task bottleneck at 100 TB.
     """
     rk = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(seed)))
+    src = df
+    if n_prebuckets is not None:
+        wb = Window.partitionBy(F.col(strata_col), F.col("_pb")).orderBy(rk.asc())
+        src = (
+            df.withColumn("_pb", hash_bucket(key_col, n_prebuckets))
+            .withColumn("_pr", F.row_number().over(wb))
+            .where(F.col("_pr") <= k)
+            .drop("_pb", "_pr")
+        )
     w = Window.partitionBy(strata_col).orderBy(rk.asc())
     return (
-        df.withColumn(rank_col, F.row_number().over(w))
+        src.withColumn(rank_col, F.row_number().over(w))
         .where(F.col(rank_col) <= k)
     )
 

@@ -714,8 +714,12 @@ FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: runs the TWO-PHASE rank (per-(stratum, md5-prebucket)
+    pre-rank, then the real rank over ≤ k·buckets survivors — the
+    skew-safe plan); the oracle stays the single whole-stratum window,
+    so a green row certifies two-phase ≡ naive window."""
     docs = t(spark, sf_dir, "documents")
-    out = C.stratified_sample_exact(docs, "source", k=10, seed="s0")
+    out = C.stratified_sample_exact(docs, "source", k=10, seed="s0", n_prebuckets=16)
     return out.select("source", "doc_id", F.col("sample_rank").cast("long").alias("sample_rank"))
 
 
@@ -1030,6 +1034,77 @@ FROM c
 SQL_TOKENIZED_PACK = _tokenized_pack_sql(BPE_N_MERGES)
 
 
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility / compression quality signal: per-document
+    (n_words, n_pieces, n_chars, pieces_per_word, chars_per_piece) from
+    the trained BPE segmentation. Fertility (subword pieces per word)
+    and compression (characters per piece) are the standard tokenizer
+    health metrics — gibberish, unsupported scripts, and binary-ish text
+    segment at near-character fertility and become curation drop
+    candidates, which is why a data pipeline computes this corpus-wide.
+    Composes train → encode → per-doc aggregate; zero-word documents
+    keep NULL ratios (never a division by zero). Oracle reads the
+    segmentations off the unrolled training CTEs' vocabulary frame."""
+    from token_etl_spark.operators.bpe import bpe_encode_table, bpe_train
+
+    docs = t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=BPE_N_MERGES)
+    enc = bpe_encode_table(docs, merges)
+    # underscore-prefixed aggregate names: the documents table carries
+    # its own metadata columns and must not collide in the left join
+    stats = enc.groupBy("id").agg(
+        F.count("*").cast("long").alias("_nw"),
+        F.sum(F.size("pieces")).cast("long").alias("_np"),
+        F.sum(F.length("word")).cast("long").alias("_nc"),
+    )
+    return docs.join(stats, docs.doc_id == stats.id, "left").select(
+        "doc_id",
+        F.coalesce("_nw", F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce("_np", F.lit(0)).cast("long").alias("n_pieces"),
+        F.coalesce("_nc", F.lit(0)).cast("long").alias("n_chars"),
+        F.when(
+            F.col("_nw") > 0,
+            F.round(F.col("_np") / F.col("_nw").cast("double"), 6),
+        ).alias("pieces_per_word"),
+        F.when(
+            F.col("_np") > 0,
+            F.round(F.col("_nc") / F.col("_np").cast("double"), 6),
+        ).alias("chars_per_piece"),
+    )
+
+
+def _bpe_fertility_sql(n: int) -> str:
+    blocks = _bpe_cte_blocks(n)
+    blocks.append(
+        f"""cw AS (SELECT doc_id, unnest({_TOKS}) AS word FROM documents),
+st AS (SELECT cw.doc_id,
+              CAST(count(*) AS BIGINT) AS n_words,
+              CAST(sum(len(string_split(w.s, ' '))) AS BIGINT) AS n_pieces,
+              CAST(sum(len(word)) AS BIGINT) AS n_chars
+       FROM cw JOIN w{n} w USING (word) GROUP BY 1)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(blocks)
+        + """
+SELECT d.doc_id,
+       coalesce(st.n_words, 0) AS n_words,
+       coalesce(st.n_pieces, 0) AS n_pieces,
+       coalesce(st.n_chars, 0) AS n_chars,
+       CASE WHEN st.n_words > 0
+            THEN round(CAST(st.n_pieces AS DOUBLE) / st.n_words, 6) END
+         AS pieces_per_word,
+       CASE WHEN st.n_pieces > 0
+            THEN round(CAST(st.n_chars AS DOUBLE) / st.n_pieces, 6) END
+         AS chars_per_piece
+FROM documents d LEFT JOIN st USING (doc_id)
+"""
+    )
+
+
+SQL_BPE_FERTILITY = _bpe_fertility_sql(BPE_N_MERGES)
+
+
 # --- end-to-end mixture manifest --------------------------------------------
 
 _MIX_BUDGET = 800
@@ -1285,4 +1360,5 @@ MIX_SPECS = [
     QuerySpec("ext_bpe_merges", q_bpe_merges, SQL_BPE_MERGES, ("text", "tokenizer", "iterative")),
     QuerySpec("ext_bpe_encode", q_bpe_encode, SQL_BPE_ENCODE, ("text", "tokenizer", "iterative")),
     QuerySpec("ext_tokenized_pack", q_tokenized_pack, SQL_TOKENIZED_PACK, ("text", "tokenizer", "curation", "window", "iterative")),
+    QuerySpec("ext_bpe_fertility", q_bpe_fertility, SQL_BPE_FERTILITY, ("text", "tokenizer", "iterative")),
 ]
