@@ -172,6 +172,24 @@ def test_fuzzy_capped_plan_carries_in_plan_assert(spark, sf_dir):
     assert "raise_error" not in uncapped
 
 
+def test_round7_plans_no_cartesian(spark, sf_dir):
+    """Round-7 queries: no unintended cartesian; the funnel-reach and
+    winnowing plans stay single-scan."""
+    for name in (
+        "rel_fuzzy_match_capped",
+        "evt_funnel_reach",
+        "ext_winnowing",
+        "ext_winnow_overlap",
+        "ext_cluster_safe_split",
+        "ext_bpe_fertility",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+    for name in ("evt_funnel_reach", "ext_winnowing"):
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("Location: InMemoryFileIndex") == 1, name
+
+
 def test_round6_plans_no_cartesian(spark, sf_dir):
     """Round-6 queries: no unintended cartesian anywhere (the 1-row
     scalar/bitmap crossJoins in the mixture and bloom stages plan as

@@ -442,36 +442,41 @@ def winnow_overlap_pairs(
     counts shuffle once on fp, the per-pair aggregate once on the pair —
     both bounded by true match volume, never all-pairs.
     """
+    from pyspark.sql import Window
+
     fps = (
         winnow_fingerprints(df, k, window, text_col, id_col)
         .select("id", "fp")
         .distinct()
     )
-    sizes = fps.groupBy("id").agg(F.count("*").alias("n"))
+    # carry each doc's fingerprint count as a WINDOW over the distinct
+    # frame instead of a separate sizes aggregate joined back twice:
+    # both join sides then share one identical subtree (scan → distinct
+    # → window), which Spark executes once and wires in as a
+    # ReusedExchange — one corpus pass instead of three
+    fpn = fps.withColumn("n", F.count("*").over(Window.partitionBy("id")))
     if max_fp_df is not None:
         from token_etl_spark.operators.dedup import _cap_bucket_size
 
-        fps = _cap_bucket_size(
-            fps,
+        fpn = _cap_bucket_size(
+            fpn,
             ["fp"],
             max_fp_df,
             "winnow-overlap fingerprint",
             advice="corpus-wide boilerplate saturates this fingerprint; strip "
             "it upstream (line_dedup) or raise max_fp_df explicitly.",
         )
-    a = fps.select(F.col("id").alias("id_a"), "fp")
-    b = fps.select(F.col("id").alias("id_b"), "fp")
-    shared = (
+    a = fpn.select(F.col("id").alias("id_a"), "fp", F.col("n").alias("n_a"))
+    b = fpn.select(F.col("id").alias("id_b"), "fp", F.col("n").alias("n_b"))
+    return (
         a.join(b, "fp")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count("*").cast("long").alias("n_shared"))
-    )
-    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
-    return (
-        shared.join(na, "id_a")
-        .join(nb, "id_b")
+        .agg(
+            F.count("*").cast("long").alias("n_shared"),
+            F.min("n_a").alias("n_a"),  # constant per id — min is exact
+            F.min("n_b").alias("n_b"),
+        )
         .withColumn(
             "overlap",
             F.col("n_shared") / F.least(F.col("n_a"), F.col("n_b")).cast("double"),

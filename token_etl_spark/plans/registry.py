@@ -25,32 +25,40 @@ from token_etl_spark.plans.base import QuerySpec
 # decision, not cosmetics. Round-7 rotation (last-green histogram after
 # r6: r6=50, r5=46, r4=50, r3=7 — every query has been driver-green at
 # least once):
-#   1. The 2 queries NEW this round (rel_fuzzy_match_capped — the
-#      max_gram_df guard under the gate, oracle unchanged — and
-#      evt_funnel_reach, the per-user one-pass funnel frame; both
-#      hash-matched locally at sf0.001/0.01/0.1 before declaring).
-#   2. The 8 queries whose PLAN or ORACLE changed this round:
+#   1. The 6 queries NEW this round (rel_fuzzy_match_capped — the
+#      max_gram_df guard under the gate, oracle unchanged —
+#      evt_funnel_reach, ext_winnowing, ext_winnow_overlap,
+#      ext_cluster_safe_split, ext_bpe_fertility; each hash-matched
+#      locally at sf0.001/0.01 — the first two also at sf0.1 — before
+#      declaring).
+#   2. The 9 queries whose PLAN or ORACLE changed this round:
 #      evt_funnel (single-scan funnel_reach_onepass), the four
-#      centroid queries (shared _trained_centroids run), and the three
-#      BPE rows (merge-exhaustion LEFT JOIN guard in the oracle CTEs)
-#      — a changed plan/oracle deserves a fresh driver row regardless
-#      of freshness age.
+#      centroid queries (shared _trained_centroids run), the three
+#      BPE rows (merge-exhaustion LEFT JOIN guard in the oracle CTEs),
+#      and ext_stratified_sample (two-phase rank) — a changed
+#      plan/oracle deserves a fresh driver row regardless of age.
 #   3. The 7 r3-stale queries the r6 window planned to carry
 #      (rel_intersect_nations .. ext_line_dedup) — the r6 verdict's
 #      item 1; after this window nothing is older than r4.
-#   4. 33 of the 50 r4-stale queries, highest dtype risk first (the
-#      float-heavy ANN/sketch/scoring family). The 14 that don't fit —
+#   4. 28 of the 50 r4-stale queries, highest dtype risk first (the
+#      float-heavy ANN/sketch/scoring family). The 19 that don't fit —
 #      rel_bloom_join, rel_full_outer, rel_grouping_sets,
 #      rel_salted_agg, rel_salted_join, ext_dedup_exact,
 #      ext_dedup_keep_list, ext_crossdoc_line_dedup, ext_simhash,
 #      ext_simhash_neardup, ext_hll_distinct, ext_multimodal_meta,
-#      ext_text_fingerprint, ext_top_tokens — are integer/exact plans
-#      with the lowest dtype risk; they pass the local three-SF sweep
-#      and rotate into r8.
+#      ext_text_fingerprint, ext_top_tokens, ext_token_estimate,
+#      evt_rollup_hll_users, evt_rollup_merge_read, ext_countmin_freqs,
+#      ext_dup_spans — are integer/exact or md5-pinned plans with the
+#      lowest dtype risk; they pass the local three-SF sweep and
+#      rotate into r8.
 _PRIORITY_NAMES = [
     # new in round 7
     "rel_fuzzy_match_capped",
     "evt_funnel_reach",
+    "ext_winnowing",
+    "ext_winnow_overlap",
+    "ext_cluster_safe_split",
+    "ext_bpe_fertility",
     # plan/oracle changed in round 7
     "evt_funnel",
     "ext_semantic_dedup",
@@ -60,6 +68,7 @@ _PRIORITY_NAMES = [
     "ext_bpe_merges",
     "ext_bpe_encode",
     "ext_tokenized_pack",
+    "ext_stratified_sample",
     # last driver-green r3 (the planned r6 carry)
     "rel_intersect_nations",
     "rel_except_nations",
@@ -94,14 +103,9 @@ _PRIORITY_NAMES = [
     "ext_repetition_stats",
     "ext_histogram_quantiles",
     "ext_kmv_overlap",
-    "ext_countmin_freqs",
     "ext_bloom_decontaminate",
-    "ext_dup_spans",
     "ext_dup_span_rewrite",
     "ext_token_budget",
-    "ext_token_estimate",
-    "evt_rollup_hll_users",
-    "evt_rollup_merge_read",
 ]
 
 _MODULE_ORDER: list[QuerySpec] = [
