@@ -375,6 +375,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     refine_iters: int = 0,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search: assign corpus to centroid cells once, probe each
     query's ``n_probe`` nearest cells only.
@@ -385,11 +386,17 @@ def ivf_topk(
 
     ``refine_iters > 0`` trains the quantizer with spherical k-means
     instead of the raw sample — tighter cells, higher recall at the same
-    n_probe (measured in PERF.md).
+    n_probe (measured in PERF.md). ``centroids`` shares a pre-trained
+    quantizer (train once, reuse — the corpus-wide Lloyd shuffles are
+    the only training cost; same seam as ``semantic_dedup``).
     """
-    if refine_iters > 0:
+    if refine_iters > 0 or centroids is not None:
         cents = F.broadcast(
-            spherical_kmeans(corpus, n_centroids, refine_iters, id_col, vec_col)
+            (
+                centroids
+                if centroids is not None
+                else spherical_kmeans(corpus, n_centroids, refine_iters, id_col, vec_col)
+            ).select("centroid_id", "centroid_vec")
         )
         base = corpus.select(
             F.col(id_col).alias("corpus_id"),
@@ -1268,6 +1275,8 @@ def ivfpq_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    coarse_centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ search — the standard billion-scale ANN layout (Jégou et
     al. 2011 §IV; FAISS ``IVFx,PQy``): a coarse spherical-k-means
@@ -1286,13 +1295,23 @@ def ivfpq_topk(
     tables, map-only argmax/argmin); the probe table is |Q|·n_probe rows
     (broadcast); the candidate join shuffles on centroid_id exactly like
     ``ivf_topk`` but carries codes, not vectors. Returns (query_id,
-    neighbor_id, pq_dist, rank).
+    neighbor_id, pq_dist, rank). ``coarse_centroids`` / ``codebooks``
+    share pre-trained tables (train once, reuse — both trainings are
+    the only corpus-wide iterative costs here).
     """
-    coarse = spherical_kmeans(corpus, n_centroids, coarse_iters, id_col, vec_col)
+    coarse = (
+        coarse_centroids.select("centroid_id", "centroid_vec")
+        if coarse_centroids is not None
+        else spherical_kmeans(corpus, n_centroids, coarse_iters, id_col, vec_col)
+    )
     assigned = _assign_with_sim(
         corpus, n_centroids, coarse_iters, id_col, vec_col, centroids=coarse
     ).select(F.col("id").alias("vec_id"), "centroid_id")
-    cb = pq_train(corpus, m, k_codes, pq_iters, dim, id_col, vec_col)
+    cb = (
+        codebooks
+        if codebooks is not None
+        else pq_train(corpus, m, k_codes, pq_iters, dim, id_col, vec_col)
+    )
     codes = pq_encode(corpus, cb, m, dim, id_col, vec_col).join(assigned, "vec_id")
 
     dsub = dim // m
@@ -1418,6 +1437,7 @@ def ivfpq_residual_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    coarse_centroids: DataFrame | None = None,
 ) -> DataFrame:
     """RESIDUAL IVF-PQ — the faithful FAISS ``IVFx,PQy`` layout: PQ
     codebooks are trained on, and codes encode, the residual between
@@ -1443,8 +1463,15 @@ def ivfpq_residual_topk(
     cell geometry.
     """
     dsub = dim // m
-    coarse = spherical_kmeans(
-        corpus, n_centroids, coarse_iters, id_col, vec_col, keep_means=True
+    # a shared coarse table must carry centroid_mean (keep_means=True
+    # training) — residual encoding subtracts the MEAN, not the
+    # re-projected direction (see below)
+    coarse = (
+        coarse_centroids.select("centroid_id", "centroid_vec", "centroid_mean")
+        if coarse_centroids is not None
+        else spherical_kmeans(
+            corpus, n_centroids, coarse_iters, id_col, vec_col, keep_means=True
+        )
     )
     rsub = _residual_subs(corpus, coarse, m, dsub, id_col, vec_col).localCheckpoint(
         eager=False

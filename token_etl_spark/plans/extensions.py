@@ -910,7 +910,13 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     out = S.ivf_topk(
-        emb, queries, k=10, n_centroids=16, n_probe=4, refine_iters=2
+        emb,
+        queries,
+        k=10,
+        n_centroids=16,
+        n_probe=4,
+        refine_iters=2,
+        centroids=_trained_centroids(spark, sf_dir),
     )
     return out.select(
         "query_id",
@@ -1030,12 +1036,49 @@ def _trained_centroids(
     the trained table is a function of (corpus, k, iters) only — the
     DuckDB oracles retrain via the unrolled CTEs and still agree
     bit-for-bit. Keyed by applicationId so a fresh session (new JVM app,
-    checkpointed RDDs gone) retrains instead of reading a dead frame."""
+    checkpointed RDDs gone) retrains instead of reading a dead frame.
+
+    The cached frame is trained ``keep_means=True`` so ONE run also
+    serves the residual IVF-PQ coarse quantizer (which reconstructs
+    against ``centroid_mean``); plain consumers get the two-column
+    selection — same values either way (keep_means only retains an
+    extra column of the identical training)."""
+    return _trained_centroids_means(spark, sf_dir, n_centroids, n_iters).select(
+        "centroid_id", "centroid_vec"
+    )
+
+
+def _trained_centroids_means(
+    spark: SparkSession, sf_dir: str, n_centroids: int = 16, n_iters: int = 2
+):
+    """The memoized training run itself, with ``centroid_mean`` (see
+    :func:`_trained_centroids`)."""
     key = (spark.sparkContext.applicationId, sf_dir, n_centroids, n_iters)
     if key not in _CENTROID_CACHE:
         emb = t(spark, sf_dir, "embeddings")
-        _CENTROID_CACHE[key] = S.spherical_kmeans(emb, n_centroids, n_iters)
+        _CENTROID_CACHE[key] = S.spherical_kmeans(
+            emb, n_centroids, n_iters, keep_means=True
+        )
     return _CENTROID_CACHE[key]
+
+
+_PQ_CODEBOOK_CACHE: dict[tuple, object] = {}
+
+
+def _trained_pq_codebooks(
+    spark: SparkSession, sf_dir: str, m: int, k_codes: int, n_iters: int
+):
+    """Session-memoized raw-vector PQ codebook training (pq_train) —
+    shared by ext_ann_pq / ext_ann_ivfpq / ext_ann_ivfpq_rerank, which
+    all quantize the same normalized embeddings with the same
+    (m, k_codes, iters). The residual variant trains RESIDUAL codebooks
+    and cannot share these. Same determinism/keying argument as
+    :func:`_trained_centroids`."""
+    key = (spark.sparkContext.applicationId, sf_dir, m, k_codes, n_iters)
+    if key not in _PQ_CODEBOOK_CACHE:
+        emb = t(spark, sf_dir, "embeddings")
+        _PQ_CODEBOOK_CACHE[key] = S.pq_train(emb, m, k_codes, n_iters)
+    return _PQ_CODEBOOK_CACHE[key]
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1345,7 +1388,15 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum (list ordered by subspace, matching the Spark fold)."""
     emb = t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
-    out = S.pq_topk(emb, q, m=PQ_M, k_codes=PQ_CODES, n_iters=PQ_ITERS, k=10)
+    out = S.pq_topk(
+        emb,
+        q,
+        m=PQ_M,
+        k_codes=PQ_CODES,
+        n_iters=PQ_ITERS,
+        k=10,
+        codebooks=_trained_pq_codebooks(spark, sf_dir, PQ_M, PQ_CODES, PQ_ITERS),
+    )
     return out.select(
         "query_id",
         "neighbor_id",
@@ -1465,6 +1516,8 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_codes=PQ_CODES,
         pq_iters=PQ_ITERS,
         k=10,
+        coarse_centroids=_trained_centroids(spark, sf_dir),
+        codebooks=_trained_pq_codebooks(spark, sf_dir, PQ_M, PQ_CODES, PQ_ITERS),
     )
     return out.select(
         "query_id",
@@ -1626,6 +1679,8 @@ def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=PQ_M,
         k_codes=PQ_CODES,
         pq_iters=PQ_ITERS,
+        coarse_centroids=_trained_centroids(spark, sf_dir),
+        codebooks=_trained_pq_codebooks(spark, sf_dir, PQ_M, PQ_CODES, PQ_ITERS),
     )
     return out.select(
         "query_id",
@@ -1660,6 +1715,7 @@ def q_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_codes=PQ_CODES,
         pq_iters=PQ_ITERS,
         k=10,
+        coarse_centroids=_trained_centroids_means(spark, sf_dir),
     )
     return out.select(
         "query_id",
