@@ -389,27 +389,35 @@ def winnow_fingerprints(
     ~2/(window+1) of its shingles. Short docs (fewer shingles than the
     window) yield their single global minimum; docs under ``k`` tokens
     yield nothing."""
-    toks = tokens(F.col(text_col))
-    m = F.size(toks)
-    gram = lambda i: F.array_join(F.slice(toks, i, k), " ")  # noqa: E731
+    # Each stage's array is MATERIALIZED as a column before the next
+    # stage's lambda captures it (the PERF.md no-CSE rule: a lambda may
+    # only capture O(1)-evaluation references — an inline `grams`
+    # expression would re-evaluate inside every window lambda, turning
+    # the selection into O(tokens²) md5 calls per document; measured as
+    # a multi-minute stall on sf0.1's longer documents).
+    tk = F.col("_tk")
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_tk")
+    ).where(F.size(tk) >= k)
+    gram = lambda i: F.array_join(F.slice(tk, i, k), " ")  # noqa: E731
     h = lambda i: F.conv(F.substring(F.md5(gram(i)), 1, 15), 16, 10).cast("long")  # noqa: E731
     grams = F.transform(
-        F.sequence(F.lit(1), m - F.lit(k - 1)),
+        F.sequence(F.lit(1), F.size(tk) - F.lit(k - 1)),
         lambda i: F.struct(h(i).alias("h"), (-i).alias("np"), i.cast("int").alias("p")),
     )
-    n_windows = F.greatest(F.size(grams) - F.lit(window - 1), F.lit(1))
+    gr = F.col("_gr")
+    with_grams = base.select("id", grams.alias("_gr"))
     selected = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), n_windows),
-            lambda j: F.array_min(F.slice(grams, j, window)),
+            F.sequence(F.lit(1), F.greatest(F.size(gr) - F.lit(window - 1), F.lit(1))),
+            lambda j: F.array_min(F.slice(gr, j, window)),
         )
     )
     # array_distinct already dedupes repeated selections (same (h,np,p)
     # struct chosen by adjacent windows), so no shuffle-bearing DISTINCT
     # is needed after the explode — the plan stays a single narrow map
     return (
-        df.where(m >= k)
-        .select(F.col(id_col).alias("id"), F.explode(selected).alias("_s"))
+        with_grams.select("id", F.explode(selected).alias("_s"))
         .select("id", F.col("_s.p").alias("pos"), F.col("_s.h").alias("fp"))
     )
 
