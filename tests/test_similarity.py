@@ -694,3 +694,45 @@ def test_trained_centroids_memoized_and_deterministic(spark, sf_dir):
     ga = {(r["centroid_id"], tuple(r["centroid_vec"])) for r in a.collect()}
     gf = {(r["centroid_id"], tuple(r["centroid_vec"])) for r in fresh.collect()}
     assert ga == gf and len(ga) == 16
+
+
+def test_knn_label_consistency_hand_fixture(spark):
+    """Two tight clusters with one mislabeled point: the planted noise
+    row is the only suspect; clean rows agree with their neighborhood."""
+    import token_etl_spark.operators.similarity as S
+
+    # cluster A around +x (label 0), cluster B around +y (label 1);
+    # vec 5 sits in cluster A but carries label 1 (planted noise)
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),
+        (2, [0.95, 0.05, 0.0], 0),
+        (3, [0.0, 1.0, 0.0], 1),
+        (4, [0.1, 0.9, 0.0], 1),
+        (5, [0.92, 0.08, 0.0], 1),
+        (6, [0.05, 0.95, 0.0], 1),
+    ]
+    frame = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = {r["id"]: r for r in S.knn_label_consistency(frame, k=3).collect()}
+    assert got[5]["suspect"] and got[5]["majority_label"] == 0
+    assert got[5]["n_same"] == 0 and got[5]["agreement"] == 0.0
+    for i in (0, 1, 2, 3, 4, 6):
+        assert not got[i]["suspect"], i
+    # vec 0's 3 nearest are 2, 1, 5 -> labels 0,0,1
+    assert got[0]["n_same"] == 2 and abs(got[0]["agreement"] - 2 / 3) < 1e-9
+
+
+def test_knn_label_consistency_accepts_precomputed_neighbors(spark, sf_dir):
+    """The IVF-at-scale seam: feeding the exact top-k frame through
+    ``neighbors`` reproduces the default output."""
+    import token_etl_spark.operators.similarity as S
+    from token_etl_spark.io.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(60).localCheckpoint()
+    nb = S.brute_force_topk(emb, emb, k=5)
+    key = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert key(S.knn_label_consistency(emb, k=5, neighbors=nb)) == key(
+        S.knn_label_consistency(emb, k=5)
+    )

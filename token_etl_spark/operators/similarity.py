@@ -67,6 +67,76 @@ def brute_force_topk(
     )
 
 
+def knn_label_consistency(
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    neighbors: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-space label-noise detection by k-NN neighborhood vote
+    (the deep-kNN conformity signal of Papernot & McDaniel 2018,
+    arXiv:1803.04765; neighborhood-disagreement is also the working
+    signal behind Confident Learning's label-error candidates,
+    Northcutt et al. 2021, JAIR 70): for every vector, take its ``k``
+    nearest neighbors by cosine and compare its own label against the
+    neighborhood — rows whose neighborhood majority disagrees are
+    mislabeled-data candidates, the standard curation sweep before
+    training a classifier head on labeled embeddings.
+
+    Returns one row per corpus row: (id, label, n_same, majority_label,
+    agreement, suspect) — ``n_same`` = neighbors sharing the row's
+    label, ``majority_label`` = the neighborhood's plurality label
+    (ties to the smallest label), ``agreement`` = n_same / |neighbors|,
+    ``suspect`` = majority disagrees with the row's own label.
+
+    ``neighbors`` accepts a pre-computed (query_id, neighbor_id, rank)
+    frame — at 100 TB feed ``ivf_topk(corpus, corpus, ...)`` (or the
+    persisted-index search) instead of the exact default: brute force
+    is n² cosine and exists as the small-corpus/eval-set baseline, the
+    same split as the ANN family. The vote itself is two low-cardinality
+    aggregations on the neighbor frame (bounded by n·k rows) plus
+    broadcast-sized label joins — never a second quadratic pass.
+    """
+    nb = (
+        neighbors
+        if neighbors is not None
+        else brute_force_topk(corpus, corpus, k, id_col, vec_col)
+    )
+    lab = corpus.select(
+        F.col(id_col).alias("id"), F.col(label_col).cast("long").alias("label")
+    )
+    nlab = nb.join(
+        lab.select(F.col("id").alias("neighbor_id"), F.col("label").alias("nlab")),
+        "neighbor_id",
+    ).select(F.col("query_id").alias("id"), "nlab")
+    cnt = nlab.groupBy("id", "nlab").agg(F.count("*").cast("long").alias("c"))
+    wm = Window.partitionBy("id").orderBy(F.col("c").desc(), F.col("nlab"))
+    maj = (
+        cnt.withColumn("_mr", F.row_number().over(wm))
+        .where(F.col("_mr") == 1)
+        .select("id", F.col("nlab").alias("majority_label"))
+    )
+    tot = cnt.groupBy("id").agg(F.sum("c").cast("long").alias("_n_nb"))
+    own_cnt = cnt.select("id", F.col("nlab").alias("label"), F.col("c").alias("_same"))
+    return (
+        lab.join(maj, "id")
+        .join(tot, "id")
+        .join(own_cnt, ["id", "label"], "left")
+        .select(
+            "id",
+            "label",
+            F.coalesce("_same", F.lit(0)).cast("long").alias("n_same"),
+            "majority_label",
+            (F.coalesce("_same", F.lit(0)) / F.col("_n_nb").cast("double")).alias(
+                "agreement"
+            ),
+            (F.col("majority_label") != F.col("label")).alias("suspect"),
+        )
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.randn(n_planes, dim).tolist()

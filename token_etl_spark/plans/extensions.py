@@ -1215,6 +1215,56 @@ def q_semantic_dedup_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SEMANTIC_DEDUP_PROBE2 = _semantic_dedup_sql(n_assign=2)
 
 
+KNN_NOISE_K = 10
+
+
+def q_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label-noise sweep (operators/similarity.py
+    knn_label_consistency): every embedding voted on by its 10 nearest
+    neighbors' labels; disagreement flags mislabeled-data candidates.
+    Exact brute-force neighbors here (the eval-set baseline — the
+    operator takes a pre-computed IVF neighbor frame at scale); the
+    oracle replays ranking, the plurality vote (count DESC, label ASC),
+    and the agreement division exactly."""
+    emb = t(spark, sf_dir, "embeddings")
+    out = S.knn_label_consistency(emb, k=KNN_NOISE_K)
+    return out.select(
+        F.col("id").alias("vec_id"),
+        "label",
+        "n_same",
+        "majority_label",
+        F.round("agreement", 6).alias("agreement"),
+        F.col("suspect").cast("int").cast("long").alias("suspect"),
+    )
+
+
+SQL_KNN_LABEL_NOISE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, CAST(label AS BIGINT) AS label
+           FROM embeddings),
+s AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+             list_cosine_similarity(a.v, b.v) AS sim, b.label AS nlab
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+r AS (SELECT qid, nlab,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+      FROM s),
+topk AS (SELECT qid, nlab FROM r WHERE rnk <= {KNN_NOISE_K}),
+cnt AS (SELECT qid, nlab, CAST(count(*) AS BIGINT) AS c FROM topk GROUP BY 1, 2),
+maj AS (SELECT qid, nlab AS majority_label,
+               row_number() OVER (PARTITION BY qid ORDER BY c DESC, nlab) AS mr
+        FROM cnt),
+tot AS (SELECT qid, CAST(sum(c) AS BIGINT) AS n_nb FROM cnt GROUP BY 1)
+SELECT e.vec_id, e.label,
+       CAST(coalesce(cs.c, 0) AS BIGINT) AS n_same,
+       m.majority_label,
+       round(CAST(coalesce(cs.c, 0) AS DOUBLE) / t.n_nb, 6) AS agreement,
+       CAST(m.majority_label <> e.label AS BIGINT) AS suspect
+FROM e
+JOIN maj m ON m.qid = e.vec_id AND m.mr = 1
+JOIN tot t ON t.qid = e.vec_id
+LEFT JOIN cnt cs ON cs.qid = e.vec_id AND cs.nlab = e.label
+"""
+
+
 PROTO_DROP_PCT = 25
 
 
@@ -2314,6 +2364,7 @@ SPECS = [
     # pair-join cost round over round.
     QuerySpec("ext_semantic_dedup", q_semantic_dedup, SQL_SEMANTIC_DEDUP, ("similarity", "dedup", "iterative"), bench=True),
     QuerySpec("ext_semantic_dedup_probe2", q_semantic_dedup_probe2, SQL_SEMANTIC_DEDUP_PROBE2, ("similarity", "dedup", "iterative")),
+    QuerySpec("ext_knn_label_noise", q_knn_label_noise, SQL_KNN_LABEL_NOISE, ("similarity", "curation")),
     QuerySpec("ext_prototypicality", q_prototypicality, SQL_PROTOTYPICALITY, ("similarity", "curation", "iterative")),
     QuerySpec("ext_d4_select", q_d4_select, SQL_D4_SELECT, ("similarity", "dedup", "curation", "iterative", "pipeline")),
     QuerySpec("ext_ann_quantized", q_ann_quantized, SQL_ANN_QUANTIZED, ("similarity",)),
