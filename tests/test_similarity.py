@@ -685,10 +685,17 @@ def test_trained_centroids_memoized_and_deterministic(spark, sf_dir):
     licenses memoizing under retraining oracles)."""
     import token_etl_spark.operators.similarity as S
     from token_etl_spark.io.sources import load_table
-    from token_etl_spark.plans.extensions import _trained_centroids
+    from token_etl_spark.plans.extensions import (
+        _trained_centroids,
+        _trained_centroids_means,
+    )
 
     a = _trained_centroids(spark, sf_dir)
-    assert _trained_centroids(spark, sf_dir) is a
+    # the memoized object is the keep_means training run; the plain
+    # accessor wraps it in a (new) two-column projection each call
+    assert _trained_centroids_means(spark, sf_dir) is _trained_centroids_means(
+        spark, sf_dir
+    )
     emb = load_table(spark, sf_dir, "embeddings")
     fresh = S.spherical_kmeans(emb, 16, 2)
     ga = {(r["centroid_id"], tuple(r["centroid_vec"])) for r in a.collect()}
