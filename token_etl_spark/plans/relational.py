@@ -690,6 +690,49 @@ GROUP BY 1
 """
 
 
+# --- deterministic key builders (F1-F3) -------------------------------------
+
+
+def q_transfer_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's deterministic key builders driver-proven (F1-F3,
+    SURVEY §2.8: ``{log_index}_{block}_{from}_{to}_{txhash}`` transfer
+    key — the deterministic replacement for the reference's
+    monotonically_increasing_id — plus the ``wallets/`` collection
+    prefix round trip). Components are synthesized from events columns
+    (the md5 stands in for the tx hash — any string works; the operator
+    under test is the key CONSTRUCTION); the oracle is plain string
+    concatenation, so this upgrades F3 from local-test-only to a driver
+    row."""
+    from token_etl_spark.functions import keys as K
+
+    ev = t(spark, sf_dir, "events")
+    key = K.transfer_key(
+        "event_id",
+        "user_id",
+        F.concat(F.lit("u"), F.col("user_id").cast("string")),
+        "event_type",
+        F.md5(F.col("event_id").cast("string")),
+    )
+    pref = K.add_collection_prefix(F.col("user_id").cast("string"))
+    return ev.select(
+        "event_id",
+        key.alias("transfer_key"),
+        pref.alias("wallet_ref"),
+        K.strip_collection_prefix(pref).alias("wallet_addr"),
+    )
+
+
+SQL_TRANSFER_KEYS = """
+SELECT event_id,
+       concat_ws('_', CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR),
+                 'u' || CAST(user_id AS VARCHAR), event_type,
+                 md5(CAST(event_id AS VARCHAR))) AS transfer_key,
+       'wallets/' || CAST(user_id AS VARCHAR) AS wallet_ref,
+       CAST(user_id AS VARCHAR) AS wallet_addr
+FROM events
+"""
+
+
 # --- fuzzy (edit-distance) matching join ------------------------------------
 
 FUZZY_MAX_DIST = 2
@@ -859,5 +902,6 @@ SPECS = [
     QuerySpec("rel_sql_api", q_sql_api, SQL_SQL_API, ("sql-api",)),
     QuerySpec("rel_date_parts", q_date_parts, SQL_DATE_PARTS, ("functions-date",)),
     QuerySpec("rel_string_ops", q_string_ops, SQL_STRING_OPS, ("functions-string",)),
+    QuerySpec("rel_transfer_keys", q_transfer_keys, SQL_TRANSFER_KEYS, ("functions-string", "keys")),
     QuerySpec("rel_ship_delay_histogram", q_ship_delay_histogram, SQL_SHIP_DELAY_HISTOGRAM, ("functions-date", "join")),
 ]
