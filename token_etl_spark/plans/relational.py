@@ -690,6 +690,40 @@ GROUP BY 1
 """
 
 
+# --- array-membership predicate (P6) ----------------------------------------
+
+
+def q_array_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 driver row: ``array_contains`` as a FILTER predicate — the
+    reference's dapp address-matching shape (DappEnricher address-list
+    membership, re-expressed natively in operators/dapps.py
+    filter_registry) — over the documents token array: keep docs whose
+    tokens contain 'scan' but not 'spark', rolled up per source. The
+    oracle is DuckDB ``list_contains`` on the same split."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return (
+        docs.where(
+            F.array_contains(toks, "scan") & ~F.array_contains(toks, "spark")
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
+SQL_ARRAY_MEMBERSHIP = """
+SELECT source, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM documents
+WHERE list_contains(string_split(text, ' '), 'scan')
+  AND NOT list_contains(string_split(text, ' '), 'spark')
+GROUP BY 1
+"""
+
+
 # --- deterministic key builders (F1-F3) -------------------------------------
 
 
@@ -903,5 +937,6 @@ SPECS = [
     QuerySpec("rel_date_parts", q_date_parts, SQL_DATE_PARTS, ("functions-date",)),
     QuerySpec("rel_string_ops", q_string_ops, SQL_STRING_OPS, ("functions-string",)),
     QuerySpec("rel_transfer_keys", q_transfer_keys, SQL_TRANSFER_KEYS, ("functions-string", "keys")),
+    QuerySpec("rel_array_membership", q_array_membership, SQL_ARRAY_MEMBERSHIP, ("predicate", "functions-array")),
     QuerySpec("rel_ship_delay_histogram", q_ship_delay_histogram, SQL_SHIP_DELAY_HISTOGRAM, ("functions-date", "join")),
 ]
