@@ -514,3 +514,95 @@ def test_funnel_reach_equals_python_greedy_fold(spark, events, window_s):
     assert got == exp
     # the single-scan conditional-aggregation form is the same fold
     assert got_onepass == exp
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "ab", "ba", "aa", "x", "longword"]),
+            min_size=0,
+            max_size=14,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.sampled_from([2, 3]),
+    w=st.sampled_from([2, 4]),
+)
+@settings(max_examples=6, deadline=None)
+def test_winnow_matches_python_reference_on_random_docs(spark, docs, k, w):
+    """Winnowing vs the pure-Python reference on adversarial random
+    token soups: repeated tokens (duplicate gram hashes exercise the
+    rightmost tie rule), empty/short docs, single-window docs."""
+    import hashlib
+
+    from token_etl_spark.operators.text import winnow_fingerprints
+
+    def py_winnow(words):
+        if len(words) < k:
+            return set()
+        grams = []
+        for i in range(1, len(words) - k + 2):
+            g = " ".join(words[i - 1 : i - 1 + k])
+            h = int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+            grams.append((h, -i, i))
+        sel = set()
+        for j in range(max(len(grams) - w + 1, 1)):
+            h, _, p = min(grams[j : j + w])
+            sel.add((p, h))
+        return sel
+
+    sess = _get(spark)
+    frame = sess.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], ["doc_id", "text"]
+    )
+    got = {
+        (r["id"], r["pos"], r["fp"])
+        for r in winnow_fingerprints(frame, k=k, window=w).collect()
+    }
+    # NOTE: tokens() lowercases/strips, and our sampled words are already
+    # clean lowercase, so the whitespace split matches tokens() here
+    exp = {
+        (i, p, h)
+        for i, ws in enumerate(docs)
+        for (p, h) in py_winnow([t for t in ws if t])
+    }
+    assert got == exp
+
+
+@given(
+    membership=st.lists(
+        st.integers(min_value=0, max_value=3),  # cluster id per doc (0 = singleton)
+        min_size=1,
+        max_size=24,
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_cluster_safe_split_invariants_on_random_clusters(spark, membership):
+    """For ANY (id, component) grouping: every component lands in one
+    split, and docs outside the cluster frame match plain hash_split of
+    their own id."""
+    from token_etl_spark.operators.curation import cluster_safe_split, hash_split
+
+    sess = _get(spark)
+    docs = sess.createDataFrame([(i,) for i in range(len(membership))], ["doc_id"])
+    clustered = [
+        (i, min(j for j, m2 in enumerate(membership) if m2 == m))
+        for i, m in enumerate(membership)
+        if m != 0
+    ]
+    clusters = sess.createDataFrame(
+        clustered or [(None, None)], "id long, component long"
+    ).where(F.col("id").isNotNull())
+    out = {r["doc_id"]: r for r in cluster_safe_split(docs, clusters).collect()}
+    plain = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    comp_of = dict(clustered)
+    splits_per_comp: dict = {}
+    for i in range(len(membership)):
+        r = out[i]
+        if i in comp_of:
+            assert r["split_key"] == comp_of[i]
+            splits_per_comp.setdefault(comp_of[i], set()).add(r["split"])
+        else:
+            assert r["split_key"] == i and r["split"] == plain[i]
+    assert all(len(s) == 1 for s in splits_per_comp.values())
