@@ -150,10 +150,16 @@ def funnel_reach_onepass(
 
         return F.transform(F.sequence(F.lit(0), F.lit(k - 1)), slot)
 
-    reach = per_user.select("user", F.aggregate("es", init, upd).alias("t"))
-    # -1 is the in-fold "unreached" sentinel; users with no step-1 event
-    # never anchor and are excluded, exactly like the chained form
-    return reach.where(F.element_at("t", 1) >= 0).select(
+    # users with no step-1 event never anchor and are excluded, exactly
+    # like the chained form; the filter is the cheap `exists` scan of
+    # the event array — filtering on the fold's own t1 slot would make
+    # Catalyst inline the whole fold into the Filter and evaluate it
+    # twice per user (predicate + projection)
+    reach = per_user.where(
+        F.exists("es", lambda e: e.getField("i") == 0)
+    ).select("user", F.aggregate("es", init, upd).alias("t"))
+    # -1 is the in-fold "unreached" sentinel
+    return reach.select(
         "user",
         *[
             F.when(F.element_at("t", i) >= 0, F.element_at("t", i)).alias(f"t{i}")
