@@ -1215,6 +1215,101 @@ def q_semantic_dedup_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SEMANTIC_DEDUP_PROBE2 = _semantic_dedup_sql(n_assign=2)
 
 
+PROBE_TARGET = 0
+PROBE_ITERS = 3
+PROBE_LR = 0.5
+
+
+def q_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-probe training + corpus sweep
+    (operators/linear.py): 3 full-batch least-squares gradient steps
+    one-vs-rest for label 0 over the normalized embeddings, then the
+    map-only score sweep with the mean-score cut. The ENTIRE training
+    run is inside the oracle — one CTE block per gradient step
+    (err → per-dim gradient → weight update), the
+    ``_kmeans_cte_members`` discipline — so the driver hash certifies
+    distributed in-engine model training end-to-end, not just the
+    sweep. Same declared float caveat as the k-means oracle: gradient
+    sums accumulate in engine-internal order; guarded by the three-SF
+    sweep."""
+    from token_etl_spark.operators.linear import linear_probe
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = linear_probe(
+        emb,
+        target_label=PROBE_TARGET,
+        n_iters=PROBE_ITERS,
+        lr=PROBE_LR,
+        threshold=None,
+    )
+    return out.select(
+        F.col("id").alias("vec_id"),
+        "label",
+        "y",
+        F.round("score", 6).alias("score"),
+        F.col("pred").cast("int").cast("long").alias("pred"),
+    )
+
+
+def _linear_probe_sql(
+    target: int = PROBE_TARGET,
+    n_iters: int = PROBE_ITERS,
+    lr: float = PROBE_LR,
+    dim: int = 64,
+) -> str:
+    """DuckDB replay of the full gradient-descent run: zero-init weight
+    row, one (err → per-dim gradient → update) CTE block per step with
+    the update arithmetic in the engine's exact expression order
+    (w[d] − (lr·2)·g[d]/n, left-associative), then the scored sweep and
+    the mean cut."""
+    members = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v,"
+        " CAST(label AS BIGINT) AS label FROM embeddings)",
+        "en AS (SELECT vec_id, label,"
+        " list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS nv,"
+        f" CAST(label = {target} AS DOUBLE) AS y FROM e)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM en)",
+        f"w0 AS (SELECT list_transform(range(1, {dim + 1}), x -> 0.0) AS w,"
+        " 0.0 AS b)",
+    ]
+    for i in range(1, n_iters + 1):
+        p = f"w{i - 1}"
+        members += [
+            f"""p{i} AS (
+  SELECT vec_id, nv, y, list_inner_product(w.w, nv) + w.b - y AS err
+  FROM en CROSS JOIN {p} w)""",
+            f"""g{i} AS (
+  SELECT r.pos, sum(err * nv[CAST(r.pos AS INT)]) AS gw, sum(err) AS se
+  FROM p{i} CROSS JOIN range(1, {dim + 1}) r(pos) GROUP BY 1)""",
+            f"""a{i} AS (
+  SELECT list(gw ORDER BY pos) AS gwl,
+         max(CASE WHEN pos = 1 THEN se END) AS ges FROM g{i})""",
+            f"""w{i} AS (
+  SELECT list_transform(range(1, {dim + 1}), d ->
+           w.w[CAST(d AS INT)] - ({lr!r} * 2.0) * a.gwl[CAST(d AS INT)] / nn.n) AS w,
+         w.b - ({lr!r} * 2.0) * a.ges / nn.n AS b
+  FROM {p} w CROSS JOIN a{i} a CROSS JOIN nn)""",
+        ]
+    members += [
+        f"""sc AS (
+  SELECT vec_id, label, y, list_inner_product(w.w, nv) + w.b AS score
+  FROM en CROSS JOIN w{n_iters} w)""",
+        "m AS (SELECT avg(score) AS cut FROM sc)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(members)
+        + """
+SELECT vec_id, label, y, round(score, 6) AS score,
+       CAST(score > m.cut AS BIGINT) AS pred
+FROM sc CROSS JOIN m
+"""
+    )
+
+
+SQL_LINEAR_PROBE = _linear_probe_sql()
+
+
 KNN_NOISE_K = 10
 
 
@@ -2365,6 +2460,7 @@ SPECS = [
     QuerySpec("ext_semantic_dedup", q_semantic_dedup, SQL_SEMANTIC_DEDUP, ("similarity", "dedup", "iterative"), bench=True),
     QuerySpec("ext_semantic_dedup_probe2", q_semantic_dedup_probe2, SQL_SEMANTIC_DEDUP_PROBE2, ("similarity", "dedup", "iterative")),
     QuerySpec("ext_knn_label_noise", q_knn_label_noise, SQL_KNN_LABEL_NOISE, ("similarity", "curation")),
+    QuerySpec("ext_linear_probe", q_linear_probe, SQL_LINEAR_PROBE, ("similarity", "curation", "ml", "iterative")),
     QuerySpec("ext_prototypicality", q_prototypicality, SQL_PROTOTYPICALITY, ("similarity", "curation", "iterative")),
     QuerySpec("ext_d4_select", q_d4_select, SQL_D4_SELECT, ("similarity", "dedup", "curation", "iterative", "pipeline")),
     QuerySpec("ext_ann_quantized", q_ann_quantized, SQL_ANN_QUANTIZED, ("similarity",)),
