@@ -190,6 +190,20 @@ def test_round7_plans_no_cartesian(spark, sf_dir):
         assert plan.count("Location: InMemoryFileIndex") == 1, name
 
 
+def test_linear_probe_and_knn_plans(spark, sf_dir):
+    """ext_linear_probe: every weight/statistic attach is a broadcast of
+    a 1-row frame (BroadcastNestedLoopJoin), never a CartesianProduct,
+    and the only shuffles are the per-dim gradient aggregations.
+    ext_knn_label_noise: no cartesian beyond the declared brute-force
+    candidate broadcast."""
+    probe = _plan(spark, sf_dir, "ext_linear_probe")
+    assert "CartesianProduct" not in probe
+    assert "BroadcastNestedLoopJoin" in probe
+    knn = _plan(spark, sf_dir, "ext_knn_label_noise")
+    assert "CartesianProduct" not in knn
+    assert "Broadcast" in knn
+
+
 def test_round6_plans_no_cartesian(spark, sf_dir):
     """Round-6 queries: no unintended cartesian anywhere (the 1-row
     scalar/bitmap crossJoins in the mixture and bloom stages plan as
