@@ -1320,8 +1320,16 @@ def q_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact brute-force neighbors here (the eval-set baseline — the
     operator takes a pre-computed IVF neighbor frame at scale); the
     oracle replays ranking, the plurality vote (count DESC, label ASC),
-    and the agreement division exactly."""
-    emb = t(spark, sf_dir, "embeddings")
+    and the agreement division exactly.
+
+    The corpus side is repartitioned before scoring: the gate corpus is
+    ONE parquet file, so without it the n² cosine scan runs in a single
+    task (measured 70 s cold at sf0.1 vs ~4 s parallelized — at real
+    scale the corpus is already partitioned and the repartition is a
+    cheap row-count-preserving shuffle)."""
+    emb = t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     out = S.knn_label_consistency(emb, k=KNN_NOISE_K)
     return out.select(
         F.col("id").alias("vec_id"),
