@@ -437,3 +437,35 @@ def test_semantic_decontaminate_empty_benchmark_keeps_all(spark, sf_dir, tmp_pat
     run_to_memory(drop, "semdecon_empty_out", output_mode="append")
     kept = spark.sql("SELECT count(*) AS n FROM semdecon_empty_out").collect()[0]["n"]
     assert kept == n
+
+
+def test_streaming_probe_score_matches_batch(spark, sf_dir, tmp_path):
+    """streaming_probe_score over a staged embedding stream reproduces
+    the batch linear_probe_score sweep exactly (stateless broadcast
+    model — identical expression tree)."""
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.operators.linear import (
+        linear_probe_score,
+        linear_probe_train,
+    )
+    from token_etl_spark.streaming.curation import streaming_probe_score
+    from token_etl_spark.streaming.hourly import run_to_memory
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = linear_probe_train(emb, n_iters=2).localCheckpoint()
+
+    staged = str(tmp_path / "probe_stream")
+    emb.write.parquet(staged)
+    stream = spark.readStream.schema(emb.schema).parquet(staged)
+    out = streaming_probe_score(stream, model, threshold=0.5)
+    run_to_memory(out, "probe_scored", output_mode="append")
+
+    got = {
+        r["vec_id"]: (round(r["score"], 9), r["pred"])
+        for r in spark.sql("SELECT vec_id, score, pred FROM probe_scored").collect()
+    }
+    exp = {
+        r["id"]: (round(r["score"], 9), r["pred"])
+        for r in linear_probe_score(emb, model, threshold=0.5).collect()
+    }
+    assert got == exp and got

@@ -565,3 +565,32 @@ def streaming_semantic_decontaminate(
             "best_match", "best_sim", "contaminated"
         )
     return flagged
+
+
+def streaming_probe_score(
+    stream: DataFrame,
+    model: DataFrame,
+    threshold: float = 0.5,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Score an embedding stream with a PRE-TRAINED linear probe
+    (``operators/linear.linear_probe_train``) — the same train-offline/
+    score-at-ingest split as ``streaming_lm_score`` and
+    ``streaming_importance_score``, completing the quality-scorer
+    streaming family: the probe trains as a batch job over the labeled
+    reference, admission scoring of new vectors is this stateless
+    map-only pass (model = broadcast 1-row (w, b) frame; score =
+    w·x + b on the l2-normalized vector, pred = score >= threshold).
+    The mean-cut variant is batch-only by nature — a running stream has
+    no fixed mean; a streaming consumer thresholds against the cut
+    computed on the training corpus."""
+    from token_etl_spark.operators.linear import dot, l2_normalize
+
+    scored = stream.crossJoin(F.broadcast(model)).withColumn(
+        "score",
+        dot(F.col("w"), l2_normalize(F.col(vec_col).cast("array<double>")))
+        + F.col("b"),
+    )
+    return scored.withColumn(
+        "pred", F.col("score") >= F.lit(float(threshold))
+    ).drop("w", "b")
