@@ -25,14 +25,15 @@ from token_etl_spark.plans.base import QuerySpec
 # decision, not cosmetics. Round-7 rotation (last-green histogram after
 # r6: r6=50, r5=46, r4=50, r3=7 — every query has been driver-green at
 # least once):
-#   1. The 10 queries NEW this round (rel_fuzzy_match_capped — the
+#   1. The 11 queries NEW this round (rel_fuzzy_match_capped — the
 #      max_gram_df guard under the gate, oracle unchanged —
 #      evt_funnel_reach, ext_winnowing, ext_winnow_overlap,
 #      ext_cluster_safe_split, ext_bpe_fertility, ext_knn_label_noise,
 #      rel_transfer_keys and rel_array_membership — first driver rows
 #      for the F1-F3 key builders and the P6 membership predicate —
-#      and ext_linear_probe, in-engine gradient-descent training under
-#      a fully unrolled oracle;
+#      ext_linear_probe — in-engine gradient-descent training under
+#      a fully unrolled oracle — and rel_dapp_registry, the S10
+#      preprocessing semantics on a synthesized registry frame;
 #      each hash-matched locally at all three SFs before declaring).
 #   2. The 9 queries whose PLAN or ORACLE changed this round:
 #      evt_funnel (single-scan funnel_reach_onepass), the four
@@ -43,8 +44,8 @@ from token_etl_spark.plans.base import QuerySpec
 #   3. The 7 r3-stale queries the r6 window planned to carry
 #      (rel_intersect_nations .. ext_line_dedup) — the r6 verdict's
 #      item 1; after this window nothing is older than r4.
-#   4. 24 of the 50 r4-stale queries, highest dtype risk first (the
-#      float-heavy ANN/sketch/scoring family). The 23 that don't fit —
+#   4. 23 of the 50 r4-stale queries, highest dtype risk first (the
+#      float-heavy ANN/sketch/scoring family). The 24 that don't fit —
 #      rel_bloom_join, rel_full_outer, rel_grouping_sets,
 #      rel_salted_agg, rel_salted_join, ext_dedup_exact,
 #      ext_dedup_keep_list, ext_crossdoc_line_dedup, ext_simhash,
@@ -52,7 +53,8 @@ from token_etl_spark.plans.base import QuerySpec
 #      ext_text_fingerprint, ext_top_tokens, ext_token_estimate,
 #      evt_rollup_hll_users, evt_rollup_merge_read, ext_countmin_freqs,
 #      ext_dup_spans, ext_dup_span_rewrite, ext_bloom_decontaminate,
-#      ext_histogram_quantiles, ext_token_budget — are integer/exact or
+#      ext_histogram_quantiles, ext_token_budget, ext_kmv_overlap —
+#      are integer/exact or
 #      md5-pinned plans with the lowest dtype risk; they pass the
 #      local three-SF sweep and rotate into r8.
 _PRIORITY_NAMES = [
@@ -67,6 +69,7 @@ _PRIORITY_NAMES = [
     "rel_transfer_keys",
     "rel_array_membership",
     "ext_linear_probe",
+    "rel_dapp_registry",
     # plan/oracle changed in round 7
     "evt_funnel",
     "ext_semantic_dedup",
@@ -109,7 +112,6 @@ _PRIORITY_NAMES = [
     "ext_text_stats",
     "ext_text_langid",
     "ext_repetition_stats",
-    "ext_kmv_overlap",
 ]
 
 _MODULE_ORDER: list[QuerySpec] = [

@@ -724,6 +724,70 @@ GROUP BY 1
 """
 
 
+# --- dapp registry preprocessing (S10) ---------------------------------------
+
+
+def q_dapp_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 driver row: the reference's dapp-registry preprocessing
+    (Extract0x38Dapp.scala:8-45 — drop NFT sources, keep target-chain
+    addresses, strip the chain prefix, drop emptied rows) plus the J5
+    explode leg, run on a registry-shaped frame SYNTHESIZED
+    deterministically from the part table (md5 addresses; every branch
+    — NFT drop, off-chain filter, all-addresses-filtered row drop — is
+    exercised by the %3/%5/%7 cases). The JSON READ itself stays
+    environment-bound (io/sources.read_json_registry, CLI-tested); this
+    row proves the transformation semantics under the gate."""
+    from token_etl_spark.operators.dapps import explode_registry, filter_registry
+
+    part = t(spark, sf_dir, "part")
+    key = F.col("p_partkey")
+    ks = key.cast("string")
+    a1 = F.concat(
+        F.when(key % 3 == 0, F.lit("0x1:")).otherwise(F.lit("0x38:")),
+        F.lit("0x"),
+        F.substring(F.md5(ks), 1, 8),
+    )
+    a2 = F.concat(
+        F.when(key % 5 == 0, F.lit("0x2:")).otherwise(F.lit("0x38:")),
+        F.lit("0x"),
+        F.substring(F.md5(F.concat(ks, F.lit("b"))), 1, 8),
+    )
+    raw = part.select(
+        key.alias("_id"),
+        F.col("p_name").alias("name"),
+        F.col("p_brand").alias("image"),
+        F.array(
+            F.lit("web"),
+            F.when(key % 7 == 0, F.lit("nft")).otherwise(F.lit("wallet")),
+        ).alias("sources"),
+        F.array(a1, a2).alias("contract_addresses"),
+    )
+    return explode_registry(filter_registry(raw)).select(
+        F.col("idCMC").cast("long").alias("idCMC"), "name", "image", "dapp_address"
+    )
+
+
+SQL_DAPP_REGISTRY = """
+WITH raw AS (
+  SELECT p_partkey AS _id, p_name AS name, p_brand AS image,
+         ['web', CASE WHEN p_partkey % 7 = 0 THEN 'nft' ELSE 'wallet' END]
+           AS sources,
+         [CASE WHEN p_partkey % 3 = 0 THEN '0x1:' ELSE '0x38:' END
+            || '0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 8),
+          CASE WHEN p_partkey % 5 = 0 THEN '0x2:' ELSE '0x38:' END
+            || '0x' || substr(md5(CAST(p_partkey AS VARCHAR) || 'b'), 1, 8)]
+           AS addrs
+  FROM part),
+kept AS (
+  SELECT _id, name, image,
+         list_transform(list_filter(addrs, a -> starts_with(a, '0x38:')),
+                        a -> string_split(a, ':')[2]) AS ca
+  FROM raw WHERE NOT list_contains(sources, 'nft'))
+SELECT _id AS idCMC, name, image, unnest(ca) AS dapp_address
+FROM kept WHERE len(ca) > 0
+"""
+
+
 # --- deterministic key builders (F1-F3) -------------------------------------
 
 
@@ -938,5 +1002,6 @@ SPECS = [
     QuerySpec("rel_string_ops", q_string_ops, SQL_STRING_OPS, ("functions-string",)),
     QuerySpec("rel_transfer_keys", q_transfer_keys, SQL_TRANSFER_KEYS, ("functions-string", "keys")),
     QuerySpec("rel_array_membership", q_array_membership, SQL_ARRAY_MEMBERSHIP, ("predicate", "functions-array")),
+    QuerySpec("rel_dapp_registry", q_dapp_registry, SQL_DAPP_REGISTRY, ("scan-preprocess", "functions-array", "join-explode")),
     QuerySpec("rel_ship_delay_histogram", q_ship_delay_histogram, SQL_SHIP_DELAY_HISTOGRAM, ("functions-date", "join")),
 ]
