@@ -25,15 +25,20 @@ from token_etl_spark.plans.base import QuerySpec
 # decision, not cosmetics. Round-7 rotation (last-green histogram after
 # r6: r6=50, r5=46, r4=50, r3=7 — every query has been driver-green at
 # least once):
-#   1. The 11 queries NEW this round (rel_fuzzy_match_capped — the
+#   1. The 13 queries NEW this round (rel_fuzzy_match_capped — the
 #      max_gram_df guard under the gate, oracle unchanged —
 #      evt_funnel_reach, ext_winnowing, ext_winnow_overlap,
 #      ext_cluster_safe_split, ext_bpe_fertility, ext_knn_label_noise,
 #      rel_transfer_keys and rel_array_membership — first driver rows
 #      for the F1-F3 key builders and the P6 membership predicate —
 #      ext_linear_probe — in-engine gradient-descent training under
-#      a fully unrolled oracle — and rel_dapp_registry, the S10
-#      preprocessing semantics on a synthesized registry frame;
+#      a fully unrolled oracle — rel_dapp_registry, the S10
+#      preprocessing semantics on a synthesized registry frame —
+#      rel_upsert_latest, the S6 upsert sink's keep-latest-per-key
+#      MERGE semantics driven through io/sinks._latest_per_key — and
+#      rel_enrich_transfers, the S2/S8/S9/F4 TransferEnricher plan
+#      (range predicate + deterministic keys + broadcast dim with the
+#      null-on-missing path) on synthesized raw/dim frames;
 #      each hash-matched locally at all three SFs before declaring).
 #   2. The 9 queries whose PLAN or ORACLE changed this round:
 #      evt_funnel (single-scan funnel_reach_onepass), the four
@@ -44,8 +49,10 @@ from token_etl_spark.plans.base import QuerySpec
 #   3. The 7 r3-stale queries the r6 window planned to carry
 #      (rel_intersect_nations .. ext_line_dedup) — the r6 verdict's
 #      item 1; after this window nothing is older than r4.
-#   4. 23 of the 50 r4-stale queries, highest dtype risk first (the
-#      float-heavy ANN/sketch/scoring family). The 24 that don't fit —
+#   4. 21 of the 50 r4-stale queries, highest dtype risk first (the
+#      float-heavy ANN/sketch/scoring family). The 26 that don't fit —
+#      ext_text_langid, ext_repetition_stats (integer-count-dominated
+#      text stats, bumped for the two new S6/S2 rows),
 #      rel_bloom_join, rel_full_outer, rel_grouping_sets,
 #      rel_salted_agg, rel_salted_join, ext_dedup_exact,
 #      ext_dedup_keep_list, ext_crossdoc_line_dedup, ext_simhash,
@@ -70,6 +77,8 @@ _PRIORITY_NAMES = [
     "rel_array_membership",
     "ext_linear_probe",
     "rel_dapp_registry",
+    "rel_upsert_latest",
+    "rel_enrich_transfers",
     # plan/oracle changed in round 7
     "evt_funnel",
     "ext_semantic_dedup",
@@ -110,8 +119,6 @@ _PRIORITY_NAMES = [
     "ext_importance_weights",
     "ext_data_quality",
     "ext_text_stats",
-    "ext_text_langid",
-    "ext_repetition_stats",
 ]
 
 _MODULE_ORDER: list[QuerySpec] = [

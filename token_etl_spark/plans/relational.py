@@ -788,6 +788,126 @@ FROM kept WHERE len(ca) > 0
 """
 
 
+# --- upsert-by-key merge semantics (S6) -------------------------------------
+
+
+def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 driver row: the upsert sink's MERGE semantics (Spark.scala:71-88
+    ``overwrite.mode=update``) driven under the gate via the sink's own
+    keep-latest-per-key reducer (io/sinks._latest_per_key — the exact
+    frame both upsert_by_key and upsert_by_key_incremental write).
+    Existing table and incoming batch are synthesized from ``orders`` so
+    every merge branch is exercised: keys %4∈{0,2} exist in both (batch
+    wins), %4==1 exist only in the table (kept untouched), %4==3 arrive
+    only in the batch (inserted). No (key, version) ties, so the
+    xxhash64 within-batch tiebreak is inert and the oracle is a plain
+    row_number-over-version replay. The parquet WRITE itself stays
+    environment-bound (tests/test_sinks.py idempotency + untouched-bucket
+    checks); this row proves the merge plan end-to-end."""
+    from token_etl_spark.io.sinks import _latest_per_key
+
+    orders = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    existing = orders.where(k % 4 != 3).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+        F.lit(1).cast("long").alias("_v"),
+    )
+    batch = orders.where((k % 2 == 0) | (k % 4 == 3)).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + F.lit(1000.0)).alias("price"),
+        F.lit("U").alias("status"),
+        F.lit(2).cast("long").alias("_v"),
+    )
+    return _latest_per_key(existing.unionByName(batch), "o_orderkey", "_v")
+
+
+SQL_UPSERT_LATEST = """
+WITH existing AS (
+  SELECT o_orderkey, o_totalprice AS price, o_orderstatus AS status,
+         CAST(1 AS BIGINT) AS _v
+  FROM orders WHERE o_orderkey % 4 <> 3),
+batch AS (
+  SELECT o_orderkey, o_totalprice + 1000.0 AS price, 'U' AS status,
+         CAST(2 AS BIGINT) AS _v
+  FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 4 = 3),
+merged AS (SELECT * FROM existing UNION ALL SELECT * FROM batch),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY _v DESC) AS rn
+  FROM merged)
+SELECT o_orderkey, price, status, _v FROM ranked WHERE rn = 1
+"""
+
+
+# --- ingest enrichment: range scan + broadcast-dim (S2/S8/S9/F4) ------------
+
+
+def q_enrich_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+S8/S9/F4 driver row: the TransferEnricher enrichment plan
+    (pipelines/transfers.enrich_transfers — TransferEnricher.scala:36-39
+    range subquery, Spark.scala:33-54 key/prefix closures, Web3.scala:54-76
+    per-row RPC replaced by a broadcast dimension with the null-on-missing
+    path of Web3.scala:70-75) on frames synthesized from ``events``:
+    a raw_transfer_event-shaped batch (md5 addresses/tx hashes) and a
+    block_timestamps dim that deliberately OMITS blocks %3==0 so the
+    left-outer null path is exercised under the gate. The dim timestamp
+    is an integer epoch so the operator's cast-to-string is
+    engine-portable. The JDBC/RPC READS stay environment-bound
+    (tests/test_jdbc.py, test_pipelines.py); this row proves the
+    enrichment semantics — range predicate, deterministic keys, wallet
+    prefixes, broadcast join, null repair — end-to-end."""
+    from token_etl_spark.pipelines.transfers import enrich_transfers
+
+    ev = t(spark, sf_dir, "events")
+    eid = F.col("event_id").cast("string")
+    raw = ev.select(
+        (F.col("event_id") % 16).alias("log_index"),
+        (F.col("event_id") % 500).alias("block_number"),
+        F.substring(F.md5(eid), 1, 8).alias("from_address"),
+        F.substring(F.md5(F.concat(eid, F.lit("t"))), 1, 8).alias("to_address"),
+        F.col("event_type").alias("contract_address"),
+        F.md5(F.concat(eid, F.lit("x"))).alias("transaction_hash"),
+        F.col("value"),
+    )
+    dim = (
+        ev.select((F.col("event_id") % 500).alias("block_number"))
+        .where(F.col("block_number") % 3 != 0)
+        .distinct()
+        .select(
+            "block_number",
+            (F.col("block_number") * 3600 + 42).cast("long").alias("timestamp"),
+        )
+    )
+    return enrich_transfers(raw, dim, lower_block=100, upper_block=400)
+
+
+SQL_ENRICH_TRANSFERS = """
+WITH raw AS (
+  SELECT CAST(event_id % 16 AS INT) AS log_index,
+         CAST(event_id % 500 AS INT) AS block_number,
+         substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS from_address,
+         substr(md5(CAST(event_id AS VARCHAR) || 't'), 1, 8) AS to_address,
+         event_type AS contract_address,
+         md5(CAST(event_id AS VARCHAR) || 'x') AS transaction_hash,
+         value
+  FROM events),
+dim AS (
+  SELECT DISTINCT block_number,
+         CAST(block_number AS BIGINT) * 3600 + 42 AS ts
+  FROM raw WHERE block_number % 3 <> 0),
+flt AS (SELECT * FROM raw WHERE block_number BETWEEN 100 AND 400)
+SELECT concat_ws('_', CAST(log_index AS VARCHAR), CAST(block_number AS VARCHAR),
+                 'wallets/' || from_address, 'wallets/' || to_address,
+                 transaction_hash) AS _key,
+       'wallets/' || from_address AS _from,
+       'wallets/' || to_address AS _to,
+       contract_address, transaction_hash, log_index, block_number, value,
+       CAST(dim.ts AS VARCHAR) AS transact_at
+FROM flt LEFT JOIN dim USING (block_number)
+"""
+
+
 # --- deterministic key builders (F1-F3) -------------------------------------
 
 
@@ -1003,5 +1123,7 @@ SPECS = [
     QuerySpec("rel_transfer_keys", q_transfer_keys, SQL_TRANSFER_KEYS, ("functions-string", "keys")),
     QuerySpec("rel_array_membership", q_array_membership, SQL_ARRAY_MEMBERSHIP, ("predicate", "functions-array")),
     QuerySpec("rel_dapp_registry", q_dapp_registry, SQL_DAPP_REGISTRY, ("scan-preprocess", "functions-array", "join-explode")),
+    QuerySpec("rel_upsert_latest", q_upsert_latest, SQL_UPSERT_LATEST, ("sink-upsert", "window-rank", "setop")),
+    QuerySpec("rel_enrich_transfers", q_enrich_transfers, SQL_ENRICH_TRANSFERS, ("scan-range", "join-broadcast", "keys", "nullrepair")),
     QuerySpec("rel_ship_delay_histogram", q_ship_delay_histogram, SQL_SHIP_DELAY_HISTOGRAM, ("functions-date", "join")),
 ]
