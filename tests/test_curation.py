@@ -343,3 +343,47 @@ def test_stratified_sample_two_phase_equals_naive_window(spark, sf_dir):
     for nb in (1, 4, 64):
         assert key(stratified_sample_exact(docs, "source", k=10, n_prebuckets=nb)) == exp
     assert len(exp) > 0
+
+
+def test_calibrate_scores_hand_computed(spark):
+    """pct is the within-source fraction of rows with score <= this
+    row's (cume_dist semantics, ties share the upper count); bin is the
+    equal-width floor with the top edge clamped to n_bins-1."""
+    rows = [
+        # source a: scores 1, 2, 2, 4 -> pct .25, .75, .75, 1.0
+        ("d1", "a", 1), ("d2", "a", 2), ("d3", "a", 2), ("d4", "a", 4),
+        # source b: scores 10, 20 -> pct .5, 1.0 (ranges don't mix)
+        ("d5", "b", 10), ("d6", "b", 20),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "score"])
+    out = {
+        r["doc_id"]: (r["pct"], r["bin"])
+        for r in C.calibrate_scores(df, "score", "source", n_bins=4).collect()
+    }
+    assert out["d1"] == (0.25, 1)
+    assert out["d2"] == (0.75, 3) and out["d3"] == (0.75, 3)
+    assert out["d4"] == (1.0, 3)  # top edge clamps to n_bins-1
+    assert out["d5"] == (0.5, 2) and out["d6"] == (1.0, 3)
+
+
+def test_calibrate_scores_matches_naive_cume_dist_window(spark, sf_dir):
+    """The two-phase (per-(source, score) count frame) form must equal
+    the naive fact-table cume_dist window bit-for-bit."""
+    from pyspark.sql import Window
+
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count("text").cast("long").alias("score")
+    )
+    got = {
+        (r["doc_id"]): (r["pct"], r["bin"])
+        for r in C.calibrate_scores(docs, "score", "source", n_bins=10).collect()
+    }
+    w = Window.partitionBy("source").orderBy("score")
+    naive = docs.withColumn("pct", F.cume_dist().over(w)).withColumn(
+        "bin", F.least(F.lit(9).cast("long"), F.floor(F.col("pct") * 10))
+    )
+    want = {r["doc_id"]: (r["pct"], r["bin"]) for r in naive.collect()}
+    assert got == want

@@ -331,3 +331,28 @@ def test_validate_constraint_semantics(spark):
     # one scan feeding one aggregate chain — no join, no union of scans
     plan = plan_buf.getvalue()
     assert "Union" not in plan and "Join" not in plan
+
+
+def test_zscore_outliers_hand_computed(spark):
+    """Group g: values 0,0,0,0,10 -> mean 2, sd sqrt(20)=4.472...;
+    only the 10 crosses threshold 1.5 (z = 8/4.472 = 1.789)."""
+    from token_etl_spark.operators.profile import zscore_outliers
+
+    rows = [("g", float(v)) for v in (0, 0, 0, 0, 10)]
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    out = zscore_outliers(df, "v", ["grp"], threshold=1.5).collect()
+    flagged = [r for r in out if r["is_outlier"]]
+    assert len(flagged) == 1 and flagged[0]["v"] == 10.0
+    assert abs(flagged[0]["z"] - 8.0 / 20 ** 0.5) < 1e-12
+    assert all(not r["is_outlier"] for r in out if r["v"] == 0.0)
+
+
+def test_zscore_outliers_degenerate_groups_flag_nothing(spark):
+    """Constant groups (sd=0) and singletons (sd NULL) must yield z NULL
+    and is_outlier false — never a division error, never a flag."""
+    from token_etl_spark.operators.profile import zscore_outliers
+
+    rows = [("const", 5.0), ("const", 5.0), ("lone", 99.0)]
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    out = zscore_outliers(df, "v", ["grp"], threshold=0.1).collect()
+    assert all(r["z"] is None and r["is_outlier"] is False for r in out)

@@ -848,3 +848,67 @@ def temperature_weights(
         temp.alias("temp_share"),
         (temp / nat).alias("weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-source score calibration
+
+
+def calibrate_scores(
+    df: DataFrame,
+    score_col: str,
+    source_col: str = "source",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Cross-source quality-score calibration: map each row's raw
+    ``score_col`` to its WITHIN-SOURCE percentile (``pct`` — cume_dist
+    semantics: fraction of the source's rows with score <= this row's),
+    then to a global equal-width percentile bin (``bin`` in
+    ``[0, n_bins)``).
+
+    Why: raw quality scores (LM perplexity, classifier logits, heuristic
+    ratios) are not comparable across sources — a web crawl and a code
+    corpus occupy different score ranges, so one global threshold
+    over-prunes one source and under-prunes the other. Calibrating to
+    per-source percentiles first is the standard fix (CCNet buckets
+    per-shard perplexity into head/middle/tail the same way); the bin is
+    then a source-fair curriculum/selection key.
+
+    Plan shape (the 100 TB design): cume_dist is NOT computed as a
+    window over the fact table — that sorts every row within its source
+    through one task per source. Instead:
+
+      1. aggregate to the per-(source, score) count frame — combinable,
+         map-side partial, shuffle carries |distinct scores| rows;
+      2. cumsum + total over THAT frame (window per source over distinct
+         scores — tiny for bounded-precision scores; round upstream if
+         scores are near-unique floats);
+      3. join the (source, score) -> pct map back — broadcast when the
+         distinct frame is small, co-partitioned equi-join otherwise.
+
+    ``bin = least(n_bins-1, floor(pct * n_bins))``: a map-only
+    expression on both engines (no global ntile — a global ntile window
+    is single-task). pct is an exact integer ratio (cum/total), so the
+    oracle replays it bit-for-bit via its own cume_dist.
+    """
+    s, src = F.col(score_col), F.col(source_col)
+    counts = df.groupBy(src.alias("_src"), s.alias("_score")).agg(
+        F.count("*").alias("_c")
+    )
+    w_cum = Window.partitionBy("_src").orderBy("_score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tot = Window.partitionBy("_src")
+    pct_map = counts.select(
+        "_src",
+        "_score",
+        (F.sum("_c").over(w_cum).cast("double") / F.sum("_c").over(w_tot)).alias("pct"),
+    )
+    joined = df.join(
+        F.broadcast(pct_map),
+        (src == F.col("_src")) & (s == F.col("_score")),
+    ).drop("_src", "_score")
+    bin_col = F.least(
+        F.lit(n_bins - 1).cast("long"), F.floor(F.col("pct") * n_bins)
+    )
+    return joined.withColumn("bin", bin_col)

@@ -139,3 +139,51 @@ def validate(df: DataFrame, checks: list[dict]) -> DataFrame:
         f"stack({len(metric_exprs)}, {stack_args})"
         " AS (check_name, col_name, metric, threshold, passed)"
     )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    threshold: float = 3.0,
+    broadcast_stats: bool = True,
+) -> DataFrame:
+    """Per-group z-score anomaly detection: flag rows whose ``value_col``
+    deviates more than ``threshold`` sample standard deviations from
+    their group's mean — the standard screen for corrupted ingest
+    batches, unit-mismatch feeds, and metric regressions, grouped by
+    whatever dimension the feed partitions on.
+
+    Plan shape (the 100 TB design): ONE combinable aggregation computes
+    per-group (mean, stddev_samp, n) — partial-aggregated map-side, so
+    the shuffle carries |groups| rows, not data — and the tiny stats
+    frame joins back broadcast (``broadcast_stats=False`` for
+    high-cardinality groupings, where AQE picks the strategy). No
+    window: a window over the fact table would shuffle and SORT every
+    row by group for two scalars per group.
+
+    Degenerate groups are honest: ``stddev_samp`` is NULL for n=1 and
+    0.0 for constant groups; both yield ``z`` NULL and ``is_outlier``
+    false (no division by zero, nothing flagged in a group with no
+    dispersion).
+
+    Float caveat (shared with every distributed mean/variance in this
+    repo): partial-aggregate accumulation order makes the last ~2 ulps
+    of mean/std run-dependent; consumers compare z rounded (the declared
+    query rounds to 6dp), never bit-exact.
+    """
+    v = F.col(value_col)
+    stats = df.groupBy(*group_cols).agg(
+        F.avg(v).alias("_mu"),
+        F.stddev_samp(v).alias("_sd"),
+        F.count(v).alias("_n"),
+    )
+    if broadcast_stats:
+        stats = F.broadcast(stats)
+    z = F.when(F.col("_sd") > 0, (v - F.col("_mu")) / F.col("_sd"))
+    return (
+        df.join(stats, group_cols, "left")
+        .withColumn("z", z)
+        .withColumn("is_outlier", F.coalesce(F.abs(F.col("z")) > threshold, F.lit(False)))
+        .drop("_mu", "_sd", "_n")
+    )

@@ -694,6 +694,32 @@ GROUP BY 1, 2
 """
 
 
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score anomaly screen (operators/profile.zscore_outliers)
+    over events: rows whose value sits more than 3 sample standard
+    deviations from their event_type's mean — one combinable stats
+    aggregation broadcast-joined back, no fact-table window. The
+    declared output keeps only flagged rows with z rounded 6dp (the
+    distributed-accumulation caveat the operator docstring declares)."""
+    from token_etl_spark.operators.profile import zscore_outliers
+
+    ev = t(spark, sf_dir, "events")
+    out = zscore_outliers(ev, "value", ["event_type"], threshold=3.0)
+    return out.where("is_outlier").select(
+        "event_id", "event_type", "value", F.round("z", 6).alias("z")
+    )
+
+
+SQL_ANOMALY_ZSCORE = """
+WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+  FROM events GROUP BY 1)
+SELECT event_id, event_type, value, round((value - mu) / sd, 6) AS z
+FROM events JOIN stats USING (event_type)
+WHERE sd > 0 AND abs((value - mu) / sd) > 3
+"""
+
+
 SPECS = [
     QuerySpec("evt_hourly_volume", q_hourly_volume, SQL_HOURLY_VOLUME, ("domain", "agg")),
     QuerySpec("evt_funnel", q_funnel, SQL_FUNNEL, ("domain", "funnel", "agg")),
@@ -716,4 +742,5 @@ SPECS = [
     QuerySpec("evt_changelog_map", q_changelog_map, SQL_CHANGELOG_MAP, ("domain", "map-collapse")),
     QuerySpec("evt_changelog_roundtrip", q_changelog_roundtrip, SQL_CHANGELOG_ROUNDTRIP, ("domain", "map-collapse")),
     QuerySpec("evt_wallet_pipeline", q_wallet_pipeline, SQL_WALLET_PIPELINE, ("domain", "pipeline")),
+    QuerySpec("evt_anomaly_zscore", q_anomaly_zscore, SQL_ANOMALY_ZSCORE, ("domain", "agg", "quality")),
 ]

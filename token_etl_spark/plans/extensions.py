@@ -2425,8 +2425,47 @@ SELECT rank, token, n, est_n, est_n - n AS overcount FROM est
 """
 
 
+# --- cross-source score calibration ----------------------------------------
+
+
+def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quality-score calibration
+    (operators/curation.calibrate_scores): each document's raw score
+    (token count, the engine tokenizer) mapped to its WITHIN-SOURCE
+    percentile and a global 10-way percentile bin — the CCNet-style
+    head/middle/tail bucketing that makes scores comparable across
+    sources before one global threshold prunes them. Two-phase plan:
+    cume_dist is replayed off the per-(source, score) count frame, never
+    a fact-table window; pct is an exact integer ratio so the oracle's
+    native cume_dist reproduces it bit-for-bit."""
+    from token_etl_spark.operators.curation import calibrate_scores
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", X.token_count("text").cast("long").alias("score")
+    )
+    out = calibrate_scores(docs, "score", "source", n_bins=10)
+    return out.select(
+        "doc_id", "source", "score", F.round("pct", 6).alias("pct"), "bin"
+    )
+
+
+SQL_SCORE_CALIBRATION = f"""
+WITH scored AS (
+  SELECT doc_id, source, CAST(len({SQL_TOKENS.format(col='text')}) AS BIGINT) AS score
+  FROM documents),
+pct AS (
+  SELECT doc_id, source, score,
+         cume_dist() OVER (PARTITION BY source ORDER BY score) AS p
+  FROM scored)
+SELECT doc_id, source, score, round(p, 6) AS pct,
+       CAST(least(9, floor(p * 10)) AS BIGINT) AS bin
+FROM pct
+"""
+
+
 SPECS = [
     QuerySpec("ext_dedup_exact", q_dedup_exact, SQL_DEDUP_EXACT, ("dedup",), bench=True),
+    QuerySpec("ext_score_calibration", q_score_calibration, SQL_SCORE_CALIBRATION, ("quality", "curation", "window")),
     QuerySpec("ext_dup_spans", q_dup_spans, SQL_DUP_SPANS, ("dedup", "text")),
     # bench=True (r4): the ExactSubstr rewrite shuffles ~1 row per corpus
     # token — the sub-document dedup workload whose cost is data volume,
