@@ -114,3 +114,29 @@ def test_hot_key_join_left_keeps_null_keys(spark):
         assert p == h, how
     left = hot_key_join(big, small, "k", n_hot=2, sample_fraction=1.0, how="left")
     assert left.filter(F.col("k").isNull()).count() == big.filter(F.col("k").isNull()).count()
+
+
+def test_skew_profile_ranks_hot_keys(spark):
+    """A planted 60/30/10 split must rank k0 > k1 > k2 with exact counts
+    and shares; two-phase pre-rank must equal the naive global window
+    regardless of bucket count."""
+    from token_etl_spark.operators.skew import skew_profile
+
+    rows = [("k0",)] * 60 + [("k1",)] * 30 + [("k2",)] * 10
+    df = spark.createDataFrame(rows, ["key"])
+    for n_buckets in (1, 4, 64):
+        out = skew_profile(df, ["key"], top_k=2, n_buckets=n_buckets).collect()
+        assert [(r["rank"], r["key"], r["n"], r["share"]) for r in sorted(out, key=lambda r: r["rank"])] == [
+            (1, "k0", 60, 0.6),
+            (2, "k1", 30, 0.3),
+        ]
+
+
+def test_skew_profile_deterministic_ties(spark):
+    """Equal-count keys order by the key columns, not partition luck."""
+    from token_etl_spark.operators.skew import skew_profile
+
+    rows = [("b",), ("a",), ("c",)] * 5
+    df = spark.createDataFrame(rows, ["key"]).repartition(8)
+    out = skew_profile(df, ["key"], top_k=3).collect()
+    assert [r["key"] for r in sorted(out, key=lambda r: r["rank"])] == ["a", "b", "c"]

@@ -469,3 +469,36 @@ def test_streaming_probe_score_matches_batch(spark, sf_dir, tmp_path):
         for r in linear_probe_score(emb, model, threshold=0.5).collect()
     }
     assert got == exp and got
+
+
+def test_streaming_zscore_flag_matches_batch(spark, sf_dir, tmp_path):
+    """streaming_zscore_flag against pre-fit stats reproduces the batch
+    zscore_outliers flags exactly (stateless broadcast stream-static
+    join — identical expression tree), including degenerate and unseen
+    groups."""
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.operators.profile import zscore_outliers, zscore_stats
+    from token_etl_spark.streaming.curation import streaming_zscore_flag
+    from token_etl_spark.streaming.hourly import run_to_memory
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    stats = zscore_stats(ev, "value", ["event_type"]).localCheckpoint()
+
+    staged = str(tmp_path / "zscore_stream")
+    ev.write.parquet(staged)
+    stream = spark.readStream.schema(ev.schema).parquet(staged)
+    out = streaming_zscore_flag(stream, stats, "value", ["event_type"], threshold=3.0)
+    run_to_memory(out, "zscore_flagged", output_mode="append")
+
+    got = {
+        r["event_id"]: (None if r["z"] is None else round(r["z"], 9), r["is_outlier"])
+        for r in spark.sql("SELECT event_id, z, is_outlier FROM zscore_flagged").collect()
+    }
+    exp = {
+        r["event_id"]: (None if r["z"] is None else round(r["z"], 9), r["is_outlier"])
+        for r in zscore_outliers(ev, "value", ["event_type"], threshold=3.0).collect()
+    }
+    assert got == exp and got
+    assert any(flag for _, flag in got.values())

@@ -141,6 +141,19 @@ def validate(df: DataFrame, checks: list[dict]) -> DataFrame:
     )
 
 
+def zscore_stats(df: DataFrame, value_col: str, group_cols: list[str]) -> DataFrame:
+    """Per-group (mean, sample std, count) — the fit side of the z-score
+    screen, shared by batch ``zscore_outliers`` and the streaming
+    flag-at-ingest twin (``streaming/curation.streaming_zscore_flag``).
+    One combinable aggregation; the result is |groups| rows."""
+    v = F.col(value_col)
+    return df.groupBy(*group_cols).agg(
+        F.avg(v).alias("_mu"),
+        F.stddev_samp(v).alias("_sd"),
+        F.count(v).alias("_n"),
+    )
+
+
 def zscore_outliers(
     df: DataFrame,
     value_col: str,
@@ -173,11 +186,7 @@ def zscore_outliers(
     query rounds to 6dp), never bit-exact.
     """
     v = F.col(value_col)
-    stats = df.groupBy(*group_cols).agg(
-        F.avg(v).alias("_mu"),
-        F.stddev_samp(v).alias("_sd"),
-        F.count(v).alias("_n"),
-    )
+    stats = zscore_stats(df, value_col, group_cols)
     if broadcast_stats:
         stats = F.broadcast(stats)
     z = F.when(F.col("_sd") > 0, (v - F.col("_mu")) / F.col("_sd"))

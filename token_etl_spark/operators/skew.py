@@ -129,3 +129,47 @@ def hot_key_join(
     hot_joined = big_hot.join(F.broadcast(small_hot), key, how)
     tail_joined = big_tail.join(small, key, how)
     return hot_joined.unionByName(tail_joined)
+
+
+def skew_profile(
+    df: DataFrame,
+    key_cols: list[str],
+    top_k: int = 20,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Hot-key diagnostic: the ``top_k`` heaviest values of ``key_cols``
+    with their row count and share of the table — the measurement that
+    decides whether a join/agg key needs salting (``salted_join`` /
+    ``salted_aggregate``) or a ``hot_key_join`` split BEFORE the skewed
+    shuffle burns a 1000-executor stage on one straggler task.
+
+    Plan shape (the 100 TB design): the per-key count is one combinable
+    aggregation (shuffle carries |keys| partial counts, not rows); the
+    top-k over that counts frame is TWO-PHASE (per-hash-bucket
+    ``row_number() <= k`` pre-rank, then the global rank over the
+    <= k*n_buckets survivors — the ``ext_top_tokens`` discipline, since
+    a join key's distinct frame can itself run to billions); the total
+    enters as a 1-row broadcast crossJoin, never a driver collect. Ties
+    break on the key columns for a deterministic, oracle-replayable
+    ranking.
+    """
+    from pyspark.sql import Window
+
+    keys = [F.col(c) for c in key_cols]
+    counts = df.groupBy(*keys).agg(F.count("*").alias("n"))
+    total = df.agg(F.count("*").alias("_tot"))
+    wb = Window.partitionBy("_bkt").orderBy(F.col("n").desc(), *key_cols)
+    survivors = (
+        counts.withColumn("_bkt", F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)))
+        .withColumn("_r", F.row_number().over(wb))
+        .filter(F.col("_r") <= top_k)
+        .drop("_bkt", "_r")
+    )
+    wg = Window.orderBy(F.col("n").desc(), *key_cols)
+    return (
+        survivors.withColumn("rank", F.row_number().over(wg))
+        .filter(F.col("rank") <= top_k)
+        .crossJoin(F.broadcast(total))
+        .withColumn("share", F.col("n").cast("double") / F.col("_tot"))
+        .drop("_tot")
+    )

@@ -908,6 +908,37 @@ FROM flt LEFT JOIN dim USING (block_number)
 """
 
 
+# --- hot-key skew profile ---------------------------------------------------
+
+
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key diagnostic (operators/skew.skew_profile) over lineitem's
+    join key: the 20 heaviest l_partkey values with count and share of
+    the table — the measurement that decides salting. Two-phase exact
+    top-k over the counts frame (per-bucket pre-rank, then a global rank
+    over the bounded survivors); the total rides in as a broadcast 1-row
+    crossJoin; deterministic key tie-break so the oracle replays the
+    ranking exactly."""
+    from token_etl_spark.operators.skew import skew_profile
+
+    li = t(spark, sf_dir, "lineitem")
+    out = skew_profile(li, ["l_partkey"], top_k=20)
+    return out.select(
+        "rank", "l_partkey", "n", F.round("share", 9).alias("share")
+    )
+
+
+SQL_SKEW_PROFILE = """
+WITH c AS (SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY 1),
+tot AS (SELECT count(*) AS t FROM lineitem),
+r AS (SELECT l_partkey, n,
+             CAST(row_number() OVER (ORDER BY n DESC, l_partkey) AS BIGINT) AS rank
+      FROM c)
+SELECT rank, l_partkey, n, round(CAST(n AS DOUBLE) / t, 9) AS share
+FROM r, tot WHERE rank <= 20
+"""
+
+
 # --- deterministic key builders (F1-F3) -------------------------------------
 
 
@@ -1125,5 +1156,6 @@ SPECS = [
     QuerySpec("rel_dapp_registry", q_dapp_registry, SQL_DAPP_REGISTRY, ("scan-preprocess", "functions-array", "join-explode")),
     QuerySpec("rel_upsert_latest", q_upsert_latest, SQL_UPSERT_LATEST, ("sink-upsert", "window-rank", "setop")),
     QuerySpec("rel_enrich_transfers", q_enrich_transfers, SQL_ENRICH_TRANSFERS, ("scan-range", "join-broadcast", "keys", "nullrepair")),
+    QuerySpec("rel_skew_profile", q_skew_profile, SQL_SKEW_PROFILE, ("agg", "skew", "topk")),
     QuerySpec("rel_ship_delay_histogram", q_ship_delay_histogram, SQL_SHIP_DELAY_HISTOGRAM, ("functions-date", "join")),
 ]

@@ -594,3 +594,36 @@ def streaming_probe_score(
     return scored.withColumn(
         "pred", F.col("score") >= F.lit(float(threshold))
     ).drop("w", "b")
+
+
+def streaming_zscore_flag(
+    stream: DataFrame,
+    stats: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Flag anomalous rows at ingest against PRE-FIT per-group
+    (mean, std) statistics — the fit-offline/flag-at-ingest twin of
+    ``operators/profile.zscore_outliers``, same split as every scorer in
+    this family (LM, DSIR, bloom, semantic, probe): the stats frame is
+    a batch aggregation over the reference window, admission flagging
+    is this stateless map-only pass (broadcast stream-static join; a
+    few rows per group key). A RUNNING mean/std would re-anchor the
+    z-score as the stream drifts — flagging against the fitted window
+    is the declared semantic (refit and swap the stats frame to move
+    the window), exactly how the probe handles its mean cut.
+
+    ``stats`` must carry ``group_cols`` + ``_mu`` + ``_sd`` — the frame
+    ``zscore_outliers``'s aggregation computes; degenerate groups
+    (NULL/0 sd) and UNSEEN groups (no stats row) yield z NULL and
+    is_outlier false, matching batch.
+    """
+    v = F.col(value_col)
+    z = F.when(F.col("_sd") > 0, (v - F.col("_mu")) / F.col("_sd"))
+    return (
+        stream.join(F.broadcast(stats), group_cols, "left")
+        .withColumn("z", z)
+        .withColumn("is_outlier", F.coalesce(F.abs(F.col("z")) > threshold, F.lit(False)))
+        .drop("_mu", "_sd", "_n")
+    )
