@@ -356,3 +356,33 @@ def test_zscore_outliers_degenerate_groups_flag_nothing(spark):
     df = spark.createDataFrame(rows, ["grp", "v"])
     out = zscore_outliers(df, "v", ["grp"], threshold=0.1).collect()
     assert all(r["z"] is None and r["is_outlier"] is False for r in out)
+
+
+def test_mad_outliers_hand_computed_and_resists_masking(spark):
+    """Values 1..9 plus 1000: median 5.5, MAD 2.5 -> robust_z(1000) =
+    994.5/(1.4826*2.5) ~ 268, flagged. The plain z-score screen at the
+    same nominal 3.5 misses it (the 1000 inflates sd to ~314, z ~ 2.9)
+    — the masking failure the robust screen exists for."""
+    from token_etl_spark.operators.profile import mad_outliers, zscore_outliers
+
+    rows = [("g", float(v)) for v in range(1, 10)] + [("g", 1000.0)]
+    df = spark.createDataFrame(rows, ["grp", "v"])
+
+    robust = mad_outliers(df, "v", ["grp"], threshold=3.5).collect()
+    flagged = [r for r in robust if r["is_outlier"]]
+    assert [r["v"] for r in flagged] == [1000.0]
+    assert abs(flagged[0]["robust_z"] - 994.5 / (1.4826 * 2.5)) < 1e-9
+
+    plain = zscore_outliers(df, "v", ["grp"], threshold=3.5).collect()
+    assert not any(r["is_outlier"] for r in plain)
+
+
+def test_mad_outliers_degenerate_mad_flags_nothing(spark):
+    """A group where over half the values sit at one point has MAD 0 —
+    robust_z NULL, nothing flagged (no division blowup)."""
+    from token_etl_spark.operators.profile import mad_outliers
+
+    rows = [("g", 5.0), ("g", 5.0), ("g", 5.0), ("g", 9.0)]
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    out = mad_outliers(df, "v", ["grp"], threshold=0.5).collect()
+    assert all(r["robust_z"] is None and r["is_outlier"] is False for r in out)

@@ -196,3 +196,56 @@ def zscore_outliers(
         .withColumn("is_outlier", F.coalesce(F.abs(F.col("z")) > threshold, F.lit(False)))
         .drop("_mu", "_sd", "_n")
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    threshold: float = 3.5,
+    consistency: float = 1.4826,
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Robust per-group outlier screen via the modified z-score
+    (Iglewicz & Hoaglin 1993): ``robust_z = (x - median) /
+    (consistency * MAD)`` with MAD the median absolute deviation and
+    ``consistency = 1.4826`` the normal-consistency factor. Unlike
+    ``zscore_outliers``, one huge anomaly cannot mask others by
+    inflating the group's own std — the screen heavy-tailed ingest
+    actually needs.
+
+    Plan shape: two grouped percentile aggregations (median, then MAD
+    over the median-joined frame), each broadcast-joined back; no
+    fact-table window. Exact ``percentile`` is an order statistic —
+    deterministic, no accumulation-order caveat — but buffers each
+    group's values on its reducer; at 100 TB set ``exact=False`` for
+    the mergeable t-digest ``approx_percentile`` (same split as
+    ``quantile_band_filter``).
+
+    Degenerate groups are honest: MAD = 0 (over half the group at one
+    value) or a 1-row group yields robust_z NULL and is_outlier false.
+    """
+    fn = "percentile" if exact else "approx_percentile"
+    extra = "" if exact else f", {accuracy}"
+    v = F.col(value_col)
+    med = df.groupBy(*group_cols).agg(
+        F.expr(f"{fn}({value_col}, 0.5D{extra})").alias("_med")
+    )
+    with_med = df.join(F.broadcast(med), group_cols, "left")
+    mad = (
+        with_med.withColumn("_adev", F.abs(v - F.col("_med")))
+        .groupBy(*group_cols)
+        .agg(F.expr(f"{fn}(_adev, 0.5D{extra})").alias("_mad"))
+    )
+    z = F.when(
+        F.col("_mad") > 0, (v - F.col("_med")) / (F.lit(consistency) * F.col("_mad"))
+    )
+    return (
+        with_med.join(F.broadcast(mad), group_cols, "left")
+        .withColumn("robust_z", z)
+        .withColumn(
+            "is_outlier", F.coalesce(F.abs(F.col("robust_z")) > threshold, F.lit(False))
+        )
+        .drop("_med", "_mad")
+    )

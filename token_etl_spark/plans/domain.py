@@ -720,6 +720,36 @@ WHERE sd > 0 AND abs((value - mu) / sd) > 3
 """
 
 
+def q_anomaly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier screen (operators/profile.mad_outliers):
+    modified z-score over (median, MAD) per event_type — the
+    heavy-tail-safe twin of evt_anomaly_zscore, and the deterministic
+    one (order statistics, no accumulation-order caveat). Exact
+    percentile declared here (the gate corpus fits a reducer);
+    ``exact=False`` is the 100 TB t-digest path."""
+    from token_etl_spark.operators.profile import mad_outliers
+
+    ev = t(spark, sf_dir, "events")
+    out = mad_outliers(ev, "value", ["event_type"], threshold=3.5)
+    return out.where("is_outlier").select(
+        "event_id", "event_type", "value", F.round("robust_z", 6).alias("robust_z")
+    )
+
+
+SQL_ANOMALY_ROBUST = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m
+  FROM events GROUP BY 1),
+mad AS (
+  SELECT event_type, quantile_cont(abs(value - m), 0.5) AS d
+  FROM events JOIN med USING (event_type) GROUP BY 1)
+SELECT event_id, event_type, value,
+       round((value - m) / (1.4826 * d), 6) AS robust_z
+FROM events JOIN med USING (event_type) JOIN mad USING (event_type)
+WHERE d > 0 AND abs((value - m) / (1.4826 * d)) > 3.5
+"""
+
+
 SPECS = [
     QuerySpec("evt_hourly_volume", q_hourly_volume, SQL_HOURLY_VOLUME, ("domain", "agg")),
     QuerySpec("evt_funnel", q_funnel, SQL_FUNNEL, ("domain", "funnel", "agg")),
@@ -743,4 +773,5 @@ SPECS = [
     QuerySpec("evt_changelog_roundtrip", q_changelog_roundtrip, SQL_CHANGELOG_ROUNDTRIP, ("domain", "map-collapse")),
     QuerySpec("evt_wallet_pipeline", q_wallet_pipeline, SQL_WALLET_PIPELINE, ("domain", "pipeline")),
     QuerySpec("evt_anomaly_zscore", q_anomaly_zscore, SQL_ANOMALY_ZSCORE, ("domain", "agg", "quality")),
+    QuerySpec("evt_anomaly_robust", q_anomaly_robust, SQL_ANOMALY_ROBUST, ("domain", "agg-percentile", "quality")),
 ]
