@@ -127,3 +127,41 @@ def test_incremental_upsert_repeated_batches_keep_latest(spark, tmp_path):
         upsert_by_key_incremental(spark, batch, path, n_buckets=4)
     got = {r["_key"]: r["v"] for r in read_upserted(spark, path).collect()}
     assert got == {"a": 3, "b": 30}
+
+
+def test_write_sorted_global_order_and_manifest(spark, tmp_path, sf_dir):
+    """Concatenating the part files in filename order must yield the
+    global sort order; manifest ranges must be non-overlapping and
+    ordered; the plan must range-partition, never single-task sort."""
+    import io
+    import contextlib
+
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.io.sinks import write_sorted
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    path = str(tmp_path / "sorted_out")
+    manifest = write_sorted(spark, ev, path, ["value", "event_id"], n_files=8)
+
+    # plan check on the export frame: RangePartitioning, no SinglePartition
+    export = ev.repartitionByRange(8, F.col("value").asc(), F.col("event_id").asc())
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        export.explain("formatted")
+    plan = buf.getvalue()
+    assert "rangepartitioning" in plan.lower()
+    assert "SinglePartition" not in plan
+
+    rows = manifest.orderBy("file_name").collect()
+    assert sum(r["n_rows"] for r in rows) == ev.count()
+    # non-overlapping, filename-ordered ranges
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_key"] <= b["min_key"]
+
+    # file-order concat == global order, rows taken in PHYSICAL order
+    # (one small file reads as one partition; collect preserves row order)
+    concat = []
+    for r in rows:
+        part = spark.read.parquet(f"{path}/{r['file_name']}").collect()
+        concat.extend((p["value"], p["event_id"]) for p in part)
+    assert concat == sorted(concat)

@@ -148,3 +148,44 @@ def read_upserted(spark: SparkSession, path: str) -> DataFrame:
     """Read an upserted table, hiding the bookkeeping columns."""
     df = spark.read.parquet(path)
     return df.drop(*[c for c in ("_bucket", "_ingest_version") if c in df.columns])
+
+
+def write_sorted(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int = 32,
+    descending: bool = False,
+) -> DataFrame:
+    """Globally-sorted parquet export (O1 at scale; the reference's
+    ``orderBy`` before its sink, WriteToFile.scala:6-12 — but a bare
+    ``orderBy`` + single writer is the 100 TB anti-plan).
+
+    Scale shape: ``repartitionByRange`` samples range boundaries and
+    distributes rows so partition i's keys all sort before partition
+    i+1's (a RangePartitioning exchange — parallel, no single-task
+    global sort); ``sortWithinPartitions`` orders inside each range with
+    a per-partition spillable sort. Part-file index == partition id, so
+    concatenating files in filename order IS the global order — the
+    contract consumers (sequential trainers, mergers) actually need.
+
+    Returns the serving-side pruning manifest: one row per file with
+    (file_name, min/max of the leading sort key, n_rows), read back from
+    the written footers — the index a reader uses to binary-search files
+    without opening them.
+    """
+    cols = [F.col(c).desc() if descending else F.col(c).asc() for c in sort_cols]
+    out = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
+    out.write.mode("overwrite").parquet(path)
+    lead = sort_cols[0]
+    return (
+        spark.read.parquet(path)
+        .withColumn("file_name", F.element_at(F.split(F.input_file_name(), "/"), -1))
+        .groupBy("file_name")
+        .agg(
+            F.min(lead).alias("min_key"),
+            F.max(lead).alias("max_key"),
+            F.count("*").alias("n_rows"),
+        )
+    )
