@@ -155,3 +155,42 @@ def test_pagerank_handles_dangling_nodes(spark):
     assert abs(total - 3.0) < 1e-6  # rank mass conserved (sums to N)
     for k in exp:
         assert abs(got[k] - exp[k]) < 1e-6
+
+
+def test_keep_best_in_cluster(spark):
+    from token_etl_spark.operators.graph import connected_components, keep_best_in_cluster
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 9)], "id_a long, id_b long")
+    comps = connected_components(pairs)
+    # scores: cluster {1,2,3} → 2 is best; cluster {7,9} → tie broken to 7
+    scored = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 20), (7, 5), (9, 5), (0, 1), (4, 1)],
+        "doc_id long, score long",
+    )
+    got = {r["doc_id"]: r["keep"] for r in keep_best_in_cluster(comps, scored).collect()}
+    assert len(got) == 7
+    assert got[2] and not got[1] and not got[3]   # highest score wins
+    assert got[7] and not got[9]                  # tie → min id
+    assert got[0] and got[4]                      # singletons kept
+
+
+def test_keep_best_equals_keep_list_under_id_score(spark):
+    """With score = -id (so the min id IS the best score) keep-best must
+    reproduce dedup_keep_list's min-id decisions exactly."""
+    from token_etl_spark.operators.graph import (
+        connected_components,
+        dedup_keep_list,
+        keep_best_in_cluster,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 22), (22, 24)], "id_a long, id_b long"
+    )
+    all_ids = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 10, 11, 20, 22, 24, 99]], "doc_id long"
+    )
+    scored = all_ids.withColumn("score", -F.col("doc_id"))
+    comps = connected_components(pairs)
+    a = {(r.doc_id, r.keep) for r in dedup_keep_list(pairs, all_ids).collect()}
+    b = {(r.doc_id, r.keep) for r in keep_best_in_cluster(comps, scored).collect()}
+    assert a == b

@@ -101,3 +101,64 @@ def test_two_phase_rank_equals_single_window(spark):
     ]
     assert all(s == runs[0] for s in runs[1:])
     assert len(runs[0]) == 30  # 15 per query; 'the'/'common' match all 300
+
+
+def test_rrf_fuse_python_reference(spark):
+    from token_etl_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [("q0", 100, 1), ("q0", 101, 2), ("q0", 102, 3)],
+        "query_id string, doc_id long, rank long",
+    )
+    vec = spark.createDataFrame(
+        [("q0", 101, 1), ("q0", 200, 2), ("q0", 100, 3)],
+        "query_id string, doc_id long, rank long",
+    )
+    got = {r.doc_id: (r.rank, r.rrf_score) for r in rrf_fuse(lex, vec, k=10).collect()}
+    exp = {
+        100: 1 / 61 + 1 / 63,
+        101: 1 / 62 + 1 / 61,
+        102: 1 / 63,
+        200: 1 / 62,
+    }
+    assert set(got) == set(exp)
+    for d, s in exp.items():
+        assert abs(got[d][1] - s) < 1e-12
+    # 101 (1/62+1/61) > 100 (1/61+1/63) > 200 (1/62) > 102 (1/63)
+    order = [d for d, _ in sorted(got.items(), key=lambda kv: kv[1][0])]
+    assert order == [101, 100, 200, 102]
+
+
+def test_rrf_fuse_tie_breaks_on_doc_id(spark):
+    from token_etl_spark.operators.retrieval import rrf_fuse
+
+    # doc 5 only-lexical rank 2, doc 9 only-vector rank 2 → equal score
+    lex = spark.createDataFrame(
+        [("q0", 1, 1), ("q0", 5, 2)], "query_id string, doc_id long, rank long"
+    )
+    vec = spark.createDataFrame(
+        [("q0", 1, 1), ("q0", 9, 2)], "query_id string, doc_id long, rank long"
+    )
+    rows = {r.doc_id: r.rank for r in rrf_fuse(lex, vec, k=10).collect()}
+    assert rows[1] == 1 and rows[5] == 2 and rows[9] == 3
+
+
+def test_rrf_fuse_k_cut_and_multiquery_isolation(spark):
+    from token_etl_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [("qa", i, i) for i in range(1, 6)] + [("qb", 100 + i, i) for i in range(1, 4)],
+        "query_id string, doc_id long, rank long",
+    )
+    vec = spark.createDataFrame(
+        [("qa", 50 + i, i) for i in range(1, 6)],
+        "query_id string, doc_id long, rank long",
+    )
+    out = rrf_fuse(lex, vec, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q["qa"]) == 3 and len(by_q["qb"]) == 3
+    # qb has no vector list: pure-lexical ranks carry through in order
+    qb = sorted(by_q["qb"], key=lambda r: r.rank)
+    assert [r.doc_id for r in qb] == [101, 102, 103]

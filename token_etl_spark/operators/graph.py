@@ -117,6 +117,55 @@ def keep_list_from_components(
     return decided.unionByName(singletons.withColumn("keep", F.lit(True)))
 
 
+def keep_best_in_cluster(
+    comps: DataFrame,
+    scored_docs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware dedup retention: within each near-dup cluster keep
+    the single HIGHEST-``score_col`` document (ties → min id) instead of
+    the min-id representative ``dedup_keep_list`` uses. This is the
+    retention policy production corpus pipelines actually run — e.g.
+    FineWeb / Gopher-style dedup keeps the longest or highest-quality
+    member of a duplicate cluster, because the min-id pick discards
+    quality signal for free (Penedo et al. 2024, "The FineWeb Datasets",
+    §3.3; Rae et al. 2021, Gopher App. A1.2).
+
+    ``comps`` is the (id, component) frame from ``connected_components``
+    / ``minhash_dedup_clusters``; ``scored_docs`` is the full-corpus
+    (id_col, score_col) projection — it doubles as the id universe for
+    singleton detection (ids appearing in no pair are kept
+    unconditionally; their scores are never consulted). Returns every
+    id → (id_col, keep).
+
+    100 TB shape: one broadcast-or-shuffle join of the cluster frame
+    (|clustered ids| rows, far smaller than the corpus after LSH) against
+    the score projection, then ONE window partitioned by component —
+    near-dup clusters are small by construction (the LSH bucket cap
+    bounds them), so the per-component sort never concentrates a
+    pathological partition the way a global window would. Singletons
+    never enter the shuffle: they anti-join straight to keep=true,
+    exactly like ``keep_list_from_components``.
+    """
+    from pyspark.sql import Window
+
+    scores = scored_docs.select(
+        F.col(id_col).alias("id"), F.col(score_col).alias("_score")
+    )
+    w = Window.partitionBy("component").orderBy(F.col("_score").desc(), F.col("id"))
+    decided = (
+        comps.join(scores, "id")
+        .withColumn("_rn", F.row_number().over(w))
+        .select(F.col("id").alias(id_col), (F.col("_rn") == 1).alias("keep"))
+    )
+    singletons = (
+        scored_docs.select(id_col)
+        .join(decided.select(id_col), id_col, "left_anti")
+    )
+    return decided.unionByName(singletons.withColumn("keep", F.lit(True)))
+
+
 def iterate_to_fixpoint(
     state: DataFrame,
     step,

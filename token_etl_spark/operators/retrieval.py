@@ -135,3 +135,63 @@ def bm25_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "dl", "bm25")
     )
+
+
+RRF_C = 60
+
+
+def rrf_fuse(
+    lexical: DataFrame,
+    vector: DataFrame,
+    k: int = 10,
+    c: int = RRF_C,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hybrid retrieval by Reciprocal Rank Fusion (Cormack, Clarke &
+    Buettcher 2009, SIGIR, "Reciprocal rank fusion outperforms Condorcet
+    and individual rank learning methods"): fuse a lexical top-k list
+    and a vector top-k list into one ranking per query with
+
+        rrf(d) = Σ_lists 1 / (c + rank_list(d))
+
+    summing only over the lists that retrieved ``d`` (the standard
+    union-of-candidates convention; ``c = 60`` is the paper's constant).
+    This is the fusion step of every BM25-plus-embeddings hybrid search
+    stack, and the corpus-inspection twin of ``bm25_topk``: ranks enter
+    as INTEGERS, so unlike score-interpolation fusion there is nothing
+    to calibrate across the two scorers' incomparable score scales.
+
+    ``lexical`` and ``vector`` are (query_id, ``id_col``, rank) frames —
+    any extra columns are ignored. Returns
+    (query_id, rank, doc_id, rrf_score).
+
+    100 TB shape: both inputs are ALREADY per-query top-k lists (the
+    upstream operators did the heavy candidate generation with two-phase
+    ranks), so this frame is ≤ 2k rows per query by construction. The
+    fuse is one full-outer join on (query_id, id) and one window
+    partitioned by query_id over those ≤ 2k survivors — no corpus-sized
+    shuffle can reach it. The float is two exact integer→double
+    divisions and one addition in pinned order (lexical + vector), so a
+    SQL oracle replays it bit-for-bit.
+    """
+    lex = lexical.select(
+        "query_id", F.col(id_col).alias("_id"), F.col("rank").alias("_lrank")
+    )
+    vec = vector.select(
+        "query_id", F.col(id_col).alias("_id"), F.col("rank").alias("_vrank")
+    )
+    one = F.lit(1.0)
+    fused = (
+        lex.join(vec, ["query_id", "_id"], "full_outer")
+        .withColumn(
+            "rrf_score",
+            F.coalesce(one / (F.lit(float(c)) + F.col("_lrank").cast("double")), F.lit(0.0))
+            + F.coalesce(one / (F.lit(float(c)) + F.col("_vrank").cast("double")), F.lit(0.0)),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf_score").desc(), F.col("_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("_id").alias(id_col), "rrf_score")
+    )

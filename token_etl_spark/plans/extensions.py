@@ -458,6 +458,41 @@ FROM b
 """
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup retention (operators/graph.py
+    keep_best_in_cluster): near-dup clusters from
+    ``minhash_dedup_clusters``, but the kept representative is the
+    LONGEST document of each cluster (``n_chars``, ties → min doc_id)
+    instead of the min-id pick of ext_dedup_keep_list — the
+    FineWeb/Gopher retention policy, composed with the same LSH
+    star-edge + connected-components cluster stage. Oracle: the
+    recursive connected-components replay joined to ``n_chars`` with
+    the same (score DESC, id) window."""
+    from token_etl_spark.operators.graph import keep_best_in_cluster
+
+    docs = t(spark, sf_dir, "documents")
+    clusters = D.minhash_dedup_clusters(docs, threshold=JACCARD_THRESHOLD)
+    return keep_best_in_cluster(
+        clusters, docs.select("doc_id", F.col("n_chars").alias("score"))
+    )
+
+
+SQL_DEDUP_KEEP_BEST = f"""
+WITH RECURSIVE {_cc_sql_body(JACCARD_THRESHOLD)},
+scored AS (
+  SELECT c.id, c.component, d.n_chars
+  FROM comp c JOIN documents d ON d.doc_id = c.id),
+best AS (
+  SELECT id, row_number() OVER (PARTITION BY component
+                                ORDER BY n_chars DESC, id) AS rn
+  FROM scored)
+SELECT id AS doc_id, (rn = 1) AS keep FROM best
+UNION ALL
+SELECT doc_id, TRUE AS keep FROM documents
+WHERE doc_id NOT IN (SELECT id FROM comp)
+"""
+
+
 def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup against a persisted MinHash index
     (operators/dedup.py minhash_index_frame / minhash_match_index): the
@@ -2488,6 +2523,7 @@ SPECS = [
     # alongside the pair form it replaces in pipelines/corpus.py.
     QuerySpec("ext_minhash_clusters", q_minhash_clusters, SQL_MINHASH_CLUSTERS, ("dedup", "graph", "iterative"), bench=True),
     QuerySpec("ext_cluster_safe_split", q_cluster_safe_split, SQL_CLUSTER_SAFE_SPLIT, ("dedup", "curation", "graph", "iterative")),
+    QuerySpec("ext_dedup_keep_best", q_dedup_keep_best, SQL_DEDUP_KEEP_BEST, ("dedup", "graph", "iterative")),
     QuerySpec("ext_incremental_neardup", q_incremental_neardup, SQL_INCREMENTAL_NEARDUP, ("dedup", "pipeline")),
     QuerySpec("ext_ann_bruteforce", q_ann_bruteforce, SQL_ANN_BRUTEFORCE, ("similarity",), bench=True),
     QuerySpec("ext_embedding_neardup", q_embedding_neardup, SQL_EMBEDDING_NEARDUP, ("similarity", "dedup")),

@@ -554,6 +554,79 @@ FROM r WHERE rank <= {BM25_TOPK}
 """
 
 
+# --- Hybrid retrieval: BM25 + vector, reciprocal rank fusion ----------------
+
+RRF_K = 10
+RRF_N_PROBES = 3  # probe i pairs BM25_QUERIES[i] with query vector vec_id=i
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: the BM25 top-10 lexical list and the exact-cosine
+    top-10 vector list, fused per probe by Reciprocal Rank Fusion
+    (operators/retrieval.py rrf_fuse — Cormack et al. 2009, c=60). Probe
+    ``i`` pairs lexical query ``BM25_QUERIES[i]`` with query vector
+    ``vec_id = i`` (the synthetic corpus aligns documents and embeddings
+    by id), which is exactly how a hybrid search stack issues one user
+    query to both indexes. Ranks — not raw scores — cross the fusion
+    boundary, so the two scorers' incomparable scales never need
+    calibration, and the oracle replays the arithmetic bit-for-bit."""
+    from token_etl_spark.operators import similarity as S
+    from token_etl_spark.operators.retrieval import bm25_topk, rrf_fuse
+
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    queries = spark.createDataFrame(
+        BM25_QUERIES[:RRF_N_PROBES], ["query_id", "query_text"]
+    )
+    lex = bm25_topk(docs, queries, k=RRF_K)
+    vec = S.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < RRF_N_PROBES), k=RRF_K
+    ).select(
+        F.concat(F.lit("q"), F.col("query_id").cast("string")).alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+    )
+    out = rrf_fuse(lex, vec, k=RRF_K)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("rrf_score", 6).alias("rrf_score")
+    )
+
+
+SQL_HYBRID_RRF = f"""
+WITH lex AS (
+  SELECT query_id, doc_id, rank AS lrank FROM ({SQL_BM25_TOPK})),
+vq AS (SELECT vec_id AS qvid, 'q' || CAST(vec_id AS VARCHAR) AS query_id,
+              embedding::DOUBLE[] AS qv
+       FROM embeddings WHERE vec_id < {RRF_N_PROBES}),
+vc AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+vs AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS sim
+  FROM vq CROSS JOIN vc WHERE qvid <> neighbor_id),
+vr AS (
+  SELECT query_id, neighbor_id AS doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS vrank
+  FROM vs),
+vec AS (SELECT query_id, doc_id, vrank FROM vr WHERE vrank <= {RRF_K}),
+fused AS (
+  SELECT coalesce(lex.query_id, vec.query_id) AS query_id,
+         coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+         coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(lrank AS DOUBLE)),
+                  CAST(0 AS DOUBLE))
+         + coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(vrank AS DOUBLE)),
+                    CAST(0 AS DOUBLE)) AS rrf_score
+  FROM lex FULL OUTER JOIN vec
+    ON lex.query_id = vec.query_id AND lex.doc_id = vec.doc_id),
+rr AS (
+  SELECT query_id, doc_id, rrf_score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank
+  FROM fused)
+SELECT query_id, rank, doc_id, round(rrf_score, 6) AS rrf_score
+FROM rr WHERE rank <= {RRF_K}
+"""
+
+
 # --- TF-IDF distinctive terms ----------------------------------------------
 
 TFIDF_K = 5
@@ -1338,6 +1411,7 @@ SPECS = [
     QuerySpec("ext_top_tokens", q_top_tokens, SQL_TOP_TOKENS, ("text", "agg-topk")),
     QuerySpec("ext_hll_distinct", q_hll_distinct, SQL_HLL_DISTINCT, ("sketch", "text", "agg-approx")),
     QuerySpec("ext_bm25_topk", q_bm25_topk, SQL_BM25_TOPK, ("text", "retrieval", "agg-topk")),
+    QuerySpec("ext_hybrid_rrf", q_hybrid_rrf, SQL_HYBRID_RRF, ("text", "retrieval", "similarity", "join")),
     QuerySpec("ext_kmv_overlap", q_kmv_overlap, SQL_KMV_OVERLAP, ("sketch", "agg-approx", "setop")),
     QuerySpec("ext_tfidf_terms", q_tfidf_terms, SQL_TFIDF_TERMS, ("text", "agg-topk", "join")),
     QuerySpec("ext_crossdoc_line_dedup", q_crossdoc_line_dedup, SQL_CROSSDOC_LINE_DEDUP, ("text", "dedup")),
