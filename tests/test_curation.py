@@ -387,3 +387,32 @@ def test_calibrate_scores_matches_naive_cume_dist_window(spark, sf_dir):
     )
     want = {r["doc_id"]: (r["pct"], r["bin"]) for r in naive.collect()}
     assert got == want
+
+
+def test_ngram_novelty_hand_computed(spark):
+    # doc 1: "a b c d"  → grams {"a b c", "b c d"} — all novel (first doc)
+    # doc 2: "a b c d"  → same grams, all seen in doc 1 → novelty 0
+    # doc 3: "a b c x"  → {"a b c" (seen), "b c x" (novel)} → 0.5
+    # doc 4: "zz"       → single short-doc gram "zz", novel → 1.0
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "a b c x"), (4, "zz")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty"])
+        for r in C.ngram_novelty(docs, k=3).collect()
+    }
+    assert got[1] == (2, 2, 1.0)
+    assert got[2] == (2, 0, 0.0)
+    assert got[3] == (2, 1, 0.5)
+    assert got[4] == (1, 1, 1.0)
+
+
+def test_ngram_novelty_single_gram_shuffle(spark):
+    """The plan must carry exactly ONE gram-keyed exchange (the window),
+    not the two a groupBy + join-back would produce."""
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    plan = C.ngram_novelty(docs, k=3)._jdf.queryExecution().optimizedPlan().toString()
+    # one window over the shingle partition, no join anywhere
+    assert "Join" not in plan
+    assert plan.count("Window") == 1

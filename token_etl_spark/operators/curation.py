@@ -474,6 +474,51 @@ def cross_corpus_dedup(
     )
 
 
+def ngram_novelty(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Marginal-information score per document: the fraction of its
+    distinct k-gram shingles that NO earlier document (smaller
+    ``id_col`` — ingestion order) contains. This is the novelty curve a
+    corpus-accumulation pipeline watches to decide when a source is
+    mined out (each new crawl batch adds fewer unseen n-grams — the
+    diminishing-returns signal behind data-selection work like
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", §5, which measures the same first-occurrence structure).
+
+    Returns (``id_col``, n_grams, n_novel, novelty) for every document
+    with ≥1 gram; ``novelty = n_novel / n_grams`` in [0, 1]. A fully
+    boilerplate doc scores 0; the first doc scores 1 by construction.
+
+    100 TB shape: distinct (doc, gram) pairs from one narrow
+    explode-project, then ``min(doc_id)`` per gram as a WINDOW over the
+    gram partition — not a groupBy + join-back, which would shuffle the
+    pair frame on the gram key twice (once into the aggregate, once into
+    the join; the subtrees differ, so Catalyst cannot reuse the
+    exchange). The window form pays ONE gram-keyed exchange and rides
+    it for both the min and the membership test; the per-doc rollup is
+    the only other shuffle. Nothing is quadratic and nothing global:
+    the heaviest intermediate is the distinct pair frame the dedup
+    stack already builds.
+    """
+    grams = shingles(docs, text_col=text_col, id_col=id_col, k=k)
+    w = Window.partitionBy("shingle")
+    return (
+        grams.withColumn("_first", F.min("id").over(w))
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("id") == F.col("_first")).cast("long")).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty", F.col("n_novel").cast("double") / F.col("n_grams").cast("double")
+        )
+    )
+
+
 def bigram_array_expr(toks: Column) -> Column:
     """Adjacent word-pair array from a tokens column.
 

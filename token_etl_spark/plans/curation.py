@@ -366,6 +366,41 @@ FROM per CROSS JOIN st
 """
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-information curve (operators/curation.py ngram_novelty):
+    per document, the fraction of its distinct 3-gram shingles no
+    earlier document contains — the diminishing-returns signal a
+    corpus-accumulation pipeline watches per crawl batch. One gram-keyed
+    window (not groupBy + join-back, which would shuffle the pair frame
+    on the gram twice) + one doc-keyed rollup."""
+    docs = t(spark, sf_dir, "documents")
+    out = C.ngram_novelty(docs, k=3)
+    return out.select(
+        "doc_id", "n_grams", "n_novel", F.round("novelty", 6).alias("novelty")
+    )
+
+
+SQL_NGRAM_NOVELTY = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+shg AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(tk) - 2, 1) + 1),
+           i -> array_to_string(tk[i:i+2], ' ')))) AS shingle
+  FROM toks),
+f AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY shingle) AS first_doc
+  FROM shg)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       round(CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS novelty
+FROM f GROUP BY doc_id
+"""
+
+
 SPECS = [
     QuerySpec("ext_decontaminate", q_decontaminate, SQL_DECONTAMINATE, ("curation", "text")),
     QuerySpec("ext_temperature_mix", q_temperature_mix, SQL_TEMPERATURE_MIX, ("curation",)),
@@ -378,5 +413,6 @@ SPECS = [
     QuerySpec("ext_source_mix", q_source_mix, SQL_SOURCE_MIX, ("curation",)),
     QuerySpec("ext_quantile_filter", q_quantile_filter, SQL_QUANTILE_FILTER, ("curation",)),
     QuerySpec("ext_crosscorpus_dedup", q_crosscorpus_dedup, SQL_CROSSCORPUS_DEDUP, ("curation", "dedup")),
+    QuerySpec("ext_ngram_novelty", q_ngram_novelty, SQL_NGRAM_NOVELTY, ("curation", "text", "window")),
     QuerySpec("ext_sequence_pack", q_sequence_pack, SQL_SEQUENCE_PACK, ("curation", "window")),
 ]
