@@ -502,3 +502,91 @@ def test_streaming_zscore_flag_matches_batch(spark, sf_dir, tmp_path):
     }
     assert got == exp and got
     assert any(flag for _, flag in got.values())
+
+
+def test_streaming_novelty_matches_batch_on_ordered_batches(spark, sf_dir, tmp_path):
+    """run_streaming_novelty over id-ordered micro-batches (batch N's
+    ids all precede batch N+1's) must reproduce the batch
+    ngram_novelty over the concatenated corpus exactly — the declared
+    equivalence contract — and a second run over only the LAST batch's
+    ids against the accumulated index must again agree (incremental
+    continuation, no corpus re-scan)."""
+    import os
+
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.operators.curation import ngram_novelty
+    from token_etl_spark.streaming.curation import (
+        read_novelty_scores,
+        run_streaming_novelty,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    docs = docs.select("doc_id", "text").localCheckpoint()
+    cuts = [(0, 40), (40, 80), (80, 120)]
+    staged = tmp_path / "nov_stream"
+    staged.mkdir()
+    for g, (lo, hi) in enumerate(cuts):
+        sub = tmp_path / f"novgen{g}"
+        docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+            1
+        ).write.parquet(str(sub))
+        part = next(p for p in sub.iterdir() if p.name.endswith(".parquet"))
+        dst = staged / f"gen{g}.parquet"
+        part.rename(dst)
+        os.utime(dst, (1_700_000_000 + g, 1_700_000_000 + g))
+
+    index_path = str(tmp_path / "nov_index")
+    scores_path = str(tmp_path / "nov_scores")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(staged))
+    )
+    run_streaming_novelty(
+        stream,
+        index_path,
+        scores_path=scores_path,
+        checkpoint_path=str(tmp_path / "nov_ckpt"),
+    )
+
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], round(r["novelty"], 6))
+        for r in read_novelty_scores(spark, scores_path).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], round(r["novelty"], 6))
+        for r in ngram_novelty(docs, k=3).collect()
+    }
+    assert got == want
+
+    # incremental continuation: stream 40 MORE docs against the kept index
+    more = load_table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") >= 120) & (F.col("doc_id") < 160)
+    ).select("doc_id", "text").localCheckpoint()
+    staged2 = tmp_path / "nov_stream2"
+    staged2.mkdir()
+    sub = tmp_path / "novgen3"
+    more.coalesce(1).write.parquet(str(sub))
+    part = next(p for p in sub.iterdir() if p.name.endswith(".parquet"))
+    part.rename(staged2 / "gen3.parquet")
+    stream2 = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(staged2))
+    )
+    run_streaming_novelty(
+        stream2,
+        index_path,
+        scores_path=scores_path,
+        checkpoint_path=str(tmp_path / "nov_ckpt2"),
+    )
+    all_batch = ngram_novelty(docs.unionByName(more), k=3)
+    want_all = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], round(r["novelty"], 6))
+        for r in all_batch.collect()
+    }
+    got_all = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], round(r["novelty"], 6))
+        for r in read_novelty_scores(spark, scores_path).collect()
+    }
+    assert got_all == want_all

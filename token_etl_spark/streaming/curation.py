@@ -627,3 +627,114 @@ def streaming_zscore_flag(
         .withColumn("is_outlier", F.coalesce(F.abs(F.col("z")) > threshold, F.lit(False)))
         .drop("_mu", "_sd", "_n")
     )
+
+
+def run_streaming_novelty(
+    stream: DataFrame,
+    gram_index_path: str,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scores_path: str | None = None,
+    checkpoint_path: str | None = None,
+) -> None:
+    """Streaming twin of ``operators/curation.py ngram_novelty`` — the
+    per-crawl-batch marginal-information monitor run AT INGEST: each
+    micro-batch scores its own documents' novelty against the persisted
+    distinct-gram index, appends (doc_id, n_grams, n_novel, novelty)
+    rows to ``scores_path``, and appends the batch's genuinely new
+    grams to the index so later batches are scored against everything
+    seen so far. The novelty trend across batches is the
+    diminishing-returns curve that tells a pipeline a source is mined
+    out — computed without ever re-scanning the accumulated corpus.
+
+    Equivalence contract (pinned in tests/test_streaming_curation.py):
+    when batches arrive in ``id_col`` order (batch N's ids all precede
+    batch N+1's — the natural crawl-accumulation order), the union of
+    per-batch scores equals the batch operator over the concatenated
+    corpus, because "gram unseen by any earlier doc" factors exactly
+    into "gram absent from the index (earlier batches)" AND "this doc
+    is the gram's batch-local first occurrence" (a min-over-gram window
+    within the batch). Out-of-order ids break the equivalence (a later
+    batch cannot retroactively de-novel an earlier doc) — the same
+    arrival-order caveat the streaming funnel declares.
+
+    State is the distinct-gram index: bounded by corpus VOCABULARY
+    (grams, not documents — sublinear in practice), shared on disk in
+    the same (checkpoint-lineage, batch_id)-keyed overwrite-partition
+    layout as ``run_streaming_neardup``'s MinHash index, so a batch
+    retry rewrites its own partition instead of double-counting, and a
+    continuation stream (fresh checkpoint over new crawl files, same
+    index dir) cannot clobber an earlier run's partitions.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from pyspark.sql import Window
+
+        from token_etl_spark.streaming.dedup import (
+            _batch_partition_key,
+            _read_partitioned_state,
+        )
+
+        key = _batch_partition_key(checkpoint_path, batch_id)
+        spark = batch_df.sparkSession
+        grams = shingles(batch_df, text_col=text_col, id_col=id_col, k=k)
+        index = _read_partitioned_state(spark, gram_index_path)
+        if index is not None:
+            # left join beats anti-join here: the gram's index-membership
+            # AND its batch-local first are both needed per pair row.
+            grams = grams.join(
+                index.select(F.col("shingle"), F.lit(True).alias("_seen")),
+                "shingle",
+                "left",
+            )
+        else:
+            grams = grams.withColumn("_seen", F.lit(None).cast("boolean"))
+        w = Window.partitionBy("shingle")
+        scored = (
+            grams.withColumn("_first", F.min("id").over(w))
+            .groupBy(F.col("id").alias(id_col))
+            .agg(
+                F.count("*").alias("n_grams"),
+                F.sum(
+                    (
+                        F.col("_seen").isNull() & (F.col("id") == F.col("_first"))
+                    ).cast("long")
+                ).alias("n_novel"),
+            )
+            .withColumn(
+                "novelty",
+                F.col("n_novel").cast("double") / F.col("n_grams").cast("double"),
+            )
+        )
+        if scores_path is not None:
+            scored.write.mode("overwrite").parquet(
+                f"{scores_path.rstrip('/')}/batch_id={key}"
+            )
+        new_grams = shingles(batch_df, text_col=text_col, id_col=id_col, k=k).select(
+            "shingle"
+        ).distinct()
+        if index is not None:
+            new_grams = new_grams.join(index.select("shingle"), "shingle", "left_anti")
+        new_grams.write.mode("overwrite").parquet(
+            f"{gram_index_path.rstrip('/')}/batch_id={key}"
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+    )
+    if checkpoint_path is not None:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    q = writer.start()
+    q.awaitTermination()
+
+
+def read_novelty_scores(spark, scores_path: str) -> DataFrame | None:
+    """All per-batch novelty rows appended so far (partition col dropped)."""
+    from token_etl_spark.streaming.dedup import _read_partitioned_state
+
+    return _read_partitioned_state(spark, scores_path)

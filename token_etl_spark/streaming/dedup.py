@@ -87,11 +87,14 @@ def run_streaming_neardup(
     time. Stream≡batch equivalence is pinned in
     tests/test_streaming_dedup.py.
 
-    Idempotency: every write is keyed by ``batch_id`` — each batch's
-    index rows and match pairs land in their own ``batch_id=N``
-    partition dir with mode=overwrite, so a foreachBatch RETRY (or a
-    whole re-run over the same source with the same ``checkpoint_path``)
-    rewrites that batch's partition instead of appending duplicates.
+    Idempotency: every write is keyed by (checkpoint lineage, batch_id)
+    — each batch's index rows and match pairs land in their own
+    ``batch_id=<ckpt-prefix>-N`` partition dir with mode=overwrite, so a
+    foreachBatch RETRY (or a whole re-run over the same source with the
+    same ``checkpoint_path``) rewrites that batch's partition instead of
+    appending duplicates, while a CONTINUATION stream (fresh checkpoint,
+    new source files, same index dir) gets a fresh prefix and cannot
+    clobber the original run's batch-0 partition.
     Pass ``checkpoint_path`` so Structured Streaming tracks which source
     files each batch consumed; readers see the partition column via
     :func:`read_neardup_index` / :func:`read_neardup_matches`, which
@@ -102,6 +105,7 @@ def run_streaming_neardup(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        key = _batch_partition_key(checkpoint_path, batch_id)
         spark = batch_df.sparkSession
         index = read_neardup_index(spark, index_path)
         new_idx = minhash_index_frame(
@@ -113,14 +117,14 @@ def run_streaming_neardup(
             ).localCheckpoint(eager=True)
             if matches_path is not None:
                 matches.write.mode("overwrite").parquet(
-                    f"{matches_path.rstrip('/')}/batch_id={batch_id}"
+                    f"{matches_path.rstrip('/')}/batch_id={key}"
                 )
             dup_ids = matches.select(F.col("id_new").alias("id")).distinct()
             novel = new_idx.join(dup_ids, "id", "left_anti")
         else:
             novel = new_idx
         novel.write.mode("overwrite").parquet(
-            f"{index_path.rstrip('/')}/batch_id={batch_id}"
+            f"{index_path.rstrip('/')}/batch_id={key}"
         )
 
     writer = (
@@ -132,6 +136,24 @@ def run_streaming_neardup(
         writer = writer.option("checkpointLocation", checkpoint_path)
     q = writer.start()
     q.awaitTermination()
+
+
+def _batch_partition_key(checkpoint_path: str | None, batch_id: int) -> str:
+    """Partition-dir key for idempotent foreachBatch writes.
+
+    Keyed by (checkpoint lineage, batch_id): a RETRY of the same batch
+    in the same stream produces the same key and overwrites its own
+    partition, while a CONTINUATION stream (fresh checkpoint over new
+    source files, same state dir) gets a different prefix — without
+    the prefix, the new stream's batch 0 would clobber the original
+    run's ``batch_id=0`` partition. No checkpoint → bare batch_id
+    (ephemeral/test usage, single lineage by construction)."""
+    if checkpoint_path is None:
+        return str(batch_id)
+    import hashlib
+
+    prefix = hashlib.md5(checkpoint_path.encode()).hexdigest()[:8]
+    return f"{prefix}-{batch_id}"
 
 
 def _read_partitioned_state(spark: SparkSession, path: str) -> DataFrame | None:
