@@ -416,3 +416,41 @@ def test_ngram_novelty_single_gram_shuffle(spark):
     # one window over the shingle partition, no join anywhere
     assert "Join" not in plan
     assert plan.count("Window") == 1
+
+
+def test_url_canonicalize_declared_rules(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "HTTP://WWW.Example.COM:80/Path/Sub/?utm_source=x&b=2&a=1#frag"),
+            (2, "https://example.com:443/"),
+            (3, "https://example.com:8080/p?a=1&utm_campaign=y"),
+            (4, "http://Example.com"),
+            (5, "https://example.com/p/?utm_a=1"),
+            (6, "https://example.com/p?b=1&a=2"),
+        ],
+        "id long, url string",
+    )
+    got = {r["id"]: r["canon_url"] for r in C.url_canonicalize(docs).collect()}
+    assert got[1] == "http://www.example.com/Path/Sub?a=1&b=2"
+    assert got[2] == "https://example.com"          # default port + root slash
+    assert got[3] == "https://example.com:8080/p?a=1"  # non-default port kept
+    assert got[4] == "http://example.com"           # host lowercased, no path
+    assert got[5] == "https://example.com/p"        # all-utm query drops the '?'
+    assert got[6] == "https://example.com/p?a=2&b=1"   # params sorted
+
+
+def test_url_canonicalize_collapses_spelling_variants(spark):
+    """Distinct spellings of one resource must collapse to ONE canonical
+    form (the URL-dedup property the operator exists for)."""
+    variants = [
+        "http://EXAMPLE.com/a",
+        "HTTP://example.COM:80/a",
+        "http://example.com/a/",
+        "http://example.com/a#top",
+        "http://example.com/a?utm_source=feed",
+    ]
+    docs = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(variants)], "id long, url string"
+    )
+    canon = {r["canon_url"] for r in C.url_canonicalize(docs).collect()}
+    assert canon == {"http://example.com/a"}

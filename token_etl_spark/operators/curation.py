@@ -474,6 +474,94 @@ def cross_corpus_dedup(
     )
 
 
+def url_canonicalize(
+    df: DataFrame,
+    url_col: str = "url",
+    out_col: str = "canon_url",
+) -> DataFrame:
+    """Canonical URL form for URL-level dedup of a web crawl — the
+    normalization CommonCrawl-style pipelines run BEFORE exact dedup so
+    that trivially-distinct spellings of one resource collapse (the
+    URL-dedup tier ahead of content dedup; cf. the URL normalizations
+    RFC 3986 §6 classifies as safe). Declared rules, all
+    semantics-preserving per RFC 3986 except the two marked policies:
+
+    - scheme and host lowercased (§6.2.2.1)
+    - default port stripped (:80 for http, :443 for https — §6.2.3)
+    - fragment dropped (never sent to the server)
+    - ``utm_*`` tracking params dropped (policy: they identify the
+      campaign, not the resource)
+    - remaining query params SORTED (policy: order-insensitive servers
+      dominate; sorting collapses permuted duplicates)
+    - trailing slashes stripped from the path (policy)
+
+    Pure string surgery — regexp_extract / lower / higher-order array
+    ops only, every pattern RE2-and-Java-compatible so the DuckDB
+    oracle replays the exact canonical string. Each extraction stage is
+    materialized as a column BEFORE the query-param lambda consumes it
+    (the standing no-CSE-in-lambdas rule). Map-only: no shuffle, no UDF
+    — at 100 TB this rides the ingest scan for free; the dedup that
+    follows (``exact_dedup`` on ``out_col``) is the only shuffle.
+    """
+    url = F.col(url_col)
+    staged = df.withColumn(
+        "_scheme", F.lower(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    ).withColumn(
+        "_rest",
+        F.regexp_replace(
+            F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", ""), r"#.*$", ""
+        ),
+    )
+    staged = staged.withColumn(
+        "_hostport", F.regexp_extract(F.col("_rest"), r"^([^/?]+)", 1)
+    )
+    staged = (
+        staged.withColumn(
+            "_host", F.lower(F.regexp_extract(F.col("_hostport"), r"^([^:]+)", 1))
+        )
+        .withColumn("_port", F.regexp_extract(F.col("_hostport"), r":([0-9]+)$", 1))
+        .withColumn(
+            "_pathq", F.expr("substring(_rest, length(_hostport) + 1)")
+        )
+    )
+    keep_port = F.when(
+        (F.col("_port") == "")
+        | ((F.col("_scheme") == "http") & (F.col("_port") == "80"))
+        | ((F.col("_scheme") == "https") & (F.col("_port") == "443")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), F.col("_port")))
+    staged = (
+        staged.withColumn(
+            "_path",
+            F.regexp_replace(F.regexp_extract(F.col("_pathq"), r"^([^?]*)", 1), r"/+$", ""),
+        )
+        .withColumn("_query", F.regexp_extract(F.col("_pathq"), r"\?(.*)$", 1))
+        .withColumn("_keep_port", keep_port)
+    )
+    params = F.array_sort(
+        F.filter(
+            F.split(F.col("_query"), "&"),
+            lambda p: (p != "") & ~p.startswith("utm_"),
+        )
+    )
+    staged = staged.withColumn("_params", params)
+    canon = F.concat(
+        F.col("_scheme"),
+        F.lit("://"),
+        F.col("_host"),
+        F.col("_keep_port"),
+        F.col("_path"),
+        F.when(
+            F.size("_params") > 0,
+            F.concat(F.lit("?"), F.array_join("_params", "&")),
+        ).otherwise(F.lit("")),
+    )
+    return staged.withColumn(out_col, canon).drop(
+        "_scheme", "_rest", "_hostport", "_host", "_port", "_pathq",
+        "_path", "_query", "_keep_port", "_params",
+    )
+
+
 def ngram_novelty(
     docs: DataFrame,
     k: int = 3,

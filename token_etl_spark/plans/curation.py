@@ -366,6 +366,96 @@ FROM per CROSS JOIN st
 """
 
 
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (operators/curation.py url_canonicalize) on
+    a crawl-shaped URL frame SYNTHESIZED deterministically from the
+    part table — the %2/%3/%4/%5/%6 branches exercise every declared
+    rule: mixed-case scheme+host, default and non-default ports,
+    trailing slashes, utm_* params in first and non-first position,
+    param re-sorting, and fragments. Map-only both sides; the oracle
+    replays the exact canonical string through the same
+    RE2-and-Java-compatible patterns."""
+    part = t(spark, sf_dir, "part")
+    key = F.col("p_partkey")
+    ks = key.cast("string")
+    scheme = F.when(key % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https"))
+    host = F.concat(
+        F.lit("WWW.Host"), (key % 10).cast("string"), F.lit(".Example.COM")
+    )
+    port = (
+        F.when(key % 3 == 0, F.when(key % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")))
+        .when(key % 3 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = F.concat(
+        F.lit("/Dir"),
+        (key % 7).cast("string"),
+        F.when(key % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    query = (
+        F.when(key % 5 == 0, F.concat(F.lit("?utm_source=x&id="), ks))
+        .when(key % 5 == 1, F.concat(F.lit("?id="), ks, F.lit("&utm_campaign=y&z=1")))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(key % 6 == 0, F.lit("#sec")).otherwise(F.lit(""))
+    raw = part.select(
+        key.alias("url_id"),
+        F.concat(scheme, F.lit("://"), host, port, path, query, frag).alias("url"),
+    )
+    return C.url_canonicalize(raw).select("url_id", "url", "canon_url")
+
+
+SQL_URL_CANONICALIZE = r"""
+WITH raw AS (
+  SELECT p_partkey AS url_id,
+         (CASE WHEN p_partkey % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+         || '://WWW.Host' || CAST(p_partkey % 10 AS VARCHAR) || '.Example.COM'
+         || (CASE WHEN p_partkey % 3 = 0
+                  THEN (CASE WHEN p_partkey % 2 = 0 THEN ':80' ELSE ':443' END)
+                  WHEN p_partkey % 3 = 1 THEN ':8080' ELSE '' END)
+         || '/Dir' || CAST(p_partkey % 7 AS VARCHAR)
+         || (CASE WHEN p_partkey % 4 = 0 THEN '/' ELSE '' END)
+         || (CASE WHEN p_partkey % 5 = 0
+                  THEN '?utm_source=x&id=' || CAST(p_partkey AS VARCHAR)
+                  WHEN p_partkey % 5 = 1
+                  THEN '?id=' || CAST(p_partkey AS VARCHAR) || '&utm_campaign=y&z=1'
+                  ELSE '' END)
+         || (CASE WHEN p_partkey % 6 = 0 THEN '#sec' ELSE '' END) AS url
+  FROM part),
+s1 AS (
+  SELECT url_id, url,
+         lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+         regexp_replace(regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
+                        '#.*$', '') AS rest
+  FROM raw),
+s2 AS (SELECT *, regexp_extract(rest, '^([^/?]+)', 1) AS hostport FROM s1),
+s3 AS (
+  SELECT *,
+         lower(regexp_extract(hostport, '^([^:]+)', 1)) AS host,
+         regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+         substr(rest, length(hostport) + 1) AS pathq
+  FROM s2),
+s4 AS (
+  SELECT *,
+         regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') AS path,
+         regexp_extract(pathq, '\?(.*)$', 1) AS qstr,
+         CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                   OR (scheme = 'https' AND port = '443')
+              THEN '' ELSE ':' || port END AS keep_port
+  FROM s3),
+s5 AS (
+  SELECT *,
+         list_sort(list_filter(string_split(qstr, '&'),
+                               p -> p != '' AND NOT starts_with(p, 'utm_'))) AS params
+  FROM s4)
+SELECT url_id, url,
+       scheme || '://' || host || keep_port || path
+       || (CASE WHEN len(params) > 0
+                THEN '?' || array_to_string(params, '&') ELSE '' END) AS canon_url
+FROM s5
+"""
+
+
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marginal-information curve (operators/curation.py ngram_novelty):
     per document, the fraction of its distinct 3-gram shingles no
@@ -414,5 +504,6 @@ SPECS = [
     QuerySpec("ext_quantile_filter", q_quantile_filter, SQL_QUANTILE_FILTER, ("curation",)),
     QuerySpec("ext_crosscorpus_dedup", q_crosscorpus_dedup, SQL_CROSSCORPUS_DEDUP, ("curation", "dedup")),
     QuerySpec("ext_ngram_novelty", q_ngram_novelty, SQL_NGRAM_NOVELTY, ("curation", "text", "window")),
+    QuerySpec("ext_url_canonicalize", q_url_canonicalize, SQL_URL_CANONICALIZE, ("curation", "text", "functions-string")),
     QuerySpec("ext_sequence_pack", q_sequence_pack, SQL_SEQUENCE_PACK, ("curation", "window")),
 ]
