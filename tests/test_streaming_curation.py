@@ -590,3 +590,25 @@ def test_streaming_novelty_matches_batch_on_ordered_batches(spark, sf_dir, tmp_p
         for r in read_novelty_scores(spark, scores_path).collect()
     }
     assert got_all == want_all
+
+
+def test_streaming_url_canonicalize_matches_batch(spark, tmp_path):
+    from token_etl_spark.streaming.curation import streaming_url_canonicalize
+
+    urls = spark.createDataFrame(
+        [
+            (1, "HTTP://WWW.Example.COM:80/Path/Sub/?utm_source=x&b=2&a=1#frag"),
+            (2, "https://example.com:443/"),
+            (3, "https://example.com:8080/p?a=1&utm_campaign=y"),
+            (4, "http://Example.com"),
+        ],
+        "id long, url string",
+    )
+    staged = str(tmp_path / "url_stream")
+    urls.write.parquet(staged)
+    stream = read_file_stream(spark, staged, urls.schema)
+    run_to_memory(streaming_url_canonicalize(stream), "url_out", output_mode="append")
+    got = spark.sql("SELECT * FROM url_out")
+    exp = C.url_canonicalize(urls)
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0

@@ -33,6 +33,20 @@ def streaming_pii_redact(
     return pii_scan(stream, text_col=text_col, id_col=id_col)
 
 
+def streaming_url_canonicalize(
+    stream: DataFrame, url_col: str = "url", out_col: str = "canon_url"
+) -> DataFrame:
+    """RFC 3986 URL canonicalization on a crawl stream. Stateless — the
+    batch expression tree (``curation.url_canonicalize``) applies
+    verbatim, so stream and batch provably agree row-for-row (tested).
+    Canonicalization belongs at ingest: it is per-row, needs no state,
+    and the canonical column is what downstream URL-level dedup
+    (``streaming_dedup_within_watermark`` on ``out_col``) keys on."""
+    from token_etl_spark.operators.curation import url_canonicalize
+
+    return url_canonicalize(stream, url_col=url_col, out_col=out_col)
+
+
 def streaming_line_cleanup(
     stream: DataFrame, text_col: str = "text", dedup_lines: bool = True
 ) -> DataFrame:
