@@ -454,3 +454,14 @@ def test_url_canonicalize_collapses_spelling_variants(spark):
     )
     canon = {r["canon_url"] for r in C.url_canonicalize(docs).collect()}
     assert canon == {"http://example.com/a"}
+
+
+def test_url_canonicalize_non_url_passes_through(spark):
+    docs = spark.createDataFrame(
+        [(1, "not a url at all"), (2, "mailto:a@b.c"), (3, "https://ok.com/X")],
+        "id long, url string",
+    )
+    got = {r["id"]: r["canon_url"] for r in C.url_canonicalize(docs).collect()}
+    assert got[1] == "not a url at all"   # no scheme:// → unchanged
+    assert got[2] == "mailto:a@b.c"       # no '//' → unchanged
+    assert got[3] == "https://ok.com/X"

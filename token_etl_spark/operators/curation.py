@@ -495,6 +495,11 @@ def url_canonicalize(
       dominate; sorting collapses permuted duplicates)
     - trailing slashes stripped from the path (policy)
 
+    A value with no ``scheme://`` prefix is not a URL under these rules
+    and passes through UNCHANGED (garbage in, same garbage out — never
+    a fabricated ``://...`` string); userinfo (``user@host``) is out of
+    declared scope.
+
     Pure string surgery — regexp_extract / lower / higher-order array
     ops only, every pattern RE2-and-Java-compatible so the DuckDB
     oracle replays the exact canonical string. Each extraction stage is
@@ -556,6 +561,7 @@ def url_canonicalize(
             F.concat(F.lit("?"), F.array_join("_params", "&")),
         ).otherwise(F.lit("")),
     )
+    canon = F.when(F.col("_scheme") == "", url).otherwise(canon)
     return staged.withColumn(out_col, canon).drop(
         "_scheme", "_rest", "_hostport", "_host", "_port", "_pathq",
         "_path", "_query", "_keep_port", "_params",

@@ -449,9 +449,11 @@ s5 AS (
                                p -> p != '' AND NOT starts_with(p, 'utm_'))) AS params
   FROM s4)
 SELECT url_id, url,
-       scheme || '://' || host || keep_port || path
-       || (CASE WHEN len(params) > 0
-                THEN '?' || array_to_string(params, '&') ELSE '' END) AS canon_url
+       CASE WHEN scheme = '' THEN url  -- non-URL passes through (operator contract)
+            ELSE scheme || '://' || host || keep_port || path
+                 || (CASE WHEN len(params) > 0
+                          THEN '?' || array_to_string(params, '&') ELSE '' END)
+       END AS canon_url
 FROM s5
 """
 
