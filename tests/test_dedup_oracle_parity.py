@@ -100,3 +100,52 @@ def test_incremental_index_pair_set_equals_exact_cross_set(spark, sf_dir):
         elif b % 13 == 0 and a % 13 != 0:
             exact[(a, b)] = j
     assert got == exact
+
+
+def test_weighted_lsh_pair_set_equals_exact_weighted_pair_set(spark, sf_dir):
+    """Same parity contract for the WEIGHTED sketch: the banded +
+    verified emission must equal the exact weighted-Jaccard pair set
+    (weights = min(tf, 16)) on the gated data, which is what makes
+    SQL_WEIGHTED_NEARDUP a true oracle for ext_weighted_neardup."""
+    docs = t(spark, sf_dir, "documents")
+    got = {
+        (r.id_a, r.id_b): round(r.wjaccard, 6)
+        for r in D.weighted_minhash_dedup(
+            docs, k=3, num_hashes=32, bands=8, threshold=JACCARD_THRESHOLD,
+            max_weight=16,
+        ).collect()
+    }
+    # exact reference: per-doc capped counts, python dict arithmetic
+    import re
+    from collections import Counter
+
+    rows = docs.select("doc_id", F.col("text")).collect()
+
+    def grams(text):
+        toks = [w for w in re.sub(r"[^a-z0-9\s]", " ", text.lower()).split() if w]
+        n = max(len(toks) - 2, 1)
+        return Counter(" ".join(toks[i : i + 3]) for i in range(n))
+
+    cnt = {r.doc_id: {g: min(c, 16) for g, c in grams(r.text).items()} for r in rows}
+    tot = {d: sum(m.values()) for d, m in cnt.items()}
+    exp = {}
+    # restrict the O(n^2) reference to docs sharing >=1 gram via inverted index
+    inv = {}
+    for d, m in cnt.items():
+        for g in m:
+            inv.setdefault(g, []).append(d)
+    cand = set()
+    for ds in inv.values():
+        ds = sorted(ds)
+        for i, a in enumerate(ds):
+            for b in ds[i + 1 :]:
+                cand.add((a, b))
+    for a, b in cand:
+        ma, mb = cnt[a], cnt[b]
+        if len(mb) < len(ma):
+            ma, mb = mb, ma
+        m = sum(min(c, mb.get(g, 0)) for g, c in ma.items())
+        wj = m / (tot[a] + tot[b] - m)
+        if wj >= JACCARD_THRESHOLD:
+            exp[(a, b)] = round(wj, 6)
+    assert got == exp

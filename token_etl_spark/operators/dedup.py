@@ -360,6 +360,136 @@ def minhash_dedup(
     return jaccard_verify(cands, arrays, threshold)
 
 
+def weighted_minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_weight: int = 16,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """TF-WEIGHTED MinHash near-dup → verified (id_a, id_b, wjaccard).
+
+    Unweighted Jaccard over DISTINCT shingles lets boilerplate skew both
+    ways: a page that repeats one navigation block 50 times looks no
+    more similar to another copy of that block than a page containing it
+    once, and two long documents sharing all their repeated boilerplate
+    but none of their body can score high. Weighting each shingle by its
+    term frequency fixes both — the weighted Jaccard
+    ``Σ min(tf_a, tf_b) / Σ max(tf_a, tf_b)`` is the histogram
+    intersection the near-dup literature weights min-hash with (Chum,
+    Philbin & Zisserman 2008, BMVC, "Near Duplicate Image Detection:
+    min-Hash and tf-idf Weighting").
+
+    Sketch mechanics: INTEGER EXPANSION — a shingle with (capped) count
+    c becomes expansion elements ``g#1 .. g#c``, and plain MinHash over
+    the expanded multisets estimates exactly the weighted Jaccard over
+    integer weights (min/max of counts = intersection/union of
+    expansions; the reduction Chum et al. build on). Weights are
+    ``min(tf, max_weight)`` THROUGHOUT — signature, verify, and oracle
+    — so one pathological document repeating a gram 10^5 times costs a
+    16-element expansion, not a 10^5-element one (the same saturation
+    rationale as BM25's tf cap). ``#`` cannot collide with gram content
+    (the tokenizer strips non-alphanumerics).
+
+    100 TB shape: the (id, shingle)→count table is ONE combinable
+    aggregation and feeds BOTH consumers — per-row expansion arrays are
+    built INSIDE the row (≤ max_weight elements; materialized as a
+    column before the 32 salted transforms per the no-CSE rule), the
+    signature is an element-wise min aggregation (combinable), banding/
+    bucket-cap/pair emission reuse the unweighted LSH path, and the
+    verify joins each candidate pair to two per-doc COUNT MAPS (the
+    jaccard_verify discipline: O(candidates × doc_len), no gram-keyed
+    pair join). DECLARED SEMANTIC (same as ext_minhash_neardup): the
+    engine emits the band-colliding subset, every emission verified
+    exactly; pair-parity with the exact weighted pair set is pinned at
+    three SFs in tests/test_dedup_oracle_parity.py.
+    """
+    base = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+    toks = F.col("toks")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1)))
+    all_grams = base.select(
+        "id",
+        F.explode(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+        ).alias("shingle"),
+    )
+    # NOT lazily checkpointed: counts is shuffle-bearing, and a lazy
+    # localCheckpoint on a shuffle-bearing frame launches query-stage
+    # jobs at PLAN BUILD under AQE (the r5 plan-hygiene red; the gate in
+    # tests/test_plan_hygiene.py would catch it). The two consumers
+    # recompute one combinable aggregation each — cheap relative to the
+    # banding join either way.
+    counts = (
+        all_grams.groupBy("id", "shingle")
+        .agg(F.count("*").alias("_tf"))
+        .withColumn("c", F.least(F.col("_tf"), F.lit(max_weight)).cast("long"))
+        .drop("_tf")
+    )
+    # per-row expansion array, materialized BEFORE the salted transforms
+    expanded = counts.select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(1), F.col("c")),
+            lambda j: F.concat(F.col("shingle"), F.lit("#"), j.cast("string")),
+        ).alias("exp"),
+    )
+
+    def _salted(i: int):
+        return lambda s: F.hash(s, F.lit(i))
+
+    row_mins = expanded.select(
+        "id",
+        *[
+            F.array_min(F.transform("exp", _salted(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    sigs = (
+        row_mins.groupBy("id")
+        .agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)])
+        .select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+    )
+    cands = lsh_candidate_pairs(sigs, bands, sig_len=num_hashes, max_bucket=max_bucket)
+
+    per_doc = counts.groupBy("id").agg(
+        F.sum("c").alias("n"),
+        F.map_from_entries(F.collect_list(F.struct("shingle", "c"))).alias("cmap"),
+    )
+    a = per_doc.select(
+        F.col("id").alias("id_a"), F.col("n").alias("n_a"), F.col("cmap").alias("map_a")
+    )
+    b = per_doc.select(
+        F.col("id").alias("id_b"), F.col("n").alias("n_b"), F.col("cmap").alias("map_b")
+    )
+    m = F.aggregate(
+        F.map_entries("map_a"),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc
+        + F.least(
+            e.getField("value"),
+            # try_element_at: NULL (not an ANSI error) on a key only in map_a
+            F.coalesce(
+                F.try_element_at("map_b", e.getField("key")), F.lit(0).cast("long")
+            ),
+        ),
+    )
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("m", m)
+        .withColumn(
+            "wjaccard",
+            F.col("m").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("m")),
+        )
+        .filter(F.col("wjaccard") >= threshold)
+        .select("id_a", "id_b", "wjaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

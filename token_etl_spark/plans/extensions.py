@@ -276,6 +276,48 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_weighted_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-weighted MinHash near-dup (operators/dedup.py
+    weighted_minhash_dedup — Chum 2008 integer-expansion weighted
+    min-hash, weights = min(tf, 16) throughout). DECLARED SEMANTIC as
+    ext_minhash_neardup: band-colliding subset, every emission verified
+    by exact weighted Jaccard; parity with the exact pair set pinned at
+    three SFs in tests/test_dedup_oracle_parity.py, making the exact
+    weighted-Jaccard SQL below a true oracle."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.weighted_minhash_dedup(
+        docs, k=3, num_hashes=32, bands=8, threshold=JACCARD_THRESHOLD,
+        max_weight=16, max_bucket=10_000,
+    )
+    return pairs.select("id_a", "id_b", F.round("wjaccard", 6).alias("wjaccard"))
+
+
+SQL_WEIGHTED_NEARDUP = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+shr AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(tk) - 2, 1) + 1),
+           i -> array_to_string(tk[i:i+2], ' '))) AS shingle
+  FROM toks),
+cnt AS (
+  SELECT doc_id, shingle, least(count(*), 16) AS c
+  FROM shr GROUP BY 1, 2),
+tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+com AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(sum(least(a.c, b.c)) AS BIGINT) AS m
+  FROM cnt a JOIN cnt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(CAST(m AS DOUBLE) / (ta.n + tb.n - m), 6) AS wjaccard
+FROM com
+JOIN tot ta ON ta.doc_id = id_a
+JOIN tot tb ON tb.doc_id = id_b
+WHERE CAST(m AS DOUBLE) / (ta.n + tb.n - m) >= {JACCARD_THRESHOLD}
+"""
+
+
 # DuckDB 1.0: every CTE chain that uses recursion needs the RECURSIVE
 # keyword on the WITH; the non-recursive members are unaffected.
 def _cc_sql_body(threshold: float, source: str = "documents") -> str:
@@ -2515,6 +2557,7 @@ SPECS = [
     QuerySpec("ext_winnow_overlap", q_winnow_overlap, SQL_WINNOW_OVERLAP, ("text", "dedup", "join")),
     QuerySpec("ext_ngram_jaccard", q_ngram_jaccard, SQL_NGRAM_JACCARD, ("dedup",)),
     QuerySpec("ext_minhash_neardup", q_minhash_neardup, SQL_NGRAM_JACCARD, ("dedup",), bench=True),
+    QuerySpec("ext_weighted_neardup", q_weighted_neardup, SQL_WEIGHTED_NEARDUP, ("dedup",)),
     QuerySpec("ext_simhash", q_simhash, SQL_SIMHASH, ("dedup",)),
     QuerySpec("ext_simhash_neardup", q_simhash_neardup, SQL_SIMHASH_NEARDUP, ("dedup",)),
     QuerySpec("ext_dedup_keep_list", q_dedup_keep_list, SQL_DEDUP_KEEP_LIST, ("dedup", "graph", "iterative")),

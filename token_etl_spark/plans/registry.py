@@ -25,7 +25,7 @@ from token_etl_spark.plans.base import QuerySpec
 # decision, not cosmetics. Round-7 rotation (last-green histogram after
 # r6: r6=50, r5=46, r4=50, r3=7 — every query has been driver-green at
 # least once):
-#   1. The 21 queries NEW this round (rel_fuzzy_match_capped — the
+#   1. The 22 queries NEW this round (rel_fuzzy_match_capped — the
 #      max_gram_df guard under the gate, oracle unchanged —
 #      evt_funnel_reach, ext_winnowing, ext_winnow_overlap,
 #      ext_cluster_safe_split, ext_bpe_fertility, ext_knn_label_noise,
@@ -56,7 +56,11 @@ from token_etl_spark.plans.base import QuerySpec
 #      ext_url_canonicalize (RFC 3986 URL normalization for URL-level
 #      dedup), displacing ext_minhash_clusters, whose exact plan AND
 #      recursive-CC oracle run INSIDE the in-window ext_dedup_keep_best
-#      and ext_cluster_safe_split compositions;
+#      and ext_cluster_safe_split compositions — and
+#      ext_weighted_neardup (Chum 2008 tf-weighted MinHash via integer
+#      expansion, exact weighted-Jaccard oracle + 3-SF parity pin),
+#      displacing ext_embedding_neardup, whose cosine arithmetic the
+#      in-window ANN family exercises end-to-end;
 #      each hash-matched locally at all three SFs before declaring).
 #   2. The 9 queries whose PLAN or ORACLE changed this round:
 #      evt_funnel (single-scan funnel_reach_onepass), the four
@@ -67,14 +71,14 @@ from token_etl_spark.plans.base import QuerySpec
 #   3. The 7 r3-stale queries the r6 window planned to carry
 #      (rel_intersect_nations .. ext_line_dedup) — the r6 verdict's
 #      item 1; after this window nothing is older than r4.
-#   4. 13 of the 50 r4-stale queries, highest dtype risk first (the
-#      float-heavy ANN/sketch family). The 34 that don't fit —
+#   4. 12 of the 50 r4-stale queries, highest dtype risk first (the
+#      float-heavy ANN/sketch family). The 35 that don't fit —
 #      ext_lm_quality, ext_importance_weights, ext_data_quality,
 #      ext_text_stats, ext_bm25_topk, ext_tfidf_terms,
-#      ext_ngram_jaccard, ext_minhash_clusters (bumped for the eight
-#      late-round new rows; float-scoring but deterministic ratio
-#      arithmetic, next-highest risk — put them FIRST in the r8
-#      rotation),
+#      ext_ngram_jaccard, ext_minhash_clusters, ext_embedding_neardup
+#      (bumped for the nine late-round new rows; float-scoring but
+#      deterministic ratio arithmetic, next-highest risk — put them
+#      FIRST in the r8 rotation),
 #      ext_text_langid, ext_repetition_stats (integer-count-dominated
 #      text stats, bumped for the two new S6/S2 rows),
 #      rel_bloom_join, rel_full_outer, rel_grouping_sets,
@@ -111,6 +115,7 @@ _PRIORITY_NAMES = [
     "ext_hybrid_rrf",
     "ext_ngram_novelty",
     "ext_url_canonicalize",
+    "ext_weighted_neardup",
     # plan/oracle changed in round 7
     "evt_funnel",
     "ext_semantic_dedup",
@@ -141,7 +146,6 @@ _PRIORITY_NAMES = [
     "ext_ann_ivfpq",
     "ext_ann_ivfpq_rerank",
     "ext_ann_ivfpq_residual",
-    "ext_embedding_neardup",
     "ext_minhash_neardup",
 ]
 
