@@ -465,3 +465,26 @@ def test_url_canonicalize_non_url_passes_through(spark):
     assert got[1] == "not a url at all"   # no scheme:// → unchanged
     assert got[2] == "mailto:a@b.c"       # no '//' → unchanged
     assert got[3] == "https://ok.com/X"
+
+
+def test_url_canonicalize_idempotent(spark):
+    """canon(canon(x)) == canon(x) — the property that lets the
+    operator run safely at any pipeline stage (re-canonicalizing an
+    already-clean corpus is a no-op, so ingest and batch paths can both
+    apply it without coordination)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "HTTP://WWW.Example.COM:80/Path/Sub/?utm_source=x&b=2&a=1#frag"),
+            (2, "https://example.com:443/"),
+            (3, "https://example.com:8080/p?a=1&utm_campaign=y"),
+            (4, "http://Example.com"),
+            (5, "https://example.com/p/?utm_a=1"),
+            (6, "https://example.com/p?b=1&a=2"),
+            (7, "not a url at all"),
+        ],
+        "id long, url string",
+    )
+    once = C.url_canonicalize(docs).select("id", F.col("canon_url").alias("url"))
+    twice = C.url_canonicalize(once)
+    rows = twice.collect()
+    assert all(r["canon_url"] == r["url"] for r in rows)
