@@ -248,3 +248,72 @@ def test_winnow_overlap_max_fp_df_guard(spark):
         winnow_overlap_pairs(frame, max_fp_df=5).collect()
     # and with a sufficient cap it runs
     assert winnow_overlap_pairs(frame, max_fp_df=64).count() > 0
+
+
+def _py_cdc(text, window=8, mask_bits=5, prime=31):
+    import hashlib
+
+    n = len(text)
+    codes = [ord(c) for c in text]
+    powers = [prime**j for j in range(window)]
+    cuts = [
+        i
+        for i in range(window, n + 1)
+        if i < n
+        and sum(codes[i - 1 - j] * powers[j] for j in range(window))
+        % (1 << mask_bits)
+        == 0
+    ]
+    cuts2 = [0] + cuts + [n]
+    return [
+        (k - 1, cuts2[k] - cuts2[k - 1],
+         hashlib.md5(text[cuts2[k - 1]:cuts2[k]].encode()).hexdigest())
+        for k in range(1, len(cuts2))
+    ]
+
+
+def test_cdc_chunks_matches_python_reference(spark):
+    from token_etl_spark.operators.text import cdc_chunks
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog " * 5,
+        "short",
+        "",
+        "abcdefgh",  # exactly window chars
+        "x" * 100,
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {}
+    for r in cdc_chunks(docs).collect():
+        got.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_len, r.chunk_hash))
+    for i, t in enumerate(texts):
+        assert sorted(got[i]) == sorted(_py_cdc(t)), f"doc {i}"
+
+
+def test_cdc_chunks_reconstruction_and_resync(spark):
+    """Chunk lengths partition the document, and a mid-document insert
+    preserves most chunk hashes — the content-defined property fixed
+    windows lack."""
+    from collections import Counter
+
+    from token_etl_spark.operators.text import cdc_chunks
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    edited = base[:180] + "INSERTED TEXT " + base[180:]
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    rows = cdc_chunks(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert sum(r.chunk_len for r in by_doc[1]) == len(base)
+    assert sum(r.chunk_len for r in by_doc[2]) == len(edited)
+    h1 = Counter(r.chunk_hash for r in by_doc[1])
+    h2 = Counter(r.chunk_hash for r in by_doc[2])
+    shared = sum((h1 & h2).values())
+    # the edit can only disturb the chunk containing it plus O(1)
+    # neighbors; everything else must re-synchronize
+    assert shared >= len(by_doc[1]) - 3

@@ -339,6 +339,128 @@ def chunk_documents(
     )
 
 
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    mask_bits: int = 5,
+    prime: int = 31,
+) -> DataFrame:
+    """Content-defined chunking: cut a document where the polynomial
+    rolling hash of its last ``window`` characters satisfies
+    ``H % 2**mask_bits == 0`` — the boundary rule of Rabin-style CDC
+    (Muthitacharoen, Chen & Mazières 2001, SOSP, "A low-bandwidth
+    network file system", §3.1). Boundaries depend only on LOCAL
+    content, so an insertion or deletion re-chunks O(1) neighboring
+    chunks instead of shifting every fixed-size window downstream —
+    chunk-hash dedup across document REVISIONS (recrawled pages, wiki
+    dumps, incremental corpus snapshots) survives edits that break
+    ``chunk_documents``'s fixed windows entirely.
+
+    ``H(i) = Σ_{j<window} code(char_{i-j}) · prime^j`` over Unicode
+    codepoints — integer-exact (max |H| ≈ 2^58 at full codepoint range,
+    no modular reduction needed mid-sum), so the DuckDB oracle replays
+    boundaries bit-for-bit. Expected chunk length ≈ 2**mask_bits chars.
+    A document shorter than ``window`` is one chunk; boundaries at the
+    final position are folded into the last chunk (cuts are kept
+    strictly < n, so no empty tail chunk and no order-fragile
+    de-duplication of the cut list).
+
+    Returns (``id_col``, chunk_idx, chunk_len, chunk_hash) — one row
+    per chunk, ``chunk_hash = md5(chunk_text)`` ready for exact-match
+    dedup across snapshots. Narrow per-row array work + one explode
+    (the ``chunk_documents`` scale shape): each stage's array is
+    materialized as a COLUMN before the next stage's lambda consumes it
+    (the standing no-CSE rule — the hash stage reads the codes array
+    ``window`` times per position, which must not re-run the codepoint
+    extraction).
+
+    This is the declared, fully-oracled variant (pure mask rule). A
+    production min/max chunk-size clamp is a greedy sequential scan
+    over the cut positions — stateful, so it belongs in the same
+    mapInPandas tier as BPE encode if ever needed; the unclamped rule
+    is what the dedup use case needs (clamps only bound storage skew).
+    """
+    text = F.col(text_col)
+    n = F.length(text)
+    mask = (1 << mask_bits) - 1  # H % 2^bits == 0  <=>  H & mask == 0
+    powers = [prime**j for j in range(window)]
+
+    staged = df.withColumn("_n", n)
+    # stage 1: codepoints — ONE split pass, not per-position substr
+    # (substr(i, 1) rescans the string from byte 0 for multibyte safety,
+    # so a positional loop is O(n²) per document; measured 23 s vs 4 s
+    # at sf0.001). Guarded: split('', '') yields [''] not [].
+    codes = F.when(
+        F.col("_n") >= 1,
+        F.transform(F.split(text, ""), lambda c: F.ascii(c)),
+    ).otherwise(F.array().cast("array<int>"))
+    # HARD barrier, not just a select: CollapseProject inlines the codes
+    # transform into the boundary filter's lambda (the alias-preserving
+    # heuristic does not see the 8 element_at references inside the
+    # lambda body), and every inlined element_at re-evaluates the WHOLE
+    # per-char extraction — O(n^4) per document, a multi-minute stall at
+    # 500 ×  500-char docs (fifth no-CSE instance; measured). The frame
+    # is a pure narrow map, so the lazy localCheckpoint is plan-build
+    # job-free (the plan-hygiene gate class).
+    staged = staged.withColumn("_codes", codes).localCheckpoint(eager=False)
+    # stage 2: boundary positions (cuts), strictly < n
+    def _h(i):
+        acc = None
+        for j, p in enumerate(powers):
+            term = F.element_at("_codes", (i - F.lit(j)).cast("int")).cast("long") * F.lit(p)
+            acc = term if acc is None else acc + term
+        return acc
+
+    cuts = F.when(
+        F.col("_n") >= window,
+        F.filter(
+            F.sequence(F.lit(window), F.col("_n")),
+            lambda i: (_h(i) % F.lit(mask + 1) == 0) & (i < F.col("_n")),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    # second barrier, same reason: the segs stage references the cut
+    # list ~6× per chunk (size + element_at pairs + the substr bounds);
+    # inlined, each reference re-runs the whole boundary filter —
+    # measured 25 s vs 4 s at sf0.001. _codes is dropped first so the
+    # stored blocks hold only (text, _n, _cuts). Still a pure narrow
+    # map over the first checkpoint: plan-build job-free.
+    staged = (
+        staged.withColumn("_cuts", cuts).drop("_codes").localCheckpoint(eager=False)
+    )
+    # stage 3: cut list -> (idx, start, len) structs -> explode
+    cuts2 = F.concat(
+        F.array(F.lit(0)), F.col("_cuts"), F.array(F.col("_n").cast("int"))
+    )
+    staged = staged.withColumn("_cuts2", cuts2)
+    segs = F.when(
+        F.size("_cuts2") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_cuts2") - 1),
+            lambda k: F.struct(
+                (k - 1).cast("long").alias("chunk_idx"),
+                (
+                    F.element_at("_cuts2", k.cast("int") + 1)
+                    - F.element_at("_cuts2", k.cast("int"))
+                ).cast("long").alias("chunk_len"),
+                F.md5(
+                    text.substr(
+                        F.element_at("_cuts2", k.cast("int")) + 1,
+                        F.element_at("_cuts2", k.cast("int") + 1)
+                        - F.element_at("_cuts2", k.cast("int")),
+                    )
+                ).alias("chunk_hash"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<chunk_idx:long,chunk_len:long,chunk_hash:string>>"))
+    return (
+        staged.withColumn("_segs", segs)
+        .select(F.col(id_col), F.explode("_segs").alias("_s"))
+        .select(id_col, "_s.chunk_idx", "_s.chunk_len", "_s.chunk_hash")
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprints:
 

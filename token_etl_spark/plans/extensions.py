@@ -142,6 +142,59 @@ WINNOW_K = 3
 WINNOW_W = 4
 
 
+CDC_WINDOW = 8
+CDC_MASK_BITS = 5
+CDC_PRIME = 31
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (operators/text.py cdc_chunks —
+    Rabin-style rolling-hash boundaries, LBFS 2001): one row per chunk
+    with its md5, the chunk-hash inventory revision-level dedup joins
+    across corpus snapshots. Integer-exact polynomial hash, so the
+    oracle replays every boundary bit-for-bit."""
+    from token_etl_spark.operators.text import cdc_chunks
+
+    docs = t(spark, sf_dir, "documents")
+    return cdc_chunks(
+        docs, window=CDC_WINDOW, mask_bits=CDC_MASK_BITS, prime=CDC_PRIME
+    )
+
+
+# CAST each term: ascii() yields INT32 and the high powers overflow it
+_CDC_POLY = " + ".join(
+    f"CAST(codes[i - {j}] AS BIGINT) * {CDC_PRIME**j}" for j in range(CDC_WINDOW)
+)
+
+SQL_CDC_CHUNKS = f"""
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+c AS (
+  SELECT doc_id, text, n,
+         list_transform(range(1, n + 1), i -> ascii(text[i])) AS codes
+  FROM d),
+b AS (
+  SELECT doc_id, text, n,
+         CASE WHEN n >= {CDC_WINDOW} THEN
+           list_filter(range({CDC_WINDOW}, n + 1),
+                       i -> ({_CDC_POLY}) % {1 << CDC_MASK_BITS} = 0 AND i < n)
+         ELSE [] END AS cuts
+  FROM c),
+k AS (
+  SELECT doc_id, text,
+         list_concat(list_concat([0], cuts), [n]) AS cuts2
+  FROM b),
+s AS (
+  SELECT doc_id, text, cuts2, unnest(range(1, len(cuts2))) AS j
+  FROM k)
+SELECT doc_id,
+       CAST(j - 1 AS BIGINT) AS chunk_idx,
+       CAST(cuts2[j + 1] - cuts2[j] AS BIGINT) AS chunk_len,
+       md5(substr(text, CAST(cuts2[j] + 1 AS INTEGER),
+                  CAST(cuts2[j + 1] - cuts2[j] AS INTEGER))) AS chunk_hash
+FROM s
+"""
+
+
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint selection (operators/text.py
     winnow_fingerprints; Schleimer et al. 2003): per-window minimum of
@@ -2554,6 +2607,7 @@ SPECS = [
     QuerySpec("ext_repetition_stats", q_repetition_stats, SQL_REPETITION_STATS, ("text",)),
     QuerySpec("ext_text_fingerprint", q_text_fingerprint, SQL_TEXT_FINGERPRINT, ("text",)),
     QuerySpec("ext_winnowing", q_winnowing, SQL_WINNOWING, ("text", "dedup")),
+    QuerySpec("ext_cdc_chunks", q_cdc_chunks, SQL_CDC_CHUNKS, ("text", "dedup", "higher-order")),
     QuerySpec("ext_winnow_overlap", q_winnow_overlap, SQL_WINNOW_OVERLAP, ("text", "dedup", "join")),
     QuerySpec("ext_ngram_jaccard", q_ngram_jaccard, SQL_NGRAM_JACCARD, ("dedup",)),
     QuerySpec("ext_minhash_neardup", q_minhash_neardup, SQL_NGRAM_JACCARD, ("dedup",), bench=True),

@@ -25,7 +25,7 @@ from token_etl_spark.plans.base import QuerySpec
 # decision, not cosmetics. Round-7 rotation (last-green histogram after
 # r6: r6=50, r5=46, r4=50, r3=7 — every query has been driver-green at
 # least once):
-#   1. The 22 queries NEW this round (rel_fuzzy_match_capped — the
+#   1. The 23 queries NEW this round (rel_fuzzy_match_capped — the
 #      max_gram_df guard under the gate, oracle unchanged —
 #      evt_funnel_reach, ext_winnowing, ext_winnow_overlap,
 #      ext_cluster_safe_split, ext_bpe_fertility, ext_knn_label_noise,
@@ -60,7 +60,11 @@ from token_etl_spark.plans.base import QuerySpec
 #      ext_weighted_neardup (Chum 2008 tf-weighted MinHash via integer
 #      expansion, exact weighted-Jaccard oracle + 3-SF parity pin),
 #      displacing ext_embedding_neardup, whose cosine arithmetic the
-#      in-window ANN family exercises end-to-end;
+#      in-window ANN family exercises end-to-end — and ext_cdc_chunks
+#      (Rabin-style content-defined chunking, integer-exact boundary
+#      replay), displacing ext_ann_lsh_margin, a variant row whose base
+#      (ext_ann_lsh) and sibling (ext_ann_lsh_multiprobe) both stay
+#      in-window;
 #      each hash-matched locally at all three SFs before declaring).
 #   2. The 9 queries whose PLAN or ORACLE changed this round:
 #      evt_funnel (single-scan funnel_reach_onepass), the four
@@ -71,14 +75,14 @@ from token_etl_spark.plans.base import QuerySpec
 #   3. The 7 r3-stale queries the r6 window planned to carry
 #      (rel_intersect_nations .. ext_line_dedup) — the r6 verdict's
 #      item 1; after this window nothing is older than r4.
-#   4. 12 of the 50 r4-stale queries, highest dtype risk first (the
-#      float-heavy ANN/sketch family). The 35 that don't fit —
+#   4. 11 of the 50 r4-stale queries, highest dtype risk first (the
+#      float-heavy ANN/sketch family). The 36 that don't fit —
 #      ext_lm_quality, ext_importance_weights, ext_data_quality,
 #      ext_text_stats, ext_bm25_topk, ext_tfidf_terms,
-#      ext_ngram_jaccard, ext_minhash_clusters, ext_embedding_neardup
-#      (bumped for the nine late-round new rows; float-scoring but
-#      deterministic ratio arithmetic, next-highest risk — put them
-#      FIRST in the r8 rotation),
+#      ext_ngram_jaccard, ext_minhash_clusters, ext_embedding_neardup,
+#      ext_ann_lsh_margin (bumped for the ten late-round new rows;
+#      float-scoring but deterministic ratio arithmetic, next-highest
+#      risk — put them FIRST in the r8 rotation),
 #      ext_text_langid, ext_repetition_stats (integer-count-dominated
 #      text stats, bumped for the two new S6/S2 rows),
 #      rel_bloom_join, rel_full_outer, rel_grouping_sets,
@@ -116,6 +120,7 @@ _PRIORITY_NAMES = [
     "ext_ngram_novelty",
     "ext_url_canonicalize",
     "ext_weighted_neardup",
+    "ext_cdc_chunks",
     # plan/oracle changed in round 7
     "evt_funnel",
     "ext_semantic_dedup",
@@ -138,7 +143,6 @@ _PRIORITY_NAMES = [
     "ext_ann_bruteforce",
     "ext_ann_quantized",
     "ext_ann_lsh",
-    "ext_ann_lsh_margin",
     "ext_ann_lsh_multiprobe",
     "ext_ann_ivf",
     "ext_ann_ivf_kmeans",
