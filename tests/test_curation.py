@@ -488,3 +488,31 @@ def test_url_canonicalize_idempotent(spark):
     twice = C.url_canonicalize(once)
     rows = twice.collect()
     assert all(r["canon_url"] == r["url"] for r in rows)
+
+
+def test_calibrate_scores_null_scores_kept_and_shuffle_join_path(spark):
+    """ADVICE r7 (low): NULL-score rows are KEPT with NULL pct/bin (left
+    join — not silently dropped), and broadcast_pct=False produces the
+    same values through the co-partitioned shuffle join (the near-unique
+    float scale path that must not OOM-broadcast the pct map)."""
+    rows = [
+        ("d1", "a", 1), ("d2", "a", 2), ("d3", "a", None),
+        ("d4", "b", 10), ("d5", "b", 20),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "score"])
+    for bcast in (True, False):
+        out = {
+            r["doc_id"]: (r["pct"], r["bin"])
+            for r in C.calibrate_scores(
+                df, "score", "source", n_bins=4, broadcast_pct=bcast
+            ).collect()
+        }
+        assert len(out) == 5  # NULL-score row survives
+        assert out["d3"] == (None, None)  # and is unscored, not bin 3
+        assert out["d1"] == (0.5, 2) and out["d2"] == (1.0, 3)
+        assert out["d4"] == (0.5, 2) and out["d5"] == (1.0, 3)
+    # broadcast_pct=False must not plan a broadcast of the pct map
+    plan = C.calibrate_scores(
+        df, "score", "source", broadcast_pct=False
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan

@@ -160,11 +160,19 @@ def test_streaming_neardup_matches_sequential_batch(spark, sf_dir, tmp_path):
     assert got_matches == exp_matches
     # the ten recrawled copies were matched to the index, not admitted
     assert not any(i >= 1_000_000 for i in got_ids)
-    # the persisted index is directly usable by the batch matcher
-    post = minhash_match_index(
+    # the persisted index is directly usable by the batch matcher: a doc
+    # re-presented under a FRESH id matches its index copy...
+    represented = docs.where(F.col("doc_id") % 3 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 5_000_000
+    )
+    post = minhash_match_index(represented, read_neardup_index(spark, index_path))
+    assert post.count() > 0
+    # ...but an identical id NEVER matches its own index copy (the
+    # retry-safety guard: self-pairs are excluded in minhash_match_index)
+    same_ids = minhash_match_index(
         docs.where(F.col("doc_id") % 3 == 0), read_neardup_index(spark, index_path)
     )
-    assert post.count() > 0  # re-presented admitted docs self-match
+    assert same_ids.filter(F.col("id_new") == F.col("id_ref")).count() == 0
 
     # IDEMPOTENCY: re-running over the same source with the same
     # checkpoint replays no batch (offsets are committed), and the
@@ -172,3 +180,114 @@ def test_streaming_neardup_matches_sequential_batch(spark, sf_dir, tmp_path):
     # rewrite its own partition, not append duplicates — state unchanged.
     _run()
     assert _observed() == (got_ids, got_matches)
+
+
+def test_neardup_sink_retry_after_partial_write_is_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch RETRY semantics (ADVICE r7, medium): a batch that
+    crashed AFTER writing its state partition but BEFORE the checkpoint
+    commit is re-executed with the same key. The sink must exclude its
+    own partial write from the state read — otherwise every batch doc
+    self-matches its own index copy (jaccard 1.0), bogus pairs land in
+    the matches partition, and the index partition is overwritten EMPTY
+    (docs permanently lost)."""
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.streaming.dedup import (
+        _neardup_sink_batch,
+        read_neardup_index,
+        read_neardup_matches,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(60).localCheckpoint()
+    index_path = str(tmp_path / "retry_index")
+    matches_path = str(tmp_path / "retry_matches")
+
+    # batch 0 commits normally
+    b0 = docs.where(F.col("doc_id") % 2 == 0)
+    _neardup_sink_batch(b0, "lineage-0", index_path, matches_path=matches_path)
+    # batch 1 writes its partitions, "crashes" before checkpoint commit,
+    # then is retried with the SAME key
+    b1 = docs.where(F.col("doc_id") % 2 == 1)
+    _neardup_sink_batch(b1, "lineage-1", index_path, matches_path=matches_path)
+
+    def _state():
+        ids = {
+            r["id"]
+            for r in read_neardup_index(spark, index_path).select("id").collect()
+        }
+        m = read_neardup_matches(spark, matches_path)
+        pairs = (
+            set()
+            if m is None
+            else {(r["id_new"], r["id_ref"]) for r in m.collect()}
+        )
+        return ids, pairs
+
+    first = _state()
+    assert first[0], "batch-1 docs must be admitted on first execution"
+    # no self-pairs ever
+    assert all(a != b for a, b in first[1])
+
+    # the retry: same batch, same key, state dir already contains the
+    # batch's own partition
+    _neardup_sink_batch(b1, "lineage-1", index_path, matches_path=matches_path)
+    assert _state() == first
+
+
+def test_novelty_sink_retry_after_partial_write_is_idempotent(spark, sf_dir, tmp_path):
+    """Same retry window for run_streaming_novelty: a retried batch must
+    not see its own grams as already-indexed (novelty=0 for every doc)
+    or empty its own gram partition."""
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.streaming.curation import (
+        _novelty_sink_batch,
+        read_novelty_scores,
+    )
+    from token_etl_spark.streaming.dedup import _read_partitioned_state
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+        .localCheckpoint()
+    )
+    gram_path = str(tmp_path / "retry_grams")
+    scores_path = str(tmp_path / "retry_scores")
+
+    b0 = docs.where(F.col("doc_id") < 30)
+    _novelty_sink_batch(b0, "lin-0", gram_path, scores_path=scores_path)
+    b1 = docs.where(F.col("doc_id") >= 30)
+    _novelty_sink_batch(b1, "lin-1", gram_path, scores_path=scores_path)
+
+    def _state():
+        scores = {
+            r["doc_id"]: (r["n_grams"], r["n_novel"], round(r["novelty"], 6))
+            for r in read_novelty_scores(spark, scores_path).collect()
+        }
+        grams = _read_partitioned_state(spark, gram_path).count()
+        return scores, grams
+
+    first = _state()
+    # batch 1 has genuinely novel grams: not every doc may score 0
+    assert any(v[1] > 0 for k, v in first[0].items() if k >= 30)
+
+    _novelty_sink_batch(b1, "lin-1", gram_path, scores_path=scores_path)
+    assert _state() == first
+
+
+def test_streaming_runners_require_checkpoint_path(spark, sf_dir, tmp_path):
+    """ADVICE r7 (low): omitting checkpoint_path must fail fast instead
+    of silently re-opening the continuation-stream clobber."""
+    import pytest
+
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.streaming.curation import run_streaming_novelty
+    from token_etl_spark.streaming.dedup import run_streaming_neardup
+
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    staged = tmp_path / "ckpt_req"
+    docs.coalesce(1).write.parquet(str(staged))
+    stream = spark.readStream.schema(docs.schema).parquet(str(staged))
+    with pytest.raises(ValueError, match="checkpoint_path"):
+        run_streaming_neardup(stream, str(tmp_path / "i"))
+    with pytest.raises(ValueError, match="checkpoint_path"):
+        run_streaming_novelty(stream, str(tmp_path / "g"))

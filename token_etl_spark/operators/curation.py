@@ -998,6 +998,7 @@ def calibrate_scores(
     score_col: str,
     source_col: str = "source",
     n_bins: int = 10,
+    broadcast_pct: bool = True,
 ) -> DataFrame:
     """Cross-source quality-score calibration: map each row's raw
     ``score_col`` to its WITHIN-SOURCE percentile (``pct`` — cume_dist
@@ -1022,17 +1023,30 @@ def calibrate_scores(
       2. cumsum + total over THAT frame (window per source over distinct
          scores — tiny for bounded-precision scores; round upstream if
          scores are near-unique floats);
-      3. join the (source, score) -> pct map back — broadcast when the
-         distinct frame is small, co-partitioned equi-join otherwise.
+      3. join the (source, score) -> pct map back — broadcast by
+         default (``broadcast_pct=True``, right for bounded-precision
+         scores); pass ``broadcast_pct=False`` when scores are
+         near-unique floats at scale, where the distinct frame is
+         fact-table-sized and a broadcast would OOM the driver — the
+         join then runs as a co-partitioned shuffle equi-join.
 
     ``bin = least(n_bins-1, floor(pct * n_bins))``: a map-only
     expression on both engines (no global ntile — a global ntile window
     is single-task). pct is an exact integer ratio (cum/total), so the
     oracle replays it bit-for-bit via its own cume_dist.
+
+    NULL handling: the pct-map join is a LEFT join, so rows with a NULL
+    ``score_col`` are KEPT with NULL ``pct``/``bin`` (an equi-join on
+    NULL never matches) instead of silently vanishing — score them or
+    filter them explicitly upstream.
     """
     s, src = F.col(score_col), F.col(source_col)
-    counts = df.groupBy(src.alias("_src"), s.alias("_score")).agg(
-        F.count("*").alias("_c")
+    # NULL scores are excluded from the distribution itself (an unscored
+    # row must not shift its source's percentiles), not just unmatched
+    counts = (
+        df.where(s.isNotNull())
+        .groupBy(src.alias("_src"), s.alias("_score"))
+        .agg(F.count("*").alias("_c"))
     )
     w_cum = Window.partitionBy("_src").orderBy("_score").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -1043,11 +1057,18 @@ def calibrate_scores(
         "_score",
         (F.sum("_c").over(w_cum).cast("double") / F.sum("_c").over(w_tot)).alias("pct"),
     )
+    if broadcast_pct:
+        pct_map = F.broadcast(pct_map)
     joined = df.join(
-        F.broadcast(pct_map),
+        pct_map,
         (src == F.col("_src")) & (s == F.col("_score")),
+        "left",
     ).drop("_src", "_score")
     bin_col = F.least(
         F.lit(n_bins - 1).cast("long"), F.floor(F.col("pct") * n_bins)
     )
-    return joined.withColumn("bin", bin_col)
+    # least() skips NULLs on both engines (least(9, NULL) = 9), so gate
+    # explicitly: an unscored row gets bin NULL, not the top bin.
+    return joined.withColumn(
+        "bin", F.when(F.col("pct").isNotNull(), bin_col)
+    )

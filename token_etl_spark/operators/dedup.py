@@ -1044,6 +1044,11 @@ def minhash_match_index(
     cands = (
         new_banded.join(ref_banded, ["band", "bucket"])
         .select("id_new", "id_ref")
+        # A doc must never match its OWN index copy (jaccard 1.0): the
+        # sets are disjoint in normal use, but a foreachBatch RETRY that
+        # re-reads an index containing the batch's partial write would
+        # otherwise emit bogus self-pairs and drop the doc as a dup.
+        .filter(F.col("id_new") != F.col("id_ref"))
         .distinct()
     )
     a = new_idx.select(

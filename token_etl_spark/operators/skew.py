@@ -157,7 +157,11 @@ def skew_profile(
 
     keys = [F.col(c) for c in key_cols]
     counts = df.groupBy(*keys).agg(F.count("*").alias("n"))
-    total = df.agg(F.count("*").alias("_tot"))
+    # grand total = sum(n) over the counts frame, NOT a second df.agg
+    # scan: both branches share the identical groupBy exchange, so AQE's
+    # ReuseExchange serves the total from the counts shuffle instead of
+    # re-reading the corpus (plan-asserted in test_plan_hygiene).
+    total = counts.agg(F.sum("n").alias("_tot"))
     wb = Window.partitionBy("_bkt").orderBy(F.col("n").desc(), *key_cols)
     survivors = (
         counts.withColumn("_bkt", F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)))

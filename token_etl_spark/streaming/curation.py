@@ -682,69 +682,100 @@ def run_streaming_novelty(
     index dir) cannot clobber an earlier run's partitions.
     """
 
+    from token_etl_spark.streaming.dedup import _batch_partition_key
+
+    if checkpoint_path is None:
+        raise ValueError(
+            "run_streaming_novelty requires checkpoint_path: without it the"
+            " state partitions degrade to bare batch_id keys, and a"
+            " continuation stream (which restarts batch numbering at 0)"
+            " would clobber the original run's partitions"
+        )
+
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        from pyspark.sql import Window
-
-        from token_etl_spark.streaming.dedup import (
-            _batch_partition_key,
-            _read_partitioned_state,
+        _novelty_sink_batch(
+            batch_df,
+            _batch_partition_key(checkpoint_path, batch_id),
+            gram_index_path,
+            k=k,
+            text_col=text_col,
+            id_col=id_col,
+            scores_path=scores_path,
         )
 
-        key = _batch_partition_key(checkpoint_path, batch_id)
-        spark = batch_df.sparkSession
-        grams = shingles(batch_df, text_col=text_col, id_col=id_col, k=k)
-        index = _read_partitioned_state(spark, gram_index_path)
-        if index is not None:
-            # left join beats anti-join here: the gram's index-membership
-            # AND its batch-local first are both needed per pair row.
-            grams = grams.join(
-                index.select(F.col("shingle"), F.lit(True).alias("_seen")),
-                "shingle",
-                "left",
-            )
-        else:
-            grams = grams.withColumn("_seen", F.lit(None).cast("boolean"))
-        w = Window.partitionBy("shingle")
-        scored = (
-            grams.withColumn("_first", F.min("id").over(w))
-            .groupBy(F.col("id").alias(id_col))
-            .agg(
-                F.count("*").alias("n_grams"),
-                F.sum(
-                    (
-                        F.col("_seen").isNull() & (F.col("id") == F.col("_first"))
-                    ).cast("long")
-                ).alias("n_novel"),
-            )
-            .withColumn(
-                "novelty",
-                F.col("n_novel").cast("double") / F.col("n_grams").cast("double"),
-            )
-        )
-        if scores_path is not None:
-            scored.write.mode("overwrite").parquet(
-                f"{scores_path.rstrip('/')}/batch_id={key}"
-            )
-        new_grams = shingles(batch_df, text_col=text_col, id_col=id_col, k=k).select(
-            "shingle"
-        ).distinct()
-        if index is not None:
-            new_grams = new_grams.join(index.select("shingle"), "shingle", "left_anti")
-        new_grams.write.mode("overwrite").parquet(
-            f"{gram_index_path.rstrip('/')}/batch_id={key}"
-        )
-
-    writer = (
+    q = (
         stream.writeStream.foreachBatch(_sink)
         .outputMode("update")
         .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
     )
-    if checkpoint_path is not None:
-        writer = writer.option("checkpointLocation", checkpoint_path)
-    q = writer.start()
     q.awaitTermination()
+
+
+def _novelty_sink_batch(
+    batch_df: DataFrame,
+    key: str,
+    gram_index_path: str,
+    *,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scores_path: str | None = None,
+) -> None:
+    """One micro-batch of :func:`run_streaming_novelty` (module-level so
+    retry idempotency is unit-testable). The gram-index read EXCLUDES
+    the batch's own partition: a retry after a partial state write would
+    otherwise see its own grams as already-indexed — every doc scored
+    novelty=0 and the gram partition overwritten EMPTY."""
+    if batch_df.isEmpty():
+        return
+    from pyspark.sql import Window
+
+    from token_etl_spark.streaming.dedup import _read_partitioned_state
+
+    spark = batch_df.sparkSession
+    grams = shingles(batch_df, text_col=text_col, id_col=id_col, k=k)
+    index = _read_partitioned_state(spark, gram_index_path, exclude_key=key)
+    if index is not None:
+        # left join beats anti-join here: the gram's index-membership
+        # AND its batch-local first are both needed per pair row.
+        grams = grams.join(
+            index.select(F.col("shingle"), F.lit(True).alias("_seen")),
+            "shingle",
+            "left",
+        )
+    else:
+        grams = grams.withColumn("_seen", F.lit(None).cast("boolean"))
+    w = Window.partitionBy("shingle")
+    scored = (
+        grams.withColumn("_first", F.min("id").over(w))
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                (
+                    F.col("_seen").isNull() & (F.col("id") == F.col("_first"))
+                ).cast("long")
+            ).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.col("n_novel").cast("double") / F.col("n_grams").cast("double"),
+        )
+    )
+    if scores_path is not None:
+        scored.write.mode("overwrite").parquet(
+            f"{scores_path.rstrip('/')}/batch_id={key}"
+        )
+    new_grams = shingles(batch_df, text_col=text_col, id_col=id_col, k=k).select(
+        "shingle"
+    ).distinct()
+    if index is not None:
+        new_grams = new_grams.join(index.select("shingle"), "shingle", "left_anti")
+    new_grams.write.mode("overwrite").parquet(
+        f"{gram_index_path.rstrip('/')}/batch_id={key}"
+    )
 
 
 def read_novelty_scores(spark, scores_path: str) -> DataFrame | None:

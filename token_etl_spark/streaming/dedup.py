@@ -95,50 +95,94 @@ def run_streaming_neardup(
     appending duplicates, while a CONTINUATION stream (fresh checkpoint,
     new source files, same index dir) gets a fresh prefix and cannot
     clobber the original run's batch-0 partition.
-    Pass ``checkpoint_path`` so Structured Streaming tracks which source
-    files each batch consumed; readers see the partition column via
+    ``checkpoint_path`` is REQUIRED (ValueError otherwise): it anchors
+    both Structured Streaming's source tracking and the state-partition
+    lineage prefix; readers see the partition column via
     :func:`read_neardup_index` / :func:`read_neardup_matches`, which
     drop it.
     """
-    from token_etl_spark.operators.dedup import minhash_index_frame, minhash_match_index
-
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        key = _batch_partition_key(checkpoint_path, batch_id)
-        spark = batch_df.sparkSession
-        index = read_neardup_index(spark, index_path)
-        new_idx = minhash_index_frame(
-            batch_df, text_col, id_col, k, num_hashes
-        ).localCheckpoint(eager=False)
-        if index is not None:
-            matches = minhash_match_index(
-                batch_df, index, text_col, id_col, k, num_hashes, bands, threshold
-            ).localCheckpoint(eager=True)
-            if matches_path is not None:
-                matches.write.mode("overwrite").parquet(
-                    f"{matches_path.rstrip('/')}/batch_id={key}"
-                )
-            dup_ids = matches.select(F.col("id_new").alias("id")).distinct()
-            novel = new_idx.join(dup_ids, "id", "left_anti")
-        else:
-            novel = new_idx
-        novel.write.mode("overwrite").parquet(
-            f"{index_path.rstrip('/')}/batch_id={key}"
+    if checkpoint_path is None:
+        raise ValueError(
+            "run_streaming_neardup requires checkpoint_path: without it the"
+            " state partitions degrade to bare batch_id keys, and a"
+            " continuation stream (which restarts batch numbering at 0)"
+            " would clobber the original run's partitions"
         )
 
-    writer = (
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        _neardup_sink_batch(
+            batch_df,
+            _batch_partition_key(checkpoint_path, batch_id),
+            index_path,
+            text_col=text_col,
+            id_col=id_col,
+            k=k,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=threshold,
+            matches_path=matches_path,
+        )
+
+    q = (
         stream.writeStream.foreachBatch(_sink)
         .outputMode("update")
         .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
     )
-    if checkpoint_path is not None:
-        writer = writer.option("checkpointLocation", checkpoint_path)
-    q = writer.start()
     q.awaitTermination()
 
 
-def _batch_partition_key(checkpoint_path: str | None, batch_id: int) -> str:
+def _neardup_sink_batch(
+    batch_df: DataFrame,
+    key: str,
+    index_path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    matches_path: str | None = None,
+) -> None:
+    """One micro-batch of :func:`run_streaming_neardup` (module-level so
+    retry idempotency is unit-testable: calling this twice with the same
+    ``key`` must produce the same final state).
+
+    The index read EXCLUDES the batch's own partition (``batch_id !=
+    key``): a foreachBatch retry that crashed after writing its state
+    partition but before the checkpoint commit would otherwise match the
+    batch against its own partial write — every doc self-matching its
+    index copy at jaccard 1.0, bogus pairs in the matches partition, and
+    the index partition overwritten EMPTY (docs permanently lost)."""
+    from token_etl_spark.operators.dedup import minhash_index_frame, minhash_match_index
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    index = _read_partitioned_state(spark, index_path, exclude_key=key)
+    new_idx = minhash_index_frame(
+        batch_df, text_col, id_col, k, num_hashes
+    ).localCheckpoint(eager=False)
+    if index is not None:
+        matches = minhash_match_index(
+            batch_df, index, text_col, id_col, k, num_hashes, bands, threshold
+        ).localCheckpoint(eager=True)
+        if matches_path is not None:
+            matches.write.mode("overwrite").parquet(
+                f"{matches_path.rstrip('/')}/batch_id={key}"
+            )
+        dup_ids = matches.select(F.col("id_new").alias("id")).distinct()
+        novel = new_idx.join(dup_ids, "id", "left_anti")
+    else:
+        novel = new_idx
+    novel.write.mode("overwrite").parquet(
+        f"{index_path.rstrip('/')}/batch_id={key}"
+    )
+
+
+def _batch_partition_key(checkpoint_path: str, batch_id: int) -> str:
     """Partition-dir key for idempotent foreachBatch writes.
 
     Keyed by (checkpoint lineage, batch_id): a RETRY of the same batch
@@ -146,28 +190,40 @@ def _batch_partition_key(checkpoint_path: str | None, batch_id: int) -> str:
     partition, while a CONTINUATION stream (fresh checkpoint over new
     source files, same state dir) gets a different prefix — without
     the prefix, the new stream's batch 0 would clobber the original
-    run's ``batch_id=0`` partition. No checkpoint → bare batch_id
-    (ephemeral/test usage, single lineage by construction)."""
-    if checkpoint_path is None:
-        return str(batch_id)
+    run's ``batch_id=0`` partition. ``checkpoint_path`` is mandatory:
+    the runners refuse to start without one."""
+    if not checkpoint_path:
+        raise ValueError("checkpoint_path is required for state partition keys")
     import hashlib
 
     prefix = hashlib.md5(checkpoint_path.encode()).hexdigest()[:8]
     return f"{prefix}-{batch_id}"
 
 
-def _read_partitioned_state(spark: SparkSession, path: str) -> DataFrame | None:
+def _read_partitioned_state(
+    spark: SparkSession, path: str, exclude_key: str | None = None
+) -> DataFrame | None:
     """Read a ``batch_id=N``-partitioned state dir, dropping the
     partition column (it exists for write idempotency, not semantics);
     None iff the path does not exist yet (same contract as
     ``io.sinks._read_existing`` — anything but path-not-found
-    re-raises)."""
+    re-raises).
+
+    ``exclude_key`` filters out one batch's partition BEFORE the drop —
+    a sink re-running its own batch (foreachBatch retry after a partial
+    state write) must never see its own previous write as prior state.
+    Partition pruning makes the exclusion a directory-listing filter,
+    not a data scan."""
     from token_etl_spark.io.sinks import _read_existing
 
     df = _read_existing(spark, path)
     if df is None:
         return None
-    return df.drop("batch_id") if "batch_id" in df.columns else df
+    if "batch_id" not in df.columns:
+        return df
+    if exclude_key is not None:
+        df = df.filter(F.col("batch_id") != F.lit(exclude_key))
+    return df.drop("batch_id")
 
 
 def read_neardup_index(spark: SparkSession, index_path: str) -> DataFrame | None:

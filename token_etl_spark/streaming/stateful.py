@@ -87,15 +87,33 @@ def _make_ewma_updater(alpha: float):
             ewma, initialized = state.get
         else:
             ewma, initialized = 0.0, False
-        out = []
         rows = pd.concat(list(pdfs)).sort_values("ts_sec")
-        for _, row in rows.iterrows():
-            x = float(row["value"])
-            ewma = x if not initialized else alpha * x + (1 - alpha) * ewma
-            initialized = True
-            out.append((user_id, int(row["ts_sec"]), x, ewma))
-        state.update((ewma, initialized))
-        yield pd.DataFrame(out, columns=["user_id", "ts_sec", "value", "ewma"])
+        vals = rows["value"].astype("float64").reset_index(drop=True)
+        if vals.empty:
+            state.update((ewma, initialized))
+            yield pd.DataFrame(
+                columns=["user_id", "ts_sec", "value", "ewma"]
+            )
+            return
+        # the same vectorized adjust=False recurrence the batch twin runs
+        # (operators/timeseries.grouped_ewma) — seeded by prepending the
+        # carried state as a virtual row 0 (y_0 = carry, then
+        # y_t = alpha*x_t + (1-alpha)*y_{t-1}), dropped after the ewm
+        if initialized:
+            seeded = pd.concat([pd.Series([ewma]), vals], ignore_index=True)
+            series = seeded.ewm(alpha=alpha, adjust=False).mean().iloc[1:]
+        else:
+            series = vals.ewm(alpha=alpha, adjust=False).mean()
+        series = series.reset_index(drop=True)
+        state.update((float(series.iloc[-1]), True))
+        yield pd.DataFrame(
+            {
+                "user_id": user_id,
+                "ts_sec": rows["ts_sec"].astype("int64").reset_index(drop=True),
+                "value": vals,
+                "ewma": series,
+            }
+        )
 
     return _update_ewma
 
