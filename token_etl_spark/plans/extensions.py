@@ -1498,6 +1498,81 @@ LEFT JOIN cnt cs ON cs.qid = e.vec_id AND cs.nlab = e.label
 """
 
 
+def q_knn_label_noise_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kNN label-noise SCALE path: the same neighborhood vote as
+    ext_knn_label_noise, but with neighbors from IVF search
+    (operators/similarity.py ivf_topk through knn_label_consistency's
+    ``neighbors=`` seam) instead of the exact n² scan — comparisons per
+    query drop to |corpus| x n_probe / n_centroids, and the cell join
+    shuffles on 16 centroid keys instead of emitting every pair. This is
+    the declared plan you'd run at 100 TB; the exact row stays as the
+    eval-set baseline (suspect P/R vs exact measured in PERF.md).
+
+    Fully oracled, not rows-only: the quantizer is the deterministic
+    sampled one (centroids = first 16 corpus ids — the ext_ann_ivf
+    discipline), so DuckDB replays assignment → probe ranking → in-cell
+    top-k → the plurality vote exactly. Ids whose probed cells yield no
+    candidates drop out on BOTH sides (inner vote joins)."""
+    emb = t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    nb = S.ivf_topk(emb, emb, k=KNN_NOISE_K, n_centroids=16, n_probe=4)
+    out = S.knn_label_consistency(emb, k=KNN_NOISE_K, neighbors=nb)
+    return out.select(
+        F.col("id").alias("vec_id"),
+        "label",
+        "n_same",
+        "majority_label",
+        F.round("agreement", 6).alias("agreement"),
+        F.col("suspect").cast("int").cast("long").alias("suspect"),
+    )
+
+
+SQL_KNN_LABEL_NOISE_IVF = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, CAST(label AS BIGINT) AS label
+           FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+asg AS (
+  SELECT corpus_id, centroid_id FROM (
+    SELECT e.vec_id AS corpus_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id) AS rn
+    FROM e CROSS JOIN cents c) WHERE rn = 1),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT e.vec_id AS query_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id) AS rn
+    FROM e CROSS JOIN cents c) WHERE rn <= 4),
+cand AS (
+  SELECT p.query_id, a.corpus_id FROM probes p JOIN asg a USING (centroid_id)
+  WHERE p.query_id <> a.corpus_id),
+scored AS (
+  SELECT c.query_id AS qid, c.corpus_id AS nid,
+         list_cosine_similarity(q.v, n.v) AS sim, n.label AS nlab
+  FROM cand c JOIN e q ON q.vec_id = c.query_id JOIN e n ON n.vec_id = c.corpus_id),
+topk AS (
+  SELECT qid, nlab FROM (
+    SELECT qid, nlab,
+           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+    FROM scored) WHERE rnk <= {KNN_NOISE_K}),
+cnt AS (SELECT qid, nlab, CAST(count(*) AS BIGINT) AS c FROM topk GROUP BY 1, 2),
+maj AS (SELECT qid, nlab AS majority_label,
+               row_number() OVER (PARTITION BY qid ORDER BY c DESC, nlab) AS mr
+        FROM cnt),
+tot AS (SELECT qid, CAST(sum(c) AS BIGINT) AS n_nb FROM cnt GROUP BY 1)
+SELECT e.vec_id, e.label,
+       CAST(coalesce(cs.c, 0) AS BIGINT) AS n_same,
+       m.majority_label,
+       round(CAST(coalesce(cs.c, 0) AS DOUBLE) / t.n_nb, 6) AS agreement,
+       CAST(m.majority_label <> e.label AS BIGINT) AS suspect
+FROM e
+JOIN maj m ON m.qid = e.vec_id AND m.mr = 1
+JOIN tot t ON t.qid = e.vec_id
+LEFT JOIN cnt cs ON cs.qid = e.vec_id AND cs.nlab = e.label
+"""
+
+
 PROTO_DROP_PCT = 25
 
 
@@ -2640,6 +2715,7 @@ SPECS = [
     QuerySpec("ext_semantic_dedup", q_semantic_dedup, SQL_SEMANTIC_DEDUP, ("similarity", "dedup", "iterative"), bench=True),
     QuerySpec("ext_semantic_dedup_probe2", q_semantic_dedup_probe2, SQL_SEMANTIC_DEDUP_PROBE2, ("similarity", "dedup", "iterative")),
     QuerySpec("ext_knn_label_noise", q_knn_label_noise, SQL_KNN_LABEL_NOISE, ("similarity", "curation")),
+    QuerySpec("ext_knn_label_noise_ivf", q_knn_label_noise_ivf, SQL_KNN_LABEL_NOISE_IVF, ("similarity", "curation")),
     QuerySpec("ext_linear_probe", q_linear_probe, SQL_LINEAR_PROBE, ("similarity", "curation", "ml", "iterative")),
     QuerySpec("ext_prototypicality", q_prototypicality, SQL_PROTOTYPICALITY, ("similarity", "curation", "iterative")),
     QuerySpec("ext_d4_select", q_d4_select, SQL_D4_SELECT, ("similarity", "dedup", "curation", "iterative", "pipeline")),

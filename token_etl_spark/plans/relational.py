@@ -908,6 +908,105 @@ FROM flt LEFT JOIN dim USING (block_number)
 """
 
 
+# --- S8: the Coingecko token-metadata dimension as a driver row -------------
+
+
+def q_token_metadata_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 driver row: the token-metadata dimension ITSELF — the exact
+    7-field Coingecko replacement fixture (fixtures.token_metadata_df /
+    schemas.TOKEN_METADATA, Coingecko.scala:8-55 name/symbol/decimals/
+    logo/total_supply/max_supply/circulating_supply plus the per-token
+    whale threshold of Common.scala:4-10) — broadcast-joined into a
+    whale metric where supply x threshold is READ FROM THE DIM, not a
+    literal (the F5 composition, operators/holders.with_whale_flag /
+    WalletEnricher.scala:23-25,62-63). Balances are synthesized from
+    ``events`` (event_id %3 picks the token, value x10 spans the three
+    tokens' whale lines: VALAS 500 / VENUS 2500 / CAKE 6000 — CAKE gets
+    ZERO whales, exercising the all-false aggregation path). Output
+    carries every dim field through the plan so the driver hashes the
+    full Coingecko surface. The REST read stays environment-bound; this
+    row proves the dimension's schema, values, and join semantics."""
+    from token_etl_spark import fixtures
+    from token_etl_spark.operators.holders import with_whale_flag
+
+    ev = t(spark, sf_dir, "events")
+    addrs = F.array(*[F.lit(a) for a, _, _, _ in fixtures.TOKENS])
+    balances = ev.select(
+        F.element_at(addrs, (F.col("event_id") % 3 + 1).cast("int")).alias(
+            "contract_address"
+        ),
+        (F.col("value") * 10).alias("balance"),
+    )
+    dim = fixtures.token_metadata_df(spark)
+    flagged = with_whale_flag(balances, dim)
+    summary = flagged.groupBy("contract_address").agg(
+        F.count("*").cast("long").alias("n_transfers"),
+        F.sum(F.col("isWhale").cast("int")).cast("long").alias("n_whales"),
+        F.round(
+            F.max(F.when(F.col("isWhale"), F.col("balance"))), 6
+        ).alias("max_whale_balance"),
+    )
+    return summary.join(F.broadcast(dim), "contract_address").select(
+        "contract_address",
+        "name",
+        "symbol",
+        "decimals",
+        "logo",
+        F.col("total_supply").cast("long").alias("total_supply"),
+        F.col("max_supply").cast("long").alias("max_supply"),
+        "circulating_supply",
+        "whale_threshold",
+        "n_transfers",
+        "n_whales",
+        "max_whale_balance",
+    )
+
+
+def _token_metadata_dim_sql() -> str:
+    """Oracle: the dim rows are inlined as VALUES generated from the SAME
+    fixtures.TOKENS constant the Spark side instantiates — one source of
+    truth, so a fixture edit breaks the hash instead of silently
+    diverging."""
+    from token_etl_spark import fixtures
+
+    rows = ",\n    ".join(
+        f"('{addr}', '{sym.title()}', '{sym}', '18',"
+        f" 'https://img.example/{sym}.png', {1_000_000}, {2_000_000},"
+        f" {supply!r}, {thr!r})"
+        for addr, sym, thr, supply in fixtures.TOKENS
+    )
+    addr_list = ", ".join(f"'{addr}'" for addr, _, _, _ in fixtures.TOKENS)
+    return f"""
+WITH dim AS (
+  SELECT * FROM (VALUES
+    {rows}) AS t(contract_address, name, symbol, decimals, logo,
+                 total_supply, max_supply, circulating_supply, whale_threshold)),
+bal AS (
+  SELECT [{addr_list}][CAST(event_id % 3 AS INT) + 1] AS contract_address,
+         value * 10 AS balance
+  FROM events),
+flg AS (
+  SELECT b.contract_address, b.balance,
+         b.balance >= d.circulating_supply * d.whale_threshold AS is_whale
+  FROM bal b JOIN dim d USING (contract_address)),
+summary AS (
+  SELECT contract_address,
+         CAST(count(*) AS BIGINT) AS n_transfers,
+         CAST(sum(CASE WHEN is_whale THEN 1 ELSE 0 END) AS BIGINT) AS n_whales,
+         round(max(CASE WHEN is_whale THEN balance END), 6) AS max_whale_balance
+  FROM flg GROUP BY 1)
+SELECT s.contract_address, d.name, d.symbol, d.decimals, d.logo,
+       CAST(d.total_supply AS BIGINT) AS total_supply,
+       CAST(d.max_supply AS BIGINT) AS max_supply,
+       d.circulating_supply, d.whale_threshold,
+       s.n_transfers, s.n_whales, s.max_whale_balance
+FROM summary s JOIN dim d USING (contract_address)
+"""
+
+
+SQL_TOKEN_METADATA_DIM = _token_metadata_dim_sql()
+
+
 # --- hot-key skew profile ---------------------------------------------------
 
 
@@ -1156,6 +1255,7 @@ SPECS = [
     QuerySpec("rel_dapp_registry", q_dapp_registry, SQL_DAPP_REGISTRY, ("scan-preprocess", "functions-array", "join-explode")),
     QuerySpec("rel_upsert_latest", q_upsert_latest, SQL_UPSERT_LATEST, ("sink-upsert", "window-rank", "setop")),
     QuerySpec("rel_enrich_transfers", q_enrich_transfers, SQL_ENRICH_TRANSFERS, ("scan-range", "join-broadcast", "keys", "nullrepair")),
+    QuerySpec("rel_token_metadata_dim", q_token_metadata_dim, SQL_TOKEN_METADATA_DIM, ("dim", "join-broadcast", "predicate", "agg")),
     QuerySpec("rel_skew_profile", q_skew_profile, SQL_SKEW_PROFILE, ("agg", "skew", "topk")),
     QuerySpec("rel_ship_delay_histogram", q_ship_delay_histogram, SQL_SHIP_DELAY_HISTOGRAM, ("functions-date", "join")),
 ]
