@@ -1,0 +1,141 @@
+"""Unit tests for the r8 corpus-analytics operators: text normalization,
+duplication-inflation histogram, stratified dedup audit sampling,
+cross-source overlap matrix, snapshot diff, vocabulary growth, URL-level
+dedup, and the embedding-space outlier screen."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from token_etl_spark.operators import curation as C
+from token_etl_spark.operators import dedup as D
+from token_etl_spark.operators.text import normalize_text
+
+
+def test_normalize_text_rules_and_changed_flag(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "  Mixed CASE\tand\x07ctrl  chars \x1f here "),
+            (2, "already clean"),
+            (3, "Tab\there"),
+        ],
+        ["id", "text"],
+    )
+    out = {r["id"]: (r["norm_text"], r["changed"]) for r in normalize_text(df).collect()}
+    assert out[1] == ("mixed case and ctrl chars here", True)
+    assert out[2] == ("already clean", False)
+    assert out[3] == ("tab here", True)
+
+
+def test_dup_inflation_profile_hand_computed(spark):
+    # a:3 copies, b:2, c:1, d:1  → hist {3:1, 2:1, 1:2}; total 7
+    rows = [(i, t) for i, t in enumerate(["a", "a", "a", "b", "b", "c", "d"])]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["cluster_size"]: (r["n_clusters"], r["n_docs"], round(r["share"], 9))
+        for r in D.dup_inflation_profile(df).collect()
+    }
+    assert out == {
+        3: (1, 3, round(3 / 7, 9)),
+        2: (1, 2, round(2 / 7, 9)),
+        1: (2, 2, round(2 / 7, 9)),
+    }
+
+
+def test_dedup_audit_sample_band_cap_and_determinism(spark):
+    # 8 pairs in band 5 (0.5x), 2 in band 9 (cap never binds there)
+    rows = [(i, i + 100, 0.5 + i / 1000.0) for i in range(8)] + [
+        (50, 51, 0.95),
+        (60, 61, 1.0),  # jaccard 1.0 must clamp into band 9, not band 10
+    ]
+    pairs = spark.createDataFrame(rows, ["id_a", "id_b", "jaccard"])
+    out = D.dedup_audit_sample(pairs, k_per_band=3, n_bands=10)
+    got = [(r["band"], r["id_a"], r["sample_rank"]) for r in out.collect()]
+    by_band: dict = {}
+    for band, ia, rk in got:
+        by_band.setdefault(band, []).append((rk, ia))
+    assert set(by_band) == {5, 9}
+    assert len(by_band[5]) == 3 and sorted(rk for rk, _ in by_band[5]) == [1, 2, 3]
+    assert len(by_band[9]) == 2
+    # deterministic: a second run selects the identical slate
+    again = [(r["band"], r["id_a"], r["sample_rank"]) for r in out.collect()]
+    assert sorted(got) == sorted(again)
+
+
+def test_source_overlap_matrix_collapses_orientation(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6)], ["id_a", "id_b"]
+    )
+    labels = spark.createDataFrame(
+        [(1, "web"), (2, "wiki"), (3, "wiki"), (4, "web"), (5, "web"), (6, "web")],
+        ["doc_id", "source"],
+    )
+    out = {
+        (r["source_lo"], r["source_hi"]): r["n_pairs"]
+        for r in D.source_overlap_matrix(pairs, labels).collect()
+    }
+    # (web, wiki) and (wiki, web) collapse; same-source pairs count too
+    assert out == {("web", "wiki"): 2, ("web", "web"): 1}
+
+
+def test_snapshot_diff_all_four_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "before"), (3, "gone")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "after"), (4, "fresh")], ["doc_id", "text"]
+    )
+    out = {r["id"]: r["status"] for r in C.snapshot_diff(old, new).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_vocab_growth_hand_computed(spark):
+    # bucket 0: docs 0-1, bucket 1: docs 2-3 (bucket_size=2)
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a c"), (2, "a d d"), (3, "e")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["bucket"]: (r["n_tokens"], r["new_types"], r["vocab_size"])
+        for r in C.vocab_growth(docs, bucket_size=2).collect()
+    }
+    # bucket 0: 4 tokens, types {a,b,c} first here; bucket 1: 4 tokens, {d,e}
+    assert out == {0: (4, 3, 3), 1: (4, 2, 5)}
+
+
+def test_url_dedup_keeps_best_quality_then_smallest_id(spark):
+    raw = spark.createDataFrame(
+        [
+            (1, "HTTP://A.com:80/x", 10),
+            (2, "http://a.com/x", 30),   # same canonical, best quality
+            (3, "http://a.com/x?utm_s=1", 30),  # quality tie → smaller id wins
+            (4, "https://b.com/y", 5),
+        ],
+        ["doc_id", "url", "q"],
+    )
+    out = {r["doc_id"]: (r["canon_url"], r["kept"]) for r in
+           C.url_dedup(raw, quality_col="q").collect()}
+    assert out[1] == ("http://a.com/x", False)
+    assert out[2] == ("http://a.com/x", True)
+    assert out[3] == ("http://a.com/x", False)
+    assert out[4] == ("https://b.com/y", True)
+
+
+def test_embedding_outliers_flags_far_vector_and_honest_degenerates(spark):
+    from token_etl_spark.operators.similarity import embedding_outliers
+
+    # centroid = first vector (1,0); most rows hug it, one points away
+    rows = (
+        [(0, [1.0, 0.0])]
+        + [(i, [1.0, 0.01 * (i % 3)]) for i in range(1, 12)]
+        + [(99, [0.0, 1.0])]
+    )
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["id"]: (r["is_outlier"], r["z"]) for r in
+           embedding_outliers(df, n_centroids=1, threshold=2.0).collect()}
+    assert out[99][0] is True and out[99][1] < -2.0
+    assert sum(1 for flag, _ in out.values() if flag) == 1
+    # a single-member cluster flags nothing (z NULL, outlier False)
+    one = spark.createDataFrame([(0, [1.0, 0.0])], ["vec_id", "embedding"])
+    got = embedding_outliers(one, n_centroids=1).collect()
+    assert got[0]["z"] is None and got[0]["is_outlier"] is False

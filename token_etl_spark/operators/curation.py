@@ -1072,3 +1072,130 @@ def calibrate_scores(
     return joined.withColumn(
         "bin", F.when(F.col("pct").isNotNull(), bin_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus snapshot diff
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot-to-snapshot corpus diff: per document id, whether it was
+    ``added``, ``removed``, ``changed`` (same id, different content
+    digest), or ``unchanged`` — the incremental-ingest report that
+    decides how much downstream work (re-tokenization, re-embedding,
+    re-dedup) a refreshed crawl actually forces, instead of
+    re-processing 100 TB because 0.1% moved.
+
+    Plan shape: each side collapses to (id, md5(text)) in the scan
+    projection — the full-outer join then shuffles two digest columns,
+    never document text. The join key is the document id, so the
+    exchange is the same one any id-keyed MERGE would need; at 100 TB
+    both snapshots would be bucketed by id and the shuffle vanishes
+    entirely (the ``io/sinks`` bucketed-upsert layout).
+    """
+    o = old.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_od")
+    )
+    n = new.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_nd")
+    )
+    status = (
+        F.when(F.col("_od").isNull(), F.lit("added"))
+        .when(F.col("_nd").isNull(), F.lit("removed"))
+        .when(F.col("_od") != F.col("_nd"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        o.join(n, "id", "full_outer")
+        .withColumn("status", status)
+        .select("id", "status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary growth (Heaps' law)
+
+
+def vocab_growth(
+    df: DataFrame,
+    bucket_size: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve: documents are bucketed in
+    id order (``bucket = id div bucket_size`` — the natural
+    crawl-accumulation order, same contract as ``ngram_novelty``), and
+    each bucket reports its token count, how many vocabulary types
+    appear there FIRST, and the cumulative vocabulary size — the curve
+    whose flattening tells a data team a source's lexical yield is
+    exhausted (Heaps 1978; the sublinear V(n) ~ K·n^β law).
+
+    Plan shape (the 100 TB design): a type's first occurrence is ONE
+    min-aggregation over the exploded token frame keyed by the token
+    (combinable, map-side partials; the shuffle carries |vocabulary|
+    rows); per-bucket token counts aggregate narrowly from per-doc
+    sizes. Only the final cumulative sum runs as a global-order window
+    — over the BUCKET frame, whose cardinality is n_docs/bucket_size
+    (already thousands of times smaller than the corpus; for a curve
+    with millions of buckets, the two-phase cumsum in
+    ``operators/balances`` drops in).
+    """
+    base = df.select(
+        (F.col(id_col) / bucket_size).cast("long").alias("bucket"),
+        F.split(F.col(text_col), " ").alias("_toks"),
+    )
+    toks = base.select("bucket", F.explode("_toks").alias("tok"))
+    first_bucket = toks.groupBy("tok").agg(F.min("bucket").alias("bucket"))
+    new_types = first_bucket.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("new_types")
+    )
+    tokens_per_bucket = base.groupBy("bucket").agg(
+        F.sum(F.size("_toks")).cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        tokens_per_bucket.join(new_types, "bucket", "left")
+        .withColumn("new_types", F.coalesce("new_types", F.lit(0)).cast("long"))
+        .withColumn("vocab_size", F.sum("new_types").over(w).cast("long"))
+        .select("bucket", "n_tokens", "new_types", "vocab_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL-level dedup (canonicalize + keep-best)
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    quality_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """URL-level dedup: canonicalize (``url_canonicalize``) and keep ONE
+    document per canonical URL — highest ``quality_col`` first (ties to
+    the smallest id), or smallest id when no quality column is given.
+    This is the cheapest dedup tier a web pipeline runs (FineWeb and
+    RefinedWeb both dedup by URL before touching content): it needs no
+    text comparison at all, so it goes FIRST and shrinks everything
+    downstream.
+
+    Emits every input row with a ``kept`` flag (the auditable form —
+    filtering is a trailing ``where``). One shuffle on the canonical
+    URL; the canonicalization itself is map-only regex surgery riding
+    the same exchange.
+    """
+    canon = url_canonicalize(df, url_col=url_col)
+    order = (
+        [F.col(quality_col).desc(), F.col(id_col).asc()]
+        if quality_col is not None
+        else [F.col(id_col).asc()]
+    )
+    w = Window.partitionBy("canon_url").orderBy(*order)
+    return canon.withColumn(
+        "kept", F.row_number().over(w) == 1
+    )

@@ -1068,3 +1068,119 @@ def minhash_match_index(
         .filter(F.col("jaccard") >= threshold)
         .select("id_new", "id_ref", "jaccard")
     )
+
+
+def dup_inflation_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplication-factor histogram — the corpus-health report behind
+    every dedup decision: how many exact-duplicate clusters exist at
+    each multiplicity, and what share of the corpus they hold (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", reports exactly this inflation curve to size the dedup
+    win before running it).
+
+    Plan shape (the 100 TB design): digest → per-digest count (one
+    combinable aggregation, shuffle carries |distinct digests| rows) →
+    per-multiplicity rollup of THAT frame (second agg over an already
+    collapsed frame, cardinality = |distinct cluster sizes| — tiny) →
+    corpus total derived from the same counts frame (sum(c * 1) — no
+    second corpus scan; ReuseExchange serves it from the digest
+    shuffle, the ``skew_profile`` discipline). Nothing touches document
+    text after the first map.
+
+    Returns (cluster_size, n_clusters, n_docs, share) — ``n_docs =
+    cluster_size * n_clusters``, ``share`` its fraction of all rows.
+    """
+    digests = df.select(F.md5(F.col(text_col)).alias("_d"))
+    counts = digests.groupBy("_d").agg(F.count("*").alias("c"))
+    hist = counts.groupBy(F.col("c").alias("cluster_size")).agg(
+        F.count("*").cast("long").alias("n_clusters")
+    )
+    total = counts.agg(F.sum("c").alias("_tot"))
+    return (
+        hist.withColumn(
+            "n_docs", (F.col("cluster_size") * F.col("n_clusters")).cast("long")
+        )
+        .crossJoin(F.broadcast(total))
+        .withColumn("share", F.col("n_docs").cast("double") / F.col("_tot"))
+        .drop("_tot")
+    )
+
+
+def dedup_audit_sample(
+    pairs: DataFrame,
+    k_per_band: int = 5,
+    n_bands: int = 10,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    sim_col: str = "jaccard",
+) -> DataFrame:
+    """Stratified audit sample of near-dup pairs: ``k_per_band``
+    deterministically-chosen pairs from each similarity band — the
+    human-review slate a dedup rollout ships alongside its threshold
+    choice (precision at 0.5 is meaningless if nobody looked at pairs
+    NEAR 0.5; band-stratified sampling is how the threshold gets
+    audited without eyeballing millions of pairs).
+
+    Bands are equal-width over [0, 1] (``least(floor(sim * n_bands),
+    n_bands - 1)``); within a band pairs rank by md5 of the id pair —
+    deterministic, uniform, replayable (the ``stratified_sample_exact``
+    hash-rank discipline). Plan: one window per band partition over the
+    PAIR frame — bounded by the dedup candidate output, which every
+    upstream generator already caps (banded LSH / max_bucket), never by
+    the corpus.
+    """
+    band = F.least(
+        F.floor(F.col(sim_col) * n_bands).cast("long"), F.lit(n_bands - 1).cast("long")
+    )
+    rk = F.md5(
+        F.concat_ws("_", F.col(id_a).cast("string"), F.col(id_b).cast("string"))
+    )
+    w = Window.partitionBy("band").orderBy("_rk")
+    return (
+        pairs.withColumn("band", band)
+        .withColumn("_rk", rk)
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= k_per_band)
+        .drop("_rk")
+    )
+
+
+def source_overlap_matrix(
+    pairs: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    label_col: str = "source",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Cross-source duplication matrix: near-dup PAIR counts grouped by
+    the (unordered) source pair — the provenance report that tells a
+    corpus team which feeds mirror each other (syndication, scraped
+    re-hosts) and should be deduped against each other first. RefinedWeb
+    and FineWeb both report cross-dump overlap this way before choosing
+    dedup scope.
+
+    The label frame is broadcast twice (it is a per-doc (id, source)
+    projection — at 100 TB pre-aggregate to distinct ids first);
+    the matrix itself is an aggregation over the PAIR frame, bounded by
+    the upstream candidate caps. Source pairs are canonicalized
+    (lexicographically ordered) so A~B and B~A collapse to one cell.
+    """
+    la = labels.select(
+        F.col(id_col).alias(id_a), F.col(label_col).alias("_sa")
+    )
+    lb = labels.select(
+        F.col(id_col).alias(id_b), F.col(label_col).alias("_sb")
+    )
+    return (
+        pairs.join(F.broadcast(la), id_a)
+        .join(F.broadcast(lb), id_b)
+        .select(
+            F.least("_sa", "_sb").alias("source_lo"),
+            F.greatest("_sa", "_sb").alias("source_hi"),
+        )
+        .groupBy("source_lo", "source_hi")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )

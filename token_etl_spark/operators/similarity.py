@@ -1719,3 +1719,53 @@ def ivfpq_rerank_topk(
     id_col = ivfpq_kwargs.get("id_col", "vec_id")
     vec_col = ivfpq_kwargs.get("vec_col", "embedding")
     return exact_rerank(cands, corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def embedding_outliers(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 2.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-space outlier screen: assign every vector to its
+    nearest centroid and flag rows whose centroid similarity is a
+    z-score outlier WITHIN their cluster — the off-manifold-junk sweep
+    (OCR garbage, binary-in-text, wrong-modality rows) a curation
+    pipeline runs on embeddings before semantic dedup trusts them
+    (distance-to-prototype screening is the SemDeDup/D4 companion
+    check; cf. Abbas et al. 2023).
+
+    Composition, not new machinery: the ``_assign_with_sim`` broadcast
+    argmax (shared with SemDeDup/D4/IVF — pass ``centroids`` to reuse a
+    trained quantizer; default is the deterministic first-n sample) +
+    ``zscore_outliers`` on the winning cosine grouped by cluster (one
+    combinable stats aggregation, broadcast back — never a fact-table
+    window). Low-similarity outliers are the junk candidates; the
+    z-score (not a global sim floor) keeps tight and loose clusters on
+    the same footing.
+
+    Returns (id, centroid_id, centroid_sim, z, is_outlier). Degenerate
+    clusters follow the ``zscore_outliers`` contract: 1-row or
+    zero-dispersion clusters flag nothing.
+    """
+    from token_etl_spark.operators.profile import zscore_outliers
+
+    cents = (
+        centroids
+        if centroids is not None
+        else corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).cast("array<double>").alias("centroid_vec"),
+        )
+    )
+    assigned = _assign_with_sim(corpus, n_centroids, 0, id_col, vec_col, cents)
+    return zscore_outliers(
+        assigned.select("id", "centroid_id", "centroid_sim"),
+        "centroid_sim",
+        ["centroid_id"],
+        threshold=threshold,
+    )

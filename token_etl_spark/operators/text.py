@@ -772,3 +772,41 @@ def lexical_diversity(
             ),
         )
     )
+
+
+_CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "norm_text"
+) -> DataFrame:
+    """Canonical text form for ingest normalization — the cleanup pass a
+    crawl pipeline runs BEFORE hashing/shingling so trivially-distinct
+    spellings of one document collapse (the text-level analog of
+    ``url_canonicalize``; C4 and FineWeb run the same class of
+    lowercase/whitespace canonicalization before exact dedup). Declared
+    rules, applied in order:
+
+    1. lowercase (casefold-lite — locale-independent on both engines);
+    2. C0/C1-ish control characters (NUL..BS, VT, FF, SO..US, DEL)
+       replaced with a space — tab/newline/CR survive to step 3 as
+       whitespace;
+    3. runs of whitespace collapsed to one space;
+    4. leading/trailing whitespace trimmed.
+
+    Emits ``out_col`` plus ``changed`` (the row needed normalizing —
+    the monitoring counter an ingest dashboard tracks). Map-only: four
+    narrow string expressions, no shuffle, rides the ingest scan at
+    100 TB. The regexes use only \\x escapes, literal classes, and
+    ``\\s`` — identical semantics under Java regex (Spark) and RE2
+    (DuckDB), so oracles replay bit-for-bit.
+    """
+    t = F.col(text_col)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(t), _CTRL_RE, " "), r"\s+", " "
+        )
+    )
+    return df.withColumn(out_col, norm).withColumn(
+        "changed", F.col(out_col) != t
+    )

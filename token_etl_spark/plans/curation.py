@@ -405,25 +405,11 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.url_canonicalize(raw).select("url_id", "url", "canon_url")
 
 
-SQL_URL_CANONICALIZE = r"""
-WITH raw AS (
-  SELECT p_partkey AS url_id,
-         (CASE WHEN p_partkey % 2 = 0 THEN 'HTTP' ELSE 'https' END)
-         || '://WWW.Host' || CAST(p_partkey % 10 AS VARCHAR) || '.Example.COM'
-         || (CASE WHEN p_partkey % 3 = 0
-                  THEN (CASE WHEN p_partkey % 2 = 0 THEN ':80' ELSE ':443' END)
-                  WHEN p_partkey % 3 = 1 THEN ':8080' ELSE '' END)
-         || '/Dir' || CAST(p_partkey % 7 AS VARCHAR)
-         || (CASE WHEN p_partkey % 4 = 0 THEN '/' ELSE '' END)
-         || (CASE WHEN p_partkey % 5 = 0
-                  THEN '?utm_source=x&id=' || CAST(p_partkey AS VARCHAR)
-                  WHEN p_partkey % 5 = 1
-                  THEN '?id=' || CAST(p_partkey AS VARCHAR) || '&utm_campaign=y&z=1'
-                  ELSE '' END)
-         || (CASE WHEN p_partkey % 6 = 0 THEN '#sec' ELSE '' END) AS url
-  FROM part),
-s1 AS (
-  SELECT url_id, url,
+#: DuckDB replay of operators/curation.url_canonicalize as reusable CTE
+#: stages over a ``raw`` CTE (any extra columns in raw ride along via
+#: SELECT *); shared by SQL_URL_CANONICALIZE and SQL_URL_DEDUP.
+_URL_CANON_STAGES = r"""s1 AS (
+  SELECT *,
          lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
          regexp_replace(regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
                         '#.*$', '') AS rest
@@ -447,13 +433,36 @@ s5 AS (
   SELECT *,
          list_sort(list_filter(string_split(qstr, '&'),
                                p -> p != '' AND NOT starts_with(p, 'utm_'))) AS params
-  FROM s4)
-SELECT url_id, url,
-       CASE WHEN scheme = '' THEN url  -- non-URL passes through (operator contract)
+  FROM s4)"""
+
+#: the canonical-URL expression over an s5 row (non-URL passes through —
+#: the operator contract).
+_URL_CANON_EXPR = """CASE WHEN scheme = '' THEN url
             ELSE scheme || '://' || host || keep_port || path
                  || (CASE WHEN len(params) > 0
                           THEN '?' || array_to_string(params, '&') ELSE '' END)
-       END AS canon_url
+       END"""
+
+SQL_URL_CANONICALIZE = f"""
+WITH raw AS (
+  SELECT p_partkey AS url_id,
+         (CASE WHEN p_partkey % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+         || '://WWW.Host' || CAST(p_partkey % 10 AS VARCHAR) || '.Example.COM'
+         || (CASE WHEN p_partkey % 3 = 0
+                  THEN (CASE WHEN p_partkey % 2 = 0 THEN ':80' ELSE ':443' END)
+                  WHEN p_partkey % 3 = 1 THEN ':8080' ELSE '' END)
+         || '/Dir' || CAST(p_partkey % 7 AS VARCHAR)
+         || (CASE WHEN p_partkey % 4 = 0 THEN '/' ELSE '' END)
+         || (CASE WHEN p_partkey % 5 = 0
+                  THEN '?utm_source=x&id=' || CAST(p_partkey AS VARCHAR)
+                  WHEN p_partkey % 5 = 1
+                  THEN '?id=' || CAST(p_partkey AS VARCHAR) || '&utm_campaign=y&z=1'
+                  ELSE '' END)
+         || (CASE WHEN p_partkey % 6 = 0 THEN '#sec' ELSE '' END) AS url
+  FROM part),
+{_URL_CANON_STAGES}
+SELECT url_id, url,
+       {_URL_CANON_EXPR} AS canon_url
 FROM s5
 """
 
@@ -493,6 +502,166 @@ FROM f GROUP BY doc_id
 """
 
 
+# --- ingest text normalization ----------------------------------------------
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest text canonicalization (operators/text.normalize_text):
+    lowercase, control-char strip, whitespace collapse, trim — the
+    cleanup pass ahead of hashing/shingling. The corpus text is already
+    clean, so deterministic MESS is injected first (%4 branches:
+    padding+uppercase+tab, an embedded BEL control, unchanged) —
+    identically on both engines — and the ``changed`` flag proves the
+    no-op path stays byte-identical. Map-only on both sides."""
+    from token_etl_spark.operators.text import normalize_text
+
+    docs = t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    messy = (
+        F.when(k % 4 == 0, F.concat(F.lit("  "), F.upper("text"), F.lit("\t tail  ")))
+        .when(k % 4 == 1, F.concat(F.col("text"), F.lit("\x07x")))
+        .otherwise(F.col("text"))
+    )
+    out = normalize_text(docs.select("doc_id", messy.alias("text")))
+    return out.select("doc_id", "norm_text", "changed")
+
+
+SQL_TEXT_NORMALIZE = r"""
+WITH messy AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN '  ' || upper(text) || chr(9) || ' tail  '
+              WHEN doc_id % 4 = 1 THEN text || chr(7) || 'x'
+              ELSE text END AS text
+  FROM documents),
+n AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(lower(text),
+              '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g'))
+         AS norm_text
+  FROM messy)
+SELECT doc_id, norm_text, norm_text <> text AS changed FROM n
+"""
+
+
+# --- URL-level dedup (canonicalize + keep-best) ------------------------------
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (operators/curation.url_dedup): canonicalize the
+    synthesized crawl URLs — hosts/paths deliberately collide across
+    scheme-case/port/utm spellings of the same resource — then keep ONE
+    document per canonical URL, highest quality (n_chars) first, ties to
+    the smallest id. The cheapest dedup tier (no text comparison), run
+    FIRST in a FineWeb/RefinedWeb-style pipeline. Oracle replays the
+    shared canonicalization CTE stages + the keep-best window."""
+    docs = t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    scheme = F.when(k % 2 == 0, F.lit("HTTP://")).otherwise(F.lit("https://"))
+    port = F.when(k % 3 == 0, F.lit(":80")).otherwise(F.lit(""))
+    query = F.when(k % 5 == 0, F.lit("?utm_source=feed")).otherwise(F.lit(""))
+    url = F.concat(
+        scheme,
+        F.lit("Host"), (k % 25).cast("string"), F.lit(".example.com"), port,
+        F.lit("/page"), (k % 8).cast("string"),
+        query,
+    )
+    raw = docs.select(
+        F.col("doc_id").alias("url_id"), url.alias("url"),
+        F.col("n_chars").alias("quality"),
+    )
+    out = C.url_dedup(raw, quality_col="quality", id_col="url_id")
+    return out.select("url_id", "canon_url", "quality", "kept")
+
+
+SQL_URL_DEDUP = f"""
+WITH raw AS (
+  SELECT doc_id AS url_id, n_chars AS quality,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END)
+         || 'Host' || CAST(doc_id % 25 AS VARCHAR) || '.example.com'
+         || (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END)
+         || '/page' || CAST(doc_id % 8 AS VARCHAR)
+         || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed' ELSE '' END) AS url
+  FROM documents),
+{_URL_CANON_STAGES},
+canon AS (SELECT url_id, quality, {_URL_CANON_EXPR} AS canon_url FROM s5),
+ranked AS (
+  SELECT url_id, canon_url, quality,
+         row_number() OVER (PARTITION BY canon_url
+                            ORDER BY quality DESC, url_id) AS rn
+  FROM canon)
+SELECT url_id, canon_url, quality, rn = 1 AS kept FROM ranked
+"""
+
+
+# --- corpus snapshot diff -----------------------------------------------------
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/curation.snapshot_diff): the OLD
+    snapshot misses doc_id %7==1 (those become ``added``) and carries a
+    stale edit for %5==0 (``changed``); the NEW snapshot misses %9==2
+    (``removed``). Digests compare in the scan projection — the
+    full-outer join moves (id, digest), never text."""
+    docs = t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 7 != 1).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v1"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    new = docs.where(F.col("doc_id") % 9 != 2).select("doc_id", "text")
+    return C.snapshot_diff(old, new).select(
+        F.col("id").alias("doc_id"), "status"
+    )
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v1' ELSE text END) AS od
+  FROM documents WHERE doc_id % 7 <> 1),
+new AS (
+  SELECT doc_id, md5(text) AS nd
+  FROM documents WHERE doc_id % 9 <> 2)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.od IS NULL THEN 'added'
+            WHEN n.nd IS NULL THEN 'removed'
+            WHEN o.od <> n.nd THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+"""
+
+
+# --- vocabulary growth (Heaps' law) ------------------------------------------
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve (operators/curation.
+    vocab_growth): per 50-document bucket in id order, token count, new
+    vocabulary types, and the cumulative vocabulary size — the
+    lexical-yield-exhaustion signal. One vocabulary-keyed min
+    aggregation + a cumsum over the tiny bucket frame."""
+    docs = t(spark, sf_dir, "documents")
+    return C.vocab_growth(docs, bucket_size=50)
+
+
+SQL_VOCAB_GROWTH = """
+WITH base AS (
+  SELECT doc_id // 50 AS bucket, string_split(text, ' ') AS tk FROM documents),
+toks AS (SELECT bucket, unnest(tk) AS tok FROM base),
+firstb AS (SELECT tok, min(bucket) AS bucket FROM toks GROUP BY 1),
+newt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS new_types FROM firstb GROUP BY 1),
+tpb AS (SELECT bucket, CAST(sum(len(tk)) AS BIGINT) AS n_tokens FROM base GROUP BY 1)
+SELECT t.bucket, t.n_tokens,
+       CAST(coalesce(n.new_types, 0) AS BIGINT) AS new_types,
+       CAST(sum(coalesce(n.new_types, 0)) OVER (
+            ORDER BY t.bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS vocab_size
+FROM tpb t LEFT JOIN newt n USING (bucket)
+"""
+
+
 SPECS = [
     QuerySpec("ext_decontaminate", q_decontaminate, SQL_DECONTAMINATE, ("curation", "text")),
     QuerySpec("ext_temperature_mix", q_temperature_mix, SQL_TEMPERATURE_MIX, ("curation",)),
@@ -507,5 +676,9 @@ SPECS = [
     QuerySpec("ext_crosscorpus_dedup", q_crosscorpus_dedup, SQL_CROSSCORPUS_DEDUP, ("curation", "dedup")),
     QuerySpec("ext_ngram_novelty", q_ngram_novelty, SQL_NGRAM_NOVELTY, ("curation", "text", "window")),
     QuerySpec("ext_url_canonicalize", q_url_canonicalize, SQL_URL_CANONICALIZE, ("curation", "text", "functions-string")),
+    QuerySpec("ext_url_dedup", q_url_dedup, SQL_URL_DEDUP, ("curation", "dedup", "functions-string", "window")),
+    QuerySpec("ext_text_normalize", q_text_normalize, SQL_TEXT_NORMALIZE, ("curation", "text", "functions-string")),
+    QuerySpec("ext_snapshot_diff", q_snapshot_diff, SQL_SNAPSHOT_DIFF, ("curation", "join", "pipeline")),
+    QuerySpec("ext_vocab_growth", q_vocab_growth, SQL_VOCAB_GROWTH, ("curation", "text", "window")),
     QuerySpec("ext_sequence_pack", q_sequence_pack, SQL_SEQUENCE_PACK, ("curation", "window")),
 ]

@@ -301,6 +301,181 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
 """
 
 
+# --- duplication-factor histogram -------------------------------------------
+
+
+def q_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-inflation profile (operators/dedup.
+    dup_inflation_profile): cluster-size histogram of exact duplicates
+    with each multiplicity's corpus share — the report that sizes the
+    dedup win before running it (Lee et al. 2022). The gate corpus is
+    dup-free by construction, so a deterministic re-crawl is unioned in
+    (%10 docs twice, %100 docs four times) to populate sizes 1/2/4;
+    the corpus total derives from the digest counts frame (one scan)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    recrawl = docs.where(F.col("doc_id") % 10 == 0)
+    recrawl2 = docs.where(F.col("doc_id") % 100 == 0)
+    corpus = docs.unionByName(recrawl).unionByName(recrawl2).unionByName(recrawl2)
+    out = D.dup_inflation_profile(corpus)
+    return out.select(
+        "cluster_size", "n_clusters", "n_docs", F.round("share", 9).alias("share")
+    )
+
+
+SQL_DUP_INFLATION = """
+WITH corpus AS (
+  SELECT text FROM documents
+  UNION ALL SELECT text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL SELECT text FROM documents WHERE doc_id % 100 = 0
+  UNION ALL SELECT text FROM documents WHERE doc_id % 100 = 0),
+counts AS (SELECT md5(text) AS d, count(*) AS c FROM corpus GROUP BY 1),
+hist AS (
+  SELECT c AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+  FROM counts GROUP BY 1),
+tot AS (SELECT sum(c) AS t FROM counts)
+SELECT cluster_size, n_clusters,
+       CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+       round(CAST(cluster_size * n_clusters AS DOUBLE) / t, 9) AS share
+FROM hist CROSS JOIN tot
+"""
+
+
+# --- stratified near-dup audit sample ----------------------------------------
+
+
+def q_dedup_audit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-stratified audit slate (operators/dedup.dedup_audit_sample)
+    over the exact n-gram Jaccard pairs: up to 5 md5-ranked pairs per
+    0.1-wide similarity band — the deterministic human-review sample
+    that validates a dedup threshold without eyeballing every pair."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, k=3, threshold=JACCARD_THRESHOLD)
+    out = D.dedup_audit_sample(pairs, k_per_band=5, n_bands=10)
+    return out.select(
+        "band", "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"), "sample_rank"
+    )
+
+
+SQL_DEDUP_AUDIT_SAMPLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(tk) - 2, 1) + 1),
+           i -> array_to_string(tk[i:i+2], ' ')))) AS shingle
+  FROM toks),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+p0 AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b,
+         CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+  FROM p0
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}),
+banded AS (
+  SELECT id_a, id_b, jaccard,
+         least(CAST(floor(jaccard * 10) AS BIGINT), 9) AS band,
+         md5(CAST(id_a AS VARCHAR) || '_' || CAST(id_b AS VARCHAR)) AS rk
+  FROM pairs),
+ranked AS (
+  SELECT band, id_a, id_b, jaccard,
+         CAST(row_number() OVER (PARTITION BY band ORDER BY rk) AS BIGINT)
+           AS sample_rank
+  FROM banded)
+SELECT band, id_a, id_b, round(jaccard, 6) AS jaccard, sample_rank
+FROM ranked WHERE sample_rank <= 5
+"""
+
+
+# --- cross-source duplication matrix -----------------------------------------
+
+
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix (operators/dedup.
+    source_overlap_matrix): the exact near-dup pairs grouped by
+    unordered source pair — which feeds mirror each other (the
+    RefinedWeb/FineWeb cross-dump overlap report that scopes dedup)."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, k=3, threshold=JACCARD_THRESHOLD)
+    return D.source_overlap_matrix(pairs, docs.select("doc_id", "source"))
+
+
+SQL_SOURCE_OVERLAP_MATRIX = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(tk) - 2, 1) + 1),
+           i -> array_to_string(tk[i:i+2], ' ')))) AS shingle
+  FROM toks),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+p0 AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM p0
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}),
+lab AS (
+  SELECT p.id_a, p.id_b, da.source AS sa, db.source AS sb
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.id_a
+  JOIN documents db ON db.doc_id = p.id_b)
+SELECT least(sa, sb) AS source_lo, greatest(sa, sb) AS source_hi,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM lab GROUP BY 1, 2
+"""
+
+
+# --- embedding-space outlier screen ------------------------------------------
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space junk screen (operators/similarity.
+    embedding_outliers): nearest-centroid assignment (deterministic
+    sampled quantizer — the ext_ann_ivf discipline) + per-cluster
+    z-score on the winning cosine; off-manifold rows flag as outliers.
+    z carries the distributed mean/std accumulation caveat — compared
+    rounded to 6dp, same as evt_anomaly_zscore."""
+    emb = t(spark, sf_dir, "embeddings")
+    out = S.embedding_outliers(emb, n_centroids=16, threshold=2.0)
+    return out.select(
+        F.col("id").alias("vec_id"),
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+        F.round("centroid_sim", 6).alias("centroid_sim"),
+        F.round("z", 6).alias("z"),
+        "is_outlier",
+    )
+
+
+SQL_EMBEDDING_OUTLIERS = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+asg AS (
+  SELECT vec_id, centroid_id, sim FROM (
+    SELECT e.vec_id, c.centroid_id,
+           list_cosine_similarity(e.v, c.cv) AS sim,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id) AS rn
+    FROM e CROSS JOIN cents c) WHERE rn = 1),
+stats AS (
+  SELECT centroid_id, avg(sim) AS mu, stddev_samp(sim) AS sd
+  FROM asg GROUP BY 1)
+SELECT a.vec_id, CAST(a.centroid_id AS BIGINT) AS centroid_id,
+       round(a.sim, 6) AS centroid_sim,
+       round(CASE WHEN sd > 0 THEN (a.sim - mu) / sd END, 6) AS z,
+       coalesce(CASE WHEN sd > 0 THEN abs((a.sim - mu) / sd) > 2.0 END, FALSE)
+         AS is_outlier
+FROM asg a JOIN stats USING (centroid_id)
+"""
+
+
 # --- MinHash+LSH / SimHash -------------------------------------------------
 #
 # Oracle strategy: LSH emits a SUBSET of the exact-Jaccard pair set (every
@@ -2685,6 +2860,10 @@ SPECS = [
     QuerySpec("ext_cdc_chunks", q_cdc_chunks, SQL_CDC_CHUNKS, ("text", "dedup", "higher-order")),
     QuerySpec("ext_winnow_overlap", q_winnow_overlap, SQL_WINNOW_OVERLAP, ("text", "dedup", "join")),
     QuerySpec("ext_ngram_jaccard", q_ngram_jaccard, SQL_NGRAM_JACCARD, ("dedup",)),
+    QuerySpec("ext_dup_inflation", q_dup_inflation, SQL_DUP_INFLATION, ("dedup", "profile")),
+    QuerySpec("ext_dedup_audit_sample", q_dedup_audit_sample, SQL_DEDUP_AUDIT_SAMPLE, ("dedup", "curation", "window")),
+    QuerySpec("ext_source_overlap_matrix", q_source_overlap_matrix, SQL_SOURCE_OVERLAP_MATRIX, ("dedup", "profile", "join")),
+    QuerySpec("ext_embedding_outliers", q_embedding_outliers, SQL_EMBEDDING_OUTLIERS, ("similarity", "profile", "quality")),
     QuerySpec("ext_minhash_neardup", q_minhash_neardup, SQL_NGRAM_JACCARD, ("dedup",), bench=True),
     QuerySpec("ext_weighted_neardup", q_weighted_neardup, SQL_WEIGHTED_NEARDUP, ("dedup",)),
     QuerySpec("ext_simhash", q_simhash, SQL_SIMHASH, ("dedup",)),
