@@ -1,0 +1,107 @@
+"""Reproducible scaling probe for the round-7 text/dedup operators
+(PERF.md "Text-dedup scaling probe" section — VERDICT r7 item 5).
+
+Replicates the sf0.1 documents table N× with id offsets and times three
+operators end to end (noop sink):
+
+- ``cdc_chunks``: post-fix claim — the narrow lazy-checkpoint barrier
+  keeps the Rabin boundary scan LINEAR in N (the r7 no-CSE instance 5
+  was O(n^4) per document before it);
+- ``winnow_overlap_pairs``: pair growth is bounded by shared-fingerprint
+  buckets under ``max_fp_df`` — replication multiplies every
+  fingerprint's df by N, so the probe runs with ``max_fp_df`` scaled by
+  N (the knob's documented contract) and pins that wall clock tracks
+  the EMITTED PAIR count (quadratic in copies per fingerprint — exactly
+  what replication manufactures, reported alongside time so the
+  super-linear pair blowup is visible and attributable), not a hidden
+  recompute;
+- ``weighted_minhash_dedup``: the integer-expansion premium stays a
+  constant factor over the unweighted path — both are timed, and the
+  replicated corpus (N exact copies of every doc → giant true near-dup
+  clusters) exercises the ``max_bucket`` guard headroom.
+
+Usage: python scripts/probe_text_dedup.py [factors ...]   # default 1 2 4
+(near-dup replication is quadratic in N by construction — every doc
+gains N-1 exact copies — so factors stay small; the LINEAR-claim
+operator cdc_chunks also takes 10 and 30 to pin its slope.)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from functools import reduce
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from token_etl_spark.io.sources import load_table
+from token_etl_spark.operators.dedup import minhash_dedup, weighted_minhash_dedup
+from token_etl_spark.operators.text import cdc_chunks, winnow_overlap_pairs
+from token_etl_spark.session import get_spark
+
+
+def replicate(docs, n: int, n_docs: int):
+    return reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            docs.select((F.col("doc_id") + F.lit(i * n_docs)).alias("doc_id"), "text")
+            for i in range(n)
+        ],
+    ).localCheckpoint(eager=True)
+
+
+def timed(label: str, n: int, n_docs: int, fn) -> None:
+    t0 = time.time()
+    out = fn()
+    rows = out.count()
+    dt = time.time() - t0
+    print(
+        f"x{n:>3} ({n * n_docs:>7} docs) {label:>18}: {dt:6.2f} s  ({rows} rows)",
+        flush=True,
+    )
+
+
+def main() -> None:
+    factors = [int(x) for x in sys.argv[1:]] or [1, 2, 4]
+    spark = get_spark("probe_text_dedup")
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents").select(
+        "doc_id", "text"
+    )
+    n_docs = docs.count()
+
+    # linear-claim operator: larger factors to pin the slope
+    for n in sorted(set(factors) | {10, 30}):
+        rep = replicate(docs, n, n_docs)
+        timed("cdc_chunks", n, n_docs, lambda: cdc_chunks(rep))
+        rep.unpersist()
+
+    for n in factors:
+        rep = replicate(docs, n, n_docs)
+        timed(
+            "winnow_overlap",
+            n,
+            n_docs,
+            # df cap scales with replication (every fingerprint's df is
+            # multiplied by N) — the knob's documented contract
+            lambda: winnow_overlap_pairs(rep, max_fp_df=64 * n),
+        )
+        timed(
+            "minhash_neardup",
+            n,
+            n_docs,
+            lambda: minhash_dedup(rep, threshold=0.5, max_bucket=100_000),
+        )
+        timed(
+            "weighted_neardup",
+            n,
+            n_docs,
+            lambda: weighted_minhash_dedup(rep, threshold=0.5, max_bucket=100_000),
+        )
+        rep.unpersist()
+
+
+if __name__ == "__main__":
+    main()

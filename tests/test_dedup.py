@@ -451,3 +451,19 @@ def test_weighted_minhash_tf_cap_applies(spark):
     # identical docs are 1.0 regardless of cap; the cap is exercised by
     # the expansion arrays staying <= 4 elements (would OOM-scale otherwise)
     assert len(out) == 1 and abs(out[0].wjaccard - 1.0) < 1e-12
+
+
+def test_weighted_minhash_share_counts_is_output_identical(spark, sf_dir):
+    """share_counts=True (eager count-frame checkpoint, the 100 TB
+    single-pass form) must emit exactly the pairs of the default
+    recompute form."""
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.operators.dedup import weighted_minhash_dedup
+
+    docs = load_table(spark, sf_dir, "documents").limit(150)
+    key = lambda df: {
+        (r["id_a"], r["id_b"], round(r["wjaccard"], 9)) for r in df.collect()
+    }
+    assert key(weighted_minhash_dedup(docs, share_counts=True)) == key(
+        weighted_minhash_dedup(docs)
+    )

@@ -291,3 +291,109 @@ def test_streaming_runners_require_checkpoint_path(spark, sf_dir, tmp_path):
         run_streaming_neardup(stream, str(tmp_path / "i"))
     with pytest.raises(ValueError, match="checkpoint_path"):
         run_streaming_novelty(stream, str(tmp_path / "g"))
+
+
+def test_compact_state_partitions_preserves_state_and_continuation(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r7 item 7: compacting the per-batch state partitions into
+    one consolidated partition changes the layout only — readers see
+    identical state, and a CONTINUATION stream over the compacted index
+    still reproduces the sequential batch replay."""
+    import os
+
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.operators.dedup import minhash_index_frame, minhash_match_index
+    from token_etl_spark.streaming.dedup import (
+        compact_state_partitions,
+        read_neardup_index,
+        run_streaming_neardup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(90).localCheckpoint()
+    gens = [docs.where(F.col("doc_id") % 3 == g) for g in range(3)]
+    # gen2 re-crawls ten gen0 docs under fresh ids -> guaranteed matches
+    recrawl = (
+        gens[0].orderBy("doc_id").limit(10)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    gens[2] = gens[2].unionByName(recrawl)
+
+    staged = tmp_path / "cmp_stream"
+    staged.mkdir()
+    for g, frame in enumerate(gens[:2]):
+        sub = tmp_path / f"cmpgen{g}"
+        frame.coalesce(1).write.parquet(str(sub))
+        part = next(p for p in sub.iterdir() if p.name.endswith(".parquet"))
+        dst = staged / f"gen{g}.parquet"
+        part.rename(dst)
+        os.utime(dst, (1_700_000_000 + g, 1_700_000_000 + g))
+
+    index_path = str(tmp_path / "cmp_index")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(staged))
+    )
+    run_streaming_neardup(
+        stream, index_path, threshold=0.5,
+        checkpoint_path=str(tmp_path / "cmp_ckpt"),
+    )
+
+    before = {
+        (r["id"], tuple(r["sig"]))
+        for r in read_neardup_index(spark, index_path).select("id", "sig").collect()
+    }
+    absorbed = compact_state_partitions(spark, index_path)
+    assert absorbed == 2  # two batch partitions merged
+    after_df = read_neardup_index(spark, index_path)
+    after = {
+        (r["id"], tuple(r["sig"]))
+        for r in after_df.select("id", "sig").collect()
+    }
+    assert after == before
+    # layout really is one partition now; a second compaction is a no-op
+    parts = [p for p in os.listdir(index_path) if p.startswith("batch_id=")]
+    assert parts == ["batch_id=compacted-0"]
+    assert compact_state_partitions(spark, index_path) == 0
+
+    # continuation stream over the COMPACTED index: gen2's recrawls must
+    # match the indexed gen0 docs exactly as a batch replay would
+    staged2 = tmp_path / "cmp_stream2"
+    staged2.mkdir()
+    sub = tmp_path / "cmpgen2"
+    gens[2].coalesce(1).write.parquet(str(sub))
+    part = next(p for p in sub.iterdir() if p.name.endswith(".parquet"))
+    part.rename(staged2 / "gen2.parquet")
+    stream2 = spark.readStream.schema(docs.schema).parquet(str(staged2))
+    matches_path = str(tmp_path / "cmp_matches")
+    run_streaming_neardup(
+        stream2, index_path, threshold=0.5, matches_path=matches_path,
+        checkpoint_path=str(tmp_path / "cmp_ckpt2"),
+    )
+    from token_etl_spark.streaming.dedup import read_neardup_matches
+
+    got = {
+        (r["id_new"], r["id_ref"], round(r["jaccard"], 6))
+        for r in read_neardup_matches(spark, matches_path).collect()
+    }
+    # sequential batch replay: only ADMITTED (novel) docs enter the index
+    index = None
+    for frame in gens[:2]:
+        new_idx = minhash_index_frame(frame)
+        if index is not None:
+            dup = {
+                r["id_new"]
+                for r in minhash_match_index(frame, index, threshold=0.5).collect()
+            }
+        else:
+            dup = set()
+        admitted = new_idx.where(~F.col("id").isin(dup))
+        index = (
+            admitted if index is None else index.unionByName(admitted)
+        ).localCheckpoint()
+    want = {
+        (r["id_new"], r["id_ref"], round(r["jaccard"], 6))
+        for r in minhash_match_index(gens[2], index, threshold=0.5).collect()
+    }
+    assert got == want and got  # recrawl fixture guarantees matches

@@ -370,6 +370,7 @@ def weighted_minhash_dedup(
     threshold: float = 0.5,
     max_weight: int = 16,
     max_bucket: int | None = 10_000,
+    share_counts: bool = False,
 ) -> DataFrame:
     """TF-WEIGHTED MinHash near-dup → verified (id_a, id_b, wjaccard).
 
@@ -417,18 +418,26 @@ def weighted_minhash_dedup(
             F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
         ).alias("shingle"),
     )
-    # NOT lazily checkpointed: counts is shuffle-bearing, and a lazy
-    # localCheckpoint on a shuffle-bearing frame launches query-stage
-    # jobs at PLAN BUILD under AQE (the r5 plan-hygiene red; the gate in
-    # tests/test_plan_hygiene.py would catch it). The two consumers
-    # recompute one combinable aggregation each — cheap relative to the
-    # banding join either way.
+    # Count-frame sharing, measured at sf0.1 (PERF.md round 8): the
+    # default recomputes the combinable (id, shingle) aggregation once
+    # per consumer — a narrow lazy checkpoint of the all_grams PREFIX
+    # (the CDC barrier pattern) was tried and is a wash (the agg, not
+    # the explode, is the repeated cost), and a LAZY checkpoint of
+    # counts itself is forbidden (shuffle-bearing frame → AQE
+    # query-stage jobs at PLAN BUILD, the plan-hygiene red).
+    # ``share_counts=True`` takes the EAGER checkpoint: the aggregation
+    # runs once (run-time halved, 2.5 s → 1.7 s at sf0.1) at the cost
+    # of a job AT CONSTRUCTION — total is a wash at gate scale but the
+    # single corpus pass is the right trade at 100 TB; opt-in only,
+    # since declared gate queries must build job-free.
     counts = (
         all_grams.groupBy("id", "shingle")
         .agg(F.count("*").alias("_tf"))
         .withColumn("c", F.least(F.col("_tf"), F.lit(max_weight)).cast("long"))
         .drop("_tf")
     )
+    if share_counts:
+        counts = counts.localCheckpoint(eager=True)
     # per-row expansion array, materialized BEFORE the salted transforms
     expanded = counts.select(
         "id",

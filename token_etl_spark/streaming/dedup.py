@@ -235,3 +235,59 @@ def read_neardup_index(spark: SparkSession, index_path: str) -> DataFrame | None
 def read_neardup_matches(spark: SparkSession, matches_path: str) -> DataFrame | None:
     """All verified (id_new, id_ref, jaccard) pairs appended so far."""
     return _read_partitioned_state(spark, matches_path)
+
+
+def compact_state_partitions(
+    spark: SparkSession,
+    path: str,
+    label: str = "compacted",
+    target_mb: int = 128,
+) -> int:
+    """Compact a ``batch_id=...``-partitioned foreachBatch state dir
+    (the neardup MinHash index / matches, the novelty gram index /
+    scores) into ONE consolidated partition — the maintenance pass that
+    keeps a long-running crawl stream's state from becoming a
+    small-files pathology (one partition dir per batch, forever; scan
+    tasks and listing pressure scale with FILE COUNT, not bytes).
+
+    Returns the number of partitions absorbed (0 = nothing to do).
+    Rows are untouched — only the partition layout changes, so every
+    reader (``read_neardup_index`` etc., which drop the partition
+    column) sees identical state. File count inside the consolidated
+    partition is sized from the directory listing
+    (``operators/layout.dir_size_bytes`` → ~``target_mb`` per file).
+
+    Crash safety reuses the kmv staging-swap machinery
+    (``streaming/curation._swap_state_dir`` + ``_recover_state_dir``
+    healing): the consolidated layout lands in ``<path>.staging`` first
+    and swaps in by rename, so a crash at any point leaves either the
+    old or the new complete layout, never a mix.
+
+    CONTRACT — quiescent streams only: run this between runs (or on a
+    stopped stream). The consolidated partition key (``<label>-0``,
+    never a valid ``<hex8>-N`` lineage key) is excluded by no retry,
+    so compacting UNCOMMITTED batches would re-expose the
+    retry-self-match hazard the per-batch exclusion closes; committed
+    batches are exactly the ones a retry can never replay.
+    """
+    from token_etl_spark.io.sinks import _read_existing
+    from token_etl_spark.operators.layout import dir_size_bytes
+    from token_etl_spark.streaming.curation import (
+        _recover_state_dir,
+        _swap_state_dir,
+    )
+
+    _recover_state_dir(spark, path)
+    df = _read_existing(spark, path)
+    if df is None or "batch_id" not in df.columns:
+        return 0
+    n_parts = df.select("batch_id").distinct().count()
+    if n_parts <= 1:
+        return 0
+    n_files = max(1, -(-dir_size_bytes(spark, path) // (target_mb << 20)))
+    staging = path.rstrip("/") + ".staging"
+    df.drop("batch_id").repartition(n_files).write.mode("overwrite").parquet(
+        f"{staging}/batch_id={label}-0"
+    )
+    _swap_state_dir(spark, staging, path)
+    return n_parts
