@@ -388,3 +388,56 @@ def test_upsert_latest_single_key_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "rel_upsert_latest")
     assert plan.count("hashpartitioning(o_orderkey") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_round8_plans_no_cartesian_and_broadcasts(spark, sf_dir):
+    """The r8 additions keep the posture: no accidental cartesian, the
+    token-metadata dim and the pct/stats maps broadcast."""
+    for name in (
+        "ext_text_normalize",
+        "ext_url_dedup",
+        "ext_snapshot_diff",
+        "ext_vocab_growth",
+        "ext_dup_inflation",
+        "ext_dedup_audit_sample",
+        "ext_source_overlap_matrix",
+        "ext_knn_label_noise_ivf",
+        "rel_token_metadata_dim",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+    dim = _plan(spark, sf_dir, "rel_token_metadata_dim")
+    assert "BroadcastHashJoin" in dim  # the 7-field Coingecko dim
+    outl = _plan(spark, sf_dir, "ext_embedding_outliers")
+    # assignment argmax is a 1-row broadcast crossJoin (intentional);
+    # the per-cluster stats frame joins back broadcast
+    assert "CartesianProduct" not in outl
+    assert "BroadcastHashJoin" in outl
+
+
+def _final_plan(spark, sf_dir, name) -> str:
+    """Executed (AQE-final) plan — exchange reuse is decided at stage
+    materialization, so it only shows after an action."""
+    df = SPECS[name].fn(spark, sf_dir)
+    df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "== Final Plan ==" in plan
+    return plan
+
+
+def test_skew_profile_total_reuses_counts_exchange(spark, sf_dir):
+    """ADVICE r7: the grand total derives from the per-key counts frame
+    — AQE must serve it from the SAME groupBy exchange (ReusedExchange),
+    not a second aggregation pass over the fact table."""
+    plan = _final_plan(spark, sf_dir, "rel_skew_profile")
+    assert "ReusedExchange" in plan
+
+
+def test_dup_inflation_total_reuses_digest_exchange(spark, sf_dir):
+    """Same discipline for the duplication histogram: multiplicity
+    rollup and corpus total both read the one digest-count shuffle."""
+    plan = _final_plan(spark, sf_dir, "ext_dup_inflation")
+    assert "ReusedExchange" in plan

@@ -606,3 +606,102 @@ def test_cluster_safe_split_invariants_on_random_clusters(spark, membership):
         else:
             assert r["split_key"] == i and r["split"] == plain[i]
     assert all(len(s) == 1 for s in splits_per_comp.values())
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                min_codepoint=0, max_codepoint=0x7F
+            ),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_normalize_text_idempotent_and_canonical(spark, texts):
+    """normalize(normalize(x)) == normalize(x) (canonicalization is a
+    projection), the output never contains control chars, doubled
+    spaces, uppercase ASCII, or edge whitespace, and clean inputs pass
+    through byte-identical with changed=False."""
+    from token_etl_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    once = normalize_text(df).select("id", F.col("norm_text").alias("text"))
+    twice = normalize_text(once)
+    rows = twice.collect()
+    for r in rows:
+        assert r["norm_text"] == r["text"]  # idempotent
+        assert r["changed"] is False
+        s = r["norm_text"]
+        assert "  " not in s and s == s.strip() and s == s.lower()
+        assert not any(ord(c) < 0x20 or ord(c) == 0x7F for c in s)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 30),      # host bucket -> canonical collisions
+            st.integers(0, 1000),    # quality
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_url_dedup_exactly_one_kept_per_canonical_group(spark, rows):
+    """Every canonical-URL group keeps exactly one row, and the kept
+    row is maximal by (quality, -id) within its group."""
+    from token_etl_spark.operators.curation import url_dedup
+
+    data = [
+        (i, f"HTTP://Host{h}.example.com:80/p?utm_x=1", q)
+        for i, (h, q) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "doc_id long, url string, q long")
+    out = url_dedup(df, quality_col="q").collect()
+    groups: dict = {}
+    for r in out:
+        groups.setdefault(r["canon_url"], []).append(r)
+    for members in groups.values():
+        kept = [r for r in members if r["kept"]]
+        assert len(kept) == 1
+        best = max(members, key=lambda r: (r["q"], -r["doc_id"]))
+        assert kept[0]["doc_id"] == best["doc_id"]
+
+
+@given(
+    old_texts=st.lists(st.text(alphabet="abc", max_size=6), min_size=0, max_size=10),
+    new_texts=st.lists(st.text(alphabet="abc", max_size=6), min_size=0, max_size=10),
+)
+@settings(max_examples=12, deadline=None)
+def test_snapshot_diff_partitions_ids_exhaustively(spark, old_texts, new_texts):
+    """Every id appears exactly once, statuses partition the id space,
+    and the diff agrees with a Python reference."""
+    from token_etl_spark.operators.curation import snapshot_diff
+
+    old = {i: t for i, t in enumerate(old_texts)}
+    new = {i: t for i, t in enumerate(new_texts)}
+    schema = "doc_id long, text string"
+    odf = spark.createDataFrame(list(old.items()) or [(None, None)], schema)
+    ndf = spark.createDataFrame(list(new.items()) or [(None, None)], schema)
+    if not old:
+        odf = odf.where(F.col("doc_id").isNotNull())
+    if not new:
+        ndf = ndf.where(F.col("doc_id").isNotNull())
+    got = {r["id"]: r["status"] for r in snapshot_diff(odf, ndf).collect()}
+    want = {}
+    for i in set(old) | set(new):
+        if i not in old:
+            want[i] = "added"
+        elif i not in new:
+            want[i] = "removed"
+        elif old[i] != new[i]:
+            want[i] = "changed"
+        else:
+            want[i] = "unchanged"
+    assert got == want

@@ -619,3 +619,25 @@ def test_streaming_url_canonicalize_matches_batch(spark, tmp_path):
     exp = C.url_canonicalize(urls)
     assert got.count() == exp.count()
     assert got.exceptAll(exp).count() == 0
+
+
+def test_streaming_text_normalize_matches_batch(spark, tmp_path):
+    from token_etl_spark.operators.text import normalize_text
+    from token_etl_spark.streaming.curation import streaming_text_normalize
+
+    docs = spark.createDataFrame(
+        [
+            (1, "  Mixed CASE\tand\x07ctrl  chars "),
+            (2, "already clean"),
+            (3, "UPPER  only"),
+        ],
+        "id long, text string",
+    )
+    staged = str(tmp_path / "norm_stream")
+    docs.write.parquet(staged)
+    stream = read_file_stream(spark, staged, docs.schema)
+    run_to_memory(streaming_text_normalize(stream), "norm_out", output_mode="append")
+    got = spark.sql("SELECT * FROM norm_out")
+    exp = normalize_text(docs)
+    assert got.count() == exp.count() == 3
+    assert got.exceptAll(exp).count() == 0

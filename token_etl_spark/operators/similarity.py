@@ -729,6 +729,7 @@ def _assign_with_sim(
     id_col: str,
     vec_col: str,
     centroids: DataFrame | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Train spherical k-means (or accept a PRE-TRAINED ``centroids``
     frame — (centroid_id, centroid_vec), e.g. from ``spherical_kmeans``)
@@ -740,7 +741,15 @@ def _assign_with_sim(
     ``semantic_dedup`` and ``prototypicality_filter``, which accept the
     same ``centroids`` pass-through so one training run serves dedup,
     diversification, AND the IVF index (train once, reuse — at 100 TB
-    the Lloyd iterations are corpus-wide shuffles worth sharing)."""
+    the Lloyd iterations are corpus-wide shuffles worth sharing).
+
+    ``checkpoint=False`` skips the trailing lazy ``localCheckpoint``:
+    when the centroid lineage is NOT already materialized (e.g. the
+    untrained orderBy+limit sample), the lazy checkpoint materializes
+    an AQE query stage AT PLAN BUILD — the plan-hygiene red. Callers
+    in the k-means family are tagged ``iterative`` (training runs jobs
+    anyway); a non-iterative consumer whose re-computation is the
+    cheap broadcast argmax passes False."""
     base = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
@@ -761,7 +770,7 @@ def _assign_with_sim(
             ),
         )
     )
-    return (
+    out = (
         base.join(carr)
         .withColumn("_b", best)
         .select(
@@ -770,8 +779,8 @@ def _assign_with_sim(
             (-F.col("_b.neg_id")).alias("centroid_id"),
             F.col("_b.sim").alias("centroid_sim"),
         )
-        .localCheckpoint(eager=False)
     )
+    return out.localCheckpoint(eager=False) if checkpoint else out
 
 
 def prototypicality_filter(
@@ -1762,7 +1771,9 @@ def embedding_outliers(
             F.col(vec_col).cast("array<double>").alias("centroid_vec"),
         )
     )
-    assigned = _assign_with_sim(corpus, n_centroids, 0, id_col, vec_col, cents)
+    assigned = _assign_with_sim(
+        corpus, n_centroids, 0, id_col, vec_col, cents, checkpoint=False
+    )
     return zscore_outliers(
         assigned.select("id", "centroid_id", "centroid_sim"),
         "centroid_sim",

@@ -47,6 +47,20 @@ def streaming_url_canonicalize(
     return url_canonicalize(stream, url_col=url_col, out_col=out_col)
 
 
+def streaming_text_normalize(
+    stream: DataFrame, text_col: str = "text", out_col: str = "norm_text"
+) -> DataFrame:
+    """Ingest text canonicalization on a document stream. Stateless —
+    the batch expression tree (``text.normalize_text``) applies
+    verbatim, so stream and batch provably agree row-for-row (tested).
+    Normalization belongs at ingest for the same reason URL
+    canonicalization does: it is per-row, and every downstream digest/
+    shingle/dedup stage keys off the canonical form."""
+    from token_etl_spark.operators.text import normalize_text
+
+    return normalize_text(stream, text_col=text_col, out_col=out_col)
+
+
 def streaming_line_cleanup(
     stream: DataFrame, text_col: str = "text", dedup_lines: bool = True
 ) -> DataFrame:
