@@ -436,6 +436,60 @@ def spherical_kmeans(
     return cents.select("centroid_id", "centroid_vec", "centroid_mean")
 
 
+def _cell_join_topk(
+    probes: DataFrame,
+    assigned: DataFrame,
+    k: int,
+    n_salts: int = 8,
+) -> DataFrame:
+    """The IVF candidate join + exact verify + per-query rank, shared by
+    ``ivf_topk`` and ``ivf_search``.
+
+    The cell join's key is SALTED (``n_salts`` sub-buckets of each
+    centroid cell, assigned side keyed by hash(corpus_id), probe side
+    replicated across all salts): a plain join on ``centroid_id`` has
+    n_centroids distinct keys, and — worse — AQE coalesces its
+    post-shuffle partitions by SHUFFLE BYTES, which are tiny (the join
+    inputs are per-row frames) while the join OUTPUT expands them into
+    |queries| × n_probe / n_centroids × |cell| scored pairs. Measured
+    at sf0.1 with a corpus-sized query side: the whole 1M-pair cosine
+    verify serialized onto ONE coalesced task, 12.9 s vs ~1.3 s salted
+    (r8 finding). Both inputs get EXPLICIT-numPartitions repartitions
+    (AQE never coalesces user-specified partition counts), so the join
+    runs co-partitioned at n_centroids × n_salts key granularity and
+    only (ids, sim) flow onward to the rank window's query_id exchange
+    — the vectors never shuffle again after the cell join.
+
+    Replication cost: the probe side is duplicated ``n_salts``× through
+    one exchange — per replica one (query_id, qv, centroid_id) row, the
+    standard replicated-fragment trade. Every (probe, corpus-row) pair
+    still matches exactly once (on the corpus row's own salt), so the
+    emitted pair set — and every oracle — is unchanged.
+    """
+    spark = probes.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    asg = assigned.withColumn(
+        "_salt", F.pmod(F.xxhash64("corpus_id"), F.lit(n_salts)).cast("int")
+    ).repartition(n_parts, "centroid_id", "_salt")
+    prb = probes.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    ).repartition(n_parts, "centroid_id", "_salt")
+    cand = prb.join(asg, ["centroid_id", "_salt"]).filter(
+        F.col("query_id") != F.col("corpus_id")
+    )
+    scored = cand.withColumn("cosine_sim", cosine(F.col("qv"), F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("corpus_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("corpus_id").alias("neighbor_id"), "cosine_sim", "rank"
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -451,8 +505,10 @@ def ivf_topk(
     query's ``n_probe`` nearest cells only.
 
     Expected comparisons per query: |corpus| × n_probe / n_centroids.
-    The cell join shuffles on ``centroid_id`` — low cardinality but
-    balanced when centroids are sampled from the data distribution.
+    The cell join is salted (``_cell_join_topk``) so its parallelism is
+    n_centroids × n_salts, not n_centroids — and immune to AQE's
+    bytes-based coalescing, which otherwise serializes the expansion
+    join's verify onto one task when the query side is corpus-sized.
 
     ``refine_iters > 0`` trains the quantizer with spherical k-means
     instead of the raw sample — tighter cells, higher recall at the same
@@ -485,16 +541,7 @@ def ivf_topk(
         .filter(F.col("rn") <= n_probe)
         .select("query_id", "qv", "centroid_id")
     )
-    cand = probes.join(assigned, "centroid_id").filter(
-        F.col("query_id") != F.col("corpus_id")
-    )
-    scored = cand.withColumn("cosine_sim", cosine(F.col("qv"), F.col("cv")))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("corpus_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", F.col("corpus_id").alias("neighbor_id"), "cosine_sim", "rank")
-    )
+    return _cell_join_topk(probes, assigned, k)
 
 
 def build_ivf_index(
@@ -553,16 +600,7 @@ def ivf_search(
         .filter(F.col("rn") <= n_probe)
         .select("query_id", "qv", "centroid_id")
     )
-    cand = probes.join(assigned, "centroid_id").filter(
-        F.col("query_id") != F.col("corpus_id")
-    )
-    scored = cand.withColumn("cosine_sim", cosine(F.col("qv"), F.col("cv")))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("corpus_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", F.col("corpus_id").alias("neighbor_id"), "cosine_sim", "rank")
-    )
+    return _cell_join_topk(probes, assigned, k)
 
 
 def quantize_vec(v: Column) -> Column:
