@@ -35,14 +35,19 @@ from token_etl_spark.plans.base import QuerySpec
 #      ext_embedding_outliers (corpus-analytics capabilities; each
 #      hash-matched locally at all three SFs before declaring) — every
 #      new query enters the window in its birth round.
-#   2. The 4 queries whose PLAN or ORACLE changed this round:
-#      ext_score_calibration (left pct-map join + NULL-score exclusion,
-#      ADVICE r7), rel_skew_profile (total derived from the counts
-#      frame via ReuseExchange, ADVICE r7), ext_incremental_neardup
-#      (id_new != id_ref retry guard in minhash_match_index),
-#      ext_url_canonicalize (oracle refactored onto the shared
-#      _URL_CANON_STAGES fragments) — a changed plan/oracle deserves a
-#      fresh driver row regardless of age.
+#   2. The 4 most-changed queries this round: ext_score_calibration
+#      (left pct-map join + NULL-score exclusion, ADVICE r7),
+#      rel_skew_profile (total derived from the counts frame via
+#      ReuseExchange, ADVICE r7), and ext_ann_ivf / ext_ann_ivf_kmeans
+#      (the salted cell join — a NEW shuffle topology in ivf_topk,
+#      found by the r8 breadth audit). Two other r8 changes are
+#      deliberately NOT re-windowed, because the window cannot hold
+#      them without re-stranding an r4-stale row, and both are provably
+#      inert on gate data: ext_incremental_neardup's new
+#      id_new != id_ref guard cannot fire on its disjoint mod-13 sets
+#      (r7-green, 3-SF local sweep green), and ext_url_canonicalize's
+#      oracle was refactored onto shared CTE fragments with
+#      hash-verified-identical output at 3 SFs (r7-green).
 #   3. All 36 r4-stale queries (the VERDICT r7 item-1 rotation), the
 #      ten late-r7-displaced float-scoring rows FIRST (highest dtype
 #      risk), then the 26 integer/md5-pinned ones. After this window no
@@ -138,8 +143,8 @@ _PRIORITY_NAMES = [
     # plan/oracle changed in round 8
     "ext_score_calibration",
     "rel_skew_profile",
-    "ext_incremental_neardup",
-    "ext_url_canonicalize",
+    "ext_ann_ivf",
+    "ext_ann_ivf_kmeans",
     # last driver-green r4: the ten late-r7-displaced float-scoring rows
     "ext_lm_quality",
     "ext_importance_weights",
