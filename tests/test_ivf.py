@@ -147,3 +147,25 @@ def test_persisted_ivf_index_matches_inline_search(spark, tmp_path):
 
     cells = [d for d in os.listdir(path + "/assignments") if d.startswith("centroid_id=")]
     assert 1 < len(cells) <= 4
+
+
+def test_ivf_search_dynamic_partition_pruning_survives_salt(spark, tmp_path):
+    """The persisted-index probe must stay a PARTITION-PRUNED read:
+    dynamic partition pruning on centroid_id has to fire through the
+    salted cell join (r8) — without it every search scans all cells."""
+    import contextlib
+    import io
+
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.operators.similarity import build_ivf_index, ivf_search
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "ivf_dpp")
+    build_ivf_index(emb, path, n_centroids=8, refine_iters=1)
+    res = ivf_search(spark, path, emb.where("vec_id < 2"), k=5, n_probe=2)
+    res.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        res.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruningexpression(centroid_id" in plan
