@@ -397,3 +397,44 @@ def test_compact_state_partitions_preserves_state_and_continuation(
         for r in minhash_match_index(gens[2], index, threshold=0.5).collect()
     }
     assert got == want and got  # recrawl fixture guarantees matches
+
+
+def test_compact_state_partitions_heals_interrupted_swap(spark, sf_dir, tmp_path):
+    """Crash window: a failure between delete(final) and rename(staging)
+    leaves only a complete .staging dir. The next compaction call must
+    recover it (via _recover_state_dir) instead of treating the state as
+    empty."""
+    import os
+
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.streaming.dedup import (
+        _neardup_sink_batch,
+        compact_state_partitions,
+        read_neardup_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(40).localCheckpoint()
+    index_path = str(tmp_path / "heal_index")
+    _neardup_sink_batch(docs.where(F.col("doc_id") % 2 == 0), "l-0", index_path)
+    _neardup_sink_batch(docs.where(F.col("doc_id") % 2 == 1), "l-1", index_path)
+    before = {
+        r["id"] for r in read_neardup_index(spark, index_path).select("id").collect()
+    }
+
+    # simulate the crash: a completed staging dir, final deleted
+    staging = index_path + ".staging"
+    spark.read.parquet(index_path).drop("batch_id").write.parquet(
+        f"{staging}/batch_id=compacted-0"
+    )
+    import shutil
+
+    shutil.rmtree(index_path)
+    assert not os.path.exists(index_path) and os.path.exists(staging)
+
+    # recovery happens on the next compaction entry; state intact,
+    # already consolidated -> no-op return
+    assert compact_state_partitions(spark, index_path) == 0
+    after = {
+        r["id"] for r in read_neardup_index(spark, index_path).select("id").collect()
+    }
+    assert after == before
