@@ -119,3 +119,122 @@ def test_decode_headers_mode_mixed_corpus(spark):
     assert (got[2].width, got[2].height, got[2].n_frames) == (32, 64, 1)
     n = len(b"not an image")
     assert got[3].width == 16 + (n % 1024)  # fake-path fallback
+
+
+def _wav_bytes(freq=440.0, rate=8000, n=800, amp=0.5):
+    import io
+    import wave
+
+    import numpy as np
+
+    t = np.arange(n) / rate
+    samples = (amp * np.sin(2 * np.pi * freq * t) * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue(), samples
+
+
+def test_decode_wav_real_samples():
+    import numpy as np
+
+    from token_etl_spark.operators.multimodal import decode_wav
+
+    payload, samples = _wav_bytes()
+    got = decode_wav(payload)
+    assert got["n_channels"] == 1 and got["sample_rate"] == 8000
+    assert got["n_samples"] == 800 and abs(got["duration_s"] - 0.1) < 1e-9
+    ref = samples.astype(np.float64) / 32768.0
+    assert abs(got["rms"] - float(np.sqrt(np.mean(ref**2)))) < 1e-12
+    assert abs(got["peak"] - float(np.max(np.abs(ref)))) < 1e-12
+    assert decode_wav(b"not audio at all") is None
+
+
+def test_decode_encode_ppm_roundtrip_and_comments():
+    import numpy as np
+
+    from token_etl_spark.operators.multimodal import decode_ppm, encode_ppm
+
+    arr = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    assert np.array_equal(decode_ppm(encode_ppm(arr)), arr)
+    # header comments are legal Netpbm
+    withc = b"P6\n# a comment\n3 2\n255\n" + arr.tobytes()
+    assert np.array_equal(decode_ppm(withc), arr)
+    gray = np.array([[0, 128], [255, 7]], dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(gray)), gray)
+    assert decode_ppm(b"P6\n3 2\n65535\n" + b"\x00" * 36) is None  # 16-bit out of scope
+    assert decode_ppm(b"hello") is None
+
+
+def test_nearest_resize_picks_expected_pixels():
+    import numpy as np
+
+    from token_etl_spark.operators.multimodal import nearest_resize
+
+    arr = np.array([[1, 2], [3, 4]], dtype=np.uint8)
+    up = nearest_resize(arr, 4, 4)
+    assert up.shape == (4, 4)
+    # index map for 2 -> 4 is [0, 0, 1, 1]: each source pixel becomes a 2x2 block
+    want = np.array(
+        [[1, 1, 2, 2], [1, 1, 2, 2], [3, 3, 4, 4], [3, 3, 4, 4]], dtype=np.uint8
+    )
+    assert np.array_equal(up, want)
+    down = nearest_resize(arr, 1, 1)
+    assert down[0, 0] == 1  # nearest of the top-left region
+
+
+def test_extract_media_features_dispatches_real_decoders(spark):
+    import numpy as np
+
+    from token_etl_spark.operators.multimodal import (
+        encode_ppm,
+        extract_media_features,
+    )
+
+    wav, samples = _wav_bytes()
+    solid = np.full((4, 6, 3), 100, dtype=np.uint8)
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + (64).to_bytes(4, "big") + (32).to_bytes(4, "big")
+    rows = [
+        (1, bytearray(wav)),
+        (2, bytearray(encode_ppm(solid))),
+        (3, bytearray(png)),
+        (4, bytearray(b"opaque junk")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r.asDict() for r in extract_media_features(df).collect()}
+    assert got[1]["kind"] == "wav" and got[1]["sample_rate"] == 8000
+    ref = samples.astype("float64") / 32768.0
+    assert abs(got[1]["rms"] - float(np.sqrt(np.mean(ref**2)))) < 1e-9
+    assert got[2]["kind"] == "ppm" and (got[2]["width"], got[2]["height"]) == (6, 4)
+    assert abs(got[2]["mean_luma"] - 100.0) < 1e-9  # luma weights sum to 1
+    assert got[3]["kind"] == "png" and (got[3]["width"], got[3]["height"]) == (64, 32)
+    assert got[3]["mean_luma"] is None  # pixels need a codec — honest NULL
+    assert got[4]["kind"] == "unknown"
+
+
+def test_resize_raw_images_real_netpbm_path(spark):
+    import numpy as np
+
+    from token_etl_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        resize_raw_images,
+    )
+
+    quad = np.zeros((2, 2, 3), dtype=np.uint8)
+    quad[0, 0] = 10
+    quad[0, 1] = 20
+    quad[1, 0] = 30
+    quad[1, 1] = 40
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(quad))), (2, bytearray(b"not an image"))],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in resize_raw_images(df, 4, 4).collect()}
+    out = decode_ppm(bytes(got[1]["payload"]))
+    assert out.shape == (4, 4, 3)
+    assert np.array_equal(out[0, 0], quad[0, 0]) and np.array_equal(out[3, 3], quad[1, 1])
+    assert got[2]["payload"] is None  # compressed/unknown: honest NULL, not fake

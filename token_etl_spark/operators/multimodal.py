@@ -3,14 +3,24 @@
 Images/audio/video are opaque ``binary`` columns with a typed metadata
 struct alongside. The Spark-side contract — schema, partition-parallel
 Arrow batching via ``mapInPandas``, deterministic output shape — is real
-and tested. Decode tiers: ``parse_image_header`` is REAL (stdlib-only
-PNG/GIF/BMP/JPEG dimension extraction from actual bytes — the
-resolution-filter stage needs no pixel library; ``decode_stub=
-"headers"`` runs it inside the batch contract); PIXEL decode is STUBBED
-(no image/audio libs in this container): ``decode_stub="fake"`` produces
-deterministic fake features from the bytes, ``decode_stub="error"``
-raises NotImplementedError exactly where a real decoder
-(PIL/torchaudio/ffmpeg) would plug in.
+and tested. Decode tiers, honest about what this container can do:
+
+- REAL, header level: ``parse_image_header`` (stdlib-only PNG/GIF/BMP/
+  JPEG dimension extraction from actual bytes — the resolution-filter
+  stage needs no pixel library; ``decode_stub="headers"`` runs it
+  inside the batch contract).
+- REAL, sample/pixel level for UNCOMPRESSED formats (r8): ``decode_wav``
+  (stdlib ``wave`` + numpy — actual PCM samples, rms/peak/duration),
+  ``decode_ppm``/``encode_ppm`` (binary Netpbm pixels),
+  ``nearest_resize`` (pure-numpy resampling); composed into
+  ``extract_media_features`` and ``resize_raw_images`` over the same
+  mapInPandas contract. No external codec involved.
+- STUBBED: compressed pixel/sample decode (JPEG/PNG pixels, MP3/AAC,
+  video) genuinely needs PIL/torchaudio/ffmpeg, absent here:
+  ``decode_stub="fake"`` produces deterministic fake features,
+  ``decode_stub="error"`` raises NotImplementedError exactly where the
+  codec would plug in, and the real-path operators return NULL for
+  those rows instead of faking silently.
 
 At 100 TB: binary payloads dominate I/O, so the metadata struct lives in
 its own (small) columns — predicates on media_type/byte_len prune row
@@ -184,3 +194,213 @@ def sample_frames(df: DataFrame, every_n: int = 4, max_frames: int = 8) -> DataF
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_batches, schema=FRAMES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL decoders for uncompressed formats (numpy + stdlib only)
+#
+# The container has no PIL/soundfile/ffmpeg, but that blocks only
+# COMPRESSED codecs: PCM WAV (stdlib ``wave`` + numpy.frombuffer) and
+# binary PPM/PGM (a text header + raw samples) decode exactly with what
+# is here. These are the real thing — actual samples, actual pixels —
+# so the mapInPandas feature/resize stages below run genuinely end to
+# end for raw media, and the stub surface shrinks to formats that
+# truly need an external codec (JPEG/PNG pixels, MP3/AAC, video).
+
+
+def decode_wav(payload: bytes) -> dict | None:
+    """REAL PCM WAV decode: (channels, sample_rate, n_samples, duration,
+    rms, peak) from actual audio bytes. Returns None unless the payload
+    is a RIFF/WAVE container with integer PCM samples (8/16/32-bit —
+    the uncompressed cases ``wave`` handles without external codecs)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    try:
+        with wave.open(io.BytesIO(bytes(payload))) as w:
+            n_ch, sampwidth, rate, n_frames = (
+                w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes(),
+            )
+            raw = w.readframes(n_frames)
+    except (wave.Error, EOFError):
+        return None
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sampwidth)
+    if dtype is None:
+        return None
+    samples = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if sampwidth == 1:
+        samples -= 128.0  # 8-bit WAV is unsigned, centered at 128
+    scale = float(2 ** (8 * sampwidth - 1))
+    samples /= scale
+    return {
+        "n_channels": n_ch,
+        "sample_rate": rate,
+        "n_samples": int(n_frames),
+        "duration_s": (n_frames / rate) if rate else 0.0,
+        "rms": float(np.sqrt(np.mean(samples**2))) if samples.size else 0.0,
+        "peak": float(np.max(np.abs(samples))) if samples.size else 0.0,
+    }
+
+
+def decode_ppm(payload: bytes):
+    """REAL binary PPM (P6) / PGM (P5) pixel decode → numpy array of
+    shape (h, w, 3) or (h, w), dtype uint8. Returns None for anything
+    else (including maxval > 255 — 16-bit Netpbm stays out of scope)."""
+    import numpy as np
+
+    if payload[:2] not in (b"P6", b"P5"):
+        return None
+    # header = magic, width, height, maxval — whitespace-separated with
+    # optional '#' comment lines; exactly one whitespace byte after maxval
+    tokens: list[bytes] = []
+    i = 2
+    data = bytes(payload)
+    while len(tokens) < 3 and i < len(data):
+        c = data[i : i + 1]
+        if c == b"#":
+            i = data.find(b"\n", i)
+            if i < 0:
+                return None
+            i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(data) and not data[j : j + 1].isspace():
+                j += 1
+            tokens.append(data[i:j])
+            i = j
+    if len(tokens) < 3 or i >= len(data):
+        return None
+    i += 1  # the single whitespace byte terminating the header
+    try:
+        w, h, maxval = (int(t) for t in tokens)
+    except ValueError:
+        return None
+    if maxval > 255 or w <= 0 or h <= 0:
+        return None
+    depth = 3 if data[:2] == b"P6" else 1
+    need = w * h * depth
+    body = np.frombuffer(data, dtype=np.uint8, count=-1, offset=i)
+    if body.size < need:
+        return None
+    arr = body[:need].reshape((h, w, 3) if depth == 3 else (h, w))
+    return arr
+
+
+def encode_ppm(arr) -> bytes:
+    """Inverse of :func:`decode_ppm` for 8-bit arrays (P6 for (h, w, 3),
+    P5 for (h, w))."""
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    magic = b"P6" if arr.ndim == 3 else b"P5"
+    h, w = arr.shape[0], arr.shape[1]
+    return magic + f"\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def nearest_resize(arr, target_w: int, target_h: int):
+    """REAL nearest-neighbor resize of a decoded pixel array — pure
+    numpy fancy indexing (the resize a thumbnail/dedup-fingerprint stage
+    needs; bilinear would swap in here the same way)."""
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    rows = np.minimum((np.arange(target_h) * h) // target_h, h - 1)
+    cols = np.minimum((np.arange(target_w) * w) // target_w, w - 1)
+    return arr[rows][:, cols]
+
+
+MEDIA_FEATURES_SCHEMA = (
+    "doc_id bigint, kind string, width int, height int, mean_luma double,"
+    " n_channels int, sample_rate int, duration_s double, rms double"
+)
+
+
+def extract_media_features(df: DataFrame) -> DataFrame:
+    """Per-payload REAL feature extraction over the standard
+    Arrow-batched contract, dispatching on magic bytes:
+
+    - PCM WAV → audio stats (``decode_wav`` — real samples);
+    - binary PPM/PGM → dimensions + mean luma (``decode_ppm`` — real
+      pixels; luma = ITU-R BT.601 weights);
+    - PNG/GIF/BMP/JPEG → dimensions from the REAL header parse (pixel
+      decode needs a codec library — those columns stay NULL);
+    - anything else → kind='unknown', all feature columns NULL.
+
+    Input: (doc_id, payload) rows. One output row per input row; at
+    100 TB the dispatch order puts the cheap magic checks first and no
+    branch ever buffers more than one Arrow batch.
+    """
+    import numpy as np
+
+    def _one(doc_id: int, payload: bytes) -> dict:
+        out = {
+            "doc_id": doc_id, "kind": "unknown", "width": None, "height": None,
+            "mean_luma": None, "n_channels": None, "sample_rate": None,
+            "duration_s": None, "rms": None,
+        }
+        wav = decode_wav(payload)
+        if wav is not None:
+            out.update(
+                kind="wav", n_channels=wav["n_channels"],
+                sample_rate=wav["sample_rate"], duration_s=wav["duration_s"],
+                rms=wav["rms"],
+            )
+            return out
+        arr = decode_ppm(payload)
+        if arr is not None:
+            luma = (
+                float(np.mean(arr @ np.array([0.299, 0.587, 0.114])))
+                if arr.ndim == 3
+                else float(np.mean(arr))
+            )
+            out.update(
+                kind="ppm" if arr.ndim == 3 else "pgm",
+                width=arr.shape[1], height=arr.shape[0], mean_luma=luma,
+            )
+            return out
+        header = parse_image_header(bytes(payload))
+        if header is not None:
+            fmt, w, h = header
+            out.update(kind=fmt, width=w, height=h)
+        return out
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                [_one(d, p) for d, p in zip(pdf["doc_id"], pdf["payload"])]
+            )
+
+    return df.mapInPandas(_batches, schema=MEDIA_FEATURES_SCHEMA)
+
+
+def resize_raw_images(df: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """REAL resize for raw Netpbm payloads over the same contract as the
+    ``resize_images`` stub: decode → nearest-neighbor resample →
+    re-encode P6/P5. Non-Netpbm payloads pass through with NULL payload
+    (a compressed-format resize needs the codec library — the honest
+    boundary, visible per row instead of silently faked)."""
+
+    def _one(payload: bytes) -> bytes | None:
+        arr = decode_ppm(payload)
+        if arr is None:
+            return None
+        return encode_ppm(nearest_resize(arr, target_w, target_h))
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": target_w,
+                    "height": target_h,
+                    "payload": [_one(p) for p in pdf["payload"]],
+                }
+            )
+
+    return df.mapInPandas(_batches, schema=RESIZED_SCHEMA)
