@@ -103,5 +103,47 @@ def main() -> None:
         rep.unpersist()
 
 
+def probe_ivf_scaling() -> None:
+    """IVF label-noise sweep under replication: at FIXED n_centroids the
+    candidate count per query grows linearly with the corpus (total work
+    quadratic — the declared small-k regime); with n_centroids GROWN
+    proportionally (the documented 100 TB contract) candidates per query
+    stay constant and the sweep goes near-linear. Run:
+    python -c "import sys; sys.path.insert(0,'.'); from scripts.probe_text_dedup import probe_ivf_scaling; probe_ivf_scaling()"
+    """
+    import time
+
+    from token_etl_spark.operators.similarity import ivf_topk, knn_label_consistency
+
+    spark = get_spark("probe_ivf_scaling")
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    n0 = emb.count()
+    for n in (1, 2, 4):
+        rep = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                emb.select(
+                    (F.col("vec_id") + F.lit(i * n0)).alias("vec_id"),
+                    "embedding",
+                    "label",
+                )
+                for i in range(n)
+            ],
+        ).localCheckpoint(eager=True)
+        for k_cells, tag in ((16, "fixed-k"), (16 * n, "scaled-k")):
+            t0 = time.time()
+            nb = ivf_topk(rep, rep, k=10, n_centroids=k_cells, n_probe=4)
+            out = knn_label_consistency(rep, k=10, neighbors=nb)
+            rows = out.count()
+            print(
+                f"x{n} ({n * n0:>5} vecs) {tag:>9} (k={k_cells:>3}):"
+                f" {time.time() - t0:6.2f} s  ({rows} rows)",
+                flush=True,
+            )
+        rep.unpersist()
+
+
 if __name__ == "__main__":
     main()

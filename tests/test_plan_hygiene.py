@@ -441,3 +441,19 @@ def test_dup_inflation_total_reuses_digest_exchange(spark, sf_dir):
     rollup and corpus total both read the one digest-count shuffle."""
     plan = _final_plan(spark, sf_dir, "ext_dup_inflation")
     assert "ReusedExchange" in plan
+
+
+def test_ivf_cell_join_is_salted_with_pinned_partition_counts(spark, sf_dir):
+    """The r8 expansion-join fix must survive: the cell join's two sides
+    go through explicit-numPartitions repartitions on (centroid_id,
+    _salt) — the REPARTITION_BY_NUM marker is what AQE's bytes-based
+    coalescing cannot undo, and without it the cosine verify serializes
+    onto one task when the query side is corpus-sized."""
+    plan = _plan(spark, sf_dir, "ext_knn_label_noise_ivf")
+    salted = [
+        l for l in plan.splitlines()
+        if "hashpartitioning(centroid_id" in l and "_salt" in l
+        and "REPARTITION_BY_NUM" in l
+    ]
+    assert len(salted) >= 1, plan[:2000]
+    assert "CartesianProduct" not in plan
