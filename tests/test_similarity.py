@@ -743,3 +743,35 @@ def test_knn_label_consistency_accepts_precomputed_neighbors(spark, sf_dir):
     assert key(S.knn_label_consistency(emb, k=5, neighbors=nb)) == key(
         S.knn_label_consistency(emb, k=5)
     )
+
+
+def test_semantic_dedup_pair_salts_output_identical_and_measured(spark, sf_dir):
+    """pair_salts > 1 (the 2D-block self-join salt, r8) must produce
+    exactly the default's rows — same pairs, same keep decisions — and
+    its plan must carry the explicit salted repartitions."""
+    import contextlib
+    import io
+
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.operators.similarity import semantic_dedup, spherical_kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = spherical_kmeans(emb, 8, 1)
+
+    def key(df):
+        return {
+            (r["id"], r["centroid_id"], round(r["centroid_sim"], 9), r["n_dups"], r["kept"])
+            for r in df.collect()
+        }
+
+    base = key(semantic_dedup(emb, centroids=cents))
+    salted_df = semantic_dedup(emb, centroids=cents, pair_salts=4)
+    assert key(salted_df) == base and base
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        salted_df.explain("formatted")
+    plan = buf.getvalue()
+    assert any(
+        "hashpartitioning(centroid_id" in l and "_ps" in l and "REPARTITION_BY_NUM" in l
+        for l in plan.splitlines()
+    )

@@ -926,6 +926,7 @@ def semantic_dedup(
     max_cluster: int | None = None,
     centroids: DataFrame | None = None,
     n_assign: int = 1,
+    pair_salts: int = 1,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space with spherical k-means, then flag semantic
@@ -1042,8 +1043,30 @@ def semantic_dedup(
             "centroid_id",
             F.col("centroid_sim").alias("sim_b"),
         )
+        join_keys = ["centroid_id"]
+        if pair_salts > 1:
+            # Opt-in 2D-block salt for the in-cluster SELF-join — the
+            # ``_cell_join_topk`` fix adapted to a self-join: side b is
+            # sub-bucketed by hash(id_b), side a replicated across all
+            # salts, so each pair matches exactly once (on b's salt) and
+            # the verify parallelism is n_centroids × pair_salts instead
+            # of n_centroids (and immune to AQE's bytes-based
+            # coalescing via the explicit-numPartitions repartitions).
+            # Default OFF: it replicates the corpus side ×pair_salts
+            # through a shuffle, and SemDeDup's declared contract —
+            # n_centroids grows with the corpus — already restores
+            # parallelism at scale; this seam is for the fixed-small-k
+            # regime (probe/eval corpora on a wide cluster).
+            n_parts = paired_src.sparkSession.sparkContext.defaultParallelism
+            b = b.withColumn(
+                "_ps", F.pmod(F.xxhash64("id_b"), F.lit(pair_salts)).cast("int")
+            ).repartition(n_parts, "centroid_id", "_ps")
+            a = a.withColumn(
+                "_ps", F.explode(F.array(*[F.lit(i) for i in range(pair_salts)]))
+            ).repartition(n_parts, "centroid_id", "_ps")
+            join_keys = ["centroid_id", "_ps"]
         pairs = (
-            a.join(b, "centroid_id")
+            a.join(b, join_keys)
             .filter(F.col("id_a") != F.col("id_b"))
             .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
             .select("id_a", "id_b", "sim_a", "sim_b")
