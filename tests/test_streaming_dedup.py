@@ -438,3 +438,32 @@ def test_compact_state_partitions_heals_interrupted_swap(spark, sf_dir, tmp_path
         r["id"] for r in read_neardup_index(spark, index_path).select("id").collect()
     }
     assert after == before
+
+
+def test_compact_state_partitions_clears_stale_staging(spark, sf_dir, tmp_path):
+    """A compaction that crashed AFTER its staging write but BEFORE the
+    final delete leaves both dirs. The next compaction must clear the
+    stale staging before writing — a differently-labeled stale partition
+    inside it would otherwise survive the swap and duplicate rows."""
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.streaming.dedup import (
+        _neardup_sink_batch,
+        compact_state_partitions,
+        read_neardup_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(30).localCheckpoint()
+    index_path = str(tmp_path / "stale_index")
+    _neardup_sink_batch(docs.where(F.col("doc_id") % 2 == 0), "s-0", index_path)
+    _neardup_sink_batch(docs.where(F.col("doc_id") % 2 == 1), "s-1", index_path)
+    before = {
+        r["id"] for r in read_neardup_index(spark, index_path).select("id").collect()
+    }
+    # stale staging from an interrupted compaction under a DIFFERENT label
+    spark.read.parquet(index_path).drop("batch_id").write.parquet(
+        index_path + ".staging/batch_id=oldlabel-0"
+    )
+    assert compact_state_partitions(spark, index_path) == 2
+    idx = read_neardup_index(spark, index_path)
+    assert {r["id"] for r in idx.select("id").collect()} == before
+    assert idx.count() == len(before)  # no duplicated rows from the stale dir

@@ -1091,9 +1091,11 @@ def snapshot_diff(
     re-dedup) a refreshed crawl actually forces, instead of
     re-processing 100 TB because 0.1% moved.
 
-    Plan shape: each side collapses to (id, md5(text)) in the scan
-    projection — the full-outer join then shuffles two digest columns,
-    never document text. The join key is the document id, so the
+    Contract: ``id_col`` is unique WITHIN each snapshot (a snapshot is a
+    keyed table; duplicate ids would cross-multiply in the full-outer
+    join). Plan shape: each side collapses to (id, md5(text)) in the
+    scan projection — the full-outer join then shuffles two digest
+    columns, never document text. The join key is the document id, so the
     exchange is the same one any id-keyed MERGE would need; at 100 TB
     both snapshots would be bucketed by id and the shuffle vanishes
     entirely (the ``io/sinks`` bucketed-upsert layout).

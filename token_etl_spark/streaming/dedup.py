@@ -286,6 +286,18 @@ def compact_state_partitions(
         return 0
     n_files = max(1, -(-dir_size_bytes(spark, path) // (target_mb << 20)))
     staging = path.rstrip("/") + ".staging"
+    # A stale staging dir here means a previous compaction crashed AFTER
+    # its staging write but BEFORE the final-dir delete (final still
+    # exists, so _recover_state_dir correctly left it alone). Writing
+    # into it would only overwrite OUR partition name — a stale
+    # partition under a different label would survive the swap and
+    # duplicate rows. Clear it first.
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path
+    sdir = hpath(staging)
+    fs = sdir.getFileSystem(sc._jsc.hadoopConfiguration())
+    if fs.exists(sdir):
+        fs.delete(sdir, True)
     df.drop("batch_id").repartition(n_files).write.mode("overwrite").parquet(
         f"{staging}/batch_id={label}-0"
     )
