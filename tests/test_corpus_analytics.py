@@ -139,3 +139,26 @@ def test_embedding_outliers_flags_far_vector_and_honest_degenerates(spark):
     one = spark.createDataFrame([(0, [1.0, 0.0])], ["vec_id", "embedding"])
     got = embedding_outliers(one, n_centroids=1).collect()
     assert got[0]["z"] is None and got[0]["is_outlier"] is False
+
+
+def test_normalize_text_in_place_reports_changed(spark):
+    """Review r8: out_col == text_col (in-place) must still flag changed
+    rows — the comparison runs before the overwrite."""
+    df = spark.createDataFrame([(1, "  UPPER  "), (2, "ok")], ["id", "text"])
+    out = {r["id"]: (r["text"], r["changed"]) for r in
+           normalize_text(df, out_col="text").collect()}
+    assert out[1] == ("upper", True)
+    assert out[2] == ("ok", False)
+
+
+def test_snapshot_diff_null_text_is_presence_not_absence(spark):
+    """Review r8: md5(NULL) is NULL — presence must come from the join
+    side. NULL text on one side is 'changed'; on both sides 'unchanged'."""
+    old = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, None)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, None), (3, "y")], "doc_id long, text string"
+    )
+    got = {r["id"]: r["status"] for r in C.snapshot_diff(old, new).collect()}
+    assert got == {1: "changed", 2: "unchanged", 3: "changed"}

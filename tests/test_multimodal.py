@@ -238,3 +238,32 @@ def test_resize_raw_images_real_netpbm_path(spark):
     assert out.shape == (4, 4, 3)
     assert np.array_equal(out[0, 0], quad[0, 0]) and np.array_equal(out[3, 3], quad[1, 1])
     assert got[2]["payload"] is None  # compressed/unknown: honest NULL, not fake
+
+
+def test_media_features_tolerate_null_and_truncated_payloads(spark):
+    """Review r8: NULL payloads (e.g. resize_raw_images' pass-through
+    for non-Netpbm rows) and truncated WAVs must degrade, never crash —
+    the two stages compose."""
+    import numpy as np
+
+    from token_etl_spark.operators.multimodal import (
+        decode_wav,
+        encode_ppm,
+        extract_media_features,
+        resize_raw_images,
+    )
+
+    wav, _ = _wav_bytes()
+    truncated = wav[:-1]  # splits the final 16-bit frame
+    got = decode_wav(truncated)
+    assert got is not None and got["n_channels"] == 1  # trimmed, not raised
+    assert decode_wav(None) is None
+
+    quad = np.full((2, 2, 3), 9, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(quad))), (2, bytearray(b"not media")), (3, None)],
+        "doc_id long, payload binary",
+    )
+    resized = resize_raw_images(df, 4, 4)
+    feats = {r["doc_id"]: r["kind"] for r in extract_media_features(resized).collect()}
+    assert feats[1] == "ppm" and feats[2] == "unknown" and feats[3] == "unknown"

@@ -467,3 +467,21 @@ def test_compact_state_partitions_clears_stale_staging(spark, sf_dir, tmp_path):
     idx = read_neardup_index(spark, index_path)
     assert {r["id"] for r in idx.select("id").collect()} == before
     assert idx.count() == len(before)  # no duplicated rows from the stale dir
+
+
+def test_read_partitioned_state_excludes_key_against_legacy_int_partitions(
+    spark, tmp_path
+):
+    """Review r8: a legacy state dir with bare-numeric partition names is
+    int-inferred; the exclusion filter must compare as strings or every
+    row silently drops (int != 'hex-N' coerces to a NULL comparison)."""
+    from token_etl_spark.streaming.dedup import _read_partitioned_state
+
+    base = str(tmp_path / "legacy_state")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    df.where("id = 1").write.parquet(f"{base}/batch_id=0")
+    df.where("id = 2").write.parquet(f"{base}/batch_id=1")
+    out = _read_partitioned_state(spark, base, exclude_key="deadbeef-0")
+    assert {r["id"] for r in out.collect()} == {1, 2}  # nothing lost
+    out2 = _read_partitioned_state(spark, base, exclude_key="0")
+    assert {r["id"] for r in out2.collect()} == {2}

@@ -1100,16 +1100,24 @@ def snapshot_diff(
     both snapshots would be bucketed by id and the shuffle vanishes
     entirely (the ``io/sinks`` bucketed-upsert layout).
     """
+    # Presence comes from explicit side flags, NEVER from digest nullity:
+    # md5(NULL text) is NULL, and reading that as side-absence would
+    # report a present-but-unextracted document as removed/added.
     o = old.select(
-        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_od")
+        F.col(id_col).alias("id"),
+        F.md5(F.col(text_col)).alias("_od"),
+        F.lit(True).alias("_op"),
     )
     n = new.select(
-        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_nd")
+        F.col(id_col).alias("id"),
+        F.md5(F.col(text_col)).alias("_nd"),
+        F.lit(True).alias("_np"),
     )
     status = (
-        F.when(F.col("_od").isNull(), F.lit("added"))
-        .when(F.col("_nd").isNull(), F.lit("removed"))
-        .when(F.col("_od") != F.col("_nd"), F.lit("changed"))
+        F.when(F.col("_op").isNull(), F.lit("added"))
+        .when(F.col("_np").isNull(), F.lit("removed"))
+        # null-safe: NULL text on one side only IS a content change
+        .when(~F.col("_od").eqNullSafe(F.col("_nd")), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
     return (

@@ -218,7 +218,7 @@ def decode_wav(payload: bytes) -> dict | None:
 
     import numpy as np
 
-    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+    if payload is None or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
     try:
         with wave.open(io.BytesIO(bytes(payload))) as w:
@@ -231,7 +231,13 @@ def decode_wav(payload: bytes) -> dict | None:
     dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sampwidth)
     if dtype is None:
         return None
-    samples = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    # a truncated data chunk can leave a partial trailing frame — trim it
+    # instead of letting np.frombuffer raise (contract: None/degraded,
+    # never a crashed executor task)
+    usable = len(raw) - (len(raw) % sampwidth)
+    samples = np.frombuffer(raw, dtype=dtype, count=usable // sampwidth).astype(
+        np.float64
+    )
     if sampwidth == 1:
         samples -= 128.0  # 8-bit WAV is unsigned, centered at 128
     scale = float(2 ** (8 * sampwidth - 1))
@@ -252,7 +258,7 @@ def decode_ppm(payload: bytes):
     else (including maxval > 255 — 16-bit Netpbm stays out of scope)."""
     import numpy as np
 
-    if payload[:2] not in (b"P6", b"P5"):
+    if payload is None or payload[:2] not in (b"P6", b"P5"):
         return None
     # header = magic, width, height, maxval — whitespace-separated with
     # optional '#' comment lines; exactly one whitespace byte after maxval
@@ -344,6 +350,8 @@ def extract_media_features(df: DataFrame) -> DataFrame:
             "mean_luma": None, "n_channels": None, "sample_rate": None,
             "duration_s": None, "rms": None,
         }
+        if payload is None:
+            return out
         wav = decode_wav(payload)
         if wav is not None:
             out.update(
@@ -387,7 +395,7 @@ def resize_raw_images(df: DataFrame, target_w: int = 224, target_h: int = 224) -
     boundary, visible per row instead of silently faked)."""
 
     def _one(payload: bytes) -> bytes | None:
-        arr = decode_ppm(payload)
+        arr = decode_ppm(payload)  # None payloads decode to None → pass through
         if arr is None:
             return None
         return encode_ppm(nearest_resize(arr, target_w, target_h))

@@ -807,6 +807,7 @@ def normalize_text(
             F.regexp_replace(F.lower(t), _CTRL_RE, " "), r"\s+", " "
         )
     )
-    return df.withColumn(out_col, norm).withColumn(
-        "changed", F.col(out_col) != t
-    )
+    # `changed` is computed BEFORE the output column lands: with
+    # out_col == text_col (in-place normalization) comparing after the
+    # overwrite would compare the new column to itself — always False.
+    return df.withColumn("changed", norm != t).withColumn(out_col, norm)

@@ -624,9 +624,9 @@ new AS (
   SELECT doc_id, md5(text) AS nd
   FROM documents WHERE doc_id % 9 <> 2)
 SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
-       CASE WHEN o.od IS NULL THEN 'added'
-            WHEN n.nd IS NULL THEN 'removed'
-            WHEN o.od <> n.nd THEN 'changed'
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.od IS DISTINCT FROM n.nd THEN 'changed'
             ELSE 'unchanged' END AS status
 FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
 """

@@ -279,8 +279,14 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-SQL_NGRAM_JACCARD = f"""
-WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+def _jaccard_pairs_ctes(threshold: float) -> str:
+    """toks/sh/sizes/p0/pairs CTE chain: the exact 3-gram Jaccard pair
+    set (id_a < id_b, unrounded jaccard >= threshold) over ``documents``
+    — ONE definition shared by SQL_NGRAM_JACCARD (also the
+    ext_minhash_neardup oracle), SQL_DEDUP_AUDIT_SAMPLE, and
+    SQL_SOURCE_OVERLAP_MATRIX, so a shingle-width or threshold change
+    can never silently diverge one of them."""
+    return f"""toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
 sh AS (
   SELECT doc_id,
          unnest(list_distinct(list_transform(
@@ -288,16 +294,22 @@ sh AS (
            i -> array_to_string(tk[i:i+2], ' ')))) AS shingle
   FROM toks),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-pairs AS (
+p0 AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2)
-SELECT id_a, id_b,
-       round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
-FROM pairs
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b,
+         CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+  FROM p0
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {threshold})"""
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH {_jaccard_pairs_ctes(JACCARD_THRESHOLD)}
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM pairs
 """
 
 
@@ -357,25 +369,7 @@ def q_dedup_audit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DEDUP_AUDIT_SAMPLE = f"""
-WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
-sh AS (
-  SELECT doc_id,
-         unnest(list_distinct(list_transform(
-           range(1, greatest(len(tk) - 2, 1) + 1),
-           i -> array_to_string(tk[i:i+2], ' ')))) AS shingle
-  FROM toks),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-p0 AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2),
-pairs AS (
-  SELECT id_a, id_b,
-         CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
-  FROM p0
-  JOIN sizes sa ON sa.doc_id = id_a
-  JOIN sizes sb ON sb.doc_id = id_b
-  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}),
+WITH {_jaccard_pairs_ctes(JACCARD_THRESHOLD)},
 banded AS (
   SELECT id_a, id_b, jaccard,
          least(CAST(floor(jaccard * 10) AS BIGINT), 9) AS band,
@@ -405,23 +399,7 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_SOURCE_OVERLAP_MATRIX = f"""
-WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
-sh AS (
-  SELECT doc_id,
-         unnest(list_distinct(list_transform(
-           range(1, greatest(len(tk) - 2, 1) + 1),
-           i -> array_to_string(tk[i:i+2], ' ')))) AS shingle
-  FROM toks),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-p0 AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2),
-pairs AS (
-  SELECT id_a, id_b FROM p0
-  JOIN sizes sa ON sa.doc_id = id_a
-  JOIN sizes sb ON sb.doc_id = id_b
-  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}),
+WITH {_jaccard_pairs_ctes(JACCARD_THRESHOLD)},
 lab AS (
   SELECT p.id_a, p.id_b, da.source AS sa, db.source AS sb
   FROM pairs p

@@ -963,19 +963,21 @@ def q_token_metadata_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _token_metadata_dim_sql() -> str:
-    """Oracle: the dim rows are inlined as VALUES generated from the SAME
-    fixtures.TOKENS constant the Spark side instantiates — one source of
-    truth, so a fixture edit breaks the hash instead of silently
-    diverging."""
+    """Oracle: the dim rows are inlined as VALUES rendered from the SAME
+    frame the Spark side instantiates (``fixtures.make_token_metadata_pdf``
+    — not a re-derivation of its fields), so ANY fixture edit, including
+    the derived name/decimals/logo/supply columns, breaks the hash
+    instead of silently diverging."""
     from token_etl_spark import fixtures
 
+    pdf = fixtures.make_token_metadata_pdf()
     rows = ",\n    ".join(
-        f"('{addr}', '{sym.title()}', '{sym}', '18',"
-        f" 'https://img.example/{sym}.png', {1_000_000}, {2_000_000},"
-        f" {supply!r}, {thr!r})"
-        for addr, sym, thr, supply in fixtures.TOKENS
+        f"('{r.contract_address}', '{r.name}', '{r.symbol}', '{r.decimals}',"
+        f" '{r.logo}', {int(r.total_supply)}, {int(r.max_supply)},"
+        f" {float(r.circulating_supply)!r}, {float(r.whale_threshold)!r})"
+        for r in pdf.itertuples()
     )
-    addr_list = ", ".join(f"'{addr}'" for addr, _, _, _ in fixtures.TOKENS)
+    addr_list = ", ".join(f"'{a}'" for a in pdf["contract_address"])
     return f"""
 WITH dim AS (
   SELECT * FROM (VALUES

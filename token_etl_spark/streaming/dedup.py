@@ -222,7 +222,11 @@ def _read_partitioned_state(
     if "batch_id" not in df.columns:
         return df
     if exclude_key is not None:
-        df = df.filter(F.col("batch_id") != F.lit(exclude_key))
+        # cast defensively: a legacy dir with bare-numeric partition names
+        # would be int-inferred, and int != 'hex-N' coerces to a NULL
+        # comparison that silently filters out EVERY row (losing the
+        # whole index); string-vs-string never does
+        df = df.filter(F.col("batch_id").cast("string") != F.lit(exclude_key))
     return df.drop("batch_id")
 
 

@@ -30,7 +30,7 @@ def _update_balances(
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     balance = state.get[0] if state.exists else 0.0
-    rows = pd.concat(list(pdfs)).sort_values("ts_sec")
+    rows = pd.concat(list(pdfs)).sort_values("ts_sec", kind="mergesort")
     # cumsum over [carried_balance, v1, v2, ...] performs the identical
     # left-to-right float additions as the per-row fold it replaced
     # (((balance + v1) + v2) + ...), just vectorized — bit-identical
@@ -87,7 +87,10 @@ def _make_ewma_updater(alpha: float):
             ewma, initialized = state.get
         else:
             ewma, initialized = 0.0, False
-        rows = pd.concat(list(pdfs)).sort_values("ts_sec")
+        # stable sort, matching the batch twin's mergesort: ties on
+        # ts_sec must fold in input order on BOTH sides or the carried
+        # state diverges on every later batch
+        rows = pd.concat(list(pdfs)).sort_values("ts_sec", kind="mergesort")
         vals = rows["value"].astype("float64").reset_index(drop=True)
         if vals.empty:
             state.update((ewma, initialized))
