@@ -167,12 +167,22 @@ def test_streaming_neardup_matches_sequential_batch(spark, sf_dir, tmp_path):
     )
     post = minhash_match_index(represented, read_neardup_index(spark, index_path))
     assert post.count() > 0
-    # ...but an identical id NEVER matches its own index copy (the
-    # retry-safety guard: self-pairs are excluded in minhash_match_index)
+    # ...and a SAME-id re-delivery (at-least-once source) matches its own
+    # index copy at jaccard 1.0 by default — so the sink would NOT
+    # re-admit it (no duplicate index rows per id)
     same_ids = minhash_match_index(
         docs.where(F.col("doc_id") % 3 == 0), read_neardup_index(spark, index_path)
     )
-    assert same_ids.filter(F.col("id_new") == F.col("id_ref")).count() == 0
+    self_pairs = same_ids.filter(F.col("id_new") == F.col("id_ref"))
+    assert self_pairs.count() > 0
+    assert self_pairs.filter(F.col("jaccard") < 1.0).count() == 0
+    # the opt-in retry defense drops exactly those self-pairs
+    guarded = minhash_match_index(
+        docs.where(F.col("doc_id") % 3 == 0),
+        read_neardup_index(spark, index_path),
+        exclude_self_pairs=True,
+    )
+    assert guarded.filter(F.col("id_new") == F.col("id_ref")).count() == 0
 
     # IDEMPOTENCY: re-running over the same source with the same
     # checkpoint replays no batch (offsets are committed), and the

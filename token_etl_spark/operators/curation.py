@@ -1036,15 +1036,19 @@ def calibrate_scores(
     oracle replays it bit-for-bit via its own cume_dist.
 
     NULL handling: the pct-map join is a LEFT join, so rows with a NULL
-    ``score_col`` are KEPT with NULL ``pct``/``bin`` (an equi-join on
-    NULL never matches) instead of silently vanishing — score them or
-    filter them explicitly upstream.
+    ``score_col`` OR a NULL ``source_col`` are KEPT with NULL
+    ``pct``/``bin`` (an equi-join on NULL never matches) instead of
+    silently vanishing — score/attribute them or filter them explicitly
+    upstream. Neither kind of row enters the distribution: NULL scores
+    must not shift a source's percentiles, and NULL-source rows have no
+    source distribution to calibrate against (without the filter they
+    would only inflate the distinct pct frame with unreachable groups).
     """
     s, src = F.col(score_col), F.col(source_col)
-    # NULL scores are excluded from the distribution itself (an unscored
-    # row must not shift its source's percentiles), not just unmatched
+    # NULL scores and NULL sources are excluded from the distribution
+    # itself (see docstring), not just unmatched by the join
     counts = (
-        df.where(s.isNotNull())
+        df.where(s.isNotNull() & src.isNotNull())
         .groupBy(src.alias("_src"), s.alias("_score"))
         .agg(F.count("*").alias("_c"))
     )
@@ -1155,8 +1159,11 @@ def vocab_growth(
     with millions of buckets, the two-phase cumsum in
     ``operators/balances`` drops in).
     """
+    # TRUE integral division (`div` truncates toward zero, exactly like
+    # DuckDB's integer `//`): double-division-then-cast would lose
+    # precision above 2^53 and round-trip through a float for every row.
     base = df.select(
-        (F.col(id_col) / bucket_size).cast("long").alias("bucket"),
+        F.expr(f"`{id_col}` div {int(bucket_size)}").cast("long").alias("bucket"),
         F.split(F.col(text_col), " ").alias("_toks"),
     )
     toks = base.select("bucket", F.explode("_toks").alias("tok"))

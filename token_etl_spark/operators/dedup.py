@@ -991,11 +991,24 @@ def minhash_match_index(
     bands: int = 8,
     threshold: float = 0.5,
     max_bucket: int | None = 10_000,
+    exclude_self_pairs: bool = False,
 ) -> DataFrame:
     """Incremental near-dup: match a NEW batch against a persisted
     ``minhash_index_frame`` — the LSH analog of ``cross_corpus_dedup``
     (which only catches EXACT copies by digest). Returns verified
     (id_new, id_ref, jaccard) pairs; new docs with no row are novel.
+
+    Same-id re-delivery (at-least-once sources / continuation streams):
+    by default a doc re-delivered under the SAME id in a later batch
+    MATCHES its own index copy (jaccard 1.0) and is therefore treated
+    as a duplicate — the index never accumulates duplicate rows per id.
+    ``exclude_self_pairs=True`` drops ``id_new == id_ref`` pairs instead
+    — only for callers whose new/index id namespaces are guaranteed
+    disjoint and who need belt-and-braces protection against matching a
+    batch's own partial state write (the foreachBatch retry path, which
+    ``streaming/dedup`` already guards structurally by excluding the
+    batch's own state partition). With it on, a same-id re-delivery is
+    re-admitted and duplicates its index row.
 
     This is the steady-state shape of corpus dedup at 100 TB: the
     10 TB/day crawl shingles and signs ONLY itself (corpus-side work is
@@ -1050,16 +1063,14 @@ def minhash_match_index(
             ).isNull()
         ).select("band", "bucket")
         new_banded = new_banded.join(guarded, ["band", "bucket"])
-    cands = (
-        new_banded.join(ref_banded, ["band", "bucket"])
-        .select("id_new", "id_ref")
-        # A doc must never match its OWN index copy (jaccard 1.0): the
-        # sets are disjoint in normal use, but a foreachBatch RETRY that
-        # re-reads an index containing the batch's partial write would
-        # otherwise emit bogus self-pairs and drop the doc as a dup.
-        .filter(F.col("id_new") != F.col("id_ref"))
-        .distinct()
+    cands = new_banded.join(ref_banded, ["band", "bucket"]).select(
+        "id_new", "id_ref"
     )
+    if exclude_self_pairs:
+        # opt-in retry defense (see docstring) — NOT the default, because
+        # it re-admits same-id re-deliveries, duplicating index rows
+        cands = cands.filter(F.col("id_new") != F.col("id_ref"))
+    cands = cands.distinct()
     a = new_idx.select(
         F.col("id").alias("id_new"), F.col("sh").alias("sh_a"), F.col("n_shingles").alias("n_a")
     )

@@ -155,7 +155,13 @@ def _neardup_sink_batch(
     partition but before the checkpoint commit would otherwise match the
     batch against its own partial write — every doc self-matching its
     index copy at jaccard 1.0, bogus pairs in the matches partition, and
-    the index partition overwritten EMPTY (docs permanently lost)."""
+    the index partition overwritten EMPTY (docs permanently lost).
+
+    That partition exclusion is the WHOLE retry guard — the matcher runs
+    with its default ``exclude_self_pairs=False``, so a doc re-delivered
+    under the SAME id in a LATER batch (at-least-once source) matches
+    its own earlier index copy at jaccard 1.0 and is correctly NOT
+    re-admitted: the index never accumulates duplicate rows per id."""
     from token_etl_spark.operators.dedup import minhash_index_frame, minhash_match_index
 
     if batch_df.isEmpty():
@@ -212,8 +218,14 @@ def _read_partitioned_state(
     ``exclude_key`` filters out one batch's partition BEFORE the drop —
     a sink re-running its own batch (foreachBatch retry after a partial
     state write) must never see its own previous write as prior state.
-    Partition pruning makes the exclusion a directory-listing filter,
-    not a data scan."""
+    For string-inferred partition columns (every dir this module writes:
+    keys are ``<hex8>-<n>``) the exclusion compares without a cast, so
+    partition pruning keeps it a directory-listing filter. A LEGACY dir
+    with bare-numeric partition names is int-inferred; there the column
+    is cast to string first — correctness over pruning (the exclusion
+    becomes a scan-side filter), because comparing int to ``'hex-N'``
+    directly coerces to a NULL comparison that silently filters out
+    EVERY row, losing the whole index."""
     from token_etl_spark.io.sinks import _read_existing
 
     df = _read_existing(spark, path)
@@ -222,11 +234,10 @@ def _read_partitioned_state(
     if "batch_id" not in df.columns:
         return df
     if exclude_key is not None:
-        # cast defensively: a legacy dir with bare-numeric partition names
-        # would be int-inferred, and int != 'hex-N' coerces to a NULL
-        # comparison that silently filters out EVERY row (losing the
-        # whole index); string-vs-string never does
-        df = df.filter(F.col("batch_id").cast("string") != F.lit(exclude_key))
+        if dict(df.dtypes).get("batch_id") == "string":
+            df = df.filter(F.col("batch_id") != F.lit(exclude_key))
+        else:
+            df = df.filter(F.col("batch_id").cast("string") != F.lit(exclude_key))
     return df.drop("batch_id")
 
 
