@@ -132,7 +132,10 @@ def test_persisted_ivf_index_matches_inline_search(spark, tmp_path):
     )
 
     corpus = _corpus(spark, n=150)
-    queries = corpus.limit(6)
+    # FRESH query ids: ivf_search serves an external id namespace
+    # (exclude_self=False), so corpus-identical ids would self-match
+    # there but not in the inline ivf_topk — shift them out of range
+    queries = corpus.limit(6).withColumn("vec_id", F.col("vec_id") + 10_000)
     path = str(tmp_path / "ivf_index")
     build_ivf_index(corpus, path, n_centroids=4, refine_iters=2)
 
@@ -147,6 +150,38 @@ def test_persisted_ivf_index_matches_inline_search(spark, tmp_path):
 
     cells = [d for d in os.listdir(path + "/assignments") if d.startswith("centroid_id=")]
     assert 1 < len(cells) <= 4
+
+
+def test_ivf_search_keeps_neighbor_on_external_id_collision(spark, tmp_path):
+    """A query whose id collides with a DISTINCT corpus row's id is an
+    external-namespace coincidence, not a self-match: ivf_search
+    (exclude_self=False) must keep that corpus row as a neighbor.
+    The inline self-join form (ivf_topk, exclude_self=True) is the
+    opposite contract and must still drop exact self-pairs."""
+    from token_etl_spark.operators.similarity import build_ivf_index, ivf_search
+
+    corpus = _corpus(spark, n=80)
+    path = str(tmp_path / "ivf_collide")
+    build_ivf_index(corpus, path, n_centroids=4, refine_iters=1)
+
+    # external query: id 3 (collides with corpus row 3) but carrying
+    # corpus row 7's vector — its true nearest neighbor is corpus id 7
+    v7 = corpus.where("vec_id = 7").collect()[0]["embedding"]
+    q = spark.createDataFrame([(3, v7)], "vec_id long, embedding array<double>")
+    res = ivf_search(spark, path, q, k=5, n_probe=4).collect()
+    by_rank = {r["rank"]: r for r in res}
+    assert by_rank[1]["neighbor_id"] == 7
+    assert abs(by_rank[1]["cosine_sim"] - 1.0) < 1e-12
+    # the id-colliding corpus row 3 is NOT filtered out of the candidate
+    # set: with n_probe=4 every cell is probed, so row 3 competes and
+    # appears whenever its similarity ranks top-5 — assert it was at
+    # least scored by re-running with k=corpus size
+    all_ranked = ivf_search(spark, path, q, k=80, n_probe=4).collect()
+    assert any(r["neighbor_id"] == 3 for r in all_ranked)
+
+    # the self-join form still excludes the trivial self-pair
+    inline = ivf_topk(corpus, corpus.where("vec_id = 3"), k=79, n_centroids=4, n_probe=4)
+    assert all(r["neighbor_id"] != 3 for r in inline.collect())
 
 
 def test_ivf_search_dynamic_partition_pruning_survives_salt(spark, tmp_path):

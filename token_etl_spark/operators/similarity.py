@@ -441,9 +441,18 @@ def _cell_join_topk(
     assigned: DataFrame,
     k: int,
     n_salts: int = 8,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """The IVF candidate join + exact verify + per-query rank, shared by
     ``ivf_topk`` and ``ivf_search``.
+
+    ``exclude_self=True`` drops ``query_id == corpus_id`` pairs — right
+    when the query frame is the corpus (or a subset of it), where a row's
+    trivial self-match (cosine 1.0) would waste a top-k slot. For an
+    EXTERNAL query namespace (``ivf_search`` against a persisted index)
+    it must be False: there an id equal to some corpus id denotes a
+    DIFFERENT vector, and excluding it would silently drop a legitimate
+    neighbor.
 
     The cell join's key is SALTED (``n_salts`` sub-buckets of each
     centroid cell, assigned side keyed by hash(corpus_id), probe side
@@ -474,9 +483,9 @@ def _cell_join_topk(
     prb = probes.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     ).repartition(n_parts, "centroid_id", "_salt")
-    cand = prb.join(asg, ["centroid_id", "_salt"]).filter(
-        F.col("query_id") != F.col("corpus_id")
-    )
+    cand = prb.join(asg, ["centroid_id", "_salt"])
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("corpus_id"))
     scored = cand.withColumn("cosine_sim", cosine(F.col("qv"), F.col("cv")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("corpus_id")
@@ -587,6 +596,12 @@ def ivf_search(
     The centroid table is broadcast to rank cells per query; the
     assignments scan is filtered to the probed cells — a partition-pruned
     read, not a full corpus scan (cells are parquet partitions).
+
+    Queries live in their OWN id namespace: a ``query_id`` that happens
+    to collide with a ``corpus_id`` denotes a different vector, so the
+    cell join runs with ``exclude_self=False`` — the colliding corpus
+    row is a legitimate neighbor and is kept (pinned by the colliding-id
+    test in ``tests/test_similarity.py``).
     """
     cents = F.broadcast(spark.read.parquet(f"{path}/centroids"))
     assigned = spark.read.parquet(f"{path}/assignments")
@@ -600,7 +615,7 @@ def ivf_search(
         .filter(F.col("rn") <= n_probe)
         .select("query_id", "qv", "centroid_id")
     )
-    return _cell_join_topk(probes, assigned, k)
+    return _cell_join_topk(probes, assigned, k, exclude_self=False)
 
 
 def quantize_vec(v: Column) -> Column:
