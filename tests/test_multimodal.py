@@ -267,3 +267,30 @@ def test_media_features_tolerate_null_and_truncated_payloads(spark):
     resized = resize_raw_images(df, 4, 4)
     feats = {r["doc_id"]: r["kind"] for r in extract_media_features(resized).collect()}
     assert feats[1] == "ppm" and feats[2] == "unknown" and feats[3] == "unknown"
+
+
+def test_pixel_query_payload_synthesis_matches_python_md5(spark):
+    """ext_multimodal_pixels' in-engine P5 synthesis: header + the 16
+    md5 bytes as an 8x2 gray image; mean_luma is the byte mean and the
+    4x1 nearest resize picks row-0 columns (0,2,4,6) — pinned against a
+    hand-computed md5 digest."""
+    import hashlib
+
+    from token_etl_spark.plans.extensions import q_multimodal_pixels
+
+    # run the declared plan on real gate data, spot-check one doc
+    rows = {
+        r["doc_id"]: r
+        for r in q_multimodal_pixels(spark, "/root/testdata/sf0.001").collect()
+    }
+    import duckdb
+
+    txt = duckdb.sql(
+        "SELECT text FROM read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        " WHERE doc_id = 42"
+    ).fetchone()[0]
+    dig = hashlib.md5(txt.encode()).digest()
+    r = rows[42]
+    assert (r["kind"], r["width"], r["height"]) == ("pgm", 8, 2)
+    assert abs(r["mean_luma"] - sum(dig) / 16.0) < 1e-12
+    assert abs(r["resized_luma"] - sum(dig[i] for i in (0, 2, 4, 6)) / 4.0) < 1e-12

@@ -13,7 +13,12 @@ from token_etl_spark.operators import dedup as D
 from token_etl_spark.operators import sketch as K
 from token_etl_spark.operators import similarity as S
 from token_etl_spark.operators import text as X
-from token_etl_spark.operators.multimodal import attach_binary_payload, decode_features
+from token_etl_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_features,
+    extract_media_features,
+    resize_raw_images,
+)
 from token_etl_spark.plans.base import QuerySpec, t
 
 # DuckDB fragment: the engine's canonical tokenizer (operators/text.py
@@ -2487,6 +2492,67 @@ FROM documents
 """
 
 
+def q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL pixel path, driver-proven end to end: synthesize a valid
+    binary PGM (P5) payload per document IN-ENGINE (header bytes +
+    ``unhex(md5(text))`` as 8×2 gray pixels — 16 deterministic bytes),
+    then run the genuine decoders: ``extract_media_features`` parses the
+    Netpbm header and averages the actual pixels (mean luma), and
+    ``resize_raw_images`` decodes → nearest-neighbor-resamples to 4×1 →
+    re-encodes, whose output payload is decoded AGAIN for its luma. The
+    oracle replays every pixel from the md5 hex bytes in SQL — the same
+    fixture-in-engine upgrade ``rel_token_metadata_dim`` gave S8.
+
+    Nearest-neighbor arithmetic at 4×1 from 8×2 picks source row 0 and
+    columns (0,2,4,6) — so ``resized_luma`` is the mean of md5 bytes
+    0/2/4/6, an exact integer ratio on both engines.
+
+    100 TB shape: payload synthesis is a narrow expression riding the
+    scan (one lazy checkpoint shares it between the two consumers);
+    both decode stages are Arrow-batched mapInPandas with flat memory
+    (bounded by arrow.maxRecordsPerBatch); the final doc_id equi-join of
+    two per-doc frames is the only exchange — a production pipeline
+    would fuse both decodes into one pass, the join here keeps the two
+    OPERATORS separately exercised as shipped.
+    """
+    docs = t(spark, sf_dir, "documents")
+    frame = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(bytearray(b"P5\n8 2\n255\n")), F.unhex(F.md5("text"))
+        ).alias("payload"),
+    ).localCheckpoint(eager=False)
+    feats = extract_media_features(frame).select(
+        "doc_id", "kind", "width", "height", "mean_luma"
+    )
+    rluma = extract_media_features(
+        resize_raw_images(frame, target_w=4, target_h=1).select("doc_id", "payload")
+    ).select("doc_id", F.col("mean_luma").alias("resized_luma"))
+    return feats.join(rluma, "doc_id")
+
+
+# Each md5 hex pair is one pixel byte: strpos against the hex alphabet
+# (1-based) rebuilds the byte value; luma of a PGM is the plain pixel
+# mean (single channel — the BT.601 weights apply to P6 only).
+SQL_MULTIMODAL_PIXELS = """
+WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+b AS (SELECT doc_id, i,
+        (strpos('0123456789abcdef', substr(hx, CAST(2*i+1 AS INT), 1)) - 1) * 16
+        + strpos('0123456789abcdef', substr(hx, CAST(2*i+2 AS INT), 1)) - 1 AS byte
+      FROM h, generate_series(0, 15) AS t(i) WHERE hx IS NOT NULL),
+agg AS (SELECT doc_id, CAST(sum(byte) AS DOUBLE)/16.0 AS mean_luma,
+               CAST(sum(CASE WHEN i IN (0,2,4,6) THEN byte END) AS DOUBLE)/4.0
+                 AS resized_luma
+        FROM b GROUP BY doc_id)
+SELECT h.doc_id,
+       CASE WHEN h.hx IS NULL THEN 'unknown' ELSE 'pgm' END AS kind,
+       CASE WHEN h.hx IS NULL THEN NULL ELSE CAST(8 AS INT) END AS width,
+       CASE WHEN h.hx IS NULL THEN NULL ELSE CAST(2 AS INT) END AS height,
+       a.mean_luma, a.resized_luma
+FROM h LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA of event values (applyInPandas recurrence — the one
     operator family where the Pandas path is genuinely required). The
@@ -2884,6 +2950,7 @@ SPECS = [
     QuerySpec("ext_token_estimate", q_token_estimate, SQL_TOKEN_ESTIMATE, ("text",)),
     QuerySpec("ext_multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL_META, ("multimodal",)),
     QuerySpec("ext_multimodal_decode", q_multimodal_decode, SQL_MULTIMODAL_DECODE, ("multimodal",)),
+    QuerySpec("ext_multimodal_pixels", q_multimodal_pixels, SQL_MULTIMODAL_PIXELS, ("multimodal",)),
     # bench=True (r4): the end-to-end corpus-prep pipeline (hygiene +
     # star-edge dedup + CC keep-list) is the headline 100 TB workload.
     QuerySpec("ext_corpus_prep", q_corpus_prep, SQL_CORPUS_PREP, ("dedup", "text", "pipeline", "iterative"), bench=True),
