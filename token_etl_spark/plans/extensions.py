@@ -390,6 +390,27 @@ FROM ranked WHERE sample_rank <= 5
 """
 
 
+def q_dedup_audit_sample_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit slate fed from the DEDUP PIPELINE'S OWN LSH pairs
+    (operators/dedup.minhash_dedup → dedup_audit_sample's pairs-frame
+    seam) — the composition that actually runs at 100 TB, where the
+    report's upstream is never a fresh all-pairs-sharing-a-shingle join
+    but the banded candidates the dedup pass already verified. The
+    exact-pairs twin (``ext_dedup_audit_sample``) stays as the declared
+    baseline; the EXACT oracle is a true oracle here because LSH band
+    recall is complete on the gate corpus, pair for pair
+    (tests/test_dedup_oracle_parity.py::test_lsh_pair_set_equals_exact_
+    pair_set), and the verify's Jaccard is exact on both paths."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup(
+        docs, k=3, num_hashes=32, bands=8, threshold=JACCARD_THRESHOLD
+    )
+    out = D.dedup_audit_sample(pairs, k_per_band=5, n_bands=10)
+    return out.select(
+        "band", "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"), "sample_rank"
+    )
+
+
 # --- cross-source duplication matrix -----------------------------------------
 
 
@@ -414,6 +435,18 @@ SELECT least(sa, sb) AS source_lo, greatest(sa, sb) AS source_hi,
        CAST(count(*) AS BIGINT) AS n_pairs
 FROM lab GROUP BY 1, 2
 """
+
+
+def q_source_overlap_matrix_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix fed from the dedup pipeline's own
+    MinHash+LSH pairs (the 100 TB composition — see
+    ``q_dedup_audit_sample_lsh`` for the oracle-validity argument; the
+    operator's pairs-frame seam is source-agnostic by design)."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup(
+        docs, k=3, num_hashes=32, bands=8, threshold=JACCARD_THRESHOLD
+    )
+    return D.source_overlap_matrix(pairs, docs.select("doc_id", "source"))
 
 
 # --- embedding-space outlier screen ------------------------------------------
@@ -2951,6 +2984,8 @@ SPECS = [
     QuerySpec("ext_multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL_META, ("multimodal",)),
     QuerySpec("ext_multimodal_decode", q_multimodal_decode, SQL_MULTIMODAL_DECODE, ("multimodal",)),
     QuerySpec("ext_multimodal_pixels", q_multimodal_pixels, SQL_MULTIMODAL_PIXELS, ("multimodal",)),
+    QuerySpec("ext_dedup_audit_sample_lsh", q_dedup_audit_sample_lsh, SQL_DEDUP_AUDIT_SAMPLE, ("dedup", "text")),
+    QuerySpec("ext_source_overlap_matrix_lsh", q_source_overlap_matrix_lsh, SQL_SOURCE_OVERLAP_MATRIX, ("dedup", "text")),
     # bench=True (r4): the end-to-end corpus-prep pipeline (hygiene +
     # star-edge dedup + CC keep-list) is the headline 100 TB workload.
     QuerySpec("ext_corpus_prep", q_corpus_prep, SQL_CORPUS_PREP, ("dedup", "text", "pipeline", "iterative"), bench=True),
