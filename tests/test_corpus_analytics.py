@@ -162,3 +162,67 @@ def test_snapshot_diff_null_text_is_presence_not_absence(spark):
     )
     got = {r["id"]: r["status"] for r in C.snapshot_diff(old, new).collect()}
     assert got == {1: "changed", 2: "unchanged", 3: "changed"}
+
+
+def test_dedup_threshold_curve_bands_and_cumsum(spark):
+    from token_etl_spark.operators.dedup import dedup_threshold_curve
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.52), (1, 3, 0.58), (2, 3, 0.74), (4, 5, 0.95), (5, 6, 1.0)],
+        "id_a long, id_b long, jaccard double",
+    )
+    got = {
+        r["band_lo"]: (r["n_pairs"], r["n_pairs_at_or_above"])
+        for r in dedup_threshold_curve(pairs, step=0.05).collect()
+    }
+    # 0.52/0.58 -> 0.50 and 0.55; 0.74 -> 0.70; 0.95 -> 0.95; 1.0 -> 1.0
+    assert got == {
+        1.0: (1, 1),
+        0.95: (1, 2),
+        0.70: (1, 3),
+        0.55: (1, 4),
+        0.50: (1, 5),
+    }
+
+
+def test_langid_confusion_row_shares_sum_to_one(spark):
+    from token_etl_spark.operators.text import langid_confusion
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", "the quick fox and the lazy dog"),
+            (2, "en", "zzz qqq xxx"),
+            (3, "de", "der hund und die katze sind da"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    rows = langid_confusion(df).collect()
+    by_label: dict = {}
+    for r in rows:
+        by_label.setdefault(r["lang_label"], 0.0)
+        by_label[r["lang_label"]] += r["label_share"]
+        assert r["n_docs"] >= 1
+    assert all(abs(s - 1.0) < 1e-12 for s in by_label.values())
+    # the all-consonant doc scores 0 for every language -> 'und'
+    assert any(r["lang_label"] == "en" and r["lang_pred"] == "und" for r in rows)
+
+
+def test_source_centroid_similarity_known_vectors(spark):
+    from token_etl_spark.operators.similarity import source_centroid_similarity
+
+    labeled = spark.createDataFrame(
+        [
+            ("a", [1.0, 0.0]), ("a", [1.0, 0.0]),      # centroid (1, 0)
+            ("b", [0.0, 2.0]),                          # centroid (0, 2)
+            ("c", [3.0, 3.0]), ("c", [1.0, 1.0]),      # centroid (2, 2)
+        ],
+        "source string, v array<double>",
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r["cosine_sim"]
+        for r in source_centroid_similarity(labeled).collect()
+    }
+    assert abs(got[("a", "b")] - 0.0) < 1e-12
+    assert abs(got[("a", "c")] - 2 / (1 * 8**0.5)) < 1e-12
+    assert abs(got[("b", "c")] - 4 / (2 * 8**0.5)) < 1e-12
+    assert len(got) == 3

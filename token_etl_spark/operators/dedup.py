@@ -1204,3 +1204,32 @@ def source_overlap_matrix(
         .groupBy("source_lo", "source_hi")
         .agg(F.count("*").cast("long").alias("n_pairs"))
     )
+
+
+def dedup_threshold_curve(pairs: DataFrame, step: float = 0.05) -> DataFrame:
+    """Threshold-tuning curve over a verified near-dup pairs frame
+    (id_a, id_b, jaccard): pair counts per similarity band of width
+    ``step`` plus the cumulative count AT OR ABOVE each band — the curve
+    a dedup owner reads to pick the Jaccard cutoff (how many more pairs
+    each 0.05 of threshold relaxation admits; the knee is the setting,
+    cf. Lee 2022 §3's threshold sensitivity). Pairs-frame seam like
+    ``dedup_audit_sample``: feed it the pipeline's own LSH-verified
+    pairs (``minhash_dedup``) — at 100 TB the curve is a free rollup of
+    a frame the dedup pass already materialized, never a new pair join.
+
+    Bands: ``band_lo = floor(jaccard / step) * step`` (identical IEEE
+    arithmetic on both engines). The rollup is one combinable count
+    aggregation; the cumulative sum is a window over the band frame —
+    at most 1/step + 1 rows, never the pair set.
+    """
+    inv = int(round(1.0 / step))
+    banded = pairs.groupBy(
+        (F.floor(F.col("jaccard") * inv) / inv).alias("band_lo")
+    ).agg(F.count("*").cast("long").alias("n_pairs"))
+    w = (
+        Window.orderBy(F.col("band_lo").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return banded.withColumn(
+        "n_pairs_at_or_above", F.sum("n_pairs").over(w).cast("long")
+    ).select("band_lo", "n_pairs", "n_pairs_at_or_above")

@@ -1856,3 +1856,47 @@ def embedding_outliers(
         ["centroid_id"],
         threshold=threshold,
     )
+
+
+def source_centroid_similarity(
+    labeled: DataFrame, label_col: str = "source", vec_col: str = "v"
+) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding centroids —
+    the source-redundancy report a mixture designer reads before
+    weighting corpora (two sources whose centroids nearly coincide are
+    semantic near-duplicates at the COLLECTION level; cf. the cluster
+    diagnostics in SemDeDup, Abbas 2023 §4). Input: one (label, vector)
+    row per document.
+
+    Output: ``source_a < source_b`` pairs with ``cosine_sim`` of their
+    mean vectors.
+
+    100 TB shape: the only corpus-sized work is the (label, dim) mean —
+    posexplode + ONE combinable avg aggregation (shuffle carries
+    |labels| × dim rows). The pairwise cosine then runs on the centroid
+    frame alone: a dim-keyed self-equi-join of |labels| × dim rows and a
+    (label_a, label_b) rollup — never a per-document pair. Per-dim mean
+    accumulation order differs across engines (the k-means oracle's
+    declared float caveat); downstream consumers compare at rounded
+    precision.
+    """
+    dims = labeled.select(
+        F.col(label_col).alias("label"), F.posexplode(vec_col).alias("dim", "x")
+    )
+    cent = dims.groupBy("label", "dim").agg(F.avg("x").alias("m"))
+    a = cent.select(F.col("label").alias("source_a"), "dim", F.col("m").alias("ma"))
+    b = cent.select(F.col("label").alias("source_b"), "dim", F.col("m").alias("mb"))
+    return (
+        a.join(b, "dim")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            (
+                F.sum(F.col("ma") * F.col("mb"))
+                / (
+                    F.sqrt(F.sum(F.col("ma") * F.col("ma")))
+                    * F.sqrt(F.sum(F.col("mb") * F.col("mb")))
+                )
+            ).alias("cosine_sim")
+        )
+    )

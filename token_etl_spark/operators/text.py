@@ -811,3 +811,37 @@ def normalize_text(
     # out_col == text_col (in-place normalization) comparing after the
     # overwrite would compare the new column to itself — always False.
     return df.withColumn("changed", norm != t).withColumn(out_col, norm)
+
+
+def langid_confusion(
+    df: DataFrame, label_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Classifier-evaluation report for the stopword language heuristic
+    (:func:`language_id`): the (label, prediction) confusion matrix with
+    each cell's share of its label row — the agreement table that tells
+    a multilingual-corpus team where the cheap in-engine langid can be
+    trusted and where the expensive model classifier must run (the same
+    eval CCNet performs for its fastText gate, Wenzek 2020 §4.2).
+
+    Output: ``lang_label, lang_pred, n_docs, label_share`` (share of the
+    label's documents landing in this predicted cell; rows of the matrix
+    sum to 1).
+
+    100 TB shape: the per-doc prediction is narrow expressions riding
+    the scan; the matrix is ONE combinable (label, pred) count
+    aggregation — the shuffle carries |langs|² rows. ``label_share``
+    is a window over that matrix frame, which is tiny by construction
+    (never the corpus), so the global-order caveat that bans fact-table
+    windows does not apply.
+    """
+    from pyspark.sql import Window
+
+    pred = language_id(df, text_col=text_col)
+    m = pred.groupBy(
+        F.col(label_col).alias("lang_label"), "lang_pred"
+    ).agg(F.count("*").cast("long").alias("n_docs"))
+    w = Window.partitionBy("lang_label")
+    return m.withColumn(
+        "label_share",
+        F.col("n_docs").cast("double") / F.sum("n_docs").over(w),
+    )

@@ -105,7 +105,10 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _langid_sql() -> str:
+def _langid_pieces() -> tuple[list[str], str]:
+    """(per-language score expressions, argmax CASE) — shared by the
+    langid oracle and the confusion-matrix oracle so the heuristic is
+    written down exactly once."""
     score_exprs = []
     for lang in sorted(X.STOPWORDS):
         words = "['" + "','".join(X.STOPWORDS[lang]) + "']"
@@ -118,6 +121,12 @@ def _langid_sql() -> str:
     for lang in langs:
         case += f"WHEN score_{lang} = {m} THEN '{lang}' "
     case += "END"
+    return score_exprs, case
+
+
+def _langid_sql() -> str:
+    score_exprs, case = _langid_pieces()
+    langs = sorted(X.STOPWORDS)
     return f"""
 WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 scored AS (SELECT doc_id, {', '.join(score_exprs)} FROM base)
@@ -127,6 +136,34 @@ FROM scored
 
 
 SQL_TEXT_LANGID = _langid_sql()
+
+
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-vs-prediction agreement matrix for the stopword langid
+    heuristic (operators/text.langid_confusion) — the eval report that
+    scopes where the cheap in-engine classifier suffices."""
+    docs = t(spark, sf_dir, "documents")
+    return X.langid_confusion(docs, label_col="lang")
+
+
+def _langid_confusion_sql() -> str:
+    """The langid CASE replayed per doc (``_langid_pieces`` — the one
+    written-down heuristic), rolled into the (label, pred) matrix."""
+    score_exprs, case = _langid_pieces()
+    return f"""
+WITH base AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+scored AS (SELECT doc_id, lang, {', '.join(score_exprs)} FROM base),
+pred AS (SELECT lang AS lang_label, {case} AS lang_pred FROM scored),
+m AS (SELECT lang_label, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+      FROM pred GROUP BY 1, 2)
+SELECT lang_label, lang_pred, n_docs,
+       CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY lang_label)
+         AS label_share
+FROM m
+"""
+
+
+SQL_LANGID_CONFUSION = _langid_confusion_sql()
 
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -434,6 +471,64 @@ lab AS (
 SELECT least(sa, sb) AS source_lo, greatest(sa, sb) AS source_hi,
        CAST(count(*) AS BIGINT) AS n_pairs
 FROM lab GROUP BY 1, 2
+"""
+
+
+def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard threshold-tuning curve (operators/dedup.
+    dedup_threshold_curve) over the pipeline's own LSH-verified pairs:
+    per-0.05-band pair counts + the cumulative count at or above each
+    band — the report that picks the dedup cutoff. Same pairs-frame
+    seam and oracle-validity argument as ``q_dedup_audit_sample_lsh``
+    (LSH pair set == exact set on gate data, pinned)."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup(
+        docs, k=3, num_hashes=32, bands=8, threshold=JACCARD_THRESHOLD
+    )
+    return D.dedup_threshold_curve(pairs, step=0.05)
+
+
+SQL_DEDUP_THRESHOLD_CURVE = f"""
+WITH {_jaccard_pairs_ctes(JACCARD_THRESHOLD)},
+banded AS (
+  SELECT floor(jaccard * 20) / 20 AS band_lo,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM pairs GROUP BY 1)
+SELECT band_lo, n_pairs,
+       CAST(sum(n_pairs) OVER (ORDER BY band_lo DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_pairs_at_or_above
+FROM banded
+"""
+
+
+def q_source_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level semantic redundancy (operators/similarity.
+    source_centroid_similarity): pairwise cosine between per-source mean
+    embeddings, via the documents↔embeddings id join. Per-dim mean
+    accumulation order is the declared k-means-oracle float caveat;
+    the 6-dp canonicalization both gates apply absorbs it."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    labeled = emb.join(docs, emb.vec_id == docs.doc_id).select("source", "v")
+    return S.source_centroid_similarity(labeled)
+
+
+SQL_SOURCE_CENTROID_SIM = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+lab AS (SELECT d.source AS label, e.v FROM e JOIN documents d ON d.doc_id = e.vec_id),
+dims AS (SELECT label,
+                unnest(list_transform(range(len(v)),
+                       i -> {'dim': i, 'x': v[CAST(i+1 AS INT)]})) AS s
+         FROM lab),
+cent AS (SELECT label, s.dim AS dim, avg(s.x) AS m FROM dims GROUP BY 1, 2),
+pairs AS (SELECT a.label AS source_a, b.label AS source_b, a.m AS ma, b.m AS mb
+          FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label)
+SELECT source_a, source_b,
+       sum(ma * mb) / (sqrt(sum(ma * ma)) * sqrt(sum(mb * mb))) AS cosine_sim
+FROM pairs GROUP BY 1, 2
 """
 
 
@@ -2567,6 +2662,63 @@ def q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Each md5 hex pair is one pixel byte: strpos against the hex alphabet
 # (1-based) rebuilds the byte value; luma of a PGM is the plain pixel
 # mean (single channel — the BT.601 weights apply to P6 only).
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL sample-decode path, driver-proven (the audio companion
+    of ``ext_multimodal_pixels``): synthesize a valid PCM WAV IN-ENGINE
+    — a fixed RIFF/fmt/data header (mono, 8 kHz, 16-bit, 8 frames) +
+    ``unhex(md5(text))`` as the 16 data bytes — then run the genuine
+    ``decode_wav`` via ``extract_media_features``: stdlib ``wave``
+    parses the container, numpy computes rms over the ACTUAL samples.
+
+    The oracle rebuilds each little-endian int16 sample from the md5
+    hex bytes and replays rms = sqrt(mean((s/32768)²)) in SQL. This is
+    bit-reproducible, not just close: s² is an exact integer ≤ 2³⁰, the
+    divisions are by powers of two, the 8-term sum needs ≤ 34
+    significand bits (exact under any association), and sqrt is
+    correctly rounded on both engines.
+
+    100 TB shape: identical to the pixel row — narrow payload synthesis
+    on the scan, one Arrow-batched mapInPandas, no joins at all.
+    """
+    import struct
+
+    docs = t(spark, sf_dir, "documents")
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + 16) + b"WAVE" + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", 16)
+    )
+    frame = docs.select(
+        "doc_id",
+        F.concat(F.lit(bytearray(hdr)), F.unhex(F.md5("text"))).alias("payload"),
+    )
+    return extract_media_features(frame).select(
+        "doc_id", "kind", "n_channels", "sample_rate", "duration_s", "rms"
+    )
+
+
+SQL_MULTIMODAL_AUDIO = """
+WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+b AS (SELECT doc_id, i,
+        (strpos('0123456789abcdef', substr(hx, CAST(4*i+1 AS INT), 1)) - 1) * 16
+        + strpos('0123456789abcdef', substr(hx, CAST(4*i+2 AS INT), 1)) - 1 AS lo,
+        (strpos('0123456789abcdef', substr(hx, CAST(4*i+3 AS INT), 1)) - 1) * 16
+        + strpos('0123456789abcdef', substr(hx, CAST(4*i+4 AS INT), 1)) - 1 AS hi
+      FROM h, generate_series(0, 7) AS t(i) WHERE hx IS NOT NULL),
+smp AS (SELECT doc_id, CASE WHEN lo + 256*hi >= 32768 THEN lo + 256*hi - 65536
+                            ELSE lo + 256*hi END AS s FROM b),
+agg AS (SELECT doc_id, sqrt(CAST(sum(s*s) AS DOUBLE) / 8.0) / 32768.0 AS rms
+        FROM smp GROUP BY doc_id)
+SELECT h.doc_id,
+       CASE WHEN h.hx IS NULL THEN 'unknown' ELSE 'wav' END AS kind,
+       CASE WHEN h.hx IS NULL THEN NULL ELSE CAST(1 AS INT) END AS n_channels,
+       CASE WHEN h.hx IS NULL THEN NULL ELSE CAST(8000 AS INT) END AS sample_rate,
+       CASE WHEN h.hx IS NULL THEN NULL ELSE 8.0/8000.0 END AS duration_s,
+       a.rms
+FROM h LEFT JOIN agg a USING (doc_id)
+"""
+
+
 SQL_MULTIMODAL_PIXELS = """
 WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
 b AS (SELECT doc_id, i,
@@ -2984,8 +3136,12 @@ SPECS = [
     QuerySpec("ext_multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL_META, ("multimodal",)),
     QuerySpec("ext_multimodal_decode", q_multimodal_decode, SQL_MULTIMODAL_DECODE, ("multimodal",)),
     QuerySpec("ext_multimodal_pixels", q_multimodal_pixels, SQL_MULTIMODAL_PIXELS, ("multimodal",)),
+    QuerySpec("ext_multimodal_audio", q_multimodal_audio, SQL_MULTIMODAL_AUDIO, ("multimodal",)),
     QuerySpec("ext_dedup_audit_sample_lsh", q_dedup_audit_sample_lsh, SQL_DEDUP_AUDIT_SAMPLE, ("dedup", "text")),
     QuerySpec("ext_source_overlap_matrix_lsh", q_source_overlap_matrix_lsh, SQL_SOURCE_OVERLAP_MATRIX, ("dedup", "text")),
+    QuerySpec("ext_dedup_threshold_curve", q_dedup_threshold_curve, SQL_DEDUP_THRESHOLD_CURVE, ("dedup", "text", "window")),
+    QuerySpec("ext_source_centroid_sim", q_source_centroid_sim, SQL_SOURCE_CENTROID_SIM, ("similarity", "embedding")),
+    QuerySpec("ext_langid_confusion", q_langid_confusion, SQL_LANGID_CONFUSION, ("text", "window")),
     # bench=True (r4): the end-to-end corpus-prep pipeline (hygiene +
     # star-edge dedup + CC keep-list) is the headline 100 TB workload.
     QuerySpec("ext_corpus_prep", q_corpus_prep, SQL_CORPUS_PREP, ("dedup", "text", "pipeline", "iterative"), bench=True),
