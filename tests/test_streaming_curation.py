@@ -641,3 +641,115 @@ def test_streaming_text_normalize_matches_batch(spark, tmp_path):
     exp = normalize_text(docs)
     assert got.count() == exp.count() == 3
     assert got.exceptAll(exp).count() == 0
+
+
+def _stage_ordered_files(tmp_path, frames, subdir="snap_stream"):
+    """Write each frame as one parquet file with pinned mtimes so the
+    FileStreamSource delivers them in order (one file per trigger)."""
+    import os
+
+    staged = tmp_path / subdir
+    staged.mkdir()
+    for g, frame in enumerate(frames):
+        sub = tmp_path / f"{subdir}_gen{g}"
+        frame.coalesce(1).write.parquet(str(sub))
+        part = next(p for p in sub.iterdir() if p.name.endswith(".parquet"))
+        dst = staged / f"gen{g}.parquet"
+        part.rename(dst)
+        os.utime(dst, (1_700_000_000 + g, 1_700_000_000 + g))
+    return staged
+
+
+def test_streaming_snapshot_diff_matches_batch(spark, sf_dir, tmp_path):
+    """Stream≡batch: the per-batch added/changed/unchanged rows plus the
+    finalize-time removed rows reproduce operators/curation.snapshot_diff
+    exactly, including retry idempotency, a continuation resume, and
+    state compaction."""
+    from token_etl_spark.operators.curation import snapshot_diff
+    from token_etl_spark.streaming.curation import (
+        _snapshot_diff_sink_batch,
+        finalize_snapshot_diff,
+        run_streaming_snapshot_diff,
+        write_snapshot_state,
+    )
+    from token_etl_spark.streaming.dedup import (
+        _batch_partition_key,
+        compact_state_partitions,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(150).localCheckpoint()
+    old = docs.where(F.col("doc_id") % 5 != 4)  # ids 4 mod 5 -> "added"
+    # new snapshot: drops ids 0 mod 5 ("removed"), rewrites 1 mod 5
+    # ("changed"), keeps the rest byte-identical ("unchanged")
+    new = docs.where(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 1, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")),
+    ).localCheckpoint()
+
+    exp = {(r["id"], r["status"]) for r in snapshot_diff(old, new).collect()}
+
+    old_path = str(tmp_path / "old_state")
+    diff_path = str(tmp_path / "diff_state")
+    ckpt = str(tmp_path / "snap_ckpt")
+    write_snapshot_state(old, old_path)
+
+    # the new snapshot lands in 3 micro-batches; the LAST file is held
+    # back to exercise a continuation resume afterwards
+    gens = [new.where(F.col("doc_id") % 3 == g) for g in range(3)]
+    staged = _stage_ordered_files(tmp_path, gens[:2])
+
+    def _run():
+        stream = (
+            spark.readStream.schema(new.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(staged))
+        )
+        run_streaming_snapshot_diff(stream, old_path, diff_path, ckpt)
+
+    _run()
+    # continuation: the third file arrives later; SAME checkpoint resumes
+    import os
+
+    sub = tmp_path / "late_gen"
+    gens[2].coalesce(1).write.parquet(str(sub))
+    part = next(p for p in sub.iterdir() if p.name.endswith(".parquet"))
+    dst = staged / "gen2.parquet"
+    part.rename(dst)
+    os.utime(dst, (1_700_000_005, 1_700_000_005))
+    _run()
+
+    got = {
+        (r["id"], r["status"])
+        for r in finalize_snapshot_diff(spark, old_path, diff_path).collect()
+    }
+    assert got == exp
+
+    # retry idempotency: re-running a batch sink with its same key
+    # rewrites its partition, leaving the final report unchanged
+    _snapshot_diff_sink_batch(
+        gens[0], _batch_partition_key(ckpt, 0), old_path, diff_path
+    )
+    got2 = {
+        (r["id"], r["status"])
+        for r in finalize_snapshot_diff(spark, old_path, diff_path).collect()
+    }
+    assert got2 == exp
+
+    # compaction: partition layout collapses, report identical
+    absorbed = compact_state_partitions(spark, diff_path)
+    assert absorbed >= 2
+    got3 = {
+        (r["id"], r["status"])
+        for r in finalize_snapshot_diff(spark, old_path, diff_path).collect()
+    }
+    assert got3 == exp
+
+
+def test_streaming_snapshot_diff_requires_checkpoint(spark, tmp_path):
+    import pytest
+
+    from token_etl_spark.streaming.curation import run_streaming_snapshot_diff
+
+    with pytest.raises(ValueError, match="checkpoint_path"):
+        run_streaming_snapshot_diff(None, "x", "y", "")

@@ -797,3 +797,138 @@ def read_novelty_scores(spark, scores_path: str) -> DataFrame | None:
     from token_etl_spark.streaming.dedup import _read_partitioned_state
 
     return _read_partitioned_state(spark, scores_path)
+
+
+# ---------------------------------------------------------------------------
+# streaming snapshot diff (incremental-crawl report)
+
+
+def write_snapshot_state(
+    df: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
+) -> None:
+    """Persist a snapshot as digest state (``id, digest``) for
+    :func:`run_streaming_snapshot_diff` — text is hashed in the scan
+    projection and NEVER persisted (the batch ``snapshot_diff``'s
+    digest-only contract, held at rest too: the state is two thin
+    columns regardless of corpus width)."""
+    df.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("digest")
+    ).write.mode("overwrite").parquet(path)
+
+
+def _snapshot_diff_sink_batch(
+    batch_df: DataFrame,
+    key: str,
+    old_path: str,
+    diff_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One micro-batch: diff the batch's ids against the OLD snapshot
+    state (added / changed / unchanged — ``removed`` needs the whole
+    new snapshot and lands in :func:`finalize_snapshot_diff`). Writes
+    are keyed by (checkpoint lineage, batch_id) partition with
+    mode=overwrite — a foreachBatch retry rewrites its own partition
+    (module-level so retry idempotency is unit-testable, same contract
+    as ``streaming/dedup._neardup_sink_batch``). The old state is
+    static, so no own-partition exclusion is needed here."""
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    old = (
+        spark.read.parquet(old_path)
+        .withColumnRenamed("digest", "_od")
+        .withColumn("_op", F.lit(True))
+    )
+    n = batch_df.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_nd")
+    )
+    status = (
+        F.when(F.col("_op").isNull(), F.lit("added"))
+        # null-safe: NULL text on one side only IS a content change
+        # (the batch operator's md5(NULL) contract)
+        .when(~F.col("_od").eqNullSafe(F.col("_nd")), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = n.join(old, "id", "left").select("id", status.alias("status"))
+    out.write.mode("overwrite").parquet(f"{diff_path.rstrip('/')}/batch_id={key}")
+
+
+def run_streaming_snapshot_diff(
+    stream: DataFrame,
+    old_path: str,
+    diff_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Streaming twin of ``operators/curation.snapshot_diff``: the NEW
+    snapshot arrives as a stream (the refreshed crawl landing batch by
+    batch), the OLD snapshot is persisted digest state
+    (:func:`write_snapshot_state`), and each micro-batch reports its
+    own ids as added/changed/unchanged the moment it lands — the report
+    a re-crawl pipeline watches live to size downstream re-processing,
+    instead of waiting for the full snapshot to finish.
+
+    ``removed`` is inherently a whole-snapshot verdict (an id is removed
+    only if NO batch ever re-delivers it), so it is computed once at the
+    report boundary by :func:`finalize_snapshot_diff`. Snapshot
+    contract: ids are unique across the WHOLE new snapshot (same
+    uniqueness contract as the batch operator); a continuation must
+    resume the same checkpoint (availableNow picks up only new files) —
+    a fresh checkpoint over already-processed files would re-report
+    those ids under a new lineage prefix.
+
+    State shape at 100 TB: per batch, ONE id-keyed join of the batch
+    against the old digest table (two thin columns; bucketed-by-id old
+    state makes it shuffle-free on the static side) and one partition
+    dir of (id, status) rows. ``compact_state_partitions``
+    (streaming/dedup.py) applies to ``diff_path`` unchanged when batch
+    count grows pathological."""
+    from token_etl_spark.streaming.dedup import _batch_partition_key
+
+    if not checkpoint_path:
+        raise ValueError(
+            "checkpoint_path is required: it anchors source tracking and the "
+            "state-partition lineage prefix (retry/continuation idempotency)"
+        )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        _snapshot_diff_sink_batch(
+            batch_df,
+            _batch_partition_key(checkpoint_path, batch_id),
+            old_path,
+            diff_path,
+            id_col=id_col,
+            text_col=text_col,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def finalize_snapshot_diff(spark, old_path: str, diff_path: str) -> DataFrame:
+    """The complete diff report once the new snapshot has fully landed
+    (quiescent stream — the same boundary contract as
+    ``compact_state_partitions``): every per-batch added/changed/
+    unchanged row, plus ``removed`` = old ids no batch ever delivered
+    (one anti-join of the thin old state against the accumulated ids).
+    Output schema matches the batch ``snapshot_diff`` exactly —
+    equivalence is pinned in tests/test_streaming_curation.py."""
+    from token_etl_spark.streaming.dedup import _read_partitioned_state
+
+    seen = _read_partitioned_state(spark, diff_path)
+    old = spark.read.parquet(old_path)
+    if seen is None:
+        return old.select("id", F.lit("removed").alias("status"))
+    removed = old.join(seen.select("id"), "id", "left_anti").select(
+        "id", F.lit("removed").alias("status")
+    )
+    return seen.select("id", "status").unionByName(removed)
