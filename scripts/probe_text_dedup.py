@@ -145,5 +145,59 @@ def probe_ivf_scaling() -> None:
         rep.unpersist()
 
 
+def probe_corpus_reports() -> None:
+    """Replication sweep for the r8 corpus-analytics operators (VERDICT
+    r8 item 5): url_dedup (canonical-URL key skew — group size grows
+    with N by construction, plus a hot-key variant where 10% of rows
+    share ONE url), snapshot_diff (digest-join linearity), vocab_growth
+    (bucket-frame cumsum pushed to ~n_docs buckets via bucket_size=1 —
+    the documented two-phase swap point probe). Run:
+    python -c "import sys; sys.path.insert(0,'.'); from scripts.probe_text_dedup import probe_corpus_reports; probe_corpus_reports()"
+    """
+    from token_etl_spark.operators.curation import snapshot_diff, url_dedup, vocab_growth
+
+    spark = get_spark("probe_corpus_reports")
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    n_docs = docs.count()
+    # warmup: JIT/codegen/shuffle-service costs dominate the first job at
+    # this corpus size — burn them before the measured sweep
+    url_dedup(
+        docs.withColumn("url", F.concat(F.lit("https://w/"), F.col("doc_id"))),
+    ).where("kept").count()
+    for n in (1, 8, 64):
+        rep = replicate(docs.select("doc_id", "text"), n, n_docs)
+        # urls keyed by (doc_id % n_docs): every replica collides with
+        # the original -> canonical group size == N (uniform skew-by-N)
+        base_key = F.col("doc_id") % n_docs
+        urls = rep.withColumn(
+            "url",
+            F.concat(F.lit("https://h"), (base_key % 997).cast("string"),
+                     F.lit(".example.com/p/"), base_key.cast("string")),
+        ).withColumn("n_chars", F.length("text"))
+        timed("url_dedup", n, n_docs,
+              lambda: url_dedup(urls, quality_col="n_chars").where("kept"))
+        # hot key: 10% of rows share ONE canonical url
+        hot = urls.withColumn(
+            "url",
+            F.when(base_key % 10 == 0, F.lit("https://hot.example.com/"))
+            .otherwise(F.col("url")),
+        )
+        timed("url_dedup_hot", n, n_docs,
+              lambda: url_dedup(hot, quality_col="n_chars").where("kept"))
+        # snapshot diff: new side rewrites 1/5, drops 1/5, adds 1/5
+        old = rep.where(F.col("doc_id") % 5 != 4)
+        new = rep.where(F.col("doc_id") % 5 != 0).withColumn(
+            "text",
+            F.when(F.col("doc_id") % 5 == 1, F.concat("text", F.lit(" v2")))
+            .otherwise(F.col("text")),
+        )
+        timed("snapshot_diff", n, n_docs, lambda: snapshot_diff(old, new))
+        # bucket_size=1 -> bucket frame == doc count (cumsum stress)
+        timed("vocab_growth_b1", n, n_docs, lambda: vocab_growth(rep, bucket_size=1))
+        rep.unpersist()
+
+
 if __name__ == "__main__":
     main()
