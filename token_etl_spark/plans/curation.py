@@ -676,7 +676,10 @@ SPECS = [
     QuerySpec("ext_crosscorpus_dedup", q_crosscorpus_dedup, SQL_CROSSCORPUS_DEDUP, ("curation", "dedup")),
     QuerySpec("ext_ngram_novelty", q_ngram_novelty, SQL_NGRAM_NOVELTY, ("curation", "text", "window")),
     QuerySpec("ext_url_canonicalize", q_url_canonicalize, SQL_URL_CANONICALIZE, ("curation", "text", "functions-string")),
-    QuerySpec("ext_url_dedup", q_url_dedup, SQL_URL_DEDUP, ("curation", "dedup", "functions-string", "window")),
+    # bench=True (r9): the newest corpus-analytics movement class — the
+    # first dedup tier (map-only canon + one URL exchange + keep-best
+    # window) gets round-over-round tracking (VERDICT r8 item 6).
+    QuerySpec("ext_url_dedup", q_url_dedup, SQL_URL_DEDUP, ("curation", "dedup", "functions-string", "window"), bench=True),
     QuerySpec("ext_text_normalize", q_text_normalize, SQL_TEXT_NORMALIZE, ("curation", "text", "functions-string")),
     QuerySpec("ext_snapshot_diff", q_snapshot_diff, SQL_SNAPSHOT_DIFF, ("curation", "join", "pipeline")),
     QuerySpec("ext_vocab_growth", q_vocab_growth, SQL_VOCAB_GROWTH, ("curation", "text", "window")),

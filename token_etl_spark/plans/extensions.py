@@ -3123,7 +3123,10 @@ SPECS = [
     QuerySpec("ext_semantic_dedup", q_semantic_dedup, SQL_SEMANTIC_DEDUP, ("similarity", "dedup", "iterative"), bench=True),
     QuerySpec("ext_semantic_dedup_probe2", q_semantic_dedup_probe2, SQL_SEMANTIC_DEDUP_PROBE2, ("similarity", "dedup", "iterative")),
     QuerySpec("ext_knn_label_noise", q_knn_label_noise, SQL_KNN_LABEL_NOISE, ("similarity", "curation")),
-    QuerySpec("ext_knn_label_noise_ivf", q_knn_label_noise_ivf, SQL_KNN_LABEL_NOISE_IVF, ("similarity", "curation")),
+    # bench=True (r9): the r8 scale-critical plan (salted IVF cell join,
+    # the AQE expansion-join fix) — tracked round-over-round so a
+    # serialization regression shows up in BENCH diffs (VERDICT r8 item 6).
+    QuerySpec("ext_knn_label_noise_ivf", q_knn_label_noise_ivf, SQL_KNN_LABEL_NOISE_IVF, ("similarity", "curation"), bench=True),
     QuerySpec("ext_linear_probe", q_linear_probe, SQL_LINEAR_PROBE, ("similarity", "curation", "ml", "iterative")),
     QuerySpec("ext_prototypicality", q_prototypicality, SQL_PROTOTYPICALITY, ("similarity", "curation", "iterative")),
     QuerySpec("ext_d4_select", q_d4_select, SQL_D4_SELECT, ("similarity", "dedup", "curation", "iterative", "pipeline")),
