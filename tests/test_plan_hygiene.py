@@ -457,3 +457,33 @@ def test_ivf_cell_join_is_salted_with_pinned_partition_counts(spark, sf_dir):
     ]
     assert len(salted) >= 1, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_round9_plans_no_cartesian_and_shapes(spark, sf_dir):
+    """The r9 additions keep the posture: no accidental cartesian
+    anywhere; the multimodal rows stay join-light (pixels = ONE id
+    equi-join of the two decode outputs, audio = zero joins); the
+    centroid-sim pairwise stage joins the tiny (label, dim) frame, not
+    documents."""
+    for name in (
+        "ext_multimodal_pixels",
+        "ext_multimodal_audio",
+        "ext_dedup_audit_sample_lsh",
+        "ext_source_overlap_matrix_lsh",
+        "ext_dedup_threshold_curve",
+        "ext_source_centroid_sim",
+        "ext_langid_confusion",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+    audio = _plan(spark, sf_dir, "ext_multimodal_audio")
+    assert "Join" not in audio  # payload synthesis + one mapInPandas, no joins
+    pixels = _plan(spark, sf_dir, "ext_multimodal_pixels")
+    # exactly one join NODE — the final doc_id equi-join of the two
+    # decode frames ("formatted" repeats node names in tree + details,
+    # so count tree bullets, not substrings)
+    import re
+
+    join_nodes = re.findall(r"^\s*(?:[:+*]\s*)*[+-]+\s+\S*Join\S*", pixels, re.M)
+    assert len(join_nodes) == 1, join_nodes
+    assert "CartesianProduct" not in pixels
