@@ -677,13 +677,22 @@ def test_streaming_snapshot_diff_matches_batch(spark, sf_dir, tmp_path):
         compact_state_partitions,
     )
 
-    docs = load_table(spark, sf_dir, "documents").limit(150).localCheckpoint()
+    base = load_table(spark, sf_dir, "documents").limit(150)
+    # NULL-text coverage for the shared eqNullSafe contract: ids 3 mod 11
+    # are NULL on BOTH sides (-> unchanged), and the new side NULLs ids
+    # 7 mod 11 (-> changed: NULL on one side only IS a content change)
+    docs = base.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 11 == 3, F.lit(None).cast("string"))
+        .otherwise(F.col("text")),
+    ).localCheckpoint()
     old = docs.where(F.col("doc_id") % 5 != 4)  # ids 4 mod 5 -> "added"
     # new snapshot: drops ids 0 mod 5 ("removed"), rewrites 1 mod 5
     # ("changed"), keeps the rest byte-identical ("unchanged")
     new = docs.where(F.col("doc_id") % 5 != 0).withColumn(
         "text",
-        F.when(F.col("doc_id") % 5 == 1, F.concat(F.col("text"), F.lit(" v2")))
+        F.when(F.col("doc_id") % 11 == 7, F.lit(None).cast("string"))
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.col("text"), F.lit(" v2")))
         .otherwise(F.col("text")),
     ).localCheckpoint()
 

@@ -1117,17 +1117,27 @@ def snapshot_diff(
         F.md5(F.col(text_col)).alias("_nd"),
         F.lit(True).alias("_np"),
     )
-    status = (
+    return (
+        o.join(n, "id", "full_outer")
+        .withColumn("status", snapshot_status_expr())
+        .select("id", "status")
+    )
+
+
+def snapshot_status_expr() -> Column:
+    """The snapshot-diff status contract, written down ONCE: given the
+    presence flags ``_op``/``_np`` and digests ``_od``/``_nd`` of the
+    old/new sides, classify added / removed / changed / unchanged.
+    Shared by the batch :func:`snapshot_diff` and the streaming twin
+    (``streaming/curation._snapshot_diff_sink_batch``) so the null-safe
+    digest semantics (NULL text on one side only IS a content change;
+    NULL==NULL is unchanged) cannot drift between the two."""
+    return (
         F.when(F.col("_op").isNull(), F.lit("added"))
         .when(F.col("_np").isNull(), F.lit("removed"))
         # null-safe: NULL text on one side only IS a content change
         .when(~F.col("_od").eqNullSafe(F.col("_nd")), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
-    )
-    return (
-        o.join(n, "id", "full_outer")
-        .withColumn("status", status)
-        .select("id", "status")
     )
 
 

@@ -1217,12 +1217,22 @@ def dedup_threshold_curve(pairs: DataFrame, step: float = 0.05) -> DataFrame:
     pairs (``minhash_dedup``) — at 100 TB the curve is a free rollup of
     a frame the dedup pass already materialized, never a new pair join.
 
-    Bands: ``band_lo = floor(jaccard / step) * step`` (identical IEEE
-    arithmetic on both engines). The rollup is one combinable count
+    ``step`` must be an exact divisor of 1 (1/k for integer k — 0.05,
+    0.1, 0.25, ...): bands are computed as ``floor(jaccard * k) / k``
+    with INTEGER k, which is identical IEEE arithmetic on both engines
+    (multiplying by a float step and flooring would mislabel bands for
+    steps like 0.3 — the function raises instead of silently
+    substituting 1/round(1/step)). The rollup is one combinable count
     aggregation; the cumulative sum is a window over the band frame —
-    at most 1/step + 1 rows, never the pair set.
+    at most k + 1 rows, never the pair set.
     """
-    inv = int(round(1.0 / step))
+    inv = round(1.0 / step)
+    if inv < 1 or abs(1.0 / inv - step) > 1e-12:
+        raise ValueError(
+            f"step must be 1/k for integer k (got {step}); bands are"
+            " floor(jaccard * k) / k and a non-divisor step would be"
+            " silently relabeled"
+        )
     banded = pairs.groupBy(
         (F.floor(F.col("jaccard") * inv) / inv).alias("band_lo")
     ).agg(F.count("*").cast("long").alias("n_pairs"))

@@ -1873,30 +1873,42 @@ def source_centroid_similarity(
 
     100 TB shape: the only corpus-sized work is the (label, dim) mean —
     posexplode + ONE combinable avg aggregation (shuffle carries
-    |labels| × dim rows). The pairwise cosine then runs on the centroid
-    frame alone: a dim-keyed self-equi-join of |labels| × dim rows and a
-    (label_a, label_b) rollup — never a per-document pair. Per-dim mean
-    accumulation order differs across engines (the k-means oracle's
-    declared float caveat); downstream consumers compare at rounded
-    precision.
+    |labels| × dim rows). Each centroid's norm is computed ONCE per
+    label over its own full dim set — never inside the pair join, so a
+    label whose vectors carry extra dimensions (mixed embedding
+    versions) keeps that mass in its norm instead of having it silently
+    dropped by the dim equi-join; dims absent from one side contribute
+    exactly 0 to the dot product (no joined row), which is the correct
+    zero-fill semantics. The pairwise stage then runs on the centroid
+    frame alone: a dim-keyed self-equi-join of |labels| × dim rows, a
+    (label_a, label_b) dot rollup, and two |labels|-row norm joins —
+    never a per-document pair. Per-dim mean accumulation order differs
+    across engines (the k-means oracle's declared float caveat);
+    downstream consumers compare at rounded precision.
     """
     dims = labeled.select(
         F.col(label_col).alias("label"), F.posexplode(vec_col).alias("dim", "x")
     )
     cent = dims.groupBy("label", "dim").agg(F.avg("x").alias("m"))
+    norms = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("norm")
+    )
     a = cent.select(F.col("label").alias("source_a"), "dim", F.col("m").alias("ma"))
     b = cent.select(F.col("label").alias("source_b"), "dim", F.col("m").alias("mb"))
-    return (
+    dots = (
         a.join(b, "dim")
         .filter(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b")
-        .agg(
-            (
-                F.sum(F.col("ma") * F.col("mb"))
-                / (
-                    F.sqrt(F.sum(F.col("ma") * F.col("ma")))
-                    * F.sqrt(F.sum(F.col("mb") * F.col("mb")))
-                )
-            ).alias("cosine_sim")
+        .agg(F.sum(F.col("ma") * F.col("mb")).alias("_dot"))
+    )
+    na = norms.select(F.col("label").alias("source_a"), F.col("norm").alias("_na"))
+    nb = norms.select(F.col("label").alias("source_b"), F.col("norm").alias("_nb"))
+    return (
+        dots.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            (F.col("_dot") / (F.col("_na") * F.col("_nb"))).alias("cosine_sim"),
         )
     )

@@ -524,11 +524,14 @@ dims AS (SELECT label,
                        i -> {'dim': i, 'x': v[CAST(i+1 AS INT)]})) AS s
          FROM lab),
 cent AS (SELECT label, s.dim AS dim, avg(s.x) AS m FROM dims GROUP BY 1, 2),
-pairs AS (SELECT a.label AS source_a, b.label AS source_b, a.m AS ma, b.m AS mb
-          FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label)
-SELECT source_a, source_b,
-       sum(ma * mb) / (sqrt(sum(ma * ma)) * sqrt(sum(mb * mb))) AS cosine_sim
-FROM pairs GROUP BY 1, 2
+norms AS (SELECT label, sqrt(sum(m * m)) AS norm FROM cent GROUP BY 1),
+dots AS (SELECT a.label AS source_a, b.label AS source_b, sum(a.m * b.m) AS dot
+         FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+         GROUP BY 1, 2)
+SELECT source_a, source_b, dot / (na.norm * nb.norm) AS cosine_sim
+FROM dots
+JOIN norms na ON na.label = source_a
+JOIN norms nb ON nb.label = source_b
 """
 
 

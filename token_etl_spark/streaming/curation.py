@@ -833,6 +833,8 @@ def _snapshot_diff_sink_batch(
     (module-level so retry idempotency is unit-testable, same contract
     as ``streaming/dedup._neardup_sink_batch``). The old state is
     static, so no own-partition exclusion is needed here."""
+    from token_etl_spark.operators.curation import snapshot_status_expr
+
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
@@ -841,17 +843,17 @@ def _snapshot_diff_sink_batch(
         .withColumnRenamed("digest", "_od")
         .withColumn("_op", F.lit(True))
     )
+    # the batch side is the NEW side and is always present, so the
+    # shared status contract's "removed" branch can never fire here
+    # ("removed" is finalize-time — an old id no batch delivers)
     n = batch_df.select(
-        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_nd")
+        F.col(id_col).alias("id"),
+        F.md5(F.col(text_col)).alias("_nd"),
+        F.lit(True).alias("_np"),
     )
-    status = (
-        F.when(F.col("_op").isNull(), F.lit("added"))
-        # null-safe: NULL text on one side only IS a content change
-        # (the batch operator's md5(NULL) contract)
-        .when(~F.col("_od").eqNullSafe(F.col("_nd")), F.lit("changed"))
-        .otherwise(F.lit("unchanged"))
+    out = n.join(old, "id", "left").select(
+        "id", snapshot_status_expr().alias("status")
     )
-    out = n.join(old, "id", "left").select("id", status.alias("status"))
     out.write.mode("overwrite").parquet(f"{diff_path.rstrip('/')}/batch_id={key}")
 
 
