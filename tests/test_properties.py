@@ -705,3 +705,90 @@ def test_snapshot_diff_partitions_ids_exhaustively(spark, old_texts, new_texts):
         else:
             want[i] = "unchanged"
     assert got == want
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=51, max_value=100),
+            st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    k=st.sampled_from([2, 4, 5, 10, 20]),
+)
+@FAST
+def test_threshold_curve_matches_python_reference(spark, pairs, k):
+    """Band counts and the cumulative at-or-above column replay a plain
+    python histogram for any 1/k step; totals conserve the pair count."""
+    import math
+
+    from token_etl_spark.operators.dedup import dedup_threshold_curve
+
+    s = _get(spark)
+    df = s.createDataFrame(pairs, "id_a long, id_b long, jaccard double")
+    got = {
+        r["band_lo"]: (r["n_pairs"], r["n_pairs_at_or_above"])
+        for r in dedup_threshold_curve(df, step=1.0 / k).collect()
+    }
+    ref: dict = {}
+    for _, _, j in pairs:
+        b = math.floor(j * k) / k
+        ref[b] = ref.get(b, 0) + 1
+    cum = 0
+    exp = {}
+    for b in sorted(ref, reverse=True):
+        cum += ref[b]
+        exp[b] = (ref[b], cum)
+    assert got == exp
+    assert sum(v[0] for v in got.values()) == len(pairs)
+
+
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.lists(
+                st.floats(min_value=-10, max_value=10, allow_nan=False),
+                min_size=3,
+                max_size=3,
+            ),
+        ),
+        min_size=2,
+        max_size=20,
+    )
+)
+@FAST
+def test_source_centroid_sim_matches_numpy(spark, vecs):
+    """Pairwise centroid cosine equals the numpy reference whenever both
+    labels have a nonzero centroid (zero-norm centroids yield NULL/inf
+    divisions on both paths — excluded)."""
+    import numpy as np
+
+    from token_etl_spark.operators.similarity import source_centroid_similarity
+
+    s = _get(spark)
+    df = s.createDataFrame(
+        [(lbl, [float(x) for x in v]) for lbl, v in vecs],
+        "source string, v array<double>",
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r["cosine_sim"]
+        for r in source_centroid_similarity(df).collect()
+    }
+    by_label: dict = {}
+    for lbl, v in vecs:
+        by_label.setdefault(lbl, []).append(np.array(v))
+    cents = {lbl: np.mean(np.stack(vs), axis=0) for lbl, vs in by_label.items()}
+    labels = sorted(cents)
+    for i, la in enumerate(labels):
+        for lb in labels[i + 1 :]:
+            na, nb = np.linalg.norm(cents[la]), np.linalg.norm(cents[lb])
+            if na == 0 or nb == 0:
+                # zero-norm centroid: cosine is NULL by declaration
+                assert got[(la, lb)] is None, (la, lb)
+                continue
+            exp = float(cents[la] @ cents[lb] / (na * nb))
+            assert abs(got[(la, lb)] - exp) < 1e-9, (la, lb)

@@ -1903,12 +1903,17 @@ def source_centroid_similarity(
     )
     na = norms.select(F.col("label").alias("source_a"), F.col("norm").alias("_na"))
     nb = norms.select(F.col("label").alias("source_b"), F.col("norm").alias("_nb"))
+    # a zero-norm centroid (vectors cancelling to zero) has no direction:
+    # its cosine is NULL by declaration — an unguarded divide would be
+    # Inf on DuckDB and an ANSI DIVIDE_BY_ZERO crash on Spark
+    # (hypothesis-found edge, tests/test_properties.py)
+    denom = F.col("_na") * F.col("_nb")
     return (
         dots.join(F.broadcast(na), "source_a")
         .join(F.broadcast(nb), "source_b")
         .select(
             "source_a",
             "source_b",
-            (F.col("_dot") / (F.col("_na") * F.col("_nb"))).alias("cosine_sim"),
+            F.when(denom > 0, F.col("_dot") / denom).alias("cosine_sim"),
         )
     )

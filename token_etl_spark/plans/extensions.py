@@ -528,7 +528,9 @@ norms AS (SELECT label, sqrt(sum(m * m)) AS norm FROM cent GROUP BY 1),
 dots AS (SELECT a.label AS source_a, b.label AS source_b, sum(a.m * b.m) AS dot
          FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
          GROUP BY 1, 2)
-SELECT source_a, source_b, dot / (na.norm * nb.norm) AS cosine_sim
+SELECT source_a, source_b,
+       CASE WHEN na.norm * nb.norm > 0 THEN dot / (na.norm * nb.norm) END
+         AS cosine_sim
 FROM dots
 JOIN norms na ON na.label = source_a
 JOIN norms nb ON nb.label = source_b
