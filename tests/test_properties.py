@@ -792,3 +792,44 @@ def test_source_centroid_sim_matches_numpy(spark, vecs):
                 continue
             exp = float(cents[la] @ cents[lb] / (na * nb))
             assert abs(got[(la, lb)] - exp) < 1e-9, (la, lb)
+
+
+@given(
+    payloads=st.lists(
+        st.one_of(
+            st.none(),
+            st.binary(min_size=0, max_size=200),
+            # adversarial prefixes: valid magics with garbage bodies
+            st.binary(min_size=0, max_size=60).map(lambda b: b"P5\n" + b),
+            st.binary(min_size=0, max_size=60).map(lambda b: b"P6 " + b),
+            st.binary(min_size=0, max_size=60).map(lambda b: b"RIFF" + b),
+            st.binary(min_size=0, max_size=60).map(
+                lambda b: b"RIFF\x00\x00\x00\x00WAVE" + b
+            ),
+            st.binary(min_size=0, max_size=60).map(lambda b: b"\x89PNG\r\n\x1a\n" + b),
+            st.binary(min_size=0, max_size=60).map(lambda b: b"\xff\xd8" + b),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@FAST
+def test_media_decoders_never_crash_on_fuzzed_payloads(spark, payloads):
+    """The honest-degradation contract, fuzzed: ANY byte string —
+    including truncated/garbage bodies behind valid magic numbers —
+    flows through extract_media_features and resize_raw_images as a row
+    with kind='unknown'/NULL features or a best-effort decode, never a
+    crashed executor task; row alignment is preserved."""
+    from token_etl_spark.operators.multimodal import (
+        extract_media_features,
+        resize_raw_images,
+    )
+
+    s = _get(spark)
+    rows = [(i, bytearray(p) if p is not None else None) for i, p in enumerate(payloads)]
+    df = s.createDataFrame(rows, "doc_id long, payload binary")
+    feats = extract_media_features(df).collect()
+    assert sorted(r["doc_id"] for r in feats) == list(range(len(payloads)))
+    resized = resize_raw_images(df, 4, 4)
+    out = extract_media_features(resized.select("doc_id", "payload")).collect()
+    assert sorted(r["doc_id"] for r in out) == list(range(len(payloads)))
