@@ -762,3 +762,82 @@ def test_streaming_snapshot_diff_requires_checkpoint(spark, tmp_path):
 
     with pytest.raises(ValueError, match="checkpoint_path"):
         run_streaming_snapshot_diff(None, "x", "y", "")
+
+
+def test_streaming_url_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Stream≡batch for the ingest-tier URL keep-best: the incremental
+    bucketed state converges to exactly the batch url_dedup's kept rows,
+    a mid-stream crash retry converges (keep-best is idempotent), and
+    untouched buckets are not rewritten."""
+    import os
+
+    from token_etl_spark.operators.curation import url_dedup
+    from token_etl_spark.streaming.curation import (
+        _url_dedup_sink_batch,
+        read_url_dedup_state,
+        run_streaming_url_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(150)
+    # colliding crawl URLs: 3 spellings of one resource per id-group,
+    # quality = n_chars (longest wins, ties to smallest id)
+    k = F.col("doc_id") % 40
+    scheme = F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP://")).otherwise(
+        F.lit("https://")
+    )
+    q = F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=x")).otherwise(F.lit(""))
+    frame = docs.select(
+        "doc_id",
+        F.concat(
+            scheme, F.lit("Site.example.com/r/"), k.cast("string"), q
+        ).alias("url"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    ).localCheckpoint()
+
+    exp = {
+        (r["canon_url"], r["doc_id"])
+        for r in url_dedup(frame, quality_col="n_chars").where("kept").collect()
+    }
+
+    gens = [frame.where(F.col("doc_id") % 3 == g) for g in range(3)]
+    staged = _stage_ordered_files(tmp_path, gens, subdir="url_stream")
+    state = str(tmp_path / "url_state")
+    ckpt = str(tmp_path / "url_ckpt")
+
+    stream = (
+        spark.readStream.schema(frame.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(staged))
+    )
+    run_streaming_url_dedup(
+        stream, state, ckpt, n_buckets=8, quality_col="n_chars"
+    )
+    got = {
+        (r["canon_url"], r["doc_id"])
+        for r in read_url_dedup_state(spark, state).collect()
+    }
+    assert got == exp
+
+    # crash-retry convergence: re-apply an already-absorbed batch
+    _url_dedup_sink_batch(gens[1], state, n_buckets=8, quality_col="n_chars")
+    got2 = {
+        (r["canon_url"], r["doc_id"])
+        for r in read_url_dedup_state(spark, state).collect()
+    }
+    assert got2 == exp
+
+    # incremental layout: state is bucket-partitioned parquet
+    buckets = [d for d in os.listdir(state) if d.startswith("_bucket=")]
+    assert 1 < len(buckets) <= 8
+
+    # untouched buckets stay byte-identical: replay a one-row batch and
+    # check only its bucket dirs' mtimes move
+    import time
+
+    before = {d: os.stat(os.path.join(state, d)).st_mtime for d in buckets}
+    time.sleep(1.05)
+    one = frame.orderBy("doc_id").limit(1)
+    _url_dedup_sink_batch(one, state, n_buckets=8, quality_col="n_chars")
+    after = {d: os.stat(os.path.join(state, d)).st_mtime for d in buckets}
+    changed = [d for d in buckets if after[d] != before[d]]
+    assert 1 <= len(changed) < len(buckets)

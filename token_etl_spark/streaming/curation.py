@@ -934,3 +934,138 @@ def finalize_snapshot_diff(spark, old_path: str, diff_path: str) -> DataFrame:
         "id", F.lit("removed").alias("status")
     )
     return seen.select("id", "status").unionByName(removed)
+
+
+# ---------------------------------------------------------------------------
+# streaming URL-level dedup (ingest-tier keep-best)
+
+
+def _url_dedup_sink_batch(
+    batch_df: DataFrame,
+    state_path: str,
+    *,
+    n_buckets: int = 16,
+    url_col: str = "url",
+    quality_col: str | None = None,
+    id_col: str = "doc_id",
+) -> None:
+    """One micro-batch of :func:`run_streaming_url_dedup`: canonicalize
+    the batch's URLs, reduce to the batch's own best per canonical URL,
+    merge keep-best with the touched state buckets only, and rewrite
+    exactly those buckets (dynamic partition overwrite — the
+    ``io/sinks.upsert_by_key_incremental`` layout with keep-BEST instead
+    of keep-latest ordering).
+
+    Retries need no version/partition keying here, unlike the
+    append-shaped sinks: keep-best is an idempotent, commutative fold
+    (max under the (quality DESC, id ASC) order), so re-merging the same
+    batch — even into a state some buckets of which already absorbed it
+    before a crash — converges to the same rows."""
+    from pyspark.sql import Window
+
+    from token_etl_spark.io.sinks import _read_existing
+    from token_etl_spark.operators.curation import url_canonicalize
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    cols = ["canon_url", id_col] + ([quality_col] if quality_col else [])
+    canon = (
+        url_canonicalize(batch_df, url_col=url_col)
+        .select(*cols)
+        .withColumn(
+            "_bucket", F.pmod(F.xxhash64("canon_url"), F.lit(n_buckets)).cast("int")
+        )
+    )
+    order = (
+        [F.col(quality_col).desc(), F.col(id_col).asc()]
+        if quality_col
+        else [F.col(id_col).asc()]
+    )
+    existing = _read_existing(spark, state_path)
+    if existing is not None:
+        touched = sorted(
+            r[0] for r in canon.select("_bucket").distinct().collect()
+        )
+        affected = existing.filter(F.col("_bucket").isin(touched)).select(
+            canon.columns
+        )
+        merged = affected.unionByName(canon)
+    else:
+        merged = canon
+    w = Window.partitionBy("canon_url").orderBy(*order)
+    best = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        # materialize before overwriting partitions we just read from
+        .localCheckpoint(eager=True)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        best.write.mode("overwrite").partitionBy("_bucket").parquet(state_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def run_streaming_url_dedup(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    n_buckets: int = 16,
+    url_col: str = "url",
+    quality_col: str | None = None,
+    id_col: str = "doc_id",
+) -> None:
+    """Streaming twin of ``operators/curation.url_dedup`` — the FIRST
+    dedup tier run AT INGEST: state is one row per canonical URL (the
+    best document seen so far, highest ``quality_col`` then smallest
+    id), maintained incrementally as the crawl stream lands. No text is
+    ever compared or stored — the state is (canon_url, id, quality),
+    thin columns regardless of corpus width.
+
+    State shape at 100 TB: canonical URLs are hash-bucketed into
+    ``n_buckets`` parquet partitions; each micro-batch reads and
+    rewrites ONLY the buckets its keys land in (the incremental-upsert
+    MERGE approximation — |touched|/n_buckets of the state, driver list
+    bounded by n_buckets). Stream≡batch equivalence and crash-retry
+    convergence are pinned in tests/test_streaming_curation.py.
+
+    The final kept set equals the batch operator's ``kept`` rows only
+    under the batch contract's tie rules, which require ids unique
+    across the whole stream (re-deliveries of the same (id, quality)
+    row are absorbed idempotently)."""
+    if not checkpoint_path:
+        raise ValueError(
+            "checkpoint_path is required: it anchors Structured Streaming's "
+            "source tracking (exactly-once batch delivery into the sink)"
+        )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        _url_dedup_sink_batch(
+            batch_df,
+            state_path,
+            n_buckets=n_buckets,
+            url_col=url_col,
+            quality_col=quality_col,
+            id_col=id_col,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_url_dedup_state(spark, state_path: str) -> DataFrame | None:
+    """The kept (canon_url, id[, quality]) rows so far, bucket column
+    dropped; None before any batch landed."""
+    from token_etl_spark.io.sinks import _read_existing
+
+    df = _read_existing(spark, state_path)
+    return df.drop("_bucket") if df is not None else None
