@@ -786,8 +786,10 @@ def test_source_centroid_sim_matches_numpy(spark, vecs):
     for i, la in enumerate(labels):
         for lb in labels[i + 1 :]:
             na, nb = np.linalg.norm(cents[la]), np.linalg.norm(cents[lb])
-            if na == 0 or nb == 0:
-                # zero-norm centroid: cosine is NULL by declaration
+            if na * nb == 0:
+                # zero-norm centroid (incl. a subnormal product
+                # underflowing to 0): cosine is NULL by declaration —
+                # the production guard is on the PRODUCT
                 assert got[(la, lb)] is None, (la, lb)
                 continue
             exp = float(cents[la] @ cents[lb] / (na * nb))
@@ -805,6 +807,11 @@ def test_source_centroid_sim_matches_numpy(spark, vecs):
             st.binary(min_size=0, max_size=60).map(lambda b: b"RIFF" + b),
             st.binary(min_size=0, max_size=60).map(
                 lambda b: b"RIFF\x00\x00\x00\x00WAVE" + b
+            ),
+            # NONZERO riff size + garbage: stdlib wave's chunk skip seeks
+            # past end and raises BARE RuntimeError (fuzz-found crash)
+            st.binary(min_size=0, max_size=60).map(
+                lambda b: b"RIFF$\x08\x00\x00WAVE" + b
             ),
             st.binary(min_size=0, max_size=60).map(lambda b: b"\x89PNG\r\n\x1a\n" + b),
             st.binary(min_size=0, max_size=60).map(lambda b: b"\xff\xd8" + b),

@@ -165,3 +165,65 @@ def test_write_sorted_global_order_and_manifest(spark, tmp_path, sf_dir):
         part = spark.read.parquet(f"{path}/{r['file_name']}").collect()
         concat.extend((p["value"], p["event_id"]) for p in part)
     assert concat == sorted(concat)
+
+
+def test_bucket_count_marker_rejects_mismatched_merge(spark, tmp_path):
+    """A merge re-run with a different n_buckets must fail LOUDLY — a
+    mismatched bucketing silently duplicates keys across buckets."""
+    import pytest
+
+    from token_etl_spark.io.sinks import read_upserted, upsert_by_key_incremental
+
+    path = str(tmp_path / "marker_state")
+    rows = spark.createDataFrame([(f"k{i}", i) for i in range(20)], "_key string, v long")
+    upsert_by_key_incremental(spark, rows, path, n_buckets=8)
+    with pytest.raises(ValueError, match="n_buckets"):
+        upsert_by_key_incremental(spark, rows, path, n_buckets=16)
+    # the matching count still merges fine
+    upsert_by_key_incremental(spark, rows, path, n_buckets=8)
+    assert read_upserted(spark, path).count() == 20
+
+
+def test_bucket_swap_heals_interrupted_commit(spark, tmp_path):
+    """Crash windows of the staging swap, both sides: a COMPLETE staging
+    dir (with _SUCCESS) left by a crash mid-swap is finished by the next
+    merge — including a bucket whose final dir was already deleted — and
+    an INCOMPLETE staging dir (no _SUCCESS) is discarded."""
+    import os
+    import shutil
+
+    from token_etl_spark.io.sinks import read_upserted, upsert_by_key_incremental
+
+    path = str(tmp_path / "heal_state")
+    rows = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(30)], "_key string, v long"
+    )
+    upsert_by_key_incremental(spark, rows, path, n_buckets=4)
+    before = {r["_key"]: r["v"] for r in read_upserted(spark, path).collect()}
+
+    # simulate a crash mid-swap: copy the CURRENT state into .staging
+    # with updated values, mark complete, and delete one final bucket
+    staging = path + ".staging"
+    shutil.copytree(path, staging)
+    open(os.path.join(staging, "_SUCCESS"), "w").close()
+    os.remove(os.path.join(staging, "_n_buckets"))
+    victims = [d for d in os.listdir(path) if d.startswith("_bucket=")]
+    shutil.rmtree(os.path.join(path, victims[0]))
+
+    # next merge heals FIRST: nothing lost, then the batch applies
+    update = spark.createDataFrame([("k0", 999)], "_key string, v long")
+    upsert_by_key_incremental(spark, update, path, n_buckets=4)
+    after = {r["_key"]: r["v"] for r in read_upserted(spark, path).collect()}
+    assert set(after) == set(before)
+    assert after["k0"] == 999
+    assert all(after[k] == before[k] for k in after if k != "k0")
+    assert not os.path.exists(staging)
+
+    # incomplete staging (no _SUCCESS) is discarded, state untouched
+    shutil.copytree(path, staging)
+    for f in list(os.listdir(staging)):
+        if f == "_SUCCESS":
+            os.remove(os.path.join(staging, f))
+    upsert_by_key_incremental(spark, update, path, n_buckets=4)
+    assert not os.path.exists(staging)
+    assert {r["_key"]: r["v"] for r in read_upserted(spark, path).collect()} == after

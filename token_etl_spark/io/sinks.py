@@ -99,6 +99,123 @@ def upsert_by_key(
     deduped.unpersist()
 
 
+def _bucket_fs(spark: SparkSession, path: str):
+    """(Hadoop FileSystem, Path constructor) for ``path`` — the
+    filesystem-agnostic handle (local, HDFS, mounted object store)."""
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path
+    return hpath(path).getFileSystem(sc._jsc.hadoopConfiguration()), hpath
+
+
+def _check_bucket_count(spark: SparkSession, path: str, n_buckets: int) -> None:
+    """Validate ``n_buckets`` against the state's persisted marker: a key
+    lives entirely inside its ``pmod(hash, n_buckets)`` bucket, so a
+    merge run with a DIFFERENT bucket count would read the wrong touched
+    set and silently duplicate keys across buckets. Trust-on-first-use:
+    the first write records the marker; every later merge must match or
+    gets a loud ValueError. A legacy dir with no marker adopts the
+    current value (and is marked from then on)."""
+    fs, hpath = _bucket_fs(spark, path)
+    marker = hpath(path.rstrip("/") + "/_n_buckets")
+    if fs.exists(marker):
+        stream = fs.open(marker)
+        try:
+            recorded = int(bytes(stream.readAllBytes()).decode().strip())
+        finally:
+            stream.close()
+        if recorded != n_buckets:
+            raise ValueError(
+                f"bucketed state at {path} was written with n_buckets="
+                f"{recorded}, merge called with n_buckets={n_buckets}: "
+                "mismatched bucketing silently duplicates keys — pass the "
+                "original bucket count"
+            )
+    elif fs.exists(hpath(path)):
+        out = fs.create(marker, True)
+        try:
+            out.write(str(n_buckets).encode())
+        finally:
+            out.close()
+
+
+def _heal_bucket_swap(spark: SparkSession, path: str) -> None:
+    """Crash recovery for the per-bucket staging swap: a COMPLETE staging
+    dir (its ``_SUCCESS`` job marker exists — the swap only starts after
+    the staging write returned) is finished — every staged bucket
+    replaces its final counterpart; an INCOMPLETE staging dir (no
+    ``_SUCCESS``: crash mid-write) is discarded — the stream's retry of
+    the same batch rewrites it. Single-writer contract (one stream per
+    state dir), same as every state sink in this package."""
+    fs, hpath = _bucket_fs(spark, path)
+    staging = path.rstrip("/") + ".staging"
+    sp = hpath(staging)
+    if not fs.exists(sp):
+        return
+    if fs.exists(hpath(staging + "/_SUCCESS")):
+        fs.mkdirs(hpath(path))
+        for st in fs.listStatus(sp):
+            name = st.getPath().getName()
+            if not name.startswith("_bucket="):
+                continue
+            dst = hpath(path.rstrip("/") + "/" + name)
+            if fs.exists(dst):
+                fs.delete(dst, True)
+            if not fs.rename(st.getPath(), dst):
+                raise IOError(f"bucket swap failed: {name} -> {path}")
+    fs.delete(sp, True)
+
+
+def merge_touched_buckets(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    merge,
+    n_buckets: int,
+    bucket_col: str = "_bucket",
+) -> None:
+    """The touched-bucket MERGE approximation, shared by the incremental
+    upsert sink (keep-latest) and the streaming URL-dedup state
+    (keep-best): ``batch`` already carries ``bucket_col``; ``merge(
+    affected_or_None, batch) -> DataFrame`` collapses the union to one
+    row per key (still carrying ``bucket_col``). Only the buckets the
+    batch touches are read, merged, and replaced; the driver-side bucket
+    list is bounded by ``n_buckets``, never by data size.
+
+    Commit protocol: the merged buckets are written to a sibling
+    ``.staging`` dir first, then each staged bucket dir REPLACES its
+    final counterpart via rename — so a crash can never leave a bucket
+    half-written, and :func:`_heal_bucket_swap` (run at the start of
+    every merge) finishes or discards an interrupted swap using the
+    staging write's ``_SUCCESS`` marker as the completeness signal.
+    The remaining exposure is bounded to the healed window — unlike a
+    dynamic-partition overwrite, whose delete-then-move inside the
+    committer can lose a bucket's PRIOR rows with nothing on disk to
+    recover from. ``n_buckets`` is validated against the state's
+    persisted marker (:func:`_check_bucket_count`)."""
+    _heal_bucket_swap(spark, path)
+    _check_bucket_count(spark, path, n_buckets)
+    existing = _read_existing(spark, path)
+    if existing is None:
+        affected = None
+        merged = merge(None, batch)
+    else:
+        touched = sorted(
+            r[0] for r in batch.select(bucket_col).distinct().collect()
+        )
+        affected = existing.filter(F.col(bucket_col).isin(touched))
+        merged = merge(affected, batch)
+    staging = path.rstrip("/") + ".staging"
+    merged.write.mode("overwrite").partitionBy(bucket_col).parquet(staging)
+    fs, hpath = _bucket_fs(spark, path)
+    if not fs.exists(hpath(staging + "/_SUCCESS")):
+        raise IOError(
+            f"staging write at {staging} left no _SUCCESS marker — refusing "
+            "to swap (set mapreduce.fileoutputcommitter.marksuccessfuljobs)"
+        )
+    _heal_bucket_swap(spark, path)  # the swap IS the heal of a complete staging
+    _check_bucket_count(spark, path, n_buckets)  # first write: record marker
+
+
 def upsert_by_key_incremental(
     spark: SparkSession,
     new_df: DataFrame,
@@ -112,36 +229,26 @@ def upsert_by_key_incremental(
     (ROADMAP 3 — the lakehouse-free approximation of MERGE INTO).
 
     A key lives entirely inside its ``pmod(xxhash64(key), n_buckets)``
-    bucket, so per-bucket merge + dynamic partition overwrite preserves
-    upsert-by-key semantics while leaving untouched buckets' files alone.
-    At 100 TB with a well-sized bucket count, a small batch rewrites
-    |touched buckets| / n_buckets of the table instead of all of it; the
-    bucket list collected to the driver is bounded by ``n_buckets``, never
-    by data size.
+    bucket, so per-bucket merge preserves upsert-by-key semantics while
+    leaving untouched buckets' files alone. At 100 TB with a well-sized
+    bucket count, a small batch rewrites |touched buckets| / n_buckets
+    of the table instead of all of it. Commit + crash recovery + bucket-
+    count validation via :func:`merge_touched_buckets`.
     """
     batch = new_df.withColumn(
         "_bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
     )
-    existing = _read_existing(spark, path)
 
-    if existing is None:
-        merged = batch.withColumn(version_col, F.lit(1).cast("long"))
-    else:
-        touched = sorted(r[0] for r in batch.select("_bucket").distinct().collect())
-        affected = existing.filter(F.col("_bucket").isin(touched))
-        next_version = affected.agg(F.max(version_col)).collect()[0][0] or 0
-        batch = batch.withColumn(version_col, F.lit(next_version + 1).cast("long"))
-        merged = affected.select(batch.columns).unionByName(batch)
+    def _merge(affected: DataFrame | None, b: DataFrame) -> DataFrame:
+        if affected is None:
+            merged = b.withColumn(version_col, F.lit(1).cast("long"))
+        else:
+            next_version = affected.agg(F.max(version_col)).collect()[0][0] or 0
+            b = b.withColumn(version_col, F.lit(next_version + 1).cast("long"))
+            merged = affected.select(b.columns).unionByName(b)
+        return _latest_per_key(merged, key, version_col)
 
-    deduped = _latest_per_key(merged, key, version_col)
-    # Materialize before overwriting partitions we just read from.
-    deduped = deduped.localCheckpoint(eager=True)
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        deduped.write.mode("overwrite").partitionBy("_bucket").parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    merge_touched_buckets(spark, batch, path, _merge, n_buckets)
 
 
 def read_upserted(spark: SparkSession, path: str) -> DataFrame:

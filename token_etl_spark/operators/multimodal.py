@@ -226,7 +226,11 @@ def decode_wav(payload: bytes) -> dict | None:
                 w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes(),
             )
             raw = w.readframes(n_frames)
-    except (wave.Error, EOFError):
+    # RuntimeError: stdlib wave raises it BARE (not wave.Error) when a
+    # truncated RIFF chunk seeks past end-of-payload — exactly what an
+    # interrupted crawl download produces (fuzz-found; the contract is
+    # None/degraded, never a crashed executor task)
+    except (wave.Error, EOFError, RuntimeError):
         return None
     dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sampwidth)
     if dtype is None:

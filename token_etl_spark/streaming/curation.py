@@ -950,11 +950,11 @@ def _url_dedup_sink_batch(
     id_col: str = "doc_id",
 ) -> None:
     """One micro-batch of :func:`run_streaming_url_dedup`: canonicalize
-    the batch's URLs, reduce to the batch's own best per canonical URL,
-    merge keep-best with the touched state buckets only, and rewrite
-    exactly those buckets (dynamic partition overwrite — the
-    ``io/sinks.upsert_by_key_incremental`` layout with keep-BEST instead
-    of keep-latest ordering).
+    the batch's URLs and merge keep-best into the touched state buckets
+    only, via the shared :func:`io.sinks.merge_touched_buckets` commit
+    (staging + per-bucket rename swap, crash-healed, bucket-count
+    validated — the one written-down touched-bucket MERGE, keep-BEST
+    ordering here vs the upsert sink's keep-latest).
 
     Retries need no version/partition keying here, unlike the
     append-shaped sinks: keep-best is an idempotent, commutative fold
@@ -963,7 +963,7 @@ def _url_dedup_sink_batch(
     before a crash — converges to the same rows."""
     from pyspark.sql import Window
 
-    from token_etl_spark.io.sinks import _read_existing
+    from token_etl_spark.io.sinks import merge_touched_buckets
     from token_etl_spark.operators.curation import url_canonicalize
 
     if batch_df.isEmpty():
@@ -976,37 +976,27 @@ def _url_dedup_sink_batch(
         .withColumn(
             "_bucket", F.pmod(F.xxhash64("canon_url"), F.lit(n_buckets)).cast("int")
         )
+        # materialize ONCE: the touched-bucket collect and the merge job
+        # both consume this frame — without the checkpoint each would
+        # re-run the multi-stage canonicalization regexes over the batch
+        .localCheckpoint(eager=True)
     )
     order = (
         [F.col(quality_col).desc(), F.col(id_col).asc()]
         if quality_col
         else [F.col(id_col).asc()]
     )
-    existing = _read_existing(spark, state_path)
-    if existing is not None:
-        touched = sorted(
-            r[0] for r in canon.select("_bucket").distinct().collect()
+
+    def _merge(affected: DataFrame | None, b: DataFrame) -> DataFrame:
+        merged = b if affected is None else affected.select(b.columns).unionByName(b)
+        w = Window.partitionBy("canon_url").orderBy(*order)
+        return (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
         )
-        affected = existing.filter(F.col("_bucket").isin(touched)).select(
-            canon.columns
-        )
-        merged = affected.unionByName(canon)
-    else:
-        merged = canon
-    w = Window.partitionBy("canon_url").orderBy(*order)
-    best = (
-        merged.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-        # materialize before overwriting partitions we just read from
-        .localCheckpoint(eager=True)
-    )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        best.write.mode("overwrite").partitionBy("_bucket").parquet(state_path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    merge_touched_buckets(spark, canon, state_path, _merge, n_buckets)
 
 
 def run_streaming_url_dedup(
@@ -1027,10 +1017,12 @@ def run_streaming_url_dedup(
 
     State shape at 100 TB: canonical URLs are hash-bucketed into
     ``n_buckets`` parquet partitions; each micro-batch reads and
-    rewrites ONLY the buckets its keys land in (the incremental-upsert
-    MERGE approximation — |touched|/n_buckets of the state, driver list
-    bounded by n_buckets). Stream≡batch equivalence and crash-retry
-    convergence are pinned in tests/test_streaming_curation.py.
+    rewrites ONLY the buckets its keys land in (the shared
+    ``io/sinks.merge_touched_buckets`` MERGE — |touched|/n_buckets of
+    the state, driver list bounded by n_buckets, staging + per-bucket
+    rename commit with crash healing, persisted bucket-count marker).
+    Stream≡batch equivalence and crash-retry convergence are pinned in
+    tests/test_streaming_curation.py.
 
     The final kept set equals the batch operator's ``kept`` rows only
     under the batch contract's tie rules, which require ids unique
