@@ -227,3 +227,36 @@ def test_bucket_swap_heals_interrupted_commit(spark, tmp_path):
     upsert_by_key_incremental(spark, update, path, n_buckets=4)
     assert not os.path.exists(staging)
     assert {r["_key"]: r["v"] for r in read_upserted(spark, path).collect()} == after
+
+
+def test_upsert_full_swap_heals_and_discards(spark, tmp_path):
+    """The whole-table upsert commits via staging+swap: a complete
+    staging dir left by a crash supersedes the final table on the next
+    upsert; an incomplete one is discarded."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "full_swap")
+    mk = lambda rows: spark.createDataFrame(rows, "_key string, v long")
+    upsert_by_key(spark, mk([("a", 1), ("b", 1)]), path)
+
+    # complete staging (a crashed swap that had already finished its
+    # write): heal must install it over the stale final table
+    staging = path + ".staging"
+    shutil.copytree(path, staging)
+    newer = mk([("a", 99), ("b", 1)]).withColumn("_ingest_version", F.lit(7).cast("long"))
+    shutil.rmtree(staging)
+    newer.write.parquet(staging)
+    assert os.path.exists(os.path.join(staging, "_SUCCESS"))
+    upsert_by_key(spark, mk([("c", 5)]), path)
+    got = {r["_key"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {"a": 99, "b": 1, "c": 5}
+    assert not os.path.exists(staging)
+
+    # incomplete staging: discarded, state keeps its committed rows
+    os.makedirs(staging)
+    open(os.path.join(staging, "part-garbage.parquet"), "w").write("x")
+    upsert_by_key(spark, mk([("d", 6)]), path)
+    got = {r["_key"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {"a": 99, "b": 1, "c": 5, "d": 6}
+    assert not os.path.exists(staging)

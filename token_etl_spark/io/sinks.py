@@ -77,7 +77,16 @@ def upsert_by_key(
     ``keep.null=true`` parity: nulls in the new batch overwrite (we keep
     whole-row latest, which the reference's document-update also does for
     supplied fields).
+
+    Commit protocol: the merged table is written to a sibling
+    ``.staging`` dir and swapped in via rename — an in-place overwrite
+    of the ONLY copy would lose the whole table on a crash mid-write.
+    :func:`_heal_full_swap` (run first) finishes a crash-interrupted
+    swap (complete staging, ``_SUCCESS`` present) or discards an
+    incomplete staging write. Single-writer contract, like every state
+    sink in this package.
     """
+    _heal_full_swap(spark, path)
     existing = _read_existing(spark, path)
 
     if existing is not None:
@@ -91,12 +100,41 @@ def upsert_by_key(
 
     deduped = _latest_per_key(merged, key, version_col)
 
-    # Write via a temp location then swap is unnecessary for tests; we
-    # materialize to avoid reading and overwriting the same files in one job.
-    deduped.persist()
-    deduped.count()
-    write_parquet(deduped, path, mode="overwrite")
-    deduped.unpersist()
+    staging = path.rstrip("/") + ".staging"
+    write_parquet(deduped, staging, mode="overwrite")
+    fs, hpath = _bucket_fs(spark, path)
+    if not fs.exists(hpath(staging + "/_SUCCESS")):
+        raise IOError(
+            f"staging write at {staging} left no _SUCCESS marker — refusing "
+            "to swap (set mapreduce.fileoutputcommitter.marksuccessfuljobs)"
+        )
+    dst = hpath(path)
+    if fs.exists(dst):
+        fs.delete(dst, True)
+    if not fs.rename(hpath(staging), dst):
+        raise IOError(f"upsert swap failed: rename {staging} -> {path}")
+
+
+def _heal_full_swap(spark: SparkSession, path: str) -> None:
+    """Crash recovery for the whole-table staging swap
+    (:func:`upsert_by_key`): a COMPLETE staging dir (``_SUCCESS``
+    present — the swap only starts after the staging write returned)
+    strictly supersedes whatever final state exists, so finish the
+    swap; an INCOMPLETE one (crash mid-write) is discarded — the
+    caller's retry rewrites it."""
+    fs, hpath = _bucket_fs(spark, path)
+    staging = path.rstrip("/") + ".staging"
+    sp = hpath(staging)
+    if not fs.exists(sp):
+        return
+    if fs.exists(hpath(staging + "/_SUCCESS")):
+        dst = hpath(path)
+        if fs.exists(dst):
+            fs.delete(dst, True)
+        if not fs.rename(sp, dst):
+            raise IOError(f"upsert swap recovery failed: {staging} -> {path}")
+    else:
+        fs.delete(sp, True)
 
 
 def _bucket_fs(spark: SparkSession, path: str):
