@@ -495,3 +495,43 @@ def test_read_partitioned_state_excludes_key_against_legacy_int_partitions(
     assert {r["id"] for r in out.collect()} == {1, 2}  # nothing lost
     out2 = _read_partitioned_state(spark, base, exclude_key="0")
     assert {r["id"] for r in out2.collect()} == {2}
+
+
+def test_neardup_threshold_curve_over_stream_state(spark, tmp_path):
+    """The live curve over the stream's accumulated matches equals the
+    batch curve over the same pairs; None before any state exists."""
+    from token_etl_spark.operators.dedup import dedup_threshold_curve
+    from token_etl_spark.streaming.dedup import (
+        _neardup_sink_batch,
+        _batch_partition_key,
+        neardup_threshold_curve,
+        read_neardup_matches,
+    )
+
+    assert neardup_threshold_curve(spark, str(tmp_path / "nowhere")) is None
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    gen0 = mk([(i, f"base document number {i} on topic {i} with words") for i in range(12)])
+    # recrawl under fresh ids -> exact matches at jaccard 1.0
+    gen1 = mk(
+        [(100 + i, f"base document number {i} on topic {i} with words") for i in range(6)]
+        + [(200, "entirely new content matching nothing else here")]
+    )
+    idx, mat = str(tmp_path / "idx"), str(tmp_path / "mat")
+    ck = str(tmp_path / "ck")
+    for b, frame in enumerate((gen0, gen1)):
+        _neardup_sink_batch(
+            frame, _batch_partition_key(ck, b), idx, matches_path=mat, threshold=0.5
+        )
+    got = {
+        (r["band_lo"], r["n_pairs"], r["n_pairs_at_or_above"])
+        for r in neardup_threshold_curve(spark, mat).collect()
+    }
+    exp_pairs = read_neardup_matches(spark, mat).select(
+        F.col("id_new").alias("id_a"), F.col("id_ref").alias("id_b"), "jaccard"
+    )
+    exp = {
+        (r["band_lo"], r["n_pairs"], r["n_pairs_at_or_above"])
+        for r in dedup_threshold_curve(exp_pairs).collect()
+    }
+    assert got == exp and got

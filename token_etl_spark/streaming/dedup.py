@@ -318,3 +318,26 @@ def compact_state_partitions(
     )
     _swap_state_dir(spark, staging, path)
     return n_parts
+
+
+def neardup_threshold_curve(spark: SparkSession, matches_path: str, step: float = 0.05):
+    """Threshold-tuning curve over every pair the neardup stream has
+    verified so far (``operators/dedup.dedup_threshold_curve`` on the
+    accumulated matches state) — the live report a crawl-dedup owner
+    watches to re-fit the Jaccard cutoff without a batch re-run. The
+    matches state is already band-capped and linear-ish; the curve adds
+    one combinable count plus a window over ≤ 1/step + 1 rows. Returns
+    None before any match has been recorded."""
+    from token_etl_spark.operators.dedup import dedup_threshold_curve
+
+    pairs = read_neardup_matches(spark, matches_path)
+    if pairs is None:
+        return None
+    return dedup_threshold_curve(
+        pairs.select(
+            F.col("id_new").alias("id_a"),
+            F.col("id_ref").alias("id_b"),
+            "jaccard",
+        ),
+        step=step,
+    )
