@@ -840,3 +840,45 @@ def test_media_decoders_never_crash_on_fuzzed_payloads(spark, payloads):
     resized = resize_raw_images(df, 4, 4)
     out = extract_media_features(resized.select("doc_id", "payload")).collect()
     assert sorted(r["doc_id"] for r in out) == list(range(len(payloads)))
+
+
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=12),
+                st.integers(min_value=0, max_value=1000),
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    n_buckets=st.sampled_from([2, 4, 16]),
+)
+@FAST
+def test_incremental_upsert_equals_full_upsert(spark, tmp_path_factory, batches, n_buckets):
+    """The touched-bucket merge (staging-swap commit) is semantically
+    identical to the whole-table upsert for ANY batch sequence and
+    bucket count: same surviving (key, value) per key after every
+    sequence — keep-latest across batches, deterministic within one."""
+    from token_etl_spark.io.sinks import (
+        read_upserted,
+        upsert_by_key,
+        upsert_by_key_incremental,
+    )
+
+    s = _get(spark)
+    base = tmp_path_factory.mktemp("ups")
+    full_p, inc_p = str(base / "full"), str(base / "inc")
+    for batch in batches:
+        # dedup keys within a batch (within-batch winner is hash-tie
+        # arbitrary-but-stable; pin the comparison on deterministic input)
+        rows = list({k: (f"k{k}", v) for k, v in batch}.values())
+        df = s.createDataFrame(rows, "_key string, v long")
+        upsert_by_key(s, df, full_p)
+        upsert_by_key_incremental(s, df, inc_p, n_buckets=n_buckets)
+    full = {r["_key"]: r["v"] for r in read_upserted(s, full_p).collect()}
+    inc = {r["_key"]: r["v"] for r in read_upserted(s, inc_p).collect()}
+    assert full == inc
