@@ -29,13 +29,24 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns. CONTRACT: both
+    vectors nonzero (the embedding-table invariant, same as
+    ``quantize_vec``) — a zero operand is an upstream data bug and
+    raises ANSI DIVIDE_BY_ZERO rather than silently scoring 0/NaN.
+    Derived vectors with a legitimate zero case (label centroids, where
+    members can cancel) guard their own division instead
+    (``source_centroid_similarity``)."""
     return dot(a, b) / (norm(a) * norm(b))
 
 
 def l2_normalize(a: Column) -> Column:
     """Unit-normalize an array<double> column (JVM-side). On the unit
     sphere cosine similarity reduces to a plain dot product, which is what
-    spherical k-means exploits."""
+    spherical k-means exploits. Same nonzero-input contract as
+    :func:`cosine`; a cluster mean of exactly zero (members cancelling
+    bit-perfectly) would raise loudly here, which is the wanted
+    behavior for a quantizer — a directionless centroid is a training
+    bug, not a value."""
     n = norm(a)
     return F.transform(a, lambda x: x / n)
 
