@@ -99,6 +99,28 @@ def test_parse_image_header_real_formats():
     assert parse_image_header(b"\x89PNG\r\n\x1a\n tru") is None  # truncated
 
 
+def test_parse_image_header_rejects_out_of_int32_dims():
+    """Header-sniffed dims are untrusted (VERDICT r9 item 1): PNG's
+    unsigned-32 fields can carry >= 2**31, and a top-down BMP height of
+    exactly -2**31 abs()-es to +2**31 — both must be rejected (None →
+    kind='unknown' downstream), never flow into the int32 columns where
+    they crash Arrow serialization of the whole batch. Boundary values
+    just inside the range stay accepted, zero dims are degenerate."""
+    import struct
+
+    from token_etl_spark.operators.multimodal import parse_image_header
+
+    assert parse_image_header(_png(2**31, 1)) is None
+    assert parse_image_header(_png(1, 2**32 - 1)) is None
+    assert parse_image_header(_png(2**31 - 1, 2**31 - 1)) == ("png", 2**31 - 1, 2**31 - 1)
+    assert parse_image_header(_png(0, 480)) is None  # zero dim = degenerate
+    # BMP top-down height of INT32_MIN: struct.pack needs the raw value
+    bmp_min = b"BM" + b"\x00" * 16 + struct.pack("<ii", 1, -(2**31)) + b"\x00" * 8
+    assert parse_image_header(bmp_min) is None
+    assert parse_image_header(_bmp(1, 2**31 - 1, topdown=True)) == ("bmp", 1, 2**31 - 1)
+    assert parse_image_header(_bmp(0, 1)) is None
+
+
 def test_decode_headers_mode_mixed_corpus(spark):
     """decode_stub='headers' extracts true dims for real image payloads
     inside the Arrow batch contract; non-image payloads fall back to the

@@ -50,16 +50,25 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
     predicates (drop icons, keep ≥ 224×224) prune payloads before any
     real decoder spends CPU on them — the same role the metadata struct
     plays for row-group pruning, one level deeper into the bytes.
+
+    Header-sniffed dimensions are UNTRUSTED input: PNG carries unsigned
+    32-bit fields (up to 4,294,967,295) and a top-down BMP height of
+    exactly -2**31 abs()-es to +2**31 — both overflow the int32
+    width/height columns downstream and would crash the whole Arrow
+    batch on one malformed document. ``_valid_dims`` rejects any dim
+    outside (0, 2**31) as garbage (a multi-gigapixel claim in a header
+    is inherently malformed); callers then degrade to kind='unknown'.
     """
     if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
         w, h = struct.unpack(">II", payload[16:24])
-        return ("png", w, h)
+        return ("png", w, h) if _valid_dims(w, h) else None
     if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
         w, h = struct.unpack("<HH", payload[6:10])
-        return ("gif", w, h)
+        return ("gif", w, h) if _valid_dims(w, h) else None
     if payload[:2] == b"BM" and len(payload) >= 26:
         w, h = struct.unpack("<ii", payload[18:26])
-        return ("bmp", w, abs(h))  # negative height = top-down DIB
+        h = abs(h)  # negative height = top-down DIB; abs(-2**31) = 2**31 is caught below
+        return ("bmp", w, h) if _valid_dims(w, h) else None
     if payload[:2] == b"\xff\xd8":  # JPEG: walk segments to a SOF marker
         i = 2
         while i + 9 <= len(payload):
@@ -74,9 +83,17 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
             seglen = struct.unpack(">H", payload[i + 2 : i + 4])[0]
             if marker in (0xC0, 0xC1, 0xC2, 0xC3) and i + 9 <= len(payload):
                 h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
-                return ("jpeg", w, h)
+                return ("jpeg", w, h) if _valid_dims(w, h) else None
             i += 2 + seglen
     return None
+
+
+def _valid_dims(w: int, h: int) -> bool:
+    """Sniffed dimensions must fit the int32 output columns and be
+    physically plausible: strictly positive and < 2**31. A zero dim is
+    a degenerate image; anything ≥ 2**31 cannot be represented in the
+    declared schema and kills Arrow serialization of the batch."""
+    return 0 < w < 2**31 and 0 < h < 2**31
 
 DECODED_SCHEMA = (
     "doc_id bigint, media_type string, byte_len int, width int, height int, n_frames int, checksum string"
