@@ -204,3 +204,31 @@ def test_ivf_search_dynamic_partition_pruning_survives_salt(spark, tmp_path):
         res.explain("formatted")
     plan = buf.getvalue()
     assert "dynamicpruningexpression(centroid_id" in plan
+
+
+def test_ivf_search_frames_matches_persisted_path(spark, tmp_path):
+    """ext_ann_ivf_search's in-plan composition (build_ivf_index_frames
+    → ivf_search_frames) is the IDENTICAL logic the persisted path runs
+    (build_ivf_index writes exactly those frames; ivf_search delegates
+    to ivf_search_frames after its parquet reads) — pinned end to end:
+    same (query, neighbor, rank) sets for the same corpus and external
+    queries, including an id-colliding one."""
+    from token_etl_spark.operators.similarity import (
+        build_ivf_index,
+        build_ivf_index_frames,
+        ivf_search,
+        ivf_search_frames,
+    )
+
+    corpus = _corpus(spark, n=120)
+    # external namespace: ids collide with corpus 0..3 but vectors are reversed
+    queries = corpus.filter(F.col("vec_id") < 4).select(
+        "vec_id", F.reverse(F.col("embedding")).alias("embedding")
+    )
+    path = str(tmp_path / "ivf_frames_eq")
+    build_ivf_index(corpus, path, n_centroids=4, refine_iters=2)
+    persisted = _topk_sets(ivf_search(spark, path, queries, k=5, n_probe=2))
+
+    cents, assigned = build_ivf_index_frames(corpus, n_centroids=4, refine_iters=2)
+    inplan = _topk_sets(ivf_search_frames(cents, assigned, queries, k=5, n_probe=2))
+    assert inplan == persisted

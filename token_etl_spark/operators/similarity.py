@@ -564,6 +564,34 @@ def ivf_topk(
     return _cell_join_topk(probes, assigned, k)
 
 
+def build_ivf_index_frames(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    refine_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The index-build logic of :func:`build_ivf_index` as lazy frames:
+    returns ``(centroids, assignments)`` — the spherical-k-means quantizer
+    (or the caller-shared pre-trained ``centroids``) and the corpus keyed
+    by centroid cell. :func:`build_ivf_index` persists exactly these
+    frames; a declared query can instead feed them straight into
+    :func:`ivf_search_frames`, exercising the identical build+serve logic
+    without a plan-build write job."""
+    cents = (
+        centroids
+        if centroids is not None
+        else spherical_kmeans(corpus, n_centroids, refine_iters, id_col, vec_col)
+    ).select("centroid_id", "centroid_vec")
+    base = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    assigned = _assign_to_centroids(base, F.broadcast(cents))
+    return cents, assigned
+
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -581,16 +609,43 @@ def build_ivf_index(
     assignments table is the corpus re-partitioned once; each probe reads
     only n_probe/n_centroids of it via partition pruning.
     """
-    cents = spherical_kmeans(corpus, n_centroids, refine_iters, id_col, vec_col)
-    base = corpus.select(
-        F.col(id_col).alias("corpus_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
+    cents, assigned = build_ivf_index_frames(
+        corpus, n_centroids, refine_iters, id_col, vec_col
     )
-    assigned = _assign_to_centroids(base, F.broadcast(cents))
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
         f"{path}/assignments"
     )
+
+
+def ivf_search_frames(
+    cents: DataFrame,
+    assigned: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The serving logic of :func:`ivf_search` over already-loaded index
+    frames (``(centroid_id, centroid_vec)`` and
+    ``(corpus_id, cv, centroid_id)``): broadcast centroid ranking per
+    query, then the salted cell join with ``exclude_self=False`` — the
+    external-namespace contract. :func:`ivf_search` delegates here after
+    its parquet reads, so a declared query exercising this function
+    exercises the exact code path a production cluster serves through."""
+    cents = F.broadcast(cents)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    q_scored = q.join(cents).withColumn("sim", cosine(F.col("qv"), F.col("centroid_vec")))
+    wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    probes = (
+        q_scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "centroid_id")
+    )
+    return _cell_join_topk(probes, assigned, k, exclude_self=False)
 
 
 def ivf_search(
@@ -614,19 +669,9 @@ def ivf_search(
     row is a legitimate neighbor and is kept (pinned by the colliding-id
     test in ``tests/test_similarity.py``).
     """
-    cents = F.broadcast(spark.read.parquet(f"{path}/centroids"))
+    cents = spark.read.parquet(f"{path}/centroids")
     assigned = spark.read.parquet(f"{path}/assignments")
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
-    )
-    q_scored = q.join(cents).withColumn("sim", cosine(F.col("qv"), F.col("centroid_vec")))
-    wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
-    probes = (
-        q_scored.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= n_probe)
-        .select("query_id", "qv", "centroid_id")
-    )
-    return _cell_join_topk(probes, assigned, k, exclude_self=False)
+    return ivf_search_frames(cents, assigned, queries, k, n_probe, id_col, vec_col)
 
 
 def quantize_vec(v: Column) -> Column:

