@@ -2833,6 +2833,90 @@ FROM h LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q_multimodal_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The header-sniff + dimension-VALIDATION path, driver-proven
+    (r10, closing the r9 int32-overflow crash class): synthesize real
+    PNG / GIF / BMP / JPEG / top-down-BMP headers IN-ENGINE — width and
+    height derived from doc_id, encoded into the container's actual
+    byte layout (big-endian IHDR, little-endian GIF/BMP descriptors,
+    JPEG SOF0 segment, two's-complement negative height for the
+    top-down DIB) — plus an ADVERSARIAL variant whose PNG width field
+    carries 0x80000000 (= 2**31, the exact value that crashed the Arrow
+    batch before the fix). ``extract_media_features`` must parse each
+    real header back to its source dimensions and degrade the
+    out-of-int32 row to kind='unknown'/NULL, never crash.
+
+    The oracle replays the construction arithmetic (kind/width/height
+    as pure doc_id functions); the Spark side round-trips through the
+    genuine byte encode → magic-dispatch → endianness-aware parse →
+    range validation, so any sniffing or validation bug hash-mismatches.
+
+    100 TB shape: payload synthesis is a narrow doc_id-only projection
+    on the scan (no text read — column pruning leaves a 1-column
+    parquet scan), one Arrow-batched mapInPandas, no joins.
+    """
+    docs = t(spark, sf_dir, "documents")
+
+    def hex8(c):  # fixed-width hex of a non-negative long
+        return F.lpad(F.hex(c), 8, "0")
+
+    def be32(c):
+        return F.unhex(hex8(c))
+
+    def be16(c):
+        return F.unhex(F.lpad(F.hex(c), 4, "0"))
+
+    def le32(c):
+        h = hex8(c)
+        return F.unhex(
+            F.concat(
+                F.substring(h, 7, 2), F.substring(h, 5, 2),
+                F.substring(h, 3, 2), F.substring(h, 1, 2),
+            )
+        )
+
+    def le16(c):
+        h = F.lpad(F.hex(c), 4, "0")
+        return F.unhex(F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2)))
+
+    w = F.col("doc_id") % 640 + 1
+    h = (F.col("doc_id") * 7) % 480 + 1
+    variant = F.col("doc_id") % 6
+    png_pre = F.lit(bytearray(b"\x89PNG\r\n\x1a\n\x00\x00\x00\x0dIHDR"))
+    bmp_pre = F.lit(bytearray(b"BM" + b"\x00" * 16))
+    payload = (
+        F.when(variant == 0, F.concat(png_pre, be32(w), be32(h)))
+        .when(variant == 1, F.concat(F.lit(bytearray(b"GIF89a")), le16(w), le16(h)))
+        .when(variant == 2, F.concat(bmp_pre, le32(w), le32(h)))
+        .when(
+            variant == 3,
+            F.concat(F.lit(bytearray(b"\xff\xd8\xff\xc0\x00\x11\x08")), be16(h), be16(w)),
+        )
+        # width field = 0x80000000: a syntactically valid PNG header whose
+        # unsigned-32 width is 2**31 — must reject to unknown, not crash
+        .when(variant == 4, F.concat(png_pre, F.unhex(F.lit("80000000")), be32(h)))
+        # top-down DIB: height stored negative (two's complement LE32)
+        .otherwise(F.concat(bmp_pre, le32(w), le32(F.lit(2**32) - h)))
+    )
+    frame = docs.select("doc_id", payload.alias("payload"))
+    return extract_media_features(frame).select("doc_id", "kind", "width", "height")
+
+
+SQL_MULTIMODAL_HEADERS = """
+WITH d AS (
+  SELECT doc_id, doc_id % 6 AS variant,
+         CAST(doc_id % 640 + 1 AS INT) AS w,
+         CAST((doc_id * 7) % 480 + 1 AS INT) AS h
+  FROM documents)
+SELECT doc_id,
+       CASE variant WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'bmp'
+                    WHEN 3 THEN 'jpeg' WHEN 4 THEN 'unknown' ELSE 'bmp' END AS kind,
+       CASE WHEN variant = 4 THEN NULL ELSE w END AS width,
+       CASE WHEN variant = 4 THEN NULL ELSE h END AS height
+FROM d
+"""
+
+
 def q_user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA of event values (applyInPandas recurrence — the one
     operator family where the Pandas path is genuinely required). The
@@ -3236,6 +3320,7 @@ SPECS = [
     QuerySpec("ext_multimodal_decode", q_multimodal_decode, SQL_MULTIMODAL_DECODE, ("multimodal",)),
     QuerySpec("ext_multimodal_pixels", q_multimodal_pixels, SQL_MULTIMODAL_PIXELS, ("multimodal",)),
     QuerySpec("ext_multimodal_audio", q_multimodal_audio, SQL_MULTIMODAL_AUDIO, ("multimodal",)),
+    QuerySpec("ext_multimodal_headers", q_multimodal_headers, SQL_MULTIMODAL_HEADERS, ("multimodal",)),
     QuerySpec("ext_dedup_audit_sample_lsh", q_dedup_audit_sample_lsh, SQL_DEDUP_AUDIT_SAMPLE, ("dedup", "text")),
     QuerySpec("ext_source_overlap_matrix_lsh", q_source_overlap_matrix_lsh, SQL_SOURCE_OVERLAP_MATRIX, ("dedup", "text")),
     QuerySpec("ext_dedup_threshold_curve", q_dedup_threshold_curve, SQL_DEDUP_THRESHOLD_CURVE, ("dedup", "text", "window")),
