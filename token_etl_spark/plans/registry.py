@@ -24,7 +24,35 @@ from token_etl_spark.plans.base import QuerySpec
 # the first 50 names in dict order). Ordering is therefore a verification
 # decision, not cosmetics.
 #
-# ROUND-9 ROTATION (last-green histogram after r8, computed directly
+# ROUND-10 ROTATION (last-green histogram after r9, computed directly
+# from the CORRECTNESS_r0{1..9}.json keys: r9=50, r8=50, r7=46, r6=46,
+# r5=1 — matching the r9 VERDICT's recount). The window is exactly:
+#   1. The 2 queries NEW this round — ext_ann_ivf_search (the persisted-
+#      index SERVING path: build_ivf_index_frames + ivf_search_frames,
+#      the exact code ivf_search delegates to, external id namespace
+#      with exclude_self=False and a verified-kept colliding-id
+#      neighbor; VERDICT r9 item 3) and ext_multimodal_headers (the
+#      header-sniff + int32-dimension-validation path, incl. the
+#      adversarial 0x80000000 PNG width that crashed Arrow batches
+#      before the r10 fix; VERDICT r9 item 1 driver-proven, not just
+#      pytest-proven) — every new query enters the window in its birth
+#      round. Each hash-matched locally at all three SFs.
+#   2. ext_multimodal_pixels: its operator module changed this round
+#      (parse_image_header dimension validation). The change is
+#      provably inert for this row — its all-P5 payloads early-return
+#      from decode_ppm before parse_image_header ever runs — but the
+#      slot is free after the stale cohort fits, so the
+#      operator-logic-touch risk rank gets it re-windowed anyway.
+#   3. evt_tx_per_day FIRST among stale (the one r5-stale row, VERDICT
+#      r9 item 2), then ALL 46 r6-stale rows: float-scoring rows first
+#      (TPC-H price/discount double arithmetic, median/stddev packs,
+#      ratio shares, cosine/jaccard scorers), then the integer/md5-
+#      pinned remainder. After this window no query's last driver row
+#      is older than r7.
+# Displaced: the r8/r9-green window occupants — all still covered by
+# the 195-query local three-SF sweep.
+#
+# ROUND-9 ROTATION (kept for the audit trail; last-green histogram after r8, computed directly
 # from the CORRECTNESS_r0{1..8}.json keys: r8=50, r7=46, r6=46, r5=44 —
 # the r8 VERDICT's "r5: 40" figure undercounts the cohort by 4; the
 # union of all files is 186 either way, and nothing is older than r5).
@@ -177,59 +205,63 @@ from token_etl_spark.plans.base import QuerySpec
 #      md5-pinned plans with the lowest dtype risk; they pass the
 #      local three-SF sweep and rotate into r8.
 _PRIORITY_NAMES = [
-    # new in round 9
+    # new in round 10
+    "ext_ann_ivf_search",
+    "ext_multimodal_headers",
+    # operator-module-touched this round (parse_image_header validation)
     "ext_multimodal_pixels",
-    "ext_multimodal_audio",
-    "ext_dedup_audit_sample_lsh",
-    "ext_source_overlap_matrix_lsh",
-    "ext_dedup_threshold_curve",
-    "ext_source_centroid_sim",
-    "ext_langid_confusion",
-    # last driver-green r5: float-scoring rows first (highest dtype risk)
-    "ext_user_value_ewma",
-    "ext_supplier_pagerank",
-    "ext_corpus_prep",
-    "ext_containment_dedup",
-    "ext_lexical_diversity",
-    "ext_gopher_quality",
-    "ext_temperature_mix",
-    "ext_mixture_manifest",
-    "ext_source_mix",
-    "ext_quantile_filter",
-    "ext_table_profile",
-    "evt_retention_cohorts",
-    "rel_customer_spend",
-    "evt_hourly_user_flow",
-    "evt_hourly_volume",
-    "evt_running_balance",
-    "evt_prev_balance",
-    "rel_range_join_purchases",
-    # last driver-green r5: the integer/md5-pinned remainder
-    "evt_whale_count",
-    "evt_assemble_metrics",
-    "evt_avg_tx_per_day",
-    "evt_holder_count",
-    "evt_hourly_active_users",
-    "evt_tumbling_hourly",
-    "ext_chunk_documents",
-    "ext_crosscorpus_dedup",
-    "ext_decontaminate",
-    "ext_hash_split",
-    "ext_line_filter",
-    "ext_multimodal_decode",
-    "ext_pii_scan",
-    "ext_sequence_pack",
-    "rel_anti_join",
-    "rel_asof_last_click",
-    "rel_bool_flags",
-    "rel_explode_word_join",
-    "rel_monthly_scaffold",
-    "rel_notin_blacklist",
-    "rel_pivot_priority",
-    "rel_prefix_keys",
-    "rel_semi_join",
-    "rel_topk_orders",
-    "rel_union_distinct",
+    # the one r5-stale row leads the rotation (VERDICT r9 item 2)
+    "evt_tx_per_day",
+    # r6-stale: float-scoring rows first (highest dtype risk — TPC-H
+    # price/discount double sums, median/stddev packs, ratio shares,
+    # cosine/jaccard scorers, float mixture weights)
+    "tpch_pricing_summary",
+    "tpch_forecast_revenue",
+    "tpch_brand_revenue",
+    "tpch_nation_revenue",
+    "tpch_promo_share",
+    "tpch_market_share",
+    "tpch_profit_by_nation_year",
+    "tpch_part_type_stats",
+    "tpch_min_cost_supplier",
+    "tpch_returned_revenue",
+    "tpch_value_share_parts",
+    "tpch_top_supplier",
+    "tpch_small_quantity_revenue",
+    "tpch_idle_rich_customers",
+    "tpch_late_priority_mix",
+    "rel_median_prices",
+    "rel_stats_pack",
+    "rel_window_pack2",
+    "rel_range_window",
+    "rel_rank_pack",
+    "rel_above_avg_customers",
+    "rel_approx_active_users",
+    "ext_mixture_full",
+    "ext_semantic_decon",
+    "ext_incremental_neardup",
+    "rel_fuzzy_match",
+    "ext_epoch_upsample",
+    # r6-stale: the integer/md5-pinned remainder
+    "tpch_segment_priority",
+    "tpch_priority_counts",
+    "tpch_large_orders",
+    "tpch_disjunctive_filter",
+    "tpch_nation_year_volume",
+    "tpch_order_count_distribution",
+    "tpch_supplier_part_counts",
+    "tpch_qty_heavy_suppliers",
+    "tpch_waiting_orders",
+    "rel_scan_pushdown",
+    "rel_json_props",
+    "evt_sessionization",
+    "evt_changelog_map",
+    "evt_changelog_roundtrip",
+    "evt_wallet_pipeline",
+    "rel_string_ops",
+    "rel_ship_delay_histogram",
+    "evt_daily_event_types",
+    "rel_array_ops",
 ]
 
 _MODULE_ORDER: list[QuerySpec] = [
