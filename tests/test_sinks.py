@@ -201,9 +201,9 @@ def test_bucket_swap_heals_interrupted_commit(spark, tmp_path):
     upsert_by_key_incremental(spark, rows, path, n_buckets=4)
     before = {r["_key"]: r["v"] for r in read_upserted(spark, path).collect()}
 
-    # simulate a crash mid-swap: copy the CURRENT state into .staging
-    # with updated values, mark complete, and delete one final bucket
-    staging = path + ".staging"
+    # simulate a crash mid-swap: copy the CURRENT state into the
+    # bucket-protocol staging dir, mark complete, delete one final bucket
+    staging = path + ".staging-buckets"
     shutil.copytree(path, staging)
     open(os.path.join(staging, "_SUCCESS"), "w").close()
     os.remove(os.path.join(staging, "_n_buckets"))
@@ -242,7 +242,7 @@ def test_upsert_full_swap_heals_and_discards(spark, tmp_path):
 
     # complete staging (a crashed swap that had already finished its
     # write): heal must install it over the stale final table
-    staging = path + ".staging"
+    staging = path + ".staging-full"
     shutil.copytree(path, staging)
     newer = mk([("a", 99), ("b", 1)]).withColumn("_ingest_version", F.lit(7).cast("long"))
     shutil.rmtree(staging)
@@ -260,3 +260,115 @@ def test_upsert_full_swap_heals_and_discards(spark, tmp_path):
     got = {r["_key"]: r["v"] for r in spark.read.parquet(path).collect()}
     assert got == {"a": 99, "b": 1, "c": 5, "d": 6}
     assert not os.path.exists(staging)
+
+
+def test_staging_protocols_do_not_cross_heal(spark, tmp_path):
+    """The two commit protocols use DISTINCT staging suffixes (r10
+    ADVICE): a complete bucket-protocol staging dir must never be
+    consumed by the full-swap heal — renaming a bucket-only staging over
+    the whole table would drop every untouched bucket — and vice versa."""
+    import os
+    import shutil
+
+    from token_etl_spark.io.sinks import read_upserted, upsert_by_key_incremental
+
+    path = str(tmp_path / "cross_heal")
+    rows = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(30)], "_key string, v long"
+    )
+    upsert_by_key_incremental(spark, rows, path, n_buckets=4)
+    before = {r["_key"]: r["v"] for r in read_upserted(spark, path).collect()}
+
+    # a crashed BUCKET swap holding only ONE bucket, marked complete
+    bstaging = path + ".staging-buckets"
+    os.makedirs(bstaging)
+    buckets = [d for d in os.listdir(path) if d.startswith("_bucket=")]
+    shutil.copytree(os.path.join(path, buckets[0]), os.path.join(bstaging, buckets[0]))
+    open(os.path.join(bstaging, "_SUCCESS"), "w").close()
+
+    # the FULL-swap heal (upsert_by_key path) must ignore it entirely:
+    # if it renamed the one-bucket staging over the table, every other
+    # bucket's keys would vanish
+    from token_etl_spark.io.sinks import _heal_full_swap
+
+    _heal_full_swap(spark, path)
+    assert os.path.exists(bstaging)  # untouched by the other protocol
+    after = {r["_key"]: r["v"] for r in read_upserted(spark, path).collect()}
+    assert after == before
+
+    # the bucket-protocol heal consumes it (its own protocol)
+    from token_etl_spark.io.sinks import _heal_bucket_swap
+
+    _heal_bucket_swap(spark, path)
+    assert not os.path.exists(bstaging)
+    assert {r["_key"]: r["v"] for r in read_upserted(spark, path).collect()} == before
+
+
+def test_markerless_state_validated_before_adoption(spark, tmp_path):
+    """A legacy bucketed dir with no _n_buckets marker is validated
+    structurally before adoption (r10 ADVICE): bucket ids >= the passed
+    count prove a larger original bucketing and raise; a structurally
+    consistent dir adopts WITH a warning and persists the marker."""
+    import os
+    import warnings as w
+
+    from token_etl_spark.io.sinks import read_upserted, upsert_by_key_incremental
+
+    path = str(tmp_path / "legacy_state")
+    rows = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(40)], "_key string, v long"
+    )
+    upsert_by_key_incremental(spark, rows, path, n_buckets=8)
+    os.remove(os.path.join(path, "_n_buckets"))  # make it a legacy dir
+
+    # a SMALLER count than an observed bucket id is provably wrong
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="larger bucket count"):
+        upsert_by_key_incremental(
+            spark, rows.limit(1), path, n_buckets=2
+        )
+
+    # the matching count adopts, warns, and re-persists the marker
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        upsert_by_key_incremental(spark, rows.limit(1), path, n_buckets=8)
+    assert any("marker-less" in str(c.message) for c in caught)
+    assert os.path.exists(os.path.join(path, "_n_buckets"))
+    assert read_upserted(spark, path).count() == 40
+
+
+def test_saturated_batch_takes_full_rewrite_path(spark, tmp_path):
+    """The saturation guard (VERDICT r9 item 5): a batch touching >= 75%
+    of all buckets degrades to ONE staged full rewrite — same surviving
+    rows as the per-bucket path (keep-latest per key, untouched keys
+    intact), marker re-persisted, a warning naming the fallback."""
+    import os
+    import warnings as w
+
+    from token_etl_spark.io.sinks import read_upserted, upsert_by_key_incremental
+
+    path = str(tmp_path / "saturated")
+    rows = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(64)], "_key string, v long"
+    )
+    upsert_by_key_incremental(spark, rows, path, n_buckets=4)
+
+    # uniform update batch: touches every bucket
+    update = spark.createDataFrame(
+        [(f"k{i}", i + 1000) for i in range(0, 64, 2)], "_key string, v long"
+    )
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        upsert_by_key_incremental(spark, update, path, n_buckets=4)
+    assert any("full rewrite" in str(c.message) for c in caught)
+    got = {r["_key"]: r["v"] for r in read_upserted(spark, path).collect()}
+    assert got == {
+        f"k{i}": (i + 1000 if i % 2 == 0 else i) for i in range(64)
+    }
+    assert os.path.exists(os.path.join(path, "_n_buckets"))
+    # a later SMALL batch still goes through the per-bucket path and
+    # must agree with the recorded count
+    small = spark.createDataFrame([("k1", 7777)], "_key string, v long")
+    upsert_by_key_incremental(spark, small, path, n_buckets=4)
+    assert read_upserted(spark, path).filter("_key = 'k1'").collect()[0]["v"] == 7777

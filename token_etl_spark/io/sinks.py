@@ -15,9 +15,29 @@ itself requires).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+# Staging-dir suffixes are PER PROTOCOL: the whole-table swap
+# (.staging-full — the staged dir is a complete replacement table,
+# healing renames it over the final dir) and the per-bucket swap
+# (.staging-buckets — the staged dir holds only touched _bucket=N
+# subdirs, healing renames them individually). A shared suffix would
+# let one protocol's heal consume the other's staging dir — the
+# full-swap heal would rename a bucket-only staging over the whole
+# table, dropping every untouched bucket (ADVICE r10).
+_STAGING_FULL = ".staging-full"
+_STAGING_BUCKETS = ".staging-buckets"
+
+#: Touched-bucket fraction above which merge_touched_buckets falls back
+#: to one staged full rewrite: the r9 probe measured a uniform batch
+#: touching 61/64 buckets at 2.4× the cost of a full rewrite (per-bucket
+#: staging renames + the isin filter buy nothing once most buckets are
+#: rewritten anyway — PERF.md "touched-bucket merge").
+_FULL_REWRITE_FRACTION = 0.75
 
 
 def _read_existing(spark: SparkSession, path: str) -> DataFrame | None:
@@ -99,9 +119,22 @@ def upsert_by_key(
         merged = new_df.withColumn(version_col, F.lit(1).cast("long"))
 
     deduped = _latest_per_key(merged, key, version_col)
+    _full_swap(spark, deduped, path)
 
-    staging = path.rstrip("/") + ".staging"
-    write_parquet(deduped, staging, mode="overwrite")
+
+def _full_swap(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Stage ``df`` as a COMPLETE replacement table at
+    ``<path>.staging-full`` and swap it over ``path`` via rename —
+    shared by :func:`upsert_by_key` and the saturated-batch fallback in
+    :func:`merge_touched_buckets`. An in-place overwrite of the only
+    copy would lose the whole table on a crash mid-write."""
+    staging = path.rstrip("/") + _STAGING_FULL
+    write_parquet(df, staging, mode="overwrite", partition_by=partition_by)
     fs, hpath = _bucket_fs(spark, path)
     if not fs.exists(hpath(staging + "/_SUCCESS")):
         raise IOError(
@@ -116,14 +149,16 @@ def upsert_by_key(
 
 
 def _heal_full_swap(spark: SparkSession, path: str) -> None:
-    """Crash recovery for the whole-table staging swap
-    (:func:`upsert_by_key`): a COMPLETE staging dir (``_SUCCESS``
-    present — the swap only starts after the staging write returned)
-    strictly supersedes whatever final state exists, so finish the
-    swap; an INCOMPLETE one (crash mid-write) is discarded — the
-    caller's retry rewrites it."""
+    """Crash recovery for the whole-table staging swap (:func:`_full_swap`):
+    a COMPLETE staging dir (``_SUCCESS`` present — the swap only starts
+    after the staging write returned) strictly supersedes whatever final
+    state exists, so finish the swap; an INCOMPLETE one (crash mid-write)
+    is discarded — the caller's retry rewrites it. Only consumes
+    ``.staging-full`` dirs: a per-bucket staging (``.staging-buckets``)
+    is NOT a complete table and renaming it over the final dir would
+    drop every untouched bucket."""
     fs, hpath = _bucket_fs(spark, path)
-    staging = path.rstrip("/") + ".staging"
+    staging = path.rstrip("/") + _STAGING_FULL
     sp = hpath(staging)
     if not fs.exists(sp):
         return
@@ -145,14 +180,33 @@ def _bucket_fs(spark: SparkSession, path: str):
     return hpath(path).getFileSystem(sc._jsc.hadoopConfiguration()), hpath
 
 
+def _write_bucket_marker(spark: SparkSession, path: str, n_buckets: int) -> None:
+    """Persist the ``_n_buckets`` marker (overwrites; underscore-prefixed
+    so parquet readers ignore it)."""
+    fs, hpath = _bucket_fs(spark, path)
+    out = fs.create(hpath(path.rstrip("/") + "/_n_buckets"), True)
+    try:
+        out.write(str(n_buckets).encode())
+    finally:
+        out.close()
+
+
 def _check_bucket_count(spark: SparkSession, path: str, n_buckets: int) -> None:
     """Validate ``n_buckets`` against the state's persisted marker: a key
     lives entirely inside its ``pmod(hash, n_buckets)`` bucket, so a
     merge run with a DIFFERENT bucket count would read the wrong touched
-    set and silently duplicate keys across buckets. Trust-on-first-use:
-    the first write records the marker; every later merge must match or
-    gets a loud ValueError. A legacy dir with no marker adopts the
-    current value (and is marked from then on)."""
+    set and silently duplicate keys across buckets. The first write
+    records the marker; every later merge must match or gets a loud
+    ValueError.
+
+    A legacy dir with NO marker is not trusted blindly (ADVICE r10 —
+    one wrong call on a pre-marker dir would both corrupt that merge and
+    persist the wrong count as truth): its existing ``_bucket=N``
+    partition dirs are validated structurally (every N must be
+    < n_buckets) before the current value is adopted, and the adoption
+    is warned loudly. The structural check cannot prove the ORIGINAL
+    count wasn't a larger one whose high buckets happen to be empty —
+    hence the warning rather than silence."""
     fs, hpath = _bucket_fs(spark, path)
     marker = hpath(path.rstrip("/") + "/_n_buckets")
     if fs.exists(marker):
@@ -169,11 +223,26 @@ def _check_bucket_count(spark: SparkSession, path: str, n_buckets: int) -> None:
                 "original bucket count"
             )
     elif fs.exists(hpath(path)):
-        out = fs.create(marker, True)
-        try:
-            out.write(str(n_buckets).encode())
-        finally:
-            out.close()
+        ids = [
+            int(st.getPath().getName().split("=", 1)[1])
+            for st in fs.listStatus(hpath(path))
+            if st.getPath().getName().startswith("_bucket=")
+        ]
+        bad = sorted(i for i in ids if i >= n_buckets)
+        if bad:
+            raise ValueError(
+                f"marker-less bucketed state at {path} holds bucket ids "
+                f"{bad} >= n_buckets={n_buckets}: it was written with a "
+                "larger bucket count — pass the original count"
+            )
+        warnings.warn(
+            f"adopting n_buckets={n_buckets} for marker-less bucketed state "
+            f"at {path} (existing bucket ids validated structurally; if the "
+            "dir was written with a LARGER count whose high buckets are "
+            "empty, this adoption is wrong — verify the original count)",
+            stacklevel=3,
+        )
+        _write_bucket_marker(spark, path, n_buckets)
 
 
 def _heal_bucket_swap(spark: SparkSession, path: str) -> None:
@@ -183,9 +252,10 @@ def _heal_bucket_swap(spark: SparkSession, path: str) -> None:
     replaces its final counterpart; an INCOMPLETE staging dir (no
     ``_SUCCESS``: crash mid-write) is discarded — the stream's retry of
     the same batch rewrites it. Single-writer contract (one stream per
-    state dir), same as every state sink in this package."""
+    state dir), same as every state sink in this package. Only consumes
+    ``.staging-buckets`` dirs (see the suffix constants)."""
     fs, hpath = _bucket_fs(spark, path)
-    staging = path.rstrip("/") + ".staging"
+    staging = path.rstrip("/") + _STAGING_BUCKETS
     sp = hpath(staging)
     if not fs.exists(sp):
         return
@@ -229,20 +299,54 @@ def merge_touched_buckets(
     dynamic-partition overwrite, whose delete-then-move inside the
     committer can lose a bucket's PRIOR rows with nothing on disk to
     recover from. ``n_buckets`` is validated against the state's
-    persisted marker (:func:`_check_bucket_count`)."""
+    persisted marker (:func:`_check_bucket_count`).
+
+    Saturation guard (r10): when the batch touches ≥
+    ``_FULL_REWRITE_FRACTION`` of all buckets, per-bucket staging buys
+    nothing — the r9 probe measured a uniform batch touching 61/64
+    buckets at 2.4× a full rewrite's cost — so the merge degrades to ONE
+    staged full rewrite (same output: both merge callbacks are
+    idempotent per-key folds, so untouched keys pass through unchanged),
+    swapped whole-dir and re-marked. Both heal protocols run up front
+    because either commit path may have been interrupted."""
     _heal_bucket_swap(spark, path)
+    _heal_full_swap(spark, path)
     _check_bucket_count(spark, path, n_buckets)
     existing = _read_existing(spark, path)
     if existing is None:
-        affected = None
         merged = merge(None, batch)
     else:
         touched = sorted(
             r[0] for r in batch.select(bucket_col).distinct().collect()
         )
+        if len(touched) >= _FULL_REWRITE_FRACTION * n_buckets:
+            warnings.warn(
+                f"batch touches {len(touched)}/{n_buckets} buckets at {path}: "
+                "falling back to one staged full rewrite (per-bucket staging "
+                "costs more than a full rewrite once most buckets are touched "
+                "— if batches are routinely this uniform, raise n_buckets or "
+                "use upsert_by_key)",
+                stacklevel=2,
+            )
+            merged = merge(existing, batch)
+            _full_swap(
+                spark,
+                merged.repartition(n_buckets, bucket_col),
+                path,
+                partition_by=[bucket_col],
+            )
+            _write_bucket_marker(spark, path, n_buckets)  # swap replaced the dir
+            return
         affected = existing.filter(F.col(bucket_col).isin(touched))
         merged = merge(affected, batch)
-    staging = path.rstrip("/") + ".staging"
+    staging = path.rstrip("/") + _STAGING_BUCKETS
+    # co-partition on the bucket before the partitioned write: without it
+    # every writing task splays a file into every bucket dir (tasks ×
+    # buckets tiny files — measured 5.1 s vs 1.3 s and 4,098 vs 130 files
+    # at gate scale). One task per bucket caps write parallelism at
+    # n_buckets, which the sizing rule already demands exceed the
+    # cluster's parallelism at scale.
+    merged = merged.repartition(n_buckets, bucket_col)
     merged.write.mode("overwrite").partitionBy(bucket_col).parquet(staging)
     fs, hpath = _bucket_fs(spark, path)
     if not fs.exists(hpath(staging + "/_SUCCESS")):
@@ -251,7 +355,8 @@ def merge_touched_buckets(
             "to swap (set mapreduce.fileoutputcommitter.marksuccessfuljobs)"
         )
     _heal_bucket_swap(spark, path)  # the swap IS the heal of a complete staging
-    _check_bucket_count(spark, path, n_buckets)  # first write: record marker
+    if existing is None:
+        _write_bucket_marker(spark, path, n_buckets)  # first write: record marker
 
 
 def upsert_by_key_incremental(

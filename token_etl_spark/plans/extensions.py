@@ -3318,7 +3318,10 @@ SPECS = [
     QuerySpec("ext_token_estimate", q_token_estimate, SQL_TOKEN_ESTIMATE, ("text",)),
     QuerySpec("ext_multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL_META, ("multimodal",)),
     QuerySpec("ext_multimodal_decode", q_multimodal_decode, SQL_MULTIMODAL_DECODE, ("multimodal",)),
-    QuerySpec("ext_multimodal_pixels", q_multimodal_pixels, SQL_MULTIMODAL_PIXELS, ("multimodal",)),
+    # bench=True (r10): the headline set tracks shuffle/join/training
+    # movement classes but had no Python-decode-bound mapInPandas row —
+    # at 100 TB that is the class that pays per-row Python cost by design
+    QuerySpec("ext_multimodal_pixels", q_multimodal_pixels, SQL_MULTIMODAL_PIXELS, ("multimodal",), bench=True),
     QuerySpec("ext_multimodal_audio", q_multimodal_audio, SQL_MULTIMODAL_AUDIO, ("multimodal",)),
     QuerySpec("ext_multimodal_headers", q_multimodal_headers, SQL_MULTIMODAL_HEADERS, ("multimodal",)),
     QuerySpec("ext_dedup_audit_sample_lsh", q_dedup_audit_sample_lsh, SQL_DEDUP_AUDIT_SAMPLE, ("dedup", "text")),
