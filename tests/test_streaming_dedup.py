@@ -535,3 +535,237 @@ def test_neardup_threshold_curve_over_stream_state(spark, tmp_path):
         for r in dedup_threshold_curve(exp_pairs).collect()
     }
     assert got == exp and got
+
+
+def _seed_quantizer(spark, corpus, index_path, n_centroids=8):
+    """Train and persist ONLY the frozen quantizer (a stream may start
+    from a trained quantizer with no seed cells)."""
+    from token_etl_spark.operators.similarity import spherical_kmeans
+
+    cents = spherical_kmeans(corpus, n_centroids=n_centroids, n_iters=2)
+    cents.write.mode("overwrite").parquet(f"{index_path}/centroids")
+
+
+def test_streaming_embedding_neardup_matches_sequential_batch(
+    spark, sf_dir, tmp_path
+):
+    """run_streaming_embedding_neardup over micro-batches admits exactly
+    the vectors a sequential replay of the same ivf_search_frames logic
+    admits, appends the same (id_new, id_ref, cosine_sim) pairs, and
+    suppresses recrawled vectors (same embedding under a fresh id →
+    cosine 1.0 ≥ threshold → dropped)."""
+    import os
+
+    from token_etl_spark.io.sinks import _read_existing
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.operators.similarity import (
+        _assign_to_centroids,
+        ivf_search_frames,
+    )
+    from token_etl_spark.streaming.dedup import (
+        read_embedding_index,
+        read_embedding_matches,
+        run_streaming_embedding_neardup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(120).localCheckpoint()
+    gens = [emb.where(F.col("vec_id") % 3 == g) for g in range(3)]
+    # generation 1 re-crawls ten generation-0 vectors under fresh ids
+    # (identical embedding => cosine exactly 1.0)
+    recrawl = (
+        gens[0].orderBy("vec_id").limit(10)
+        .withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    )
+    gens[1] = gens[1].unionByName(recrawl)
+
+    staged = tmp_path / "emb_stream"
+    staged.mkdir()
+    for g, frame in enumerate(gens):
+        sub = tmp_path / f"embgen{g}"
+        frame.coalesce(1).write.parquet(str(sub))
+        part = next(p for p in sub.iterdir() if p.name.endswith(".parquet"))
+        dst = staged / f"gen{g}.parquet"
+        part.rename(dst)
+        os.utime(dst, (1_700_000_000 + g, 1_700_000_000 + g))
+
+    index_path = str(tmp_path / "emb_index")
+    matches_path = str(tmp_path / "emb_matches")
+    checkpoint_path = str(tmp_path / "emb_ckpt")
+    _seed_quantizer(spark, emb, index_path)
+
+    def _run():
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(staged))
+        )
+        run_streaming_embedding_neardup(
+            stream,
+            index_path,
+            threshold=0.95,
+            matches_path=matches_path,
+            checkpoint_path=checkpoint_path,
+        )
+
+    _run()
+
+    # sequential batch replay: same quantizer, same serving function
+    cents = _read_existing(spark, f"{index_path}/centroids").localCheckpoint()
+    assigned = None
+    exp_ids: set = set()
+    exp_matches: set = set()
+    for frame in gens:
+        if assigned is not None:
+            hits = ivf_search_frames(cents, assigned, frame).filter(
+                F.col("cosine_sim") >= 0.95
+            )
+            rows = hits.collect()
+            exp_matches |= {
+                (r["query_id"], r["neighbor_id"], round(r["cosine_sim"], 6))
+                for r in rows
+            }
+            dup = {r["query_id"] for r in rows}
+        else:
+            dup = set()
+        novel = frame.where(~F.col("vec_id").isin(dup))
+        exp_ids |= {r["vec_id"] for r in novel.select("vec_id").collect()}
+        new_rows = _assign_to_centroids(
+            novel.select(
+                F.col("vec_id").alias("corpus_id"),
+                F.col("embedding").cast("array<double>").alias("cv"),
+            ),
+            F.broadcast(cents),
+        )
+        assigned = (
+            new_rows if assigned is None else assigned.unionByName(new_rows)
+        ).localCheckpoint()
+
+    def _observed():
+        ids = {
+            r["corpus_id"]
+            for r in read_embedding_index(spark, index_path)
+            .select("corpus_id").collect()
+        }
+        pairs = {
+            (r["id_new"], r["id_ref"], round(r["cosine_sim"], 6))
+            for r in read_embedding_matches(spark, matches_path).collect()
+        }
+        return ids, pairs
+
+    got_ids, got_matches = _observed()
+    assert got_ids == exp_ids and got_ids
+    assert exp_matches  # the recrawl fixture guarantees pairs
+    assert got_matches == exp_matches
+    # every recrawled copy matched the index and was suppressed
+    assert not any(i >= 1_000_000 for i in got_ids)
+
+    # IDEMPOTENCY: re-running over the same source with the same
+    # checkpoint replays nothing; state unchanged
+    _run()
+    assert _observed() == (got_ids, got_matches)
+
+
+def test_embedding_sink_retry_after_partial_write_is_idempotent(
+    spark, sf_dir, tmp_path
+):
+    """A foreachBatch RETRY (crash after the state write, before the
+    checkpoint commit) re-executes with the same lineage key: the sink
+    must exclude its own partial partition from the index read —
+    otherwise every vector self-matches its own partial copy at cosine
+    1.0 and the partition is overwritten EMPTY (vectors lost)."""
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.streaming.dedup import (
+        _embedding_neardup_sink_batch,
+        read_embedding_index,
+        read_embedding_matches,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(40).localCheckpoint()
+    index_path = str(tmp_path / "emb_retry_index")
+    matches_path = str(tmp_path / "emb_retry_matches")
+    _seed_quantizer(spark, emb, index_path)
+
+    _embedding_neardup_sink_batch(
+        emb, "aaaa1111-0", index_path, matches_path=matches_path
+    )
+    first = {
+        r["corpus_id"]
+        for r in read_embedding_index(spark, index_path).select("corpus_id").collect()
+    }
+    assert first == {r["vec_id"] for r in emb.select("vec_id").collect()}
+
+    # retry of the SAME batch under the SAME key: state must converge,
+    # not self-match-and-empty
+    _embedding_neardup_sink_batch(
+        emb, "aaaa1111-0", index_path, matches_path=matches_path
+    )
+    again = {
+        r["corpus_id"]
+        for r in read_embedding_index(spark, index_path).select("corpus_id").collect()
+    }
+    assert again == first
+    m = read_embedding_matches(spark, matches_path)
+    assert m is None or m.count() == 0  # batch 0 has no prior index to match
+
+    # a LATER batch re-delivering the same ids (at-least-once source)
+    # matches its own earlier copies at cosine 1.0 and re-admits nothing
+    _embedding_neardup_sink_batch(
+        emb, "aaaa1111-1", index_path, matches_path=matches_path
+    )
+    final = {
+        r["corpus_id"]
+        for r in read_embedding_index(spark, index_path).select("corpus_id").collect()
+    }
+    assert final == first
+    pairs = read_embedding_matches(spark, matches_path)
+    self_pairs = pairs.filter(F.col("id_new") == F.col("id_ref"))
+    assert self_pairs.count() == emb.count()
+    assert self_pairs.filter(F.col("cosine_sim") < 1.0 - 1e-12).count() == 0
+
+
+def test_embedding_stream_requires_checkpoint_and_quantizer(spark, sf_dir, tmp_path):
+    import pytest as _pytest
+
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.streaming.dedup import (
+        _embedding_neardup_sink_batch,
+        run_streaming_embedding_neardup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(5)
+    with _pytest.raises(ValueError, match="checkpoint_path"):
+        run_streaming_embedding_neardup(emb, str(tmp_path / "i"))
+    with _pytest.raises(ValueError, match="quantizer"):
+        _embedding_neardup_sink_batch(emb, "dead0000-0", str(tmp_path / "noidx"))
+
+
+def test_embedding_stream_dedups_against_batch_built_seed(spark, sf_dir, tmp_path):
+    """A stream started over an index fully built by build_ivf_index
+    (quantizer + seed cells) suppresses every vector already in the
+    seed: the combined serving read unions seed and stream cells."""
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.operators.similarity import build_ivf_index
+    from token_etl_spark.streaming.dedup import (
+        _embedding_neardup_sink_batch,
+        read_embedding_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(60).localCheckpoint()
+    seed = emb.where(F.col("vec_id") % 2 == 0)
+    index_path = str(tmp_path / "emb_seed_index")
+    build_ivf_index(seed, index_path, n_centroids=8, refine_iters=2)
+
+    # batch = recrawls of seed vectors (fresh ids) + genuinely new ones
+    recrawl = seed.limit(10).withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    fresh = emb.where(F.col("vec_id") % 2 == 1)
+    _embedding_neardup_sink_batch(
+        recrawl.unionByName(fresh), "beef0000-0", index_path, n_probe=8
+    )
+    ids = {
+        r["corpus_id"]
+        for r in read_embedding_index(spark, index_path).select("corpus_id").collect()
+    }
+    # seed survives, fresh vectors admitted, recrawls suppressed
+    assert {r["vec_id"] for r in seed.select("vec_id").collect()} <= ids
+    assert {r["vec_id"] for r in fresh.select("vec_id").collect()} <= ids
+    assert not any(i >= 1_000_000 for i in ids)
