@@ -124,13 +124,23 @@ def test_parse_image_header_rejects_out_of_int32_dims():
 def test_decode_headers_mode_mixed_corpus(spark):
     """decode_stub='headers' extracts true dims for real image payloads
     inside the Arrow batch contract; non-image payloads fall back to the
-    deterministic fake path."""
+    deterministic fake path; a payload CLAIMING a known format whose
+    header is malformed (truncated, or dims out of int32 range) degrades
+    to NULL dims — a fabricated mid-size dimension would let a malformed
+    multi-gigapixel claim sail through a resolution filter (r10 review)."""
+    import struct
+
     from token_etl_spark.operators.multimodal import decode_features
 
+    overflow_png = (
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 8 + struct.pack(">II", 2**31, 1)
+    )
     rows = [
         (1, _png(640, 480), {"media_type": "image/png", "byte_len": 0, "checksum": "a"}),
         (2, _jpeg(32, 64), {"media_type": "image/jpeg", "byte_len": 0, "checksum": "b"}),
         (3, b"not an image", {"media_type": "text/plain", "byte_len": 0, "checksum": "c"}),
+        (4, overflow_png, {"media_type": "image/png", "byte_len": 0, "checksum": "d"}),
+        (5, b"\x89PNG\r\n\x1a\n tru", {"media_type": "image/png", "byte_len": 0, "checksum": "e"}),
     ]
     df = spark.createDataFrame(
         rows,
@@ -141,6 +151,9 @@ def test_decode_headers_mode_mixed_corpus(spark):
     assert (got[2].width, got[2].height, got[2].n_frames) == (32, 64, 1)
     n = len(b"not an image")
     assert got[3].width == 16 + (n % 1024)  # fake-path fallback
+    # malformed-but-claiming-PNG: NULLs, never fabricated dims
+    assert (got[4].width, got[4].height, got[4].n_frames) == (None, None, None)
+    assert (got[5].width, got[5].height, got[5].n_frames) == (None, None, None)
 
 
 def _wav_bytes(freq=440.0, rate=8000, n=800, amp=0.5):

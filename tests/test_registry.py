@@ -115,3 +115,26 @@ def test_all_queries_have_oracles():
     """108/108 since round 3 — a regression here silently downgrades a
     query to the driver's weaker rows-only check."""
     assert set(ORACLES) == set(QUERIES)
+
+
+def test_ivf_serving_oracles_unchanged_by_refactor():
+    """The r10 dedup of the two IVF serving oracles into one
+    parameterized builder (_ann_ivf_serving_sql) regenerates BOTH SQL
+    strings byte-identically (md5 of the pre-refactor builders' output,
+    captured before the change): the in-window ext_ann_ivf_kmeans /
+    ext_ann_ivf_search rows carry provably the same oracle text."""
+    import hashlib
+
+    from token_etl_spark.plans.extensions import (
+        SQL_ANN_IVF_KMEANS,
+        SQL_ANN_IVF_SEARCH,
+    )
+
+    assert (
+        hashlib.md5(SQL_ANN_IVF_KMEANS.encode()).hexdigest()
+        == "833d76c4b5d7bf3ee9eefd300bdd1510"
+    )
+    assert (
+        hashlib.md5(SQL_ANN_IVF_SEARCH.encode()).hexdigest()
+        == "2be5459194d19c77fb8ff232f4b5872e"
+    )

@@ -372,3 +372,55 @@ def test_saturated_batch_takes_full_rewrite_path(spark, tmp_path):
     small = spark.createDataFrame([("k1", 7777)], "_key string, v long")
     upsert_by_key_incremental(spark, small, path, n_buckets=4)
     assert read_upserted(spark, path).filter("_key = 'k1'").collect()[0]["v"] == 7777
+
+
+def test_legacy_staging_dirs_are_healed_on_upgrade(spark, tmp_path):
+    """Pre-r10 code staged BOTH protocols at '<path>.staging'. A
+    crash-interrupted swap from that code must still heal after the
+    suffix split — worst case is the old full-swap window (final dir
+    already deleted, the complete legacy staging holds the ONLY copy):
+    ignoring it would rebuild the table from the next batch alone and
+    silently drop every prior row (r10 review)."""
+    import os
+    import shutil
+
+    from token_etl_spark.io.sinks import (
+        read_upserted,
+        upsert_by_key,
+        upsert_by_key_incremental,
+    )
+
+    # 1) legacy FULL-swap crash: final dir gone, complete .staging only
+    path = str(tmp_path / "legacy_full")
+    mk = lambda rows: spark.createDataFrame(rows, "_key string, v long")
+    upsert_by_key(spark, mk([("a", 1), ("b", 2)]), path)
+    legacy = path + ".staging"
+    shutil.move(path, legacy)  # exactly the old crash window
+    assert os.path.exists(os.path.join(legacy, "_SUCCESS"))
+    upsert_by_key(spark, mk([("c", 3)]), path)
+    got = {r["_key"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {"a": 1, "b": 2, "c": 3}  # prior rows NOT dropped
+    assert not os.path.exists(legacy)
+
+    # 2) legacy BUCKET-swap crash: complete .staging holding _bucket= dirs
+    bpath = str(tmp_path / "legacy_buckets")
+    rows = mk([(f"k{i}", i) for i in range(30)])
+    upsert_by_key_incremental(spark, rows, bpath, n_buckets=4)
+    before = {r["_key"]: r["v"] for r in read_upserted(spark, bpath).collect()}
+    blegacy = bpath + ".staging"
+    os.makedirs(blegacy)
+    buckets = [d for d in os.listdir(bpath) if d.startswith("_bucket=")]
+    # stage ONE bucket (as the old merge would), delete its final copy
+    shutil.move(os.path.join(bpath, buckets[0]), os.path.join(blegacy, buckets[0]))
+    open(os.path.join(blegacy, "_SUCCESS"), "w").close()
+    upsert_by_key_incremental(spark, mk([("k0", 999)]), bpath, n_buckets=4)
+    after = {r["_key"]: r["v"] for r in read_upserted(spark, bpath).collect()}
+    assert set(after) == set(before)  # the staged bucket's keys healed back
+    assert after["k0"] == 999
+    assert not os.path.exists(blegacy)
+
+    # 3) incomplete legacy staging is discarded
+    os.makedirs(blegacy)
+    open(os.path.join(blegacy, "part-garbage.parquet"), "w").write("x")
+    upsert_by_key_incremental(spark, mk([("k1", 888)]), bpath, n_buckets=4)
+    assert not os.path.exists(blegacy)

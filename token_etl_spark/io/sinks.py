@@ -127,14 +127,23 @@ def _full_swap(
     df: DataFrame,
     path: str,
     partition_by: list[str] | None = None,
+    marker_n_buckets: int | None = None,
 ) -> None:
     """Stage ``df`` as a COMPLETE replacement table at
     ``<path>.staging-full`` and swap it over ``path`` via rename —
     shared by :func:`upsert_by_key` and the saturated-batch fallback in
     :func:`merge_touched_buckets`. An in-place overwrite of the only
-    copy would lose the whole table on a crash mid-write."""
+    copy would lose the whole table on a crash mid-write.
+
+    ``marker_n_buckets``: when set, the ``_n_buckets`` marker is written
+    INTO the staging dir before the rename, so it travels atomically
+    with the swap — writing it after would leave a crash window in which
+    the final dir exists marker-less and the hard bucket-count check
+    silently downgrades to the warn-only structural adoption."""
     staging = path.rstrip("/") + _STAGING_FULL
     write_parquet(df, staging, mode="overwrite", partition_by=partition_by)
+    if marker_n_buckets is not None:
+        _write_bucket_marker(spark, staging, marker_n_buckets)
     fs, hpath = _bucket_fs(spark, path)
     if not fs.exists(hpath(staging + "/_SUCCESS")):
         raise IOError(
@@ -157,6 +166,7 @@ def _heal_full_swap(spark: SparkSession, path: str) -> None:
     ``.staging-full`` dirs: a per-bucket staging (``.staging-buckets``)
     is NOT a complete table and renaming it over the final dir would
     drop every untouched bucket."""
+    _heal_legacy_staging(spark, path)
     fs, hpath = _bucket_fs(spark, path)
     staging = path.rstrip("/") + _STAGING_FULL
     sp = hpath(staging)
@@ -170,6 +180,52 @@ def _heal_full_swap(spark: SparkSession, path: str) -> None:
             raise IOError(f"upsert swap recovery failed: {staging} -> {path}")
     else:
         fs.delete(sp, True)
+
+
+def _heal_legacy_staging(spark: SparkSession, path: str) -> None:
+    """One-time migration heal for PRE-suffix-split ``<path>.staging``
+    dirs (both protocols shared that name before r10): without this, a
+    crash-interrupted swap from the old code would be orphaned forever —
+    worst case the old full-swap crash window (final dir deleted,
+    complete ``.staging`` holding the ONLY copy), where ignoring the
+    legacy dir makes the next upsert rebuild the table from the new
+    batch alone, silently dropping every prior row.
+
+    Protocol is recovered from the staging dir's own layout: the old
+    bucket merge staged ``_bucket=N`` partition subdirs, the old full
+    upsert staged flat part files — so ``_bucket=`` entries ⇒ bucket
+    semantics (rename each staged bucket over its final counterpart),
+    otherwise ⇒ full semantics (rename the dir over the table).
+    Incomplete legacy staging (no ``_SUCCESS``) is discarded, exactly as
+    the old heals did."""
+    fs, hpath = _bucket_fs(spark, path)
+    staging = path.rstrip("/") + ".staging"
+    sp = hpath(staging)
+    if not fs.exists(sp):
+        return
+    if not fs.exists(hpath(staging + "/_SUCCESS")):
+        fs.delete(sp, True)
+        return
+    staged_buckets = [
+        st.getPath()
+        for st in fs.listStatus(sp)
+        if st.getPath().getName().startswith("_bucket=")
+    ]
+    if staged_buckets:
+        fs.mkdirs(hpath(path))
+        for src in staged_buckets:
+            dst = hpath(path.rstrip("/") + "/" + src.getName())
+            if fs.exists(dst):
+                fs.delete(dst, True)
+            if not fs.rename(src, dst):
+                raise IOError(f"legacy bucket swap failed: {src} -> {path}")
+        fs.delete(sp, True)
+    else:
+        dst = hpath(path)
+        if fs.exists(dst):
+            fs.delete(dst, True)
+        if not fs.rename(sp, dst):
+            raise IOError(f"legacy swap recovery failed: {staging} -> {path}")
 
 
 def _bucket_fs(spark: SparkSession, path: str):
@@ -270,6 +326,16 @@ def _heal_bucket_swap(spark: SparkSession, path: str) -> None:
                 fs.delete(dst, True)
             if not fs.rename(st.getPath(), dst):
                 raise IOError(f"bucket swap failed: {name} -> {path}")
+        # the marker travels WITH the staged commit (written into staging
+        # before the swap): install it if the final dir lacks one, so no
+        # crash point leaves a committed-but-marker-less state that would
+        # downgrade the hard count check to warn-only adoption. Never
+        # overwrites an existing marker — the merge validated it at start.
+        smarker = hpath(staging + "/_n_buckets")
+        fmarker = hpath(path.rstrip("/") + "/_n_buckets")
+        if fs.exists(smarker) and not fs.exists(fmarker):
+            if not fs.rename(smarker, fmarker):
+                raise IOError(f"bucket marker install failed at {path}")
     fs.delete(sp, True)
 
 
@@ -334,8 +400,8 @@ def merge_touched_buckets(
                 merged.repartition(n_buckets, bucket_col),
                 path,
                 partition_by=[bucket_col],
+                marker_n_buckets=n_buckets,  # travels atomically with the swap
             )
-            _write_bucket_marker(spark, path, n_buckets)  # swap replaced the dir
             return
         affected = existing.filter(F.col(bucket_col).isin(touched))
         merged = merge(affected, batch)
@@ -348,6 +414,10 @@ def merge_touched_buckets(
     # cluster's parallelism at scale.
     merged = merged.repartition(n_buckets, bucket_col)
     merged.write.mode("overwrite").partitionBy(bucket_col).parquet(staging)
+    # the marker rides the staged commit: _heal_bucket_swap installs it
+    # alongside the buckets if the final dir lacks one, so there is no
+    # crash point with committed buckets but no marker
+    _write_bucket_marker(spark, staging, n_buckets)
     fs, hpath = _bucket_fs(spark, path)
     if not fs.exists(hpath(staging + "/_SUCCESS")):
         raise IOError(
@@ -355,8 +425,6 @@ def merge_touched_buckets(
             "to swap (set mapreduce.fileoutputcommitter.marksuccessfuljobs)"
         )
     _heal_bucket_swap(spark, path)  # the swap IS the heal of a complete staging
-    if existing is None:
-        _write_bucket_marker(spark, path, n_buckets)  # first write: record marker
 
 
 def upsert_by_key_incremental(

@@ -95,6 +95,19 @@ def _valid_dims(w: int, h: int) -> bool:
     declared schema and kills Arrow serialization of the batch."""
     return 0 < w < 2**31 and 0 < h < 2**31
 
+
+def _has_image_magic(payload: bytes) -> bool:
+    """True when the payload CLAIMS to be a known image format (its
+    magic bytes match), regardless of whether the header parses to
+    valid dimensions. Lets callers distinguish 'not an image at all'
+    (a fake/fallback path may apply) from 'malformed image header'
+    (must degrade to NULLs, never be fabricated over)."""
+    return (
+        payload[:8] == b"\x89PNG\r\n\x1a\n"
+        or payload[:6] in (b"GIF87a", b"GIF89a")
+        or payload[:2] in (b"BM", b"\xff\xd8")
+    )
+
 DECODED_SCHEMA = (
     "doc_id bigint, media_type string, byte_len int, width int, height int, n_frames int, checksum string"
 )
@@ -122,20 +135,27 @@ def decode_features(df: DataFrame, decode_stub: str = "fake") -> DataFrame:
     real production shape — a decoder swap touches only ``_decode_one``.
     """
 
-    def _decode_one(payload: bytes) -> tuple[int, int, int]:
+    def _decode_one(payload: bytes) -> tuple[int | None, int | None, int | None]:
         if decode_stub == "error":
             raise NotImplementedError(
                 "media decode requires an image/audio library not present in this "
                 "container; plug PIL/torchaudio here"
             )
         if decode_stub == "headers":
-            # REAL header parse (PNG/GIF/BMP/JPEG, stdlib-only); payloads
+            # REAL header parse (PNG/GIF/BMP/JPEG, stdlib-only). Payloads
             # whose magic matches no format fall through to the fake path
-            # so mixed corpora still produce a full frame.
-            parsed = parse_image_header(bytes(payload))
+            # so mixed corpora still produce a full frame — but a payload
+            # that CLAIMS a known format and fails to parse (truncated, or
+            # dims rejected by _valid_dims) must degrade to NULLs: a
+            # fabricated mid-size dimension would let a malformed
+            # multi-gigapixel claim sail through a resolution filter.
+            raw = bytes(payload)
+            parsed = parse_image_header(raw)
             if parsed is not None:
                 _, w, h = parsed
                 return w, h, 1
+            if _has_image_magic(raw):
+                return None, None, None
         # Deterministic fake: derive pseudo-dimensions from the byte length
         # and first bytes so tests have stable expectations.
         n = len(payload)

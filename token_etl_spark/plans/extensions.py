@@ -1423,19 +1423,29 @@ def _kmeans_cte_members(n_centroids: int, n_iters: int, dim: int) -> list[str]:
     return members
 
 
-def _ann_ivf_kmeans_sql(
+def _ann_ivf_serving_sql(
+    query_expr: str,
+    exclude_self: bool,
     k: int = 10,
     n_centroids: int = 16,
     n_probe: int = 4,
     n_iters: int = 2,
     dim: int = 64,
 ) -> str:
-    """DuckDB replay of spherical k-means training + IVF search
-    (training CTEs shared via ``_kmeans_cte_members``). The final search
-    assigns the UN-normalized corpus to the trained centroids by cosine,
-    matching ivf_topk."""
+    """DuckDB replay of trained-quantizer IVF serving, shared by the
+    inline-search oracle (``ext_ann_ivf_kmeans``: corpus queries,
+    self-pairs excluded) and the persisted-index serving oracle
+    (``ext_ann_ivf_search``: external-namespace queries via
+    ``query_expr``, self-id pairs KEPT — ``ivf_search_frames``'s
+    ``exclude_self=False``). One builder so a fix to the assignment
+    ranking, probe tie-break, or rounding can never drift between the
+    two oracles of what is the identical serving logic; the training
+    CTEs were already shared via ``_kmeans_cte_members``. The final
+    search assigns the UN-normalized corpus to the trained centroids by
+    cosine, matching ivf_topk."""
     members = _kmeans_cte_members(n_centroids, n_iters, dim)
     cf = f"c{n_iters}"
+    self_filter = "\n  WHERE p.query_id <> a.corpus_id" if exclude_self else ""
     members += [
         f"""asg AS (
   SELECT corpus_id, centroid_id FROM (
@@ -1443,16 +1453,15 @@ def _ann_ivf_kmeans_sql(
            row_number() OVER (PARTITION BY e.vec_id
              ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id) AS rn
     FROM e CROSS JOIN {cf} c) WHERE rn = 1)""",
-        "q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5)",
+        f"q AS (SELECT vec_id AS query_id, {query_expr} AS qv FROM e WHERE vec_id < 5)",
         f"""probes AS (
   SELECT query_id, centroid_id FROM (
     SELECT q.query_id, c.centroid_id,
            row_number() OVER (PARTITION BY q.query_id
              ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.centroid_id) AS rn
     FROM q CROSS JOIN {cf} c) WHERE rn <= {n_probe})""",
-        """cand AS (
-  SELECT p.query_id, a.corpus_id FROM probes p JOIN asg a USING (centroid_id)
-  WHERE p.query_id <> a.corpus_id)""",
+        f"""cand AS (
+  SELECT p.query_id, a.corpus_id FROM probes p JOIN asg a USING (centroid_id){self_filter})""",
         """scored AS (
   SELECT c.query_id, c.corpus_id AS neighbor_id, list_cosine_similarity(q.qv, e.v) AS sim
   FROM cand c JOIN q ON q.query_id = c.query_id JOIN e ON e.vec_id = c.corpus_id)""",
@@ -1471,60 +1480,10 @@ FROM ranked WHERE rank <= {k}
     )
 
 
-SQL_ANN_IVF_KMEANS = _ann_ivf_kmeans_sql()
-
-
-def _ann_ivf_search_sql(
-    k: int = 10,
-    n_centroids: int = 16,
-    n_probe: int = 4,
-    n_iters: int = 2,
-    dim: int = 64,
-) -> str:
-    """DuckDB replay of the persisted-index serving path: identical
-    trained-quantizer + assignment CTEs as ``_ann_ivf_kmeans_sql``, but
-    the query frame is the EXTERNAL namespace (reversed embeddings under
-    colliding ids 0..4) and the candidate join keeps self-id pairs —
-    mirroring ``ivf_search_frames``'s ``exclude_self=False``."""
-    members = _kmeans_cte_members(n_centroids, n_iters, dim)
-    cf = f"c{n_iters}"
-    members += [
-        f"""asg AS (
-  SELECT corpus_id, centroid_id FROM (
-    SELECT e.vec_id AS corpus_id, c.centroid_id,
-           row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id) AS rn
-    FROM e CROSS JOIN {cf} c) WHERE rn = 1)""",
-        "q AS (SELECT vec_id AS query_id, list_reverse(v) AS qv FROM e WHERE vec_id < 5)",
-        f"""probes AS (
-  SELECT query_id, centroid_id FROM (
-    SELECT q.query_id, c.centroid_id,
-           row_number() OVER (PARTITION BY q.query_id
-             ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.centroid_id) AS rn
-    FROM q CROSS JOIN {cf} c) WHERE rn <= {n_probe})""",
-        # external namespace: NO query_id <> corpus_id exclusion — the
-        # id-colliding corpus row is a legitimate neighbor
-        """cand AS (
-  SELECT p.query_id, a.corpus_id FROM probes p JOIN asg a USING (centroid_id))""",
-        """scored AS (
-  SELECT c.query_id, c.corpus_id AS neighbor_id, list_cosine_similarity(q.qv, e.v) AS sim
-  FROM cand c JOIN q ON q.query_id = c.query_id JOIN e ON e.vec_id = c.corpus_id)""",
-        """ranked AS (
-  SELECT query_id, neighbor_id, sim,
-         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-  FROM scored)""",
-    ]
-    return (
-        "WITH "
-        + ",\n".join(members)
-        + f"""
-SELECT query_id, neighbor_id, round(sim, 6) AS cosine_sim, CAST(rank AS BIGINT) AS rank
-FROM ranked WHERE rank <= {k}
-"""
-    )
-
-
-SQL_ANN_IVF_SEARCH = _ann_ivf_search_sql()
+# byte-identical to the pre-refactor builders (pinned in
+# tests/test_registry.py::test_ivf_serving_oracles_unchanged_by_refactor)
+SQL_ANN_IVF_KMEANS = _ann_ivf_serving_sql("v", exclude_self=True)
+SQL_ANN_IVF_SEARCH = _ann_ivf_serving_sql("list_reverse(v)", exclude_self=False)
 
 
 SEMDEDUP_COSINE = 0.3

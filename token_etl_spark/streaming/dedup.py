@@ -466,19 +466,14 @@ def _embedding_neardup_sink_batch(
             "build_ivf_index (or persist spherical_kmeans centroids) before "
             "starting the embedding near-dup stream"
         )
-    seed = _read_existing(spark, f"{index_path.rstrip('/')}/assignments")
-    streamed = _read_partitioned_state(
-        spark, f"{index_path.rstrip('/')}/stream_assignments", exclude_key=key
-    )
-    parts = [p for p in (seed, streamed) if p is not None]
-    assigned = None
-    if parts:
-        assigned = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    # ONE canonical definition of "the index": the same reader the batch
+    # pipeline uses, minus this batch's own partial write (retry guard)
+    assigned = read_embedding_index(spark, index_path, exclude_key=key)
 
     if assigned is not None:
         hits = ivf_search_frames(
             cents.select("centroid_id", "centroid_vec"),
-            assigned.select("corpus_id", "cv", "centroid_id"),
+            assigned,
             batch_df,
             k=k,
             n_probe=n_probe,
@@ -513,15 +508,20 @@ def _embedding_neardup_sink_batch(
     )
 
 
-def read_embedding_index(spark: SparkSession, index_path: str) -> DataFrame | None:
+def read_embedding_index(
+    spark: SparkSession, index_path: str, exclude_key: str | None = None
+) -> DataFrame | None:
     """The combined serving assignments — batch-built seed cells plus
     every stream-admitted vector (partition column dropped) — in exactly
-    the shape ``ivf_search_frames`` consumes. None iff neither exists."""
+    the shape ``ivf_search_frames`` consumes. None iff neither exists.
+    ``exclude_key`` drops one stream batch's partition (the sink's retry
+    guard); the sink calls through here so the serving read and the
+    batch pipeline's read are the same definition of "the index"."""
     from token_etl_spark.io.sinks import _read_existing
 
     seed = _read_existing(spark, f"{index_path.rstrip('/')}/assignments")
     streamed = _read_partitioned_state(
-        spark, f"{index_path.rstrip('/')}/stream_assignments"
+        spark, f"{index_path.rstrip('/')}/stream_assignments", exclude_key=exclude_key
     )
     parts = [
         p.select("corpus_id", "cv", "centroid_id")
