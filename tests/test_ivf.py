@@ -232,3 +232,18 @@ def test_ivf_search_frames_matches_persisted_path(spark, tmp_path):
     cents, assigned = build_ivf_index_frames(corpus, n_centroids=4, refine_iters=2)
     inplan = _topk_sets(ivf_search_frames(cents, assigned, queries, k=5, n_probe=2))
     assert inplan == persisted
+
+
+def test_ivf_cell_stats_report(spark):
+    """Per-cell occupancy: counts partition the corpus, shares sum to 1,
+    imbalance is count x n_cells / total (1.0 when perfectly balanced)."""
+    from token_etl_spark.operators.similarity import ivf_assign, ivf_cell_stats
+
+    df = _corpus(spark, n=200)
+    assigned, _ = ivf_assign(df, n_centroids=8)
+    rows = ivf_cell_stats(assigned).collect()
+    assert sum(r["n_vectors"] for r in rows) == 200
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-12
+    n_cells = len(rows)
+    for r in rows:
+        assert abs(r["imbalance"] - r["n_vectors"] * n_cells / 200) < 1e-12

@@ -674,6 +674,41 @@ def ivf_search(
     return ivf_search_frames(cents, assigned, queries, k, n_probe, id_col, vec_col)
 
 
+def ivf_cell_stats(assigned: DataFrame) -> DataFrame:
+    """Per-cell occupancy report for an IVF index: ``(centroid_id,
+    n_vectors, share, imbalance)`` where ``share`` = cell count / corpus
+    size and ``imbalance`` = count × n_nonempty_cells / corpus size
+    (1.0 = perfectly balanced; ≫1 = a hot cell).
+
+    The maintenance signal a serving owner watches: IVF probe cost is
+    |corpus| × n_probe / n_centroids only while cells stay balanced — a
+    drifted corpus concentrates into few cells, probe latency follows
+    the hottest cell, and a high max-imbalance is the retrain trigger
+    (rebuild the quantizer via ``build_ivf_index``, backfill).
+
+    Scale shape: ONE combinable count at n_centroids key cardinality
+    over the assignments frame (or a metadata-only scan of the persisted
+    index's cell partitions); the ratio join is a broadcast of a 1-row
+    aggregate against the ≤ n_centroids counts frame. All ratios are
+    exact-integer divisions in double — deterministic cross-engine.
+    """
+    counts = assigned.groupBy("centroid_id").agg(
+        F.count("*").cast("long").alias("n_vectors")
+    )
+    tot = counts.agg(
+        F.sum("n_vectors").cast("long").alias("_total"),
+        F.count("*").cast("long").alias("_n_cells"),
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "centroid_id",
+        "n_vectors",
+        (F.col("n_vectors").cast("double") / F.col("_total")).alias("share"),
+        (
+            F.col("n_vectors").cast("double") * F.col("_n_cells") / F.col("_total")
+        ).alias("imbalance"),
+    )
+
+
 def quantize_vec(v: Column) -> Column:
     """Symmetric int8-range quantization: each component maps to
     round(x * 127 / max|x|) via ``floor(y + 0.5)`` — an explicit

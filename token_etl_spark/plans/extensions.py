@@ -1486,6 +1486,56 @@ SQL_ANN_IVF_KMEANS = _ann_ivf_serving_sql("v", exclude_self=True)
 SQL_ANN_IVF_SEARCH = _ann_ivf_serving_sql("list_reverse(v)", exclude_self=False)
 
 
+def q_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-maintenance report (r10): per-cell occupancy of the
+    trained quantizer's assignments — count, corpus share, and imbalance
+    factor (count × n_nonempty_cells / corpus size; 1.0 = balanced).
+    The retrain trigger a 100 TB serving owner watches: probe latency
+    follows the hottest cell once the corpus drifts.
+
+    Built through the same ``build_ivf_index_frames`` +
+    ``_trained_centroids`` seam as ``ext_ann_ivf_search`` (plan-build
+    job-free); one combinable count at n_centroids cardinality + a
+    broadcast 1-row ratio join. Oracle: the shared k-means training CTEs
+    + assignment replay + exact integer-ratio arithmetic."""
+    emb = t(spark, sf_dir, "embeddings")
+    _, assigned = S.build_ivf_index_frames(
+        emb, centroids=_trained_centroids(spark, sf_dir)
+    )
+    return S.ivf_cell_stats(assigned)
+
+
+def _ivf_cell_balance_sql(n_centroids: int = 16, n_iters: int = 2, dim: int = 64) -> str:
+    members = _kmeans_cte_members(n_centroids, n_iters, dim)
+    cf = f"c{n_iters}"
+    members += [
+        f"""asg AS (
+  SELECT corpus_id, centroid_id FROM (
+    SELECT e.vec_id AS corpus_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id) AS rn
+    FROM e CROSS JOIN {cf} c) WHERE rn = 1)""",
+        """counts AS (
+  SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_vectors FROM asg GROUP BY 1)""",
+        """tot AS (
+  SELECT CAST(sum(n_vectors) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n_cells FROM counts)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(members)
+        + """
+SELECT centroid_id, n_vectors,
+       CAST(n_vectors AS DOUBLE) / total AS share,
+       CAST(n_vectors AS DOUBLE) * n_cells / total AS imbalance
+FROM counts CROSS JOIN tot
+"""
+    )
+
+
+SQL_IVF_CELL_BALANCE = _ivf_cell_balance_sql()
+
+
 SEMDEDUP_COSINE = 0.3
 
 _CENTROID_CACHE: dict[tuple, object] = {}
@@ -3256,6 +3306,7 @@ SPECS = [
     # round-over-round tracking matters more than the brute-force baseline.
     QuerySpec("ext_ann_ivf_kmeans", q_ann_ivf_kmeans, SQL_ANN_IVF_KMEANS, ("similarity", "iterative"), bench=True),
     QuerySpec("ext_ann_ivf_search", q_ann_ivf_search, SQL_ANN_IVF_SEARCH, ("similarity", "iterative")),
+    QuerySpec("ext_ivf_cell_balance", q_ivf_cell_balance, SQL_IVF_CELL_BALANCE, ("similarity", "iterative")),
     # bench=True (r4): embedding-space dedup is the third dedup modality
     # (exact / lexical-minhash / semantic) — track its k-means + in-cluster
     # pair-join cost round over round.

@@ -27,30 +27,33 @@ from token_etl_spark.plans.base import QuerySpec
 # ROUND-10 ROTATION (last-green histogram after r9, computed directly
 # from the CORRECTNESS_r0{1..9}.json keys: r9=50, r8=50, r7=46, r6=46,
 # r5=1 — matching the r9 VERDICT's recount). The window is exactly:
-#   1. The 2 queries NEW this round — ext_ann_ivf_search (the persisted-
+#   1. The 3 queries NEW this round — ext_ann_ivf_search (the persisted-
 #      index SERVING path: build_ivf_index_frames + ivf_search_frames,
 #      the exact code ivf_search delegates to, external id namespace
 #      with exclude_self=False and a verified-kept colliding-id
-#      neighbor; VERDICT r9 item 3) and ext_multimodal_headers (the
+#      neighbor; VERDICT r9 item 3), ext_multimodal_headers (the
 #      header-sniff + int32-dimension-validation path, incl. the
 #      adversarial 0x80000000 PNG width that crashed Arrow batches
 #      before the r10 fix; VERDICT r9 item 1 driver-proven, not just
-#      pytest-proven) — every new query enters the window in its birth
+#      pytest-proven), and ext_ivf_cell_balance (the IVF
+#      index-maintenance occupancy report over the same trained-seam
+#      assignments) — every new query enters the window in its birth
 #      round. Each hash-matched locally at all three SFs.
-#   2. ext_multimodal_pixels: its operator module changed this round
-#      (parse_image_header dimension validation). The change is
-#      provably inert for this row — its all-P5 payloads early-return
-#      from decode_ppm before parse_image_header ever runs — but the
-#      slot is free after the stale cohort fits, so the
-#      operator-logic-touch risk rank gets it re-windowed anyway.
-#   3. evt_tx_per_day FIRST among stale (the one r5-stale row, VERDICT
+#   2. evt_tx_per_day FIRST among stale (the one r5-stale row, VERDICT
 #      r9 item 2), then ALL 46 r6-stale rows: float-scoring rows first
 #      (TPC-H price/discount double arithmetic, median/stddev packs,
 #      ratio shares, cosine/jaccard scorers), then the integer/md5-
 #      pinned remainder. After this window no query's last driver row
 #      is older than r7.
+#   3. ext_multimodal_pixels held the spare slot mid-round
+#      (belt-and-suspenders for the parse_image_header change) and
+#      yields it to the late-round ext_ivf_cell_balance: the r10
+#      multimodal change is provably inert for the pixels row — its
+#      all-P5 payloads early-return from decode_ppm before
+#      parse_image_header ever runs (the validated branch), it is
+#      r9-green, and it stays green in the 196-query local 3-SF sweep.
 # Displaced: the r8/r9-green window occupants — all still covered by
-# the 195-query local three-SF sweep.
+# the 196-query local three-SF sweep.
 #
 # ROUND-9 ROTATION (kept for the audit trail; last-green histogram after r8, computed directly
 # from the CORRECTNESS_r0{1..8}.json keys: r8=50, r7=46, r6=46, r5=44 —
@@ -208,8 +211,7 @@ _PRIORITY_NAMES = [
     # new in round 10
     "ext_ann_ivf_search",
     "ext_multimodal_headers",
-    # operator-module-touched this round (parse_image_header validation)
-    "ext_multimodal_pixels",
+    "ext_ivf_cell_balance",
     # the one r5-stale row leads the rotation (VERDICT r9 item 2)
     "evt_tx_per_day",
     # r6-stale: float-scoring rows first (highest dtype risk — TPC-H
