@@ -235,15 +235,32 @@ def test_ivf_search_frames_matches_persisted_path(spark, tmp_path):
 
 
 def test_ivf_cell_stats_report(spark):
-    """Per-cell occupancy: counts partition the corpus, shares sum to 1,
-    imbalance is count x n_cells / total (1.0 when perfectly balanced)."""
+    """Per-cell occupancy: one row per TRAINED centroid (empty cells at
+    0), shares sum to 1, imbalance divisor is the trained centroid
+    count — a fully drifted corpus must read imbalance n_centroids on
+    its hot cell, not 1.0 (the blind spot of normalizing by nonempty
+    cells; r10 review)."""
     from token_etl_spark.operators.similarity import ivf_assign, ivf_cell_stats
 
     df = _corpus(spark, n=200)
-    assigned, _ = ivf_assign(df, n_centroids=8)
-    rows = ivf_cell_stats(assigned).collect()
+    assigned, cents = ivf_assign(df, n_centroids=8)
+    n_centroids = cents.count()
+    rows = ivf_cell_stats(assigned, cents).collect()
+    assert len(rows) == n_centroids  # every trained cell reported
     assert sum(r["n_vectors"] for r in rows) == 200
     assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-12
-    n_cells = len(rows)
     for r in rows:
-        assert abs(r["imbalance"] - r["n_vectors"] * n_cells / 200) < 1e-12
+        assert abs(r["imbalance"] - r["n_vectors"] * n_centroids / 200) < 1e-12
+
+    # extreme drift: every vector in ONE of the 8 cells → that cell's
+    # imbalance is 8.0 and the 7 empty cells are reported at 0
+    hot = rows[0]["centroid_id"]
+    drifted = assigned.withColumn("centroid_id", F.lit(hot))
+    drows = {r["centroid_id"]: r for r in ivf_cell_stats(drifted, cents).collect()}
+    assert len(drows) == n_centroids
+    assert abs(drows[hot]["imbalance"] - float(n_centroids)) < 1e-12
+    assert all(
+        drows[c]["n_vectors"] == 0 and drows[c]["imbalance"] == 0.0
+        for c in drows
+        if c != hot
+    )

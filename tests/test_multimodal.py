@@ -141,6 +141,11 @@ def test_decode_headers_mode_mixed_corpus(spark):
         (3, b"not an image", {"media_type": "text/plain", "byte_len": 0, "checksum": "c"}),
         (4, overflow_png, {"media_type": "image/png", "byte_len": 0, "checksum": "d"}),
         (5, b"\x89PNG\r\n\x1a\n tru", {"media_type": "image/png", "byte_len": 0, "checksum": "e"}),
+        # short ASCII text starting with 'BM' is NOT a BMP claim (far
+        # likelier prose than a truncated bitmap): fake path, full frame
+        (6, b"BMW review: great", {"media_type": "text/plain", "byte_len": 0, "checksum": "f"}),
+        # claims JPEG (FFD8) but has no SOF segment: NULLs, not fake dims
+        (7, b"\xff\xd8garbage-no-sof", {"media_type": "image/jpeg", "byte_len": 0, "checksum": "g"}),
     ]
     df = spark.createDataFrame(
         rows,
@@ -154,6 +159,11 @@ def test_decode_headers_mode_mixed_corpus(spark):
     # malformed-but-claiming-PNG: NULLs, never fabricated dims
     assert (got[4].width, got[4].height, got[4].n_frames) == (None, None, None)
     assert (got[5].width, got[5].height, got[5].n_frames) == (None, None, None)
+    # 'BM'-prefixed short text: fake path (no format claim)
+    m = len(b"BMW review: great")
+    assert got[6].width == 16 + (m % 1024)
+    # FFD8 with no SOF: a JPEG claim that cannot be parsed → NULLs
+    assert (got[7].width, got[7].height, got[7].n_frames) == (None, None, None)
 
 
 def _wav_bytes(freq=440.0, rate=8000, n=800, amp=0.5):

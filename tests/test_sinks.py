@@ -202,11 +202,12 @@ def test_bucket_swap_heals_interrupted_commit(spark, tmp_path):
     before = {r["_key"]: r["v"] for r in read_upserted(spark, path).collect()}
 
     # simulate a crash mid-swap: copy the CURRENT state into the
-    # bucket-protocol staging dir, mark complete, delete one final bucket
+    # bucket-protocol staging dir, mark complete (_SUCCESS AND the
+    # _n_buckets marker — the completeness gate requires both), delete
+    # one final bucket
     staging = path + ".staging-buckets"
     shutil.copytree(path, staging)
     open(os.path.join(staging, "_SUCCESS"), "w").close()
-    os.remove(os.path.join(staging, "_n_buckets"))
     victims = [d for d in os.listdir(path) if d.startswith("_bucket=")]
     shutil.rmtree(os.path.join(path, victims[0]))
 
@@ -424,3 +425,62 @@ def test_legacy_staging_dirs_are_healed_on_upgrade(spark, tmp_path):
     open(os.path.join(blegacy, "part-garbage.parquet"), "w").write("x")
     upsert_by_key_incremental(spark, mk([("k1", 888)]), bpath, n_buckets=4)
     assert not os.path.exists(blegacy)
+
+
+def test_bucket_staging_without_marker_is_discarded(spark, tmp_path):
+    """The completeness gate (r10 review): a bucket staging with
+    _SUCCESS but NO _n_buckets marker is the crash window between the
+    staging job commit and the driver marker write — it must be
+    DISCARDED (the batch retries), never healed into a committed
+    marker-less final dir."""
+    import os
+    import shutil
+
+    from token_etl_spark.io.sinks import read_upserted, upsert_by_key_incremental
+
+    path = str(tmp_path / "gate_state")
+    rows = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(20)], "_key string, v long"
+    )
+    upsert_by_key_incremental(spark, rows, path, n_buckets=4)
+    before = {r["_key"]: r["v"] for r in read_upserted(spark, path).collect()}
+
+    staging = path + ".staging-buckets"
+    shutil.copytree(path, staging)
+    open(os.path.join(staging, "_SUCCESS"), "w").close()
+    os.remove(os.path.join(staging, "_n_buckets"))  # the crash window
+
+    update = spark.createDataFrame([("k0", 999)], "_key string, v long")
+    upsert_by_key_incremental(spark, update, path, n_buckets=4)
+    assert not os.path.exists(staging)  # discarded, not healed
+    after = {r["_key"]: r["v"] for r in read_upserted(spark, path).collect()}
+    assert after == {**before, "k0": 999}
+    assert os.path.exists(os.path.join(path, "_n_buckets"))
+
+
+def test_success_only_legacy_staging_never_destroys_the_table(spark, tmp_path):
+    """r10 review, reproduced data-loss hazard: a legacy '.staging' dir
+    holding ONLY _SUCCESS (the old bucket heal crashed between its last
+    bucket rename and the staging delete) must be DISCARDED — treating
+    it as a full-swap staging would delete the live table and rename an
+    empty dir over it."""
+    import os
+
+    from token_etl_spark.io.sinks import read_upserted, upsert_by_key_incremental
+
+    path = str(tmp_path / "empty_legacy")
+    rows = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(30)], "_key string, v long"
+    )
+    upsert_by_key_incremental(spark, rows, path, n_buckets=4)
+    before = {r["_key"]: r["v"] for r in read_upserted(spark, path).collect()}
+
+    legacy = path + ".staging"
+    os.makedirs(legacy)
+    open(os.path.join(legacy, "_SUCCESS"), "w").close()
+
+    update = spark.createDataFrame([("k0", 777)], "_key string, v long")
+    upsert_by_key_incremental(spark, update, path, n_buckets=4)
+    assert not os.path.exists(legacy)
+    after = {r["_key"]: r["v"] for r in read_upserted(spark, path).collect()}
+    assert after == {**before, "k0": 777}  # all 30 keys survive

@@ -136,10 +136,17 @@ def _full_swap(
     copy would lose the whole table on a crash mid-write.
 
     ``marker_n_buckets``: when set, the ``_n_buckets`` marker is written
-    INTO the staging dir before the rename, so it travels atomically
-    with the swap — writing it after would leave a crash window in which
-    the final dir exists marker-less and the hard bucket-count check
-    silently downgrades to the warn-only structural adoption."""
+    INTO the staging dir before the rename so it travels with the swap.
+    Residual window, stated honestly: a crash between the staging job's
+    ``_SUCCESS`` and the driver-side marker write heals (via
+    ``_heal_full_swap``, which cannot know the count) into a marker-less
+    final dir — that one commit then goes through the VALIDATED
+    structural-adoption path of ``_check_bucket_count`` (loud warning,
+    bucket-id bounds checked) at the next merge instead of the hard
+    marker equality. The bucket-swap protocol closes its equivalent
+    window completely by gating completeness on the marker itself
+    (see :func:`_heal_bucket_swap`); the full swap cannot, because
+    ``upsert_by_key`` legitimately stages marker-less tables."""
     staging = path.rstrip("/") + _STAGING_FULL
     write_parquet(df, staging, mode="overwrite", partition_by=partition_by)
     if marker_n_buckets is not None:
@@ -206,11 +213,20 @@ def _heal_legacy_staging(spark: SparkSession, path: str) -> None:
     if not fs.exists(hpath(staging + "/_SUCCESS")):
         fs.delete(sp, True)
         return
+    entries = list(fs.listStatus(sp))
     staged_buckets = [
         st.getPath()
-        for st in fs.listStatus(sp)
+        for st in entries
         if st.getPath().getName().startswith("_bucket=")
     ]
+    # data files = anything not underscore-prefixed (part-*.parquet).
+    # A _SUCCESS-only staging is the leftover of the OLD bucket heal
+    # crashing between its last bucket rename and the staging delete —
+    # treating it as a full-swap staging would DELETE the live table
+    # and rename an empty dir over it. Data-free staging ⇒ discard.
+    has_data_files = any(
+        not st.getPath().getName().startswith("_") for st in entries
+    )
     if staged_buckets:
         fs.mkdirs(hpath(path))
         for src in staged_buckets:
@@ -220,12 +236,14 @@ def _heal_legacy_staging(spark: SparkSession, path: str) -> None:
             if not fs.rename(src, dst):
                 raise IOError(f"legacy bucket swap failed: {src} -> {path}")
         fs.delete(sp, True)
-    else:
+    elif has_data_files:
         dst = hpath(path)
         if fs.exists(dst):
             fs.delete(dst, True)
         if not fs.rename(sp, dst):
             raise IOError(f"legacy swap recovery failed: {staging} -> {path}")
+    else:
+        fs.delete(sp, True)
 
 
 def _bucket_fs(spark: SparkSession, path: str):
@@ -303,19 +321,27 @@ def _check_bucket_count(spark: SparkSession, path: str, n_buckets: int) -> None:
 
 def _heal_bucket_swap(spark: SparkSession, path: str) -> None:
     """Crash recovery for the per-bucket staging swap: a COMPLETE staging
-    dir (its ``_SUCCESS`` job marker exists — the swap only starts after
-    the staging write returned) is finished — every staged bucket
-    replaces its final counterpart; an INCOMPLETE staging dir (no
-    ``_SUCCESS``: crash mid-write) is discarded — the stream's retry of
-    the same batch rewrites it. Single-writer contract (one stream per
-    state dir), same as every state sink in this package. Only consumes
-    ``.staging-buckets`` dirs (see the suffix constants)."""
+    dir is finished — every staged bucket replaces its final counterpart;
+    an INCOMPLETE one is discarded — the stream's retry of the same batch
+    rewrites it. Single-writer contract (one stream per state dir), same
+    as every state sink in this package. Only consumes
+    ``.staging-buckets`` dirs (see the suffix constants).
+
+    COMPLETE means both ``_SUCCESS`` (the parquet job committed) AND
+    ``_n_buckets`` (the driver finished staging the marker) exist: the
+    marker is written after the job commit, so gating on both closes the
+    crash window between them — a staging with ``_SUCCESS`` but no
+    marker is discarded and the batch retried, never healed into a
+    committed-but-marker-less final dir (which would silently downgrade
+    the hard bucket-count check to warn-only structural adoption)."""
     fs, hpath = _bucket_fs(spark, path)
     staging = path.rstrip("/") + _STAGING_BUCKETS
     sp = hpath(staging)
     if not fs.exists(sp):
         return
-    if fs.exists(hpath(staging + "/_SUCCESS")):
+    if fs.exists(hpath(staging + "/_SUCCESS")) and fs.exists(
+        hpath(staging + "/_n_buckets")
+    ):
         fs.mkdirs(hpath(path))
         for st in fs.listStatus(sp):
             name = st.getPath().getName()
@@ -414,9 +440,11 @@ def merge_touched_buckets(
     # cluster's parallelism at scale.
     merged = merged.repartition(n_buckets, bucket_col)
     merged.write.mode("overwrite").partitionBy(bucket_col).parquet(staging)
-    # the marker rides the staged commit: _heal_bucket_swap installs it
-    # alongside the buckets if the final dir lacks one, so there is no
-    # crash point with committed buckets but no marker
+    # the marker rides the staged commit: a bucket staging only counts
+    # as COMPLETE once BOTH _SUCCESS and _n_buckets exist (the heal's
+    # gate), so a crash before this marker write discards the staging
+    # and the batch retries — no crash point heals committed buckets
+    # into a marker-less final dir
     _write_bucket_marker(spark, staging, n_buckets)
     fs, hpath = _bucket_fs(spark, path)
     if not fs.exists(hpath(staging + "/_SUCCESS")):

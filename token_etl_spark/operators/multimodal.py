@@ -39,11 +39,70 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: Sentinel: the payload CLAIMS a known image format (magic matched)
+#: but its header is truncated or carries out-of-range dimensions —
+#: distinct from "no known magic at all" (None). One dispatcher owns
+#: the magic constants so the claims-vs-parses distinction can never
+#: drift from the parser (r10 review). A string (compared by value),
+#: NOT object() — mapInPandas closures are cloudpickled to workers,
+#: where an object() sentinel deserializes as a different instance and
+#: every identity check silently fails.
+_INVALID_HEADER = "__invalid_image_header__"
+
+
+def _sniff_image_header(payload: bytes):
+    """(format, width, height) | None | :data:`_INVALID_HEADER`.
+
+    None = the magic bytes match no known format (or the prefix is too
+    ambiguous to count as a claim — a 2-byte ASCII ``BM`` on a payload
+    shorter than a BMP info header is far likelier to be text than a
+    truncated bitmap, so it is NOT treated as claiming BMP).
+    ``_INVALID_HEADER`` = a real format claim whose header cannot be
+    trusted: truncated, a JPEG with no SOF segment, or dimensions
+    rejected by ``_valid_dims``.
+    """
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(payload) < 24:
+            return _INVALID_HEADER
+        w, h = struct.unpack(">II", payload[16:24])
+        return ("png", w, h) if _valid_dims(w, h) else _INVALID_HEADER
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        if len(payload) < 10:
+            return _INVALID_HEADER
+        w, h = struct.unpack("<HH", payload[6:10])
+        return ("gif", w, h) if _valid_dims(w, h) else _INVALID_HEADER
+    if payload[:2] == b"BM":
+        if len(payload) < 26:
+            return None  # ambiguous with ASCII text — not a format claim
+        w, h = struct.unpack("<ii", payload[18:26])
+        h = abs(h)  # negative height = top-down DIB; abs(-2**31) = 2**31 is caught below
+        return ("bmp", w, h) if _valid_dims(w, h) else _INVALID_HEADER
+    if payload[:2] == b"\xff\xd8":  # JPEG: walk segments to a SOF marker
+        i = 2
+        while i + 9 <= len(payload):
+            if payload[i] != 0xFF:
+                break
+            marker = payload[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length field
+                continue
+            if i + 4 > len(payload):
+                break
+            seglen = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3) and i + 9 <= len(payload):
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return ("jpeg", w, h) if _valid_dims(w, h) else _INVALID_HEADER
+            i += 2 + seglen
+        return _INVALID_HEADER  # claims JPEG, no parseable SOF
+    return None
+
+
 def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
     """REAL (format, width, height) extraction from actual image bytes —
     stdlib-only, no PIL: PNG IHDR, GIF logical-screen descriptor, BMP
     info header, and a JPEG SOF-marker scan. Returns None when the magic
-    bytes match no known format.
+    bytes match no known format OR the header is malformed (callers that
+    need to distinguish the two use :func:`_sniff_image_header`).
 
     This is the one media stage that needs no pixel library, and at
     100 TB it is also the one worth running FIRST: resolution/format
@@ -59,33 +118,8 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
     outside (0, 2**31) as garbage (a multi-gigapixel claim in a header
     is inherently malformed); callers then degrade to kind='unknown'.
     """
-    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
-        w, h = struct.unpack(">II", payload[16:24])
-        return ("png", w, h) if _valid_dims(w, h) else None
-    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
-        w, h = struct.unpack("<HH", payload[6:10])
-        return ("gif", w, h) if _valid_dims(w, h) else None
-    if payload[:2] == b"BM" and len(payload) >= 26:
-        w, h = struct.unpack("<ii", payload[18:26])
-        h = abs(h)  # negative height = top-down DIB; abs(-2**31) = 2**31 is caught below
-        return ("bmp", w, h) if _valid_dims(w, h) else None
-    if payload[:2] == b"\xff\xd8":  # JPEG: walk segments to a SOF marker
-        i = 2
-        while i + 9 <= len(payload):
-            if payload[i] != 0xFF:
-                break
-            marker = payload[i + 1]
-            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-                i += 2  # standalone markers carry no length field
-                continue
-            if i + 4 > len(payload):
-                break
-            seglen = struct.unpack(">H", payload[i + 2 : i + 4])[0]
-            if marker in (0xC0, 0xC1, 0xC2, 0xC3) and i + 9 <= len(payload):
-                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
-                return ("jpeg", w, h) if _valid_dims(w, h) else None
-            i += 2 + seglen
-    return None
+    sniffed = _sniff_image_header(payload)
+    return sniffed if isinstance(sniffed, tuple) else None
 
 
 def _valid_dims(w: int, h: int) -> bool:
@@ -94,19 +128,6 @@ def _valid_dims(w: int, h: int) -> bool:
     a degenerate image; anything ≥ 2**31 cannot be represented in the
     declared schema and kills Arrow serialization of the batch."""
     return 0 < w < 2**31 and 0 < h < 2**31
-
-
-def _has_image_magic(payload: bytes) -> bool:
-    """True when the payload CLAIMS to be a known image format (its
-    magic bytes match), regardless of whether the header parses to
-    valid dimensions. Lets callers distinguish 'not an image at all'
-    (a fake/fallback path may apply) from 'malformed image header'
-    (must degrade to NULLs, never be fabricated over)."""
-    return (
-        payload[:8] == b"\x89PNG\r\n\x1a\n"
-        or payload[:6] in (b"GIF87a", b"GIF89a")
-        or payload[:2] in (b"BM", b"\xff\xd8")
-    )
 
 DECODED_SCHEMA = (
     "doc_id bigint, media_type string, byte_len int, width int, height int, n_frames int, checksum string"
@@ -149,12 +170,11 @@ def decode_features(df: DataFrame, decode_stub: str = "fake") -> DataFrame:
             # dims rejected by _valid_dims) must degrade to NULLs: a
             # fabricated mid-size dimension would let a malformed
             # multi-gigapixel claim sail through a resolution filter.
-            raw = bytes(payload)
-            parsed = parse_image_header(raw)
-            if parsed is not None:
-                _, w, h = parsed
+            sniffed = _sniff_image_header(bytes(payload))
+            if isinstance(sniffed, tuple):
+                _, w, h = sniffed
                 return w, h, 1
-            if _has_image_magic(raw):
+            if sniffed == _INVALID_HEADER:
                 return None, None, None
         # Deterministic fake: derive pseudo-dimensions from the byte length
         # and first bytes so tests have stable expectations.

@@ -674,11 +674,11 @@ def ivf_search(
     return ivf_search_frames(cents, assigned, queries, k, n_probe, id_col, vec_col)
 
 
-def ivf_cell_stats(assigned: DataFrame) -> DataFrame:
-    """Per-cell occupancy report for an IVF index: ``(centroid_id,
-    n_vectors, share, imbalance)`` where ``share`` = cell count / corpus
-    size and ``imbalance`` = count × n_nonempty_cells / corpus size
-    (1.0 = perfectly balanced; ≫1 = a hot cell).
+def ivf_cell_stats(assigned: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Per-cell occupancy report for an IVF index: one row per TRAINED
+    centroid (empty cells included at ``n_vectors = 0``) with ``share``
+    = cell count / corpus size and ``imbalance`` = count × n_centroids /
+    corpus size (1.0 = perfectly balanced; ≫1 = a hot cell).
 
     The maintenance signal a serving owner watches: IVF probe cost is
     |corpus| × n_probe / n_centroids only while cells stay balanced — a
@@ -686,15 +686,27 @@ def ivf_cell_stats(assigned: DataFrame) -> DataFrame:
     the hottest cell, and a high max-imbalance is the retrain trigger
     (rebuild the quantizer via ``build_ivf_index``, backfill).
 
+    The divisor is the TRAINED centroid count, not the nonempty-cell
+    count: normalizing by nonempty cells scores any
+    uniform-over-its-nonempty-cells distribution 1.0 — including the
+    everything-in-one-cell extreme the report exists to catch (a 16-cell
+    quantizer fully drifted into 1 cell must read imbalance 16, not 1;
+    r10 review). That is why ``centroids`` is a required argument.
+
     Scale shape: ONE combinable count at n_centroids key cardinality
     over the assignments frame (or a metadata-only scan of the persisted
-    index's cell partitions); the ratio join is a broadcast of a 1-row
-    aggregate against the ≤ n_centroids counts frame. All ratios are
-    exact-integer divisions in double — deterministic cross-engine.
+    index's cell partitions); the left join against the ≤ n_centroids
+    centroid-id frame and the 1-row ratio join are both broadcasts. All
+    ratios are exact-integer divisions in double — deterministic
+    cross-engine.
     """
-    counts = assigned.groupBy("centroid_id").agg(
-        F.count("*").cast("long").alias("n_vectors")
-    )
+    counts = centroids.select("centroid_id").join(
+        assigned.groupBy("centroid_id").agg(
+            F.count("*").cast("long").alias("n_vectors")
+        ),
+        "centroid_id",
+        "left",
+    ).fillna(0, ["n_vectors"])
     tot = counts.agg(
         F.sum("n_vectors").cast("long").alias("_total"),
         F.count("*").cast("long").alias("_n_cells"),

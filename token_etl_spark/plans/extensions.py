@@ -1496,13 +1496,16 @@ def q_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Built through the same ``build_ivf_index_frames`` +
     ``_trained_centroids`` seam as ``ext_ann_ivf_search`` (plan-build
     job-free); one combinable count at n_centroids cardinality + a
-    broadcast 1-row ratio join. Oracle: the shared k-means training CTEs
-    + assignment replay + exact integer-ratio arithmetic."""
+    broadcast 1-row ratio join. Empty cells are REPORTED (n_vectors=0)
+    and the imbalance divisor is the trained centroid count — a fully
+    drifted 16-cell quantizer must read imbalance 16 on its hot cell,
+    not 1.0. Oracle: the shared k-means training CTEs + assignment
+    replay + exact integer-ratio arithmetic."""
     emb = t(spark, sf_dir, "embeddings")
-    _, assigned = S.build_ivf_index_frames(
+    cents, assigned = S.build_ivf_index_frames(
         emb, centroids=_trained_centroids(spark, sf_dir)
     )
-    return S.ivf_cell_stats(assigned)
+    return S.ivf_cell_stats(assigned, cents)
 
 
 def _ivf_cell_balance_sql(n_centroids: int = 16, n_iters: int = 2, dim: int = 64) -> str:
@@ -1515,8 +1518,13 @@ def _ivf_cell_balance_sql(n_centroids: int = 16, n_iters: int = 2, dim: int = 64
            row_number() OVER (PARTITION BY e.vec_id
              ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id) AS rn
     FROM e CROSS JOIN {cf} c) WHERE rn = 1)""",
-        """counts AS (
-  SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_vectors FROM asg GROUP BY 1)""",
+        # one row per TRAINED centroid (empty cells at 0): the imbalance
+        # divisor is n_centroids, not the nonempty count — a fully
+        # drifted quantizer must score its hot cell at n_centroids, not 1
+        f"""counts AS (
+  SELECT c.centroid_id, CAST(coalesce(a.n, 0) AS BIGINT) AS n_vectors
+  FROM {cf} c LEFT JOIN (
+    SELECT centroid_id, count(*) AS n FROM asg GROUP BY 1) a USING (centroid_id))""",
         """tot AS (
   SELECT CAST(sum(n_vectors) AS BIGINT) AS total,
          CAST(count(*) AS BIGINT) AS n_cells FROM counts)""",
