@@ -125,5 +125,76 @@ def main() -> None:
         spark.conf.set(conf, original)
 
 
+
+
+def probe_streaming_embedding_neardup() -> None:
+    """Growth probe for the streaming embedding near-dup sink: per-batch
+    wall clock as the admitted index grows (fixed batch size). Expected
+    shape: the batch's candidate set is |batch| × n_probe / n_centroids
+    × mean cell size, so per-batch cost grows LINEARLY with index size
+    at fixed quantizer — the documented IVF trade; the mitigation at
+    100 TB is n_centroids sized to the corpus (cells stay
+    bounded), which `ivf_cell_stats` makes observable.
+
+    Run: python scripts/probe_multimodal.py stream
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from token_etl_spark.operators.similarity import spherical_kmeans
+    from token_etl_spark.streaming.dedup import _embedding_neardup_sink_batch
+
+    spark = get_spark("probe-emb-stream")
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings").localCheckpoint()
+    n = emb.count()
+    for n_centroids in (16, 64):
+        _run_emb_stream_probe(spark, emb, n, n_centroids)
+
+
+def _run_emb_stream_probe(spark, emb, n, n_centroids) -> None:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from token_etl_spark.operators.similarity import spherical_kmeans
+    from token_etl_spark.streaming.dedup import _embedding_neardup_sink_batch
+
+    print(f"--- n_centroids={n_centroids} (n_probe=4 fixed) ---", flush=True)
+    root = tempfile.mkdtemp(prefix="embstream_")
+    index_path = f"{root}/idx"
+    cents = spherical_kmeans(emb, n_centroids=n_centroids, n_iters=2)
+    cents.write.mode("overwrite").parquet(f"{index_path}/centroids")
+
+    batch_size = 2000
+    dim = len(emb.select("embedding").first()[0])
+    for g in range(8):
+        # rotate the array by g positions: deterministic, and rolled
+        # random-ish vectors are near-orthogonal to their originals, so
+        # every generation is genuinely NOVEL (a same-vector replay
+        # would match its index copy at cosine 1.0 and the index would
+        # stop growing after batch 1 — measuring nothing)
+        v = F.col("embedding")
+        rolled = (
+            F.concat(F.slice(v, g + 1, dim - g), F.slice(v, 1, g)) if g else v
+        )
+        batch = emb.select(
+            (F.col("vec_id") + g * n).alias("vec_id"), rolled.alias("embedding")
+        ).limit(batch_size).localCheckpoint(eager=True)
+        t0 = time.time()
+        _embedding_neardup_sink_batch(batch, f"probe000-{g}", index_path)
+        dt = time.time() - t0
+        print(
+            f"batch {g}: index≈{g * batch_size:>6} vectors, sink {dt:5.2f} s",
+            flush=True,
+        )
+    shutil.rmtree(root)
+
+
 if __name__ == "__main__":
-    main()
+    if sys.argv[1:2] == ["stream"]:
+        probe_streaming_embedding_neardup()
+    else:
+        main()
