@@ -960,3 +960,34 @@ def test_text_operators_never_crash_on_adversarial_strings(spark, texts):
     uc = url_canonicalize(urls).collect()
     assert len(uc) == n
     assert all(r["canon_url"] is not None for r in uc)
+
+
+@given(texts=st.lists(_ADVERSARIAL_TEXT, min_size=1, max_size=8))
+@FAST
+def test_text_transforms_never_crash_on_adversarial_strings(spark, texts):
+    """Second wave of the no-crash sweep: the TRANSFORM-shaped string
+    operators (normalize, content-defined chunking, fingerprinting,
+    line filtering) under the same adversarial inputs — each must emit
+    aligned rows or clean drops, never a task failure."""
+    from token_etl_spark.operators.text import (
+        cdc_chunks,
+        fingerprint,
+        line_filter,
+        normalize_text,
+    )
+
+    s = _get(spark)
+    df = s.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    n = len(texts)
+
+    nt = normalize_text(df).collect()
+    assert len(nt) == n
+    fp = fingerprint(df).collect()
+    assert len(fp) == n
+    lf = line_filter(df).collect()
+    assert len(lf) == n
+    ch = cdc_chunks(df).collect()
+    # chunking may expand or drop empty docs, but never invents ids
+    assert {r["doc_id"] for r in ch} <= set(range(n))

@@ -769,3 +769,25 @@ def test_embedding_stream_dedups_against_batch_built_seed(spark, sf_dir, tmp_pat
     assert {r["vec_id"] for r in seed.select("vec_id").collect()} <= ids
     assert {r["vec_id"] for r in fresh.select("vec_id").collect()} <= ids
     assert not any(i >= 1_000_000 for i in ids)
+
+
+def test_embedding_index_health_reports_all_cells(spark, sf_dir, tmp_path):
+    """The health report covers every trained cell of the combined
+    (seed + streamed) index, counts every admitted vector exactly once,
+    and returns None before any assignment exists."""
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.streaming.dedup import (
+        _embedding_neardup_sink_batch,
+        embedding_index_health,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50).localCheckpoint()
+    index_path = str(tmp_path / "emb_health")
+    _seed_quantizer(spark, emb, index_path, n_centroids=8)
+    assert embedding_index_health(spark, index_path) is None
+
+    _embedding_neardup_sink_batch(emb, "cafe0000-0", index_path)
+    rows = embedding_index_health(spark, index_path).collect()
+    assert len(rows) == 8  # every trained cell, empty ones included
+    assert sum(r["n_vectors"] for r in rows) == 50
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-12

@@ -461,21 +461,38 @@ def cdc_chunks(
     )
 
 
+#: Modulus of the rolling fingerprint: 2^56, so every fold step stays
+#: inside int64 under ANSI arithmetic — acc < 2^56 ⇒ acc*31 + murmur3
+#: < 2^61 + 2^31, no overflow. The unreduced acc*31 + hash fold
+#: overflowed long on ANY document beyond ~13 tokens (ANSI multiply
+#: THROWS instead of wrapping — one ordinary document kills the task;
+#: it survived in the declared query only because fp_rolling is pruned
+#: there; found by the r10 adversarial-string fuzz).
+_ROLLING_MOD = 1 << 56
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprints:
 
     - ``fp_set``: md5 over the sorted distinct token set (order- and
       multiplicity-insensitive; survives word shuffling) — SQL-portable.
-    - ``fp_rolling``: polynomial rolling hash acc*31 + murmur3(token)
-      over the token sequence (order-sensitive) — native fold, engine-
-      canonical (not oracle-portable: murmur3 seed differs per engine).
+    - ``fp_rolling``: polynomial rolling hash pmod(acc*31 +
+      murmur3(token), 2^56) over the token sequence (order-sensitive) —
+      native fold, engine-canonical (not oracle-portable: murmur3 seed
+      differs per engine). The explicit modulus is load-bearing: Java's
+      polynomial hashes rely on silent wrap-around, but ANSI-mode Spark
+      THROWS on long overflow, so the unreduced fold crashes on any
+      document longer than ~13 tokens.
     """
     toks = tokens(F.col(text_col))
     sorted_set = F.array_join(F.array_sort(F.array_distinct(toks)), " ")
     rolling = F.aggregate(
         toks,
         F.lit(0).cast("long"),
-        lambda acc, t: acc * F.lit(31).cast("long") + F.hash(t).cast("long"),
+        lambda acc, t: F.pmod(
+            acc * F.lit(31).cast("long") + F.hash(t).cast("long"),
+            F.lit(_ROLLING_MOD).cast("long"),
+        ),
     )
     return df.withColumn("fp_set", F.md5(sorted_set)).withColumn("fp_rolling", rolling)
 

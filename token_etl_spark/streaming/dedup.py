@@ -536,3 +536,25 @@ def read_embedding_index(
 def read_embedding_matches(spark: SparkSession, matches_path: str) -> DataFrame | None:
     """All verified (id_new, id_ref, cosine_sim) pairs appended so far."""
     return _read_partitioned_state(spark, matches_path)
+
+
+def embedding_index_health(spark: SparkSession, index_path: str) -> DataFrame | None:
+    """Cell-occupancy report over the COMBINED embedding index (seed +
+    every stream-admitted vector): ``operators/similarity.ivf_cell_stats``
+    against the index's own frozen quantizer. The maintenance loop for a
+    long-running crawl stream: per-batch search cost grows with the
+    hottest cell (measured in PERF.md "streaming embedding near-dup
+    growth probe"), and a max imbalance well above 1.0 is the signal to
+    retrain the quantizer (``build_ivf_index`` on the admitted corpus)
+    and restart the stream against the new index. None iff the index
+    has no assignments yet."""
+    from token_etl_spark.io.sinks import _read_existing
+    from token_etl_spark.operators.similarity import ivf_cell_stats
+
+    cents = _read_existing(spark, f"{index_path.rstrip('/')}/centroids")
+    if cents is None:
+        raise ValueError(f"no trained quantizer at {index_path}/centroids")
+    assigned = read_embedding_index(spark, index_path)
+    if assigned is None:
+        return None
+    return ivf_cell_stats(assigned, cents)
