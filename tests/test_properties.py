@@ -991,3 +991,33 @@ def test_text_transforms_never_crash_on_adversarial_strings(spark, texts):
     ch = cdc_chunks(df).collect()
     # chunking may expand or drop empty docs, but never invents ids
     assert {r["doc_id"] for r in ch} <= set(range(n))
+
+
+@given(texts=st.lists(_ADVERSARIAL_TEXT, min_size=1, max_size=8))
+@FAST
+def test_sketch_operators_never_crash_on_adversarial_strings(spark, texts):
+    """Third wave of the no-crash sweep: the hashing/sketch tier.
+    md5-derived bucketing must absorb any string (NULs, unicode junk,
+    5000-char tokens); sketch shape invariants hold regardless of
+    input pathology."""
+    from token_etl_spark.operators.sketch import (
+        countmin_table,
+        hll_registers,
+        kmv_sketch,
+    )
+
+    s = _get(spark)
+    df = s.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, tok string"
+    )
+    cms = countmin_table(df, item_col="tok", depth=2, width=16).collect()
+    assert all(0 <= r["row"] < 2 and 0 <= r["bucket"] < 16 for r in cms)
+    assert sum(r["cnt"] for r in cms) == 2 * len(texts)  # every row lands in each hash row
+    hll = hll_registers(df, "tok", m=16).collect()
+    assert all(0 <= r["bucket"] < 16 and 1 <= r["m_j"] <= 48 for r in hll)
+    kmv = kmv_sketch(df, "tok", k=4).collect()
+    # bottom-k rows: one per distinct hash up to k, ranks contiguous
+    n_distinct = len({t for t in texts})
+    assert len(kmv) == min(4, n_distinct)
+    assert sorted(r["rank"] for r in kmv) == list(range(1, len(kmv) + 1))
+    assert all(r["h"] >= 0 for r in kmv)
