@@ -138,22 +138,14 @@ def probe_streaming_embedding_neardup() -> None:
 
     Run: python scripts/probe_multimodal.py stream
     """
-    import shutil
-    import tempfile
-
-    from pyspark.sql import functions as F
-
-    from token_etl_spark.operators.similarity import spherical_kmeans
-    from token_etl_spark.streaming.dedup import _embedding_neardup_sink_batch
-
     spark = get_spark("probe-emb-stream")
     emb = load_table(spark, "/root/testdata/sf0.1", "embeddings").localCheckpoint()
     n = emb.count()
     for n_centroids in (16, 64):
-        _run_emb_stream_probe(spark, emb, n, n_centroids)
+        _run_emb_stream_probe(emb, n, n_centroids)
 
 
-def _run_emb_stream_probe(spark, emb, n, n_centroids) -> None:
+def _run_emb_stream_probe(emb, n, n_centroids) -> None:
     import shutil
     import tempfile
 

@@ -450,7 +450,6 @@ def _embedding_neardup_sink_batch(
     but before the checkpoint commit must not match the batch against
     its own partial write (every vector would self-match at cosine 1.0
     and the partition would be overwritten EMPTY, losing the vectors)."""
-    from token_etl_spark.io.sinks import _read_existing
     from token_etl_spark.operators.similarity import (
         _assign_to_centroids,
         ivf_search_frames,
@@ -459,13 +458,7 @@ def _embedding_neardup_sink_batch(
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
-    cents = _read_existing(spark, f"{index_path.rstrip('/')}/centroids")
-    if cents is None:
-        raise ValueError(
-            f"no trained quantizer at {index_path}/centroids — run "
-            "build_ivf_index (or persist spherical_kmeans centroids) before "
-            "starting the embedding near-dup stream"
-        )
+    cents = _read_quantizer(spark, index_path)
     # ONE canonical definition of "the index": the same reader the batch
     # pipeline uses, minus this batch's own partial write (retry guard)
     assigned = read_embedding_index(spark, index_path, exclude_key=key)
@@ -508,6 +501,22 @@ def _embedding_neardup_sink_batch(
     )
 
 
+def _read_quantizer(spark: SparkSession, index_path: str) -> DataFrame:
+    """The index's frozen quantizer, or a ValueError naming the remedy —
+    shared by the sink and the health report so the layout and the
+    error contract can never drift between them."""
+    from token_etl_spark.io.sinks import _read_existing
+
+    cents = _read_existing(spark, f"{index_path.rstrip('/')}/centroids")
+    if cents is None:
+        raise ValueError(
+            f"no trained quantizer at {index_path}/centroids — run "
+            "build_ivf_index (or persist spherical_kmeans centroids) before "
+            "starting the embedding near-dup stream"
+        )
+    return cents
+
+
 def read_embedding_index(
     spark: SparkSession, index_path: str, exclude_key: str | None = None
 ) -> DataFrame | None:
@@ -547,14 +556,13 @@ def embedding_index_health(spark: SparkSession, index_path: str) -> DataFrame | 
     growth probe"), and a max imbalance well above 1.0 is the signal to
     retrain the quantizer (``build_ivf_index`` on the admitted corpus)
     and restart the stream against the new index. None iff the index
-    has no assignments yet."""
-    from token_etl_spark.io.sinks import _read_existing
+    has no assignments yet — including assignment dirs that exist but
+    hold zero rows (an empty index would otherwise divide by a zero
+    total and return NaN-filled rows instead of the documented None)."""
     from token_etl_spark.operators.similarity import ivf_cell_stats
 
-    cents = _read_existing(spark, f"{index_path.rstrip('/')}/centroids")
-    if cents is None:
-        raise ValueError(f"no trained quantizer at {index_path}/centroids")
+    cents = _read_quantizer(spark, index_path)
     assigned = read_embedding_index(spark, index_path)
-    if assigned is None:
+    if assigned is None or assigned.isEmpty():
         return None
     return ivf_cell_stats(assigned, cents)
