@@ -1021,3 +1021,32 @@ def test_sketch_operators_never_crash_on_adversarial_strings(spark, texts):
     assert len(kmv) == min(4, n_distinct)
     assert sorted(r["rank"] for r in kmv) == list(range(1, len(kmv) + 1))
     assert all(r["h"] >= 0 for r in kmv)
+
+
+@given(texts=st.lists(_ADVERSARIAL_TEXT, min_size=2, max_size=8))
+@FAST
+def test_retrieval_and_gates_never_crash_on_adversarial_strings(spark, texts):
+    """Fourth wave of the no-crash sweep: the retrieval scorer and the
+    quality gates. BM25 must rank (or cleanly return nothing) against
+    any document/query text; the Gopher gate must emit a verdict row
+    per document with a populated keep flag and reasons string."""
+    from token_etl_spark.operators.retrieval import bm25_topk
+    from token_etl_spark.operators.text import gopher_filter
+
+    s = _get(spark)
+    df = s.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    n = len(texts)
+
+    g = gopher_filter(df).collect()
+    assert len(g) == n
+    assert all(r["keep"] in (True, False) for r in g)
+    assert all(r["reject_reasons"] is not None for r in g)
+    # keep=True iff no reject reasons
+    assert all((r["reject_reasons"] == "") == bool(r["keep"]) for r in g)
+
+    queries = s.createDataFrame([(0, texts[0])], "query_id long, query_text string")
+    hits = bm25_topk(df, queries, k=3).collect()
+    assert len(hits) <= 3
+    assert all(r["bm25"] is not None for r in hits)
