@@ -791,3 +791,76 @@ def test_embedding_index_health_reports_all_cells(spark, sf_dir, tmp_path):
     assert len(rows) == 8  # every trained cell, empty ones included
     assert sum(r["n_vectors"] for r in rows) == 50
     assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-12
+
+
+def test_embedding_stream_survives_all_duplicate_first_batch(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r10 (high): an all-recrawl batch admits nothing, and a
+    partitionBy write of the empty novel frame leaves a partition dir
+    holding only _SUCCESS — if that is the only stream partition, every
+    later batch's index read (and every retry's) dies with
+    UNABLE_TO_INFER_SCHEMA and the stream is permanently wedged. The
+    sink must skip (and retry-clean) the empty write; later batches and
+    the health report must keep working."""
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.operators.similarity import build_ivf_index
+    from token_etl_spark.streaming.dedup import (
+        _embedding_neardup_sink_batch,
+        embedding_index_health,
+        read_embedding_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(60).localCheckpoint()
+    seed = emb.where(F.col("vec_id") % 2 == 0)
+    index_path = str(tmp_path / "emb_allrecrawl")
+    build_ivf_index(seed, index_path, n_centroids=8, refine_iters=2)
+    seed_ids = {r["vec_id"] for r in seed.select("vec_id").collect()}
+
+    # batch 0: ONLY recrawls of seed vectors (fresh ids, cosine 1.0)
+    recrawl = seed.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    _embedding_neardup_sink_batch(recrawl, "feed0000-0", index_path, n_probe=8)
+    ids = {
+        r["corpus_id"]
+        for r in read_embedding_index(spark, index_path).select("corpus_id").collect()
+    }
+    assert ids == seed_ids  # nothing admitted, seed intact
+
+    # batch 1 must not crash on the (absent) batch-0 partition, and the
+    # genuinely-new vectors are admitted
+    fresh = emb.where(F.col("vec_id") % 2 == 1)
+    _embedding_neardup_sink_batch(fresh, "feed0000-1", index_path, n_probe=8)
+    ids = {
+        r["corpus_id"]
+        for r in read_embedding_index(spark, index_path).select("corpus_id").collect()
+    }
+    assert ids == seed_ids | {r["vec_id"] for r in fresh.select("vec_id").collect()}
+
+    # the health report's 'zero-row dirs return None' contract holds too
+    assert embedding_index_health(spark, index_path).count() == 8
+
+
+def test_read_partitioned_state_heals_wedged_empty_partition_dir(
+    spark, sf_dir, tmp_path
+):
+    """A state dir already wedged by a pre-guard empty partitioned write
+    (batch_id=<key> holding only _SUCCESS) reads as None instead of
+    raising UNABLE_TO_INFER_SCHEMA — the reader-side half of the ADVICE
+    r10 fix, which un-wedges dirs written before the sink-side guard.
+    A genuinely broken dir (non-parquet data file) still raises (as a
+    footer-read failure — the schema-inference job hits the corrupt
+    file, so the error class is Spark's, not the analyzer's)."""
+    import pytest as _pytest
+
+    from token_etl_spark.streaming.dedup import _read_partitioned_state
+
+    wedged = tmp_path / "wedged_state" / "batch_id=dead0000-0"
+    wedged.mkdir(parents=True)
+    (wedged / "_SUCCESS").touch()
+    assert _read_partitioned_state(spark, str(tmp_path / "wedged_state")) is None
+
+    broken = tmp_path / "broken_state" / "batch_id=dead0000-0"
+    broken.mkdir(parents=True)
+    (broken / "part-00000.parquet").write_bytes(b"not a parquet file")
+    with _pytest.raises(Exception, match="[Pp]arquet"):
+        _read_partitioned_state(spark, str(tmp_path / "broken_state"))

@@ -483,6 +483,12 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
       polynomial hashes rely on silent wrap-around, but ANSI-mode Spark
       THROWS on long overflow, so the unreduced fold crashes on any
       document longer than ~13 tokens.
+
+    FORMAT BREAK (r10): the mod-2^56 reduction changes ``fp_rolling``
+    for documents that previously computed without overflow (≤ ~13
+    tokens). Persisted ``fp_rolling`` state written by earlier rounds
+    does not compare equal across the upgrade — recompute it. ``fp_set``
+    is unchanged.
     """
     toks = tokens(F.col(text_col))
     sorted_set = F.array_join(F.array_sort(F.array_distinct(toks)), " ")

@@ -1489,7 +1489,7 @@ SQL_ANN_IVF_SEARCH = _ann_ivf_serving_sql("list_reverse(v)", exclude_self=False)
 def q_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index-maintenance report (r10): per-cell occupancy of the
     trained quantizer's assignments — count, corpus share, and imbalance
-    factor (count × n_nonempty_cells / corpus size; 1.0 = balanced).
+    factor (count × n trained centroids / corpus size; 1.0 = balanced).
     The retrain trigger a 100 TB serving owner watches: probe latency
     follows the hottest cell once the corpus drifts.
 

@@ -206,6 +206,36 @@ def _batch_partition_key(checkpoint_path: str, batch_id: int) -> str:
     return f"{prefix}-{batch_id}"
 
 
+def _delete_dir(spark: SparkSession, path: str) -> None:
+    """Recursively delete ``path`` if it exists (no-op otherwise)."""
+    from token_etl_spark.io.sinks import _bucket_fs
+
+    fs, hpath = _bucket_fs(spark, path)
+    p = hpath(path)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
+def _has_data_files(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` holds at least one non-hidden data file anywhere
+    below it (underscore/dot-prefixed bookkeeping files — ``_SUCCESS``,
+    committer temporaries — don't count). Distinguishes "empty state dir
+    left by an interrupted or pre-guard empty write" from a dir whose
+    read failed for a real reason."""
+    from token_etl_spark.io.sinks import _bucket_fs
+
+    fs, hpath = _bucket_fs(spark, path)
+    p = hpath(path)
+    if not fs.exists(p):
+        return False
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if not name.startswith(("_", ".")):
+            return True
+    return False
+
+
 def _read_partitioned_state(
     spark: SparkSession, path: str, exclude_key: str | None = None
 ) -> DataFrame | None:
@@ -225,10 +255,26 @@ def _read_partitioned_state(
     is cast to string first — correctness over pruning (the exclusion
     becomes a scan-side filter), because comparing int to ``'hex-N'``
     directly coerces to a NULL comparison that silently filters out
-    EVERY row, losing the whole index."""
+    EVERY row, losing the whole index.
+
+    A dir that EXISTS but holds zero parquet data files is treated as
+    absent (→ None), not an error: the analyzer raises
+    UNABLE_TO_INFER_SCHEMA on such dirs, and before the empty-batch
+    write guard in the embedding sink, an all-duplicate batch could
+    leave exactly that layout (``batch_id=<key>`` containing only
+    ``_SUCCESS``) — re-raising would wedge every later batch of the
+    stream (ADVICE r10). Any other analyzer failure (corrupt footer,
+    conflicting types) still re-raises."""
+    from pyspark.errors import AnalysisException
+
     from token_etl_spark.io.sinks import _read_existing
 
-    df = _read_existing(spark, path)
+    try:
+        df = _read_existing(spark, path)
+    except AnalysisException as e:
+        if "UNABLE_TO_INFER_SCHEMA" in str(e) and not _has_data_files(spark, path):
+            return None
+        raise
     if df is None:
         return None
     if "batch_id" not in df.columns:
@@ -491,14 +537,26 @@ def _embedding_neardup_sink_batch(
     else:
         novel = batch_df
 
+    own_dir = f"{index_path.rstrip('/')}/stream_assignments/batch_id={key}"
+    if novel.isEmpty():
+        # A fully-deduplicated batch must NOT write its partition:
+        # partitionBy on an empty frame emits a dir holding only
+        # _SUCCESS (no data files, no partition subdirs), and if that
+        # is the only stream partition the next batch's index read —
+        # and every retry's — dies with UNABLE_TO_INFER_SCHEMA,
+        # permanently wedging the stream (ADVICE r10, reproduced with
+        # an all-recrawl first batch against a batch-built seed).
+        # Delete any prior partial write under this key instead (a
+        # retry whose first attempt admitted rows before crashing must
+        # still converge to the recomputed empty state).
+        _delete_dir(spark, own_dir)
+        return
     base = novel.select(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
     new_rows = _assign_to_centroids(base, F.broadcast(cents.select("centroid_id", "centroid_vec")))
-    new_rows.write.mode("overwrite").partitionBy("centroid_id").parquet(
-        f"{index_path.rstrip('/')}/stream_assignments/batch_id={key}"
-    )
+    new_rows.write.mode("overwrite").partitionBy("centroid_id").parquet(own_dir)
 
 
 def _read_quantizer(spark: SparkSession, index_path: str) -> DataFrame:
