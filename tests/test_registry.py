@@ -122,12 +122,18 @@ def test_ivf_serving_oracles_unchanged_by_refactor():
     parameterized builder (_ann_ivf_serving_sql) regenerates BOTH SQL
     strings byte-identically (md5 of the pre-refactor builders' output,
     captured before the change): the in-window ext_ann_ivf_kmeans /
-    ext_ann_ivf_search rows carry provably the same oracle text."""
+    ext_ann_ivf_search rows carry provably the same oracle text.
+
+    The r11 corpus_sql parameter on _kmeans_cte_members (added for the
+    retrain oracle) must likewise leave every PRE-EXISTING consumer's
+    SQL untouched — SQL_IVF_CELL_BALANCE joins the pin (md5 captured
+    from the pre-parameter builder at commit a0ba275)."""
     import hashlib
 
     from token_etl_spark.plans.extensions import (
         SQL_ANN_IVF_KMEANS,
         SQL_ANN_IVF_SEARCH,
+        SQL_IVF_CELL_BALANCE,
     )
 
     assert (
@@ -137,4 +143,8 @@ def test_ivf_serving_oracles_unchanged_by_refactor():
     assert (
         hashlib.md5(SQL_ANN_IVF_SEARCH.encode()).hexdigest()
         == "2be5459194d19c77fb8ff232f4b5872e"
+    )
+    assert (
+        hashlib.md5(SQL_IVF_CELL_BALANCE.encode()).hexdigest()
+        == "19505eaf88d298ef45e9ac416c645184"
     )

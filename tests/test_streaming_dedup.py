@@ -840,6 +840,147 @@ def test_embedding_stream_survives_all_duplicate_first_batch(
     assert embedding_index_health(spark, index_path).count() == 8
 
 
+def test_rebuild_ivf_index_preserves_state_across_stream_continuation(
+    spark, sf_dir, tmp_path
+):
+    """rebuild_ivf_index is the retrain lever for the health report's
+    drift signal: it must absorb every admitted vector into the new
+    assignments (stream partitions gone), keep the cell count, and a
+    CONTINUING stream must keep deduplicating against everything
+    admitted before the retrain — recrawls still suppressed, matches
+    still accumulating, novel vectors still admitted."""
+    from token_etl_spark.io.sinks import _read_existing
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.operators.similarity import build_ivf_index
+    from token_etl_spark.streaming.dedup import (
+        _embedding_neardup_sink_batch,
+        embedding_index_health,
+        read_embedding_index,
+        read_embedding_matches,
+        rebuild_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(90).localCheckpoint()
+    gens = [
+        emb.where(F.col("vec_id") % 3 == g).localCheckpoint() for g in range(3)
+    ]
+    index_path = str(tmp_path / "emb_retrain")
+    matches_path = str(tmp_path / "emb_retrain_matches")
+    build_ivf_index(gens[0], index_path, n_centroids=8, refine_iters=2)
+
+    # stream batch 0 admits generation 1
+    _embedding_neardup_sink_batch(
+        gens[1], "abcd0000-0", index_path, n_probe=8, matches_path=matches_path
+    )
+    admitted = {
+        r["corpus_id"]
+        for r in read_embedding_index(spark, index_path).select("corpus_id").collect()
+    }
+    assert admitted == {
+        r["vec_id"] for r in gens[0].unionByName(gens[1]).select("vec_id").collect()
+    }
+
+    n = rebuild_ivf_index(spark, index_path)
+    assert n == len(admitted)
+    # every vector re-indexed into assignments; stream partitions absorbed
+    rebuilt = {
+        r["corpus_id"]
+        for r in read_embedding_index(spark, index_path).select("corpus_id").collect()
+    }
+    assert rebuilt == admitted
+    assert _read_existing(
+        spark, f"{index_path}/stream_assignments"
+    ) is None
+    cents = _read_existing(spark, f"{index_path}/centroids")
+    assert cents.count() == 8  # cell count preserved by default
+    # the health report now reads the rebuilt (assignments-only) index
+    health = embedding_index_health(spark, index_path).collect()
+    assert sum(r["n_vectors"] for r in health) == len(admitted)
+
+    # CONTINUATION batch after the retrain: recrawls of pre-retrain
+    # vectors (seed AND stream-admitted) are suppressed, novel admitted
+    recrawl = (
+        gens[0].limit(5).unionByName(gens[1].limit(5))
+        .withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    )
+    _embedding_neardup_sink_batch(
+        recrawl.unionByName(gens[2]),
+        "abcd0000-1",
+        index_path,
+        n_probe=8,
+        matches_path=matches_path,
+    )
+    final = {
+        r["corpus_id"]
+        for r in read_embedding_index(spark, index_path).select("corpus_id").collect()
+    }
+    assert final == admitted | {
+        r["vec_id"] for r in gens[2].select("vec_id").collect()
+    }
+    assert not any(i >= 1_000_000 for i in final)
+    # matches kept accumulating across the retrain (10 recrawl pairs)
+    pairs = read_embedding_matches(spark, matches_path)
+    assert pairs.filter(F.col("id_new") >= 1_000_000).count() == 10
+
+    # determinism: once a rebuild has absorbed everything, a repeat
+    # rebuild (the retry of a crashed one) converges to the identical
+    # index — training init is the n smallest corpus ids, so the same
+    # vector set trains the same quantizer
+    rebuild_ivf_index(spark, index_path)
+    before = sorted(
+        (r["corpus_id"], r["centroid_id"])
+        for r in read_embedding_index(spark, index_path).collect()
+    )
+    rebuild_ivf_index(spark, index_path)
+    after = sorted(
+        (r["corpus_id"], r["centroid_id"])
+        for r in read_embedding_index(spark, index_path).collect()
+    )
+    assert after == before
+
+
+def test_rebuild_ivf_index_heals_interrupted_swap_and_resizes(
+    spark, sf_dir, tmp_path
+):
+    """The one non-atomic swap window (final dir deleted, complete
+    staging present) heals at the next read — a continuing stream's
+    sink must not see 'no quantizer'. And n_centroids overrides the
+    cell count (the growth-probe mitigation: more cells, flatter
+    per-batch slope)."""
+    from token_etl_spark.io.sinks import _bucket_fs, _read_existing
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.operators.similarity import build_ivf_index
+    from token_etl_spark.streaming.dedup import (
+        read_embedding_index,
+        rebuild_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50).localCheckpoint()
+    index_path = str(tmp_path / "emb_heal")
+    build_ivf_index(emb, index_path, n_centroids=4, refine_iters=2)
+    ids = {
+        r["corpus_id"]
+        for r in read_embedding_index(spark, index_path).select("corpus_id").collect()
+    }
+
+    # simulate the crash window: the complete new tree sits in staging,
+    # the final dir is already gone
+    fs, hpath = _bucket_fs(spark, index_path)
+    assert fs.rename(hpath(index_path), hpath(index_path + ".staging"))
+    healed = read_embedding_index(spark, index_path)
+    assert {r["corpus_id"] for r in healed.select("corpus_id").collect()} == ids
+    assert _read_existing(spark, f"{index_path}/centroids").count() == 4
+
+    # resize: the retrain lever the mitigation measurement asks for
+    rebuild_ivf_index(spark, index_path, n_centroids=16)
+    assert _read_existing(spark, f"{index_path}/centroids").count() == 16
+    rebuilt = {
+        r["corpus_id"]
+        for r in read_embedding_index(spark, index_path).select("corpus_id").collect()
+    }
+    assert rebuilt == ids
+
+
 def test_read_partitioned_state_heals_wedged_empty_partition_dir(
     spark, sf_dir, tmp_path
 ):

@@ -613,9 +613,15 @@ def build_ivf_index(
         corpus, n_centroids, refine_iters, id_col, vec_col
     )
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
-    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
-        f"{path}/assignments"
-    )
+    # co-partition on the cell before the partitioned write: without it
+    # every writing task splays a file into every cell dir (tasks ×
+    # cells tiny files — the r10 partitionBy finding, measured 4,098 →
+    # 130 files on the bucketed-state sink). One task per cell caps
+    # write parallelism at n_centroids, which at scale exceeds the
+    # cluster's parallelism anyway.
+    assigned.repartition(n_centroids, "centroid_id").write.mode(
+        "overwrite"
+    ).partitionBy("centroid_id").parquet(f"{path}/assignments")
 
 
 def ivf_search_frames(

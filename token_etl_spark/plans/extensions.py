@@ -1384,7 +1384,9 @@ def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_cte_members(n_centroids: int, n_iters: int, dim: int) -> list[str]:
+def _kmeans_cte_members(
+    n_centroids: int, n_iters: int, dim: int, corpus_sql: str | None = None
+) -> list[str]:
     """Shared DuckDB CTE chain replaying spherical k-means training.
 
     Mirrors operators/similarity.py exactly: ``en`` is the l2-normalized
@@ -1392,9 +1394,15 @@ def _kmeans_cte_members(n_centroids: int, n_iters: int, dim: int) -> list[str]:
     deterministic init (n smallest vec_ids, centroid_id = 1-based rank),
     and each iteration i is assign(c{i-1}) → per-(cell, dim) mean →
     renormalize. Trained centroids land in CTE ``c{n_iters}`` as
-    (centroid_id, cv); the raw corpus is ``e`` (vec_id, v)."""
+    (centroid_id, cv); the raw corpus is ``e`` (vec_id, v).
+
+    ``corpus_sql`` overrides the ``e`` CTE — the retrain oracle trains
+    over a COMBINED (seed + stream-admitted) corpus instead of the bare
+    embeddings table. The default is byte-identical to the pre-parameter
+    builder (the serving-oracle md5 pins in test_registry.py hold)."""
     members = [
-        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        corpus_sql
+        or "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
         "en AS (SELECT vec_id,"
         " list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS nv FROM e)",
         f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id, nv AS cv"
@@ -1544,6 +1552,142 @@ FROM counts CROSS JOIN tot
 SQL_IVF_CELL_BALANCE = _ivf_cell_balance_sql()
 
 
+#: The in-plan stand-in for stream-admitted vectors, shared by the
+#: retrain and index-health rows: each seed embedding re-appears
+#: REVERSED under a +100000 id — the same deterministic
+#: external-namespace construction ext_ann_ivf_search uses (reversal
+#: preserves the norm but not cosine order, so the admitted set drifts
+#: the cell distribution the way a real crawl does).
+_STREAMED_SQL = (
+    "SELECT vec_id + 100000, list_reverse(embedding::DOUBLE[]) FROM embeddings"
+)
+_RETRAIN_CORPUS_SQL = (
+    "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+    f" UNION ALL {_STREAMED_SQL})"
+)
+
+
+def _streamed_rows(emb: DataFrame) -> DataFrame:
+    """The Spark twin of ``_STREAMED_SQL``."""
+    return emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.reverse(F.col("embedding").cast("array<double>")).alias("embedding"),
+    )
+
+
+def q_ann_ivf_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-index RETRAIN action's train→reassign replay
+    (streaming/dedup.rebuild_ivf_index, VERDICT r10 item 2): the
+    quantizer is retrained over the COMBINED corpus — seed embeddings
+    plus the in-plan stream-admitted stand-ins — and every vector is
+    re-assigned to the new cells, exactly the frames
+    ``rebuild_ivf_index`` stages and swaps in (it delegates to the same
+    ``build_ivf_index_frames``; the atomic-swap and stream-continuation
+    behavior is pinned in tests/test_streaming_dedup.py). Output is the
+    full re-assignment table (corpus_id, centroid_id).
+
+    Fully oracled: the shared unrolled k-means CTEs train over the
+    combined corpus (``corpus_sql`` override) and the assignment replay
+    is the same CTE the serving oracles use. Same accumulation-order
+    caveat as ext_ann_ivf_kmeans (swept at 3 SFs). Training runs over
+    2×|embeddings| through the session-memoized ``_retrained_centroids``
+    seam, so within a session the corpus-wide Lloyd shuffles run once."""
+    emb = t(spark, sf_dir, "embeddings")
+    combined = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(_streamed_rows(emb))
+    _, assigned = S.build_ivf_index_frames(
+        combined, centroids=_retrained_centroids(spark, sf_dir)
+    )
+    return assigned.select("corpus_id", "centroid_id")
+
+
+def _ann_ivf_retrain_sql(n_centroids: int = 16, n_iters: int = 2, dim: int = 64) -> str:
+    members = _kmeans_cte_members(
+        n_centroids, n_iters, dim, corpus_sql=_RETRAIN_CORPUS_SQL
+    )
+    cf = f"c{n_iters}"
+    members.append(
+        f"""asg AS (
+  SELECT corpus_id, centroid_id FROM (
+    SELECT e.vec_id AS corpus_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id) AS rn
+    FROM e CROSS JOIN {cf} c) WHERE rn = 1)"""
+    )
+    return "WITH " + ",\n".join(members) + "\nSELECT corpus_id, centroid_id FROM asg\n"
+
+
+SQL_ANN_IVF_RETRAIN = _ann_ivf_retrain_sql()
+
+
+def q_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMBINED-index health report (streaming/dedup.
+    embedding_index_health, VERDICT r10 item 3): ``ivf_cell_stats`` over
+    seed assignments UNIONED with stream-admitted vectors, all against
+    the FROZEN seed-trained quantizer — the observable that gates the
+    retrain action. The seed side is the ``build_ivf_index_frames`` +
+    ``_trained_centroids`` seam (identical to ext_ivf_cell_balance);
+    the admitted side runs ``_assign_to_centroids`` against the frozen
+    broadcast quantizer — the exact function the streaming sink uses on
+    each batch's novel rows — with the stand-in rows built in-plan (no
+    state reads at plan build). Empty cells reported at 0; imbalance
+    divisor = trained centroid count.
+
+    Oracle: the shared k-means CTEs (seed corpus), a combined-corpus
+    assignment replay, and the exact integer-ratio arithmetic of the
+    cell-balance oracle."""
+    emb = t(spark, sf_dir, "embeddings")
+    cents, seed_assigned = S.build_ivf_index_frames(
+        emb, centroids=_trained_centroids(spark, sf_dir)
+    )
+    stream_assigned = S._assign_to_centroids(
+        _streamed_rows(emb).select(
+            F.col("vec_id").alias("corpus_id"),
+            F.col("embedding").alias("cv"),
+        ),
+        F.broadcast(cents),
+    )
+    return S.ivf_cell_stats(seed_assigned.unionByName(stream_assigned), cents)
+
+
+def _index_health_sql(n_centroids: int = 16, n_iters: int = 2, dim: int = 64) -> str:
+    members = _kmeans_cte_members(n_centroids, n_iters, dim)
+    cf = f"c{n_iters}"
+    members += [
+        # the same +100000/list_reverse stand-in as _STREAMED_SQL, built
+        # from the e CTE (already DOUBLE[]-cast) instead of the raw table
+        "comb AS (SELECT vec_id, v FROM e"
+        " UNION ALL SELECT vec_id + 100000, list_reverse(v) FROM e)",
+        f"""asg AS (
+  SELECT corpus_id, centroid_id FROM (
+    SELECT m.vec_id AS corpus_id, c.centroid_id,
+           row_number() OVER (PARTITION BY m.vec_id
+             ORDER BY list_cosine_similarity(m.v, c.cv) DESC, c.centroid_id) AS rn
+    FROM comb m CROSS JOIN {cf} c) WHERE rn = 1)""",
+        f"""counts AS (
+  SELECT c.centroid_id, CAST(coalesce(a.n, 0) AS BIGINT) AS n_vectors
+  FROM {cf} c LEFT JOIN (
+    SELECT centroid_id, count(*) AS n FROM asg GROUP BY 1) a USING (centroid_id))""",
+        """tot AS (
+  SELECT CAST(sum(n_vectors) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n_cells FROM counts)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(members)
+        + """
+SELECT centroid_id, n_vectors,
+       CAST(n_vectors AS DOUBLE) / total AS share,
+       CAST(n_vectors AS DOUBLE) * n_cells / total AS imbalance
+FROM counts CROSS JOIN tot
+"""
+    )
+
+
+SQL_INDEX_HEALTH = _index_health_sql()
+
+
 SEMDEDUP_COSINE = 0.3
 
 _CENTROID_CACHE: dict[tuple, object] = {}
@@ -1587,6 +1731,26 @@ def _trained_centroids_means(
         _CENTROID_CACHE[key] = S.spherical_kmeans(
             emb, n_centroids, n_iters, keep_means=True
         )
+    return _CENTROID_CACHE[key]
+
+
+def _retrained_centroids(
+    spark: SparkSession, sf_dir: str, n_centroids: int = 16, n_iters: int = 2
+):
+    """Session-memoized spherical-k-means training over the COMBINED
+    retrain corpus (seed embeddings + the ``_streamed_rows`` stand-ins)
+    — the ext_ann_ivf_retrain row's quantizer. A separate cache key from
+    :func:`_trained_centroids`: the corpora differ, so the quantizers
+    must too. Same determinism argument — the trained table is a pure
+    function of (corpus, k, iters), so the retraining DuckDB oracle
+    agrees bit-for-bit."""
+    key = (spark.sparkContext.applicationId, sf_dir, "retrain", n_centroids, n_iters)
+    if key not in _CENTROID_CACHE:
+        emb = t(spark, sf_dir, "embeddings")
+        combined = emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        ).unionByName(_streamed_rows(emb))
+        _CENTROID_CACHE[key] = S.spherical_kmeans(combined, n_centroids, n_iters)
     return _CENTROID_CACHE[key]
 
 
@@ -3313,8 +3477,10 @@ SPECS = [
     # bench=True (r4): the trained-quantizer IVF is the ANN scale path —
     # round-over-round tracking matters more than the brute-force baseline.
     QuerySpec("ext_ann_ivf_kmeans", q_ann_ivf_kmeans, SQL_ANN_IVF_KMEANS, ("similarity", "iterative"), bench=True),
-    QuerySpec("ext_ann_ivf_search", q_ann_ivf_search, SQL_ANN_IVF_SEARCH, ("similarity", "iterative")),
+    QuerySpec("ext_ann_ivf_search", q_ann_ivf_search, SQL_ANN_IVF_SEARCH, ("similarity", "iterative"), bench=True),
     QuerySpec("ext_ivf_cell_balance", q_ivf_cell_balance, SQL_IVF_CELL_BALANCE, ("similarity", "iterative")),
+    QuerySpec("ext_ann_ivf_retrain", q_ann_ivf_retrain, SQL_ANN_IVF_RETRAIN, ("similarity", "iterative", "streaming")),
+    QuerySpec("ext_index_health", q_index_health, SQL_INDEX_HEALTH, ("similarity", "iterative", "streaming")),
     # bench=True (r4): embedding-space dedup is the third dedup modality
     # (exact / lexical-minhash / semantic) — track its k-means + in-cluster
     # pair-join cost round over round.

@@ -24,7 +24,37 @@ from token_etl_spark.plans.base import QuerySpec
 # the first 50 names in dict order). Ordering is therefore a verification
 # decision, not cosmetics.
 #
-# ROUND-10 ROTATION (last-green histogram after r9, computed directly
+# ROUND-11 ROTATION (last-green histogram after r10, computed directly
+# from the CORRECTNESS_r{01..10}.json keys: r10=50, r9=50, r8=50, r7=46
+# — matching the r10 VERDICT's recount exactly). The window is:
+#   1. The 2 queries NEW this round — ext_ann_ivf_retrain (the
+#      embedding-index retrain action's train→reassign replay over the
+#      combined seed+admitted corpus; rebuild_ivf_index delegates to the
+#      same build_ivf_index_frames, VERDICT r10 item 2) and
+#      ext_index_health (the combined-index cell-occupancy report —
+#      embedding_index_health's math through the frames seam, the
+#      observable that gates the retrain; VERDICT r10 item 3). Each
+#      hash-matched locally at all three SFs; every new query enters
+#      the window in its birth round.
+#   2. ALL 46 r7-stale rows (VERDICT r10 item 1's list, recomputed here
+#      from the CORRECTNESS files and identical): float-scoring rows
+#      first (the ANN/PQ cosine family, semantic/minhash/weighted
+#      jaccard scorers, linear-probe gradients, RRF/quality/ratio
+#      scores, z-score/MAD screens), then the integer/md5-pinned
+#      remainder. After this window no query's last driver row is older
+#      than r8.
+#   3. Two voluntary belt-and-suspenders spares: ext_ann_ivf_kmeans and
+#      ext_ann_ivf_search — their shared oracle builder
+#      (_kmeans_cte_members) grew a corpus_sql parameter for the
+#      retrain oracle this round. The change is provably inert (default
+#      regenerates byte-identical SQL, md5-pinned in test_registry.py
+#      incl. SQL_IVF_CELL_BALANCE, and all three consumers re-verified
+#      at 3 SFs), so per the r10 precedent these are the slots to
+#      sacrifice first if a late-r11 row needs the window.
+# Displaced: the r8/r9/r10-green window occupants — all still covered
+# by the 198-query local three-SF sweep.
+#
+# ROUND-10 ROTATION (kept for the audit trail; last-green histogram after r9, computed directly
 # from the CORRECTNESS_r0{1..9}.json keys: r9=50, r8=50, r7=46, r6=46,
 # r5=1 — matching the r9 VERDICT's recount). The window is exactly:
 #   1. The 3 queries NEW this round — ext_ann_ivf_search (the persisted-
@@ -208,62 +238,62 @@ from token_etl_spark.plans.base import QuerySpec
 #      md5-pinned plans with the lowest dtype risk; they pass the
 #      local three-SF sweep and rotate into r8.
 _PRIORITY_NAMES = [
-    # new in round 10
+    # new in round 11
+    "ext_ann_ivf_retrain",
+    "ext_index_health",
+    # r7-stale: float-scoring rows first (highest dtype risk — cosine/
+    # PQ-distance scorers, jaccard ratios, gradient training, RRF and
+    # quality scores, z-score/MAD screens)
+    "ext_ann_bruteforce",
+    "ext_ann_ivfpq",
+    "ext_ann_ivfpq_rerank",
+    "ext_ann_ivfpq_residual",
+    "ext_ann_lsh",
+    "ext_ann_lsh_multiprobe",
+    "ext_ann_pq",
+    "ext_ann_quantized",
+    "ext_knn_label_noise",
+    "ext_semantic_dedup",
+    "ext_semantic_dedup_probe2",
+    "ext_prototypicality",
+    "ext_d4_select",
+    "ext_linear_probe",
+    "ext_hybrid_rrf",
+    "ext_minhash_neardup",
+    "ext_weighted_neardup",
+    "ext_dedup_keep_best",
+    "ext_cluster_safe_split",
+    "rel_fuzzy_match_capped",
+    "ext_ngram_novelty",
+    "ext_bpe_fertility",
+    "evt_anomaly_zscore",
+    "evt_anomaly_robust",
+    "ext_winnow_overlap",
+    # r7-stale: the integer/md5-pinned remainder
+    "evt_funnel",
+    "evt_funnel_reach",
+    "ext_bpe_encode",
+    "ext_bpe_merges",
+    "ext_cdc_chunks",
+    "ext_line_dedup",
+    "ext_stratified_sample",
+    "ext_tokenized_pack",
+    "ext_url_canonicalize",
+    "ext_winnowing",
+    "rel_array_membership",
+    "rel_cube_counts",
+    "rel_dapp_registry",
+    "rel_date_parts",
+    "rel_enrich_transfers",
+    "rel_except_nations",
+    "rel_intersect_nations",
+    "rel_rollup_counts",
+    "rel_sql_api",
+    "rel_transfer_keys",
+    "rel_upsert_latest",
+    # belt-and-suspenders spares (see rotation rationale item 3)
+    "ext_ann_ivf_kmeans",
     "ext_ann_ivf_search",
-    "ext_multimodal_headers",
-    "ext_ivf_cell_balance",
-    # the one r5-stale row leads the rotation (VERDICT r9 item 2)
-    "evt_tx_per_day",
-    # r6-stale: float-scoring rows first (highest dtype risk — TPC-H
-    # price/discount double sums, median/stddev packs, ratio shares,
-    # cosine/jaccard scorers, float mixture weights)
-    "tpch_pricing_summary",
-    "tpch_forecast_revenue",
-    "tpch_brand_revenue",
-    "tpch_nation_revenue",
-    "tpch_promo_share",
-    "tpch_market_share",
-    "tpch_profit_by_nation_year",
-    "tpch_part_type_stats",
-    "tpch_min_cost_supplier",
-    "tpch_returned_revenue",
-    "tpch_value_share_parts",
-    "tpch_top_supplier",
-    "tpch_small_quantity_revenue",
-    "tpch_idle_rich_customers",
-    "tpch_late_priority_mix",
-    "rel_median_prices",
-    "rel_stats_pack",
-    "rel_window_pack2",
-    "rel_range_window",
-    "rel_rank_pack",
-    "rel_above_avg_customers",
-    "rel_approx_active_users",
-    "ext_mixture_full",
-    "ext_semantic_decon",
-    "ext_incremental_neardup",
-    "rel_fuzzy_match",
-    "ext_epoch_upsample",
-    # r6-stale: the integer/md5-pinned remainder
-    "tpch_segment_priority",
-    "tpch_priority_counts",
-    "tpch_large_orders",
-    "tpch_disjunctive_filter",
-    "tpch_nation_year_volume",
-    "tpch_order_count_distribution",
-    "tpch_supplier_part_counts",
-    "tpch_qty_heavy_suppliers",
-    "tpch_waiting_orders",
-    "rel_scan_pushdown",
-    "rel_json_props",
-    "evt_sessionization",
-    "evt_changelog_map",
-    "evt_changelog_roundtrip",
-    "evt_wallet_pipeline",
-    "rel_string_ops",
-    "rel_ship_delay_histogram",
-    "evt_daily_event_types",
-    "rel_array_ops",
 ]
 
 _MODULE_ORDER: list[QuerySpec] = [

@@ -562,9 +562,14 @@ def _embedding_neardup_sink_batch(
 def _read_quantizer(spark: SparkSession, index_path: str) -> DataFrame:
     """The index's frozen quantizer, or a ValueError naming the remedy —
     shared by the sink and the health report so the layout and the
-    error contract can never drift between them."""
+    error contract can never drift between them. Heals an interrupted
+    :func:`rebuild_ivf_index` swap first (crash between the final-dir
+    delete and the staging rename leaves only the complete staging
+    tree — without the heal this would misread as "no quantizer")."""
     from token_etl_spark.io.sinks import _read_existing
+    from token_etl_spark.streaming.curation import _recover_state_dir
 
+    _recover_state_dir(spark, index_path)
     cents = _read_existing(spark, f"{index_path.rstrip('/')}/centroids")
     if cents is None:
         raise ValueError(
@@ -583,9 +588,13 @@ def read_embedding_index(
     the shape ``ivf_search_frames`` consumes. None iff neither exists.
     ``exclude_key`` drops one stream batch's partition (the sink's retry
     guard); the sink calls through here so the serving read and the
-    batch pipeline's read are the same definition of "the index"."""
+    batch pipeline's read are the same definition of "the index".
+    Heals an interrupted :func:`rebuild_ivf_index` swap first, like
+    :func:`_read_quantizer`."""
     from token_etl_spark.io.sinks import _read_existing
+    from token_etl_spark.streaming.curation import _recover_state_dir
 
+    _recover_state_dir(spark, index_path)
     seed = _read_existing(spark, f"{index_path.rstrip('/')}/assignments")
     streamed = _read_partitioned_state(
         spark, f"{index_path.rstrip('/')}/stream_assignments", exclude_key=exclude_key
@@ -624,3 +633,82 @@ def embedding_index_health(spark: SparkSession, index_path: str) -> DataFrame | 
     if assigned is None or assigned.isEmpty():
         return None
     return ivf_cell_stats(assigned, cents)
+
+
+def rebuild_ivf_index(
+    spark: SparkSession,
+    index_path: str,
+    n_centroids: int | None = None,
+    refine_iters: int = 2,
+) -> int:
+    """Retrain the embedding index's quantizer over EVERYTHING it holds
+    (batch-built seed cells + every stream-admitted vector), re-assign
+    all vectors to the new centroids, and atomically swap the rebuilt
+    index in — the LEVER the ``embedding_index_health`` observable
+    triggers (VERDICT r10 item 2): the growth probe (PERF.md) shows
+    per-batch stream cost following the hottest cell of a FIXED
+    quantizer, and until now the report could only say "retrain" with
+    no action to take.
+
+    After the rebuild, ``{index_path}/assignments`` holds the ENTIRE
+    admitted corpus re-partitioned by the new cells and
+    ``stream_assignments`` is gone (absorbed) — so the rebuild is also
+    the compaction pass for the per-batch partition splay. A CONTINUING
+    stream (same checkpoint, new source files) picks the new quantizer
+    up on its next batch automatically: the sink re-reads
+    ``{index_path}/centroids`` every batch, and its index read unions
+    the rebuilt assignments with the (now empty) stream dir. Matches
+    state (``matches_path``) is untouched — recorded pairs stay valid;
+    they were verified by exact cosine, not by any cell geometry.
+
+    Commit protocol: the new ``centroids`` + ``assignments`` are staged
+    under ``{index_path}.staging`` and swapped in whole-tree via rename
+    (``streaming/curation._swap_state_dir``); readers and the next
+    rebuild heal the one non-atomic window (final deleted, complete
+    staging present) via ``_recover_state_dir`` — same machinery as
+    :func:`compact_state_partitions`. A crash mid-staging leaves the
+    live index untouched (stale staging is cleared up front).
+
+    CONTRACT — quiescent streams only (same as compaction): run between
+    runs or on a stopped stream. A rebuild racing a live batch could
+    absorb that batch's UNCOMMITTED partition into ``assignments``,
+    where the retrying sink's own-partition exclusion can no longer
+    see it — re-exposing the retry self-match hazard.
+
+    ``n_centroids=None`` keeps the current trained cell count. Returns
+    the number of vectors re-indexed. Training is deterministic
+    (``spherical_kmeans`` — init is the n smallest corpus ids), so a
+    crashed-and-retried rebuild converges to the identical index.
+    """
+    from token_etl_spark.operators.similarity import build_ivf_index_frames
+    from token_etl_spark.streaming.curation import (
+        _recover_state_dir,
+        _swap_state_dir,
+    )
+
+    _recover_state_dir(spark, index_path)  # finish an interrupted prior swap
+    if n_centroids is None:
+        n_centroids = _read_quantizer(spark, index_path).count()
+    combined = read_embedding_index(spark, index_path)
+    if combined is None:
+        raise ValueError(
+            f"embedding index at {index_path} has no assignments to rebuild"
+            " from — build_ivf_index a seed corpus or admit a batch first"
+        )
+    cents, assigned = build_ivf_index_frames(
+        combined.select("corpus_id", "cv"),
+        n_centroids=n_centroids,
+        refine_iters=refine_iters,
+        id_col="corpus_id",
+        vec_col="cv",
+    )
+    staging = index_path.rstrip("/") + ".staging"
+    _delete_dir(spark, staging)  # stale staging from an interrupted rebuild
+    cents.write.mode("overwrite").parquet(f"{staging}/centroids")
+    # co-partition on the cell first — the r10 partitionBy file-splay fix
+    assigned.repartition(n_centroids, "centroid_id").write.mode(
+        "overwrite"
+    ).partitionBy("centroid_id").parquet(f"{staging}/assignments")
+    n = spark.read.parquet(f"{staging}/assignments").count()
+    _swap_state_dir(spark, staging, index_path)
+    return n
