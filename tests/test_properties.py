@@ -1050,3 +1050,69 @@ def test_retrieval_and_gates_never_crash_on_adversarial_strings(spark, texts):
     hits = bm25_topk(df, queries, k=3).collect()
     assert len(hits) <= 3
     assert all(r["bm25"] is not None for r in hits)
+
+
+@given(texts=st.lists(_ADVERSARIAL_TEXT, min_size=1, max_size=8))
+@FAST
+def test_pii_url_langid_never_crash_and_hold_invariants(spark, texts):
+    """Fifth wave of the no-crash sweep (VERDICT r10 item 5): the
+    remaining regex-heavy string-input surface — pii_scan, the langid
+    scoring pieces, and url_canonicalize's fixed point. Per the r10
+    lesson every output column is CONSUMED (Catalyst pruning hid the
+    rolling-hash overflow for rounds), and each operator carries a
+    semantic invariant, not just row alignment:
+
+    - pii_scan: counts are non-negative, redaction order ends with the
+      phone pass (so no phone match survives), and a document with zero
+      hits passes through byte-identical;
+    - language_id: the predicted language IS the alphabetically-first
+      argmax of the emitted score columns, 'und' iff all scores are 0 —
+      the exact tie-break the oracle replays;
+    - url_canonicalize: canonicalization is IDEMPOTENT (canon(canon(u))
+      == canon(u)) — the property URL-level dedup silently assumes when
+      it re-canonicalizes already-normalized state."""
+    import re
+
+    from token_etl_spark.operators.curation import _PII, pii_scan, url_canonicalize
+    from token_etl_spark.operators.text import STOPWORDS, language_id
+
+    s = _get(spark)
+    df = s.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    n = len(texts)
+
+    pii = pii_scan(df).collect()
+    assert len(pii) == n
+    phone_pat = _PII[-1][1]
+    assert _PII[-1][0] == "phone"  # redaction order contract
+    for r in sorted(pii, key=lambda r: r["doc_id"]):
+        counts = [r[f"n_{name}"] for name, _, _ in _PII]
+        assert all(c >= 0 for c in counts)
+        assert r["redacted"] is not None
+        assert not re.search(phone_pat, r["redacted"])
+        if sum(counts) == 0:
+            assert r["redacted"] == texts[r["doc_id"]]
+
+    lid = language_id(df).collect()
+    assert len(lid) == n
+    for r in lid:
+        scores = {lang: r[f"score_{lang}"] for lang in STOPWORDS}
+        assert all(v >= 0 for v in scores.values())
+        best = max(scores.values())
+        exp = (
+            "und"
+            if best == 0
+            else min(lang for lang, v in scores.items() if v == best)
+        )
+        assert r["lang_pred"] == exp
+
+    urls = df.select("doc_id", F.col("text").alias("url"))
+    once = url_canonicalize(urls).select(
+        "doc_id", F.col("canon_url").alias("url")
+    )
+    twice = {
+        r["doc_id"]: r["canon_url"] for r in url_canonicalize(once).collect()
+    }
+    first = {r["doc_id"]: r["url"] for r in once.collect()}
+    assert twice == first
