@@ -1005,3 +1005,22 @@ def test_read_partitioned_state_heals_wedged_empty_partition_dir(
     (broken / "part-00000.parquet").write_bytes(b"not a parquet file")
     with _pytest.raises(Exception, match="[Pp]arquet"):
         _read_partitioned_state(spark, str(tmp_path / "broken_state"))
+
+
+def test_read_partitioned_state_heals_committer_temporary_leftovers(
+    spark, tmp_path
+):
+    """A batch that crashed MID-write leaves part files under a hidden
+    _temporary dir — invisible to the analyzer (UNABLE_TO_INFER_SCHEMA)
+    but non-hidden by basename. The heal must judge visibility on every
+    path segment, or the retry stays wedged on exactly the partial
+    write it needs to clear (r11 review)."""
+    from token_etl_spark.streaming.dedup import _read_partitioned_state
+
+    leftover = (
+        tmp_path / "tempy_state" / "batch_id=dead0000-0"
+        / "_temporary" / "0" / "task_0" 
+    )
+    leftover.mkdir(parents=True)
+    (leftover / "part-00000-attempt.parquet").write_bytes(b"partial")
+    assert _read_partitioned_state(spark, str(tmp_path / "tempy_state")) is None

@@ -254,6 +254,16 @@ def _bucket_fs(spark: SparkSession, path: str):
     return hpath(path).getFileSystem(sc._jsc.hadoopConfiguration()), hpath
 
 
+def _delete_dir(spark: SparkSession, path: str) -> None:
+    """Recursively delete ``path`` if it exists (no-op otherwise) —
+    the shared stale-staging/partial-write cleanup used by the state
+    sinks (streaming dedup, state compaction, checkpointed BPE)."""
+    fs, hpath = _bucket_fs(spark, path)
+    p = hpath(path)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
 def _write_bucket_marker(spark: SparkSession, path: str, n_buckets: int) -> None:
     """Persist the ``_n_buckets`` marker (overwrites; underscore-prefixed
     so parquet readers ignore it)."""

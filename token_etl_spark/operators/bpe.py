@@ -152,6 +152,36 @@ def bpe_train(
     return out
 
 
+def _recover_bpe_state(spark, state_path: str) -> None:
+    """Crash recovery for the checkpointed train's whole-tree swap.
+
+    Unlike the compaction/retrain swaps (whose final dir always exists
+    while staging is written, so a lone staging dir is provably
+    complete), a FIRST BPE commit has no final dir yet — a crash
+    mid-staging-write leaves final-missing + PARTIAL staging, and
+    promoting that would wedge or silently corrupt the resume (r11
+    review). Completeness is therefore explicit: ``_commit`` touches
+    ``_COMMITTED`` as its last staging step, and this heal promotes a
+    final-less staging ONLY when the marker is present; any other
+    staging (final exists, or marker missing) is an un-swapped or
+    partial commit and is discarded — the retry recomputes at most
+    ``checkpoint_every`` merges."""
+    from token_etl_spark.io.sinks import _bucket_fs, _delete_dir
+
+    staging = state_path.rstrip("/") + ".staging"
+    fs, hpath = _bucket_fs(spark, state_path)
+    sp = hpath(staging)
+    if not fs.exists(sp):
+        return
+    if fs.exists(hpath(f"{staging}/_COMMITTED")) and not fs.exists(
+        hpath(state_path)
+    ):
+        if not fs.rename(sp, hpath(state_path)):
+            raise IOError(f"bpe state recovery failed: {staging} -> {state_path}")
+    else:
+        _delete_dir(spark, staging)
+
+
 def bpe_train_checkpointed(
     docs: DataFrame,
     state_path: str,
@@ -172,8 +202,10 @@ def bpe_train_checkpointed(
     from merge 0) and driver-lifetime-bound (a restarted driver starts
     over). Every ``checkpoint_every`` merges this loop stages the
     current ``(vocab, merges)`` pair under ``{state_path}.staging`` and
-    atomically swaps it in (the same whole-tree rename protocol as the
-    IVF retrain's index swap, healed by ``_recover_state_dir``), so a
+    atomically swaps it in (a whole-tree rename, completeness gated on
+    an explicit ``_COMMITTED`` marker — see :func:`_recover_bpe_state`
+    for why the first commit cannot use the lone-staging-is-complete
+    invariant the other tree swaps rely on), so a
     crashed train RESUMES from the last committed checkpoint: calling
     again with the same ``state_path`` continues where it stopped, and
     a call asking for fewer merges than already committed just returns
@@ -186,14 +218,11 @@ def bpe_train_checkpointed(
     ``{state_path}/merges`` (the table learned so far). Single-writer
     contract, like every state sink in this package.
     """
-    from token_etl_spark.io.sinks import _read_existing
-    from token_etl_spark.streaming.curation import (
-        _recover_state_dir,
-        _swap_state_dir,
-    )
+    from token_etl_spark.io.sinks import _bucket_fs, _delete_dir, _read_existing
+    from token_etl_spark.streaming.curation import _swap_state_dir
 
     spark = docs.sparkSession
-    _recover_state_dir(spark, state_path)
+    _recover_bpe_state(spark, state_path)
     merges_df = _read_existing(spark, f"{state_path.rstrip('/')}/merges")
     if merges_df is not None:
         done = merges_df.count()
@@ -222,17 +251,20 @@ def bpe_train_checkpointed(
         out = merges[0]
         for m in merges[1:]:
             out = out.unionByName(m)
-        # clear a stale staging from an interrupted commit first
-        sc = spark.sparkContext
-        hpath = sc._jvm.org.apache.hadoop.fs.Path
-        sp = hpath(staging)
-        fs = sp.getFileSystem(sc._jsc.hadoopConfiguration())
-        if fs.exists(sp):
-            fs.delete(sp, True)
+        _delete_dir(spark, staging)  # stale staging from an interrupted commit
         vocab.write.mode("overwrite").parquet(f"{staging}/vocab")
         out.write.mode("overwrite").parquet(f"{staging}/merges")
+        # the marker is written LAST: _recover_bpe_state promotes a
+        # final-less staging ONLY when it carries the marker, so a crash
+        # anywhere mid-staging-write can never be healed into live state
+        # (on a FIRST commit there is no final dir to fall back to — the
+        # generic lone-staging-is-complete invariant does not hold here;
+        # r11 review)
+        fs, hpath = _bucket_fs(spark, staging)
+        fs.create(hpath(f"{staging}/_COMMITTED"), True).close()
         _swap_state_dir(spark, staging, state_path)
 
+    committed_at = last_learned = done
     for i in range(done + 1, n_merges + 1):
         best = (
             _adjacent_pairs(vocab)
@@ -259,13 +291,28 @@ def bpe_train_checkpointed(
             )
             .localCheckpoint(eager=True)
         )
+        last_learned = i
         if (i - done) % checkpoint_every == 0:
             _commit()
+            committed_at = i
+            # collapse the accumulated per-merge union to the committed
+            # table: without this the plan grows one unionByName child
+            # per merge (quadratic re-analysis and ~n_merges pinned
+            # 1-row checkpoint blocks at 32k merges; r11 review). The
+            # eager checkpoint divorces it from the files the NEXT
+            # commit's swap deletes.
+            merges = [
+                spark.read.parquet(
+                    f"{state_path.rstrip('/')}/merges"
+                ).orderBy("merge_idx").localCheckpoint(eager=True)
+            ]
     if not merges:  # every word already a single symbol, nothing committed
         return spark.createDataFrame(
             [], "merge_idx long, left_sym string, right_sym string, pair_count long"
         )
-    _commit()
+    if last_learned > committed_at:  # skip the redundant re-commit when
+        _commit()  # the loop ended exactly on a checkpoint boundary
+        # (or an exhausted resume learned nothing new)
     return spark.read.parquet(f"{state_path.rstrip('/')}/merges").orderBy(
         "merge_idx"
     )

@@ -206,32 +206,28 @@ def _batch_partition_key(checkpoint_path: str, batch_id: int) -> str:
     return f"{prefix}-{batch_id}"
 
 
-def _delete_dir(spark: SparkSession, path: str) -> None:
-    """Recursively delete ``path`` if it exists (no-op otherwise)."""
-    from token_etl_spark.io.sinks import _bucket_fs
-
-    fs, hpath = _bucket_fs(spark, path)
-    p = hpath(path)
-    if fs.exists(p):
-        fs.delete(p, True)
-
-
 def _has_data_files(spark: SparkSession, path: str) -> bool:
     """True iff ``path`` holds at least one non-hidden data file anywhere
-    below it (underscore/dot-prefixed bookkeeping files — ``_SUCCESS``,
-    committer temporaries — don't count). Distinguishes "empty state dir
-    left by an interrupted or pre-guard empty write" from a dir whose
-    read failed for a real reason."""
+    below it, where hidden means ANY path segment below ``path`` starts
+    with '_' or '.' — the analyzer's own visibility rule. Checking only
+    the leaf basename would count committer leftovers under
+    ``_temporary/.../part-*.parquet`` as data (a batch that crashed
+    mid-write), making the UNABLE_TO_INFER_SCHEMA heal refuse to fire on
+    exactly the wedge it exists to clear (r11 review). Distinguishes
+    "state dir with no visible data" from a dir whose read failed for a
+    real reason."""
     from token_etl_spark.io.sinks import _bucket_fs
 
     fs, hpath = _bucket_fs(spark, path)
     p = hpath(path)
     if not fs.exists(p):
         return False
+    base = fs.makeQualified(p).toString().rstrip("/")
     it = fs.listFiles(p, True)
     while it.hasNext():
-        name = it.next().getPath().getName()
-        if not name.startswith(("_", ".")):
+        full = it.next().getPath().toString()
+        rel = full[len(base):].lstrip("/")
+        if not any(seg.startswith(("_", ".")) for seg in rel.split("/")):
             return True
     return False
 
@@ -353,12 +349,9 @@ def compact_state_partitions(
     # into it would only overwrite OUR partition name — a stale
     # partition under a different label would survive the swap and
     # duplicate rows. Clear it first.
-    sc = spark.sparkContext
-    hpath = sc._jvm.org.apache.hadoop.fs.Path
-    sdir = hpath(staging)
-    fs = sdir.getFileSystem(sc._jsc.hadoopConfiguration())
-    if fs.exists(sdir):
-        fs.delete(sdir, True)
+    from token_etl_spark.io.sinks import _delete_dir
+
+    _delete_dir(spark, staging)
     df.drop("batch_id").repartition(n_files).write.mode("overwrite").parquet(
         f"{staging}/batch_id={label}-0"
     )
@@ -496,6 +489,7 @@ def _embedding_neardup_sink_batch(
     but before the checkpoint commit must not match the batch against
     its own partial write (every vector would self-match at cosine 1.0
     and the partition would be overwritten EMPTY, losing the vectors)."""
+    from token_etl_spark.io.sinks import _delete_dir
     from token_etl_spark.operators.similarity import (
         _assign_to_centroids,
         ivf_search_frames,
@@ -533,7 +527,12 @@ def _embedding_neardup_sink_batch(
                 f"{matches_path.rstrip('/')}/batch_id={key}"
             )
         dup_ids = matches.select(F.col("id_new").alias(id_col)).distinct()
-        novel = batch_df.join(dup_ids, id_col, "left_anti")
+        # eager checkpoint: the emptiness probe below and the partition
+        # write both consume novel — without it the anti-join runs twice
+        # per batch (r11 review)
+        novel = batch_df.join(dup_ids, id_col, "left_anti").localCheckpoint(
+            eager=True
+        )
     else:
         novel = batch_df
 
@@ -680,6 +679,7 @@ def rebuild_ivf_index(
     (``spherical_kmeans`` — init is the n smallest corpus ids), so a
     crashed-and-retried rebuild converges to the identical index.
     """
+    from token_etl_spark.io.sinks import _delete_dir
     from token_etl_spark.operators.similarity import build_ivf_index_frames
     from token_etl_spark.streaming.curation import (
         _recover_state_dir,
