@@ -386,3 +386,90 @@ def test_mad_outliers_degenerate_mad_flags_nothing(spark):
     df = spark.createDataFrame(rows, ["grp", "v"])
     out = mad_outliers(df, "v", ["grp"], threshold=0.5).collect()
     assert all(r["robust_z"] is None and r["is_outlier"] is False for r in out)
+
+
+# --- training-shard export: assign_shards + shard_manifest -------------------
+
+
+def test_assign_shards_two_phase_equals_single_window(spark):
+    from token_etl_spark.operators.curation import assign_shards
+
+    df = spark.createDataFrame(
+        [(i, "tok " * (1 + i % 23)) for i in range(3000)], ["doc_id", "text"]
+    )
+    two = assign_shards(df, tokens_per_shard=500)
+    one = assign_shards(df, tokens_per_shard=500, n_buckets=1)
+    a = {(r["doc_id"], r["shard_id"]) for r in two.collect()}
+    b = {(r["doc_id"], r["shard_id"]) for r in one.collect()}
+    assert a == b and len(a) == 3000
+
+
+def test_assign_shards_balanced_and_lossless(spark):
+    """Every shard except possibly the last lands within one document of
+    its token budget (start-offset convention), nothing is lost, and the
+    assignment is rerun-stable."""
+    from token_etl_spark.operators.curation import assign_shards, shard_manifest
+
+    df = spark.createDataFrame(
+        [(i, "w " * (5 + i % 11)) for i in range(800)], ["doc_id", "text"]
+    )
+    assigned = assign_shards(df, tokens_per_shard=300)
+    man = {r["shard_id"]: r for r in shard_manifest(assigned).collect()}
+    total = sum(r["shard_tokens"] for r in man.values())
+    assert total == sum(5 + i % 11 for i in range(800))
+    assert sum(r["n_docs"] for r in man.values()) == 800
+    max_doc = 15  # largest document in this fixture
+    last = max(man)
+    assert set(man) == set(range(last + 1))  # dense ids (no giant docs)
+    for sid, r in man.items():
+        if sid != last:
+            # shard spans [sid*300, (sid+1)*300): it holds every doc
+            # starting there, so tokens >= 300 - (max_doc - 1) and the
+            # overshoot is < one document
+            assert 300 - max_doc < r["shard_tokens"] < 300 + max_doc
+    again = assign_shards(df, tokens_per_shard=300)
+    assert assigned.select("doc_id", "shard_id").exceptAll(
+        again.select("doc_id", "shard_id")
+    ).count() == 0
+
+
+def test_assign_shards_giant_doc_owns_oversized_shard(spark):
+    """A document larger than tokens_per_shard owns its shard; the next
+    document starts in a later window, so shard ids may skip — the
+    documented semantics (no document is ever split)."""
+    from token_etl_spark.operators.curation import assign_shards, shard_manifest
+
+    df = spark.createDataFrame(
+        [(1, "w " * 10), (2, "w " * 950), (3, "w " * 10), (4, "w " * 10)],
+        ["doc_id", "text"],
+    )
+    man = shard_manifest(assign_shards(df, tokens_per_shard=100)).collect()
+    by_id = {r["shard_id"]: r for r in man}
+    giant = [r for r in man if r["shard_tokens"] >= 950]
+    assert len(giant) == 1 and giant[0]["n_docs"] in (1, 2, 3)
+    # total ids span > total_tokens/100 shards only if ids skipped; either
+    # way totals are lossless
+    assert sum(r["shard_tokens"] for r in man) == 980
+    assert sum(r["n_docs"] for r in man) == 4
+    assert len(by_id) == len(man)  # shard ids unique
+
+
+def test_shard_manifest_ranges_partition_the_key_space(spark):
+    """The manifest's [first_key, last_key] ranges are disjoint and
+    ordered by shard_id — the property that lets an incremental export
+    route a document to its shard by key alone."""
+    from token_etl_spark.operators.curation import assign_shards, shard_manifest
+
+    df = spark.createDataFrame(
+        [(i, "w " * (3 + i % 7)) for i in range(500)], ["doc_id", "text"]
+    )
+    assigned = assign_shards(df, tokens_per_shard=200)
+    man = sorted(shard_manifest(assigned).collect(), key=lambda r: r["shard_id"])
+    for r in man:
+        assert r["first_key"] <= r["last_key"]
+    for prev, nxt in zip(man, man[1:]):
+        assert prev["last_key"] < nxt["first_key"]
+    # every document's key falls inside its own shard's range
+    for r in assigned.select("ord_key", "shard_id").collect():
+        m = man[[x["shard_id"] for x in man].index(r["shard_id"])]
+        assert m["first_key"] <= r["ord_key"] <= m["last_key"]

@@ -775,3 +775,120 @@ def test_semantic_dedup_pair_salts_output_identical_and_measured(spark, sf_dir):
         "hashpartitioning(centroid_id" in l and "_ps" in l and "REPARTITION_BY_NUM" in l
         for l in plan.splitlines()
     )
+
+
+# --- sparse random projection (JL) ------------------------------------------
+
+
+def test_projection_signs_deterministic_and_sparse():
+    from token_etl_spark.operators.similarity import projection_signs
+
+    a = projection_signs(64, 16)
+    b = projection_signs(64, 16)
+    assert a == b  # pure function of (dim, k, seed, s)
+    flat = [x for row in a for x in row]
+    assert set(flat) <= {1.0, -1.0, 0.0}
+    # Achlioptas s=3: about 2/3 zeros; every output row non-degenerate
+    zero_frac = flat.count(0.0) / len(flat)
+    assert 0.55 < zero_frac < 0.78
+    assert all(any(x != 0.0 for x in row) for row in a)
+    # a different seed is a different matrix
+    assert projection_signs(64, 16, seed="rp-other") != a
+
+
+def test_random_projection_matches_numpy_reference(spark, sf_dir):
+    """The fold-form projection equals the straight numpy matmul of the
+    same matrix to float accumulation order (the pandas twin shares the
+    numpy path, so this pins BOTH implementations to the definition)."""
+    import numpy as np
+
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.operators.similarity import (
+        projection_signs,
+        random_projection,
+        random_projection_pandas,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(100)
+    native = {
+        r.vec_id: np.array(r.proj)
+        for r in random_projection(emb, dim=64, k=16).select("vec_id", "proj").collect()
+    }
+    arrow = {
+        r.vec_id: np.array(r.proj)
+        for r in random_projection_pandas(emb, dim=64, k=16)
+        .select("vec_id", "proj")
+        .collect()
+    }
+    mat = np.asarray(projection_signs(64, 16), dtype=np.float64).T * np.sqrt(3 / 16)
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in emb.collect()
+    }
+    assert set(native) == set(arrow) == set(vecs) and len(native) == 100
+    for vid, v in vecs.items():
+        ref = v @ mat
+        assert np.max(np.abs(native[vid] - ref)) < 1e-12
+        assert np.max(np.abs(arrow[vid] - ref)) < 1e-12
+
+
+def test_random_projection_preserves_distances(spark, sf_dir):
+    """The JL contract this operator exists for: pairwise L2 distances
+    survive 64 → 16 dims within the expected distortion band. With
+    k = 16 the per-pair bound is loose, so assert on the DISTRIBUTION:
+    median ratio near 1, no pair collapsing to ~0 or exploding."""
+    import itertools
+    import statistics
+
+    import numpy as np
+
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.operators.similarity import random_projection
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(60)
+    proj = {
+        r.vec_id: np.array(r.proj)
+        for r in random_projection(emb, dim=64, k=16).select("vec_id", "proj").collect()
+    }
+    orig = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in emb.collect()}
+    ratios = []
+    for a, b in itertools.combinations(sorted(orig), 2):
+        d0 = float(np.linalg.norm(orig[a] - orig[b]))
+        if d0 > 1e-9:
+            ratios.append(float(np.linalg.norm(proj[a] - proj[b])) / d0)
+    assert 0.8 < statistics.median(ratios) < 1.25
+    assert min(ratios) > 0.2 and max(ratios) < 2.5
+
+
+def test_random_projection_wrong_width_degrades_to_null(spark):
+    """Degrade-never-crash: a vector whose width disagrees with ``dim``
+    projects to NULL components (zip_with null-padding), it does not
+    kill the task — the multimodal-decoder contract for malformed rows."""
+    from token_etl_spark.operators.similarity import random_projection
+
+    df = spark.createDataFrame(
+        [(1, [1.0] * 64), (2, [1.0] * 10), (3, None)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        r.vec_id: r.proj
+        for r in random_projection(df, dim=64, k=4).select("vec_id", "proj").collect()
+    }
+    assert all(x is not None for x in rows[1])
+    assert all(x is None for x in rows[2])  # short vector: every fold hits a null pad
+    assert rows[3] is None or all(x is None for x in rows[3])
+
+
+def test_random_projection_plan_is_map_only(spark, sf_dir):
+    """Zero shuffle: the projection must not add an Exchange — the whole
+    point is that 100 TB of vectors stay where they are."""
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.operators.similarity import random_projection
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = (
+        random_projection(emb, dim=64, k=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

@@ -1226,3 +1226,111 @@ def url_dedup(
     return canon.withColumn(
         "kept", F.row_number().over(w) == 1
     )
+
+
+# ---------------------------------------------------------------------------
+# training-shard export: size-balanced deterministic shard assignment
+
+
+def assign_shards(
+    df: DataFrame,
+    tokens_per_shard: int,
+    key_col: str = "doc_id",
+    token_col: str | None = None,
+    text_col: str = "text",
+    seed: str = "s0",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Deterministic size-balanced training-shard assignment — the
+    export last-mile of a corpus pipeline: every document gets a
+    ``shard_id`` such that each shard holds ~``tokens_per_shard``
+    tokens, and the assignment is a pure function of document content
+    (md5 order), so re-runs, task retries, and incremental re-exports
+    write byte-identical shards.
+
+    Convention: documents are laid out on a virtual token tape in
+    md5-of-key order; a document belongs to the shard where it STARTS
+    (``shard_id = start_offset // tokens_per_shard``) — the same
+    keep-the-boundary-crosser convention as ``token_budget_cap`` and
+    ``pack_sequences``, so every shard overshoots its budget by less
+    than one document and no document is split. A single document
+    larger than ``tokens_per_shard`` spans several windows and the next
+    document starts in a later one, so shard ids can legitimately skip
+    (a giant doc owns an oversized shard) — ids are dense in the
+    no-giant-docs regime that document-level gates upstream guarantee.
+
+    Scale: the global cumulative sum runs the same TWO-PHASE form as
+    ``token_budget_cap`` (range-bucket the md5 key by its leading hex
+    byte → per-bucket windowed cumsums, 256-way parallel → per-bucket
+    totals frame → broadcast prefix offsets), but with a GLOBAL key
+    space instead of per-source: at 100 TB the corpus-wide ordering
+    never serializes into one task, and the shuffled rows carry only
+    (keys, n_tokens), never text. ``n_buckets=1`` is the serial
+    single-window fallback the equivalence test pins the two-phase form
+    against. Kept deliberately separate from ``token_budget_cap``
+    (which it structurally mirrors) so the budget row's declared plan
+    stays untouched.
+
+    Output adds ``ord_key`` (the md5 order key — the shard-internal
+    sort key for writers), ``n_tokens``, and ``shard_id``.
+    """
+    tok = F.col(token_col) if token_col else token_count(F.col(text_col))
+    ord_key = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(seed)))
+    base = df.withColumn("_n_tok", tok.cast("long")).withColumn("_ord", ord_key)
+    if n_buckets <= 1:
+        w = Window.orderBy("_ord").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        out = base.withColumn("_cum_tok", F.sum("_n_tok").over(w))
+    else:
+        bkt = F.conv(F.substring("_ord", 1, 2), 16, 10).cast("long")
+        base = base.withColumn("_bkt", bkt)
+        w_in = Window.partitionBy("_bkt").orderBy("_ord").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        totals = base.groupBy("_bkt").agg(F.sum("_n_tok").alias("_bkt_tot"))
+        w_off = Window.orderBy("_bkt").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = totals.select(
+            "_bkt",
+            F.coalesce(F.sum("_bkt_tot").over(w_off), F.lit(0)).alias("_off"),
+        )
+        out = (
+            base.withColumn("_cum_in_bkt", F.sum("_n_tok").over(w_in))
+            .join(F.broadcast(offsets), ["_bkt"])
+            .withColumn("_cum_tok", F.col("_off") + F.col("_cum_in_bkt"))
+            .drop("_bkt", "_cum_in_bkt", "_off")
+        )
+    # start offset = cum - n_tok; integral div (the vocab_growth rule:
+    # never a double-division-cast for an id)
+    return (
+        out.withColumn(
+            "shard_id",
+            F.expr(f"(_cum_tok - _n_tok) div {int(tokens_per_shard)}"),
+        )
+        .withColumnRenamed("_ord", "ord_key")
+        .withColumnRenamed("_n_tok", "n_tokens")
+        .drop("_cum_tok")
+    )
+
+
+def shard_manifest(assigned: DataFrame) -> DataFrame:
+    """Per-shard export manifest over :func:`assign_shards` output:
+    document count, token total, and the shard's [first_key, last_key]
+    md5 order-key range. The range column is what makes shards
+    independently writable AND auditable — a writer claims the range,
+    and any later incremental export can prove which shard a document
+    belongs to without recomputing the global cumsum (its key falls in
+    exactly one manifest range).
+
+    One combinable groupBy at shard cardinality (corpus_tokens /
+    tokens_per_shard rows — thousands, not billions); every aggregate
+    is min/max/sum/count, so the map-side combine does the heavy
+    lifting and the final shuffle moves only shard-count rows."""
+    return assigned.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+        F.min("ord_key").alias("first_key"),
+        F.max("ord_key").alias("last_key"),
+    )

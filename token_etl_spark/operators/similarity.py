@@ -2026,3 +2026,137 @@ def source_centroid_similarity(
             F.when(denom > 0, F.col("_dot") / denom).alias("cosine_sim"),
         )
     )
+
+
+def projection_signs(
+    dim: int, k: int, seed: str = "rp0", s: int = 3
+) -> list[list[float]]:
+    """Deterministic Achlioptas (2003) sparse random-projection sign
+    matrix: entry (i, j) is +1 with probability 1/(2s), -1 with
+    probability 1/(2s), 0 otherwise (s = 3 → two thirds of the matrix
+    is exactly zero). "Random" is md5 of ``f"{seed}:{i}:{j}"`` — the
+    same content-hash determinism every sampling operator here uses
+    (task retries and re-runs see the identical matrix, and a DuckDB
+    oracle can re-derive every entry from the same md5 arithmetic:
+    first 6 hex chars as an integer, mod 2s; 0 → +1, 1 → -1).
+
+    Returned row-major as k rows of dim floats (row j = output
+    dimension j). Each output row is asserted non-degenerate (at least
+    one nonzero entry — P(all-zero row) = (1-1/s)^dim, ~5e-12 at
+    dim=64/s=3, but a silent all-zero output dimension would be a
+    correctness bug, not noise)."""
+    import hashlib
+
+    rows: list[list[float]] = []
+    for j in range(k):
+        row = []
+        for i in range(dim):
+            h = int(hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()[:6], 16) % (
+                2 * s
+            )
+            row.append(1.0 if h == 0 else (-1.0 if h == 1 else 0.0))
+        if not any(row):
+            raise ValueError(
+                f"degenerate projection row j={j} (all zeros) for "
+                f"seed={seed!r} dim={dim} s={s}; pick another seed"
+            )
+        rows.append(row)
+    return rows
+
+
+def random_projection(
+    df: DataFrame,
+    dim: int,
+    k: int = 16,
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+    seed: str = "rp0",
+    s: int = 3,
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction via the sparse
+    Achlioptas matrix: ``proj[j] = sqrt(s/k) * Σ_i vec[i]·R[i][j]``.
+    THE pre-ANN primitive at 100 TB — projecting 1536-dim embeddings to
+    64 dims cuts every downstream shuffle, index, and distance scan by
+    24× while preserving pairwise distances within the JL distortion
+    bound (ε ≈ sqrt(8·ln n / k)); the LSH/IVF/PQ family here runs
+    unchanged on the projected column.
+
+    Plan shape: map-only, zero shuffle. The k×dim matrix is built
+    driver-side (tiny — 128×1536 floats is 1.5 MB) and enters the plan
+    as array literals; each output component is one JVM-side
+    ``zip_with``/``aggregate`` fold, so per-row cost is the honest
+    k·dim multiply-adds inside whole-stage codegen and codegen size
+    grows O(k), not O(k·dim). Rows whose vector is shorter than ``dim``
+    project to NULL components (zip_with null-padding) — degrade, never
+    crash, same contract as the multimodal decoders.
+
+    For very wide dim·k (≳512×256) the flat fold column count starts to
+    dominate codegen; :func:`random_projection_pandas` is the
+    Arrow-batched numpy-matmul twin with identical semantics (values
+    equal up to float summation order; tolerance-pinned in
+    tests/test_similarity.py)."""
+    signs = projection_signs(dim, k, seed, s)
+    scale = float(np.sqrt(s / k))
+    v = F.col(vec_col).cast("array<double>")
+    comps = [
+        (
+            F.aggregate(
+                F.zip_with(v, F.array(*[F.lit(x) for x in signs[j]]), lambda x, sg: x * sg),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * F.lit(scale)
+        ).alias(f"_p{j}")
+        for j in range(k)
+    ]
+    return df.withColumn(out_col, F.array(*comps))
+
+
+def random_projection_pandas(
+    df: DataFrame,
+    dim: int,
+    k: int = 16,
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+    seed: str = "rp0",
+    s: int = 3,
+) -> DataFrame:
+    """Arrow-batched numpy-matmul twin of :func:`random_projection` for
+    wide dim·k where the flat expression form's codegen gets large: one
+    BLAS ``V @ R`` per Arrow batch instead of k fold expressions.
+    Identical matrix and scaling; values differ from the fold form only
+    by float summation order (numpy sums pairwise). Memory is bounded
+    by ``spark.sql.execution.arrow.maxRecordsPerBatch`` × dim doubles —
+    the same per-batch contract as the multimodal decoders."""
+    import pandas as pd
+
+    mat = (
+        np.asarray(projection_signs(dim, k, seed, s), dtype=np.float64).T
+        * float(np.sqrt(s / k))
+    )  # dim × k
+
+    fields = [f for f in df.schema.fields if f.name != out_col]
+    out_schema = (
+        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in fields)
+        + f", `{out_col}` array<double>"
+    )
+
+    def project(batches):
+        for pdf in batches:
+            vecs = pdf[vec_col]
+            ok = vecs.map(lambda x: x is not None and len(x) == dim).to_numpy()
+            res: list = [None] * len(pdf)
+            if ok.any():
+                V = np.vstack(
+                    vecs.iloc[np.flatnonzero(ok)]
+                    .map(lambda x: np.asarray(x, dtype=np.float64))
+                    .values
+                )
+                P = V @ mat
+                for row, pos in enumerate(np.flatnonzero(ok)):
+                    res[pos] = P[row]
+            out = pdf[[f.name for f in fields]].copy()
+            out[out_col] = pd.Series(res, index=pdf.index, dtype=object)
+            yield out
+
+    return df.mapInPandas(project, schema=out_schema)

@@ -3432,6 +3432,58 @@ FROM pct
 """
 
 
+# --- sparse random projection (JL dimensionality reduction) -----------------
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse random projection (operators/similarity.random_projection):
+    every embedding reduced 64 → 16 dims through the Achlioptas (2003)
+    ±1/0 sign matrix — the Johnson–Lindenstrauss pre-ANN primitive that
+    cuts every downstream index and distance scan at 100 TB. Output is
+    the exploded (vec_id, dim, value) projection so the driver hashes
+    every component of every projected vector.
+
+    Plan: map-only (zero shuffle, zero joins) — the k×dim matrix enters
+    the plan as literals and each component is one JVM-side
+    zip_with/aggregate fold. Oracle: DuckDB re-derives the ENTIRE sign
+    matrix independently from the same md5 arithmetic
+    (first-6-hex-chars mod 6 over 'rp0:i:j') and replays the
+    sum-product per (vec_id, j); float summation-order noise is
+    absorbed by round(6) (the declared ANN-family caveat, swept at
+    3 SFs)."""
+    emb = t(spark, sf_dir, "embeddings")
+    out = S.random_projection(emb, dim=64, k=16)
+    return out.select(
+        "vec_id", F.posexplode("proj").alias("dim", "value")
+    ).select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+SQL_RANDOM_PROJECTION = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+idx AS (SELECT CAST(i AS BIGINT) AS i FROM range(64) t(i)),
+outs AS (SELECT CAST(j AS BIGINT) AS j FROM range(16) t(j)),
+-- the Achlioptas sign matrix, re-derived from the same md5 arithmetic
+-- the engine's projection_signs() uses (s = 3: +1 on 0, -1 on 1, else 0)
+r AS (
+  SELECT i, j,
+         CASE CAST('0x' || substr(md5('rp0:' || i || ':' || j), 1, 6) AS BIGINT) % 6
+           WHEN 0 THEN 1.0 WHEN 1 THEN -1.0 ELSE 0.0 END AS sgn
+  FROM idx CROSS JOIN outs),
+-- zero-sign terms kept so every (vec_id, j) group is complete
+terms AS (
+  SELECT e.vec_id, r.j, r.sgn * e.v[r.i + 1] AS term
+  FROM e CROSS JOIN r),
+p AS (
+  SELECT vec_id, j, sum(term) * sqrt(3.0 / 16) AS val
+  FROM terms GROUP BY vec_id, j)
+SELECT vec_id, j AS dim, round(val, 6) AS value FROM p
+"""
+
+
 SPECS = [
     QuerySpec("ext_dedup_exact", q_dedup_exact, SQL_DEDUP_EXACT, ("dedup",), bench=True),
     QuerySpec("ext_score_calibration", q_score_calibration, SQL_SCORE_CALIBRATION, ("quality", "curation", "window")),
@@ -3481,6 +3533,7 @@ SPECS = [
     QuerySpec("ext_ivf_cell_balance", q_ivf_cell_balance, SQL_IVF_CELL_BALANCE, ("similarity", "iterative")),
     QuerySpec("ext_ann_ivf_retrain", q_ann_ivf_retrain, SQL_ANN_IVF_RETRAIN, ("similarity", "iterative", "streaming")),
     QuerySpec("ext_index_health", q_index_health, SQL_INDEX_HEALTH, ("similarity", "iterative", "streaming")),
+    QuerySpec("ext_random_projection", q_random_projection, SQL_RANDOM_PROJECTION, ("similarity", "curation")),
     # bench=True (r4): embedding-space dedup is the third dedup modality
     # (exact / lexical-minhash / semantic) — track its k-means + in-cluster
     # pair-join cost round over round.

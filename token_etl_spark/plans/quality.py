@@ -883,6 +883,42 @@ SELECT doc_id, source, n_tokens, cum_tokens
 FROM c WHERE cum_tokens - n_tokens < 500
 """
 
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-balanced training-shard export manifest
+    (operators/curation.assign_shards + shard_manifest): every document
+    deterministically assigned to the ~1000-token shard where it starts
+    on the md5-ordered token tape, then rolled up to the per-shard
+    manifest (doc count, token total, [first_key, last_key] order-key
+    range) a 100 TB export writes and audits against. The global cumsum
+    runs the TWO-PHASE range-bucketed form (the token_budget_cap
+    machinery, global key space) — equivalence to the single-window
+    form is pinned in tests/test_quality_ops.py. Oracle replays the
+    cumsum, the integral start-offset division, and the min/max key
+    range exactly."""
+    docs = t(spark, sf_dir, "documents")
+    return C.shard_manifest(C.assign_shards(docs, tokens_per_shard=1000))
+
+
+SQL_SHARD_MANIFEST = f"""
+WITH base AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR) || 's0') AS k
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens, k,
+         CAST(sum(n_tokens) OVER (ORDER BY k
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM base),
+a AS (
+  SELECT doc_id, n_tokens, k, (cum - n_tokens) // 1000 AS shard_id FROM c)
+SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+       min(k) AS first_key, max(k) AS last_key
+FROM a GROUP BY shard_id
+"""
+
+
 _UP_WEIGHTS = {"src0": 2.5, "src1": 0.4, "src3": 3.0}
 
 
@@ -1428,6 +1464,7 @@ SPECS = [
 #: fixed); ext_epoch_upsample was driver-verified green in r3.
 MIX_SPECS = [
     QuerySpec("ext_token_budget", q_token_budget, SQL_TOKEN_BUDGET, ("curation", "window")),
+    QuerySpec("ext_shard_manifest", q_shard_manifest, SQL_SHARD_MANIFEST, ("curation", "window", "sink")),
     QuerySpec("ext_epoch_upsample", q_epoch_upsample, SQL_EPOCH_UPSAMPLE, ("curation",)),
     QuerySpec("ext_mixture_manifest", q_mixture_manifest, SQL_MIXTURE_MANIFEST, ("curation", "pipeline", "window")),
     QuerySpec("ext_mixture_full", q_mixture_full, SQL_MIXTURE_FULL, ("curation", "pipeline", "window", "sketch")),

@@ -43,14 +43,21 @@ from token_etl_spark.plans.base import QuerySpec
 #      scores, z-score/MAD screens), then the integer/md5-pinned
 #      remainder. After this window no query's last driver row is older
 #      than r8.
-#   3. Two voluntary belt-and-suspenders spares: ext_ann_ivf_kmeans and
-#      ext_ann_ivf_search — their shared oracle builder
-#      (_kmeans_cte_members) grew a corpus_sql parameter for the
-#      retrain oracle this round. The change is provably inert (default
-#      regenerates byte-identical SQL, md5-pinned in test_registry.py
-#      incl. SQL_IVF_CELL_BALANCE, and all three consumers re-verified
-#      at 3 SFs), so per the r10 precedent these are the slots to
-#      sacrifice first if a late-r11 row needs the window.
+#   3. The 2 late-round queries NEW this round — ext_random_projection
+#      (Achlioptas sparse JL projection, the pre-ANN dimensionality
+#      cut; oracle re-derives the whole sign matrix from md5) and
+#      ext_shard_manifest (deterministic size-balanced training-shard
+#      export manifest over the two-phase global token cumsum). They
+#      take the two belt-and-suspenders spare slots the mid-round
+#      rationale reserved exactly for this (the r10
+#      ext_multimodal_pixels precedent): the spares were
+#      ext_ann_ivf_kmeans and ext_ann_ivf_search, whose shared oracle
+#      builder (_kmeans_cte_members) grew a corpus_sql parameter this
+#      round — provably inert (default regenerates byte-identical SQL,
+#      md5-pinned in test_registry.py incl. SQL_IVF_CELL_BALANCE, and
+#      all three consumers re-verified at 3 SFs), both r10-green, both
+#      covered by the local 3-SF sweep. Never-driver-rowed queries
+#      outrank inert-change re-verification.
 # Displaced: the r8/r9/r10-green window occupants — all still covered
 # by the 198-query local three-SF sweep.
 #
@@ -291,9 +298,9 @@ _PRIORITY_NAMES = [
     "rel_sql_api",
     "rel_transfer_keys",
     "rel_upsert_latest",
-    # belt-and-suspenders spares (see rotation rationale item 3)
-    "ext_ann_ivf_kmeans",
-    "ext_ann_ivf_search",
+    # new late in round 11 (the former spare slots — rationale item 3)
+    "ext_random_projection",
+    "ext_shard_manifest",
 ]
 
 _MODULE_ORDER: list[QuerySpec] = [
