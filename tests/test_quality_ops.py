@@ -473,3 +473,73 @@ def test_shard_manifest_ranges_partition_the_key_space(spark):
     for r in assigned.select("ord_key", "shard_id").collect():
         m = man[[x["shard_id"] for x in man].index(r["shard_id"])]
         assert m["first_key"] <= r["ord_key"] <= m["last_key"]
+
+
+def test_route_to_shards_roundtrip_identity(spark):
+    """Routing a corpus through its OWN manifest reproduces the original
+    assignment exactly — the property that makes incremental export
+    sound (a document's shard is decidable from its key + the manifest,
+    no global recomputation)."""
+    from token_etl_spark.operators.curation import (
+        assign_shards,
+        route_to_shards,
+        shard_manifest,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "w " * (4 + i % 9)) for i in range(600)], ["doc_id", "text"]
+    )
+    assigned = assign_shards(df, tokens_per_shard=250)
+    man = shard_manifest(assigned)
+    routed = route_to_shards(df, man)
+    orig = {(r["doc_id"], r["shard_id"]) for r in assigned.collect()}
+    got = {(r["doc_id"], r["shard_id"]) for r in routed.collect()}
+    assert got == orig and len(got) == 600
+
+
+def test_route_to_shards_gap_and_prepend_semantics(spark):
+    """Keys between two shard ranges go to the PRECEDING shard; keys
+    before every range prepend to the first shard — hand fixture with a
+    synthetic manifest so the boundaries are explicit."""
+    from pyspark.sql import Row
+
+    from token_etl_spark.operators.curation import route_to_shards
+
+    man = spark.createDataFrame(
+        [
+            Row(shard_id=0, n_docs=1, shard_tokens=1, first_key="4000", last_key="7fff"),
+            Row(shard_id=1, n_docs=1, shard_tokens=1, first_key="9000", last_key="bfff"),
+        ]
+    )
+    docs = spark.createDataFrame([(i,) for i in range(400)], ["doc_id"])
+    routed = route_to_shards(docs, man)
+    rows = routed.collect()
+    assert len(rows) == 400
+    for r in rows:
+        k = r["ord_key"]
+        if k < "4000":
+            assert r["shard_id"] == 0, (k, r["shard_id"])  # prepend
+        elif k < "9000":
+            assert r["shard_id"] == 0, (k, r["shard_id"])  # in range 0 or the gap after it
+        else:
+            assert r["shard_id"] == 1, (k, r["shard_id"])
+    # coverage: the fixture actually exercised all three regions
+    ks = sorted(r["ord_key"] for r in rows)
+    assert ks[0] < "4000" and ks[-1] > "9000"
+
+
+def test_route_to_shards_plan_is_bucket_parallel(spark):
+    """The as-of fill must window per _bkt (256-way parallel), never a
+    global-order window over the corpus."""
+    from token_etl_spark.operators.curation import (
+        assign_shards,
+        route_to_shards,
+        shard_manifest,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "w " * 5) for i in range(300)], ["doc_id", "text"]
+    )
+    man = shard_manifest(assign_shards(df, tokens_per_shard=100))
+    plan = route_to_shards(df, man)._jdf.queryExecution().executedPlan().toString()
+    assert "_bkt" in plan

@@ -1334,3 +1334,105 @@ def shard_manifest(assigned: DataFrame) -> DataFrame:
         F.min("ord_key").alias("first_key"),
         F.max("ord_key").alias("last_key"),
     )
+
+
+def route_to_shards(
+    new_docs: DataFrame,
+    manifest: DataFrame,
+    key_col: str = "doc_id",
+    seed: str = "s0",
+) -> DataFrame:
+    """Route NEW documents into an EXISTING shard layout by manifest key
+    range alone — the incremental-export dual of :func:`assign_shards`:
+    once a corpus has shipped, a crawl delta must not re-run the global
+    cumsum (that would renumber every shard); instead each new document
+    goes to the shard whose key range claims it — the shard with the
+    greatest ``first_key`` <= the document's md5 order key (keys before
+    the first shard prepend to it). Shards grow until the owner splits
+    them — the standard range-sharding discipline.
+
+    The same ``(key_col, seed)`` pair as the original ``assign_shards``
+    run MUST be used, or keys land in foreign ranges (documented
+    contract; the round-trip identity — routing a corpus through its
+    own manifest reproduces the original assignment — is pinned in
+    tests/test_quality_ops.py).
+
+    Scale shape: a naive "latest first_key <= key" is a global-order
+    window (serial). This runs the TWO-PHASE form: both sides are
+    range-bucketed by the leading md5 hex byte, the as-of fill is a
+    per-bucket window (256-way parallel — md5 keys are uniform by
+    construction), and documents that precede every manifest row in
+    their bucket take a broadcast CARRY — the last manifest shard in
+    any earlier bucket — computed from the manifest alone (shard-count
+    rows, never corpus rows). The corpus never sorts globally and never
+    joins the manifest row-by-row.
+    """
+    ord_key = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(seed)))
+    bkt = lambda c: F.conv(F.substring(c, 1, 2), 16, 10).cast("long")  # noqa: E731
+
+    d = new_docs.withColumn("ord_key", ord_key).withColumn("_bkt", bkt("ord_key"))
+    m = manifest.select(
+        F.col("shard_id").alias("_sid"), F.col("first_key").alias("_k")
+    ).withColumn("_bkt", bkt("_k"))
+
+    payload = F.struct(*[F.col(c) for c in d.columns])
+    d_tag = d.select(
+        "_bkt",
+        F.col("ord_key").alias("_k"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast("long").alias("_sid"),
+        payload.alias("_doc"),
+    )
+    m_tag = m.select(
+        "_bkt",
+        "_k",
+        F.lit(0).alias("_side"),
+        F.col("_sid").cast("long").alias("_sid"),
+        F.lit(None).cast(d.select(payload.alias("s")).schema["s"].dataType.simpleString()).alias("_doc"),
+    )
+    # manifest row sorts BEFORE a doc at the same key (_side 0 < 1): a
+    # document whose key equals a shard's first_key belongs to that shard
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy("_k", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        d_tag.unionByName(m_tag)
+        .withColumn("_fill", F.last("_sid", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+
+    # cross-bucket carry, from the manifest alone: for each bucket, the
+    # shard with the max first_key in any STRICTLY EARLIER bucket
+    per_bucket_last = m.groupBy("_bkt").agg(F.max_by("_sid", "_k").alias("_last_sid"))
+    w_carry = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    carry = per_bucket_last.select(
+        "_bkt",
+        F.last("_last_sid", ignorenulls=True).over(w_carry).alias("_carry_prev"),
+        F.col("_last_sid").alias("_own"),
+    )
+    # a doc bucket with NO manifest rows needs the carry of the nearest
+    # earlier manifest bucket; build the full 256-slot carry grid off the
+    # manifest frame (bounded by construction), then broadcast it
+    grid = filled.sparkSession.range(256).select(F.col("id").alias("_bkt"))
+    g_tag = grid.join(carry, "_bkt", "left")
+    w_grid = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    grid_carry = g_tag.select(
+        "_bkt",
+        F.last(F.coalesce("_own", "_carry_prev"), ignorenulls=True)
+        .over(w_grid)
+        .alias("_carry"),
+    )
+    first_shard = manifest.agg(F.min_by("shard_id", "first_key").alias("_first_sid"))
+
+    routed = (
+        filled.join(F.broadcast(grid_carry), "_bkt", "left")
+        .crossJoin(F.broadcast(first_shard))
+        .withColumn(
+            "shard_id",
+            F.coalesce("_fill", "_carry", "_first_sid").cast("long"),
+        )
+    )
+    cols = [F.col(f"_doc.{c}").alias(c) for c in d.columns if c != "_bkt"]
+    return routed.select(*cols, "shard_id")

@@ -2094,7 +2094,18 @@ def random_projection(
     dominate codegen; :func:`random_projection_pandas` is the
     Arrow-batched numpy-matmul twin with identical semantics (values
     equal up to float summation order; tolerance-pinned in
-    tests/test_similarity.py)."""
+    tests/test_similarity.py).
+
+    Operating guidance (measured, scripts/probe_projection.py +
+    PERF.md r11): use the projection as a CANDIDATE GENERATOR —
+    retrieve c·k in projected space, then exact-rerank the candidates
+    (:func:`exact_rerank`) — never as the final ranking. JL preserves
+    DISTANCES, not rank order among near-equidistant points, so
+    fidelity tracks the corpus's neighbor margins: on clustered
+    (real-embedding-like) vectors a 30-candidate set covers ~91-95% of
+    the true top-10 at k=16-32, while i.i.d.-random vectors (the gate
+    table) are the adversarial floor. Validate candidate coverage on
+    the target distribution before sizing k."""
     signs = projection_signs(dim, k, seed, s)
     scale = float(np.sqrt(s / k))
     v = F.col(vec_col).cast("array<double>")
