@@ -317,3 +317,94 @@ def test_cdc_chunks_reconstruction_and_resync(spark):
     # the edit can only disturb the chunk containing it plus O(1)
     # neighbors; everything else must re-synchronize
     assert shared >= len(by_doc[1]) - 3
+
+
+# --- HTML boilerplate extraction ---------------------------------------------
+
+
+_HTML_PAGE = """<html><head><title>T</title>
+<style>body { color: red; }</style>
+<script type="text/javascript">var nav = "<div>not real</div>";</script>
+</head><body>
+<!-- header boilerplate -->
+<nav><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></nav>
+<div>
+<p>This is the first real paragraph of the article, long enough to keep
+and mostly letters so every gate passes without any trouble at all.</p>
+<p>Short.</p>
+<p>A second real paragraph follows here with plenty of ordinary prose text,
+including an inline <a href="/ref">reference link</a> that should not
+trip the link-density gate because the block is mostly plain text.</p>
+<div>%%% ### !!! *** ((( ))) ^^^ ~~~ %%% ### !!! *** ((( ))) ^^^ $$$</div>
+<p>Ampersand &amp; angle &lt;brackets&gt; and a &quot;quote&quot; decode fine,
+which keeps this block over the minimum length threshold comfortably.</p>
+</div>
+<footer><a href="/tos">Terms</a> | <a href="/priv">Privacy</a> | <a href="/x">X</a></footer>
+</body></html>"""
+
+
+def test_extract_html_text_keeps_content_drops_boilerplate(spark):
+    from token_etl_spark.operators.text import extract_html_text
+
+    df = spark.createDataFrame([(1, _HTML_PAGE)], ["doc_id", "text"])
+    row = extract_html_text(df).collect()[0]
+    out = row["extracted"]
+    assert "first real paragraph" in out
+    assert "second real paragraph" in out
+    assert "reference link" in out  # inline anchor text survives inside prose
+    assert 'Ampersand & angle <brackets> and a "quote" decode fine' in out
+    # boilerplate is gone
+    assert "Home" not in out and "Privacy" not in out  # link farms
+    assert "color: red" not in out  # style body
+    assert "not real" not in out  # script body incl. embedded tags
+    assert "header boilerplate" not in out  # comment
+    assert "Short." not in out  # below min_chars
+    assert "%%%" not in out  # symbol soup fails alpha ratio
+    assert row["n_kept_blocks"] == 3
+    assert row["n_blocks"] > row["n_kept_blocks"]
+    assert row["extracted_chars"] == len(out)
+
+
+def test_extract_html_text_plain_text_and_null_degrade(spark):
+    from token_etl_spark.operators.text import extract_html_text
+
+    long_plain = "Just ordinary prose with no markup at all, " * 3
+    df = spark.createDataFrame(
+        [(1, long_plain), (2, "tiny"), (3, None)], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in extract_html_text(df).collect()}
+    assert rows[1]["extracted"].startswith("Just ordinary prose")
+    assert rows[1]["n_kept_blocks"] == 1
+    assert rows[2]["extracted"] == "" and rows[2]["n_kept_blocks"] == 0
+    assert rows[3]["extracted"] is None  # NULL in, NULL out — never a crash
+
+
+def test_extract_html_text_link_density_gate(spark):
+    """A long block that is mostly anchor text dies on link density even
+    though it passes length and alpha gates."""
+    from token_etl_spark.operators.text import extract_html_text
+
+    farm = (
+        "<p>"
+        + " ".join(f'<a href="/l{i}">quite long category link {i}</a>' for i in range(12))
+        + "</p><p>"
+        + "This paragraph has the same length scale but almost no anchors, "
+        + "so the density gate keeps it around happily. "
+        + '<a href="/one">one link</a></p>'
+    )
+    df = spark.createDataFrame([(1, farm)], ["doc_id", "text"])
+    row = extract_html_text(df).collect()[0]
+    assert "density gate keeps it" in row["extracted"]
+    assert "category link 3" not in row["extracted"]
+    assert row["n_kept_blocks"] == 1
+
+
+def test_extract_html_text_is_single_projection(spark):
+    """No explode, no shuffle — the whole extraction is one codegen'd
+    map over the documents scan."""
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.operators.text import extract_html_text
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = extract_html_text(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Generate" not in plan

@@ -868,3 +868,144 @@ def langid_confusion(
         "label_share",
         F.col("n_docs").cast("double") / F.sum("n_docs").over(w),
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate extraction (crawl-ingest tier)
+
+# RE2-compatible on purpose (no backreferences, no lookaround): a future
+# DuckDB oracle must be able to replay every pattern verbatim.
+_HTML_SCRIPT = r"(?is)<script[^>]*>.*?</script>"
+_HTML_STYLE = r"(?is)<style[^>]*>.*?</style>"
+_HTML_COMMENT = r"(?s)<!--.*?-->"
+_HTML_BLOCK_TAGS = (
+    r"(?i)</?(p|div|br|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|td|th|table|section"
+    r"|article|header|footer|blockquote|nav|aside|form|figure)[^>]*>"
+)
+_HTML_ANCHOR = r"(?is)<a[^>]*>(.*?)</a>"
+_HTML_ANY_TAG = r"<[^>]*>"
+
+
+def _html_entity_decode(c: Column) -> Column:
+    """The five entities that dominate crawl text. ``&amp;`` decodes
+    LAST so ``&amp;lt;`` becomes ``&lt;`` (one level, per the spec),
+    never ``<``."""
+    for ent, rep in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return c
+
+
+def _strip_tags(c: Column) -> Column:
+    return _html_entity_decode(
+        F.trim(
+            F.regexp_replace(F.regexp_replace(c, _HTML_ANY_TAG, " "), r"\s+", " ")
+        )
+    )
+
+
+def extract_html_text(
+    df: DataFrame,
+    html_col: str = "text",
+    out_col: str = "extracted",
+    min_chars: int = 30,
+    max_link_density: float = 0.35,
+    min_alpha_ratio: float = 0.5,
+) -> DataFrame:
+    """Boilerplate-stripping text extraction from raw HTML — the step a
+    crawl pipeline runs BEFORE every quality gate and dedup tier here
+    (jusText / trafilatura-style block classification, Kohlschütter
+    2010 "boilerplate detection using shallow text features", reduced
+    to the three features that need no DOM: block length, link
+    density, alphanumeric ratio).
+
+    Pipeline (one codegen'd projection — no explode, no shuffle, no
+    Python; document boundaries never leave the row):
+
+      1. drop <script>/<style> bodies and comments,
+      2. block-level tags become newlines (the block segmentation),
+      3. per block: link density = anchor-text chars / block chars
+         (measured BEFORE tag stripping, from <a>…</a> inner text),
+         stripped text, length, alphanumeric ratio,
+      4. keep blocks with length ≥ ``min_chars``, link density ≤
+         ``max_link_density``, alpha ratio ≥ ``min_alpha_ratio``; the
+         kept blocks re-join with newlines as ``out_col``.
+
+    Navigation bars and link farms die on link density, ASCII-art and
+    code dumps on alpha ratio, button labels and breadcrumbs on length.
+    Plain text without any tags degrades gracefully: one block, kept
+    iff it passes the same gates. NULL html → NULL output columns —
+    degrade, never crash. The intermediate per-block struct binds each
+    computed value ONCE (two chained transforms), so the regex chain is
+    not re-evaluated per consuming field — the no-CSE-in-lambdas rule.
+
+    All patterns are RE2-compatible (no backreferences/lookaround) so a
+    DuckDB oracle can replay the extraction verbatim.
+
+    Adds: ``out_col`` (extracted text), ``n_blocks``, ``n_kept_blocks``,
+    ``html_chars``, ``extracted_chars``.
+    """
+    c = F.col(html_col)
+    cleaned = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(c, _HTML_SCRIPT, " "), _HTML_STYLE, " "),
+        _HTML_COMMENT,
+        " ",
+    )
+    # HTML source whitespace is insignificant: collapse raw newlines
+    # BEFORE blockifying, so blocks come only from block-level TAGS (a
+    # <p> spanning 3 source lines is one block, not three)
+    flat = F.regexp_replace(cleaned, r"[\r\n\t]+", " ")
+    blocks = F.split(F.regexp_replace(flat, _HTML_BLOCK_TAGS, "\n"), "\n")
+
+    def raw_feats(b: Column) -> Column:
+        anchor_len = F.aggregate(
+            F.transform(
+                F.regexp_extract_all(b, F.lit(_HTML_ANCHOR), F.lit(1)),
+                lambda a: F.length(_strip_tags(a)),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        return F.struct(
+            _strip_tags(b).alias("txt"), anchor_len.alias("anchor_chars")
+        )
+
+    def full_feats(s: Column) -> Column:
+        txt = s.getField("txt")
+        tlen = F.length(txt)
+        alpha = F.length(F.regexp_replace(txt, r"[^A-Za-z0-9]", ""))
+        return F.struct(
+            txt.alias("txt"),
+            s.getField("anchor_chars").alias("anchor_chars"),
+            tlen.alias("tlen"),
+            alpha.alias("alpha"),
+        )
+
+    feats = F.transform(F.transform(blocks, raw_feats), full_feats)
+    nonempty = F.filter(feats, lambda s: s.getField("tlen") > 0)
+
+    def keep(s: Column) -> Column:
+        tlen = s.getField("tlen")
+        return (
+            (tlen >= min_chars)
+            & (s.getField("anchor_chars") <= max_link_density * tlen)
+            & (s.getField("alpha") >= min_alpha_ratio * tlen)
+        )
+
+    kept = F.filter(nonempty, keep)
+    extracted = F.array_join(F.transform(kept, lambda s: s.getField("txt")), "\n")
+    return df.withColumns(
+        {
+            "n_blocks": F.size(nonempty).cast("long"),
+            "n_kept_blocks": F.size(kept).cast("long"),
+            "html_chars": F.length(c).cast("long"),
+            out_col: extracted,
+            "extracted_chars": F.length(extracted).cast("long"),
+        }
+    )
