@@ -57,27 +57,14 @@ def main() -> None:
         t_proj = time.time() - t0
         r_direct = recall(truth, approx)
 
-        # retrieve 3k in projected space, re-rank those by exact cosine
+        # retrieve 3k in projected space, re-rank by exact cosine through
+        # the PRODUCTION composition (operators/similarity.exact_rerank),
+        # so the probe measures what the pipeline actually runs
         t0 = time.time()
         cand = S.brute_force_topk(proj_c, proj_q, k=3 * k).select(
             "query_id", "neighbor_id"
         )
-        orig = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("cv"))
-        qv = queries.select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").cast("array<double>").alias("qv"),
-        )
-        from pyspark.sql import Window
-
-        rescored = (
-            cand.join(orig.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
-            .join(F.broadcast(qv), "query_id")
-            .withColumn("sim", S.cosine(F.col("qv"), F.col("cv")))
-        )
-        w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
-        rer = rescored.withColumn("rank", F.row_number().over(w)).filter(
-            F.col("rank") <= k
-        )
+        rer = S.exact_rerank(cand, emb, queries, k=k)
         r_rerank = recall(truth, topk_sets(rer))
         t_rer = time.time() - t0
         print(

@@ -543,3 +543,53 @@ def test_route_to_shards_plan_is_bucket_parallel(spark):
     man = shard_manifest(assign_shards(df, tokens_per_shard=100))
     plan = route_to_shards(df, man)._jdf.queryExecution().executedPlan().toString()
     assert "_bkt" in plan
+
+
+def test_assign_shards_precomputed_token_col_no_collision(spark):
+    """token_col='n_tokens' (the natural precomputed-count usage) must
+    not produce a duplicate n_tokens column — review-found r11."""
+    from token_etl_spark.operators.curation import assign_shards, shard_manifest
+
+    df = spark.createDataFrame(
+        [(i, 7) for i in range(100)], ["doc_id", "n_tokens"]
+    )
+    assigned = assign_shards(df, tokens_per_shard=50, token_col="n_tokens")
+    assert assigned.columns.count("n_tokens") == 1
+    man = shard_manifest(assigned)
+    assert sum(r["shard_tokens"] for r in man.collect()) == 700
+
+
+def test_route_to_shards_replaces_existing_shard_id(spark):
+    """Re-routing rows that already carry shard_id/ord_key must replace
+    those columns, not duplicate them — review-found r11."""
+    from token_etl_spark.operators.curation import (
+        assign_shards,
+        route_to_shards,
+        shard_manifest,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "w " * 6) for i in range(200)], ["doc_id", "text"]
+    )
+    assigned = assign_shards(df, tokens_per_shard=120)
+    man = shard_manifest(assigned)
+    rerouted = route_to_shards(assigned, man)  # input HAS shard_id + ord_key
+    assert rerouted.columns.count("shard_id") == 1
+    assert rerouted.columns.count("ord_key") == 1
+    a = {(r["doc_id"], r["shard_id"]) for r in assigned.collect()}
+    b = {(r["doc_id"], r["shard_id"]) for r in rerouted.collect()}
+    assert a == b
+
+
+def test_route_to_shards_empty_manifest_raises(spark):
+    """An empty manifest must fail loudly in-plan, never emit NULL
+    shard_ids — review-found r11."""
+    import pytest
+
+    from token_etl_spark.operators.curation import route_to_shards, shard_manifest
+    from token_etl_spark.operators.curation import assign_shards
+
+    df = spark.createDataFrame([(1, "w " * 5)], ["doc_id", "text"])
+    man = shard_manifest(assign_shards(df, tokens_per_shard=10)).filter("shard_id < 0")
+    with pytest.raises(Exception, match="empty manifest"):
+        route_to_shards(df, man).collect()

@@ -2,6 +2,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 import numpy as np
 from pyspark.sql import functions as F
 
@@ -865,6 +867,8 @@ def test_random_projection_wrong_width_degrades_to_null(spark):
     kill the task — the multimodal-decoder contract for malformed rows."""
     from token_etl_spark.operators.similarity import random_projection
 
+    from token_etl_spark.operators.similarity import random_projection_pandas
+
     df = spark.createDataFrame(
         [(1, [1.0] * 64), (2, [1.0] * 10), (3, None)],
         "vec_id long, embedding array<double>",
@@ -874,8 +878,19 @@ def test_random_projection_wrong_width_degrades_to_null(spark):
         for r in random_projection(df, dim=64, k=4).select("vec_id", "proj").collect()
     }
     assert all(x is not None for x in rows[1])
-    assert all(x is None for x in rows[2])  # short vector: every fold hits a null pad
-    assert rows[3] is None or all(x is None for x in rows[3])
+    assert rows[2] == [None] * 4  # short vector: every fold hits a null pad
+    assert rows[3] == [None] * 4
+    # the Arrow twin produces the IDENTICAL degraded shape (k NULL
+    # components, not a NULL array) — swapping implementations must not
+    # change output shape for malformed rows
+    rows_p = {
+        r.vec_id: r.proj
+        for r in random_projection_pandas(df, dim=64, k=4)
+        .select("vec_id", "proj")
+        .collect()
+    }
+    assert rows_p[2] == [None] * 4 and rows_p[3] == [None] * 4
+    assert rows_p[1] == pytest.approx(rows[1])
 
 
 def test_random_projection_plan_is_map_only(spark, sf_dir):

@@ -408,3 +408,38 @@ def test_extract_html_text_is_single_projection(spark):
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
     plan = extract_html_text(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Generate" not in plan
+
+
+def test_extract_html_text_review_counterexamples(spark):
+    """Pinned review-found bugs (r11): (a) tags that merely EXTEND a
+    guarded name (<abbr> vs <a>, <picture>/<pre> vs <p>) must be neither
+    anchors nor block boundaries; (b) non-Latin scripts must pass the
+    alpha gate."""
+    from token_etl_spark.operators.text import extract_html_text
+
+    abbr = (
+        "<p>The <abbr title=\"HyperText Markup Language\">HTML</abbr> standard "
+        "is a long and detailed specification that every crawler has to cope "
+        "with in practice; see the <a href=\"/spec\">spec</a>.</p>"
+    )
+    pict = (
+        "<p>Short intro <picture>x</picture> and a short tail that only "
+        "passes the length gate if the picture tag did not split it.</p>"
+    )
+    pre = (
+        "<p>Prose before <pre>should not split</pre> prose after, all one "
+        "block and comfortably long enough to keep around here.</p>"
+    )
+    ru = (
+        "<p>Это обычный русский текст достаточной длины, который обязан "
+        "пройти буквенный фильтр без малейших затруднений сегодня.</p>"
+    )
+    df = spark.createDataFrame(
+        [(1, abbr), (2, pict), (3, pre), (4, ru)], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in extract_html_text(df).collect()}
+    assert "standard" in rows[1]["extracted"] and "spec" in rows[1]["extracted"]
+    assert rows[1]["n_kept_blocks"] == 1  # <abbr> did not swallow the prose
+    assert rows[2]["n_kept_blocks"] == 1 and "short tail" in rows[2]["extracted"]
+    assert rows[3]["n_kept_blocks"] == 1 and "should not split" in rows[3]["extracted"]
+    assert rows[4]["n_kept_blocks"] == 1 and "русский" in rows[4]["extracted"]

@@ -1303,12 +1303,16 @@ def assign_shards(
             .drop("_bkt", "_cum_in_bkt", "_off")
         )
     # start offset = cum - n_tok; integral div (the vocab_growth rule:
-    # never a double-division-cast for an id)
+    # never a double-division-cast for an id). Pre-existing n_tokens/
+    # ord_key/shard_id columns are REPLACED (dropped before the renames
+    # — e.g. token_col="n_tokens" callers would otherwise get ambiguous
+    # duplicates; review-found r11)
     return (
         out.withColumn(
             "shard_id",
             F.expr(f"(_cum_tok - _n_tok) div {int(tokens_per_shard)}"),
         )
+        .drop("n_tokens", "ord_key")
         .withColumnRenamed("_ord", "ord_key")
         .withColumnRenamed("_n_tok", "n_tokens")
         .drop("_cum_tok")
@@ -1370,7 +1374,14 @@ def route_to_shards(
     ord_key = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(seed)))
     bkt = lambda c: F.conv(F.substring(c, 1, 2), 16, 10).cast("long")  # noqa: E731
 
-    d = new_docs.withColumn("ord_key", ord_key).withColumn("_bkt", bkt("ord_key"))
+    # pre-existing ord_key/shard_id columns are REPLACED (this operator
+    # owns both names in its output; keeping an input shard_id would
+    # duplicate the column — review-found r11)
+    d = (
+        new_docs.drop("ord_key", "shard_id")
+        .withColumn("ord_key", ord_key)
+        .withColumn("_bkt", bkt("ord_key"))
+    )
     m = manifest.select(
         F.col("shard_id").alias("_sid"), F.col("first_key").alias("_k")
     ).withColumn("_bkt", bkt("_k"))
@@ -1403,28 +1414,33 @@ def route_to_shards(
         .filter(F.col("_side") == 1)
     )
 
-    # cross-bucket carry, from the manifest alone: for each bucket, the
-    # shard with the max first_key in any STRICTLY EARLIER bucket
-    per_bucket_last = m.groupBy("_bkt").agg(F.max_by("_sid", "_k").alias("_last_sid"))
-    w_carry = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
-    carry = per_bucket_last.select(
-        "_bkt",
-        F.last("_last_sid", ignorenulls=True).over(w_carry).alias("_carry_prev"),
-        F.col("_last_sid").alias("_own"),
-    )
-    # a doc bucket with NO manifest rows needs the carry of the nearest
-    # earlier manifest bucket; build the full 256-slot carry grid off the
-    # manifest frame (bounded by construction), then broadcast it
+    # cross-bucket carry, from the manifest alone: for each of the 256
+    # possible doc buckets, the shard with the max first_key in any
+    # STRICTLY EARLIER manifest bucket (a doc bucket with no manifest
+    # rows needs the nearest earlier one, so the carry is built on the
+    # full grid — both frames are bounded by construction, then
+    # broadcast)
+    per_bucket_last = m.groupBy("_bkt").agg(F.max_by("_sid", "_k").alias("_own"))
     grid = filled.sparkSession.range(256).select(F.col("id").alias("_bkt"))
-    g_tag = grid.join(carry, "_bkt", "left")
+    g_tag = grid.join(per_bucket_last, "_bkt", "left")
     w_grid = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
     grid_carry = g_tag.select(
         "_bkt",
-        F.last(F.coalesce("_own", "_carry_prev"), ignorenulls=True)
-        .over(w_grid)
-        .alias("_carry"),
+        F.last("_own", ignorenulls=True).over(w_grid).alias("_carry"),
     )
-    first_shard = manifest.agg(F.min_by("shard_id", "first_key").alias("_first_sid"))
+    # an EMPTY manifest cannot route anything — fail loudly in-plan (the
+    # _cap_bucket_size convention) instead of emitting NULL shard_ids
+    first_shard = manifest.agg(
+        F.min_by("shard_id", "first_key").alias("_first_sid")
+    ).filter(
+        F.assert_true(
+            F.col("_first_sid").isNotNull(),
+            F.lit(
+                "route_to_shards: empty manifest — no shard ranges to"
+                " route into (wrong path or over-filtered manifest?)"
+            ),
+        ).isNull()
+    )
 
     routed = (
         filled.join(F.broadcast(grid_carry), "_bkt", "left")

@@ -2156,7 +2156,10 @@ def random_projection_pandas(
         for pdf in batches:
             vecs = pdf[vec_col]
             ok = vecs.map(lambda x: x is not None and len(x) == dim).to_numpy()
-            res: list = [None] * len(pdf)
+            # malformed rows yield an array of k NULL components — the
+            # SAME shape the fold form produces via zip_with null-padding
+            # (twin parity incl. degraded rows, pinned in tests)
+            res: list = [[None] * k] * len(pdf)
             if ok.any():
                 V = np.vstack(
                     vecs.iloc[np.flatnonzero(ok)]

@@ -878,11 +878,15 @@ def langid_confusion(
 _HTML_SCRIPT = r"(?is)<script[^>]*>.*?</script>"
 _HTML_STYLE = r"(?is)<style[^>]*>.*?</style>"
 _HTML_COMMENT = r"(?s)<!--.*?-->"
+# every tag-name alternation is guarded on the right ((\s[^>]*)?/?>) so a
+# name that merely EXTENDS a listed one (<pre> vs p, <link> vs li,
+# <track> vs tr, <thead> vs th, <abbr>/<audio>/<area> vs a) is NOT
+# treated as a match — review-found bug class r11
 _HTML_BLOCK_TAGS = (
     r"(?i)</?(p|div|br|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|td|th|table|section"
-    r"|article|header|footer|blockquote|nav|aside|form|figure)[^>]*>"
+    r"|article|header|footer|blockquote|nav|aside|form|figure)(\s[^>]*)?/?>"
 )
-_HTML_ANCHOR = r"(?is)<a[^>]*>(.*?)</a>"
+_HTML_ANCHOR = r"(?is)<a(\s[^>]*)?>(.*?)</a>"
 _HTML_ANY_TAG = r"<[^>]*>"
 
 
@@ -966,7 +970,7 @@ def extract_html_text(
     def raw_feats(b: Column) -> Column:
         anchor_len = F.aggregate(
             F.transform(
-                F.regexp_extract_all(b, F.lit(_HTML_ANCHOR), F.lit(1)),
+                F.regexp_extract_all(b, F.lit(_HTML_ANCHOR), F.lit(2)),
                 lambda a: F.length(_strip_tags(a)),
             ),
             F.lit(0),
@@ -979,7 +983,10 @@ def extract_html_text(
     def full_feats(s: Column) -> Column:
         txt = s.getField("txt")
         tlen = F.length(txt)
-        alpha = F.length(F.regexp_replace(txt, r"[^A-Za-z0-9]", ""))
+        # Unicode letters/digits, NOT ASCII — a Cyrillic/CJK/Greek page
+        # must pass the alpha gate (review-found r11; \p{L}\p{N} is
+        # RE2-compatible, so the oracle constraint still holds)
+        alpha = F.length(F.regexp_replace(txt, r"[^\p{L}\p{N}]", ""))
         return F.struct(
             txt.alias("txt"),
             s.getField("anchor_chars").alias("anchor_chars"),
