@@ -841,3 +841,30 @@ def test_streaming_url_dedup_matches_batch(spark, sf_dir, tmp_path):
     after = {d: os.stat(os.path.join(state, d)).st_mtime for d in buckets}
     changed = [d for d in buckets if after[d] != before[d]]
     assert 1 <= len(changed) < len(buckets)
+
+
+def test_streaming_html_extract_matches_batch(spark, tmp_path):
+    from token_etl_spark.operators.text import extract_html_text
+    from token_etl_spark.streaming.curation import streaming_html_extract
+
+    docs = spark.createDataFrame(
+        [
+            (
+                1,
+                "<p>A perfectly ordinary paragraph of crawl prose that "
+                "clears the length gate without difficulty.</p>"
+                '<nav><a href="/">Home</a> <a href="/a">About</a></nav>',
+            ),
+            (2, "plain text with no markup at all but plenty long to keep"),
+            (3, None),
+        ],
+        "id long, text string",
+    )
+    staged = str(tmp_path / "html_stream")
+    docs.write.parquet(staged)
+    stream = read_file_stream(spark, staged, docs.schema)
+    run_to_memory(streaming_html_extract(stream), "html_out", output_mode="append")
+    got = spark.sql("SELECT * FROM html_out")
+    exp = extract_html_text(docs)
+    assert got.count() == exp.count() == 3
+    assert got.exceptAll(exp).count() == 0

@@ -2174,3 +2174,51 @@ def random_projection_pandas(
             yield out
 
     return df.mapInPandas(project, schema=out_schema)
+
+
+def projected_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    proj_dim: int = 16,
+    candidates_per_k: int = 3,
+    seed: str = "rp0",
+    s: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production composition the projection exists for, in one
+    call: project corpus and queries 64 → ``proj_dim`` dims
+    (:func:`random_projection`, map-only), retrieve
+    ``candidates_per_k·k`` candidates per query in PROJECTED space
+    (``dim/proj_dim``× cheaper distance scan), then restore full-dim
+    ranking fidelity by exact-cosine re-ranking just those candidates
+    (:func:`exact_rerank` — |Q|·R exact distances, independent of
+    corpus size). Returns the standard (query_id, neighbor_id,
+    cosine_sim, rank) frame; ``cosine_sim`` is the FULL-dimension
+    cosine, so downstream thresholds keep their meaning.
+
+    Recall equals the candidate stage's true-top-k coverage, which is a
+    property of the corpus's neighbor-margin structure — measured in
+    scripts/probe_projection.py (~91-95% at proj_dim 16-32 on clustered
+    vectors; i.i.d.-random vectors are the adversarial floor). Tune
+    ``candidates_per_k`` up when coverage on the target distribution
+    falls short.
+
+    At index scale the brute-force candidate stage swaps for any of the
+    family's bucketed scans over the projected column (``lsh_topk`` /
+    ``ivf_topk`` take the projected frame as-is) — the projection
+    composes BEFORE indexing, cutting quantizer training, assignment,
+    and probe cost by the same dim ratio.
+    """
+    pc = random_projection(
+        corpus, dim=dim, k=proj_dim, vec_col=vec_col, out_col="_proj", seed=seed, s=s
+    ).select(F.col(id_col), F.col("_proj").alias(vec_col))
+    pq = random_projection(
+        queries, dim=dim, k=proj_dim, vec_col=vec_col, out_col="_proj", seed=seed, s=s
+    ).select(F.col(id_col), F.col("_proj").alias(vec_col))
+    cand = brute_force_topk(
+        pc, pq, k=candidates_per_k * k, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    return exact_rerank(cand, corpus, queries, k=k, id_col=id_col, vec_col=vec_col)

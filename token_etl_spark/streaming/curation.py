@@ -1061,3 +1061,29 @@ def read_url_dedup_state(spark, state_path: str) -> DataFrame | None:
 
     df = _read_existing(spark, state_path)
     return df.drop("_bucket") if df is not None else None
+
+
+def streaming_html_extract(
+    stream: DataFrame,
+    html_col: str = "text",
+    out_col: str = "extracted",
+    min_chars: int = 30,
+    max_link_density: float = 0.35,
+    min_alpha_ratio: float = 0.5,
+) -> DataFrame:
+    """HTML boilerplate extraction on a crawl stream. Stateless — the
+    batch expression tree (``text.extract_html_text``) applies verbatim,
+    so stream and batch provably agree row-for-row (tested). Extraction
+    belongs at ingest, FIRST: it is per-row, needs no state, and every
+    downstream stage (normalization, quality gates, digests, dedup)
+    must key off the extracted text, not the raw markup."""
+    from token_etl_spark.operators.text import extract_html_text
+
+    return extract_html_text(
+        stream,
+        html_col=html_col,
+        out_col=out_col,
+        min_chars=min_chars,
+        max_link_density=max_link_density,
+        min_alpha_ratio=min_alpha_ratio,
+    )
