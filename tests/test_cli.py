@@ -181,3 +181,19 @@ def test_cli_mixture_prepare_composition(spark, sf_dir, tmp_path, capsys):
             ["mixture", "--documents", f"{sf_dir}/documents.parquet",
              "--prepare", "--decisions", out, "--out", out]
         )
+
+
+def test_cli_shards(spark, sf_dir, tmp_path, capsys):
+    out = str(tmp_path / "cli_shards")
+    cli.main([
+        "shards",
+        "--documents", f"{sf_dir}/documents.parquet",
+        "--out", out,
+        "--tokens-per-shard", "1000",
+    ])
+    printed = capsys.readouterr().out
+    assert "n_shards" in printed and "n_tokens" in printed
+    man = spark.read.parquet(f"{out}/manifest")
+    data = spark.read.parquet(f"{out}/data")
+    assert man.count() > 1
+    assert data.count() == spark.read.parquet(f"{sf_dir}/documents.parquet").count()

@@ -484,3 +484,44 @@ def test_success_only_legacy_staging_never_destroys_the_table(spark, tmp_path):
     assert not os.path.exists(legacy)
     after = {r["_key"]: r["v"] for r in read_upserted(spark, path).collect()}
     assert after == {**before, "k0": 777}  # all 30 keys survive
+
+
+def test_export_shards_end_to_end(spark, sf_dir, tmp_path):
+    """export_shards: one file per shard (the co-partition rule), the
+    on-disk manifest equals the in-memory shard_manifest, nothing is
+    lost, and a re-export is byte-comparable (same manifest)."""
+    import glob
+
+    from token_etl_spark.io.sinks import export_shards
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.operators.curation import assign_shards, shard_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "shard_export")
+    manifest = export_shards(spark, docs, out, tokens_per_shard=1000)
+    man_rows = {r["shard_id"]: r for r in manifest.collect()}
+
+    exp = shard_manifest(assign_shards(docs, 1000))
+    exp_rows = {r["shard_id"]: r for r in exp.collect()}
+    assert set(man_rows) == set(exp_rows)
+    for sid, r in man_rows.items():
+        e = exp_rows[sid]
+        assert (r["n_docs"], r["shard_tokens"], r["first_key"], r["last_key"]) == (
+            e["n_docs"], e["shard_tokens"], e["first_key"], e["last_key"]
+        )
+
+    # one data file per shard directory — the repartition-first rule
+    for sid in man_rows:
+        files = glob.glob(f"{out}/data/shard_id={sid}/*.parquet")
+        assert len(files) == 1, (sid, files)
+
+    # lossless and re-readable
+    back = spark.read.parquet(f"{out}/data")
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+
+    # deterministic re-export: identical manifest
+    out2 = str(tmp_path / "shard_export_2")
+    manifest2 = export_shards(spark, docs, out2, tokens_per_shard=1000)
+    assert manifest.exceptAll(manifest2).count() == 0
+    assert manifest2.exceptAll(manifest).count() == 0

@@ -148,6 +148,14 @@ def main(argv: list[str] | None = None) -> None:
     mix.add_argument("--pack-budget", type=int, default=2048)
     mix.add_argument("--shards", type=int, default=256)
 
+    shd = sub.add_parser("shards")
+    shd.add_argument("--documents", required=True)
+    shd.add_argument("--out", required=True)
+    shd.add_argument("--tokens-per-shard", type=int, default=1_000_000)
+    shd.add_argument("--key-col", default="doc_id")
+    shd.add_argument("--token-col", default=None)
+    shd.add_argument("--seed", default="s0")
+
     qry = sub.add_parser("query")
     qry.add_argument("name", nargs="?", default=None)
     qry.add_argument("--data", default="/root/testdata/sf0.001")
@@ -217,6 +225,29 @@ def main(argv: list[str] | None = None) -> None:
         )
         for row in summary.orderBy("source").collect():
             print(row.asDict())
+        return
+
+    if args.cmd == "shards":
+        from token_etl_spark.io.sinks import export_shards
+
+        docs = spark.read.parquet(args.documents)
+        manifest = export_shards(
+            spark,
+            docs,
+            args.out,
+            tokens_per_shard=args.tokens_per_shard,
+            key_col=args.key_col,
+            token_col=args.token_col,
+            seed=args.seed,
+        )
+        stats = manifest.agg(
+            F.count("*").alias("n_shards"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("shard_tokens").alias("n_tokens"),
+            F.min("shard_tokens").alias("min_shard_tokens"),
+            F.max("shard_tokens").alias("max_shard_tokens"),
+        ).collect()[0]
+        print(stats.asDict())
         return
 
     if args.cmd == "query":
