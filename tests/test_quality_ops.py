@@ -593,3 +593,72 @@ def test_route_to_shards_empty_manifest_raises(spark):
     man = shard_manifest(assign_shards(df, tokens_per_shard=10)).filter("shard_id < 0")
     with pytest.raises(Exception, match="empty manifest"):
         route_to_shards(df, man).collect()
+
+
+def test_assign_shards_null_key_raises(spark):
+    """A NULL key must fail loudly in BOTH cumsum paths — the two-phase
+    offsets join used to silently drop the row — review-found r11."""
+    import pytest
+
+    from token_etl_spark.operators.curation import assign_shards
+
+    df = spark.createDataFrame(
+        [(1, "w " * 5), (None, "w " * 5)], "doc_id long, text string"
+    )
+    for nb in (1, 256):
+        with pytest.raises(Exception, match="NULL doc_id"):
+            assign_shards(df, tokens_per_shard=10, n_buckets=nb).collect()
+
+
+def test_route_to_shards_null_key_raises(spark):
+    import pytest
+
+    from token_etl_spark.operators.curation import (
+        assign_shards,
+        route_to_shards,
+        shard_manifest,
+    )
+
+    good = spark.createDataFrame([(1, "w " * 5)], "doc_id long, text string")
+    man = shard_manifest(assign_shards(good, tokens_per_shard=10))
+    bad = spark.createDataFrame([(None, "x")], "doc_id long, text string")
+    with pytest.raises(Exception, match="NULL doc_id"):
+        route_to_shards(bad, man).collect()
+
+
+def test_assign_shards_duplicate_keys_deterministic(spark):
+    """Duplicate keys (identical md5 order positions) with DIFFERENT
+    token counts must still produce run-stable shard boundaries — the
+    n_tokens tiebreak, review-found r11."""
+    from token_etl_spark.operators.curation import assign_shards
+
+    rows = [(i, "w " * (3 + i % 5)) for i in range(200)]
+    rows += [(7, "w " * 40), (7, "w " * 2)]  # duplicate key, unequal sizes
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = assign_shards(df, tokens_per_shard=80)
+    b = assign_shards(df, tokens_per_shard=80)
+    got_a = sorted((r["doc_id"], r["n_tokens"], r["shard_id"]) for r in a.collect())
+    got_b = sorted((r["doc_id"], r["n_tokens"], r["shard_id"]) for r in b.collect())
+    assert got_a == got_b and len(got_a) == 202
+    one = assign_shards(df, tokens_per_shard=80, n_buckets=1)
+    got_one = sorted((r["doc_id"], r["n_tokens"], r["shard_id"]) for r in one.collect())
+    assert got_one == got_a  # both paths share the tiebreak
+
+
+def test_route_to_shards_quoted_column_names(spark):
+    """Payload struct casting must survive column names that need
+    quoting (crawl metadata like 'content-type') — the simpleString
+    DDL round-trip used to break; review-found r11."""
+    from token_etl_spark.operators.curation import (
+        assign_shards,
+        route_to_shards,
+        shard_manifest,
+    )
+
+    base = spark.createDataFrame(
+        [(i, "w " * 4) for i in range(50)], ["doc_id", "text"]
+    )
+    man = shard_manifest(assign_shards(base, tokens_per_shard=40))
+    docs = base.withColumnRenamed("text", "content-type")
+    out = route_to_shards(docs, man)
+    assert out.count() == 50 and "content-type" in out.columns

@@ -588,9 +588,15 @@ def export_shards(
         text_col=text_col,
         seed=seed,
     )
+    # sort by (shard_id, ord_key), not ord_key alone: the dynamic-
+    # partition writer requires ordering by the partition column and
+    # would insert its OWN sort on shard_id whose stability is not
+    # guaranteed once it spills — satisfying the required ordering
+    # ourselves keeps equal-shard rows in ord_key order by construction
+    # (review-found r11)
     (
         assigned.repartition("shard_id")
-        .sortWithinPartitions("ord_key")
+        .sortWithinPartitions("shard_id", "ord_key")
         .write.mode("overwrite")
         .partitionBy("shard_id")
         .parquet(f"{path}/data")

@@ -37,8 +37,10 @@ def asof_join(
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         F.struct(*left.columns).alias("_l"),
+        # DataType object, not simpleString: the DDL round-trip breaks on
+        # column names that need quoting (same fix as route_to_shards)
         F.lit(None).cast(
-            right.select(F.struct(*right_payload).alias("s")).schema["s"].dataType.simpleString()
+            right.select(F.struct(*right_payload).alias("s")).schema["s"].dataType
         ).alias("_r"),
     )
     r_tag = right.select(
@@ -46,7 +48,7 @@ def asof_join(
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         F.lit(None).cast(
-            left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType.simpleString()
+            left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType
         ).alias("_l"),
         F.struct(*right_payload).alias("_r"),
     )

@@ -1276,16 +1276,34 @@ def assign_shards(
     """
     tok = F.col(token_col) if token_col else token_count(F.col(text_col))
     ord_key = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(seed)))
-    base = df.withColumn("_n_tok", tok.cast("long")).withColumn("_ord", ord_key)
+    # a NULL key has no md5 position on the tape — fail loudly (the
+    # two-phase path would otherwise silently DROP the row at the
+    # offsets equi-join while n_buckets=1 kept it; review-found r11)
+    base = (
+        df.withColumn("_n_tok", tok.cast("long"))
+        .withColumn("_ord", ord_key)
+        .filter(
+            F.assert_true(
+                F.col("_ord").isNotNull(),
+                F.lit(
+                    f"assign_shards: NULL {key_col} — every document needs"
+                    " a non-null key to take a tape position"
+                ),
+            ).isNull()
+        )
+    )
+    # _n_tok tiebreaks duplicate keys (an upstream dedup bug) so the
+    # cumsum — and therefore every shard boundary — stays deterministic
+    # across runs; rows identical in (key, n_tokens) are interchangeable
     if n_buckets <= 1:
-        w = Window.orderBy("_ord").rowsBetween(
+        w = Window.orderBy("_ord", "_n_tok").rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
         out = base.withColumn("_cum_tok", F.sum("_n_tok").over(w))
     else:
         bkt = F.conv(F.substring("_ord", 1, 2), 16, 10).cast("long")
         base = base.withColumn("_bkt", bkt)
-        w_in = Window.partitionBy("_bkt").orderBy("_ord").rowsBetween(
+        w_in = Window.partitionBy("_bkt").orderBy("_ord", "_n_tok").rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
         totals = base.groupBy("_bkt").agg(F.sum("_n_tok").alias("_bkt_tot"))
@@ -1380,6 +1398,15 @@ def route_to_shards(
     d = (
         new_docs.drop("ord_key", "shard_id")
         .withColumn("ord_key", ord_key)
+        .filter(
+            F.assert_true(
+                F.col("ord_key").isNotNull(),
+                F.lit(
+                    f"route_to_shards: NULL {key_col} — a keyless document"
+                    " has no position in any shard range"
+                ),
+            ).isNull()
+        )
         .withColumn("_bkt", bkt("ord_key"))
     )
     m = manifest.select(
@@ -1399,7 +1426,9 @@ def route_to_shards(
         "_k",
         F.lit(0).alias("_side"),
         F.col("_sid").cast("long").alias("_sid"),
-        F.lit(None).cast(d.select(payload.alias("s")).schema["s"].dataType.simpleString()).alias("_doc"),
+        # cast to the DataType OBJECT — a simpleString round-trip breaks
+        # on column names that need quoting (review-found r11)
+        F.lit(None).cast(d.select(payload.alias("s")).schema["s"].dataType).alias("_doc"),
     )
     # manifest row sorts BEFORE a doc at the same key (_side 0 < 1): a
     # document whose key equals a shard's first_key belongs to that shard

@@ -906,7 +906,7 @@ WITH base AS (
   FROM documents),
 c AS (
   SELECT doc_id, n_tokens, k,
-         CAST(sum(n_tokens) OVER (ORDER BY k
+         CAST(sum(n_tokens) OVER (ORDER BY k, n_tokens
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
   FROM base),
 a AS (

@@ -58,8 +58,16 @@ from token_etl_spark.plans.base import QuerySpec
 #      all three consumers re-verified at 3 SFs), both r10-green, both
 #      covered by the local 3-SF sweep. Never-driver-rowed queries
 #      outrank inert-change re-verification.
+#   4. One late-r11 plan edit is deliberately NOT re-windowed:
+#      rel_asof_last_click's asof_join now casts its NULL payload to
+#      the DataType OBJECT instead of a simpleString DDL round-trip
+#      (review-found: the round-trip breaks on column names needing
+#      quoting). Provably inert for the declared row: both spellings
+#      resolve to the IDENTICAL struct DataType for its valid column
+#      names, so the analyzed plan is unchanged — hash-verified at all
+#      3 SFs after the edit; r10-green.
 # Displaced: the r8/r9/r10-green window occupants — all still covered
-# by the 198-query local three-SF sweep.
+# by the 200-query local three-SF sweep.
 #
 # ROUND-10 ROTATION (kept for the audit trail; last-green histogram after r9, computed directly
 # from the CORRECTNESS_r0{1..9}.json keys: r9=50, r8=50, r7=46, r6=46,
