@@ -164,7 +164,11 @@ def token_budget_cap(
     Identical output to the single-window form (``n_buckets=1`` falls
     back to it; any other value selects the 256-way two-phase path;
     equivalence pinned in tests/test_quality_ops.py). The shuffled rows
-    carry only (keys, n_tokens), never text.
+    carry only (keys, n_tokens) — never text — WHEN the consumer's
+    projection drops the text column (the declared budget query does:
+    column pruning reaches the exchange); a caller that keeps text
+    ships it through the one bucket exchange (r11 precision — the
+    unconditional claim predates the assign_shards probe).
     """
     tok = F.col(token_col) if token_col else token_count(F.col(text_col))
     ord_key = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(seed)))
@@ -1264,12 +1268,25 @@ def assign_shards(
     byte → per-bucket windowed cumsums, 256-way parallel → per-bucket
     totals frame → broadcast prefix offsets), but with a GLOBAL key
     space instead of per-source: at 100 TB the corpus-wide ordering
-    never serializes into one task, and the shuffled rows carry only
-    (keys, n_tokens), never text. ``n_buckets=1`` is the serial
-    single-window fallback the equivalence test pins the two-phase form
-    against. Kept deliberately separate from ``token_budget_cap``
-    (which it structurally mirrors) so the budget row's declared plan
-    stays untouched.
+    never serializes into one task. Measured cost model (r11 probe,
+    PERF.md): what two-phase BUYS is the 256-way parallel per-bucket
+    sort — the thing that is a single task in the ``n_buckets=1`` form
+    and therefore impossible at corpus scale; what it PAYS is a second
+    map-side pass (scan + tokenize) for the tiny totals aggregate plus
+    the extra exchanges, so at small data (≤ ~10^5 rows on one host)
+    the serial window is actually faster — the crossover sits where
+    the one-task sort stops fitting (the r3 token_budget probe
+    measured 2.8× two-phase win at 4M rows; at cluster scale the
+    serial form is not slower but IMPOSSIBLE). When the caller's
+    downstream projection drops ``text_col`` (the declared manifest
+    query) column pruning keeps both passes narrow; a caller that
+    KEEPS text (the export path) ships it through the one bucket
+    exchange — unavoidable, the rows must reach their shard.
+    ``n_buckets=1`` is the serial single-window fallback the
+    equivalence test pins the two-phase form against. Kept
+    deliberately separate from ``token_budget_cap`` (which it
+    structurally mirrors) so the budget row's declared plan stays
+    untouched.
 
     Output adds ``ord_key`` (the md5 order key — the shard-internal
     sort key for writers), ``n_tokens``, and ``shard_id``.
@@ -1306,6 +1323,15 @@ def assign_shards(
         w_in = Window.partitionBy("_bkt").orderBy("_ord", "_n_tok").rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
+        # totals branch reads from BASE (scan → map-side partial agg →
+        # 256-row shuffle), deliberately NOT from the windowed frame: a
+        # totals-from-window form was built and measured (r11 probe) —
+        # AQE does not stage-reuse the two window subtrees (the
+        # assert_true filter defeats canonicalization), so it paid the
+        # full-width _bkt exchange + sort TWICE and ran ~5% slower. The
+        # cost of this form is a second map-side pass (scan + tokenize)
+        # for a tiny aggregate — the same default-recompute trade the
+        # weighted-MinHash count frame measured and kept in r8.
         totals = base.groupBy("_bkt").agg(F.sum("_n_tok").alias("_bkt_tot"))
         w_off = Window.orderBy("_bkt").rowsBetween(
             Window.unboundedPreceding, -1
