@@ -868,3 +868,72 @@ def test_streaming_html_extract_matches_batch(spark, tmp_path):
     exp = extract_html_text(docs)
     assert got.count() == exp.count() == 3
     assert got.exceptAll(exp).count() == 0
+
+
+def test_streaming_shard_router_matches_batch(spark, sf_dir, tmp_path):
+    """Incremental shard export: a crawl stream routed against the
+    base export's manifest lands every document in the same shard the
+    batch route_to_shards computes, a crash retry of an absorbed batch
+    converges (own-partition overwrite), and the combined reader serves
+    base + increments with shard pruning intact."""
+    from token_etl_spark.io.sinks import export_shards
+    from token_etl_spark.operators.curation import route_to_shards
+    from token_etl_spark.operators.text import token_count
+    from token_etl_spark.streaming.curation import (
+        _route_sink_batch,
+        read_incremental_shards,
+        run_streaming_shard_router,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base_docs = docs.where(F.col("doc_id") % 2 == 0)
+    new_docs = docs.where(F.col("doc_id") % 2 == 1).localCheckpoint()
+
+    export = str(tmp_path / "shard_export")
+    export_shards(spark, base_docs, export, tokens_per_shard=500)
+
+    gens = [new_docs.where(F.col("doc_id") % 3 == g) for g in range(3)]
+    staged = _stage_ordered_files(tmp_path, gens, subdir="router_stream")
+    ckpt = str(tmp_path / "router_ckpt")
+    stream = (
+        spark.readStream.schema(new_docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(staged))
+    )
+    run_streaming_shard_router(stream, export, ckpt)
+
+    manifest = spark.read.parquet(f"{export}/manifest")
+    exp_new = {
+        (r["doc_id"], r["shard_id"])
+        for r in route_to_shards(
+            new_docs.withColumn("n_tokens", token_count(F.col("text")).cast("long")),
+            manifest,
+        ).collect()
+    }
+    combined = read_incremental_shards(spark, export)
+    got_new = {
+        (r["doc_id"], r["shard_id"])
+        for r in combined.where(F.col("doc_id") % 2 == 1).collect()
+    }
+    assert got_new == exp_new and len(got_new) == new_docs.count()
+    # base rows untouched and present
+    assert combined.count() == docs.count()
+
+    # crash-retry convergence: re-apply an absorbed batch under its key
+    before = combined.count()
+    _route_sink_batch(
+        gens[1], export, "deadbeef-1", "doc_id", None, "text", "s0"
+    )
+    _route_sink_batch(
+        gens[1], export, "deadbeef-1", "doc_id", None, "text", "s0"
+    )
+    after = read_incremental_shards(spark, export).count()
+    assert after == before + gens[1].count()  # once, not twice
+
+    # every routed doc's key really falls at-or-after its shard's range
+    # start (the manifest-range routing contract)
+    man = {r["shard_id"]: r for r in manifest.collect()}
+    first = min(man.values(), key=lambda r: r["first_key"])
+    for r in route_to_shards(new_docs.limit(50), manifest).collect():
+        m = man[r["shard_id"]]
+        assert r["ord_key"] >= m["first_key"] or m["shard_id"] == first["shard_id"]

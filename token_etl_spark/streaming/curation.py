@@ -1087,3 +1087,116 @@ def streaming_html_extract(
         max_link_density=max_link_density,
         min_alpha_ratio=min_alpha_ratio,
     )
+
+
+def _route_sink_batch(
+    batch_df: DataFrame,
+    export_path: str,
+    key: str,
+    key_col: str,
+    token_col: str | None,
+    text_col: str,
+    seed: str,
+) -> None:
+    from token_etl_spark.operators.curation import route_to_shards
+    from token_etl_spark.operators.text import token_count
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    manifest = spark.read.parquet(f"{export_path.rstrip('/')}/manifest")
+    tok = F.col(token_col) if token_col else token_count(F.col(text_col))
+    routed = route_to_shards(
+        batch_df.withColumn("n_tokens", tok.cast("long")),
+        manifest,
+        key_col=key_col,
+        seed=seed,
+    )
+    # retry-idempotent: the whole batch dir overwrites under its
+    # (lineage, batch_id) key; shard_id stays a partition column inside
+    # it so readers still prune by shard. Co-partition on shard_id
+    # first (the r10 file-splay rule).
+    (
+        routed.repartition("shard_id")
+        .sortWithinPartitions("shard_id", "ord_key")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(f"{export_path.rstrip('/')}/incoming/batch_id={key}")
+    )
+
+
+def run_streaming_shard_router(
+    stream: DataFrame,
+    export_path: str,
+    checkpoint_path: str,
+    key_col: str = "doc_id",
+    token_col: str | None = None,
+    text_col: str = "text",
+    seed: str = "s0",
+) -> None:
+    """Incremental shard export at ingest — the streaming consumer of
+    the ``export_shards`` manifest: each micro-batch routes its
+    documents into the EXISTING shard layout by manifest key range
+    (``route_to_shards`` — no global cumsum ever re-runs, shipped
+    shards are never renumbered) and lands them under
+    ``<export>/incoming/batch_id=<lineage-key>/shard_id=<s>/``.
+    Shards grow until the owner splits them — the range-sharding
+    discipline the batch operator documents.
+
+    MUST use the same ``(key_col, seed)`` as the original
+    ``export_shards`` run, or keys land in foreign ranges (the batch
+    operator's documented contract).
+
+    Idempotency: the (checkpoint-lineage, batch_id) partition key —
+    a retry overwrites its own batch dir, a continuation stream gets a
+    fresh prefix, and the base ``data/`` tree is never touched.
+    ``shard_id`` remains a partition column INSIDE each batch dir, so
+    a reader of ``incoming/`` still prunes by shard.
+    ``read_incremental_shards`` serves the combined view."""
+    if not checkpoint_path:
+        raise ValueError(
+            "checkpoint_path is required: it anchors Structured Streaming's "
+            "source tracking (exactly-once batch delivery into the sink)"
+        )
+    from token_etl_spark.streaming.dedup import _batch_partition_key
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        _route_sink_batch(
+            batch_df,
+            export_path,
+            _batch_partition_key(checkpoint_path, batch_id),
+            key_col=key_col,
+            token_col=token_col,
+            text_col=text_col,
+            seed=seed,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_incremental_shards(spark, export_path: str) -> DataFrame:
+    """The combined shard view: the original ``export_shards`` base tree
+    plus every stream-routed increment, one frame keyed by ``shard_id``
+    (batch lineage dropped). Columns are the intersection contract both
+    writers share: document columns + ``ord_key``, ``n_tokens``,
+    ``shard_id``. Missing ``incoming/`` (no stream ran yet) serves the
+    base alone."""
+    from token_etl_spark.io.sinks import _read_existing
+
+    base = spark.read.parquet(f"{export_path.rstrip('/')}/data").withColumn(
+        "shard_id", F.col("shard_id").cast("long")
+    )
+    inc = _read_existing(spark, f"{export_path.rstrip('/')}/incoming")
+    if inc is None:
+        return base
+    inc = inc.drop("batch_id").withColumn(
+        "shard_id", F.col("shard_id").cast("long")
+    )
+    return base.unionByName(inc.select(*base.columns))
