@@ -937,3 +937,67 @@ def test_streaming_shard_router_matches_batch(spark, sf_dir, tmp_path):
     for r in route_to_shards(new_docs.limit(50), manifest).collect():
         m = man[r["shard_id"]]
         assert r["ord_key"] >= m["first_key"] or m["shard_id"] == first["shard_id"]
+
+
+def test_shard_router_param_mismatch_raises_and_adopts(spark, sf_dir, tmp_path):
+    """(key_col, seed) are recorded beside the manifest by export_shards;
+    the router ADOPTS them when not given and REFUSES a mismatch — a
+    foreign seed would silently route every key into the wrong range
+    (review-found r11)."""
+    import pytest
+
+    from token_etl_spark.io.sinks import export_shards
+    from token_etl_spark.operators.curation import route_to_shards
+    from token_etl_spark.streaming.curation import (
+        _resolve_route_params,
+        _route_sink_batch,
+        read_incremental_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(100)
+    export = str(tmp_path / "param_export")
+    export_shards(spark, docs, export, tokens_per_shard=400, seed="sX")
+
+    # adoption: None resolves to the recorded values
+    assert _resolve_route_params(spark, export, None, None) == ("doc_id", "sX")
+    # explicit match passes; mismatch raises loudly
+    assert _resolve_route_params(spark, export, "doc_id", "sX") == ("doc_id", "sX")
+    with pytest.raises(ValueError, match="foreign shard ranges"):
+        _resolve_route_params(spark, export, None, "s0")
+
+    # end-to-end: a sink batch with adopted params routes identically to
+    # the batch operator under the recorded seed
+    new = docs.withColumn("doc_id", F.col("doc_id") + 100000)
+    _route_sink_batch(new, export, "cafe-0", None, None, "text", None)
+    manifest = spark.read.parquet(f"{export}/manifest")
+    exp = {
+        (r["doc_id"], r["shard_id"])
+        for r in route_to_shards(new, manifest, seed="sX").collect()
+    }
+    got = {
+        (r["doc_id"], r["shard_id"])
+        for r in read_incremental_shards(spark, export)
+        .where(F.col("doc_id") >= 100000)
+        .collect()
+    }
+    assert got == exp and len(got) == 100
+
+
+def test_read_incremental_shards_heals_empty_incoming(spark, sf_dir, tmp_path):
+    """An incoming/ dir with zero data files (crashed mid-first-batch:
+    committer leftovers only) must serve the base alone, not wedge the
+    combined reader on UNABLE_TO_INFER_SCHEMA (review-found r11 — the
+    ADVICE-r10 wedge class)."""
+    import os
+
+    from token_etl_spark.io.sinks import export_shards
+    from token_etl_spark.streaming.curation import read_incremental_shards
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(60)
+    export = str(tmp_path / "heal_export")
+    export_shards(spark, docs, export, tokens_per_shard=300)
+    os.makedirs(f"{export}/incoming/batch_id=dead-0/_temporary", exist_ok=True)
+    with open(f"{export}/incoming/batch_id=dead-0/_SUCCESS", "w"):
+        pass
+    combined = read_incremental_shards(spark, export)
+    assert combined.count() == 60

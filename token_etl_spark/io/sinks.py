@@ -608,4 +608,13 @@ def export_shards(
         "shard_id", F.col("shard_id").cast("long")
     )
     shard_manifest(written).write.mode("overwrite").parquet(f"{path}/manifest")
+    # persist the routing parameters beside the manifest: incremental
+    # consumers (route_to_shards / the streaming router) MUST use the
+    # same (key_col, seed) or keys land in foreign ranges — recording
+    # them makes that mismatch detectable instead of silently corrupting
+    # the layout (review-found r11)
+    spark.createDataFrame(
+        [(key_col, seed, int(tokens_per_shard))],
+        "key_col string, seed string, tokens_per_shard long",
+    ).write.mode("overwrite").parquet(f"{path}/params")
     return spark.read.parquet(f"{path}/manifest")

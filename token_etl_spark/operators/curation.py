@@ -1273,11 +1273,13 @@ def assign_shards(
     sort — the thing that is a single task in the ``n_buckets=1`` form
     and therefore impossible at corpus scale; what it PAYS is a second
     map-side pass (scan + tokenize) for the tiny totals aggregate plus
-    the extra exchanges, so at small data (≤ ~10^5 rows on one host)
-    the serial window is actually faster — the crossover sits where
-    the one-task sort stops fitting (the r3 token_budget probe
-    measured 2.8× two-phase win at 4M rows; at cluster scale the
-    serial form is not slower but IMPOSSIBLE). When the caller's
+    the extra exchanges, so on one host the serial window stays ~2×
+    faster through at least the largest size probed (160k rows) — the
+    crossover sits somewhere below the 4M rows where the r3
+    token_budget probe measured a 2.8× two-phase win on this host; at
+    cluster scale the serial form is not slower but IMPOSSIBLE (one
+    task sorts the corpus). Single-host exports below ~10^6 rows
+    should simply pass ``n_buckets=1``. When the caller's
     downstream projection drops ``text_col`` (the declared manifest
     query) column pruning keeps both passes narrow; a caller that
     KEEPS text (the export path) ships it through the one bucket

@@ -1089,14 +1089,44 @@ def streaming_html_extract(
     )
 
 
+def _resolve_route_params(
+    spark, export_path: str, key_col: str | None, seed: str | None
+) -> tuple[str, str]:
+    """Resolve (key_col, seed) from the export's persisted params:
+    callers that pass None ADOPT the export's values; callers that pass
+    explicit values must MATCH them (a mismatched seed routes every key
+    into a foreign range with no error in the data — the silent
+    corruption this check exists to catch; review-found r11). Exports
+    written before params existed fall back to the documented defaults.
+    """
+    from token_etl_spark.io.sinks import _read_existing
+
+    params = _read_existing(spark, f"{export_path.rstrip('/')}/params")
+    if params is None:
+        return key_col or "doc_id", seed or "s0"
+    row = params.collect()[0]
+    for name, given, recorded in (
+        ("key_col", key_col, row["key_col"]),
+        ("seed", seed, row["seed"]),
+    ):
+        if given is not None and given != recorded:
+            raise ValueError(
+                f"shard router {name}={given!r} does not match the"
+                f" export's recorded {name}={recorded!r} at"
+                f" {export_path}/params — routing with mismatched"
+                " parameters lands documents in foreign shard ranges"
+            )
+    return row["key_col"], row["seed"]
+
+
 def _route_sink_batch(
     batch_df: DataFrame,
     export_path: str,
     key: str,
-    key_col: str,
+    key_col: str | None,
     token_col: str | None,
     text_col: str,
-    seed: str,
+    seed: str | None,
 ) -> None:
     from token_etl_spark.operators.curation import route_to_shards
     from token_etl_spark.operators.text import token_count
@@ -1104,6 +1134,7 @@ def _route_sink_batch(
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
+    key_col, seed = _resolve_route_params(spark, export_path, key_col, seed)
     manifest = spark.read.parquet(f"{export_path.rstrip('/')}/manifest")
     tok = F.col(token_col) if token_col else token_count(F.col(text_col))
     routed = route_to_shards(
@@ -1129,10 +1160,10 @@ def run_streaming_shard_router(
     stream: DataFrame,
     export_path: str,
     checkpoint_path: str,
-    key_col: str = "doc_id",
+    key_col: str | None = None,
     token_col: str | None = None,
     text_col: str = "text",
-    seed: str = "s0",
+    seed: str | None = None,
 ) -> None:
     """Incremental shard export at ingest — the streaming consumer of
     the ``export_shards`` manifest: each micro-batch routes its
@@ -1143,9 +1174,11 @@ def run_streaming_shard_router(
     Shards grow until the owner splits them — the range-sharding
     discipline the batch operator documents.
 
-    MUST use the same ``(key_col, seed)`` as the original
-    ``export_shards`` run, or keys land in foreign ranges (the batch
-    operator's documented contract).
+    (key_col, seed) resolve FROM the export's persisted ``params``
+    table by default — pass them explicitly only to assert they match
+    (a mismatch raises; routing with a foreign seed would silently put
+    every document in the wrong range). Exports written before params
+    existed fall back to the documented defaults.
 
     Idempotency: the (checkpoint-lineage, batch_id) partition key —
     a retry overwrites its own batch dir, a continuation stream gets a
@@ -1188,15 +1221,18 @@ def read_incremental_shards(spark, export_path: str) -> DataFrame:
     writers share: document columns + ``ord_key``, ``n_tokens``,
     ``shard_id``. Missing ``incoming/`` (no stream ran yet) serves the
     base alone."""
-    from token_etl_spark.io.sinks import _read_existing
+    from token_etl_spark.streaming.dedup import _read_partitioned_state
 
     base = spark.read.parquet(f"{export_path.rstrip('/')}/data").withColumn(
         "shard_id", F.col("shard_id").cast("long")
     )
-    inc = _read_existing(spark, f"{export_path.rstrip('/')}/incoming")
+    # _read_partitioned_state (not bare _read_existing): it heals the
+    # crashed-mid-first-batch layout — an incoming/ holding only
+    # committer leftovers and zero data files serves as absent instead
+    # of wedging the combined view on UNABLE_TO_INFER_SCHEMA
+    # (review-found r11; the ADVICE-r10 wedge class)
+    inc = _read_partitioned_state(spark, f"{export_path.rstrip('/')}/incoming")
     if inc is None:
         return base
-    inc = inc.drop("batch_id").withColumn(
-        "shard_id", F.col("shard_id").cast("long")
-    )
+    inc = inc.withColumn("shard_id", F.col("shard_id").cast("long"))
     return base.unionByName(inc.select(*base.columns))
