@@ -443,3 +443,87 @@ def test_extract_html_text_review_counterexamples(spark):
     assert rows[2]["n_kept_blocks"] == 1 and "short tail" in rows[2]["extracted"]
     assert rows[3]["n_kept_blocks"] == 1 and "should not split" in rows[3]["extracted"]
     assert rows[4]["n_kept_blocks"] == 1 and "русский" in rows[4]["extracted"]
+
+
+# --- Gopher repetition suite (dup lines/paras, top n-gram coverage) ----------
+
+
+def test_repetition_signals_hand_computed(spark):
+    from token_etl_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            # 3 lines, one duplicated once: dup_line_frac = 1/3; every
+            # line is 5 chars so dup_line_char_frac = 5/15
+            (1, "a b c\na b c\nd e f"),
+            # 3 paragraphs (blank-line separated), one duplicated once
+            (2, "p q\n\np q\n\nr s"),
+            # tokens [x y x y x y]: top 2-gram 'x y' x3 covers 3*2=6 of
+            # 6 token chars -> 1.0; top 3-gram 'x y x' x2 -> 2*3/6 = 1.0
+            (3, "x y x y x y"),
+            (4, ""),  # no lines/tokens: all zeros, never NULL/NaN
+            (5, "all tokens here are unique words today"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert abs(got[1]["dup_line_frac"] - 1 / 3) < 1e-12
+    assert abs(got[1]["dup_line_char_frac"] - 1 / 3) < 1e-12
+    assert got[1]["dup_para_frac"] == 0.0  # no blank lines -> one para
+    assert abs(got[2]["dup_para_frac"] - 1 / 3) < 1e-12
+    assert abs(got[2]["dup_para_char_frac"] - 3 / 9) < 1e-12
+    assert got[3]["top_2gram_char_frac"] == 1.0
+    assert got[3]["top_3gram_char_frac"] == 1.0
+    for c in (
+        "dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+        "dup_para_char_frac", "top_2gram_char_frac",
+        "top_3gram_char_frac", "top_4gram_char_frac",
+    ):
+        assert got[4][c] == 0.0, c
+    # unique-token doc: every 2-gram occurs once -> top covers its own
+    # chars only, well under the gate thresholds
+    assert 0 < got[5]["top_2gram_char_frac"] < 0.30
+    assert got[5]["dup_line_frac"] == 0.0
+
+
+def test_repetition_signals_tie_breaks_to_smallest_gram(spark):
+    """'b a b a' has 'b a' x2... construct an exact tie: 'a b a c a b
+    a c' gives 'a b' x2 and 'a c' x2 — the reported coverage must use
+    the lexicographically smallest gram deterministically."""
+    from token_etl_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame([(1, "a b a c a b a c")], ["doc_id", "text"])
+    r = repetition_signals(df).collect()[0]
+    # both top 2-grams cover 2 occurrences x 2 chars = 4 of 8 token chars
+    assert abs(r["top_2gram_char_frac"] - 0.5) < 1e-12
+    again = repetition_signals(df).collect()[0]
+    assert r["top_2gram_char_frac"] == again["top_2gram_char_frac"]
+
+
+def test_gopher_repetition_filter_gates(spark):
+    from token_etl_spark.operators.text import gopher_repetition_filter
+
+    clean = (
+        "the quick brown fox jumps over a lazy dog while seven other "
+        "animals watch quietly from the distant hillside this evening"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, clean),
+            (2, "spam line\n" * 20),            # dup lines + top-gram blowout
+            (3, "buy now " * 30),                # degenerate n-gram repetition
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in gopher_repetition_filter(df).collect()}
+    assert got[1]["keep"] and got[1]["reject_reasons"] == ""
+    assert not got[2]["keep"]
+    reasons2 = got[2]["reject_reasons"].split("|")
+    assert "dup_line_frac" in reasons2
+    # reasons appear in the fixed GOPHER_REPETITION_RULES order
+    from token_etl_spark.operators.text import GOPHER_REPETITION_RULES
+
+    order = [c for c, _ in GOPHER_REPETITION_RULES]
+    assert reasons2 == sorted(reasons2, key=order.index)
+    assert not got[3]["keep"]
+    assert "top_2gram_char_frac" in got[3]["reject_reasons"]

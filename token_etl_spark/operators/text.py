@@ -1016,3 +1016,170 @@ def extract_html_text(
             "extracted_chars": F.length(extracted).cast("long"),
         }
     )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The rest of the Gopher repetition suite (Rae et al. 2021 §A1.1
+    Table A1; ``repetition_stats`` covers type-token ratio and
+    top-token share): per document —
+
+    - ``dup_line_frac`` / ``dup_line_char_frac``: duplicated LINE
+      occurrences (beyond each line's first) as a fraction of line
+      count / of line characters,
+    - ``dup_para_frac`` / ``dup_para_char_frac``: same over
+      paragraphs (split on blank lines),
+    - ``top_{2,3,4}gram_char_frac``: characters covered by the most
+      frequent word n-gram (count × n-gram length / total token
+      characters; ties break to the lexicographically smallest gram).
+
+    Declared conventions (deterministic and SQL-replayable for the
+    planned driver row): duplicates count occurrences AFTER the first;
+    line/paragraph character totals exclude the separators; n-grams are
+    over the engine tokenizer's tokens joined with single spaces; docs
+    with no lines/tokens report 0.0 (never NULL/NaN).
+
+    Plan shape, same reasoning as ``repetition_stats``: explode + keyed
+    combinable aggregations — every shuffle keys on (doc, unit) then
+    doc, map-side combines, and scales with corpus size, not document
+    length; the three gram sizes ride ONE explode (the n rides along as
+    a key). Three small per-doc frames join back on ``id_col``.
+    """
+    doc = F.col(id_col)
+
+    def dup_stats(units: Column, frac_name: str, char_name: str) -> DataFrame:
+        u = df.select(
+            doc, F.explode(F.filter(units, lambda x: F.trim(x) != "")).alias("u")
+        )
+        per_unit = u.groupBy(id_col, "u").agg(F.count("*").alias("c"))
+        return per_unit.groupBy(id_col).agg(
+            (F.sum(F.col("c") - 1) / F.sum("c")).alias(frac_name),
+            (
+                F.sum((F.col("c") - 1) * F.length("u")) / F.sum(F.col("c") * F.length("u"))
+            ).alias(char_name),
+        )
+
+    lines = dup_stats(
+        F.split(F.col(text_col), "\n"), "dup_line_frac", "dup_line_char_frac"
+    )
+    paras = dup_stats(
+        F.split(F.col(text_col), r"\n{2,}"), "dup_para_frac", "dup_para_char_frac"
+    )
+
+    toks = df.select(doc, tokens(F.col(text_col)).alias("_toks"))
+    tok_chars = toks.select(
+        doc,
+        F.aggregate(
+            F.col("_toks"), F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+        ).alias("_tok_chars"),
+    )
+    def _gram_structs(n: int) -> Column:
+        # sequence(1, 0) silently counts DOWN (step auto-infers -1), so
+        # a doc with < n tokens must short-circuit to the empty array —
+        # slice(arr, 1, 0) keeps the struct type
+        size = F.size(F.col("_toks"))
+        arr = F.transform(
+            F.sequence(F.lit(1), F.greatest(size - (n - 1), F.lit(1))),
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                F.concat_ws(" ", F.slice(F.col("_toks"), i, n)).alias("g"),
+            ),
+        )
+        return F.when(size >= n, arr).otherwise(F.slice(arr, 1, 0))
+
+    gram_arrays = [_gram_structs(n) for n in (2, 3, 4)]
+    grams = toks.select(
+        doc, F.explode(F.concat(*gram_arrays)).alias("s")
+    ).select(id_col, F.col("s.n").alias("n"), F.col("s.g").alias("g"))
+    counts = grams.groupBy(id_col, "n", "g").agg(F.count("*").alias("c"))
+    # most frequent gram per (doc, n), ties to smallest gram: max_by on
+    # (c, reversed-ordering proxy) is awkward for string ties — a
+    # window rank over the (doc, n, gram) count frame is exact and the
+    # frame is already shuffled on its keys
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy(id_col, "n").orderBy(F.desc("c"), F.asc("g"))
+    top = (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(
+            id_col,
+            "n",
+            (F.col("c") * F.length(F.regexp_replace("g", " ", ""))).alias("_covered"),
+        )
+    )
+    top_wide = (
+        top.groupBy(id_col)
+        .pivot("n", [2, 3, 4])
+        .agg(F.first("_covered"))
+        .join(tok_chars, id_col)
+        .select(
+            id_col,
+            *[
+                F.coalesce(
+                    F.col(str(n))
+                    / F.when(F.col("_tok_chars") > 0, F.col("_tok_chars")),
+                    F.lit(0.0),
+                ).alias(f"top_{n}gram_char_frac")
+                for n in (2, 3, 4)
+            ],
+        )
+    )
+    base = df.select(doc)
+    out = (
+        base.join(lines, id_col, "left")
+        .join(paras, id_col, "left")
+        .join(top_wide, id_col, "left")
+    )
+    zero_cols = [
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "dup_para_frac",
+        "dup_para_char_frac",
+        "top_2gram_char_frac",
+        "top_3gram_char_frac",
+        "top_4gram_char_frac",
+    ]
+    return out.na.fill(0.0, zero_cols)
+
+
+#: Gopher Table A1 repetition thresholds (Rae et al. 2021): reject when
+#: the signal EXCEEDS the bound. Order fixed for reject-reason strings.
+GOPHER_REPETITION_RULES = (
+    ("dup_line_frac", 0.30),
+    ("dup_para_frac", 0.30),
+    ("dup_line_char_frac", 0.20),
+    ("dup_para_char_frac", 0.20),
+    ("top_2gram_char_frac", 0.20),
+    ("top_3gram_char_frac", 0.18),
+    ("top_4gram_char_frac", 0.16),
+)
+
+
+def gopher_repetition_filter(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Apply the Gopher Table A1 repetition gates over
+    :func:`repetition_signals`: adds the signal columns, a
+    ``reject_reasons`` string ('|'-joined exceeded rules in
+    GOPHER_REPETITION_RULES order, '' when clean) and ``keep`` — the
+    same contract as ``gopher_filter``, which covers the paper's
+    non-repetition rules; run both for the full Gopher gate."""
+    sig = repetition_signals(df, text_col=text_col, id_col=id_col)
+    out = df.join(sig, id_col, "left")
+    reasons = F.array_join(
+        F.filter(
+            F.array(
+                *[
+                    F.when(F.col(c) > F.lit(t), F.lit(c)).otherwise(F.lit(None))
+                    for c, t in GOPHER_REPETITION_RULES
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        "|",
+    )
+    return out.withColumn("reject_reasons", reasons).withColumn(
+        "keep", F.col("reject_reasons") == ""
+    )
