@@ -516,3 +516,63 @@ def test_calibrate_scores_null_scores_kept_and_shuffle_join_path(spark):
         df, "score", "source", broadcast_pct=False
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in plan
+
+
+# --- domain reputation gate ---------------------------------------------------
+
+
+def test_registered_domain_extraction(spark):
+    from token_etl_spark.operators.curation import registered_domain
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://News.Example.COM:8443/a/b?q=1"),
+            (2, "http://example.com/"),
+            (3, "bare.host.example.org"),  # no scheme: crawl metadata form
+            (4, "localhost"),              # single label: no registered domain
+            (5, None),
+        ],
+        "id long, url string",
+    )
+    got = {r["id"]: r["d"] for r in df.select("id", registered_domain("url").alias("d")).collect()}
+    assert got[1] == "example.com"
+    assert got[2] == "example.com"
+    assert got[3] == "example.org"
+    assert got[4] == ""
+    assert got[5] is None or got[5] == ""
+
+
+def test_domain_stats_and_filter(spark):
+    from token_etl_spark.operators.curation import domain_filter, domain_stats
+
+    rows = []
+    for i in range(40):  # good.com: 40 docs, high quality, low dup
+        rows.append((i, f"https://a.good.com/{i}", 0.9, False))
+    for i in range(40, 50):  # spam.net: 10 docs, low quality
+        rows.append((i, f"http://spam.net/{i}", 0.2, False))
+    for i in range(50, 70):  # dupfarm.org: 20 docs, all duplicates
+        rows.append((i, f"https://x.dupfarm.org/{i}", 0.8, True))
+    rows.append((99, "https://tiny.io/only", 0.99, False))  # below min_docs
+    df = spark.createDataFrame(rows, "doc_id long, url string, q double, is_dup boolean")
+
+    stats = domain_stats(df, quality_col="q", dup_col="is_dup")
+    s = {r["domain"]: r for r in stats.collect()}
+    assert s["good.com"]["n_docs"] == 40 and abs(s["good.com"]["mean_quality"] - 0.9) < 1e-12
+    assert s["dupfarm.org"]["dup_rate"] == 1.0
+    assert abs(sum(r["doc_share"] for r in s.values()) - 1.0) < 1e-12
+
+    out = domain_filter(
+        df, stats, min_docs=5, min_mean_quality=0.5, max_dup_rate=0.5
+    )
+    kept = {r["doc_id"] for r in out.where("domain_kept").collect()}
+    assert kept == set(range(40))  # only good.com survives every gate
+    # auditable form: every row present with its flag
+    assert out.count() == 71
+
+    # blocklist kills an otherwise-passing domain
+    out2 = domain_filter(df, stats, min_docs=5, blocklist=("good.com",))
+    assert out2.where("domain_kept").where("domain = 'good.com'").count() == 0
+
+    # the corpus side must get the keep-list via broadcast
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

@@ -1509,3 +1509,99 @@ def route_to_shards(
     )
     cols = [F.col(f"_doc.{c}").alias(c) for c in d.columns if c != "_bkt"]
     return routed.select(*cols, "shard_id")
+
+
+# ---------------------------------------------------------------------------
+# domain-level reputation gate (crawl curation tier above the document)
+
+
+def registered_domain(url: Column | str) -> Column:
+    """Registered domain of a URL: lowercased host, port stripped, last
+    TWO labels kept ('news.example.com' → 'example.com') — the
+    public-suffix-LITE simplification, declared openly: multi-label
+    suffixes ('example.co.uk' → 'co.uk') group under their suffix,
+    which is conservative for a REPUTATION gate (it can only merge
+    domains, never split one) but means country-code 2LDs share a
+    bucket; swap in a broadcast public-suffix table when precision at
+    the ccTLD tail matters. Bare hosts without a scheme are accepted
+    (crawl metadata often stores them); values with no host-like
+    content yield ''. Same RE2-and-Java-compatible patterns as
+    ``url_canonicalize`` so an oracle can replay every grouping."""
+    u = F.col(url) if isinstance(url, str) else url
+    host = F.lower(
+        F.regexp_extract(
+            F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", ""),
+            r"^([^/:?#]+)",
+            1,
+        )
+    )
+    return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+
+
+def domain_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    quality_col: str | None = None,
+    dup_col: str | None = None,
+) -> DataFrame:
+    """Per-registered-domain reputation aggregates — the curation tier
+    ABOVE the document (FineWeb/RefinedWeb prune whole domains before
+    spending per-document compute): document count, corpus share, and
+    when provided the mean quality score and duplicate rate. One
+    combinable groupBy at domain cardinality (millions of rows at web
+    scale — small next to the corpus; the share divisor rides a
+    broadcast 1-row total, the skew_profile pattern). Output:
+    (domain, n_docs, doc_share[, mean_quality][, dup_rate])."""
+    dom = df.select(
+        registered_domain(F.col(url_col)).alias("domain"),
+        *( [F.col(quality_col).cast("double").alias("_q")] if quality_col else [] ),
+        *( [F.col(dup_col).cast("int").alias("_d")] if dup_col else [] ),
+    )
+    aggs = [F.count("*").alias("n_docs")]
+    if quality_col:
+        aggs.append(F.avg("_q").alias("mean_quality"))
+    if dup_col:
+        aggs.append(F.avg("_d").alias("dup_rate"))
+    stats = dom.groupBy("domain").agg(*aggs)
+    total = stats.agg(F.sum("n_docs").alias("_total"))
+    return (
+        stats.crossJoin(F.broadcast(total))
+        .withColumn("doc_share", F.col("n_docs") / F.col("_total"))
+        .drop("_total")
+    )
+
+
+def domain_filter(
+    df: DataFrame,
+    stats: DataFrame,
+    url_col: str = "url",
+    min_docs: int = 1,
+    min_mean_quality: float | None = None,
+    max_dup_rate: float | None = None,
+    blocklist: tuple[str, ...] = (),
+) -> DataFrame:
+    """Apply a domain-reputation keep decision to the corpus: a domain
+    survives when it clears ``min_docs``, the optional
+    ``min_mean_quality`` / ``max_dup_rate`` bounds over a
+    :func:`domain_stats` frame, and is not blocklisted. Emits every
+    input row with ``domain`` and a ``domain_kept`` flag (the auditable
+    form — filtering is a trailing ``where``, the ``url_dedup``
+    convention).
+
+    Plan shape: the keep-list is domain-cardinality (small side by
+    construction) and joins BROADCAST onto the corpus — the 100 TB side
+    never shuffles; the decision column is computed once on the stats
+    frame so the reject reasons stay auditable there, not re-derived
+    per document."""
+    keep = F.col("n_docs") >= int(min_docs)
+    if min_mean_quality is not None:
+        keep = keep & (F.col("mean_quality") >= float(min_mean_quality))
+    if max_dup_rate is not None:
+        keep = keep & (F.col("dup_rate") <= float(max_dup_rate))
+    for b in sorted(blocklist):
+        keep = keep & (F.col("domain") != b.lower())
+    decisions = stats.select("domain", keep.alias("domain_kept"))
+    out = df.withColumn("domain", registered_domain(F.col(url_col)))
+    return out.join(F.broadcast(decisions), "domain", "left").withColumn(
+        "domain_kept", F.coalesce("domain_kept", F.lit(False))
+    )
