@@ -527,3 +527,60 @@ def test_gopher_repetition_filter_gates(spark):
     assert reasons2 == sorted(reasons2, key=order.index)
     assert not got[3]["keep"]
     assert "top_2gram_char_frac" in got[3]["reject_reasons"]
+
+
+def test_repetition_signals_crlf_and_null_id(spark):
+    """CRLF documents split correctly (review-found r11): the dup-para
+    signal sees \\r\\n\\r\\n separators and blank '\\r' lines never count
+    as units; a NULL doc_id fails loudly instead of skipping the gate."""
+    import pytest
+
+    from token_etl_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [(1, "para A words\r\n\r\npara B words\r\n\r\npara A words")],
+        ["doc_id", "text"],
+    )
+    r = repetition_signals(df).collect()[0]
+    assert abs(r["dup_para_frac"] - 1 / 3) < 1e-12   # the CRLF dup IS seen
+    assert r["dup_line_frac"] == r["dup_para_frac"]  # no phantom '\r' lines
+    bad = spark.createDataFrame([(None, "spam line\n" * 50)], "doc_id long, text string")
+    with pytest.raises(Exception, match="NULL doc_id"):
+        repetition_signals(bad).collect()
+
+
+def test_gopher_gates_compose_without_losing_rejections(spark):
+    """gopher_filter → gopher_repetition_filter (either order) must keep
+    BOTH gates' decisions (review-found r11: the second gate used to
+    overwrite reject_reasons/keep)."""
+    from token_etl_spark.operators.text import (
+        gopher_filter,
+        gopher_repetition_filter,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # fails gopher_filter (too few words), clean on repetition
+            (1, "short text the"),
+            # passes gopher_filter, fails repetition (dup lines)
+            (2, "the spam line is here today ok\n" * 20),
+            # clean on both — long enough that top-n-gram coverage
+            # (~n/L for unique-ish text) sits under the bounds; the
+            # thresholds presume web-document lengths, which is why the
+            # composition includes gopher_filter's min_words rule
+            (
+                3,
+                "the quick brown fox jumps over a lazy dog while seven "
+                "other animals watch quietly from the distant hillside "
+                "and a gentle evening breeze carries birdsong across the "
+                "meadow toward an old stone bridge where children count "
+                "fireflies beside the slow river under a clear autumn sky",
+            ),
+        ],
+        ["doc_id", "text"],
+    )
+    both = gopher_repetition_filter(gopher_filter(df))
+    got = {r["doc_id"]: r for r in both.collect()}
+    assert not got[1]["keep"] and "too_few_words" in got[1]["reject_reasons"]
+    assert not got[2]["keep"] and "dup_line_frac" in got[2]["reject_reasons"]
+    assert got[3]["keep"] and got[3]["reject_reasons"] == ""

@@ -1516,26 +1516,42 @@ def route_to_shards(
 
 
 def registered_domain(url: Column | str) -> Column:
-    """Registered domain of a URL: lowercased host, port stripped, last
-    TWO labels kept ('news.example.com' → 'example.com') — the
-    public-suffix-LITE simplification, declared openly: multi-label
-    suffixes ('example.co.uk' → 'co.uk') group under their suffix,
-    which is conservative for a REPUTATION gate (it can only merge
-    domains, never split one) but means country-code 2LDs share a
-    bucket; swap in a broadcast public-suffix table when precision at
-    the ccTLD tail matters. Bare hosts without a scheme are accepted
-    (crawl metadata often stores them); values with no host-like
-    content yield ''. Same RE2-and-Java-compatible patterns as
-    ``url_canonicalize`` so an oracle can replay every grouping."""
+    """Registered domain of a URL: lowercased host (userinfo and port
+    stripped, trailing dot removed), last TWO labels kept
+    ('news.example.com' → 'example.com') — the public-suffix-LITE
+    simplification, declared openly: multi-label suffixes
+    ('example.co.uk' → 'co.uk') group under their suffix, which is
+    conservative for a REPUTATION gate (it can only merge domains,
+    never split one) but means country-code 2LDs share a bucket; swap
+    in a broadcast public-suffix table when precision at the ccTLD
+    tail matters. IPv4 hosts stay WHOLE (grouping addresses by their
+    last two octets would pool unrelated servers). Bare hosts without
+    a scheme are accepted (crawl metadata often stores them); values
+    with no registrable host (single label, empty, garbage) yield
+    NULL, never '' — so unparseable URLs cannot pool into one
+    pseudo-domain whose reputation governs them all (review-found
+    r11). All patterns RE2-and-Java-compatible (oracle-replayable);
+    host extraction handles userinfo and fragments, a superset of
+    ``url_canonicalize``'s declared scope."""
     u = F.col(url) if isinstance(url, str) else url
+    authority = F.regexp_extract(
+        F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", ""),
+        r"^([^/?#]+)",
+        1,
+    )
+    # strip userinfo (anything through the last '@'), then the port,
+    # then any trailing dot (FQDN spelling)
     host = F.lower(
-        F.regexp_extract(
-            F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", ""),
-            r"^([^/:?#]+)",
-            1,
+        F.regexp_replace(
+            F.regexp_extract(authority, r"^(?:[^/@]*@)?([^:]+)", 1),
+            r"\.$",
+            "",
         )
     )
-    return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    is_ipv4 = host.rlike(r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$")
+    two_label = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    dom = F.when(is_ipv4, host).otherwise(two_label)
+    return F.when(dom == "", F.lit(None).cast("string")).otherwise(dom)
 
 
 def domain_stats(
@@ -1547,8 +1563,10 @@ def domain_stats(
     """Per-registered-domain reputation aggregates — the curation tier
     ABOVE the document (FineWeb/RefinedWeb prune whole domains before
     spending per-document compute): document count, corpus share, and
-    when provided the mean quality score and duplicate rate. One
-    combinable groupBy at domain cardinality (millions of rows at web
+    when provided the mean quality score and duplicate rate.
+    Non-registrable URLs (domain NULL) are excluded — they have no
+    domain reputation; ``domain_filter`` flags them domain_kept=False.
+    One combinable groupBy at domain cardinality (millions of rows at web
     scale — small next to the corpus; the share divisor rides a
     broadcast 1-row total, the skew_profile pattern). Output:
     (domain, n_docs, doc_share[, mean_quality][, dup_rate])."""
@@ -1557,6 +1575,7 @@ def domain_stats(
         *( [F.col(quality_col).cast("double").alias("_q")] if quality_col else [] ),
         *( [F.col(dup_col).cast("int").alias("_d")] if dup_col else [] ),
     )
+    dom = dom.where(F.col("domain").isNotNull())
     aggs = [F.count("*").alias("n_docs")]
     if quality_col:
         aggs.append(F.avg("_q").alias("mean_quality"))
@@ -1593,13 +1612,27 @@ def domain_filter(
     never shuffles; the decision column is computed once on the stats
     frame so the reject reasons stay auditable there, not re-derived
     per document."""
+    # blocklist entries must BE registered domains — a subdomain entry
+    # ('tracker.evil.com') would compare against 'evil.com' and silently
+    # never match (review-found r11); refuse instead of silently
+    # reducing, so the operator's intent stays visible
+    for b in blocklist:
+        labels = b.lower().rstrip(".").split(".")
+        is_ip = len(labels) == 4 and all(x.isdigit() for x in labels)
+        if not is_ip and len(labels) != 2:
+            raise ValueError(
+                f"domain_filter blocklist entry {b!r} is not a registered"
+                " domain under the public-suffix-lite rule (exactly two"
+                " labels, or a whole IPv4 address) — pass"
+                f" {'.'.join(labels[-2:])!r} to block the whole domain"
+            )
     keep = F.col("n_docs") >= int(min_docs)
     if min_mean_quality is not None:
         keep = keep & (F.col("mean_quality") >= float(min_mean_quality))
     if max_dup_rate is not None:
         keep = keep & (F.col("dup_rate") <= float(max_dup_rate))
     for b in sorted(blocklist):
-        keep = keep & (F.col("domain") != b.lower())
+        keep = keep & (F.col("domain") != b.lower().rstrip("."))
     decisions = stats.select("domain", keep.alias("domain_kept"))
     out = df.withColumn("domain", registered_domain(F.col(url_col)))
     return out.join(F.broadcast(decisions), "domain", "left").withColumn(

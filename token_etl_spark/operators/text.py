@@ -1045,12 +1045,31 @@ def repetition_signals(
     doc, map-side combines, and scales with corpus size, not document
     length; the three gram sizes ride ONE explode (the n rides along as
     a key). Three small per-doc frames join back on ``id_col``.
+
+    Line/paragraph splits are CRLF-safe (``\r?\n``) and blank units
+    (whitespace-only after any split) are excluded on BOTH sides of
+    every fraction. A NULL ``id_col`` fails loudly (the assign_shards
+    convention): a keyless document cannot join its signals back, and
+    the downstream gate would silently pass it.
     """
     doc = F.col(id_col)
+    df = df.filter(
+        F.assert_true(
+            doc.isNotNull(),
+            F.lit(
+                f"repetition_signals: NULL {id_col} — signals join back"
+                " by id, and a keyless row would silently skip the gate"
+            ),
+        ).isNull()
+    )
 
     def dup_stats(units: Column, frac_name: str, char_name: str) -> DataFrame:
+        blank = r"^\s*$"
         u = df.select(
-            doc, F.explode(F.filter(units, lambda x: F.trim(x) != "")).alias("u")
+            doc,
+            F.explode(
+                F.filter(units, lambda x: ~x.rlike(blank))
+            ).alias("u"),
         )
         per_unit = u.groupBy(id_col, "u").agg(F.count("*").alias("c"))
         return per_unit.groupBy(id_col).agg(
@@ -1061,10 +1080,12 @@ def repetition_signals(
         )
 
     lines = dup_stats(
-        F.split(F.col(text_col), "\n"), "dup_line_frac", "dup_line_char_frac"
+        F.split(F.col(text_col), r"\r?\n"), "dup_line_frac", "dup_line_char_frac"
     )
     paras = dup_stats(
-        F.split(F.col(text_col), r"\n{2,}"), "dup_para_frac", "dup_para_char_frac"
+        F.split(F.col(text_col), r"(?:\r?\n){2,}"),
+        "dup_para_frac",
+        "dup_para_char_frac",
     )
 
     toks = df.select(doc, tokens(F.col(text_col)).alias("_toks"))
@@ -1106,7 +1127,10 @@ def repetition_signals(
         .select(
             id_col,
             "n",
-            (F.col("c") * F.length(F.regexp_replace("g", " ", ""))).alias("_covered"),
+            # a gram is exactly n space-free tokens joined by single
+            # spaces, so its token-char count is len - (n-1) — integer
+            # arithmetic, no per-row regex (review-found r11)
+            (F.col("c") * (F.length("g") - (F.col("n") - 1))).alias("_covered"),
         )
     )
     top_wide = (
@@ -1165,10 +1189,27 @@ def gopher_repetition_filter(
     ``reject_reasons`` string ('|'-joined exceeded rules in
     GOPHER_REPETITION_RULES order, '' when clean) and ``keep`` — the
     same contract as ``gopher_filter``, which covers the paper's
-    non-repetition rules; run both for the full Gopher gate."""
+    non-repetition rules; run both for the full Gopher gate (in either
+    order: pre-existing reject_reasons/keep columns MERGE — reasons
+    concatenate, keep AND-composes). Note the thresholds presume
+    web-document lengths: a unique-token document of L words has
+    top-n-gram char coverage ≈ n/L, so very short documents exceed
+    the n-gram bounds arithmetically — gopher_filter's min_words rule
+    in the same composition is what screens those."""
+    # composing with gopher_filter must MERGE the gate columns, not
+    # overwrite them (review-found r11): prior reject reasons prepend
+    # and keep AND-composes, so run-both in either order keeps every
+    # rejection
+    prior_reasons = (
+        F.col("reject_reasons") if "reject_reasons" in df.columns else F.lit("")
+    )
+    prior_keep = F.col("keep") if "keep" in df.columns else F.lit(True)
+    staged = df.withColumn("_prior_reasons", prior_reasons).withColumn(
+        "_prior_keep", prior_keep
+    )
     sig = repetition_signals(df, text_col=text_col, id_col=id_col)
-    out = df.join(sig, id_col, "left")
-    reasons = F.array_join(
+    out = staged.drop("reject_reasons", "keep").join(sig, id_col, "left")
+    rep_reasons = F.array_join(
         F.filter(
             F.array(
                 *[
@@ -1180,6 +1221,14 @@ def gopher_repetition_filter(
         ),
         "|",
     )
-    return out.withColumn("reject_reasons", reasons).withColumn(
-        "keep", F.col("reject_reasons") == ""
+    merged = F.array_join(
+        F.filter(
+            F.array(F.col("_prior_reasons"), rep_reasons), lambda x: x != ""
+        ),
+        "|",
+    )
+    return (
+        out.withColumn("reject_reasons", merged)
+        .withColumn("keep", F.col("_prior_keep") & (rep_reasons == ""))
+        .drop("_prior_reasons", "_prior_keep")
     )
