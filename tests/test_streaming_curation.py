@@ -1001,3 +1001,31 @@ def test_read_incremental_shards_heals_empty_incoming(spark, sf_dir, tmp_path):
         pass
     combined = read_incremental_shards(spark, export)
     assert combined.count() == 60
+
+
+def test_streaming_domain_filter_matches_batch(spark, tmp_path):
+    from token_etl_spark.operators.curation import domain_filter, domain_stats
+    from token_etl_spark.streaming.curation import streaming_domain_filter
+
+    rows = (
+        [(i, f"https://a.good.com/{i}", 0.9) for i in range(30)]
+        + [(i, f"http://spam.net/{i}", 0.2) for i in range(30, 40)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, url string, q double")
+    stats = domain_stats(docs, quality_col="q").localCheckpoint()
+
+    staged = str(tmp_path / "dom_stream")
+    docs.write.parquet(staged)
+    stream = read_file_stream(spark, staged, docs.schema)
+    run_to_memory(
+        streaming_domain_filter(stream, stats, min_docs=5, min_mean_quality=0.5),
+        "dom_out",
+        output_mode="append",
+    )
+    got = spark.sql("SELECT doc_id, domain, domain_kept FROM dom_out")
+    exp = domain_filter(docs, stats, min_docs=5, min_mean_quality=0.5).select(
+        "doc_id", "domain", "domain_kept"
+    )
+    assert got.count() == exp.count() == 40
+    assert got.exceptAll(exp).count() == 0
+    assert got.where("domain_kept").count() == 30

@@ -3533,7 +3533,11 @@ SPECS = [
     QuerySpec("ext_ivf_cell_balance", q_ivf_cell_balance, SQL_IVF_CELL_BALANCE, ("similarity", "iterative")),
     QuerySpec("ext_ann_ivf_retrain", q_ann_ivf_retrain, SQL_ANN_IVF_RETRAIN, ("similarity", "iterative", "streaming")),
     QuerySpec("ext_index_health", q_index_health, SQL_INDEX_HEALTH, ("similarity", "iterative", "streaming")),
-    QuerySpec("ext_random_projection", q_random_projection, SQL_RANDOM_PROJECTION, ("similarity", "curation")),
+    # bench=True (r11): the map-only JL projection is the pre-ANN
+    # dimensionality cut — a pure whole-stage-codegen vector workload
+    # (zero Exchanges) whose movement class (fold arithmetic over
+    # array columns) the headline did not previously track.
+    QuerySpec("ext_random_projection", q_random_projection, SQL_RANDOM_PROJECTION, ("similarity", "curation"), bench=True),
     # bench=True (r4): embedding-space dedup is the third dedup modality
     # (exact / lexical-minhash / semantic) — track its k-means + in-cluster
     # pair-join cost round over round.

@@ -1236,3 +1236,35 @@ def read_incremental_shards(spark, export_path: str) -> DataFrame:
         return base
     inc = inc.withColumn("shard_id", F.col("shard_id").cast("long"))
     return base.unionByName(inc.select(*base.columns))
+
+
+def streaming_domain_filter(
+    stream: DataFrame,
+    stats: DataFrame,
+    url_col: str = "url",
+    min_docs: int = 1,
+    min_mean_quality: float | None = None,
+    max_dup_rate: float | None = None,
+    blocklist: tuple[str, ...] = (),
+) -> DataFrame:
+    """Domain-reputation gate at ingest — the fit-offline /
+    apply-at-ingest twin of ``curation.domain_filter`` (the importance-
+    scoring / LM-scoring / bloom-decontamination pattern): ``stats`` is
+    a PRECOMPUTED ``domain_stats`` frame (batch job over the corpus so
+    far — domain reputation moves slowly, refreshing it is a periodic
+    batch concern, not per-batch state), broadcast as the keep-list;
+    each micro-batch row gets its ``domain`` and ``domain_kept`` flag
+    through the exact batch expression tree, so stream and batch
+    provably agree row-for-row (tested). Stateless beyond the source
+    checkpoint."""
+    from token_etl_spark.operators.curation import domain_filter
+
+    return domain_filter(
+        stream,
+        stats,
+        url_col=url_col,
+        min_docs=min_docs,
+        min_mean_quality=min_mean_quality,
+        max_dup_rate=max_dup_rate,
+        blocklist=blocklist,
+    )
