@@ -12,11 +12,16 @@ import pytest
 
 from token_etl_spark.operators.text import extract_html_text
 
+# trim runs BEFORE entity decode (the engine's _strip_tags order — a
+# decode-then-trim oracle diverges on &nbsp;-padded blocks), and the
+# whitespace collapse uses the explicit ASCII class (Java \s includes
+# \x0b/\f, RE2 \s does not) — both parity-review-found r11
 _STRIP = (
-    "trim(replace(replace(replace(replace(replace(replace("
-    "regexp_replace(regexp_replace({col}, '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g'),"
+    "replace(replace(replace(replace(replace(replace("
+    "trim(regexp_replace(regexp_replace({col}, '<[^>]*>', ' ', 'g'),"
+    " '[ \t\r\n\x0b\f]+', ' ', 'g')),"
     "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', chr(39)), "
-    "'&nbsp;', ' '), '&amp;', '&'))"
+    "'&nbsp;', ' '), '&amp;', '&')"
 )
 
 SQL_HTML_EXTRACT = rf"""
@@ -30,7 +35,7 @@ WITH cleaned AS (
 flat AS (
   SELECT doc_id, string_split(
     regexp_replace(regexp_replace(t, '[\r\n\t]+', ' ', 'g'),
-      '(?i)</?(p|div|br|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|td|th|table|section|article|header|footer|blockquote|nav|aside|form|figure)(\s[^>]*)?/?>',
+      '(?i)</?(p|div|br|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|td|th|table|section|article|header|footer|blockquote|nav|aside|form|figure)([ \t\r\n\x0b\f][^>]*)?/?>',
       chr(10), 'g'), chr(10)) AS bl
   FROM cleaned),
 blocks AS (
@@ -39,7 +44,7 @@ feats AS (
   SELECT doc_id, pos,
     {_STRIP.format(col='b')} AS txt,
     coalesce(list_sum(list_transform(
-      regexp_extract_all(b, '(?is)<a(\s[^>]*)?>(.*?)</a>', 2),
+      regexp_extract_all(b, '(?is)<a([ \t\r\n\x0b\f][^>]*)?>(.*?)</a>', 2),
       a -> length({_STRIP.format(col='a')})
     )), 0) AS anchor_chars
   FROM blocks),
@@ -95,6 +100,11 @@ which keeps this block over the minimum length threshold comfortably.</p>
     ),
     (6, "para A words\r\n\r\n<p>A second real block long enough to keep here today.</p>"),
     (7, ""),
+    # parity-review counterexamples: &nbsp;-padded blocks (trim-vs-
+    # decode ordering) and vertical-tab whitespace (the \s dialect gap)
+    (8, "<td>&nbsp;</td><p>A real paragraph long enough to clear the gate follows here.</p>"),
+    (9, "<p>&nbsp;&nbsp;Leading nbsp then a long enough paragraph to keep around.</p>"),
+    (10, "a\x0bb " * 10),
 ]
 
 

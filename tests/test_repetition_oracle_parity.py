@@ -19,7 +19,7 @@ _TOKS = (
 SQL_REPETITION_SIGNALS = rf"""
 WITH du AS (
   SELECT doc_id, unnest(list_filter(string_split_regex(text, '\r?\n'),
-    x -> NOT regexp_matches(x, '^\s*$'))) AS u FROM documents),
+    x -> NOT regexp_matches(x, '^[ \t\r\n\x0b\f]*$'))) AS u FROM documents),
 dl AS (
   SELECT doc_id, coalesce(sum(c - 1)::DOUBLE / sum(c), 0.0) AS dup_line_frac,
          coalesce(sum((c - 1) * length(u))::DOUBLE
@@ -27,7 +27,7 @@ dl AS (
   FROM (SELECT doc_id, u, count(*) AS c FROM du GROUP BY 1, 2) GROUP BY doc_id),
 pu AS (
   SELECT doc_id, unnest(list_filter(string_split_regex(text, '(?:\r?\n){{2,}}'),
-    x -> NOT regexp_matches(x, '^\s*$'))) AS u FROM documents),
+    x -> NOT regexp_matches(x, '^[ \t\r\n\x0b\f]*$'))) AS u FROM documents),
 dp AS (
   SELECT doc_id, coalesce(sum(c - 1)::DOUBLE / sum(c), 0.0) AS dup_para_frac,
          coalesce(sum((c - 1) * length(u))::DOUBLE
@@ -77,6 +77,9 @@ _FIXTURES = [
     (5, "a b a c a b a c"),  # exact top-2-gram tie
     (6, "para A words\r\n\r\npara B words\r\n\r\npara A words"),  # CRLF
     (7, "the unique tokens appear once only here today"),
+    # the \s dialect gap: a vertical-tab 'line' must be blank-filtered
+    # identically on both engines (parity-review-found r11)
+    (8, "dup line\n \x0b \ndup line"),
 ]
 
 _COLS = [

@@ -884,9 +884,10 @@ _HTML_COMMENT = r"(?s)<!--.*?-->"
 # treated as a match — review-found bug class r11
 _HTML_BLOCK_TAGS = (
     r"(?i)</?(p|div|br|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|td|th|table|section"
-    r"|article|header|footer|blockquote|nav|aside|form|figure)(\s[^>]*)?/?>"
+    r"|article|header|footer|blockquote|nav|aside|form|figure)"
+    r"([ \t\r\n\x0b\f][^>]*)?/?>"
 )
-_HTML_ANCHOR = r"(?is)<a(\s[^>]*)?>(.*?)</a>"
+_HTML_ANCHOR = r"(?is)<a([ \t\r\n\x0b\f][^>]*)?>(.*?)</a>"
 _HTML_ANY_TAG = r"<[^>]*>"
 
 
@@ -906,10 +907,18 @@ def _html_entity_decode(c: Column) -> Column:
     return c
 
 
+#: explicit ASCII whitespace class for cross-dialect regexes: Java's
+#: \s includes \x0b/\f while RE2's does not, so any oracle-replayed
+#: pattern must spell the class out (parity-review-found r11)
+_WS = "[ \t\r\n\x0b\f]"
+
+
 def _strip_tags(c: Column) -> Column:
     return _html_entity_decode(
         F.trim(
-            F.regexp_replace(F.regexp_replace(c, _HTML_ANY_TAG, " "), r"\s+", " ")
+            F.regexp_replace(
+                F.regexp_replace(c, _HTML_ANY_TAG, " "), _WS + "+", " "
+            )
         )
     )
 
@@ -1064,7 +1073,9 @@ def repetition_signals(
     )
 
     def dup_stats(units: Column, frac_name: str, char_name: str) -> DataFrame:
-        blank = r"^\s*$"
+        # explicit ASCII class, not \s — the RE2/Java \x0b gap
+        # (parity-review-found r11)
+        blank = r"^[ \t\r\n\x0b\f]*$"
         u = df.select(
             doc,
             F.explode(
