@@ -618,5 +618,12 @@ def test_domain_filter_blocklist_validation(spark):
     stats = domain_stats(df)
     with pytest.raises(ValueError, match="not a registered"):
         domain_filter(df, stats, blocklist=("tracker.evil.com",))
+    # the refusal message must NOT propose a public-suffix-looking
+    # replacement: suggesting 'co.uk' for a ccSLD entry would blocklist
+    # every .co.uk domain under the lite rule (ADVICE r11)
+    with pytest.raises(ValueError, match="no safe whole-domain"):
+        domain_filter(df, stats, blocklist=("tracker.evil.co.uk",))
+    with pytest.raises(ValueError, match="pass 'evil.com'"):
+        domain_filter(df, stats, blocklist=("tracker.evil.com",))
     ok = domain_filter(df, stats, blocklist=("evil.com",))
     assert ok.where("domain_kept").count() == 0

@@ -18,7 +18,7 @@ WITH hostx AS (
       regexp_extract(
         regexp_extract(regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
                        '^([^/?#]+)', 1),
-        '^(?:[^/@]*@)?([^:]+)', 1),
+        '^(?:.*@)?([^:]+)', 1),
       '\.$', '')) AS host
   FROM docs),
 dom AS (
@@ -45,6 +45,7 @@ _FIXTURES = (
         (72, "https://example.com./path", 0.5, True),        # trailing dot
         (73, "localhost", 0.5, False),                       # non-registrable
         (74, None, 0.5, False),                              # NULL url
+        (75, "https://a@b@spam.net/x", 0.5, False),          # multi-'@' (last wins)
     ]
 )
 
@@ -71,6 +72,6 @@ def test_domain_stats_oracle_parity(spark):
     }
     assert got == exp
     # the extraction edge cases actually landed where they should
-    assert got["spam.net"][0] == 11      # userinfo URL counted to spam.net
+    assert got["spam.net"][0] == 12      # userinfo + multi-'@' count to spam.net
     assert "93.184.216.34" in got        # IPv4 grouped whole
     assert got["example.com"][0] == 1    # trailing dot normalized

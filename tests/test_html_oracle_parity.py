@@ -12,16 +12,18 @@ import pytest
 
 from token_etl_spark.operators.text import extract_html_text
 
-# trim runs BEFORE entity decode (the engine's _strip_tags order — a
-# decode-then-trim oracle diverges on &nbsp;-padded blocks), and the
-# whitespace collapse uses the explicit ASCII class (Java \s includes
-# \x0b/\f, RE2 \s does not) — both parity-review-found r11
+# entity decode runs BEFORE the whitespace collapse/trim (the engine's
+# _strip_tags order since the ADVICE r11 fix — a decoded '&nbsp;' folds
+# into the single-space normalization), and the whitespace collapse
+# uses the explicit ASCII class (Java \s includes \x0b/\f, RE2 \s does
+# not) — parity-review-found r11
 _STRIP = (
+    "trim(regexp_replace("
     "replace(replace(replace(replace(replace(replace("
-    "trim(regexp_replace(regexp_replace({col}, '<[^>]*>', ' ', 'g'),"
-    " '[ \t\r\n\x0b\f]+', ' ', 'g')),"
+    "regexp_replace({col}, '<[^>]*>', ' ', 'g'),"
     "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', chr(39)), "
-    "'&nbsp;', ' '), '&amp;', '&')"
+    "'&nbsp;', ' '), '&amp;', '&'),"
+    " '[ \t\r\n\x0b\f]+', ' ', 'g'))"
 )
 
 SQL_HTML_EXTRACT = rf"""

@@ -584,3 +584,35 @@ def test_gopher_gates_compose_without_losing_rejections(spark):
     assert not got[1]["keep"] and "too_few_words" in got[1]["reject_reasons"]
     assert not got[2]["keep"] and "dup_line_frac" in got[2]["reject_reasons"]
     assert got[3]["keep"] and got[3]["reject_reasons"] == ""
+
+
+def test_gopher_repetition_filter_reapplication(spark):
+    """Re-applying the repetition gate to its own output must not blow
+    up on ambiguous signal columns (ADVICE r11): stale signal copies
+    drop and recompute, and the gate decision is idempotent."""
+    from token_etl_spark.operators.text import gopher_repetition_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "the spam line is here today ok\n" * 20),
+            (
+                2,
+                "the quick brown fox jumps over a lazy dog while seven "
+                "other animals watch quietly from the distant hillside "
+                "and a gentle evening breeze carries birdsong across the "
+                "meadow toward an old stone bridge where children count "
+                "fireflies beside the slow river under a clear autumn sky",
+            ),
+        ],
+        ["doc_id", "text"],
+    )
+    once = gopher_repetition_filter(df)
+    twice = gopher_repetition_filter(once)
+    assert sorted(once.columns) == sorted(twice.columns)
+    g1 = {r["doc_id"]: (r["keep"], r["reject_reasons"]) for r in once.collect()}
+    g2 = {r["doc_id"]: (r["keep"], r["reject_reasons"]) for r in twice.collect()}
+    assert g1[2] == g2[2] == (True, "")
+    assert not g2[1][0]
+    # the re-application merges the prior rejection with the recomputed
+    # one — reasons accumulate but keep stays False
+    assert "dup_line_frac" in g2[1][1]

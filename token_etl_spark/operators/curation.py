@@ -1539,11 +1539,14 @@ def registered_domain(url: Column | str) -> Column:
         r"^([^/?#]+)",
         1,
     )
-    # strip userinfo (anything through the last '@'), then the port,
-    # then any trailing dot (FQDN spelling)
+    # strip userinfo (anything through the LAST '@' — greedy .* is safe
+    # because the authority contains no '/', and a lazy/charclass form
+    # stops at the FIRST '@', leaking 'b@host' from a malformed
+    # 'a@b@host'; ADVICE r11), then the port, then any trailing dot
+    # (FQDN spelling)
     host = F.lower(
         F.regexp_replace(
-            F.regexp_extract(authority, r"^(?:[^/@]*@)?([^:]+)", 1),
+            F.regexp_extract(authority, r"^(?:.*@)?([^:]+)", 1),
             r"\.$",
             "",
         )
@@ -1620,11 +1623,23 @@ def domain_filter(
         labels = b.lower().rstrip(".").split(".")
         is_ip = len(labels) == 4 and all(x.isdigit() for x in labels)
         if not is_ip and len(labels) != 2:
+            # only propose the trailing two labels when they don't look
+            # like a public suffix themselves — for 'tracker.evil.co.uk'
+            # suggesting 'co.uk' would blocklist every .co.uk domain
+            # under the lite rule (ADVICE r11; both-labels-≤3-chars is
+            # the cheap ccSLD heuristic)
+            tail = ".".join(labels[-2:])
+            looks_public_suffix = all(len(x) <= 3 for x in labels[-2:])
+            hint = (
+                " — the trailing two labels look like a public suffix,"
+                " so there is no safe whole-domain replacement to suggest"
+                if looks_public_suffix
+                else f" — pass {tail!r} to block the whole domain"
+            )
             raise ValueError(
                 f"domain_filter blocklist entry {b!r} is not a registered"
                 " domain under the public-suffix-lite rule (exactly two"
-                " labels, or a whole IPv4 address) — pass"
-                f" {'.'.join(labels[-2:])!r} to block the whole domain"
+                f" labels, or a whole IPv4 address){hint}"
             )
     keep = F.col("n_docs") >= int(min_docs)
     if min_mean_quality is not None:

@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -2146,10 +2147,12 @@ def random_projection_pandas(
         * float(np.sqrt(s / k))
     )  # dim × k
 
+    # Build the StructType directly — a simpleString DDL round-trip
+    # breaks on nested struct/map field names that need quoting (the
+    # asof_join/route_to_shards bug class, ADVICE r11)
     fields = [f for f in df.schema.fields if f.name != out_col]
-    out_schema = (
-        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in fields)
-        + f", `{out_col}` array<double>"
+    out_schema = T.StructType(
+        [*fields, T.StructField(out_col, T.ArrayType(T.DoubleType()))]
     )
 
     def project(batches):

@@ -914,11 +914,16 @@ _WS = "[ \t\r\n\x0b\f]"
 
 
 def _strip_tags(c: Column) -> Column:
-    return _html_entity_decode(
-        F.trim(
-            F.regexp_replace(
-                F.regexp_replace(c, _HTML_ANY_TAG, " "), _WS + "+", " "
-            )
+    # entities decode BEFORE the whitespace collapse/trim so a decoded
+    # '&nbsp;' folds into the single-space normalization instead of
+    # leaving doubled or leading/trailing spaces (ADVICE r11); '&amp;'
+    # still decodes last inside _html_entity_decode, preserving the
+    # one-level rule
+    return F.trim(
+        F.regexp_replace(
+            _html_entity_decode(F.regexp_replace(c, _HTML_ANY_TAG, " ")),
+            _WS + "+",
+            " ",
         )
     )
 
@@ -1219,7 +1224,15 @@ def gopher_repetition_filter(
         "_prior_keep", prior_keep
     )
     sig = repetition_signals(df, text_col=text_col, id_col=id_col)
-    out = staged.drop("reject_reasons", "keep").join(sig, id_col, "left")
+    # also drop any pre-existing signal columns (a prior
+    # repetition_signals/gopher_repetition_filter pass) before joining
+    # sig — otherwise re-application fails with ambiguous references
+    # (ADVICE r11); the fresh signals are recomputed from text, so
+    # dropping the stale copies loses nothing
+    signal_cols = [c for c, _ in GOPHER_REPETITION_RULES]
+    out = staged.drop("reject_reasons", "keep", *signal_cols).join(
+        sig, id_col, "left"
+    )
     rep_reasons = F.array_join(
         F.filter(
             F.array(
