@@ -1,39 +1,18 @@
-"""Cross-engine parity for domain_stats — the planned r12 driver row's
-oracle, proven ahead of declaration (the html/repetition-parity
-pattern): SQL_DOMAIN_STATS replays registered_domain's full extraction
-(userinfo strip, port strip, trailing-dot normalization, IPv4-whole
-rule, NULL for non-registrable) and the share/quality/dup aggregates
-in DuckDB. Round 12 lifts this SQL into plans/ as `ext_domain_stats`."""
+"""Cross-engine parity for domain_stats on adversarial fixtures
+(userinfo strip, multi-'@', port strip, trailing-dot normalization,
+IPv4-whole rule, NULL for non-registrable). The SQL is the SHARED
+oracle builder from plans/curation.py — the same one the
+`ext_domain_stats` driver row declares — so engine and oracle cannot
+drift."""
 
 from __future__ import annotations
 
 import duckdb
 
 from token_etl_spark.operators.curation import domain_stats
+from token_etl_spark.plans.curation import sql_domain_stats
 
-SQL_DOMAIN_STATS = r"""
-WITH hostx AS (
-  SELECT doc_id, q, is_dup,
-    lower(regexp_replace(
-      regexp_extract(
-        regexp_extract(regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
-                       '^([^/?#]+)', 1),
-        '^(?:.*@)?([^:]+)', 1),
-      '\.$', '')) AS host
-  FROM docs),
-dom AS (
-  SELECT doc_id, q, is_dup,
-    CASE WHEN regexp_matches(host, '^[0-9]{1,3}(\.[0-9]{1,3}){3}$') THEN host
-         ELSE nullif(regexp_extract(host, '([^.]+\.[^.]+)$', 1), '') END AS domain
-  FROM hostx),
-stats AS (
-  SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
-         avg(q) AS mean_quality, avg(is_dup::INT) AS dup_rate
-  FROM dom WHERE domain IS NOT NULL GROUP BY domain),
-tot AS (SELECT sum(n_docs) AS t FROM stats)
-SELECT domain, n_docs, n_docs::DOUBLE / t AS doc_share, mean_quality, dup_rate
-FROM stats CROSS JOIN tot ORDER BY domain
-"""
+SQL_DOMAIN_STATS = sql_domain_stats()
 
 _FIXTURES = (
     [(i, f"https://a.good.com/{i}", 0.9, False) for i in range(40)]

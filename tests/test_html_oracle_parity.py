@@ -1,9 +1,8 @@
-"""Cross-engine parity for extract_html_text — the r12 driver row's
-oracle, proven ahead of declaration: SQL_HTML_EXTRACT replays the
-extraction in DuckDB byte-for-byte (blocks, anchor chars, Unicode
-alpha gate, entity decode, NULL degrade, block ORDER). Round 12 lifts
-this SQL into plans/ as `ext_html_extract` (ROADMAP carry item); until
-then this test keeps engine and oracle from drifting."""
+"""Cross-engine parity for extract_html_text on adversarial fixtures
+(blocks, anchor chars, Unicode alpha gate, entity decode, NULL
+degrade, block ORDER). The SQL is the SHARED oracle builder from
+plans/curation.py — the same one the `ext_html_extract` driver row
+declares — so engine and oracle cannot drift."""
 
 from __future__ import annotations
 
@@ -11,65 +10,9 @@ import duckdb
 import pytest
 
 from token_etl_spark.operators.text import extract_html_text
+from token_etl_spark.plans.curation import sql_html_extract
 
-# entity decode runs BEFORE the whitespace collapse/trim (the engine's
-# _strip_tags order since the ADVICE r11 fix — a decoded '&nbsp;' folds
-# into the single-space normalization), and the whitespace collapse
-# uses the explicit ASCII class (Java \s includes \x0b/\f, RE2 \s does
-# not) — parity-review-found r11
-_STRIP = (
-    "trim(regexp_replace("
-    "replace(replace(replace(replace(replace(replace("
-    "regexp_replace({col}, '<[^>]*>', ' ', 'g'),"
-    "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', chr(39)), "
-    "'&nbsp;', ' '), '&amp;', '&'),"
-    " '[ \t\r\n\x0b\f]+', ' ', 'g'))"
-)
-
-SQL_HTML_EXTRACT = rf"""
-WITH cleaned AS (
-  SELECT doc_id,
-    regexp_replace(regexp_replace(regexp_replace(text,
-      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-      '(?s)<!--.*?-->', ' ', 'g') AS t
-  FROM documents),
-flat AS (
-  SELECT doc_id, string_split(
-    regexp_replace(regexp_replace(t, '[\r\n\t]+', ' ', 'g'),
-      '(?i)</?(p|div|br|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|td|th|table|section|article|header|footer|blockquote|nav|aside|form|figure)([ \t\r\n\x0b\f][^>]*)?/?>',
-      chr(10), 'g'), chr(10)) AS bl
-  FROM cleaned),
-blocks AS (
-  SELECT doc_id, unnest(range(1, len(bl) + 1)) AS pos, unnest(bl) AS b FROM flat),
-feats AS (
-  SELECT doc_id, pos,
-    {_STRIP.format(col='b')} AS txt,
-    coalesce(list_sum(list_transform(
-      regexp_extract_all(b, '(?is)<a([ \t\r\n\x0b\f][^>]*)?>(.*?)</a>', 2),
-      a -> length({_STRIP.format(col='a')})
-    )), 0) AS anchor_chars
-  FROM blocks),
-f2 AS (
-  SELECT doc_id, pos, txt, anchor_chars, length(txt) AS tlen,
-         length(regexp_replace(txt, '[^\p{{L}}\p{{N}}]', '', 'g')) AS alpha
-  FROM feats WHERE length(txt) > 0),
-kept AS (
-  SELECT * FROM f2
-  WHERE tlen >= 30 AND anchor_chars <= 0.35 * tlen AND alpha >= 0.5 * tlen),
-agg AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept_blocks,
-         string_agg(txt, chr(10) ORDER BY pos) AS extracted
-  FROM kept GROUP BY doc_id),
-nb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks FROM f2 GROUP BY doc_id)
-SELECT d.doc_id,
-  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(nb.n_blocks, 0) END AS n_blocks,
-  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(a.n_kept_blocks, 0) END AS n_kept_blocks,
-  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(a.extracted, '') END AS extracted,
-  CASE WHEN d.text IS NULL THEN NULL ELSE length(coalesce(a.extracted, '')) END AS extracted_chars
-FROM documents d LEFT JOIN agg a USING (doc_id) LEFT JOIN nb USING (doc_id)
-ORDER BY doc_id
-"""
+SQL_HTML_EXTRACT = sql_html_extract()
 
 _FIXTURES = [
     (

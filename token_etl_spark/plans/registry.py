@@ -24,7 +24,40 @@ from token_etl_spark.plans.base import QuerySpec
 # the first 50 names in dict order). Ordering is therefore a verification
 # decision, not cosmetics.
 #
-# ROUND-11 ROTATION (last-green histogram after r10, computed directly
+# ROUND-12 ROTATION (last-green histogram after r11, recomputed from
+# the CORRECTNESS_r{01..11}.json keys: r11=50, r10=50, r9=50, r8=50 —
+# matching the r11 VERDICT's recount exactly). The window is:
+#   1. The 3 queries NEW this round — ext_html_extract,
+#      ext_repetition_signals, ext_domain_stats: the crawl-ingest tier
+#      (HTML boilerplate extraction, the completed Gopher repetition
+#      suite, the domain-reputation gate). Each oracle was proven as a
+#      byte-exact parity test in r11 (tests/test_{html,repetition,
+#      domain}_oracle_parity.py, which now IMPORT the shared builders
+#      from plans/curation.py) and each hash-matched locally at all
+#      three SFs; every new query enters the window in its birth round.
+#   2. ext_ann_ivf_kmeans and ext_ann_ivf FIRST among stale: their
+#      shared oracle builder (_kmeans_cte_members) grew a corpus_sql
+#      parameter in r11, and the r11 rationale below MISSTATED
+#      ext_ann_ivf_kmeans as "r10-green" — it was last driver-green in
+#      r8 (the r11 VERDICT's bookkeeping correction; verified against
+#      CORRECTNESS_r09/r10/r11, where it appears in none). The
+#      displacement itself was sound (md5-pinned byte-identical SQL,
+#      sweep-green), but a row whose builder changed must not go a
+#      fourth round without a driver row.
+#   3. 45 more of the 50 r8-stale rows (the r11 VERDICT item-1 list),
+#      float-scoring rows first (margin/quality/weight/calibration
+#      scores, cosine/jaccard scorers, sketch estimates, ratio
+#      reports), then the integer/md5-pinned remainder. The 3 that do
+#      not fit — rel_full_outer, rel_grouping_sets, rel_bloom_join,
+#      the lowest-dtype-risk integer-exact relational rows — stay
+#      sweep-green and lead the r13 rotation.
+# Displaced: the r9/r10/r11-green window occupants — all still covered
+# by the 203-query local three-SF sweep.
+#
+# ROUND-11 ROTATION (kept for the audit trail; NOTE the bookkeeping
+# error in item 3 below: "both r10-green" is wrong for
+# ext_ann_ivf_kmeans, which was last driver-green in r8 — corrected in
+# the ROUND-12 rationale above; last-green histogram after r10, computed directly
 # from the CORRECTNESS_r{01..10}.json keys: r10=50, r9=50, r8=50, r7=46
 # — matching the r10 VERDICT's recount exactly). The window is:
 #   1. The 2 queries NEW this round — ext_ann_ivf_retrain (the
@@ -253,62 +286,66 @@ from token_etl_spark.plans.base import QuerySpec
 #      md5-pinned plans with the lowest dtype risk; they pass the
 #      local three-SF sweep and rotate into r8.
 _PRIORITY_NAMES = [
-    # new in round 11
-    "ext_ann_ivf_retrain",
-    "ext_index_health",
-    # r7-stale: float-scoring rows first (highest dtype risk — cosine/
-    # PQ-distance scorers, jaccard ratios, gradient training, RRF and
-    # quality scores, z-score/MAD screens)
-    "ext_ann_bruteforce",
-    "ext_ann_ivfpq",
-    "ext_ann_ivfpq_rerank",
-    "ext_ann_ivfpq_residual",
-    "ext_ann_lsh",
-    "ext_ann_lsh_multiprobe",
-    "ext_ann_pq",
-    "ext_ann_quantized",
-    "ext_knn_label_noise",
-    "ext_semantic_dedup",
-    "ext_semantic_dedup_probe2",
-    "ext_prototypicality",
-    "ext_d4_select",
-    "ext_linear_probe",
-    "ext_hybrid_rrf",
-    "ext_minhash_neardup",
-    "ext_weighted_neardup",
-    "ext_dedup_keep_best",
-    "ext_cluster_safe_split",
-    "rel_fuzzy_match_capped",
-    "ext_ngram_novelty",
-    "ext_bpe_fertility",
-    "evt_anomaly_zscore",
-    "evt_anomaly_robust",
-    "ext_winnow_overlap",
-    # r7-stale: the integer/md5-pinned remainder
-    "evt_funnel",
-    "evt_funnel_reach",
-    "ext_bpe_encode",
-    "ext_bpe_merges",
-    "ext_cdc_chunks",
-    "ext_line_dedup",
-    "ext_stratified_sample",
-    "ext_tokenized_pack",
-    "ext_url_canonicalize",
-    "ext_winnowing",
-    "rel_array_membership",
-    "rel_cube_counts",
-    "rel_dapp_registry",
-    "rel_date_parts",
-    "rel_enrich_transfers",
-    "rel_except_nations",
-    "rel_intersect_nations",
-    "rel_rollup_counts",
-    "rel_sql_api",
-    "rel_transfer_keys",
-    "rel_upsert_latest",
-    # new late in round 11 (the former spare slots — rationale item 3)
-    "ext_random_projection",
-    "ext_shard_manifest",
+    # new in round 12 (the crawl-ingest tier, oracles proven in r11)
+    "ext_html_extract",
+    "ext_repetition_signals",
+    "ext_domain_stats",
+    # r8-stale head: shared oracle builder changed in r11 + the r11
+    # rationale misstated ext_ann_ivf_kmeans's freshness (see above)
+    "ext_ann_ivf_kmeans",
+    "ext_ann_ivf",
+    # r8-stale: float-scoring rows first (highest dtype risk — margin/
+    # quality/weight/calibration scores, cosine/jaccard scorers,
+    # sketch estimates, ratio reports)
+    "ext_ann_lsh_margin",
+    "ext_lm_quality",
+    "ext_importance_weights",
+    "ext_score_calibration",
+    "ext_embedding_neardup",
+    "ext_embedding_outliers",
+    "ext_knn_label_noise_ivf",
+    "ext_hll_distinct",
+    "ext_kmv_overlap",
+    "ext_histogram_quantiles",
+    "evt_rollup_hll_users",
+    "evt_rollup_merge_read",
+    "ext_countmin_freqs",
+    "ext_tfidf_terms",
+    "ext_bm25_topk",
+    "ext_data_quality",
+    "ext_dup_inflation",
+    "ext_ngram_jaccard",
+    "ext_text_langid",
+    "ext_repetition_stats",
+    "ext_text_stats",
+    "ext_simhash_neardup",
+    "ext_source_overlap_matrix",
+    "ext_dedup_audit_sample",
+    "rel_skew_profile",
+    "rel_token_metadata_dim",
+    # r8-stale: the integer/md5-pinned remainder
+    "ext_dedup_exact",
+    "ext_dedup_keep_list",
+    "ext_crossdoc_line_dedup",
+    "ext_simhash",
+    "ext_snapshot_diff",
+    "ext_text_fingerprint",
+    "ext_text_normalize",
+    "ext_token_budget",
+    "ext_token_estimate",
+    "ext_top_tokens",
+    "ext_url_dedup",
+    "ext_vocab_growth",
+    "ext_minhash_clusters",
+    "ext_dup_spans",
+    "ext_dup_span_rewrite",
+    "ext_bloom_decontaminate",
+    "ext_multimodal_meta",
+    "rel_salted_agg",
+    "rel_salted_join",
+    # carries to r13 (did not fit): rel_full_outer, rel_grouping_sets,
+    # rel_bloom_join — integer-exact relational rows, lowest dtype
+    # risk, sweep-green; they lead the r13 rotation.
 ]
 
 _MODULE_ORDER: list[QuerySpec] = [
