@@ -595,6 +595,42 @@ def test_route_to_shards_empty_manifest_raises(spark):
         route_to_shards(df, man).collect()
 
 
+def test_split_shard_rows_token_midpoint_and_fallback(spark):
+    """split_shard_rows: the boundary is the first document STARTING at
+    or past half the shard's tokens; a giant trailing document (no
+    interior start past the midpoint) falls back to the doc-count
+    midpoint; both halves are always non-empty for n >= 2."""
+    from token_etl_spark.operators.curation import split_shard_rows
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "ord_key string, n_tokens long")
+
+    # tokens 10,10,10,10 → total 40, midpoint 20 → rows 3,4 move
+    even = mk([(f"k{i}", 10) for i in range(1, 5)])
+    got = {
+        r["ord_key"]: r["shard_id"]
+        for r in split_shard_rows(even, 7, 99).collect()
+    }
+    assert got == {"k1": 7, "k2": 7, "k3": 99, "k4": 99}
+
+    # giant trailing doc: starts at 10 < 55 = total/2 → no token
+    # boundary → doc-count midpoint (n=2 → second row moves)
+    giant = mk([("a", 10), ("b", 100)])
+    got = {
+        r["ord_key"]: r["shard_id"]
+        for r in split_shard_rows(giant, 7, 99).collect()
+    }
+    assert got == {"a": 7, "b": 99}
+
+    # giant LEADING doc: row 2 starts at 100 >= 55 → token boundary
+    lead = mk([("a", 100), ("b", 10)])
+    got = {
+        r["ord_key"]: r["shard_id"]
+        for r in split_shard_rows(lead, 7, 99).collect()
+    }
+    assert got == {"a": 7, "b": 99}
+
+
 def test_assign_shards_null_key_raises(spark):
     """A NULL key must fail loudly in BOTH cumsum paths — the two-phase
     offsets join used to silently drop the row — review-found r11."""

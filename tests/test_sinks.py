@@ -525,3 +525,256 @@ def test_export_shards_end_to_end(spark, sf_dir, tmp_path):
     manifest2 = export_shards(spark, docs, out2, tokens_per_shard=1000)
     assert manifest.exceptAll(manifest2).count() == 0
     assert manifest2.exceptAll(manifest).count() == 0
+
+
+def _largest_shard(manifest_rows):
+    """(shard_id, row) of the most-token shard with >= 2 docs, ties to
+    the smallest id — a deterministic split target."""
+    eligible = [r for r in manifest_rows if r["n_docs"] >= 2]
+    return max(eligible, key=lambda r: (r["shard_tokens"], -r["shard_id"]))
+
+
+def test_split_shard_preserves_routing_and_data(spark, sf_dir, tmp_path):
+    """split_shard: lossless, range-disjoint, routing-stable — docs
+    outside the split range route identically before and after; docs
+    inside land in the half their key falls in; only the target shard's
+    files are rewritten."""
+    import glob
+
+    from token_etl_spark.io.sinks import export_shards, split_shard
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.operators.curation import route_to_shards
+    from token_etl_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = str(tmp_path / "split_export")
+    # localCheckpoint: the pre-split manifest is consulted again AFTER
+    # the swap replaces its files — pin the rows, not the path
+    before = export_shards(spark, docs, out, tokens_per_shard=1000).localCheckpoint()
+    before_rows = before.collect()
+    target = _largest_shard(before_rows)
+    sid = target["shard_id"]
+    untouched_files = {
+        r["shard_id"]: sorted(glob.glob(f"{out}/data/shard_id={r['shard_id']}/*.parquet"))
+        for r in before_rows
+        if r["shard_id"] != sid
+    }
+
+    after = split_shard(spark, out, sid)
+    after_rows = {r["shard_id"]: r for r in after.collect()}
+    new_sid = max(after_rows)
+    assert new_sid == max(r["shard_id"] for r in before_rows) + 1
+    assert len(after_rows) == len(before_rows) + 1
+
+    # the two halves conserve the original shard exactly and both are
+    # non-empty; every other manifest row is untouched
+    old_half, new_half = after_rows[sid], after_rows[new_sid]
+    assert old_half["n_docs"] >= 1 and new_half["n_docs"] >= 1
+    assert old_half["n_docs"] + new_half["n_docs"] == target["n_docs"]
+    assert old_half["shard_tokens"] + new_half["shard_tokens"] == target["shard_tokens"]
+    assert old_half["first_key"] == target["first_key"]
+    assert new_half["last_key"] == target["last_key"]
+    for r in before_rows:
+        if r["shard_id"] != sid:
+            a = after_rows[r["shard_id"]]
+            assert (a["n_docs"], a["shard_tokens"], a["first_key"], a["last_key"]) == (
+                r["n_docs"], r["shard_tokens"], r["first_key"], r["last_key"]
+            )
+
+    # ranges disjoint and ordered
+    ordered = sorted(after_rows.values(), key=lambda r: r["first_key"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["last_key"] < b["first_key"]
+
+    # routing round-trip: outside the split range nothing moves; inside,
+    # docs land in the half whose range claims them
+    tagged = docs.withColumn("n_tokens", token_count(F.col("text")).cast("long"))
+    r_before = {
+        r["doc_id"]: (r["shard_id"], r["ord_key"])
+        for r in route_to_shards(tagged, before).collect()
+    }
+    r_after = {r["doc_id"]: r["shard_id"] for r in route_to_shards(tagged, after).collect()}
+    boundary = new_half["first_key"]
+    for did, (s_b, key) in r_before.items():
+        if s_b != sid:
+            assert r_after[did] == s_b, did
+        else:
+            assert r_after[did] == (new_sid if key >= boundary else sid), did
+    assert sum(1 for s in r_after.values() if s == new_sid) == new_half["n_docs"]
+
+    # data tree: lossless, one file per half, rewritten only the target
+    back = spark.read.parquet(f"{out}/data")
+    assert back.count() == docs.count()
+    for s in (sid, new_sid):
+        files = glob.glob(f"{out}/data/shard_id={s}/*.parquet")
+        assert len(files) == 1, (s, files)
+    for s, files in untouched_files.items():
+        assert sorted(glob.glob(f"{out}/data/shard_id={s}/*.parquet")) == files
+    # the rows in each half agree with the manifest ranges
+    for s, half in ((sid, old_half), (new_sid, new_half)):
+        keys = [
+            r["ord_key"]
+            for r in spark.read.parquet(f"{out}/data/shard_id={s}").collect()
+        ]
+        assert len(keys) == half["n_docs"]
+        assert min(keys) == half["first_key"] and max(keys) == half["last_key"]
+    # no staging residue
+    assert not glob.glob(f"{out}.staging-shards*")
+
+
+def test_split_shard_refusals(spark, tmp_path):
+    """Unknown shards and 1-document shards refuse loudly (no document
+    is ever cut)."""
+    import pytest
+
+    from token_etl_spark.io.sinks import split_shard
+
+    out = str(tmp_path / "tiny_export")
+    spark.createDataFrame(
+        [(1, "only doc", "aa" * 16, 5)],
+        "doc_id long, text string, ord_key string, n_tokens long",
+    ).write.parquet(f"{out}/data/shard_id=0")
+    spark.createDataFrame(
+        [(0, 1, 5, "aa" * 16, "aa" * 16)],
+        "shard_id long, n_docs long, shard_tokens long, first_key string, last_key string",
+    ).write.parquet(f"{out}/manifest")
+    with pytest.raises(ValueError, match="not in the manifest"):
+        split_shard(spark, out, 99)
+    with pytest.raises(ValueError, match="single document"):
+        split_shard(spark, out, 0)
+
+
+def test_split_shard_crash_heals(spark, sf_dir, tmp_path, monkeypatch):
+    """The staged split commit survives a crash at both crash points:
+    before the marker the staging is discarded (retry recomputes),
+    after the marker the heal finishes the commit — and the combined
+    reader runs the heal itself."""
+    import glob
+
+    import token_etl_spark.io.sinks as sinks
+    from token_etl_spark.io.sinks import export_shards, split_shard
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.streaming.curation import read_incremental_shards
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = str(tmp_path / "heal_split")
+    before = export_shards(spark, docs, out, tokens_per_shard=1000)
+    before_rows = before.collect()
+    sid = _largest_shard(before_rows)["shard_id"]
+
+    # crash AFTER the marker, before any rename: _apply becomes a no-op
+    real_apply = sinks._apply_shard_layout
+    monkeypatch.setattr(sinks, "_apply_shard_layout", lambda *a, **k: None)
+    try:
+        split_shard(spark, out, sid)
+    finally:
+        monkeypatch.setattr(sinks, "_apply_shard_layout", real_apply)
+    # nothing committed yet; staging holds the marker
+    assert len(spark.read.parquet(f"{out}/manifest").collect()) == len(before_rows)
+    assert glob.glob(f"{out}.staging-shards/_LAYOUT_COMMITTED")
+
+    # the combined reader heals and serves the post-split layout
+    combined = read_incremental_shards(spark, out)
+    assert combined.count() == docs.count()
+    healed = spark.read.parquet(f"{out}/manifest")
+    assert healed.count() == len(before_rows) + 1
+    assert not glob.glob(f"{out}.staging-shards*")
+
+    # a marker-LESS staging (crash mid-write) is discarded, layout intact
+    import os
+
+    os.makedirs(f"{out}.staging-shards/shard_id=12345", exist_ok=True)
+    with open(f"{out}.staging-shards/shard_id=12345/junk", "w") as f:
+        f.write("partial")
+    sinks._heal_shard_layout(spark, out)
+    assert not glob.glob(f"{out}.staging-shards*")
+    assert not glob.glob(f"{out}/data/shard_id=12345")
+    assert spark.read.parquet(f"{out}/manifest").count() == len(before_rows) + 1
+
+
+def test_compact_then_split_incremental_layout(spark, sf_dir, tmp_path):
+    """compact_incremental_shards folds stream increments into the base
+    tree (one file per touched shard, manifest recomputed, incoming/
+    dropped, untouched shards' bytes unmoved); split_shard refuses
+    while increments exist for the target shard and succeeds after
+    compaction."""
+    import glob
+
+    import pytest
+
+    from token_etl_spark.io.sinks import (
+        compact_incremental_shards,
+        export_shards,
+        split_shard,
+    )
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.streaming.curation import (
+        _route_sink_batch,
+        read_incremental_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base_docs = docs.where(F.col("doc_id") % 2 == 0)
+    new_docs = docs.where(F.col("doc_id") % 2 == 1)
+    out = str(tmp_path / "compact_export")
+    export_shards(spark, base_docs, out, tokens_per_shard=500)
+
+    _route_sink_batch(new_docs, out, "feed-0", "doc_id", None, "text", "s0")
+    combined_before = {
+        (r["doc_id"], r["shard_id"])
+        for r in read_incremental_shards(spark, out).collect()
+    }
+    inc_sids = sorted(
+        int(p.rsplit("=", 1)[1])
+        for p in glob.glob(f"{out}/incoming/batch_id=*/shard_id=*")
+    )
+    # a shard with increments refuses to split until compaction
+    manifest_rows = spark.read.parquet(f"{out}/manifest").collect()
+    routed_target = next(
+        r["shard_id"] for r in manifest_rows
+        if r["shard_id"] in inc_sids and r["n_docs"] >= 2
+    )
+    with pytest.raises(ValueError, match="compact_incremental_shards"):
+        split_shard(spark, out, routed_target)
+
+    untouched = [
+        r["shard_id"] for r in manifest_rows if r["shard_id"] not in inc_sids
+    ]
+    untouched_files = {
+        s: sorted(glob.glob(f"{out}/data/shard_id={s}/*.parquet")) for s in untouched
+    }
+    after = compact_incremental_shards(spark, out)
+    # incoming gone, combined view identical, served from data/ alone
+    assert not glob.glob(f"{out}/incoming")
+    combined_after = {
+        (r["doc_id"], r["shard_id"])
+        for r in read_incremental_shards(spark, out).collect()
+    }
+    assert combined_after == combined_before
+    # manifest matches the folded data exactly
+    from token_etl_spark.operators.curation import shard_manifest
+
+    data = spark.read.parquet(f"{out}/data").withColumn(
+        "shard_id", F.col("shard_id").cast("long")
+    )
+    exp = {r["shard_id"]: r for r in shard_manifest(data).collect()}
+    got = {r["shard_id"]: r for r in after.collect()}
+    assert set(got) == set(exp)
+    for s in got:
+        assert (got[s]["n_docs"], got[s]["shard_tokens"], got[s]["first_key"], got[s]["last_key"]) == (
+            exp[s]["n_docs"], exp[s]["shard_tokens"], exp[s]["first_key"], exp[s]["last_key"]
+        )
+    # touched shards: one file; untouched shards: bytes unmoved
+    for s in inc_sids:
+        assert len(glob.glob(f"{out}/data/shard_id={s}/*.parquet")) == 1
+    for s, files in untouched_files.items():
+        assert sorted(glob.glob(f"{out}/data/shard_id={s}/*.parquet")) == files
+    # idempotent no-op when nothing is pending
+    again = compact_incremental_shards(spark, out)
+    assert again.exceptAll(after).count() == 0
+    after_count = after.count()
+
+    # and the formerly-refused shard now splits cleanly
+    post = split_shard(spark, out, routed_target)
+    assert post.count() == after_count + 1
+    assert spark.read.parquet(f"{out}/data").count() == docs.count()

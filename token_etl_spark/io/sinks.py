@@ -618,3 +618,210 @@ def export_shards(
         "key_col string, seed string, tokens_per_shard long",
     ).write.mode("overwrite").parquet(f"{path}/params")
     return spark.read.parquet(f"{path}/manifest")
+
+
+# ---------------------------------------------------------------------------
+# shard-layout maintenance: split + incremental compaction
+#
+# Both actions rewrite a SMALL set of shard dirs plus the manifest, so
+# they share one staged-commit protocol: stage complete replacement
+# shard dirs and a complete replacement manifest under
+# ``<path>.staging-shards``, write the ``_LAYOUT_COMMITTED`` marker
+# only after every staged write returned, then rename each staged item
+# into place and drop the staging root. A crash before the marker
+# discards the staging (the caller retries); a crash after it is
+# finished by ``_heal_shard_layout`` — run at the start of every
+# maintenance action AND by the combined reader, so the one non-atomic
+# window (between individual renames) self-heals on next touch, the
+# same contract as the IVF index swap. Single-writer, like every state
+# sink here.
+
+_STAGING_SHARDS = ".staging-shards"
+_SHARD_COMMIT_MARKER = "_LAYOUT_COMMITTED"
+_DROP_INCOMING_FLAG = "_DROP_INCOMING"
+
+
+def _touch_marker(spark: SparkSession, file_path: str) -> None:
+    fs, hpath = _bucket_fs(spark, file_path)
+    fs.create(hpath(file_path), True).close()
+
+
+def _apply_shard_layout(spark: SparkSession, path: str) -> None:
+    """Perform (or re-perform, after a crash) the staged shard-layout
+    commit: every staged ``shard_id=N`` dir replaces its counterpart
+    under ``data/``, the staged manifest replaces ``manifest/``, the
+    ``incoming/`` tree drops iff the staging carries the flag, and the
+    staging root is removed. Each rename consumes its staged item, so
+    re-running after any crash point is idempotent."""
+    base = path.rstrip("/")
+    root = base + _STAGING_SHARDS
+    fs, hpath = _bucket_fs(spark, path)
+    sp = hpath(root)
+    for st in fs.listStatus(sp):
+        name = st.getPath().getName()
+        if name.startswith("shard_id="):
+            dst = hpath(f"{base}/data/{name}")
+            if fs.exists(dst):
+                fs.delete(dst, True)
+            if not fs.rename(st.getPath(), dst):
+                raise IOError(f"shard layout commit failed: {name} -> {base}/data")
+    man_src = hpath(root + "/manifest")
+    if fs.exists(man_src):
+        dst = hpath(base + "/manifest")
+        if fs.exists(dst):
+            fs.delete(dst, True)
+        if not fs.rename(man_src, dst):
+            raise IOError(f"shard layout commit failed: manifest -> {base}")
+    if fs.exists(hpath(root + "/" + _DROP_INCOMING_FLAG)):
+        _delete_dir(spark, base + "/incoming")
+    fs.delete(sp, True)
+
+
+def _heal_shard_layout(spark: SparkSession, path: str) -> None:
+    """Crash recovery for the shard-layout commit: a staging root WITH
+    the ``_LAYOUT_COMMITTED`` marker is finished (the commit only starts
+    after every staged write returned), one without it is discarded —
+    the interrupted caller retries from scratch."""
+    root = path.rstrip("/") + _STAGING_SHARDS
+    fs, hpath = _bucket_fs(spark, path)
+    if not fs.exists(hpath(root)):
+        return
+    if fs.exists(hpath(root + "/" + _SHARD_COMMIT_MARKER)):
+        _apply_shard_layout(spark, path)
+    else:
+        fs.delete(hpath(root), True)
+
+
+def split_shard(spark: SparkSession, path: str, shard_id: int) -> DataFrame:
+    """Split one over-budget shard's key range in two — the maintenance
+    lever the range-sharding discipline promises (``route_to_shards``:
+    "shards grow until the owner splits them"; a hot range — a crawl
+    revisiting one site — would otherwise grow one shard without
+    bound). Manifest-local decision, shard-local I/O: ONLY the target
+    shard's rows are read and rewritten (two halves, one file each,
+    ``ord_key``-sorted — the export layout), every other shard's bytes
+    are untouched, and the updated manifest swaps in atomically via the
+    staged-commit protocol above.
+
+    The split point is :func:`~token_etl_spark.operators.curation.
+    split_shard_rows` (token-balanced, document-count fallback); the
+    second half takes ``max(shard_id) + 1`` — routing is by key RANGE
+    (greatest ``first_key`` <= key), so shard ids are labels and need
+    not stay contiguous. Ranges stay disjoint and ordered by
+    construction: the new shard's ``first_key`` is the boundary
+    document's key, strictly after every first-half key.
+
+    Contract: quiesced stream, compacted layout — stream increments
+    routed under the OLD range carry the old shard label, so splitting
+    a shard that still has rows under ``incoming/`` would strand them;
+    the call refuses and points at
+    :func:`compact_incremental_shards`. Documents OUTSIDE the split
+    range route identically before and after (pinned in
+    tests/test_sinks.py); documents inside land in the half their key
+    falls in.
+
+    Returns the post-split manifest read back from disk.
+    """
+    from token_etl_spark.operators.curation import shard_manifest, split_shard_rows
+
+    base = path.rstrip("/")
+    _heal_shard_layout(spark, path)
+    manifest = spark.read.parquet(f"{base}/manifest")
+    target = manifest.where(F.col("shard_id") == int(shard_id)).collect()
+    if not target:
+        raise ValueError(
+            f"split_shard: shard {shard_id} is not in the manifest at {path}"
+        )
+    if target[0]["n_docs"] < 2:
+        raise ValueError(
+            f"split_shard: shard {shard_id} holds a single document — no "
+            "document is ever cut, so a 1-document shard cannot split"
+        )
+    fs, hpath = _bucket_fs(spark, path)
+    incp = hpath(f"{base}/incoming")
+    if fs.exists(incp):
+        for st in fs.listStatus(incp):
+            if st.isDirectory() and fs.exists(
+                hpath(f"{st.getPath().toString()}/shard_id={int(shard_id)}")
+            ):
+                raise ValueError(
+                    f"split_shard: shard {shard_id} has stream increments "
+                    "under incoming/ — run compact_incremental_shards first "
+                    "(splitting now would strand their old-range labels)"
+                )
+    new_sid = int(manifest.agg(F.max("shard_id")).collect()[0][0]) + 1
+    shard_rows = spark.read.parquet(f"{base}/data/shard_id={int(shard_id)}")
+    halves = split_shard_rows(shard_rows, int(shard_id), new_sid)
+
+    staging = base + _STAGING_SHARDS
+    _delete_dir(spark, staging)
+    for sid in (int(shard_id), new_sid):
+        (
+            halves.where(F.col("shard_id") == sid)
+            .drop("shard_id")
+            .repartition(1)
+            .sortWithinPartitions("ord_key")
+            .write.mode("overwrite")
+            .parquet(f"{staging}/shard_id={sid}")
+        )
+    new_manifest = manifest.where(F.col("shard_id") != int(shard_id)).unionByName(
+        shard_manifest(halves).select(manifest.columns)
+    )
+    new_manifest.write.mode("overwrite").parquet(f"{staging}/manifest")
+    _touch_marker(spark, f"{staging}/{_SHARD_COMMIT_MARKER}")
+    _apply_shard_layout(spark, path)
+    return spark.read.parquet(f"{base}/manifest")
+
+
+def compact_incremental_shards(spark: SparkSession, path: str) -> DataFrame:
+    """Fold every stream-routed increment (``incoming/``, written by
+    ``run_streaming_shard_router``) into the base ``data/`` tree: each
+    TOUCHED shard's dir rewrites as one ``ord_key``-sorted file holding
+    base + increment rows, the manifest rows for touched shards
+    recompute (counts, token totals, ranges — a prepend can extend a
+    range downward), untouched shards' bytes never move, and the
+    ``incoming/`` tree drops in the same staged commit. This is the
+    pass that restores the one-file-per-shard export layout after a
+    streaming window — and the precondition :func:`split_shard`
+    enforces. Quiesced-stream contract: the router must not be writing
+    concurrently (single-writer, like every state sink here).
+
+    Returns the post-compaction manifest read back from disk; no-op
+    (current manifest) when there are no increments.
+    """
+    from token_etl_spark.operators.curation import shard_manifest
+    from token_etl_spark.streaming.dedup import _read_partitioned_state
+
+    base = path.rstrip("/")
+    _heal_shard_layout(spark, path)
+    inc = _read_partitioned_state(spark, f"{base}/incoming")
+    if inc is None:
+        return spark.read.parquet(f"{base}/manifest")
+    inc = inc.withColumn("shard_id", F.col("shard_id").cast("long"))
+    touched = sorted(r[0] for r in inc.select("shard_id").distinct().collect())
+    manifest = spark.read.parquet(f"{base}/manifest")
+    base_data = spark.read.parquet(f"{base}/data").withColumn(
+        "shard_id", F.col("shard_id").cast("long")
+    )
+    merged = base_data.where(F.col("shard_id").isin(touched)).unionByName(
+        inc.select(*base_data.columns)
+    )
+    staging = base + _STAGING_SHARDS
+    _delete_dir(spark, staging)
+    # co-partition before partitionBy (the r10 splay rule): one task —
+    # one file — per touched shard, rows in ord_key order
+    (
+        merged.repartition("shard_id")
+        .sortWithinPartitions("shard_id", "ord_key")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(staging)
+    )
+    new_manifest = manifest.where(~F.col("shard_id").isin(touched)).unionByName(
+        shard_manifest(merged).select(manifest.columns)
+    )
+    new_manifest.write.mode("overwrite").parquet(f"{staging}/manifest")
+    _touch_marker(spark, f"{staging}/{_DROP_INCOMING_FLAG}")
+    _touch_marker(spark, f"{staging}/{_SHARD_COMMIT_MARKER}")
+    _apply_shard_layout(spark, path)
+    return spark.read.parquet(f"{base}/manifest")

@@ -1511,6 +1511,88 @@ def route_to_shards(
     return routed.select(*cols, "shard_id")
 
 
+def split_shard_rows(
+    rows: DataFrame, shard_id: int | Column, new_shard_id: int | Column
+) -> DataFrame:
+    """Pure split arithmetic over ONE shard's rows — the range decision
+    behind :func:`token_etl_spark.io.sinks.split_shard` (the lever
+    ``route_to_shards``' range-sharding discipline promises: "shards
+    grow until the owner splits them").
+
+    Rows stay in the md5-tape order (``ord_key``, ``n_tokens`` — the
+    assign_shards tiebreak), the shard-local token cumsum finds the
+    first document that STARTS at or past half the shard's tokens (the
+    same keep-the-boundary-crosser convention as ``assign_shards``),
+    and everything from that document on moves to ``new_shard_id``.
+    When no interior document starts past the midpoint (one giant
+    trailing document owns most of the tape), the split falls back to
+    the document-count midpoint — deterministic either way, and both
+    halves are guaranteed non-empty for ``n_docs >= 2``. A 1-document
+    shard cannot split (no document is ever cut); the caller refuses.
+
+    Scale: the windows here are UNPARTITIONED by design — a shard is
+    bounded at ~tokens_per_shard by construction, so this is the
+    bounded-frame exception (the 256-row bucket-total rule), never a
+    corpus-wide sort. The two scalar aggregates ride broadcast 1-row
+    cross joins.
+
+    Returns the rows with a replaced ``shard_id`` column. The two ids
+    accept plain ints (the sink path) or Columns already on ``rows``
+    (the fully-declarative path the ``ext_shard_split`` oracle replays).
+    """
+    old_sid = (
+        F.lit(int(shard_id)).cast("long")
+        if isinstance(shard_id, int)
+        else shard_id
+    )
+    new_sid = (
+        F.lit(int(new_shard_id)).cast("long")
+        if isinstance(new_shard_id, int)
+        else new_shard_id
+    )
+    w_ord = Window.orderBy("ord_key", "n_tokens")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r = (
+        rows.drop("shard_id")
+        .withColumn("_rn", F.row_number().over(w_ord))
+        .withColumn("_cum", F.sum("n_tokens").over(w_cum))
+    )
+    tot = r.agg(
+        F.max("_cum").alias("_tot"), F.count("*").cast("long").alias("_n")
+    )
+    # boundary row = first row whose start offset (cum - n_tokens)
+    # reaches half the shard; rn > 1 keeps the first half non-empty
+    bound = (
+        r.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min(
+                F.when(
+                    # 2*start >= total, in integers — no double division
+                    # anywhere near a boundary decision (the vocab_growth
+                    # rule), and trivially oracle-replayable
+                    ((F.col("_cum") - F.col("n_tokens")) * 2 >= F.col("_tot"))
+                    & (F.col("_rn") > 1),
+                    F.col("_rn"),
+                )
+            ).alias("_token_bound"),
+            (F.first("_n") / 2).cast("long").alias("_mid"),
+        )
+        .select(
+            F.coalesce(F.col("_token_bound"), F.col("_mid") + 1).alias("_bound")
+        )
+    )
+    return (
+        r.crossJoin(F.broadcast(bound))
+        .withColumn(
+            "shard_id",
+            F.when(F.col("_rn") >= F.col("_bound"), new_sid)
+            .otherwise(old_sid)
+            .cast("long"),
+        )
+        .drop("_rn", "_cum", "_bound")
+    )
+
+
 # ---------------------------------------------------------------------------
 # domain-level reputation gate (crawl curation tier above the document)
 

@@ -919,6 +919,98 @@ FROM a GROUP BY shard_id
 """
 
 
+def q_shard_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard split arithmetic (operators/curation.split_shard_rows —
+    the range decision behind io/sinks.split_shard, the maintenance
+    lever route_to_shards' range-sharding discipline promises): the
+    manifest's most-token splittable shard (>= 2 docs, ties to the
+    smallest id) splits at the first document that starts at or past
+    half its tokens, the second half takes max(shard_id) + 1, and the
+    post-split manifest is emitted. Fully declarative — the target
+    shard and the new id are 1-row broadcast frames, the split window
+    runs over ONE shard's rows (bounded by construction), and every
+    boundary comparison is integer arithmetic, so the oracle replays
+    the cumsum, the 2*start >= total midpoint rule, the doc-count
+    fallback, and the manifest stitch exactly."""
+    docs = t(spark, sf_dir, "documents")
+    assigned = C.assign_shards(docs, tokens_per_shard=1000).select(
+        "ord_key", "n_tokens", "shard_id"
+    )
+    manifest = C.shard_manifest(assigned)
+    tgt = (
+        manifest.where(F.col("n_docs") >= 2)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("shard_tokens"), (-F.col("shard_id")).alias("_neg")
+                )
+            ).alias("_m")
+        )
+        .select((-F.col("_m._neg")).cast("long").alias("_tsid"))
+    )
+    mx = manifest.agg((F.max("shard_id") + 1).cast("long").alias("_new_sid"))
+    rows = (
+        assigned.crossJoin(F.broadcast(tgt))
+        .where(F.col("shard_id") == F.col("_tsid"))
+        .crossJoin(F.broadcast(mx))
+    )
+    halves = C.split_shard_rows(rows, F.col("_tsid"), F.col("_new_sid")).drop(
+        "_tsid", "_new_sid"
+    )
+    untouched = manifest.join(
+        F.broadcast(tgt), manifest.shard_id == tgt._tsid, "left_anti"
+    )
+    return untouched.unionByName(C.shard_manifest(halves))
+
+
+SQL_SHARD_SPLIT = f"""
+WITH base AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR) || 's0') AS k
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens, k,
+         CAST(sum(n_tokens) OVER (ORDER BY k, n_tokens
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM base),
+a AS (
+  SELECT doc_id, n_tokens, k, CAST((cum - n_tokens) // 1000 AS BIGINT) AS shard_id FROM c),
+man AS (
+  SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+         min(k) AS first_key, max(k) AS last_key
+  FROM a GROUP BY shard_id),
+tgt AS (
+  SELECT shard_id AS tsid FROM man WHERE n_docs >= 2
+  ORDER BY shard_tokens DESC, shard_id ASC LIMIT 1),
+mx AS (SELECT CAST(max(shard_id) + 1 AS BIGINT) AS new_sid FROM man),
+r AS (
+  SELECT a.n_tokens, a.k, tgt.tsid,
+         row_number() OVER (ORDER BY a.k, a.n_tokens) AS rn,
+         CAST(sum(a.n_tokens) OVER (ORDER BY a.k, a.n_tokens
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2
+  FROM a JOIN tgt ON a.shard_id = tgt.tsid),
+t2 AS (SELECT max(cum2) AS tot, CAST(count(*) AS BIGINT) AS n FROM r),
+b AS (
+  SELECT coalesce(
+           min(CASE WHEN (cum2 - n_tokens) * 2 >= tot AND rn > 1 THEN rn END),
+           min(n) // 2 + 1) AS bound
+  FROM r CROSS JOIN t2),
+halves AS (
+  SELECT CAST(CASE WHEN rn >= bound THEN new_sid ELSE tsid END AS BIGINT) AS shard_id,
+         n_tokens, k
+  FROM r CROSS JOIN b CROSS JOIN mx),
+split_man AS (
+  SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+         min(k) AS first_key, max(k) AS last_key
+  FROM halves GROUP BY shard_id)
+SELECT * FROM man WHERE shard_id NOT IN (SELECT tsid FROM tgt)
+UNION ALL
+SELECT * FROM split_man
+"""
+
+
 _UP_WEIGHTS = {"src0": 2.5, "src1": 0.4, "src3": 3.0}
 
 
@@ -1465,6 +1557,7 @@ SPECS = [
 MIX_SPECS = [
     QuerySpec("ext_token_budget", q_token_budget, SQL_TOKEN_BUDGET, ("curation", "window")),
     QuerySpec("ext_shard_manifest", q_shard_manifest, SQL_SHARD_MANIFEST, ("curation", "window", "sink")),
+    QuerySpec("ext_shard_split", q_shard_split, SQL_SHARD_SPLIT, ("curation", "window", "sink")),
     QuerySpec("ext_epoch_upsample", q_epoch_upsample, SQL_EPOCH_UPSAMPLE, ("curation",)),
     QuerySpec("ext_mixture_manifest", q_mixture_manifest, SQL_MIXTURE_MANIFEST, ("curation", "pipeline", "window")),
     QuerySpec("ext_mixture_full", q_mixture_full, SQL_MIXTURE_FULL, ("curation", "pipeline", "window", "sketch")),

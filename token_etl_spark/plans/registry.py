@@ -44,13 +44,21 @@ from token_etl_spark.plans.base import QuerySpec
 #      displacement itself was sound (md5-pinned byte-identical SQL,
 #      sweep-green), but a row whose builder changed must not go a
 #      fourth round without a driver row.
-#   3. 45 more of the 50 r8-stale rows (the r11 VERDICT item-1 list),
+#   3. ext_shard_split, NEW mid-round: the shard split/rebalance lever
+#      (VERDICT r11 item 2 — the maintenance action route_to_shards'
+#      docstring promises). The plan drives split_shard_rows — the
+#      exact arithmetic io/sinks.split_shard commits — through the
+#      fully-declarative path; birth-round rule again. It takes the
+#      slot of ext_multimodal_meta (integer/md5-pinned; its decode
+#      paths got their own driver rows in r9/r10 via the pixels/audio/
+#      headers rows), which becomes the 4th named carry.
+#   4. 44 more of the 50 r8-stale rows (the r11 VERDICT item-1 list),
 #      float-scoring rows first (margin/quality/weight/calibration
 #      scores, cosine/jaccard scorers, sketch estimates, ratio
-#      reports), then the integer/md5-pinned remainder. The 3 that do
+#      reports), then the integer/md5-pinned remainder. The 4 that do
 #      not fit — rel_full_outer, rel_grouping_sets, rel_bloom_join,
-#      the lowest-dtype-risk integer-exact relational rows — stay
-#      sweep-green and lead the r13 rotation.
+#      ext_multimodal_meta, the lowest-dtype-risk integer/md5-pinned
+#      rows — stay sweep-green and lead the r13 rotation.
 # Displaced: the r9/r10/r11-green window occupants — all still covered
 # by the 203-query local three-SF sweep.
 #
@@ -290,6 +298,8 @@ _PRIORITY_NAMES = [
     "ext_html_extract",
     "ext_repetition_signals",
     "ext_domain_stats",
+    # new mid-round 12: the shard split lever's arithmetic
+    "ext_shard_split",
     # r8-stale head: shared oracle builder changed in r11 + the r11
     # rationale misstated ext_ann_ivf_kmeans's freshness (see above)
     "ext_ann_ivf_kmeans",
@@ -340,12 +350,11 @@ _PRIORITY_NAMES = [
     "ext_dup_spans",
     "ext_dup_span_rewrite",
     "ext_bloom_decontaminate",
-    "ext_multimodal_meta",
     "rel_salted_agg",
     "rel_salted_join",
     # carries to r13 (did not fit): rel_full_outer, rel_grouping_sets,
-    # rel_bloom_join — integer-exact relational rows, lowest dtype
-    # risk, sweep-green; they lead the r13 rotation.
+    # rel_bloom_join, ext_multimodal_meta — integer/md5-pinned rows,
+    # lowest dtype risk, sweep-green; they lead the r13 rotation.
 ]
 
 _MODULE_ORDER: list[QuerySpec] = [

@@ -1221,8 +1221,13 @@ def read_incremental_shards(spark, export_path: str) -> DataFrame:
     writers share: document columns + ``ord_key``, ``n_tokens``,
     ``shard_id``. Missing ``incoming/`` (no stream ran yet) serves the
     base alone."""
+    from token_etl_spark.io.sinks import _heal_shard_layout
     from token_etl_spark.streaming.dedup import _read_partitioned_state
 
+    # finish any crash-interrupted split/compaction first (the marker-
+    # gated staged commit): readers self-heal the one non-atomic window,
+    # the same contract as the embedding-index readers (r11)
+    _heal_shard_layout(spark, export_path)
     base = spark.read.parquet(f"{export_path.rstrip('/')}/data").withColumn(
         "shard_id", F.col("shard_id").cast("long")
     )
