@@ -197,3 +197,28 @@ def test_cli_shards(spark, sf_dir, tmp_path, capsys):
     data = spark.read.parquet(f"{out}/data")
     assert man.count() > 1
     assert data.count() == spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+
+def test_cli_corpus_ingest_flags(spark, tmp_path):
+    """--extract-html/--url-col/--repetition-filter drive the crawl-
+    ingest tier end-to-end from the CLI."""
+    chrome = '<html><body><nav><a href="/">Home</a> <a href="/a">About page</a></nav>'
+    docs = spark.createDataFrame(
+        [
+            (0, chrome + "<p>the quick brown fox jumps over a lazy dog while "
+                "seven animals watch quietly from the distant hillside at "
+                "dusk</p></body></html>", "https://good.com/0"),
+            (1, chrome + "<p>" + "the spam line is here today ok " * 20
+                + "</p></body></html>", "https://good.com/1"),
+        ],
+        "doc_id long, text string, url string",
+    )
+    docs.write.parquet(str(tmp_path / "crawl"))
+    cli.main(
+        ["corpus", "--documents", str(tmp_path / "crawl"),
+         "--out", str(tmp_path / "ingest_dec"),
+         "--extract-html", "--url-col", "url", "--repetition-filter"]
+    )
+    d = {r.doc_id: r for r in spark.read.parquet(str(tmp_path / "ingest_dec")).collect()}
+    assert d[0].keep and d[0].domain_kept and d[0].passed_repetition
+    assert not d[1].keep and not d[1].passed_repetition

@@ -122,3 +122,120 @@ def test_prepare_corpus_span_stage(spark):
     # default path ignores the stage entirely
     base = {r.doc_id: r for r in prepare_corpus(df, min_tokens=5).collect()}
     assert base[2].passed_quality and base[2].is_exact_dup
+
+
+_CHROME = (
+    '<html><head><style>body { color: red; }</style>'
+    '<script>var nav = "<div>menu</div>";</script></head>'
+    '<body><nav><a href="/">Home</a> <a href="/a">About us page</a></nav>'
+)
+_NAVFARM = "<p>" + " ".join(
+    f'<a href="/c{i}">rather long category link number {i}</a>' for i in range(12)
+) + "</p>"
+_FOOT = '<footer><a href="/t">Terms</a></footer></body></html>'
+
+_PROSE = {
+    0: "the quick brown fox jumps over a lazy dog while seven other animals "
+       "watch quietly from the distant hillside and a gentle evening breeze "
+       "carries birdsong across the meadow toward an old stone bridge",
+    1: "a different essay describes distributed query engines shuffling "
+       "records between executors while an optimizer prunes columns and "
+       "pushes filters down into columnar scans for every analytic workload",
+    2: "yet another passage narrates sailors charting coastal waters under "
+       "changing winds while gulls circle the harbor and fishermen mend "
+       "their nets beside weathered boats at dawn",
+    5: "this page carries genuine prose wrapped in heavy navigation chrome "
+       "that extraction must strip away so the clean sentence survives all "
+       "the quality and repetition gates without any trouble",
+}
+
+
+def test_prepare_corpus_crawl_ingest_composition(spark):
+    """extract_html → domain gate → repetition gate, composed: gates and
+    dedup key off the EXTRACTED text; a blocklisted domain's docs never
+    reach per-document compute (NULL later-stage columns); a
+    repetition-rejected doc never reaches digesting; link-farm chrome
+    alone never sinks a clean document."""
+    rows = [
+        (0, _CHROME + "<p>" + _PROSE[0] + "</p>" + _FOOT, "https://good.com/0"),
+        (1, _CHROME + "<p>" + _PROSE[1] + "</p>" + _FOOT, "https://good.com/1"),
+        (2, _CHROME + "<p>" + _PROSE[2] + "</p>" + _FOOT, "https://a.good.com/2"),
+        # blocklisted domain, otherwise-clean content
+        (3, _CHROME + "<p>" + _PROSE[0] + " entirely fresh words</p>" + _FOOT,
+         "https://spam.net/3"),
+        # repetition bomb in the extracted text
+        (4, _CHROME + "<p>" + "the spam line is here today ok " * 20 + "</p>" + _FOOT,
+         "https://good.com/4"),
+        # clean prose buried in a 12-anchor link farm
+        (5, _CHROME + _NAVFARM + "<p>" + _PROSE[5] + "</p>" + _NAVFARM + _FOOT,
+         "https://good.com/5"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    d = {
+        r["doc_id"]: r
+        for r in prepare_corpus(
+            docs,
+            extract_html=True,
+            url_col="url",
+            domain_blocklist=("spam.net",),
+            repetition_filter=True,
+        ).collect()
+    }
+    assert len(d) == 6
+    # clean docs on a clean domain survive the whole pipeline
+    for i in (0, 1, 2, 5):
+        assert d[i]["domain_kept"] and d[i]["passed_repetition"], i
+        assert d[i]["keep"], i
+    # blocklisted domain: dropped BEFORE per-document compute
+    assert not d[3]["domain_kept"] and not d[3]["keep"]
+    assert d[3]["n_tokens"] is None and d[3]["passed_repetition"] is None
+    # repetition bomb: domain-kept but gate-rejected before dedup
+    assert d[4]["domain_kept"] and not d[4]["passed_repetition"]
+    assert not d[4]["keep"] and d[4]["is_exact_dup"] is None
+    assert "gram_char_frac" in d[4]["repetition_reasons"]
+    # subdomain folded into the registered domain
+    assert d[2]["domain"] == "good.com"
+
+
+def test_prepare_corpus_domain_bounds_need_precomputed_stats(spark):
+    """Self-derived domain stats carry counts only — asking for the
+    quality/dup-rate bounds without a precomputed frame refuses."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(0, "plain prose with enough ordinary words here", "https://x.org/0")],
+        "doc_id long, text string, url string",
+    )
+    with pytest.raises(ValueError, match="precomputed domain_stats_frame"):
+        prepare_corpus(docs, url_col="url", min_domain_quality=0.5)
+
+
+def test_prepare_corpus_precomputed_domain_stats_bounds(spark):
+    """A precomputed reputation frame drives the quality bound: the
+    low-reputation domain's documents drop before any compute."""
+    from token_etl_spark.operators.curation import domain_stats
+
+    history = spark.createDataFrame(
+        [(i, f"https://good.com/{i}", 0.9) for i in range(5)]
+        + [(9 + i, f"https://lowq.org/{i}", 0.1) for i in range(5)],
+        "doc_id long, url string, q double",
+    )
+    stats = domain_stats(history, quality_col="q")
+    docs = spark.createDataFrame(
+        [
+            (0, "the first ordinary document carries plenty of plain words "
+                "arranged in an unremarkable but varied normal order", "https://good.com/a"),
+            (1, "the second ordinary document also carries plenty of rather "
+                "different plain words arranged some other varied way", "https://lowq.org/b"),
+        ],
+        "doc_id long, text string, url string",
+    )
+    d = {
+        r["doc_id"]: r
+        for r in prepare_corpus(
+            docs, url_col="url", domain_stats_frame=stats, min_domain_quality=0.5
+        ).collect()
+    }
+    assert d[0]["domain_kept"] and d[0]["keep"]
+    assert not d[1]["domain_kept"] and not d[1]["keep"]
+    assert d[1]["n_tokens"] is None

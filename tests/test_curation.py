@@ -627,3 +627,73 @@ def test_domain_filter_blocklist_validation(spark):
         domain_filter(df, stats, blocklist=("tracker.evil.com",))
     ok = domain_filter(df, stats, blocklist=("evil.com",))
     assert ok.where("domain_kept").count() == 0
+
+
+def test_with_registered_domain_psl_table(spark):
+    """The broadcast public-suffix path: ccTLD sites stop pooling
+    (bbc.co.uk != example.co.uk), a host that IS a suffix has no
+    registrable domain, unmatched hosts fall back to the lite rule,
+    and non-ccTLD hosts agree with the lite rule exactly."""
+    from token_etl_spark.operators.curation import with_registered_domain
+
+    suffixes = spark.createDataFrame(
+        [("com",), ("org",), ("net",), ("co.uk",), ("com.au",)], ["suffix"]
+    )
+    rows = [
+        (0, "https://www.bbc.co.uk/news"),
+        (1, "https://example.co.uk/x"),
+        (2, "https://news.bbc.co.uk/deep/path"),
+        (3, "https://co.uk/"),                       # host IS a suffix
+        (4, "https://www.example.com/a"),
+        (5, "https://some.weird.tld/b"),             # no table coverage
+        (6, "http://93.184.216.34/x"),               # IPv4 whole
+        (7, "https://shop.example.com.au/c"),        # 3-label suffix
+        (8, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r["doc_id"]: r["domain"]
+        for r in with_registered_domain(df, suffixes=suffixes).collect()
+    }
+    assert got[0] == "bbc.co.uk"
+    assert got[1] == "example.co.uk"
+    assert got[2] == "bbc.co.uk"
+    assert got[0] != got[1]                  # the ccTLD un-pooling
+    assert got[3] is None
+    assert got[4] == "example.com"
+    assert got[5] == "weird.tld"             # lite fallback
+    assert got[6] == "93.184.216.34"
+    assert got[7] == "example.com.au"
+    assert got[8] is None
+
+    # parity with lite wherever the lite rule is already right
+    from token_etl_spark.operators.curation import registered_domain
+
+    lite = {
+        r["doc_id"]: r["d"]
+        for r in df.select("doc_id", registered_domain("url").alias("d")).collect()
+    }
+    for did in (4, 5, 6, 8):
+        assert got[did] == lite[did]
+
+
+def test_domain_stats_and_filter_with_suffix_table(spark):
+    """domain_stats/domain_filter thread the suffix table through: the
+    two .co.uk sites get separate reputation rows, and a 3-label
+    blocklist entry is accepted under the precise path."""
+    from token_etl_spark.operators.curation import domain_filter, domain_stats
+
+    suffixes = spark.createDataFrame([("com",), ("co.uk",)], ["suffix"])
+    df = spark.createDataFrame(
+        [(i, f"https://www.bbc.co.uk/{i}") for i in range(4)]
+        + [(9, "https://evil.co.uk/x")],
+        "doc_id long, url string",
+    )
+    stats = domain_stats(df, suffixes=suffixes)
+    got = {r["domain"]: r["n_docs"] for r in stats.collect()}
+    assert got == {"bbc.co.uk": 4, "evil.co.uk": 1}
+    out = domain_filter(
+        df, stats, blocklist=("evil.co.uk",), suffixes=suffixes
+    )
+    kept = {r["doc_id"]: r["domain_kept"] for r in out.collect()}
+    assert kept[9] is False and all(kept[i] for i in range(4))

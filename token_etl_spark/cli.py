@@ -81,6 +81,30 @@ def main(argv: list[str] | None = None) -> None:
     cor.add_argument("--dedup-lines", action="store_true")
     cor.add_argument("--dedup-spans", action="store_true")
     cor.add_argument("--span-k", type=int, default=8)
+    cor.add_argument(
+        "--extract-html",
+        action="store_true",
+        help="run HTML boilerplate extraction FIRST — every downstream "
+        "stage keys off the extracted text, not the raw markup",
+    )
+    cor.add_argument(
+        "--url-col",
+        help="enable the domain-reputation gate on this URL column "
+        "(pruned domains never reach per-document compute)",
+    )
+    cor.add_argument(
+        "--domain-stats",
+        help="parquet path of a precomputed domain_stats frame "
+        "(required for the quality/dup-rate bounds)",
+    )
+    cor.add_argument("--domain-min-docs", type=int, default=1)
+    cor.add_argument("--min-domain-quality", type=float)
+    cor.add_argument("--max-domain-dup-rate", type=float)
+    cor.add_argument(
+        "--repetition-filter",
+        action="store_true",
+        help="apply the Gopher repetition gates before the dedup tiers",
+    )
 
     sem = sub.add_parser("semdedup")
     sem.add_argument("--embeddings", required=True)
@@ -306,6 +330,15 @@ def main(argv: list[str] | None = None) -> None:
             dedup_lines=args.dedup_lines,
             dedup_spans=args.dedup_spans,
             span_k=args.span_k,
+            extract_html=args.extract_html,
+            url_col=args.url_col,
+            domain_stats_frame=(
+                spark.read.parquet(args.domain_stats) if args.domain_stats else None
+            ),
+            domain_min_docs=args.domain_min_docs,
+            min_domain_quality=args.min_domain_quality,
+            max_domain_dup_rate=args.max_domain_dup_rate,
+            repetition_filter=args.repetition_filter,
         )
         write_parquet(decisions, args.out)
         for row in corpus_summary(spark.read.parquet(args.out)).collect():

@@ -32,10 +32,48 @@ def prepare_corpus(
     dedup_lines: bool = False,
     dedup_spans: bool = False,
     span_k: int = 8,
+    extract_html: bool = False,
+    url_col: str | None = None,
+    domain_stats_frame: DataFrame | None = None,
+    domain_min_docs: int = 1,
+    min_domain_quality: float | None = None,
+    max_domain_dup_rate: float | None = None,
+    domain_blocklist: tuple[str, ...] = (),
+    domain_suffixes: DataFrame | None = None,
+    repetition_filter: bool = False,
 ) -> DataFrame:
     """documents(doc_id, text, ...) → per-doc decision frame:
     (doc_id, n_tokens, est_tokens, passed_quality, is_exact_dup,
     is_near_dup, keep). ``keep`` docs form the training corpus.
+
+    CRAWL-INGEST TIER (off by default — the gate corpus is plain
+    prose), mirroring the streaming twins' declared order:
+
+    - ``extract_html=True`` runs boilerplate-stripping extraction
+      (``operators/text.extract_html_text``) FIRST: every downstream
+      stage — gates, digests, shingles — keys off the extracted text,
+      never the raw markup (the streaming_html_extract rule).
+    - ``url_col`` enables the domain-reputation gate
+      (``operators/curation.domain_filter``) BEFORE any per-document
+      compute: a pruned domain's documents never reach line/span
+      rewriting, quality scoring, or shingling — the FineWeb/
+      RefinedWeb discipline of spending nothing on a domain the gate
+      rejects. ``domain_stats_frame`` supplies a precomputed
+      reputation table (the streaming pattern: reputation moves
+      slowly); when omitted, it is computed from this corpus
+      (document counts only — the quality/dup-rate bounds then
+      require the precomputed frame). ``domain_suffixes`` threads a
+      public-suffix table through to the precise registered-domain
+      path (ccTLD sites stop pooling).
+    - ``repetition_filter=True`` applies the Gopher repetition gates
+      (``operators/text.gopher_repetition_filter``) on the extracted
+      text before the dedup tiers: a repetition-rejected document
+      never reaches digesting or shingling either.
+
+    Each enabled ingest gate adds its flag to the decision frame
+    (``domain_kept``, ``passed_repetition``); a document dropped by an
+    earlier gate carries NULL in later stages' columns (never
+    evaluated) and ``keep=False``.
 
     The near-dup stage DEFAULTS to the star-edge cluster form (linear
     LSH output; PERF.md "Giant-cluster dedup"): cluster sizes in a raw
@@ -69,6 +107,59 @@ def prepare_corpus(
     the normalized form — standard for corpus prep, but not a byte-
     preserving transform.
     """
+    # --- crawl-ingest tier (extraction → domain gate → repetition gate)
+    if extract_html:
+        from token_etl_spark.operators.text import extract_html_text
+
+        docs = (
+            extract_html_text(docs)
+            .withColumn("text", F.col("extracted"))
+            .drop(
+                "n_blocks", "n_kept_blocks", "html_chars", "extracted",
+                "extracted_chars",
+            )
+        )
+    all_ids = docs.select("doc_id")
+    domain_flags = None
+    if url_col is not None:
+        from token_etl_spark.operators.curation import domain_filter, domain_stats
+
+        stats = domain_stats_frame
+        if stats is None:
+            if min_domain_quality is not None or max_domain_dup_rate is not None:
+                raise ValueError(
+                    "min_domain_quality / max_domain_dup_rate need a "
+                    "precomputed domain_stats_frame carrying mean_quality/"
+                    "dup_rate — self-derived stats have document counts only"
+                )
+            stats = domain_stats(docs, url_col=url_col, suffixes=domain_suffixes)
+        flagged = domain_filter(
+            docs,
+            stats,
+            url_col=url_col,
+            min_docs=domain_min_docs,
+            min_mean_quality=min_domain_quality,
+            max_dup_rate=max_domain_dup_rate,
+            blocklist=domain_blocklist,
+            suffixes=domain_suffixes,
+        )
+        domain_flags = flagged.select("doc_id", "domain", "domain_kept")
+        # domain-rejected documents never reach per-document compute
+        docs = flagged.where(F.col("domain_kept")).select(
+            *[c for c in flagged.columns if c not in ("domain", "domain_kept")]
+        )
+    repetition_flags = None
+    if repetition_filter:
+        from token_etl_spark.operators.text import gopher_repetition_filter
+
+        rep = gopher_repetition_filter(docs)
+        repetition_flags = rep.select(
+            "doc_id",
+            F.col("keep").alias("passed_repetition"),
+            F.col("reject_reasons").alias("repetition_reasons"),
+        )
+        docs = rep.where(F.col("keep")).select(*docs.columns)
+
     if dedup_lines:
         docs = (
             line_dedup(docs)
@@ -137,6 +228,19 @@ def prepare_corpus(
         .select("doc_id", "n_tokens", "est_tokens", "passed_quality",
                 "is_exact_dup", "is_near_dup", "keep")
     )
+    if domain_flags is not None or repetition_flags is not None:
+        # re-anchor on the full id set: ingest-gate-dropped documents
+        # still get a decision row (keep=False, later-stage columns
+        # NULL — never evaluated), so the frame stays an accounting of
+        # EVERY input document
+        decisions = all_ids.join(decisions, "doc_id", "left")
+        keep = F.coalesce(F.col("keep"), F.lit(False))
+        if domain_flags is not None:
+            decisions = decisions.join(domain_flags, "doc_id", "left")
+            keep = keep & F.coalesce(F.col("domain_kept"), F.lit(False))
+        if repetition_flags is not None:
+            decisions = decisions.join(repetition_flags, "doc_id", "left")
+        decisions = decisions.withColumn("keep", keep)
     # Eager cut-point so the quality-stats cache can be released before
     # the result escapes (a lazy return would leak the persisted blocks
     # forever — same lifecycle bug fixed in minhash_dedup). The pipeline

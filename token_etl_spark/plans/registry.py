@@ -52,13 +52,20 @@ from token_etl_spark.plans.base import QuerySpec
 #      slot of ext_multimodal_meta (integer/md5-pinned; its decode
 #      paths got their own driver rows in r9/r10 via the pixels/audio/
 #      headers rows), which becomes the 4th named carry.
-#   4. 44 more of the 50 r8-stale rows (the r11 VERDICT item-1 list),
+#   4. ext_crawl_ingest, NEW late-round: the COMPOSED ingest tier
+#      (extraction → domain gate → repetition gate in prepare_corpus's
+#      declared order, one oracle chaining the three proven CTE
+#      replays). Birth-round rule; it takes ext_top_tokens's slot
+#      (integer explode+count whose shape the in-window ext_text_stats
+#      and ext_tfidf_terms exercise), the 5th named carry.
+#   5. 43 more of the 50 r8-stale rows (the r11 VERDICT item-1 list),
 #      float-scoring rows first (margin/quality/weight/calibration
 #      scores, cosine/jaccard scorers, sketch estimates, ratio
-#      reports), then the integer/md5-pinned remainder. The 4 that do
+#      reports), then the integer/md5-pinned remainder. The 5 that do
 #      not fit — rel_full_outer, rel_grouping_sets, rel_bloom_join,
-#      ext_multimodal_meta, the lowest-dtype-risk integer/md5-pinned
-#      rows — stay sweep-green and lead the r13 rotation.
+#      ext_multimodal_meta, ext_top_tokens, the lowest-dtype-risk
+#      integer/md5-pinned rows — stay sweep-green and lead the r13
+#      rotation.
 # Displaced: the r9/r10/r11-green window occupants — all still covered
 # by the 203-query local three-SF sweep.
 #
@@ -300,6 +307,8 @@ _PRIORITY_NAMES = [
     "ext_domain_stats",
     # new mid-round 12: the shard split lever's arithmetic
     "ext_shard_split",
+    # new late-round 12: the composed crawl-ingest tier
+    "ext_crawl_ingest",
     # r8-stale head: shared oracle builder changed in r11 + the r11
     # rationale misstated ext_ann_ivf_kmeans's freshness (see above)
     "ext_ann_ivf_kmeans",
@@ -343,7 +352,6 @@ _PRIORITY_NAMES = [
     "ext_text_normalize",
     "ext_token_budget",
     "ext_token_estimate",
-    "ext_top_tokens",
     "ext_url_dedup",
     "ext_vocab_growth",
     "ext_minhash_clusters",

@@ -1251,6 +1251,7 @@ def streaming_domain_filter(
     min_mean_quality: float | None = None,
     max_dup_rate: float | None = None,
     blocklist: tuple[str, ...] = (),
+    suffixes: DataFrame | None = None,
 ) -> DataFrame:
     """Domain-reputation gate at ingest — the fit-offline /
     apply-at-ingest twin of ``curation.domain_filter`` (the importance-
@@ -1272,4 +1273,5 @@ def streaming_domain_filter(
         min_mean_quality=min_mean_quality,
         max_dup_rate=max_dup_rate,
         blocklist=blocklist,
+        suffixes=suffixes,
     )
