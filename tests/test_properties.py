@@ -1116,3 +1116,83 @@ def test_pii_url_langid_never_crash_and_hold_invariants(spark, texts):
     }
     first = {r["doc_id"]: r["url"] for r in once.collect()}
     assert twice == first
+
+
+_ADVERSARIAL_HTMLISH = st.one_of(
+    _ADVERSARIAL_TEXT,
+    st.builds(
+        lambda a, b: f"<p>{a}</p><nav><a href='/x'>{b}</a></nav><script>{a}</script>",
+        _ADVERSARIAL_TEXT,
+        _ADVERSARIAL_TEXT,
+    ),
+    st.just("<p>" + "&nbsp;" * 50 + "</p>"),
+    st.just("<" * 200),                 # unclosed tag soup
+    st.just("<a>" * 100 + "deep"),      # nested anchors, never closed
+    st.just("<!--" + "x" * 300),        # unterminated comment
+)
+
+
+@given(texts=st.lists(_ADVERSARIAL_HTMLISH, min_size=1, max_size=8))
+@FAST
+def test_html_extract_and_domain_never_crash_wave6(spark, texts):
+    """Sixth wave of the no-crash sweep (VERDICT r11 item 7): the new
+    crawl-ingest string surfaces — extract_html_text under tag soup /
+    NULs / unicode junk / 5000-char strings, and registered_domain
+    (both the lite rule and the public-suffix table path) under the
+    same strings as URLs. Every output column is consumed and carries a
+    semantic invariant:
+
+    - extraction: aligned rows; kept blocks never exceed blocks;
+      extracted_chars is exactly the length of extracted; zero kept
+      blocks means empty extraction;
+    - registered_domain: never an empty string, and the ADVICE-r11 leak
+      class stays closed — no '@', ':', '/' or whitespace ever appears
+      in an emitted domain, under EITHER path;
+    - the PSL path agrees with the lite rule whenever the lite result
+      matches no table suffix."""
+    from token_etl_spark.operators.curation import (
+        registered_domain,
+        with_registered_domain,
+    )
+    from token_etl_spark.operators.text import extract_html_text
+
+    s = _get(spark)
+    df = s.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    n = len(texts)
+
+    ex = extract_html_text(df).collect()
+    assert len(ex) == n
+    for r in ex:
+        if r["n_blocks"] is None:
+            assert r["extracted"] is None and r["extracted_chars"] is None
+            continue
+        assert 0 <= r["n_kept_blocks"] <= r["n_blocks"]
+        assert r["extracted_chars"] == len(r["extracted"])
+        if r["n_kept_blocks"] == 0:
+            assert r["extracted"] == ""
+
+    urls = df.select("doc_id", F.col("text").alias("url"))
+    lite = {
+        r["doc_id"]: r["d"]
+        for r in urls.select(
+            "doc_id", registered_domain("url").alias("d")
+        ).collect()
+    }
+    assert len(lite) == n
+    suffixes = s.createDataFrame([("com",), ("co.uk",)], ["suffix"])
+    psl = {
+        r["doc_id"]: r["domain"]
+        for r in with_registered_domain(urls, suffixes=suffixes).collect()
+    }
+    assert len(psl) == n
+    for vals in (lite, psl):
+        for d in vals.values():
+            if d is not None:
+                assert d != ""
+                assert not any(c in d for c in "@:/ \t\n\r\x0b\x0c")
+    for did, d in lite.items():
+        if d is None or d.endswith(".com") or d in ("com",) or d.endswith("co.uk"):
+            continue
+        assert psl[did] == d, (did, d, psl[did])

@@ -1058,7 +1058,16 @@ def q_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``passed_repetition`` — never evaluated). ``ingest_keep`` is the
     documents that would proceed to the dedup tiers. One broadcast
     keep-list join + per-doc explode aggregations — the corpus never
-    shuffles for the domain decision."""
+    shuffles for the domain decision.
+
+    Plan note: as a single declared expression tree the shared
+    extraction subtree re-expands under each consumer (Catalyst prunes
+    each branch to the columns it needs — the reputation branches scan
+    doc_id alone — but the text-bearing branches each rescan; the
+    default-recompute trade every oracled composition here makes). The
+    PRODUCTION composition is ``prepare_corpus(extract_html=True,
+    url_col=..., repetition_filter=True)``, which stages eagerly and
+    reads each tier's output once."""
     from token_etl_spark.operators.curation import domain_filter, domain_stats
     from token_etl_spark.operators.text import (
         extract_html_text,

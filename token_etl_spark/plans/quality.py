@@ -931,7 +931,11 @@ def q_shard_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs over ONE shard's rows (bounded by construction), and every
     boundary comparison is integer arithmetic, so the oracle replays
     the cumsum, the 2*start >= total midpoint rule, the doc-count
-    fallback, and the manifest stitch exactly."""
+    fallback, and the manifest stitch exactly. Plan note: the declared
+    tree re-expands the assignment subtree under each consumer (the
+    default-recompute trade); the PRODUCTION lever (io/sinks.
+    split_shard) reads the materialized manifest plus ONE shard
+    directory, so none of that re-expansion exists there."""
     docs = t(spark, sf_dir, "documents")
     assigned = C.assign_shards(docs, tokens_per_shard=1000).select(
         "ord_key", "n_tokens", "shard_id"
