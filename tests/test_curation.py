@@ -697,3 +697,50 @@ def test_domain_stats_and_filter_with_suffix_table(spark):
     )
     kept = {r["doc_id"]: r["domain_kept"] for r in out.collect()}
     assert kept[9] is False and all(kept[i] for i in range(4))
+
+    # the precise path replays the longest-suffix rule on blocklist
+    # entries: a subdomain entry, an entry that IS a suffix, and a
+    # degenerate 1-label entry all refuse loudly (review-found r12)
+    import pytest
+
+    with pytest.raises(ValueError, match="pass 'evil.co.uk'"):
+        domain_filter(
+            df, stats, blocklist=("tracker.evil.co.uk",), suffixes=suffixes
+        )
+    with pytest.raises(ValueError, match="IS a public suffix"):
+        domain_filter(df, stats, blocklist=("co.uk",), suffixes=suffixes)
+    with pytest.raises(ValueError, match="fewer than two labels"):
+        domain_filter(df, stats, blocklist=("evil",), suffixes=suffixes)
+
+
+def test_registered_domain_whitespace_host_is_null(spark):
+    """A whitespace-bearing host is garbage, not a domain — NULL on
+    both the lite and PSL paths (review-found r12; keeps the wave-6
+    no-junk invariant true instead of flaky)."""
+    from token_etl_spark.operators.curation import (
+        registered_domain,
+        with_registered_domain,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "http://x y.z/p"), (1, "a b.c"), (2, "https://ok.example.com/q")],
+        "doc_id long, url string",
+    )
+    lite = {
+        r["doc_id"]: r["d"]
+        for r in df.select("doc_id", registered_domain("url").alias("d")).collect()
+    }
+    assert lite == {0: None, 1: None, 2: "example.com"}
+    suffixes = spark.createDataFrame([("com",)], ["suffix"])
+    psl = {
+        r["doc_id"]: r["domain"]
+        for r in with_registered_domain(df, suffixes=suffixes).collect()
+    }
+    assert psl == {0: None, 1: None, 2: "example.com"}
+    # blank suffix rows are dropped, not equi-joined on the '' miss
+    blanky = spark.createDataFrame([("com",), ("  ",), ("",)], ["suffix"])
+    psl2 = {
+        r["doc_id"]: r["domain"]
+        for r in with_registered_domain(df, suffixes=blanky).collect()
+    }
+    assert psl2 == psl

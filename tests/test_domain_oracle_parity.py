@@ -25,6 +25,7 @@ _FIXTURES = (
         (73, "localhost", 0.5, False),                       # non-registrable
         (74, None, 0.5, False),                              # NULL url
         (75, "https://a@b@spam.net/x", 0.5, False),          # multi-'@' (last wins)
+        (76, "http://x y.z/p", 0.5, False),                  # whitespace host → NULL
     ]
 )
 
@@ -54,3 +55,4 @@ def test_domain_stats_oracle_parity(spark):
     assert got["spam.net"][0] == 12      # userinfo + multi-'@' count to spam.net
     assert "93.184.216.34" in got        # IPv4 grouped whole
     assert got["example.com"][0] == 1    # trailing dot normalized
+    assert "x y.z" not in got            # whitespace host excluded, both engines

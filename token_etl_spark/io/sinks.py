@@ -677,18 +677,26 @@ def _apply_shard_layout(spark: SparkSession, path: str) -> None:
     fs.delete(sp, True)
 
 
-def _heal_shard_layout(spark: SparkSession, path: str) -> None:
+def _heal_shard_layout(
+    spark: SparkSession, path: str, finish_only: bool = False
+) -> None:
     """Crash recovery for the shard-layout commit: a staging root WITH
     the ``_LAYOUT_COMMITTED`` marker is finished (the commit only starts
     after every staged write returned), one without it is discarded —
-    the interrupted caller retries from scratch."""
+    the interrupted caller retries from scratch.
+
+    ``finish_only=True`` is the READ-path variant: it finishes a
+    marker-present commit but NEVER deletes marker-less staging — a
+    routine read racing an in-flight writer must not destroy the
+    writer's half-staged work (review-found r12; the full heal is
+    safe only under the maintenance actions' single-writer contract)."""
     root = path.rstrip("/") + _STAGING_SHARDS
     fs, hpath = _bucket_fs(spark, path)
     if not fs.exists(hpath(root)):
         return
     if fs.exists(hpath(root + "/" + _SHARD_COMMIT_MARKER)):
         _apply_shard_layout(spark, path)
-    else:
+    elif not finish_only:
         fs.delete(hpath(root), True)
 
 
@@ -755,17 +763,22 @@ def split_shard(spark: SparkSession, path: str, shard_id: int) -> DataFrame:
 
     staging = base + _STAGING_SHARDS
     _delete_dir(spark, staging)
-    for sid in (int(shard_id), new_sid):
-        (
-            halves.where(F.col("shard_id") == sid)
-            .drop("shard_id")
-            .repartition(1)
-            .sortWithinPartitions("ord_key")
-            .write.mode("overwrite")
-            .parquet(f"{staging}/shard_id={sid}")
-        )
+    # ONE job writes both halves (the compact pattern below): the
+    # unpartitioned split window over the target shard runs once, not
+    # once per half (review-found r12); the manifest then derives from
+    # the data actually WRITTEN — the export_shards audit discipline
+    (
+        halves.repartition("shard_id")
+        .sortWithinPartitions("shard_id", "ord_key")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(staging)
+    )
+    staged = spark.read.parquet(staging).withColumn(
+        "shard_id", F.col("shard_id").cast("long")
+    )
     new_manifest = manifest.where(F.col("shard_id") != int(shard_id)).unionByName(
-        shard_manifest(halves).select(manifest.columns)
+        shard_manifest(staged).select(manifest.columns)
     )
     new_manifest.write.mode("overwrite").parquet(f"{staging}/manifest")
     _touch_marker(spark, f"{staging}/{_SHARD_COMMIT_MARKER}")

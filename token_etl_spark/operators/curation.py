@@ -1619,8 +1619,20 @@ def registered_domain(url: Column | str) -> Column:
     host = _host_expr(url)
     is_ipv4 = host.rlike(r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$")
     two_label = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
-    dom = F.when(is_ipv4, host).otherwise(two_label)
+    # a whitespace-bearing "host" is garbage, not a domain — without
+    # this gate 'http://x y.z/' pools junk into pseudo-domains and the
+    # wave-6 no-junk invariant is false (review-found r12)
+    dom = (
+        F.when(host.rlike(_HOST_JUNK), F.lit(None).cast("string"))
+        .when(is_ipv4, host)
+        .otherwise(two_label)
+    )
     return F.when(dom == "", F.lit(None).cast("string")).otherwise(dom)
+
+
+#: whitespace anywhere in an extracted host marks it non-registrable
+#: (explicit ASCII class — the RE2/Java \s dialect rule)
+_HOST_JUNK = "[ \t\r\n\x0b\f]"
 
 
 def _host_expr(url: Column | str) -> Column:
@@ -1680,9 +1692,14 @@ def with_registered_domain(
         2: F.regexp_extract(F.col("_rd_host"), r"([^.]+\.[^.]+)$", 1),
         3: F.regexp_extract(F.col("_rd_host"), r"([^.]+\.[^.]+\.[^.]+)$", 1),
     }
-    suf = suffixes.select(
-        F.lower(F.trim(F.col("suffix"))).alias("_rd_suffix")
-    ).distinct()
+    # blank suffix rows would equi-join the '' regexp_extract miss
+    # value and collapse every 2-label host into malformed
+    # pseudo-domains (review-found r12) — drop them
+    suf = (
+        suffixes.select(F.lower(F.trim(F.col("suffix"))).alias("_rd_suffix"))
+        .where(F.length("_rd_suffix") > 0)
+        .distinct()
+    )
     for k in (3, 2, 1):
         dim = suf.withColumnRenamed("_rd_suffix", f"_rd_m{k}")
         staged = staged.withColumn(f"_rd_l{k}", lasts[k]).join(
@@ -1698,7 +1715,8 @@ def with_registered_domain(
     prev_label = F.regexp_extract(prefix, r"([^.]+)$", 1)
     lite = F.regexp_extract(F.col("_rd_host"), r"([^.]+\.[^.]+)$", 1)
     dom = (
-        F.when(F.col("_rd_host").rlike(r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$"), F.col("_rd_host"))
+        F.when(F.col("_rd_host").rlike(_HOST_JUNK), F.lit(None).cast("string"))
+        .when(F.col("_rd_host").rlike(r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$"), F.col("_rd_host"))
         .when(
             matched.isNotNull() & (prev_label != ""),
             F.concat(prev_label, F.lit("."), matched),
@@ -1777,7 +1795,14 @@ def domain_filter(
     construction) and joins BROADCAST onto the corpus — the 100 TB side
     never shuffles; the decision column is computed once on the stats
     frame so the reject reasons stay auditable there, not re-derived
-    per document."""
+    per document.
+
+    CONTRACT: ``stats`` must have been built with the SAME ``suffixes``
+    setting as this call (both lite, or both the same table) — the
+    same fit/apply discipline as the shard router's (key_col, seed)
+    params. A lite-keyed stats frame applied under a suffix table keys
+    'co.uk' while the corpus emits 'bbc.co.uk': nothing matches, and
+    every ccTLD document silently flags ``domain_kept=False``."""
     # blocklist entries must BE registered domains — a subdomain entry
     # ('tracker.evil.com') would compare against 'evil.com' and silently
     # never match (review-found r11); refuse instead of silently
@@ -1785,14 +1810,59 @@ def domain_filter(
     # precise suffix-table path a registered domain can legitimately
     # have 3+ labels (bbc.co.uk), so only the 1-label/empty degenerate
     # cases are structurally refusable there.
+    # under the precise path, replay the longest-suffix-match rule
+    # driver-side (the table is broadcast-sized by contract) so a
+    # subdomain entry is refused exactly as the lite path refuses it —
+    # accepting 'tracker.evil.co.uk' would silently never match the
+    # emitted 'evil.co.uk' (review-found r12)
+    suffix_set: set[str] | None = None
+    if suffixes is not None and blocklist:
+        suffix_set = {
+            r[0].strip().lower()
+            for r in suffixes.select("suffix").collect()
+            if r[0] and r[0].strip()
+        }
     for b in blocklist:
         labels = b.lower().rstrip(".").split(".")
         is_ip = len(labels) == 4 and all(x.isdigit() for x in labels)
-        if suffixes is not None:
+        if suffix_set is not None:
             if len(labels) < 2 or any(not x for x in labels):
                 raise ValueError(
                     f"domain_filter blocklist entry {b!r} cannot be a"
                     " registered domain (fewer than two labels)"
+                )
+            if is_ip:
+                continue
+            if ".".join(labels) in suffix_set:
+                raise ValueError(
+                    f"domain_filter blocklist entry {b!r} IS a public"
+                    " suffix under the supplied table — no registrable"
+                    " domain ever equals it, so the entry would silently"
+                    " never match"
+                )
+            matched = next(
+                (
+                    k
+                    for k in (3, 2, 1)
+                    if len(labels) > k and ".".join(labels[-k:]) in suffix_set
+                ),
+                None,
+            )
+            # registered domain = longest matching suffix + ONE label;
+            # an entry with extra leading labels is a subdomain. With no
+            # table match the lite two-label rule applies, as in-plan.
+            expected = (
+                len(labels) == matched + 1 if matched else len(labels) == 2
+            )
+            if not expected:
+                tail = (
+                    ".".join(labels[-(matched + 1):]) if matched
+                    else ".".join(labels[-2:])
+                )
+                raise ValueError(
+                    f"domain_filter blocklist entry {b!r} is not a"
+                    " registered domain under the supplied suffix table —"
+                    f" pass {tail!r} to block the whole domain"
                 )
             continue
         if not is_ip and len(labels) != 2:

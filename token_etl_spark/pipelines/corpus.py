@@ -64,7 +64,11 @@ def prepare_corpus(
       (document counts only — the quality/dup-rate bounds then
       require the precomputed frame). ``domain_suffixes`` threads a
       public-suffix table through to the precise registered-domain
-      path (ccTLD sites stop pooling).
+      path (ccTLD sites stop pooling). A precomputed
+      ``domain_stats_frame`` must have been built with the SAME
+      ``domain_suffixes`` setting — a lite-keyed frame applied under
+      a suffix table matches nothing and silently drops every ccTLD
+      document (the domain_filter contract).
     - ``repetition_filter=True`` applies the Gopher repetition gates
       (``operators/text.gopher_repetition_filter``) on the extracted
       text before the dedup tiers: a repetition-rejected document
@@ -108,6 +112,7 @@ def prepare_corpus(
     preserving transform.
     """
     # --- crawl-ingest tier (extraction → domain gate → repetition gate)
+    ingest_cache = None
     if extract_html:
         from token_etl_spark.operators.text import extract_html_text
 
@@ -119,6 +124,12 @@ def prepare_corpus(
                 "extracted_chars",
             )
         )
+        # the extraction regex chain is the most expensive projection in
+        # the pipeline and every downstream branch (domain stats, both
+        # gate sides, repetition's 4 scans, quality) re-reads it — stage
+        # it once (review-found r12; released with the scored cache)
+        docs = docs.persist()
+        ingest_cache = docs
     all_ids = docs.select("doc_id")
     domain_flags = None
     if url_col is not None:
@@ -248,6 +259,8 @@ def prepare_corpus(
     # components iterate to a fixpoint.
     decisions = decisions.localCheckpoint(eager=True)
     scored.unpersist()
+    if ingest_cache is not None:
+        ingest_cache.unpersist()
     return decisions
 
 

@@ -959,7 +959,8 @@ WITH {prelude}hostx AS (
   FROM {src}),
 dom AS (
   SELECT q, is_dup,
-    CASE WHEN regexp_matches(host, '^[0-9]{{1,3}}(\.[0-9]{{1,3}}){{3}}$') THEN host
+    CASE WHEN regexp_matches(host, '[ \t\r\n\x0b\f]') THEN NULL
+         WHEN regexp_matches(host, '^[0-9]{{1,3}}(\.[0-9]{{1,3}}){{3}}$') THEN host
          ELSE nullif(regexp_extract(host, '([^.]+\.[^.]+)$', 1), '') END AS domain
   FROM hostx),
 stats AS (
@@ -1114,7 +1115,8 @@ dhost AS (
   FROM synth),
 ddom AS (
   SELECT doc_id,
-    CASE WHEN regexp_matches(host, '^[0-9]{{1,3}}(\\.[0-9]{{1,3}}){{3}}$') THEN host
+    CASE WHEN regexp_matches(host, '[ \t\r\n\x0b\f]') THEN NULL
+         WHEN regexp_matches(host, '^[0-9]{{1,3}}(\\.[0-9]{{1,3}}){{3}}$') THEN host
          ELSE nullif(regexp_extract(host, '([^.]+\\.[^.]+)$', 1), '') END AS domain
   FROM dhost),
 exk AS (

@@ -361,8 +361,9 @@ _PRIORITY_NAMES = [
     "rel_salted_agg",
     "rel_salted_join",
     # carries to r13 (did not fit): rel_full_outer, rel_grouping_sets,
-    # rel_bloom_join, ext_multimodal_meta — integer/md5-pinned rows,
-    # lowest dtype risk, sweep-green; they lead the r13 rotation.
+    # rel_bloom_join, ext_multimodal_meta, ext_top_tokens — integer/
+    # md5-pinned rows, lowest dtype risk, sweep-green; they lead the
+    # r13 rotation.
 ]
 
 _MODULE_ORDER: list[QuerySpec] = [

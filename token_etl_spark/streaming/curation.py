@@ -1226,8 +1226,11 @@ def read_incremental_shards(spark, export_path: str) -> DataFrame:
 
     # finish any crash-interrupted split/compaction first (the marker-
     # gated staged commit): readers self-heal the one non-atomic window,
-    # the same contract as the embedding-index readers (r11)
-    _heal_shard_layout(spark, export_path)
+    # the same contract as the embedding-index readers (r11).
+    # finish_only: a read must complete a committed swap but never
+    # delete a concurrent writer's marker-less staging (review-found
+    # r12)
+    _heal_shard_layout(spark, export_path, finish_only=True)
     base = spark.read.parquet(f"{export_path.rstrip('/')}/data").withColumn(
         "shard_id", F.col("shard_id").cast("long")
     )
