@@ -778,3 +778,82 @@ def test_compact_then_split_incremental_layout(spark, sf_dir, tmp_path):
     post = split_shard(spark, out, routed_target)
     assert post.count() == after_count + 1
     assert spark.read.parquet(f"{out}/data").count() == docs.count()
+
+    # the router picks the new ranges up on its next batch — the
+    # docstring promise: a post-split increment routed into the old
+    # shard's range lands in whichever HALF claims its key
+    from token_etl_spark.operators.curation import route_to_shards
+    from token_etl_spark.operators.text import token_count
+
+    next_docs = docs.withColumn("doc_id", F.col("doc_id") + 500_000)
+    _route_sink_batch(next_docs, out, "feed-1", "doc_id", None, "text", "s0")
+    post_rows = {r["shard_id"]: r for r in post.collect()}
+    new_sid = max(post_rows)
+    exp = {
+        (r["doc_id"], r["shard_id"])
+        for r in route_to_shards(
+            next_docs.withColumn("n_tokens", token_count(F.col("text")).cast("long")),
+            post,
+        ).collect()
+    }
+    got = {
+        (r["doc_id"], r["shard_id"])
+        for r in read_incremental_shards(spark, out)
+        .where(F.col("doc_id") >= 500_000)
+        .collect()
+    }
+    assert got == exp and len(got) == next_docs.count()
+    # at least one post-split document actually landed in the NEW half
+    # (md5 keys are uniform, both halves' ranges are claimed)
+    assert any(s == new_sid for _, s in got)
+    assert any(s == routed_target for _, s in got)
+
+
+def test_audit_shard_layout_states(spark, sf_dir, tmp_path):
+    """The layout-integrity observable beside the split/compact levers:
+    clean export → all 'ok'; stream increments → 'drift' on touched
+    shards flagged pending_increments; compaction restores 'ok'; a
+    deleted shard dir reports 'manifest_only'."""
+    import shutil
+
+    from token_etl_spark.io.sinks import (
+        audit_shard_layout,
+        compact_incremental_shards,
+        export_shards,
+    )
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.streaming.curation import _route_sink_batch
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base_docs = docs.where(F.col("doc_id") % 2 == 0)
+    out = str(tmp_path / "audit_export")
+    export_shards(spark, base_docs, out, tokens_per_shard=500)
+
+    a0 = audit_shard_layout(spark, out).collect()
+    assert a0 and all(r["status"] == "ok" for r in a0)
+    assert not any(r["pending_increments"] for r in a0)
+
+    # stream increments: touched shards drift, flagged as pending
+    new_docs = docs.where(F.col("doc_id") % 2 == 1)
+    _route_sink_batch(new_docs, out, "feed-0", "doc_id", None, "text", "s0")
+    a1 = {r["shard_id"]: r for r in audit_shard_layout(spark, out).collect()}
+    drifted = [r for r in a1.values() if r["status"] == "drift"]
+    assert drifted and all(r["pending_increments"] for r in drifted)
+    assert all(
+        r["status"] == "ok" for r in a1.values() if not r["pending_increments"]
+    )
+    # doc accounting on a drifted shard: data side counts base+increment
+    d = drifted[0]
+    assert d["d_n_docs"] > d["m_n_docs"]
+
+    # compaction restores a clean audit
+    compact_incremental_shards(spark, out)
+    a2 = audit_shard_layout(spark, out).collect()
+    assert all(r["status"] == "ok" for r in a2)
+    assert not any(r["pending_increments"] for r in a2)
+
+    # a lost shard dir is loud: manifest_only
+    victim = a2[0]["shard_id"]
+    shutil.rmtree(f"{out}/data/shard_id={victim}")
+    a3 = {r["shard_id"]: r["status"] for r in audit_shard_layout(spark, out).collect()}
+    assert a3[victim] == "manifest_only"

@@ -786,6 +786,69 @@ def split_shard(spark: SparkSession, path: str, shard_id: int) -> DataFrame:
     return spark.read.parquet(f"{base}/manifest")
 
 
+def audit_shard_layout(spark: SparkSession, path: str) -> DataFrame:
+    """The layout-integrity OBSERVABLE beside the split/compact levers
+    (the index-health/retrain pairing discipline): recompute per-shard
+    (n_docs, shard_tokens, first_key, last_key) from the data actually
+    on disk — base tree plus any stream increments, exactly what
+    ``read_incremental_shards`` serves — and compare against the
+    manifest. One combinable groupBy at shard cardinality + a full
+    outer join of two manifest-sized frames; the corpus rows never
+    shuffle beyond the count.
+
+    Emits one row per shard id seen on either side with ``status``:
+    'ok' (all four fields agree), 'drift' (same shard, different
+    accounting — e.g. un-compacted increments grew it, or a foreign
+    writer touched the tree), 'manifest_only' (claimed but no data —
+    the lost-dir failure a reader must know about), 'data_only'
+    (rows outside any claimed shard). ``pending_increments`` marks
+    drift explained by incoming/ batches awaiting
+    :func:`compact_incremental_shards` — expected, not corruption.
+    """
+    from token_etl_spark.operators.curation import shard_manifest
+    from token_etl_spark.streaming.curation import read_incremental_shards
+
+    base = path.rstrip("/")
+    manifest = spark.read.parquet(f"{base}/manifest")
+    actual = shard_manifest(read_incremental_shards(spark, path))
+    inc = _read_existing(spark, f"{base}/incoming")
+    inc_sids = (
+        inc.select(F.col("shard_id").cast("long")).distinct()
+        if inc is not None
+        else spark.createDataFrame([], "shard_id long")
+    ).withColumn("_has_inc", F.lit(True))
+    m = manifest.select(
+        "shard_id",
+        *[F.col(c).alias(f"m_{c}") for c in ("n_docs", "shard_tokens", "first_key", "last_key")],
+    )
+    a = actual.select(
+        "shard_id",
+        *[F.col(c).alias(f"d_{c}") for c in ("n_docs", "shard_tokens", "first_key", "last_key")],
+    )
+    joined = m.join(a, "shard_id", "full_outer").join(
+        F.broadcast(inc_sids), "shard_id", "left"
+    )
+    agree = (
+        (F.col("m_n_docs") == F.col("d_n_docs"))
+        & (F.col("m_shard_tokens") == F.col("d_shard_tokens"))
+        & (F.col("m_first_key") == F.col("d_first_key"))
+        & (F.col("m_last_key") == F.col("d_last_key"))
+    )
+    status = (
+        F.when(F.col("d_n_docs").isNull(), F.lit("manifest_only"))
+        .when(F.col("m_n_docs").isNull(), F.lit("data_only"))
+        .when(agree, F.lit("ok"))
+        .otherwise(F.lit("drift"))
+    )
+    return joined.select(
+        "shard_id",
+        status.alias("status"),
+        F.coalesce("_has_inc", F.lit(False)).alias("pending_increments"),
+        "m_n_docs", "d_n_docs", "m_shard_tokens", "d_shard_tokens",
+        "m_first_key", "d_first_key", "m_last_key", "d_last_key",
+    )
+
+
 def compact_incremental_shards(spark: SparkSession, path: str) -> DataFrame:
     """Fold every stream-routed increment (``incoming/``, written by
     ``run_streaming_shard_router``) into the base ``data/`` tree: each

@@ -1048,6 +1048,85 @@ SQL_DOMAIN_STATS_PLAN = sql_domain_stats(
 )
 
 
+#: the literal public-suffix dimension the PSL row broadcasts — shared
+#: verbatim by the Spark plan and the oracle's VALUES list
+_PSL_SUFFIXES = ("com", "org", "net", "co.uk", "com.au")
+
+
+def q_domain_stats_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-reputation aggregates through the PRECISE public-suffix
+    path (operators/curation.with_registered_domain + domain_stats
+    with ``suffixes`` — VERDICT r11 item 6): synthesized hosts exercise
+    every rule the broadcast-PSL longest-match adds over the lite one —
+    ccTLD registered domains kept apart AND subdomains folded into them
+    (site0.co.uk vs news.site0.co.uk → one bucket, distinct sites →
+    distinct buckets), a 3-label-suffix domain (example.com.au), a host
+    that IS a public suffix (NULL — no registrable domain), a
+    no-coverage TLD falling back to the lite rule, and whole-IPv4
+    grouping. The suffix table is a literal broadcast dimension (three
+    broadcast joins, the corpus never shuffles); the oracle replays the
+    3/2/1-label longest match over the same VALUES list."""
+    docs = t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    host = (
+        F.when(k % 7 == 0, F.concat(F.lit("www.site"), (k % 5).cast("string"), F.lit(".co.uk")))
+        .when(k % 7 == 1, F.concat(F.lit("news.site"), (k % 5).cast("string"), F.lit(".co.uk")))
+        .when(k % 7 == 2, F.concat(F.lit("shop"), (k % 4).cast("string"), F.lit(".example.com.au")))
+        .when(k % 7 == 3, F.lit("co.uk"))
+        .when(k % 7 == 4, F.concat(F.lit("cdn"), (k % 6).cast("string"), F.lit(".weird.tld")))
+        .when(k % 7 == 5, F.concat(F.lit("www.plain"), (k % 5).cast("string"), F.lit(".org")))
+        .otherwise(F.concat(F.lit("93.184."), (k % 4).cast("string"), F.lit(".34")))
+    )
+    frame = docs.select(
+        F.concat(F.lit("https://"), host, F.lit("/p/"), k.cast("string")).alias("url")
+    )
+    suffixes = spark.createDataFrame([(s,) for s in _PSL_SUFFIXES], ["suffix"])
+    out = C.domain_stats(frame, url_col="url", suffixes=suffixes)
+    return out.select("domain", "n_docs", "doc_share")
+
+
+SQL_DOMAIN_STATS_PSL = f"""
+WITH synth AS (
+  SELECT CASE WHEN doc_id % 7 = 0 THEN 'www.site' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk'
+              WHEN doc_id % 7 = 1 THEN 'news.site' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk'
+              WHEN doc_id % 7 = 2 THEN 'shop' || CAST(doc_id % 4 AS VARCHAR) || '.example.com.au'
+              WHEN doc_id % 7 = 3 THEN 'co.uk'
+              WHEN doc_id % 7 = 4 THEN 'cdn' || CAST(doc_id % 6 AS VARCHAR) || '.weird.tld'
+              WHEN doc_id % 7 = 5 THEN 'www.plain' || CAST(doc_id % 5 AS VARCHAR) || '.org'
+              ELSE '93.184.' || CAST(doc_id % 4 AS VARCHAR) || '.34' END AS host
+  FROM documents),
+suf AS (SELECT * FROM (VALUES {", ".join(f"('{s}')" for s in _PSL_SUFFIXES)}) s(suffix)),
+feat AS (
+  SELECT host,
+         regexp_extract(host, '([^.]+)$', 1) AS l1,
+         regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS l2,
+         regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) AS l3
+  FROM synth),
+m AS (
+  SELECT host, l2, coalesce(s3.suffix, s2.suffix, s1.suffix) AS matched
+  FROM feat
+  LEFT JOIN suf s3 ON feat.l3 = s3.suffix
+  LEFT JOIN suf s2 ON feat.l2 = s2.suffix
+  LEFT JOIN suf s1 ON feat.l1 = s1.suffix),
+domx AS (
+  SELECT CASE
+    WHEN regexp_matches(host, '[ \t\r\n\x0b\f]') THEN NULL
+    WHEN regexp_matches(host, '^[0-9]{{1,3}}(\\.[0-9]{{1,3}}){{3}}$') THEN host
+    WHEN matched IS NOT NULL THEN
+      nullif(nullif(
+        regexp_extract(substr(host, 1, length(host) - length(matched) - 1),
+                       '([^.]+)$', 1), '') || '.' || matched, '')
+    ELSE nullif(l2, '') END AS domain
+  FROM m),
+stats AS (
+  SELECT domain, CAST(count(*) AS BIGINT) AS n_docs
+  FROM domx WHERE domain IS NOT NULL GROUP BY domain),
+tot AS (SELECT sum(n_docs) AS t FROM stats)
+SELECT domain, n_docs, n_docs::DOUBLE / t AS doc_share
+FROM stats CROSS JOIN tot
+"""
+
+
 def q_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPOSED crawl-ingest tier — extraction → domain gate →
     repetition gate in the exact order ``prepare_corpus`` and the
@@ -1166,4 +1245,5 @@ SPECS = [
     QuerySpec("ext_repetition_signals", q_repetition_signals, SQL_REPETITION_SIGNALS_PLAN, ("curation", "text", "window")),
     QuerySpec("ext_domain_stats", q_domain_stats, SQL_DOMAIN_STATS_PLAN, ("curation", "functions-string")),
     QuerySpec("ext_crawl_ingest", q_crawl_ingest, SQL_CRAWL_INGEST, ("curation", "text", "pipeline")),
+    QuerySpec("ext_domain_stats_psl", q_domain_stats_psl, SQL_DOMAIN_STATS_PSL, ("curation", "functions-string", "join")),
 ]

@@ -58,14 +58,20 @@ from token_etl_spark.plans.base import QuerySpec
 #      replays). Birth-round rule; it takes ext_top_tokens's slot
 #      (integer explode+count whose shape the in-window ext_text_stats
 #      and ext_tfidf_terms exercise), the 5th named carry.
-#   5. 43 more of the 50 r8-stale rows (the r11 VERDICT item-1 list),
+#   5. ext_domain_stats_psl, NEW late-round: the precise public-suffix
+#      registered-domain path (broadcast PSL dimension, 3/2/1-label
+#      longest match, lite fallback — VERDICT r11 item 6's "oracle
+#      replay stays possible", delivered). Birth-round rule; it takes
+#      ext_text_normalize's slot (whose normalize+digest core runs
+#      inside the in-window ext_dedup_exact oracle), the 6th carry.
+#   6. 42 more of the 50 r8-stale rows (the r11 VERDICT item-1 list),
 #      float-scoring rows first (margin/quality/weight/calibration
 #      scores, cosine/jaccard scorers, sketch estimates, ratio
-#      reports), then the integer/md5-pinned remainder. The 5 that do
+#      reports), then the integer/md5-pinned remainder. The 6 that do
 #      not fit — rel_full_outer, rel_grouping_sets, rel_bloom_join,
-#      ext_multimodal_meta, ext_top_tokens, the lowest-dtype-risk
-#      integer/md5-pinned rows — stay sweep-green and lead the r13
-#      rotation.
+#      ext_multimodal_meta, ext_top_tokens, ext_text_normalize, the
+#      lowest-dtype-risk integer/md5-pinned rows — stay sweep-green
+#      and lead the r13 rotation.
 # Displaced: the r9/r10/r11-green window occupants — all still covered
 # by the 203-query local three-SF sweep.
 #
@@ -307,8 +313,10 @@ _PRIORITY_NAMES = [
     "ext_domain_stats",
     # new mid-round 12: the shard split lever's arithmetic
     "ext_shard_split",
-    # new late-round 12: the composed crawl-ingest tier
+    # new late-round 12: the composed crawl-ingest tier + the precise
+    # public-suffix domain path
     "ext_crawl_ingest",
+    "ext_domain_stats_psl",
     # r8-stale head: shared oracle builder changed in r11 + the r11
     # rationale misstated ext_ann_ivf_kmeans's freshness (see above)
     "ext_ann_ivf_kmeans",
@@ -349,7 +357,6 @@ _PRIORITY_NAMES = [
     "ext_simhash",
     "ext_snapshot_diff",
     "ext_text_fingerprint",
-    "ext_text_normalize",
     "ext_token_budget",
     "ext_token_estimate",
     "ext_url_dedup",
@@ -361,9 +368,9 @@ _PRIORITY_NAMES = [
     "rel_salted_agg",
     "rel_salted_join",
     # carries to r13 (did not fit): rel_full_outer, rel_grouping_sets,
-    # rel_bloom_join, ext_multimodal_meta, ext_top_tokens — integer/
-    # md5-pinned rows, lowest dtype risk, sweep-green; they lead the
-    # r13 rotation.
+    # rel_bloom_join, ext_multimodal_meta, ext_top_tokens,
+    # ext_text_normalize — integer/md5-pinned rows, lowest dtype risk,
+    # sweep-green; they lead the r13 rotation.
 ]
 
 _MODULE_ORDER: list[QuerySpec] = [
