@@ -1029,3 +1029,41 @@ def test_streaming_domain_filter_matches_batch(spark, tmp_path):
     assert got.count() == exp.count() == 40
     assert got.exceptAll(exp).count() == 0
     assert got.where("domain_kept").count() == 30
+
+
+def test_streaming_repetition_filter_matches_batch(spark, tmp_path):
+    """The repetition gate's streaming twin: the map-only inline form
+    reaches the explode-form batch gate's exact keep/reject decisions
+    over a real file stream in append mode (no state, no watermark)."""
+    from token_etl_spark.operators.text import gopher_repetition_filter
+    from token_etl_spark.streaming.curation import streaming_repetition_filter
+
+    rows = [
+        (1, "the spam line is here today ok\n" * 20),
+        (
+            2,
+            "the quick brown fox jumps over a lazy dog while seven "
+            "other animals watch quietly from the distant hillside "
+            "and a gentle evening breeze carries birdsong across the "
+            "meadow toward an old stone bridge where children count "
+            "fireflies beside the slow river under a clear autumn sky",
+        ),
+        (3, "para A words\r\n\r\npara B words\r\n\r\npara A words" * 4),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    staged = str(tmp_path / "rep_stream")
+    docs.write.parquet(staged)
+    stream = read_file_stream(spark, staged, docs.schema)
+    run_to_memory(
+        streaming_repetition_filter(stream), "rep_out", output_mode="append"
+    )
+    got = {
+        r["doc_id"]: (r["keep"], r["reject_reasons"])
+        for r in spark.sql("SELECT doc_id, keep, reject_reasons FROM rep_out").collect()
+    }
+    exp = {
+        r["doc_id"]: (r["keep"], r["reject_reasons"])
+        for r in gopher_repetition_filter(docs).collect()
+    }
+    assert got == exp and len(got) == 3
+    assert not got[1][0] and got[2][0]

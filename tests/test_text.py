@@ -616,3 +616,98 @@ def test_gopher_repetition_filter_reapplication(spark):
     # the re-application merges the prior rejection with the recomputed
     # one — reasons accumulate but keep stays False
     assert "dup_line_frac" in g2[1][1]
+
+
+def test_repetition_signals_inline_equals_explode_form(spark):
+    """The map-only inline twin must reproduce the explode form's seven
+    signals exactly — including the lexicographically-smallest tie-break
+    on top grams, CRLF splits, blank-unit filtering, empty docs, and
+    NULL text (which the batch form zero-fills)."""
+    from token_etl_spark.operators.text import (
+        repetition_signals,
+        repetition_signals_inline,
+    )
+
+    rows = [
+        (1, "a b c\na b c\nd e f"),
+        (2, "p q\n\np q\n\nr s"),
+        (3, "x y x y x y"),
+        (4, ""),
+        (5, "a b a c a b a c"),           # exact top-2-gram tie
+        (6, "para A words\r\n\r\npara B words\r\n\r\npara A words"),
+        (7, "the unique tokens appear once only here today"),
+        (8, "dup line\n \x0b \ndup line"),  # \s-dialect blank filtering
+        (9, None),                           # NULL text → zeros
+        (10, "tok tok tok tok tok"),         # single repeated token
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cols = [
+        "dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+        "dup_para_char_frac", "top_2gram_char_frac", "top_3gram_char_frac",
+        "top_4gram_char_frac",
+    ]
+    batch = {
+        r["doc_id"]: tuple(r[c] for c in cols)
+        for r in repetition_signals(df).collect()
+    }
+    inline = {
+        r["doc_id"]: tuple(r[c] for c in cols)
+        for r in repetition_signals_inline(df).select("doc_id", *cols).collect()
+    }
+    assert set(batch) == set(inline)
+    for did in sorted(batch):
+        assert batch[did] == inline[did], (did, batch[did], inline[did])
+
+
+def test_gopher_repetition_filter_inline_gate_equivalence(spark):
+    """The inline gate reaches the same keep/reject_reasons decisions
+    as the explode-form gate, merges prior gate columns identically,
+    and its plan is a pure projection (no Exchange)."""
+    from token_etl_spark.operators.text import (
+        gopher_filter,
+        gopher_repetition_filter,
+        gopher_repetition_filter_inline,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the spam line is here today ok\n" * 20),
+            (
+                2,
+                "the quick brown fox jumps over a lazy dog while seven "
+                "other animals watch quietly from the distant hillside "
+                "and a gentle evening breeze carries birdsong across the "
+                "meadow toward an old stone bridge where children count "
+                "fireflies beside the slow river under a clear autumn sky",
+            ),
+            (3, "short text the"),
+        ],
+        ["doc_id", "text"],
+    )
+    a = {
+        r["doc_id"]: (r["keep"], r["reject_reasons"])
+        for r in gopher_repetition_filter(df).collect()
+    }
+    b = {
+        r["doc_id"]: (r["keep"], r["reject_reasons"])
+        for r in gopher_repetition_filter_inline(df).collect()
+    }
+    assert a == b
+    # composition with gopher_filter merges identically in the inline form
+    both = {
+        r["doc_id"]: (r["keep"], r["reject_reasons"])
+        for r in gopher_repetition_filter_inline(gopher_filter(df)).collect()
+    }
+    exp = {
+        r["doc_id"]: (r["keep"], r["reject_reasons"])
+        for r in gopher_repetition_filter(gopher_filter(df)).collect()
+    }
+    assert both == exp
+    # map-only: zero Exchanges in the inline gate's plan
+    plan = (
+        gopher_repetition_filter_inline(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

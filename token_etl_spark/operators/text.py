@@ -1184,6 +1184,110 @@ def repetition_signals(
     return out.na.fill(0.0, zero_cols)
 
 
+def repetition_signals_inline(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Per-ROW twin of :func:`repetition_signals`: the same seven
+    Gopher repetition signals computed as ONE map-only projection with
+    higher-order array functions — no explode, no groupBy, no join
+    back, no Python. Equivalence to the explode form is pinned in
+    tests/test_text.py.
+
+    Why both forms exist: the explode form's shuffles scale with
+    CORPUS size regardless of document length (the right trade for a
+    batch pass over arbitrary documents); this form is O(m log m) per
+    document (one array_sort per gram size + linear folds), entirely
+    inside whole-stage codegen — the right trade when rows must stay
+    rows: STREAMING gates (an aggregation-free projection is legal in
+    any output mode, no watermark, no state) and short-document
+    corpora where a shuffle per signal family is pure overhead.
+
+    Signal identities used (provably equal to the batch definitions):
+    dup_frac = (n - n_distinct)/n, dup_char_frac =
+    (chars - chars_of_distinct)/chars; top-n-gram coverage via an
+    ascending run-length scan over the sorted gram array — strict '>'
+    keeps the FIRST maximal run, which in ascending order is the
+    lexicographically smallest gram, exactly the batch tie-break.
+    NULL text yields all-zero signals (the batch form's no-units
+    convention). Adds the seven signal columns to ``df``.
+    """
+    blank = r"^[ \t\r\n\x0b\f]*$"
+    text = F.coalesce(F.col(text_col), F.lit(""))
+
+    def dup_pair(units: Column) -> tuple[Column, Column]:
+        u = F.filter(units, lambda x: ~x.rlike(blank))
+        n = F.size(u)
+        nd = F.size(F.array_distinct(u))
+        chars = F.aggregate(
+            u, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        )
+        dchars = F.aggregate(
+            F.array_distinct(u), F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        )
+        frac = F.when(n > 0, (n - nd) / n).otherwise(F.lit(0.0))
+        cfrac = F.when(chars > 0, (chars - dchars) / chars).otherwise(F.lit(0.0))
+        return frac, cfrac
+
+    line_frac, line_cfrac = dup_pair(F.split(text, r"\r?\n"))
+    para_frac, para_cfrac = dup_pair(F.split(text, r"(?:\r?\n){2,}"))
+
+    toks = tokens(text)
+    tok_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    )
+
+    def top_gram_frac(n: int) -> Column:
+        size = F.size(toks)
+        grams = F.when(
+            size >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(size - (n - 1), F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        srt = F.array_sort(grams)
+        zero = F.lit(0).cast("long")
+        state0 = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            zero.alias("run"),
+            zero.alias("best"),
+            F.lit(None).cast("string").alias("bestg"),
+        )
+
+        def step(acc: Column, g: Column) -> Column:
+            newrun = F.when(
+                acc.getField("prev").isNotNull() & (g == acc.getField("prev")),
+                acc.getField("run") + 1,
+            ).otherwise(F.lit(1).cast("long"))
+            better = newrun > acc.getField("best")
+            return F.struct(
+                g.alias("prev"),
+                newrun.alias("run"),
+                F.when(better, newrun).otherwise(acc.getField("best")).alias("best"),
+                F.when(better, g).otherwise(acc.getField("bestg")).alias("bestg"),
+            )
+
+        fin = F.aggregate(srt, state0, step)
+        covered = fin.getField("best") * (
+            F.length(fin.getField("bestg")) - (n - 1)
+        )
+        return F.coalesce(
+            covered / F.when(tok_chars > 0, tok_chars), F.lit(0.0)
+        )
+
+    return df.withColumns(
+        {
+            "dup_line_frac": line_frac,
+            "dup_line_char_frac": line_cfrac,
+            "dup_para_frac": para_frac,
+            "dup_para_char_frac": para_cfrac,
+            "top_2gram_char_frac": top_gram_frac(2),
+            "top_3gram_char_frac": top_gram_frac(3),
+            "top_4gram_char_frac": top_gram_frac(4),
+        }
+    )
+
+
 #: Gopher Table A1 repetition thresholds (Rae et al. 2021): reject when
 #: the signal EXCEEDS the bound. Order fixed for reject-reason strings.
 GOPHER_REPETITION_RULES = (
@@ -1233,7 +1337,13 @@ def gopher_repetition_filter(
     out = staged.drop("reject_reasons", "keep", *signal_cols).join(
         sig, id_col, "left"
     )
-    rep_reasons = F.array_join(
+    return _merge_repetition_gate(out)
+
+
+def _repetition_reject_reasons() -> Column:
+    """'|'-joined exceeded rules over the seven signal columns, in
+    GOPHER_REPETITION_RULES order ('' when clean)."""
+    return F.array_join(
         F.filter(
             F.array(
                 *[
@@ -1245,6 +1355,14 @@ def gopher_repetition_filter(
         ),
         "|",
     )
+
+
+def _merge_repetition_gate(out: DataFrame) -> DataFrame:
+    """Apply the repetition rules over a frame carrying the signal
+    columns plus staged ``_prior_reasons``/``_prior_keep``, merging
+    with any prior gate decision (reasons concatenate, keep
+    AND-composes)."""
+    rep_reasons = _repetition_reject_reasons()
     merged = F.array_join(
         F.filter(
             F.array(F.col("_prior_reasons"), rep_reasons), lambda x: x != ""
@@ -1256,3 +1374,25 @@ def gopher_repetition_filter(
         .withColumn("keep", F.col("_prior_keep") & (rep_reasons == ""))
         .drop("_prior_reasons", "_prior_keep")
     )
+
+
+def gopher_repetition_filter_inline(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Map-only twin of :func:`gopher_repetition_filter` over
+    :func:`repetition_signals_inline` — the same Table A1 thresholds
+    and the same reject_reasons/keep MERGE contract, as one stateless
+    projection: no id column needed (nothing joins back), legal in any
+    streaming output mode. Gate-equivalence to the explode form is
+    pinned in tests/test_text.py."""
+    prior_reasons = (
+        F.col("reject_reasons") if "reject_reasons" in df.columns else F.lit("")
+    )
+    prior_keep = F.col("keep") if "keep" in df.columns else F.lit(True)
+    staged = df.withColumn("_prior_reasons", prior_reasons).withColumn(
+        "_prior_keep", prior_keep
+    )
+    signal_cols = [c for c, _ in GOPHER_REPETITION_RULES]
+    staged = staged.drop("reject_reasons", "keep", *signal_cols)
+    sig = repetition_signals_inline(staged, text_col=text_col)
+    return _merge_repetition_gate(sig)

@@ -1089,6 +1089,23 @@ def streaming_html_extract(
     )
 
 
+def streaming_repetition_filter(
+    stream: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Gopher repetition gate at ingest — the last crawl-ingest tier to
+    gain a streaming twin. The explode-form batch operator aggregates
+    (illegal as a plain stream transform without state/watermark), but
+    every signal is PER-DOCUMENT, so the map-only inline twin
+    (``text.repetition_signals_inline`` — higher-order array folds,
+    one codegen'd projection, no shuffle, no state) applies verbatim:
+    same thresholds, same reject_reasons/keep merge contract, legal in
+    any output mode. Stream ≡ batch gate decision pinned in
+    tests/test_streaming_curation.py."""
+    from token_etl_spark.operators.text import gopher_repetition_filter_inline
+
+    return gopher_repetition_filter_inline(stream, text_col=text_col)
+
+
 def _resolve_route_params(
     spark, export_path: str, key_col: str | None, seed: str | None
 ) -> tuple[str, str]:
