@@ -2,6 +2,8 @@ from __future__ import annotations
 
 import json
 
+from pyspark.sql import functions as F
+
 from token_etl_spark import cli, fixtures
 
 
@@ -222,3 +224,39 @@ def test_cli_corpus_ingest_flags(spark, tmp_path):
     d = {r.doc_id: r for r in spark.read.parquet(str(tmp_path / "ingest_dec")).collect()}
     assert d[0].keep and d[0].domain_kept and d[0].passed_repetition
     assert not d[1].keep and not d[1].passed_repetition
+
+
+def test_cli_shardmaint(spark, sf_dir, tmp_path, capsys):
+    """audit/split/compact drive the shard-maintenance levers from the
+    CLI: a clean export audits all-ok, split adds a shard, and the
+    post-split audit stays clean."""
+    out = str(tmp_path / "cli_maint")
+    cli.main([
+        "shards",
+        "--documents", f"{sf_dir}/documents.parquet",
+        "--out", out,
+        "--tokens-per-shard", "1000",
+    ])
+    capsys.readouterr()
+    cli.main(["shardmaint", "--path", out, "--action", "audit"])
+    printed = capsys.readouterr().out
+    assert "'ok'" in printed and "drift" not in printed
+
+    man = spark.read.parquet(f"{out}/manifest")
+    n_before = man.count()
+    target = (
+        man.where(F.col("n_docs") >= 2)
+        .orderBy(F.col("shard_tokens").desc(), F.col("shard_id"))
+        .first()["shard_id"]
+    )
+    cli.main(["shardmaint", "--path", out, "--action", "split",
+              "--shard-id", str(target)])
+    printed = capsys.readouterr().out
+    assert f"'n_shards': {n_before + 1}" in printed
+    cli.main(["shardmaint", "--path", out, "--action", "audit"])
+    printed = capsys.readouterr().out
+    assert "'ok'" in printed and "drift" not in printed
+    # compact with no increments is a clean no-op
+    cli.main(["shardmaint", "--path", out, "--action", "compact"])
+    printed = capsys.readouterr().out
+    assert f"'n_shards': {n_before + 1}" in printed

@@ -180,6 +180,18 @@ def main(argv: list[str] | None = None) -> None:
     shd.add_argument("--token-col", default=None)
     shd.add_argument("--seed", default="s0")
 
+    shm = sub.add_parser("shardmaint")
+    shm.add_argument("--path", required=True, help="an export_shards tree")
+    shm.add_argument(
+        "--action",
+        required=True,
+        choices=("audit", "compact", "split"),
+        help="audit: manifest-vs-disk integrity report; compact: fold "
+        "stream increments into the base tree; split: divide one "
+        "over-budget shard's key range (requires --shard-id)",
+    )
+    shm.add_argument("--shard-id", type=int, default=None)
+
     qry = sub.add_parser("query")
     qry.add_argument("name", nargs="?", default=None)
     qry.add_argument("--data", default="/root/testdata/sf0.001")
@@ -272,6 +284,32 @@ def main(argv: list[str] | None = None) -> None:
             F.max("shard_tokens").alias("max_shard_tokens"),
         ).collect()[0]
         print(stats.asDict())
+        return
+
+    if args.cmd == "shardmaint":
+        from token_etl_spark.io.sinks import (
+            audit_shard_layout,
+            compact_incremental_shards,
+            split_shard,
+        )
+
+        if args.action == "audit":
+            report = audit_shard_layout(spark, args.path)
+            counts = {
+                r["status"]: r["n"]
+                for r in report.groupBy("status").agg(F.count("*").alias("n")).collect()
+            }
+            print({"status_counts": counts})
+            for r in report.where(F.col("status") != "ok").collect():
+                print(r.asDict())
+        elif args.action == "compact":
+            manifest = compact_incremental_shards(spark, args.path)
+            print({"n_shards": manifest.count()})
+        else:
+            if args.shard_id is None:
+                raise SystemExit("--action split requires --shard-id")
+            manifest = split_shard(spark, args.path, args.shard_id)
+            print({"n_shards": manifest.count()})
         return
 
     if args.cmd == "query":
