@@ -293,15 +293,20 @@ def main(argv: list[str] | None = None) -> None:
             split_shard,
         )
 
+        if args.action != "split" and args.shard_id is not None:
+            raise SystemExit(f"--shard-id is only meaningful with --action split, not {args.action}")
         if args.action == "audit":
-            report = audit_shard_layout(spark, args.path)
-            counts = {
-                r["status"]: r["n"]
-                for r in report.groupBy("status").agg(F.count("*").alias("n")).collect()
-            }
+            # the report is shard-cardinality: collect ONCE and derive
+            # both views in Python — re-evaluating the frame would
+            # re-run the whole-corpus aggregation per view
+            rows = [r.asDict() for r in audit_shard_layout(spark, args.path).collect()]
+            counts: dict[str, int] = {}
+            for r in rows:
+                counts[r["status"]] = counts.get(r["status"], 0) + 1
             print({"status_counts": counts})
-            for r in report.where(F.col("status") != "ok").collect():
-                print(r.asDict())
+            for r in rows:
+                if r["status"] != "ok":
+                    print(r)
         elif args.action == "compact":
             manifest = compact_incremental_shards(spark, args.path)
             print({"n_shards": manifest.count()})

@@ -1032,6 +1032,14 @@ def extract_html_text(
     )
 
 
+#: blank line/paragraph filter shared by BOTH repetition-signal forms
+#: (explode + inline — one literal so the pinned equivalence cannot
+#: drift): explicit ASCII class, not \s — Java's \s includes \x0b/\f,
+#: RE2's does not, and the oracle replays this pattern verbatim
+#: (parity-review-found r11)
+_BLANK_UNIT = r"^[ \t\r\n\x0b\f]*$"
+
+
 def repetition_signals(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -1078,13 +1086,10 @@ def repetition_signals(
     )
 
     def dup_stats(units: Column, frac_name: str, char_name: str) -> DataFrame:
-        # explicit ASCII class, not \s — the RE2/Java \x0b gap
-        # (parity-review-found r11)
-        blank = r"^[ \t\r\n\x0b\f]*$"
         u = df.select(
             doc,
             F.explode(
-                F.filter(units, lambda x: ~x.rlike(blank))
+                F.filter(units, lambda x: ~x.rlike(_BLANK_UNIT))
             ).alias("u"),
         )
         per_unit = u.groupBy(id_col, "u").agg(F.count("*").alias("c"))
@@ -1211,11 +1216,10 @@ def repetition_signals_inline(
     NULL text yields all-zero signals (the batch form's no-units
     convention). Adds the seven signal columns to ``df``.
     """
-    blank = r"^[ \t\r\n\x0b\f]*$"
     text = F.coalesce(F.col(text_col), F.lit(""))
 
     def dup_pair(units: Column) -> tuple[Column, Column]:
-        u = F.filter(units, lambda x: ~x.rlike(blank))
+        u = F.filter(units, lambda x: ~x.rlike(_BLANK_UNIT))
         n = F.size(u)
         nd = F.size(F.array_distinct(u))
         chars = F.aggregate(
@@ -1316,28 +1320,32 @@ def gopher_repetition_filter(
     top-n-gram char coverage ≈ n/L, so very short documents exceed
     the n-gram bounds arithmetically — gopher_filter's min_words rule
     in the same composition is what screens those."""
-    # composing with gopher_filter must MERGE the gate columns, not
-    # overwrite them (review-found r11): prior reject reasons prepend
-    # and keep AND-composes, so run-both in either order keeps every
-    # rejection
+    sig = repetition_signals(df, text_col=text_col, id_col=id_col)
+    out = _stage_prior_gate(df).join(sig, id_col, "left")
+    return _merge_repetition_gate(out)
+
+
+def _stage_prior_gate(df: DataFrame) -> DataFrame:
+    """Stage a frame for a (re-)application of the repetition gate —
+    shared by the explode and inline forms so the merge contract can
+    only evolve in one place (the contract itself was review-found
+    r11: composing gates must MERGE, not overwrite):
+
+    - prior ``reject_reasons``/``keep`` move into ``_prior_*`` staging
+      columns (reasons will prepend, keep will AND-compose),
+    - any pre-existing signal columns drop — a prior signals pass would
+      otherwise make the rejoin/recompute ambiguous (ADVICE r11); the
+      fresh signals are recomputed from text, so nothing is lost."""
     prior_reasons = (
         F.col("reject_reasons") if "reject_reasons" in df.columns else F.lit("")
     )
     prior_keep = F.col("keep") if "keep" in df.columns else F.lit(True)
-    staged = df.withColumn("_prior_reasons", prior_reasons).withColumn(
-        "_prior_keep", prior_keep
-    )
-    sig = repetition_signals(df, text_col=text_col, id_col=id_col)
-    # also drop any pre-existing signal columns (a prior
-    # repetition_signals/gopher_repetition_filter pass) before joining
-    # sig — otherwise re-application fails with ambiguous references
-    # (ADVICE r11); the fresh signals are recomputed from text, so
-    # dropping the stale copies loses nothing
     signal_cols = [c for c, _ in GOPHER_REPETITION_RULES]
-    out = staged.drop("reject_reasons", "keep", *signal_cols).join(
-        sig, id_col, "left"
+    return (
+        df.withColumn("_prior_reasons", prior_reasons)
+        .withColumn("_prior_keep", prior_keep)
+        .drop("reject_reasons", "keep", *signal_cols)
     )
-    return _merge_repetition_gate(out)
 
 
 def _repetition_reject_reasons() -> Column:
@@ -1385,14 +1393,5 @@ def gopher_repetition_filter_inline(
     projection: no id column needed (nothing joins back), legal in any
     streaming output mode. Gate-equivalence to the explode form is
     pinned in tests/test_text.py."""
-    prior_reasons = (
-        F.col("reject_reasons") if "reject_reasons" in df.columns else F.lit("")
-    )
-    prior_keep = F.col("keep") if "keep" in df.columns else F.lit(True)
-    staged = df.withColumn("_prior_reasons", prior_reasons).withColumn(
-        "_prior_keep", prior_keep
-    )
-    signal_cols = [c for c, _ in GOPHER_REPETITION_RULES]
-    staged = staged.drop("reject_reasons", "keep", *signal_cols)
-    sig = repetition_signals_inline(staged, text_col=text_col)
+    sig = repetition_signals_inline(_stage_prior_gate(df), text_col=text_col)
     return _merge_repetition_gate(sig)
