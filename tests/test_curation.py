@@ -744,3 +744,44 @@ def test_registered_domain_whitespace_host_is_null(spark):
         for r in with_registered_domain(df, suffixes=blanky).collect()
     }
     assert psl2 == psl
+
+
+def test_save_load_domain_stats_provenance(spark, tmp_path):
+    """The reputation frame's fit/apply provenance (the shard-params
+    pattern): a frame fit under one registered-domain rule refuses to
+    load under another — the silent drop-everything mismatch becomes a
+    loud error."""
+    import pytest
+
+    from token_etl_spark.operators.curation import (
+        domain_stats,
+        load_domain_stats,
+        save_domain_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"https://www.bbc.co.uk/{i}") for i in range(4)],
+        "doc_id long, url string",
+    )
+    psl = spark.createDataFrame([("com",), ("co.uk",)], ["suffix"])
+
+    lite_path = str(tmp_path / "stats_lite")
+    save_domain_stats(spark, domain_stats(df), lite_path)
+    back = load_domain_stats(spark, lite_path)
+    assert {r["domain"] for r in back.collect()} == {"co.uk"}
+    with pytest.raises(ValueError, match="mismatched registered-domain"):
+        load_domain_stats(spark, lite_path, suffixes=psl)
+
+    psl_path = str(tmp_path / "stats_psl")
+    save_domain_stats(spark, domain_stats(df, suffixes=psl), psl_path, suffixes=psl)
+    back = load_domain_stats(spark, psl_path, suffixes=psl)
+    assert {r["domain"] for r in back.collect()} == {"bbc.co.uk"}
+    with pytest.raises(ValueError, match="mismatched registered-domain"):
+        load_domain_stats(spark, psl_path)
+    # a DIFFERENT suffix table is a different fingerprint, even same rule
+    other = spark.createDataFrame([("com",), ("com.au",)], ["suffix"])
+    with pytest.raises(ValueError, match="mismatched registered-domain"):
+        load_domain_stats(spark, psl_path, suffixes=other)
+    # blank/ordering variations canonicalize to the SAME fingerprint
+    same = spark.createDataFrame([("co.uk",), (" COM ",), ("",)], ["suffix"])
+    assert load_domain_stats(spark, psl_path, suffixes=same).count() == 1

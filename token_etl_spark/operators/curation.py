@@ -1773,6 +1773,69 @@ def domain_stats(
     )
 
 
+def save_domain_stats(
+    spark,
+    stats: DataFrame,
+    path: str,
+    suffixes: DataFrame | None = None,
+) -> None:
+    """Persist a :func:`domain_stats` reputation frame WITH its
+    registered-domain-rule provenance — the fit/apply discipline the
+    shard export's (key_col, seed) params established: a stats frame
+    keyed under the lite rule applied under a suffix table (or under a
+    DIFFERENT suffix table) matches nothing and silently drops every
+    ccTLD document, so the rule that built the frame is recorded
+    beside it and :func:`load_domain_stats` refuses a mismatch loudly.
+
+    ``<path>/stats`` holds the frame; ``<path>/params`` holds one row
+    ``(rule, suffix_md5)`` where rule is 'lite' or 'psl' and
+    suffix_md5 is the md5 of the sorted newline-joined suffix list
+    ('' for lite) — content-addressed, so any edit to the table is a
+    different fingerprint."""
+    stats.write.mode("overwrite").parquet(f"{path.rstrip('/')}/stats")
+    rule, digest = _suffix_fingerprint(suffixes)
+    spark.createDataFrame(
+        [(rule, digest)], "rule string, suffix_md5 string"
+    ).write.mode("overwrite").parquet(f"{path.rstrip('/')}/params")
+
+
+def load_domain_stats(
+    spark,
+    path: str,
+    suffixes: DataFrame | None = None,
+) -> DataFrame:
+    """Load a saved reputation frame, validating that the caller's
+    ``suffixes`` setting matches the one the frame was FIT under
+    (see :func:`save_domain_stats`); raises ValueError on mismatch
+    instead of silently flagging every document domain_kept=False."""
+    base = path.rstrip("/")
+    rule, digest = _suffix_fingerprint(suffixes)
+    params = spark.read.parquet(f"{base}/params").collect()[0]
+    if (params["rule"], params["suffix_md5"]) != (rule, digest):
+        raise ValueError(
+            f"domain stats at {path} were fit under rule="
+            f"{params['rule']!r} (suffix_md5={params['suffix_md5']!r}) but "
+            f"are being loaded under rule={rule!r} "
+            f"(suffix_md5={digest!r}) — a mismatched registered-domain "
+            "rule keys the frame differently and silently drops every "
+            "ccTLD document; pass the same suffixes the fit used"
+        )
+    return spark.read.parquet(f"{base}/stats")
+
+
+def _suffix_fingerprint(suffixes: DataFrame | None) -> tuple[str, str]:
+    import hashlib
+
+    if suffixes is None:
+        return "lite", ""
+    vals = sorted(
+        r[0].strip().lower()
+        for r in suffixes.select("suffix").collect()
+        if r[0] and r[0].strip()
+    )
+    return "psl", hashlib.md5("\n".join(vals).encode()).hexdigest()
+
+
 def domain_filter(
     df: DataFrame,
     stats: DataFrame,

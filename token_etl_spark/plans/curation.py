@@ -1048,6 +1048,37 @@ SQL_DOMAIN_STATS_PLAN = sql_domain_stats(
 )
 
 
+def q_repetition_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The map-only INLINE twin of ``ext_repetition_signals``
+    (operators/text.repetition_signals_inline): the same seven Gopher
+    signals over the same %4-branch synthesized line/paragraph
+    structure, under the SAME oracle — but computed as one codegen'd
+    projection (higher-order folds + a sorted-run-length top-gram
+    scan) with zero Exchanges, the form the streaming gate applies.
+    Two declared plans, one oracle: the driver proves the explode and
+    inline forms against the identical SQL replay."""
+    from token_etl_spark.operators.text import repetition_signals_inline
+
+    docs = t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    messy = (
+        F.when(
+            k % 4 == 0,
+            F.concat(F.col("text"), F.lit("\nrepeat line alpha\nrepeat line alpha")),
+        )
+        .when(k % 4 == 1, F.concat(F.col("text"), F.lit("\n\n"), F.col("text")))
+        .when(k % 4 == 2, F.concat(F.lit("tok tok tok tok "), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    return repetition_signals_inline(
+        docs.select("doc_id", messy.alias("text"))
+    ).select(
+        "doc_id", "dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+        "dup_para_char_frac", "top_2gram_char_frac", "top_3gram_char_frac",
+        "top_4gram_char_frac",
+    )
+
+
 #: the literal public-suffix dimension the PSL row broadcasts — shared
 #: verbatim by the Spark plan and the oracle's VALUES list
 _PSL_SUFFIXES = ("com", "org", "net", "co.uk", "com.au")
@@ -1246,4 +1277,5 @@ SPECS = [
     QuerySpec("ext_domain_stats", q_domain_stats, SQL_DOMAIN_STATS_PLAN, ("curation", "functions-string")),
     QuerySpec("ext_crawl_ingest", q_crawl_ingest, SQL_CRAWL_INGEST, ("curation", "text", "pipeline")),
     QuerySpec("ext_domain_stats_psl", q_domain_stats_psl, SQL_DOMAIN_STATS_PSL, ("curation", "functions-string", "join")),
+    QuerySpec("ext_repetition_inline", q_repetition_inline, SQL_REPETITION_SIGNALS_PLAN, ("curation", "text", "streaming")),
 ]

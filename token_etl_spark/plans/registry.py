@@ -64,14 +64,21 @@ from token_etl_spark.plans.base import QuerySpec
 #      replay stays possible", delivered). Birth-round rule; it takes
 #      ext_text_normalize's slot (whose normalize+digest core runs
 #      inside the in-window ext_dedup_exact oracle), the 6th carry.
-#   6. 42 more of the 50 r8-stale rows (the r11 VERDICT item-1 list),
+#   6. ext_repetition_inline, NEW late-round: the map-only inline twin
+#      of the repetition signals (the streaming gate's form) under the
+#      SAME oracle as ext_repetition_signals — the driver proves both
+#      plan shapes against one SQL replay. Birth-round rule; it takes
+#      ext_token_estimate's slot (whose estimate expression also runs
+#      inside the in-window window via est_tokens in the corpus-prep
+#      family's sweep coverage), the 7th carry.
+#   7. 41 more of the 50 r8-stale rows (the r11 VERDICT item-1 list),
 #      float-scoring rows first (margin/quality/weight/calibration
 #      scores, cosine/jaccard scorers, sketch estimates, ratio
-#      reports), then the integer/md5-pinned remainder. The 6 that do
+#      reports), then the integer/md5-pinned remainder. The 7 that do
 #      not fit — rel_full_outer, rel_grouping_sets, rel_bloom_join,
-#      ext_multimodal_meta, ext_top_tokens, ext_text_normalize, the
-#      lowest-dtype-risk integer/md5-pinned rows — stay sweep-green
-#      and lead the r13 rotation.
+#      ext_multimodal_meta, ext_top_tokens, ext_text_normalize,
+#      ext_token_estimate, the lowest-dtype-risk integer/md5-pinned
+#      rows — stay sweep-green and lead the r13 rotation.
 # Displaced: the r9/r10/r11-green window occupants — all still covered
 # by the 203-query local three-SF sweep.
 #
@@ -317,6 +324,7 @@ _PRIORITY_NAMES = [
     # public-suffix domain path
     "ext_crawl_ingest",
     "ext_domain_stats_psl",
+    "ext_repetition_inline",
     # r8-stale head: shared oracle builder changed in r11 + the r11
     # rationale misstated ext_ann_ivf_kmeans's freshness (see above)
     "ext_ann_ivf_kmeans",
@@ -358,7 +366,6 @@ _PRIORITY_NAMES = [
     "ext_snapshot_diff",
     "ext_text_fingerprint",
     "ext_token_budget",
-    "ext_token_estimate",
     "ext_url_dedup",
     "ext_vocab_growth",
     "ext_minhash_clusters",
@@ -369,8 +376,8 @@ _PRIORITY_NAMES = [
     "rel_salted_join",
     # carries to r13 (did not fit): rel_full_outer, rel_grouping_sets,
     # rel_bloom_join, ext_multimodal_meta, ext_top_tokens,
-    # ext_text_normalize — integer/md5-pinned rows, lowest dtype risk,
-    # sweep-green; they lead the r13 rotation.
+    # ext_text_normalize, ext_token_estimate — integer/md5-pinned
+    # rows, lowest dtype risk, sweep-green; they lead the r13 rotation.
 ]
 
 _MODULE_ORDER: list[QuerySpec] = [
