@@ -785,3 +785,65 @@ def test_save_load_domain_stats_provenance(spark, tmp_path):
     # blank/ordering variations canonicalize to the SAME fingerprint
     same = spark.createDataFrame([("co.uk",), (" COM ",), ("",)], ["suffix"])
     assert load_domain_stats(spark, psl_path, suffixes=same).count() == 1
+
+
+def test_domain_stats_provenance_hardening(spark, tmp_path):
+    """The r12 review's three provenance holes, closed: duplicate/
+    case-variant suffix rows fingerprint identically (no spurious
+    refusal); a crash between the staged write and the swap never
+    leaves new stats beside stale params (marker-gated whole-tree
+    rename, healed on next touch); fit_and_save_domain_stats cannot
+    record a wrong stamp."""
+    import pytest
+
+    import token_etl_spark.operators.curation as C2
+    from token_etl_spark.operators.curation import (
+        domain_stats,
+        fit_and_save_domain_stats,
+        load_domain_stats,
+        save_domain_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"https://www.bbc.co.uk/{i}") for i in range(4)],
+        "doc_id long, url string",
+    )
+    psl = spark.createDataFrame([("com",), ("co.uk",)], ["suffix"])
+    dup_psl = spark.createDataFrame(
+        [("com",), ("COM",), (" co.uk ",), ("co.uk",)], ["suffix"]
+    )
+    # semantically identical tables fingerprint identically
+    assert C2._suffix_fingerprint(psl) == C2._suffix_fingerprint(dup_psl)
+
+    # fit-and-save: one suffixes argument drives fit AND stamp
+    p = str(tmp_path / "fit_save")
+    back = fit_and_save_domain_stats(spark, df, p, suffixes=psl)
+    assert {r["domain"] for r in back.collect()} == {"bbc.co.uk"}
+    assert load_domain_stats(spark, p, suffixes=dup_psl).count() == 1
+
+    # torn-write window: a save that crashes AFTER staging completes
+    # (marker present, swap not yet done) heals into the NEW state on
+    # the next load — never new stats beside stale params
+    lite_stats = domain_stats(df).localCheckpoint()
+    from token_etl_spark.io.sinks import _bucket_fs
+
+    # simulate: stage a lite re-fit manually without the final rename
+    staging = p + C2._STAGING_DOMSTATS
+    lite_stats.write.mode("overwrite").parquet(f"{staging}/stats")
+    spark.createDataFrame(
+        [("lite", "")], "rule string, suffix_md5 string"
+    ).write.mode("overwrite").parquet(f"{staging}/params")
+    fs, hpath = _bucket_fs(spark, p)
+    fs.create(hpath(f"{staging}/{C2._DOMSTATS_MARKER}"), True).close()
+    # the old PSL tree is still in place; a load under the OLD rule now
+    # heals the committed staging and refuses — the new lite state won
+    with pytest.raises(ValueError, match="mismatched registered-domain"):
+        load_domain_stats(spark, p, suffixes=psl)
+    assert {r["domain"] for r in load_domain_stats(spark, p).collect()} == {"co.uk"}
+
+    # a marker-LESS staging (crash mid-write) is discarded instead
+    lite_stats.write.mode("overwrite").parquet(f"{staging}/stats")
+    assert load_domain_stats(spark, p).count() == 1  # still the lite state
+    import glob
+
+    assert not glob.glob(staging)

@@ -1773,6 +1773,34 @@ def domain_stats(
     )
 
 
+def fit_and_save_domain_stats(
+    spark,
+    df: DataFrame,
+    path: str,
+    url_col: str = "url",
+    quality_col: str | None = None,
+    dup_col: str | None = None,
+    suffixes: DataFrame | None = None,
+) -> DataFrame:
+    """Fit :func:`domain_stats` AND persist it with accurate
+    provenance in one call — the ``export_shards`` shape (the export
+    runs ``assign_shards`` itself, so its recorded params cannot lie):
+    because the fit and the stamp share one ``suffixes`` argument, the
+    recorded rule is correct BY CONSTRUCTION, where the two-call
+    ``domain_stats(...)`` + :func:`save_domain_stats` form trusts the
+    caller to repeat the same table twice. Returns the saved frame
+    read back."""
+    stats = domain_stats(
+        df,
+        url_col=url_col,
+        quality_col=quality_col,
+        dup_col=dup_col,
+        suffixes=suffixes,
+    )
+    save_domain_stats(spark, stats, path, suffixes=suffixes)
+    return load_domain_stats(spark, path, suffixes=suffixes)
+
+
 def save_domain_stats(
     spark,
     stats: DataFrame,
@@ -1789,14 +1817,64 @@ def save_domain_stats(
 
     ``<path>/stats`` holds the frame; ``<path>/params`` holds one row
     ``(rule, suffix_md5)`` where rule is 'lite' or 'psl' and
-    suffix_md5 is the md5 of the sorted newline-joined suffix list
-    ('' for lite) — content-addressed, so any edit to the table is a
-    different fingerprint."""
-    stats.write.mode("overwrite").parquet(f"{path.rstrip('/')}/stats")
+    suffix_md5 is the md5 of the sorted deduplicated canonicalized
+    suffix list ('' for lite) — content-addressed, so any semantic
+    edit to the table is a different fingerprint while spelling
+    variations the operator itself ignores (case, padding, blanks,
+    duplicates) are not.
+
+    Commit protocol: stats and params stage together under
+    ``<path>.staging-stats`` and swap in via a marker-gated whole-tree
+    rename — a "stats then params" in-place overwrite would leave a
+    crash window where NEW stats sit beside STALE params and a later
+    load validates the wrong rule successfully, re-enabling the exact
+    silent mismatch this feature exists to prevent (review-found r12).
+    CALLER CONTRACT: ``suffixes`` here must be the table the frame was
+    FIT with — prefer :func:`fit_and_save_domain_stats`, which cannot
+    record a wrong stamp."""
+    from token_etl_spark.io.sinks import _bucket_fs, _delete_dir
+
+    base = path.rstrip("/")
+    _heal_domain_stats(spark, path)
+    staging = base + _STAGING_DOMSTATS
+    _delete_dir(spark, staging)
+    stats.write.mode("overwrite").parquet(f"{staging}/stats")
     rule, digest = _suffix_fingerprint(suffixes)
     spark.createDataFrame(
         [(rule, digest)], "rule string, suffix_md5 string"
-    ).write.mode("overwrite").parquet(f"{path.rstrip('/')}/params")
+    ).write.mode("overwrite").parquet(f"{staging}/params")
+    fs, hpath = _bucket_fs(spark, path)
+    fs.create(hpath(f"{staging}/{_DOMSTATS_MARKER}"), True).close()
+    dst = hpath(base)
+    if fs.exists(dst):
+        fs.delete(dst, True)
+    if not fs.rename(hpath(staging), dst):
+        raise IOError(f"domain stats swap failed: {staging} -> {base}")
+
+
+_STAGING_DOMSTATS = ".staging-stats"
+_DOMSTATS_MARKER = "_STATS_COMMITTED"
+
+
+def _heal_domain_stats(spark, path: str) -> None:
+    """Finish a crash-interrupted stats swap (marker present — the
+    staging is a complete replacement) or discard an incomplete one."""
+    from token_etl_spark.io.sinks import _bucket_fs
+
+    base = path.rstrip("/")
+    staging = base + _STAGING_DOMSTATS
+    fs, hpath = _bucket_fs(spark, path)
+    sp = hpath(staging)
+    if not fs.exists(sp):
+        return
+    if fs.exists(hpath(f"{staging}/{_DOMSTATS_MARKER}")):
+        dst = hpath(base)
+        if fs.exists(dst):
+            fs.delete(dst, True)
+        if not fs.rename(sp, dst):
+            raise IOError(f"domain stats swap recovery failed: {staging}")
+    else:
+        fs.delete(sp, True)
 
 
 def load_domain_stats(
@@ -1807,8 +1885,10 @@ def load_domain_stats(
     """Load a saved reputation frame, validating that the caller's
     ``suffixes`` setting matches the one the frame was FIT under
     (see :func:`save_domain_stats`); raises ValueError on mismatch
-    instead of silently flagging every document domain_kept=False."""
+    instead of silently flagging every document domain_kept=False.
+    Finishes any crash-interrupted save first."""
     base = path.rstrip("/")
+    _heal_domain_stats(spark, path)
     rule, digest = _suffix_fingerprint(suffixes)
     params = spark.read.parquet(f"{base}/params").collect()[0]
     if (params["rule"], params["suffix_md5"]) != (rule, digest):
@@ -1824,14 +1904,22 @@ def load_domain_stats(
 
 
 def _suffix_fingerprint(suffixes: DataFrame | None) -> tuple[str, str]:
+    """Content fingerprint of a suffix table under the SAME
+    canonicalization ``with_registered_domain`` applies (lower +
+    space-trim + drop-blank + DEDUPLICATE) — semantically identical
+    tables must fingerprint identically, or a valid load gets a
+    spurious refusal (review-found r12: a duplicate or case-variant
+    row is invisible to the join but changed the hash)."""
     import hashlib
 
     if suffixes is None:
         return "lite", ""
     vals = sorted(
-        r[0].strip().lower()
-        for r in suffixes.select("suffix").collect()
-        if r[0] and r[0].strip()
+        {
+            r[0].lower().strip(" ")
+            for r in suffixes.select("suffix").collect()
+            if r[0] and r[0].strip(" ")
+        }
     )
     return "psl", hashlib.md5("\n".join(vals).encode()).hexdigest()
 
@@ -1880,10 +1968,13 @@ def domain_filter(
     # emitted 'evil.co.uk' (review-found r12)
     suffix_set: set[str] | None = None
     if suffixes is not None and blocklist:
+        # the SAME canonicalization the in-plan join applies (lower +
+        # space-trim + drop-blank) — str.strip() would also strip tabs
+        # the engine's F.trim does not
         suffix_set = {
-            r[0].strip().lower()
+            r[0].lower().strip(" ")
             for r in suffixes.select("suffix").collect()
-            if r[0] and r[0].strip()
+            if r[0] and r[0].strip(" ")
         }
     for b in blocklist:
         labels = b.lower().rstrip(".").split(".")

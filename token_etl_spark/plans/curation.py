@@ -902,19 +902,15 @@ def sql_repetition_signals(src: str = "documents", prelude: str = "") -> str:
     )
 
 
-def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher repetition signals (operators/text.repetition_signals).
-    The corpus prose is single-line, so deterministic line/paragraph
-    structure is injected first (%4 branches: a duplicated trailing
-    line, a duplicated paragraph, a repeated-token prefix, unchanged) —
-    identically on both engines — so the dup-line AND dup-para paths
-    are actually exercised, not trivially zero. All fractions are
-    integer-over-integer double divisions: bit-exact cross-engine."""
-    from token_etl_spark.operators.text import repetition_signals
-
-    docs = t(spark, sf_dir, "documents")
+def _rep_synth() -> F.Column:
+    """Deterministic line/paragraph structure injected over the
+    single-line corpus prose (%4 branches: a duplicated trailing line,
+    a duplicated paragraph, a repeated-token prefix, unchanged) so the
+    dup-line AND dup-para paths are exercised, not trivially zero.
+    Shared by the explode and inline repetition rows — one literal
+    beside the one SQL prelude, the _url_synth/_html_synth rule."""
     k = F.col("doc_id")
-    messy = (
+    return (
         F.when(
             k % 4 == 0,
             F.concat(F.col("text"), F.lit("\nrepeat line alpha\nrepeat line alpha")),
@@ -923,7 +919,17 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(k % 4 == 2, F.concat(F.lit("tok tok tok tok "), F.col("text")))
         .otherwise(F.col("text"))
     )
-    return repetition_signals(docs.select("doc_id", messy.alias("text")))
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals (operators/text.repetition_signals)
+    over the ``_rep_synth`` structure — identical on both engines. All
+    fractions are integer-over-integer double divisions: bit-exact
+    cross-engine."""
+    from token_etl_spark.operators.text import repetition_signals
+
+    docs = t(spark, sf_dir, "documents")
+    return repetition_signals(docs.select("doc_id", _rep_synth().alias("text")))
 
 
 SQL_REPETITION_SIGNALS_PLAN = sql_repetition_signals(
@@ -1060,18 +1066,8 @@ def q_repetition_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from token_etl_spark.operators.text import repetition_signals_inline
 
     docs = t(spark, sf_dir, "documents")
-    k = F.col("doc_id")
-    messy = (
-        F.when(
-            k % 4 == 0,
-            F.concat(F.col("text"), F.lit("\nrepeat line alpha\nrepeat line alpha")),
-        )
-        .when(k % 4 == 1, F.concat(F.col("text"), F.lit("\n\n"), F.col("text")))
-        .when(k % 4 == 2, F.concat(F.lit("tok tok tok tok "), F.col("text")))
-        .otherwise(F.col("text"))
-    )
     return repetition_signals_inline(
-        docs.select("doc_id", messy.alias("text"))
+        docs.select("doc_id", _rep_synth().alias("text"))
     ).select(
         "doc_id", "dup_line_frac", "dup_line_char_frac", "dup_para_frac",
         "dup_para_char_frac", "top_2gram_char_frac", "top_3gram_char_frac",
