@@ -24,7 +24,44 @@ from token_etl_spark.plans.base import QuerySpec
 # the first 50 names in dict order). Ordering is therefore a verification
 # decision, not cosmetics.
 #
-# ROUND-12 ROTATION (last-green histogram after r11, recomputed from
+# ROUND-13 ROTATION (last-green histogram after r12, recomputed from
+# the CORRECTNESS_r{01..12}.json keys: r12=50, r11=50, r10=50, r9=50,
+# r8=7 — matching the r12 VERDICT's recount exactly). The window is:
+#   1. The 7 named r8-green carries FIRST (the standing carry promise
+#      from the r12 rotation, VERDICT r12 item 1): rel_full_outer,
+#      rel_grouping_sets, rel_bloom_join, ext_multimodal_meta,
+#      ext_top_tokens, ext_text_normalize, ext_token_estimate — all
+#      integer/md5-pinned, all sweep-green since r8.
+#   2. The 25 float-scoring r9-stale rows (classified empirically for
+#      this rotation: each oracle run in DuckDB at sf0.001 and the
+#      result dtypes inspected — any float64 column ⇒ float-scoring;
+#      the list below is that measurement, not a guess): balance/flow/
+#      volume sums and lags, the /24 quirk, cosine/jaccard/containment
+#      scorers, Gopher ratios, EWMA, pagerank, quantiles, temperature
+#      weights, revenue sums.
+#   3. 18 of the 25 integer/string r9-stale rows, distinctive shapes
+#      first (composed corpus prep, cross-corpus LSH, overlap matrix,
+#      chunking/packing arithmetic, line filter, PII scan, profile,
+#      mixture manifests, multimodal headers, retention cohorts, exact
+#      countDistinct, as-of join, range join, pivot), then the two
+#      LOWEST-risk rows (evt_holder_count, evt_whale_count — twin
+#      boolean→int sums) as belt-and-suspenders SPARES: any query NEW
+#      in r13 takes their slots per the birth-round rule (the r11/r12
+#      spare precedent), and if no new row lands the window stays full
+#      of stale rows.
+#   4. The 7 integer/string r9-stale rows that do not fit —
+#      ext_decontaminate, ext_hash_split, rel_anti_join,
+#      rel_notin_blacklist, rel_prefix_keys, rel_semi_join,
+#      rel_union_distinct — are the most-native, lowest-dtype-risk
+#      rows (keep-list anti-join, md5 bucketing, three join variants,
+#      concat-prefix, distinct; every shape runs inside in-window
+#      rows); they stay sweep-green and lead the r14 rotation along
+#      with any displaced spares.
+# Displaced: the r10/r11/r12-green window occupants — all still
+# covered by the local three-SF sweep.
+#
+# ROUND-12 ROTATION (kept for the audit trail; last-green histogram
+# after r11, recomputed from
 # the CORRECTNESS_r{01..11}.json keys: r11=50, r10=50, r9=50, r8=50 —
 # matching the r11 VERDICT's recount exactly). The window is:
 #   1. The 3 queries NEW this round — ext_html_extract,
@@ -314,70 +351,69 @@ from token_etl_spark.plans.base import QuerySpec
 #      md5-pinned plans with the lowest dtype risk; they pass the
 #      local three-SF sweep and rotate into r8.
 _PRIORITY_NAMES = [
-    # new in round 12 (the crawl-ingest tier, oracles proven in r11)
-    "ext_html_extract",
-    "ext_repetition_signals",
-    "ext_domain_stats",
-    # new mid-round 12: the shard split lever's arithmetic
-    "ext_shard_split",
-    # new late-round 12: the composed crawl-ingest tier + the precise
-    # public-suffix domain path
-    "ext_crawl_ingest",
-    "ext_domain_stats_psl",
-    "ext_repetition_inline",
-    # r8-stale head: shared oracle builder changed in r11 + the r11
-    # rationale misstated ext_ann_ivf_kmeans's freshness (see above)
-    "ext_ann_ivf_kmeans",
-    "ext_ann_ivf",
-    # r8-stale: float-scoring rows first (highest dtype risk — margin/
-    # quality/weight/calibration scores, cosine/jaccard scorers,
-    # sketch estimates, ratio reports)
-    "ext_ann_lsh_margin",
-    "ext_lm_quality",
-    "ext_importance_weights",
-    "ext_score_calibration",
-    "ext_embedding_neardup",
-    "ext_embedding_outliers",
-    "ext_knn_label_noise_ivf",
-    "ext_hll_distinct",
-    "ext_kmv_overlap",
-    "ext_histogram_quantiles",
-    "evt_rollup_hll_users",
-    "evt_rollup_merge_read",
-    "ext_countmin_freqs",
-    "ext_tfidf_terms",
-    "ext_bm25_topk",
-    "ext_data_quality",
-    "ext_dup_inflation",
-    "ext_ngram_jaccard",
-    "ext_text_langid",
-    "ext_repetition_stats",
-    "ext_text_stats",
-    "ext_simhash_neardup",
-    "ext_source_overlap_matrix",
-    "ext_dedup_audit_sample",
-    "rel_skew_profile",
-    "rel_token_metadata_dim",
-    # r8-stale: the integer/md5-pinned remainder
-    "ext_dedup_exact",
-    "ext_dedup_keep_list",
-    "ext_crossdoc_line_dedup",
-    "ext_simhash",
-    "ext_snapshot_diff",
-    "ext_text_fingerprint",
-    "ext_token_budget",
-    "ext_url_dedup",
-    "ext_vocab_growth",
-    "ext_minhash_clusters",
-    "ext_dup_spans",
-    "ext_dup_span_rewrite",
-    "ext_bloom_decontaminate",
-    "rel_salted_agg",
-    "rel_salted_join",
-    # carries to r13 (did not fit): rel_full_outer, rel_grouping_sets,
-    # rel_bloom_join, ext_multimodal_meta, ext_top_tokens,
-    # ext_text_normalize, ext_token_estimate — integer/md5-pinned
-    # rows, lowest dtype risk, sweep-green; they lead the r13 rotation.
+    # the 7 named r8-green carries (the standing promise; lead r13)
+    "rel_full_outer",
+    "rel_grouping_sets",
+    "rel_bloom_join",
+    "ext_multimodal_meta",
+    "ext_top_tokens",
+    "ext_text_normalize",
+    "ext_token_estimate",
+    # r9-stale: float-scoring rows first (highest dtype risk —
+    # empirically classified by running each oracle in DuckDB at
+    # sf0.001 and inspecting result dtypes)
+    "evt_assemble_metrics",
+    "evt_avg_tx_per_day",
+    "evt_hourly_user_flow",
+    "evt_hourly_volume",
+    "evt_prev_balance",
+    "evt_running_balance",
+    "evt_tumbling_hourly",
+    "ext_containment_dedup",
+    "ext_dedup_audit_sample_lsh",
+    "ext_dedup_threshold_curve",
+    "ext_gopher_quality",
+    "ext_langid_confusion",
+    "ext_lexical_diversity",
+    "ext_multimodal_audio",
+    "ext_multimodal_pixels",
+    "ext_quantile_filter",
+    "ext_source_centroid_sim",
+    "ext_supplier_pagerank",
+    "ext_temperature_mix",
+    "ext_user_value_ewma",
+    "rel_bool_flags",
+    "rel_customer_spend",
+    "rel_explode_word_join",
+    "rel_monthly_scaffold",
+    "rel_topk_orders",
+    # r9-stale: integer/string rows, distinctive shapes first
+    "ext_corpus_prep",
+    "ext_crosscorpus_dedup",
+    "ext_source_overlap_matrix_lsh",
+    "ext_chunk_documents",
+    "ext_sequence_pack",
+    "ext_line_filter",
+    "ext_pii_scan",
+    "ext_table_profile",
+    "ext_mixture_manifest",
+    "ext_source_mix",
+    "ext_multimodal_decode",
+    "evt_retention_cohorts",
+    "evt_hourly_active_users",
+    "rel_asof_last_click",
+    "rel_range_join_purchases",
+    "rel_pivot_priority",
+    # belt-and-suspenders spares (positions 49-50): twin boolean→int
+    # sums, the lowest-risk rows in the stale pool — any query NEW in
+    # r13 takes these slots per the birth-round rule
+    "evt_holder_count",
+    "evt_whale_count",
+    # carries to r14 (did not fit): ext_decontaminate, ext_hash_split,
+    # rel_anti_join, rel_notin_blacklist, rel_prefix_keys,
+    # rel_semi_join, rel_union_distinct — most-native integer/string
+    # rows, lowest dtype risk, sweep-green; they lead the r14 rotation
+    # along with any spares displaced by new r13 rows.
 ]
 
 _MODULE_ORDER: list[QuerySpec] = [
