@@ -14,6 +14,12 @@ the MEDIAN, with per-query min/max/runs in a "spread" field — single-run
 sub-second numbers on a shared local[32] box cannot distinguish plan
 regressions from run-to-run variance (the r1→r2 +14% drift was exactly
 that ambiguity).
+
+The output carries an "env" stamp (JVM build, kernel, Spark/Python
+versions, CPU model/count, OS image) — the r12 drift bisect proved the
+ENVIRONMENT moved (+40% on identical code and data) and nothing had
+recorded what it was, so every future drift investigation starts from
+recorded facts, not archaeology (VERDICT r12 item 2).
 """
 
 from __future__ import annotations
@@ -27,6 +33,47 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from token_etl_spark.session import get_spark
+
+
+def env_stamp(spark) -> dict:
+    """Identifiers of everything the r12 drift bisect implicated but
+    could not name: JVM build, kernel, Spark/Python versions, CPU
+    model and count, OS image. Cheap, best-effort — a missing source
+    stamps 'unknown', never fails the bench."""
+    import platform
+
+    stamp = {
+        "spark": spark.version,
+        "kernel": platform.release(),
+        "python": platform.python_version(),
+        "cpus": os.cpu_count(),
+    }
+    try:
+        jvm = spark.sparkContext._jvm.java.lang.System
+        stamp["java"] = "{} ({} {})".format(
+            jvm.getProperty("java.runtime.version"),
+            jvm.getProperty("java.vm.name"),
+            jvm.getProperty("java.vendor"),
+        )
+    except Exception:
+        stamp["java"] = "unknown"
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("model name"):
+                    stamp["cpu"] = line.split(":", 1)[1].strip()
+                    break
+    except Exception:
+        pass
+    try:
+        with open("/etc/os-release") as f:
+            for line in f:
+                if line.startswith("PRETTY_NAME="):
+                    stamp["os_image"] = line.split("=", 1)[1].strip().strip('"')
+                    break
+    except Exception:
+        pass
+    return stamp
 
 
 def main() -> None:
@@ -74,6 +121,7 @@ def main() -> None:
         "n_runs": n_runs,
         "spread": spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "env": env_stamp(spark),
     }
 
     # SPARK_GRAFT_BENCH_ALL=1: additionally time every other declared

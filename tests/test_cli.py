@@ -226,6 +226,75 @@ def test_cli_corpus_ingest_flags(spark, tmp_path):
     assert not d[1].keep and not d[1].passed_repetition
 
 
+def test_cli_corpus_domain_stats_provenance(spark, tmp_path):
+    """--domain-stats pointing at a save_domain_stats provenance tree
+    routes through load_domain_stats: a psl-fit frame applied under the
+    CLI's lite rule REFUSES instead of silently flagging every ccTLD
+    document domain_kept=False, and --domain-suffixes supplies the
+    matching rule (ADVICE r12 medium). A bare parquet frame still loads
+    as-is."""
+    import pytest
+
+    from token_etl_spark.operators.curation import (
+        domain_stats,
+        fit_and_save_domain_stats,
+        save_domain_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a good long document " * 5, "https://bbc.co.uk/0"),
+            (1, "another fine document " * 5, "https://bbc.co.uk/1"),
+        ],
+        "doc_id long, text string, url string",
+    )
+    docs.write.parquet(str(tmp_path / "docs"))
+    psl = spark.createDataFrame([("com",), ("co.uk",)], ["suffix"])
+    psl.write.parquet(str(tmp_path / "psl"))
+
+    tree = str(tmp_path / "stats_tree")
+    fit_and_save_domain_stats(spark, docs, tree, suffixes=psl)
+
+    # psl-fit tree under the CLI's lite rule → loud refusal
+    with pytest.raises(ValueError, match="mismatched registered-domain"):
+        cli.main(
+            ["corpus", "--documents", str(tmp_path / "docs"),
+             "--out", str(tmp_path / "dec_bad"),
+             "--url-col", "url", "--domain-stats", tree]
+        )
+    # with the matching --domain-suffixes the gate applies precisely
+    cli.main(
+        ["corpus", "--documents", str(tmp_path / "docs"),
+         "--out", str(tmp_path / "dec_ok"),
+         "--url-col", "url", "--domain-stats", tree,
+         "--domain-suffixes", str(tmp_path / "psl")]
+    )
+    rows = spark.read.parquet(str(tmp_path / "dec_ok")).collect()
+    assert all(r["domain_kept"] for r in rows)
+    assert {r["domain"] for r in rows} == {"bbc.co.uk"}
+
+    # a bare parquet frame (no params) loads raw, as before
+    bare = str(tmp_path / "stats_bare")
+    domain_stats(docs).write.parquet(bare)
+    cli.main(
+        ["corpus", "--documents", str(tmp_path / "docs"),
+         "--out", str(tmp_path / "dec_bare"),
+         "--url-col", "url", "--domain-stats", bare]
+    )
+    rows = spark.read.parquet(str(tmp_path / "dec_bare")).collect()
+    assert all(r["domain_kept"] for r in rows)
+
+    # lite-fit provenance tree + no suffixes → loads fine
+    lite_tree = str(tmp_path / "stats_lite_tree")
+    save_domain_stats(spark, domain_stats(docs), lite_tree)
+    cli.main(
+        ["corpus", "--documents", str(tmp_path / "docs"),
+         "--out", str(tmp_path / "dec_lite"),
+         "--url-col", "url", "--domain-stats", lite_tree]
+    )
+    assert spark.read.parquet(str(tmp_path / "dec_lite")).count() == 2
+
+
 def test_cli_shardmaint(spark, sf_dir, tmp_path, capsys):
     """audit/split/compact drive the shard-maintenance levers from the
     CLI: a clean export audits all-ok, split adds a shard, and the

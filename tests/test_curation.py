@@ -787,6 +787,48 @@ def test_save_load_domain_stats_provenance(spark, tmp_path):
     assert load_domain_stats(spark, psl_path, suffixes=same).count() == 1
 
 
+def test_suffix_fingerprint_is_engine_canonicalization(spark, tmp_path):
+    """The provenance fingerprint hashes the ENGINE's lower+trim of the
+    suffix table, not a Python str.lower() replica — the two case
+    mappings diverge on a handful of codepoints ('İ', locale-sensitive
+    dotted-I forms), and a driver-side replica could refuse a valid
+    load or mask a real mismatch (ADVICE r12). Pinned by recomputing
+    the expected hash from an F.lower projection in this test."""
+    import hashlib
+
+    from token_etl_spark.operators.curation import (
+        _suffix_fingerprint,
+        is_saved_domain_stats,
+    )
+
+    table = spark.createDataFrame(
+        [("İ.com",), ("  Co.Uk ",), ("ẞ.net",), ("com",)], ["suffix"]
+    )
+    rule, digest = _suffix_fingerprint(table)
+    assert rule == "psl"
+    engine_vals = sorted(
+        r["s"]
+        for r in table.select(
+            F.lower(F.trim(F.col("suffix"))).alias("s")
+        ).collect()
+        if r["s"]
+    )
+    assert digest == hashlib.md5("\n".join(engine_vals).encode()).hexdigest()
+    # and the detection helper: a bare parquet frame is NOT a
+    # provenance tree; a saved one is
+    bare = str(tmp_path / "bare_stats")
+    table.write.parquet(bare)
+    assert not is_saved_domain_stats(spark, bare)
+    from token_etl_spark.operators.curation import fit_and_save_domain_stats
+
+    docs = spark.createDataFrame(
+        [(0, "https://a.example.com/x")], "doc_id long, url string"
+    )
+    tree = str(tmp_path / "tree_stats")
+    fit_and_save_domain_stats(spark, docs, tree)
+    assert is_saved_domain_stats(spark, tree)
+
+
 def test_domain_stats_provenance_hardening(spark, tmp_path):
     """The r12 review's three provenance holes, closed: duplicate/
     case-variant suffix rows fingerprint identically (no spurious

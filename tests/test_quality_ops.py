@@ -631,6 +631,57 @@ def test_split_shard_rows_token_midpoint_and_fallback(spark):
     assert got == {"a": 7, "b": 99}
 
 
+def test_split_shard_rows_tied_keys_never_separate(spark):
+    """Duplicate ord_keys at the would-be boundary move as one block:
+    the boundary snaps forward to the next strict key increase, so the
+    halves' key ranges stay disjoint no matter how the window orders
+    tied rows (ADVICE r12 — an un-tiebroken boundary at a tie could
+    make the new shard's first_key equal the old shard's last_key)."""
+    from token_etl_spark.operators.curation import split_shard_rows
+
+    # total 40, midpoint 20 → the plain boundary would be row 3, but
+    # rows 2-3 tie on (ord_key, n_tokens): the tie run moves whole
+    tied = spark.createDataFrame(
+        [(0, "k1", 10), (1, "k2", 10), (2, "k2", 10), (3, "k3", 10)],
+        "doc_id long, ord_key string, n_tokens long",
+    )
+    got = split_shard_rows(tied, 7, 99).collect()
+    by_key: dict[str, set[int]] = {}
+    for r in got:
+        by_key.setdefault(r["ord_key"], set()).add(r["shard_id"])
+    # every key lands wholly in one shard ⇒ ranges disjoint
+    assert all(len(s) == 1 for s in by_key.values()), by_key
+    assert by_key["k1"] == {7} and by_key["k2"] == {7} and by_key["k3"] == {99}
+    old_keys = {r["ord_key"] for r in got if r["shard_id"] == 7}
+    new_keys = {r["ord_key"] for r in got if r["shard_id"] == 99}
+    assert max(old_keys) < min(new_keys)
+
+    # a trailing tie run with no strict increase after the midpoint
+    # falls back to the LAST run start (halves stay non-empty+disjoint)
+    trail = spark.createDataFrame(
+        [(0, "k1", 10), (1, "k2", 10), (2, "k2", 10), (3, "k2", 10)],
+        "doc_id long, ord_key string, n_tokens long",
+    )
+    got = {r["doc_id"]: r["shard_id"] for r in split_shard_rows(trail, 7, 99).collect()}
+    assert got == {0: 7, 1: 99, 2: 99, 3: 99}
+
+
+def test_split_shard_rows_single_key_run_refuses(spark):
+    """A shard whose rows ALL share one ord_key cannot split into
+    disjoint key ranges — the in-plan assertion fails loudly instead
+    of emitting overlapping shards."""
+    import pytest
+
+    from token_etl_spark.operators.curation import split_shard_rows
+
+    onekey = spark.createDataFrame(
+        [(i, "samekey", 10) for i in range(4)],
+        "doc_id long, ord_key string, n_tokens long",
+    )
+    with pytest.raises(Exception, match="shares one ord_key"):
+        split_shard_rows(onekey, 7, 99).collect()
+
+
 def test_assign_shards_null_key_raises(spark):
     """A NULL key must fail loudly in BOTH cumsum paths — the two-phase
     offsets join used to silently drop the row — review-found r11."""

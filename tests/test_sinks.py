@@ -857,3 +857,49 @@ def test_audit_shard_layout_states(spark, sf_dir, tmp_path):
     shutil.rmtree(f"{out}/data/shard_id={victim}")
     a3 = {r["shard_id"]: r["status"] for r in audit_shard_layout(spark, out).collect()}
     assert a3[victim] == "manifest_only"
+
+
+def test_audit_heals_committed_staging_before_listing(spark, sf_dir, tmp_path, monkeypatch):
+    """audit_shard_layout finishes a committed-but-unfinished layout
+    swap BEFORE the eager manifest listing (ADVICE r12): auditing a
+    tree whose heal would otherwise fire mid-read (inside
+    read_incremental_shards) either threw FileNotFoundException when
+    the swap replaced manifest/ under the listed files, or compared the
+    stale pre-heal manifest and reported spurious drift. A marker-LESS
+    staging (in-flight writer) is left untouched — finish_only."""
+    import glob
+
+    import token_etl_spark.io.sinks as sinks
+    from token_etl_spark.io.sinks import audit_shard_layout, export_shards, split_shard
+    from token_etl_spark.io.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = str(tmp_path / "audit_heal")
+    before = export_shards(spark, docs, out, tokens_per_shard=1000)
+    n_before = before.count()
+    sid = _largest_shard(before.collect())["shard_id"]
+
+    # crash a split AFTER the marker: staging is a committed layout
+    real_apply = sinks._apply_shard_layout
+    monkeypatch.setattr(sinks, "_apply_shard_layout", lambda *a, **k: None)
+    try:
+        split_shard(spark, out, sid)
+    finally:
+        monkeypatch.setattr(sinks, "_apply_shard_layout", real_apply)
+    assert glob.glob(f"{out}.staging-shards/_LAYOUT_COMMITTED")
+
+    # the audit heals FIRST, then reports the post-split layout all-ok
+    a = audit_shard_layout(spark, out).collect()
+    assert len(a) == n_before + 1
+    assert all(r["status"] == "ok" for r in a)
+    assert not glob.glob(f"{out}.staging-shards*")
+
+    # marker-less staging (writer still mid-stage) survives the audit
+    import os
+
+    os.makedirs(f"{out}.staging-shards/shard_id=777", exist_ok=True)
+    with open(f"{out}.staging-shards/shard_id=777/partial", "w") as f:
+        f.write("x")
+    a2 = audit_shard_layout(spark, out).collect()
+    assert all(r["status"] == "ok" for r in a2)
+    assert glob.glob(f"{out}.staging-shards/shard_id=777/partial")

@@ -94,8 +94,20 @@ def main(argv: list[str] | None = None) -> None:
     )
     cor.add_argument(
         "--domain-stats",
-        help="parquet path of a precomputed domain_stats frame "
-        "(required for the quality/dup-rate bounds)",
+        help="path of a precomputed domain_stats frame: either a "
+        "save_domain_stats provenance tree (stats+params — loaded via "
+        "load_domain_stats, which validates the recorded "
+        "registered-domain rule against --domain-suffixes and refuses "
+        "a mismatch) or a bare parquet frame (no recorded rule — the "
+        "caller vouches it was fit under the same --domain-suffixes "
+        "setting). Required for the quality/dup-rate bounds",
+    )
+    cor.add_argument(
+        "--domain-suffixes",
+        help="parquet path of a public-suffix table (one 'suffix' "
+        "string column) selecting the precise registered-domain rule "
+        "for the gate; omitted = the public-suffix-LITE rule. Must "
+        "match the rule --domain-stats was fit under",
     )
     cor.add_argument("--domain-min-docs", type=int, default=1)
     cor.add_argument("--min-domain-quality", type=float)
@@ -364,8 +376,31 @@ def main(argv: list[str] | None = None) -> None:
         )
         write_parquet(out, args.out)
     elif args.cmd == "corpus":
+        from token_etl_spark.operators.curation import (
+            is_saved_domain_stats,
+            load_domain_stats,
+        )
         from token_etl_spark.pipelines.corpus import corpus_summary, prepare_corpus
 
+        suffixes = (
+            spark.read.parquet(args.domain_suffixes)
+            if args.domain_suffixes
+            else None
+        )
+        stats = None
+        if args.domain_stats:
+            # a save_domain_stats provenance tree goes through the
+            # validated loader — reading <path> raw would bypass the
+            # fit/apply rule check and a psl-fit frame applied under
+            # the CLI's rule would silently flag every ccTLD document
+            # domain_kept=False (ADVICE r12); a bare parquet frame has
+            # no recorded rule and loads as-is under the caller's vouch
+            if is_saved_domain_stats(spark, args.domain_stats):
+                stats = load_domain_stats(
+                    spark, args.domain_stats, suffixes=suffixes
+                )
+            else:
+                stats = spark.read.parquet(args.domain_stats)
         decisions = prepare_corpus(
             spark.read.parquet(args.documents),
             jaccard_threshold=args.jaccard_threshold,
@@ -375,12 +410,11 @@ def main(argv: list[str] | None = None) -> None:
             span_k=args.span_k,
             extract_html=args.extract_html,
             url_col=args.url_col,
-            domain_stats_frame=(
-                spark.read.parquet(args.domain_stats) if args.domain_stats else None
-            ),
+            domain_stats_frame=stats,
             domain_min_docs=args.domain_min_docs,
             min_domain_quality=args.min_domain_quality,
             max_domain_dup_rate=args.max_domain_dup_rate,
+            domain_suffixes=suffixes,
             repetition_filter=args.repetition_filter,
         )
         write_parquet(decisions, args.out)

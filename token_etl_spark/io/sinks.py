@@ -809,6 +809,14 @@ def audit_shard_layout(spark: SparkSession, path: str) -> DataFrame:
     from token_etl_spark.streaming.curation import read_incremental_shards
 
     base = path.rstrip("/")
+    # finish any committed-but-unfinished staging BEFORE the eager
+    # manifest listing (the split/compact discipline): auditing across
+    # a later heal would either throw FileNotFoundException when the
+    # swap replaces manifest/ under the listed files, or compare the
+    # stale pre-heal manifest and report spurious drift (ADVICE r12).
+    # finish_only — a routine audit must never destroy an in-flight
+    # writer's marker-less staging.
+    _heal_shard_layout(spark, path, finish_only=True)
     manifest = spark.read.parquet(f"{base}/manifest")
     actual = shard_manifest(read_incremental_shards(spark, path))
     inc = _read_existing(spark, f"{base}/incoming")

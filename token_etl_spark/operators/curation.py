@@ -1530,6 +1530,20 @@ def split_shard_rows(
     halves are guaranteed non-empty for ``n_docs >= 2``. A 1-document
     shard cannot split (no document is ever cut); the caller refuses.
 
+    The boundary additionally snaps FORWARD to the nearest strict
+    ``ord_key`` increase (a "run start"): rows sharing an ``ord_key``
+    (duplicate caller-supplied doc keys — ``assign_shards`` tiebreaks
+    them by ``n_tokens``, which can also tie) never separate, so the
+    halves' (first_key, last_key) ranges stay DISJOINT and the routing
+    contract survives regardless of how a window orders tied rows
+    (ADVICE r12: an un-tiebroken boundary at a tie made the new
+    shard's first_key equal the old shard's last_key). With unique
+    keys — the md5-tape norm — every row is a run start and the
+    boundary is bit-identical to the plain form, which is what the
+    ``ext_shard_split`` oracle replays. A shard whose rows ALL share
+    one ``ord_key`` has no strict increase to split at and fails
+    loudly in-plan (no split can produce disjoint ranges).
+
     Scale: the windows here are UNPARTITIONED by design — a shard is
     bounded at ~tokens_per_shard by construction, so this is the
     bounded-frame exception (the 256-row bucket-total rule), never a
@@ -1556,12 +1570,23 @@ def split_shard_rows(
         rows.drop("shard_id")
         .withColumn("_rn", F.row_number().over(w_ord))
         .withColumn("_cum", F.sum("n_tokens").over(w_cum))
+        # a boundary candidate must be a strict ord_key increase — a
+        # run of tied keys moves as one block, keeping the halves'
+        # key ranges disjoint (see docstring; ADVICE r12)
+        .withColumn(
+            "_strict",
+            F.lag("ord_key").over(w_ord).isNull()
+            | (F.lag("ord_key").over(w_ord) != F.col("ord_key")),
+        )
     )
     tot = r.agg(
         F.max("_cum").alias("_tot"), F.count("*").cast("long").alias("_n")
     )
-    # boundary row = first row whose start offset (cum - n_tokens)
-    # reaches half the shard; rn > 1 keeps the first half non-empty
+    # boundary row = first RUN-START row whose start offset
+    # (cum - n_tokens) reaches half the shard; rn > 1 keeps the first
+    # half non-empty. Start offsets are non-decreasing in rn, so the
+    # crossing predicate is monotone and "first run start at or after
+    # the first crossing row" is exactly min(when(cross & strict)).
     bound = (
         r.crossJoin(F.broadcast(tot))
         .agg(
@@ -1571,14 +1596,45 @@ def split_shard_rows(
                     # anywhere near a boundary decision (the vocab_growth
                     # rule), and trivially oracle-replayable
                     ((F.col("_cum") - F.col("n_tokens")) * 2 >= F.col("_tot"))
-                    & (F.col("_rn") > 1),
+                    & (F.col("_rn") > 1)
+                    & F.col("_strict"),
                     F.col("_rn"),
                 )
             ).alias("_token_bound"),
-            (F.first("_n") / 2).cast("long").alias("_mid"),
+            # doc-count-midpoint fallback, snapped the same way:
+            # rn*2 > n  ⇔  rn >= floor(n/2)+1 for integers
+            F.min(
+                F.when(
+                    (F.col("_rn") * 2 > F.col("_n"))
+                    & (F.col("_rn") > 1)
+                    & F.col("_strict"),
+                    F.col("_rn"),
+                )
+            ).alias("_mid_bound"),
+            # last resort: the LAST run start (a midpoint candidate can
+            # sit inside a trailing tie run with no strict increase
+            # after it)
+            F.max(
+                F.when((F.col("_rn") > 1) & F.col("_strict"), F.col("_rn"))
+            ).alias("_last_start"),
         )
         .select(
-            F.coalesce(F.col("_token_bound"), F.col("_mid") + 1).alias("_bound")
+            F.coalesce("_token_bound", "_mid_bound", "_last_start").alias(
+                "_bound"
+            )
+        )
+        # all rows sharing one ord_key ⇒ no run start beyond row 1 ⇒ no
+        # split yields disjoint ranges — fail loudly in-plan (the
+        # empty-manifest convention), never emit overlapping shards
+        .filter(
+            F.assert_true(
+                F.col("_bound").isNotNull(),
+                F.lit(
+                    "split_shard_rows: every row shares one ord_key —"
+                    " no boundary can produce disjoint key ranges"
+                    " (duplicate doc keys upstream?)"
+                ),
+            ).isNull()
         )
     )
     return (
@@ -1589,7 +1645,7 @@ def split_shard_rows(
             .otherwise(old_sid)
             .cast("long"),
         )
-        .drop("_rn", "_cum", "_bound")
+        .drop("_rn", "_cum", "_strict", "_bound")
     )
 
 
@@ -1877,6 +1933,25 @@ def _heal_domain_stats(spark, path: str) -> None:
         fs.delete(sp, True)
 
 
+def is_saved_domain_stats(spark, path: str) -> bool:
+    """True when ``path`` is a :func:`save_domain_stats` provenance
+    tree (``stats`` + ``params`` beside each other) rather than a bare
+    parquet frame. Heals a crash-interrupted save first, so a swap
+    that committed its marker but not its rename still reads as a
+    provenance tree. Lets callers handed "a domain-stats path" (the
+    CLI) route a provenance tree through :func:`load_domain_stats`'s
+    rule validation instead of silently reading ``<path>`` raw and
+    bypassing the fit/apply check (ADVICE r12)."""
+    from token_etl_spark.io.sinks import _bucket_fs
+
+    base = path.rstrip("/")
+    _heal_domain_stats(spark, path)
+    fs, hpath = _bucket_fs(spark, path)
+    return fs.exists(hpath(f"{base}/params")) and fs.exists(
+        hpath(f"{base}/stats")
+    )
+
+
 def load_domain_stats(
     spark,
     path: str,
@@ -1903,24 +1978,39 @@ def load_domain_stats(
     return spark.read.parquet(f"{base}/stats")
 
 
+def _canon_suffixes(suffixes: DataFrame) -> list[str]:
+    """Sorted canonical suffix list computed THROUGH THE ENGINE — the
+    byte-identical ``F.lower(F.trim(...))`` + drop-blank + distinct the
+    in-plan join of ``with_registered_domain`` applies. Python
+    ``str.lower()``/``str.strip()`` approximations diverge from the
+    JVM's case mapping on a handful of codepoints ('İ', 'ß' …), so a
+    driver-side replica can disagree with the join it claims to mirror
+    (ADVICE r12); one canonicalization now governs the join, the
+    blocklist replay, and the provenance fingerprint. Bounded collect:
+    the suffix table is broadcast-sized by contract."""
+    rows = (
+        suffixes.select(F.lower(F.trim(F.col("suffix"))).alias("_s"))
+        .where(F.length("_s") > 0)
+        .distinct()
+        .collect()
+    )
+    return sorted(r[0] for r in rows)
+
+
 def _suffix_fingerprint(suffixes: DataFrame | None) -> tuple[str, str]:
     """Content fingerprint of a suffix table under the SAME
     canonicalization ``with_registered_domain`` applies (lower +
     space-trim + drop-blank + DEDUPLICATE) — semantically identical
     tables must fingerprint identically, or a valid load gets a
     spurious refusal (review-found r12: a duplicate or case-variant
-    row is invisible to the join but changed the hash)."""
+    row is invisible to the join but changed the hash). Canonicalized
+    via :func:`_canon_suffixes` — through the engine, never a Python
+    string-method replica (ADVICE r12)."""
     import hashlib
 
     if suffixes is None:
         return "lite", ""
-    vals = sorted(
-        {
-            r[0].lower().strip(" ")
-            for r in suffixes.select("suffix").collect()
-            if r[0] and r[0].strip(" ")
-        }
-    )
+    vals = _canon_suffixes(suffixes)
     return "psl", hashlib.md5("\n".join(vals).encode()).hexdigest()
 
 
@@ -1968,14 +2058,10 @@ def domain_filter(
     # emitted 'evil.co.uk' (review-found r12)
     suffix_set: set[str] | None = None
     if suffixes is not None and blocklist:
-        # the SAME canonicalization the in-plan join applies (lower +
-        # space-trim + drop-blank) — str.strip() would also strip tabs
-        # the engine's F.trim does not
-        suffix_set = {
-            r[0].lower().strip(" ")
-            for r in suffixes.select("suffix").collect()
-            if r[0] and r[0].strip(" ")
-        }
+        # the SAME canonicalization the in-plan join applies, computed
+        # through the engine itself (one case mapping governs the join,
+        # this replay, and the provenance fingerprint — ADVICE r12)
+        suffix_set = set(_canon_suffixes(suffixes))
     for b in blocklist:
         labels = b.lower().rstrip(".").split(".")
         is_ip = len(labels) == 4 and all(x.isdigit() for x in labels)
