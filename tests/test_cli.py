@@ -329,3 +329,15 @@ def test_cli_shardmaint(spark, sf_dir, tmp_path, capsys):
     cli.main(["shardmaint", "--path", out, "--action", "compact"])
     printed = capsys.readouterr().out
     assert f"'n_shards': {n_before + 1}" in printed
+
+    # merge the split halves back: the triad's third lever, from the CLI
+    new_sid = int(
+        spark.read.parquet(f"{out}/manifest").agg(F.max("shard_id")).collect()[0][0]
+    )
+    cli.main(["shardmaint", "--path", out, "--action", "merge",
+              "--shard-id", str(target), "--shard-id-b", str(new_sid)])
+    printed = capsys.readouterr().out
+    assert f"'n_shards': {n_before}" in printed
+    cli.main(["shardmaint", "--path", out, "--action", "audit"])
+    printed = capsys.readouterr().out
+    assert "'ok'" in printed and "drift" not in printed

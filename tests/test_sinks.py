@@ -622,6 +622,192 @@ def test_split_shard_preserves_routing_and_data(spark, sf_dir, tmp_path):
     assert not glob.glob(f"{out}.staging-shards*")
 
 
+def test_merge_shards_preserves_routing_and_data(spark, sf_dir, tmp_path):
+    """merge_shards: lossless, range-disjoint, routing-stable — docs
+    outside the pair route identically before and after; docs inside
+    route to the merged (kept) shard; only the pair's files move, the
+    absorbed shard's dir is retired."""
+    import glob
+
+    from token_etl_spark.io.sinks import export_shards, merge_shards
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.operators.curation import route_to_shards
+    from token_etl_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = str(tmp_path / "merge_export")
+    before = export_shards(spark, docs, out, tokens_per_shard=1000).localCheckpoint()
+    before_rows = sorted(before.collect(), key=lambda r: r["first_key"])
+    assert len(before_rows) >= 3
+    # pick the adjacent pair with the smallest combined token total
+    a, b = min(
+        zip(before_rows, before_rows[1:]),
+        key=lambda p: (p[0]["shard_tokens"] + p[1]["shard_tokens"], p[0]["first_key"]),
+    )
+    keep_sid, drop_sid = a["shard_id"], b["shard_id"]
+    untouched_files = {
+        r["shard_id"]: sorted(glob.glob(f"{out}/data/shard_id={r['shard_id']}/*.parquet"))
+        for r in before_rows
+        if r["shard_id"] not in (keep_sid, drop_sid)
+    }
+
+    # argument order must not matter (internally sorted by first_key)
+    after = merge_shards(spark, out, drop_sid, keep_sid)
+    after_rows = {r["shard_id"]: r for r in after.collect()}
+    assert len(after_rows) == len(before_rows) - 1
+    assert drop_sid not in after_rows
+    merged = after_rows[keep_sid]
+    assert merged["n_docs"] == a["n_docs"] + b["n_docs"]
+    assert merged["shard_tokens"] == a["shard_tokens"] + b["shard_tokens"]
+    assert merged["first_key"] == a["first_key"]
+    assert merged["last_key"] == b["last_key"]
+    for r in before_rows:
+        if r["shard_id"] not in (keep_sid, drop_sid):
+            x = after_rows[r["shard_id"]]
+            assert (x["n_docs"], x["shard_tokens"], x["first_key"], x["last_key"]) == (
+                r["n_docs"], r["shard_tokens"], r["first_key"], r["last_key"]
+            )
+
+    # ranges disjoint and ordered
+    ordered = sorted(after_rows.values(), key=lambda r: r["first_key"])
+    for x, y in zip(ordered, ordered[1:]):
+        assert x["last_key"] < y["first_key"]
+
+    # routing round-trip: outside the pair nothing moves; inside, both
+    # ranges' docs route to the kept shard
+    tagged = docs.withColumn("n_tokens", token_count(F.col("text")).cast("long"))
+    r_before = {
+        r["doc_id"]: r["shard_id"] for r in route_to_shards(tagged, before).collect()
+    }
+    r_after = {r["doc_id"]: r["shard_id"] for r in route_to_shards(tagged, after).collect()}
+    for did, s_b in r_before.items():
+        if s_b in (keep_sid, drop_sid):
+            assert r_after[did] == keep_sid, did
+        else:
+            assert r_after[did] == s_b, did
+
+    # data tree: lossless, ONE sorted file for the merged shard, the
+    # absorbed dir gone, every other shard's files untouched
+    back = spark.read.parquet(f"{out}/data")
+    assert back.count() == docs.count()
+    assert not glob.glob(f"{out}/data/shard_id={drop_sid}")
+    files = glob.glob(f"{out}/data/shard_id={keep_sid}/*.parquet")
+    assert len(files) == 1
+    for s, fl in untouched_files.items():
+        assert sorted(glob.glob(f"{out}/data/shard_id={s}/*.parquet")) == fl
+    keys = [
+        r["ord_key"] for r in spark.read.parquet(f"{out}/data/shard_id={keep_sid}").collect()
+    ]
+    assert len(keys) == merged["n_docs"]
+    assert min(keys) == merged["first_key"] and max(keys) == merged["last_key"]
+    assert keys == sorted(keys)
+    assert not glob.glob(f"{out}.staging-shards*")
+
+
+def test_split_then_merge_identity(spark, sf_dir, tmp_path):
+    """Splitting a shard and merging the two halves back restores the
+    exact pre-split layout: manifest rows identical, data rows
+    identical (merge keeps the lower-range id, which IS the original
+    id — the first half inherits it)."""
+    from token_etl_spark.io.sinks import export_shards, merge_shards, split_shard
+    from token_etl_spark.io.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = str(tmp_path / "identity_export")
+    before = export_shards(spark, docs, out, tokens_per_shard=1000).localCheckpoint()
+    before_rows = {r["shard_id"]: r for r in before.collect()}
+    sid = _largest_shard(before_rows.values())["shard_id"]
+    data_before = sorted(
+        (r["doc_id"], r["ord_key"]) for r in spark.read.parquet(f"{out}/data").collect()
+    )
+
+    after_split = split_shard(spark, out, sid)
+    new_sid = max(r["shard_id"] for r in after_split.collect())
+    restored = {r["shard_id"]: r for r in merge_shards(spark, out, sid, new_sid).collect()}
+
+    assert restored.keys() == before_rows.keys()
+    for s, r in before_rows.items():
+        x = restored[s]
+        assert (x["n_docs"], x["shard_tokens"], x["first_key"], x["last_key"]) == (
+            r["n_docs"], r["shard_tokens"], r["first_key"], r["last_key"]
+        ), s
+    data_after = sorted(
+        (r["doc_id"], r["ord_key"]) for r in spark.read.parquet(f"{out}/data").collect()
+    )
+    assert data_after == data_before
+
+
+def test_merge_shards_refusals(spark, sf_dir, tmp_path):
+    """Unknown shards, self-merge, NON-ADJACENT pairs, and pairs with
+    pending stream increments all refuse loudly."""
+    import pytest
+
+    from token_etl_spark.io.sinks import export_shards, merge_shards
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.streaming.curation import _route_sink_batch
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = str(tmp_path / "merge_refuse")
+    before = sorted(
+        export_shards(
+            spark, docs.where(F.col("doc_id") % 2 == 0), out, tokens_per_shard=500
+        ).collect(),
+        key=lambda r: r["first_key"],
+    )
+    assert len(before) >= 3
+    with pytest.raises(ValueError, match="not in the manifest"):
+        merge_shards(spark, out, before[0]["shard_id"], 9999)
+    with pytest.raises(ValueError, match="itself"):
+        merge_shards(spark, out, before[0]["shard_id"], before[0]["shard_id"])
+    with pytest.raises(ValueError, match="not .*adjacent"):
+        merge_shards(spark, out, before[0]["shard_id"], before[2]["shard_id"])
+
+    # stream increments on either side of the pair → refuse, point at compact
+    new_docs = docs.where(F.col("doc_id") % 2 == 1)
+    _route_sink_batch(new_docs, out, "feed-0", "doc_id", None, "text", "s0")
+    with pytest.raises(ValueError, match="compact_incremental_shards"):
+        merge_shards(spark, out, before[0]["shard_id"], before[1]["shard_id"])
+
+
+def test_merge_shard_crash_heals(spark, sf_dir, tmp_path, monkeypatch):
+    """The staged merge commit survives a crash after the marker: the
+    heal finishes the swap — absorbed dir retired via the tombstone,
+    merged dir renamed in, manifest swapped — and replaying the apply
+    is idempotent."""
+    import glob
+
+    import token_etl_spark.io.sinks as sinks
+    from token_etl_spark.io.sinks import audit_shard_layout, export_shards, merge_shards
+    from token_etl_spark.io.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = str(tmp_path / "merge_heal")
+    before = sorted(
+        export_shards(spark, docs, out, tokens_per_shard=1000).collect(),
+        key=lambda r: r["first_key"],
+    )
+    keep_sid, drop_sid = before[0]["shard_id"], before[1]["shard_id"]
+
+    real_apply = sinks._apply_shard_layout
+    monkeypatch.setattr(sinks, "_apply_shard_layout", lambda *a, **k: None)
+    try:
+        merge_shards(spark, out, keep_sid, drop_sid)
+    finally:
+        monkeypatch.setattr(sinks, "_apply_shard_layout", real_apply)
+    assert glob.glob(f"{out}.staging-shards/_LAYOUT_COMMITTED")
+    assert glob.glob(f"{out}.staging-shards/_DROP_SHARD_ID={drop_sid}")
+    # nothing committed yet
+    assert glob.glob(f"{out}/data/shard_id={drop_sid}")
+
+    # the audit heals (finish_only) and reports the merged layout ok
+    a = {r["shard_id"]: r["status"] for r in audit_shard_layout(spark, out).collect()}
+    assert drop_sid not in a
+    assert all(s == "ok" for s in a.values())
+    assert not glob.glob(f"{out}/data/shard_id={drop_sid}")
+    assert not glob.glob(f"{out}.staging-shards*")
+    assert spark.read.parquet(f"{out}/data").count() == docs.count()
+
+
 def test_split_shard_refusals(spark, tmp_path):
     """Unknown shards and 1-document shards refuse loudly (no document
     is ever cut)."""

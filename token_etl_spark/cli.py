@@ -197,12 +197,15 @@ def main(argv: list[str] | None = None) -> None:
     shm.add_argument(
         "--action",
         required=True,
-        choices=("audit", "compact", "split"),
+        choices=("audit", "compact", "split", "merge"),
         help="audit: manifest-vs-disk integrity report; compact: fold "
         "stream increments into the base tree; split: divide one "
-        "over-budget shard's key range (requires --shard-id)",
+        "over-budget shard's key range (requires --shard-id); merge: "
+        "fold two ADJACENT undersized ranges into one (requires "
+        "--shard-id and --shard-id-b)",
     )
     shm.add_argument("--shard-id", type=int, default=None)
+    shm.add_argument("--shard-id-b", type=int, default=None)
 
     qry = sub.add_parser("query")
     qry.add_argument("name", nargs="?", default=None)
@@ -302,11 +305,18 @@ def main(argv: list[str] | None = None) -> None:
         from token_etl_spark.io.sinks import (
             audit_shard_layout,
             compact_incremental_shards,
+            merge_shards,
             split_shard,
         )
 
-        if args.action != "split" and args.shard_id is not None:
-            raise SystemExit(f"--shard-id is only meaningful with --action split, not {args.action}")
+        if args.action not in ("split", "merge") and args.shard_id is not None:
+            raise SystemExit(
+                f"--shard-id is only meaningful with --action split/merge, not {args.action}"
+            )
+        if args.action != "merge" and args.shard_id_b is not None:
+            raise SystemExit(
+                f"--shard-id-b is only meaningful with --action merge, not {args.action}"
+            )
         if args.action == "audit":
             # the report is shard-cardinality: collect ONCE and derive
             # both views in Python — re-evaluating the frame would
@@ -321,6 +331,11 @@ def main(argv: list[str] | None = None) -> None:
                     print(r)
         elif args.action == "compact":
             manifest = compact_incremental_shards(spark, args.path)
+            print({"n_shards": manifest.count()})
+        elif args.action == "merge":
+            if args.shard_id is None or args.shard_id_b is None:
+                raise SystemExit("--action merge requires --shard-id and --shard-id-b")
+            manifest = merge_shards(spark, args.path, args.shard_id, args.shard_id_b)
             print({"n_shards": manifest.count()})
         else:
             if args.shard_id is None:

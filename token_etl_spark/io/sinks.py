@@ -639,6 +639,10 @@ def export_shards(
 _STAGING_SHARDS = ".staging-shards"
 _SHARD_COMMIT_MARKER = "_LAYOUT_COMMITTED"
 _DROP_INCOMING_FLAG = "_DROP_INCOMING"
+#: staged tombstone: a file named _DROP_SHARD_ID=<N> in the staging root
+#: makes the commit DELETE data/shard_id=<N> (the merge lever retires the
+#: absorbed shard's dir; delete-if-exists, so replay stays idempotent)
+_DROP_SHARD_PREFIX = "_DROP_SHARD_ID="
 
 
 def _touch_marker(spark: SparkSession, file_path: str) -> None:
@@ -657,6 +661,18 @@ def _apply_shard_layout(spark: SparkSession, path: str) -> None:
     root = base + _STAGING_SHARDS
     fs, hpath = _bucket_fs(spark, path)
     sp = hpath(root)
+    # tombstones FIRST (the merge lever retires the absorbed shard's
+    # dir): delete-if-exists, so a crashed-and-replayed commit is a
+    # no-op on the second pass; the absorbed rows live in the staged
+    # kept-shard dir, which renames below, so no crash point loses data
+    for st in fs.listStatus(sp):
+        name = st.getPath().getName()
+        if name.startswith(_DROP_SHARD_PREFIX):
+            victim = hpath(
+                f"{base}/data/shard_id={int(name[len(_DROP_SHARD_PREFIX):])}"
+            )
+            if fs.exists(victim):
+                fs.delete(victim, True)
     for st in fs.listStatus(sp):
         name = st.getPath().getName()
         if name.startswith("shard_id="):
@@ -781,6 +797,135 @@ def split_shard(spark: SparkSession, path: str, shard_id: int) -> DataFrame:
         shard_manifest(staged).select(manifest.columns)
     )
     new_manifest.write.mode("overwrite").parquet(f"{staging}/manifest")
+    _touch_marker(spark, f"{staging}/{_SHARD_COMMIT_MARKER}")
+    _apply_shard_layout(spark, path)
+    return spark.read.parquet(f"{base}/manifest")
+
+
+def _refuse_pending_increments(
+    spark: SparkSession, path: str, shard_ids: list[int], action: str
+) -> None:
+    """Refuse a maintenance action while any of ``shard_ids`` still has
+    stream increments under ``incoming/`` — increments carry the OLD
+    shard label, so re-ranging now would strand them; the caller is
+    pointed at :func:`compact_incremental_shards` (the split lever's
+    refusal discipline, shared with merge)."""
+    base = path.rstrip("/")
+    fs, hpath = _bucket_fs(spark, path)
+    incp = hpath(f"{base}/incoming")
+    if not fs.exists(incp):
+        return
+    for st in fs.listStatus(incp):
+        if not st.isDirectory():
+            continue
+        for sid in shard_ids:
+            if fs.exists(hpath(f"{st.getPath().toString()}/shard_id={int(sid)}")):
+                raise ValueError(
+                    f"{action}: shard {sid} has stream increments under "
+                    "incoming/ — run compact_incremental_shards first "
+                    f"({action.split(':')[0]}ing now would strand their "
+                    "old-range labels)"
+                )
+
+
+def merge_shards(
+    spark: SparkSession, path: str, shard_id_a: int, shard_id_b: int
+) -> DataFrame:
+    """Fold two ADJACENT undersized key ranges into one — the dual of
+    :func:`split_shard` and the third leg of the maintenance triad
+    (audit observable, compact, split + merge): a corpus that shrinks
+    under aggressive dedup, or a split that later proves premature,
+    otherwise leaves permanent sliver shards wasting file handles.
+
+    Manifest-local decision, shard-local I/O: ONLY the two shards' rows
+    are read and rewritten (one ``ord_key``-sorted file under the
+    surviving id — the export layout), every other shard's bytes are
+    untouched, and the updated manifest swaps in atomically via the
+    staged-commit protocol, with a ``_DROP_SHARD_ID=<N>`` tombstone
+    retiring the absorbed shard's dir in the same commit (delete
+    happens before the staged rename and is delete-if-exists, so a
+    crashed commit replays idempotently and no crash point loses rows —
+    the absorbed rows are in the staged kept dir).
+
+    The shard with the SMALLER ``first_key`` survives (the merged range
+    starts at its ``first_key``, so routing by greatest-first_key-<=-key
+    is unchanged for every document outside the pair and sends the
+    absorbed range's documents to the kept shard). The pair must be
+    ADJACENT in first_key order — merging across a gap would swallow
+    the in-between shard's range and re-route ITS documents too; the
+    call refuses. Same quiesced-stream discipline as split: increments
+    under ``incoming/`` for either shard refuse and point at
+    :func:`compact_incremental_shards`.
+
+    Arithmetic: :func:`~token_etl_spark.operators.curation.
+    merge_shard_rows` (counts/tokens add, range is the union) — but the
+    committed manifest row derives from the rows actually WRITTEN
+    (``shard_manifest`` over the staged read-back, the export audit
+    discipline), with the pure arithmetic driver-proven separately
+    (``ext_shard_merge``). Size policy is the CALLER's (what counts as
+    "undersized" is a layout decision); this lever does the mechanics.
+
+    Returns the post-merge manifest read back from disk.
+    """
+    from token_etl_spark.operators.curation import shard_manifest
+
+    base = path.rstrip("/")
+    _heal_shard_layout(spark, path)
+    manifest = spark.read.parquet(f"{base}/manifest")
+    rows = {
+        r["shard_id"]: r
+        for r in manifest.where(
+            F.col("shard_id").isin(int(shard_id_a), int(shard_id_b))
+        ).collect()
+    }
+    for sid in (shard_id_a, shard_id_b):
+        if int(sid) not in rows:
+            raise ValueError(
+                f"merge_shards: shard {sid} is not in the manifest at {path}"
+            )
+    if int(shard_id_a) == int(shard_id_b):
+        raise ValueError("merge_shards: cannot merge a shard with itself")
+    keep, drop = sorted(rows.values(), key=lambda r: r["first_key"])
+    between = manifest.where(
+        (F.col("first_key") > keep["first_key"])
+        & (F.col("first_key") < drop["first_key"])
+    ).count()
+    if between:
+        raise ValueError(
+            f"merge_shards: shards {shard_id_a} and {shard_id_b} are not "
+            f"adjacent — {between} shard(s) hold ranges between them, and "
+            "merging across a gap would swallow and re-route their ranges"
+        )
+    _refuse_pending_increments(
+        spark, path, [keep["shard_id"], drop["shard_id"]], "merge_shards"
+    )
+
+    pair = spark.read.parquet(
+        f"{base}/data/shard_id={keep['shard_id']}",
+        f"{base}/data/shard_id={drop['shard_id']}",
+    ).withColumn("shard_id", F.lit(int(keep["shard_id"])).cast("long"))
+
+    staging = base + _STAGING_SHARDS
+    _delete_dir(spark, staging)
+    # one job writes the merged shard (the split-lever pattern); the
+    # manifest row then derives from the data actually written
+    (
+        pair.repartition("shard_id")
+        .sortWithinPartitions("shard_id", "ord_key")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(staging)
+    )
+    staged = spark.read.parquet(staging).withColumn(
+        "shard_id", F.col("shard_id").cast("long")
+    )
+    new_manifest = manifest.where(
+        ~F.col("shard_id").isin(keep["shard_id"], drop["shard_id"])
+    ).unionByName(shard_manifest(staged).select(manifest.columns))
+    new_manifest.write.mode("overwrite").parquet(f"{staging}/manifest")
+    _touch_marker(
+        spark, f"{staging}/{_DROP_SHARD_PREFIX}{drop['shard_id']}"
+    )
     _touch_marker(spark, f"{staging}/{_SHARD_COMMIT_MARKER}")
     _apply_shard_layout(spark, path)
     return spark.read.parquet(f"{base}/manifest")

@@ -1649,6 +1649,74 @@ def split_shard_rows(
     )
 
 
+_MANIFEST_COLS = ("shard_id", "n_docs", "shard_tokens", "first_key", "last_key")
+
+
+def merge_shard_rows(
+    manifest: DataFrame,
+    shard_id_keep: int | Column,
+    shard_id_drop: int | Column,
+) -> DataFrame:
+    """Pure merge arithmetic over the MANIFEST — the dual of
+    :func:`split_shard_rows` and the range decision behind
+    :func:`token_etl_spark.io.sinks.merge_shards` (the lever that folds
+    two undersized adjacent ranges back together: a corpus that shrinks
+    under aggressive dedup, or a split that later proves premature,
+    otherwise leaves permanent sliver shards wasting file handles).
+
+    The two manifest rows fold into ONE under ``shard_id_keep``: doc
+    counts and token totals add, the key range becomes the union
+    ``[min(first_key), max(last_key)]``. Routing is by key RANGE
+    (greatest ``first_key`` <= key), so when the pair is ADJACENT the
+    merged row's range is exactly the pair's combined range and every
+    document inside routes to the kept shard while documents outside
+    route identically — adjacency is validated by the production lever
+    (it has the manifest collected); this pure form asserts in-plan
+    that BOTH shards exist (folding a missing shard would silently
+    "merge" one row into itself).
+
+    Scale: manifest-cardinality arithmetic only — one bounded filter +
+    a 1-row aggregate; no corpus row is ever touched here. The ids
+    accept plain ints (the sink path) or Columns already on
+    ``manifest`` (the fully-declarative path the ``ext_shard_merge``
+    oracle replays)."""
+    keep = (
+        F.lit(int(shard_id_keep)).cast("long")
+        if isinstance(shard_id_keep, int)
+        else shard_id_keep
+    )
+    drop = (
+        F.lit(int(shard_id_drop)).cast("long")
+        if isinstance(shard_id_drop, int)
+        else shard_id_drop
+    )
+    pair_cond = (F.col("shard_id") == keep) | (F.col("shard_id") == drop)
+    merged = (
+        manifest.where(pair_cond)
+        .groupBy(keep.cast("long").alias("shard_id"))
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("shard_tokens").cast("long").alias("shard_tokens"),
+            F.min("first_key").alias("first_key"),
+            F.max("last_key").alias("last_key"),
+            F.count_distinct("shard_id").alias("_np"),
+        )
+        .filter(
+            F.assert_true(
+                F.col("_np") == 2,
+                F.lit(
+                    "merge_shard_rows: both shards must exist in the"
+                    " manifest (and be distinct) — folding a missing"
+                    " shard would silently merge one row into itself"
+                ),
+            ).isNull()
+        )
+        .drop("_np")
+    )
+    untouched = manifest.where(~pair_cond).select(*_MANIFEST_COLS)
+    return untouched.unionByName(merged)
+
+
 # ---------------------------------------------------------------------------
 # domain-level reputation gate (crawl curation tier above the document)
 

@@ -1015,6 +1015,94 @@ SELECT * FROM split_man
 """
 
 
+def q_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard merge arithmetic (operators/curation.merge_shard_rows —
+    the range decision behind io/sinks.merge_shards, the dual of the
+    split lever and the third leg of the maintenance triad): the
+    adjacent pair of manifest ranges with the smallest COMBINED token
+    total (the sliver-fold target; ties to the smaller first_key)
+    folds into one row under the lower-range shard's id — counts and
+    token totals add, the key range becomes the union — and the
+    post-merge manifest is emitted. Fully declarative: pair selection
+    is a lead() window over the manifest (shard-cardinality, the
+    bounded-frame exception) reduced to a 1-row broadcast via min_by,
+    and the fold is one bounded filter + aggregate, so the oracle
+    replays the cumsum, the lead pairing, the min-combined choice, and
+    the fold exactly. The production lever (io/sinks.merge_shards)
+    reads the materialized manifest plus TWO shard directories and
+    derives the committed row from the rows actually written."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    manifest = C.shard_manifest(C.assign_shards(docs, tokens_per_shard=1000))
+    w = Window.orderBy("first_key")
+    pairs = manifest.select(
+        "shard_id",
+        "first_key",
+        "shard_tokens",
+        F.lead("shard_id").over(w).alias("_nsid"),
+        F.lead("shard_tokens").over(w).alias("_ntok"),
+    ).where(F.col("_nsid").isNotNull())
+    best = (
+        pairs.agg(
+            F.min_by(
+                F.struct(
+                    F.col("shard_id").alias("_ksid"),
+                    F.col("_nsid").alias("_dsid"),
+                ),
+                F.struct(
+                    (F.col("shard_tokens") + F.col("_ntok")).alias("_t"),
+                    F.col("first_key"),
+                ),
+            ).alias("_p")
+        )
+        .select(
+            F.col("_p._ksid").cast("long").alias("_ksid"),
+            F.col("_p._dsid").cast("long").alias("_dsid"),
+        )
+    )
+    m2 = manifest.crossJoin(F.broadcast(best))
+    return C.merge_shard_rows(m2, F.col("_ksid"), F.col("_dsid"))
+
+
+SQL_SHARD_MERGE = f"""
+WITH base AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR) || 's0') AS k
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens, k,
+         CAST(sum(n_tokens) OVER (ORDER BY k, n_tokens
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM base),
+a AS (
+  SELECT doc_id, n_tokens, k, CAST((cum - n_tokens) // 1000 AS BIGINT) AS shard_id FROM c),
+man AS (
+  SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+         min(k) AS first_key, max(k) AS last_key
+  FROM a GROUP BY shard_id),
+p AS (
+  SELECT shard_id AS ksid, first_key,
+         lead(shard_id) OVER (ORDER BY first_key) AS dsid,
+         shard_tokens + lead(shard_tokens) OVER (ORDER BY first_key) AS comb
+  FROM man),
+best AS (
+  SELECT ksid, dsid FROM p WHERE dsid IS NOT NULL
+  ORDER BY comb ASC, first_key ASC LIMIT 1),
+merged AS (
+  SELECT CAST((SELECT ksid FROM best) AS BIGINT) AS shard_id,
+         CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         CAST(sum(shard_tokens) AS BIGINT) AS shard_tokens,
+         min(first_key) AS first_key, max(last_key) AS last_key
+  FROM man WHERE shard_id IN (SELECT ksid FROM best) OR shard_id IN (SELECT dsid FROM best))
+SELECT * FROM man
+WHERE shard_id NOT IN (SELECT ksid FROM best) AND shard_id NOT IN (SELECT dsid FROM best)
+UNION ALL
+SELECT * FROM merged
+"""
+
+
 _UP_WEIGHTS = {"src0": 2.5, "src1": 0.4, "src3": 3.0}
 
 
@@ -1562,6 +1650,7 @@ MIX_SPECS = [
     QuerySpec("ext_token_budget", q_token_budget, SQL_TOKEN_BUDGET, ("curation", "window")),
     QuerySpec("ext_shard_manifest", q_shard_manifest, SQL_SHARD_MANIFEST, ("curation", "window", "sink")),
     QuerySpec("ext_shard_split", q_shard_split, SQL_SHARD_SPLIT, ("curation", "window", "sink")),
+    QuerySpec("ext_shard_merge", q_shard_merge, SQL_SHARD_MERGE, ("curation", "window", "sink")),
     QuerySpec("ext_epoch_upsample", q_epoch_upsample, SQL_EPOCH_UPSAMPLE, ("curation",)),
     QuerySpec("ext_mixture_manifest", q_mixture_manifest, SQL_MIXTURE_MANIFEST, ("curation", "pipeline", "window")),
     QuerySpec("ext_mixture_full", q_mixture_full, SQL_MIXTURE_FULL, ("curation", "pipeline", "window", "sketch")),

@@ -351,6 +351,11 @@ from token_etl_spark.plans.base import QuerySpec
 #      md5-pinned plans with the lowest dtype risk; they pass the
 #      local three-SF sweep and rotate into r8.
 _PRIORITY_NAMES = [
+    # NEW in round 13 (birth-round rule): the shard-merge lever's
+    # arithmetic — the dual of ext_shard_split, completing the
+    # audit/compact/split/merge maintenance triad (VERDICT r12 item 3).
+    # Takes the first spare slot (evt_whale_count).
+    "ext_shard_merge",
     # the 7 named r8-green carries (the standing promise; lead r13)
     "rel_full_outer",
     "rel_grouping_sets",
