@@ -295,6 +295,34 @@ def test_cli_corpus_domain_stats_provenance(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "dec_lite")).count() == 2
 
 
+def test_cli_domainstats_refresh(spark, tmp_path, capsys):
+    """domainstats drives refresh_domain_stats: first call fits, second
+    refreshes under the preserved rule, a rule change refuses without
+    --allow-rule-change."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(i, f"https://good.com/{i}") for i in range(6)],
+        "doc_id long, url string",
+    )
+    docs.write.parquet(str(tmp_path / "docs"))
+    psl = spark.createDataFrame([("com",), ("co.uk",)], ["suffix"])
+    psl.write.parquet(str(tmp_path / "psl"))
+    tree = str(tmp_path / "rep_tree")
+
+    cli.main(["domainstats", "--documents", str(tmp_path / "docs"), "--out", tree])
+    assert "'n_domains': 1" in capsys.readouterr().out
+    cli.main(["domainstats", "--documents", str(tmp_path / "docs"), "--out", tree])
+    assert "'n_domains': 1" in capsys.readouterr().out
+    with pytest.raises(ValueError, match="allow_rule_change"):
+        cli.main(["domainstats", "--documents", str(tmp_path / "docs"),
+                  "--out", tree, "--domain-suffixes", str(tmp_path / "psl")])
+    cli.main(["domainstats", "--documents", str(tmp_path / "docs"),
+              "--out", tree, "--domain-suffixes", str(tmp_path / "psl"),
+              "--allow-rule-change"])
+    assert "'n_domains': 1" in capsys.readouterr().out
+
+
 def test_cli_shardmaint(spark, sf_dir, tmp_path, capsys):
     """audit/split/compact drive the shard-maintenance levers from the
     CLI: a clean export audits all-ok, split adds a shard, and the

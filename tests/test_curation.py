@@ -829,6 +829,56 @@ def test_suffix_fingerprint_is_engine_canonicalization(spark, tmp_path):
     assert is_saved_domain_stats(spark, tree)
 
 
+def test_refresh_domain_stats_provenance(spark, tmp_path):
+    """refresh_domain_stats recomputes over the current corpus and
+    swaps atomically, PRESERVING the recorded rule: a refresh under a
+    different rule than the tree was fit with refuses (the fit/apply
+    discipline holds across refreshes — a silent rule change re-keys
+    every domain under continuing readers), and allow_rule_change=True
+    migrates deliberately, restamping the provenance."""
+    import pytest
+
+    from token_etl_spark.operators.curation import (
+        fit_and_save_domain_stats,
+        load_domain_stats,
+        refresh_domain_stats,
+    )
+
+    v1 = spark.createDataFrame(
+        [(i, f"https://a.example.com/{i}") for i in range(6)],
+        "doc_id long, url string",
+    )
+    path = str(tmp_path / "rep")
+    fit_and_save_domain_stats(spark, v1, path)
+
+    # refresh under the SAME (lite) rule: new corpus lands, stamp kept
+    v2 = v1.unionByName(
+        spark.createDataFrame(
+            [(100, "https://bbc.co.uk/x")], "doc_id long, url string"
+        )
+    )
+    out = refresh_domain_stats(spark, v2, path)
+    assert {r["domain"] for r in out.collect()} == {"example.com", "co.uk"}
+    assert load_domain_stats(spark, path).count() == 2  # lite stamp preserved
+
+    # refresh under a DIFFERENT rule refuses...
+    psl = spark.createDataFrame([("com",), ("co.uk",)], ["suffix"])
+    with pytest.raises(ValueError, match="allow_rule_change"):
+        refresh_domain_stats(spark, v2, path, suffixes=psl)
+    # ...unless the migration is deliberate — then the stamp moves too
+    out = refresh_domain_stats(
+        spark, v2, path, suffixes=psl, allow_rule_change=True
+    )
+    assert {r["domain"] for r in out.collect()} == {"example.com", "bbc.co.uk"}
+    with pytest.raises(ValueError, match="mismatched registered-domain"):
+        load_domain_stats(spark, path)  # old-rule loads now refuse loudly
+    assert load_domain_stats(spark, path, suffixes=psl).count() == 2
+
+    # a fresh path needs no prior rule — refresh IS the first fit
+    fresh = str(tmp_path / "rep_fresh")
+    assert refresh_domain_stats(spark, v1, fresh).count() == 1
+
+
 def test_domain_stats_provenance_hardening(spark, tmp_path):
     """The r12 review's three provenance holes, closed: duplicate/
     case-variant suffix rows fingerprint identically (no spurious

@@ -1031,6 +1031,70 @@ def test_streaming_domain_filter_matches_batch(spark, tmp_path):
     assert got.where("domain_kept").count() == 30
 
 
+def test_streaming_domain_gate_picks_up_refresh(spark, tmp_path):
+    """The refresh-aware domain gate re-loads the saved reputation tree
+    every micro-batch: a continuing stream (same checkpoint) gates
+    batch N under the OLD keep-list and batch N+1 under the one
+    refresh_domain_stats swapped in between — no restart (VERDICT r12
+    item 4, the retrain-lever shape applied to the domain gate)."""
+    import os
+
+    from token_etl_spark.operators.curation import (
+        fit_and_save_domain_stats,
+        refresh_domain_stats,
+    )
+    from token_etl_spark.streaming.curation import run_streaming_domain_gate
+
+    # reputation corpus v1: good.com is reputable, rare.org unknown
+    corpus_v1 = spark.createDataFrame(
+        [(i, f"https://good.com/{i}") for i in range(10)],
+        "doc_id long, url string",
+    )
+    stats_path = str(tmp_path / "reputation")
+    fit_and_save_domain_stats(spark, corpus_v1, stats_path)
+
+    batch = spark.createDataFrame(
+        [(0, "https://good.com/a"), (1, "https://rare.org/b")],
+        "doc_id long, url string",
+    )
+    src = str(tmp_path / "gate_src")
+    os.makedirs(src)
+    batch.coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "gate_out")
+    ckpt = str(tmp_path / "gate_ckpt")
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    run_streaming_domain_gate(stream, stats_path, out, ckpt, min_docs=5)
+
+    got1 = {r["doc_id"]: r["domain_kept"] for r in spark.read.parquet(out).collect()}
+    assert got1 == {0: True, 1: False}  # rare.org not in the v1 keep-list
+
+    # refresh: rare.org now has reputation; good.com still does
+    corpus_v2 = corpus_v1.unionByName(
+        spark.createDataFrame(
+            [(100 + i, f"https://rare.org/{i}") for i in range(8)],
+            "doc_id long, url string",
+        )
+    )
+    refreshed = refresh_domain_stats(spark, corpus_v2, stats_path)
+    assert {r["domain"] for r in refreshed.collect()} == {"good.com", "rare.org"}
+
+    # continuation: same checkpoint, new source file → next batch gates
+    # under the refreshed list with no restart
+    batch2 = spark.createDataFrame(
+        [(2, "https://good.com/c"), (3, "https://rare.org/d")],
+        "doc_id long, url string",
+    )
+    batch2.coalesce(1).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(batch.schema).parquet(src)
+    run_streaming_domain_gate(stream2, stats_path, out, ckpt, min_docs=5)
+
+    got = {r["doc_id"]: r["domain_kept"] for r in spark.read.parquet(out).collect()}
+    assert got == {0: True, 1: False, 2: True, 3: True}
+    # batch 1's verdicts were NOT rewritten (per-batch partition isolation)
+    assert got[1] is False
+
+
 def test_streaming_repetition_filter_matches_batch(spark, tmp_path):
     """The repetition gate's streaming twin: the map-only inline form
     reaches the explode-form batch gate's exact keep/reject decisions

@@ -192,6 +192,25 @@ def main(argv: list[str] | None = None) -> None:
     shd.add_argument("--token-col", default=None)
     shd.add_argument("--seed", default="s0")
 
+    dst = sub.add_parser("domainstats")
+    dst.add_argument("--documents", required=True, help="current corpus parquet")
+    dst.add_argument("--out", required=True, help="reputation tree path (save_domain_stats layout)")
+    dst.add_argument("--url-col", default="url")
+    dst.add_argument("--quality-col")
+    dst.add_argument("--dup-col")
+    dst.add_argument(
+        "--domain-suffixes",
+        help="public-suffix table parquet (one 'suffix' column) — must "
+        "match the rule the existing tree was fit under",
+    )
+    dst.add_argument(
+        "--allow-rule-change",
+        action="store_true",
+        help="deliberately migrate the registered-domain rule (continuing "
+        "streams refuse loudly on their next batch instead of silently "
+        "matching nothing)",
+    )
+
     shm = sub.add_parser("shardmaint")
     shm.add_argument("--path", required=True, help="an export_shards tree")
     shm.add_argument(
@@ -301,6 +320,25 @@ def main(argv: list[str] | None = None) -> None:
         print(stats.asDict())
         return
 
+    if args.cmd == "domainstats":
+        from token_etl_spark.operators.curation import refresh_domain_stats
+
+        refreshed = refresh_domain_stats(
+            spark,
+            spark.read.parquet(args.documents),
+            args.out,
+            url_col=args.url_col,
+            quality_col=args.quality_col,
+            dup_col=args.dup_col,
+            suffixes=(
+                spark.read.parquet(args.domain_suffixes)
+                if args.domain_suffixes
+                else None
+            ),
+            allow_rule_change=args.allow_rule_change,
+        )
+        print({"n_domains": refreshed.count()})
+        return
     if args.cmd == "shardmaint":
         from token_etl_spark.io.sinks import (
             audit_shard_layout,

@@ -1925,6 +1925,69 @@ def fit_and_save_domain_stats(
     return load_domain_stats(spark, path, suffixes=suffixes)
 
 
+def refresh_domain_stats(
+    spark,
+    df: DataFrame,
+    path: str,
+    url_col: str = "url",
+    quality_col: str | None = None,
+    dup_col: str | None = None,
+    suffixes: DataFrame | None = None,
+    allow_rule_change: bool = False,
+) -> DataFrame:
+    """Periodic domain-reputation REFRESH — the maintenance entry point
+    the docs promise ("reputation refreshes as a periodic batch job"):
+    recompute :func:`domain_stats` over the CURRENT corpus and swap it
+    into ``path`` atomically with its provenance stamp
+    (:func:`fit_and_save_domain_stats` — the fit and the stamp share
+    one ``suffixes`` argument, so the recorded rule cannot lie). A
+    continuing stream gated by
+    :func:`token_etl_spark.streaming.curation.run_streaming_domain_gate`
+    picks the new keep-list up on its NEXT micro-batch with no restart
+    (the gate re-loads the tree per batch — the IVF serving sink's
+    centroids re-read pattern; the retrain-lever shape, applied to the
+    domain gate).
+
+    The fit/apply discipline holds ACROSS refreshes too: when the tree
+    already exists, the caller's ``suffixes`` must match the RECORDED
+    rule — silently refreshing a psl-fit tree under the lite rule (or
+    a different table) would re-key every domain under the continuing
+    stream's feet, the exact mismatch :func:`load_domain_stats` exists
+    to refuse. Pass ``allow_rule_change=True`` to migrate the rule
+    deliberately (streams loading under the old rule then refuse
+    loudly on their next batch instead of silently matching nothing).
+
+    Returns the refreshed frame read back through the validated
+    loader."""
+    from token_etl_spark.io.sinks import _bucket_fs
+
+    base = path.rstrip("/")
+    _heal_domain_stats(spark, path)
+    fs, hpath = _bucket_fs(spark, path)
+    if fs.exists(hpath(f"{base}/params")) and not allow_rule_change:
+        rule, digest = _suffix_fingerprint(suffixes)
+        params = spark.read.parquet(f"{base}/params").collect()[0]
+        if (params["rule"], params["suffix_md5"]) != (rule, digest):
+            raise ValueError(
+                f"refresh_domain_stats: the tree at {path} is fit under "
+                f"rule={params['rule']!r} "
+                f"(suffix_md5={params['suffix_md5']!r}) but this refresh "
+                f"uses rule={rule!r} (suffix_md5={digest!r}) — a silent "
+                "rule change would re-key every domain under continuing "
+                "readers; pass allow_rule_change=True to migrate "
+                "deliberately"
+            )
+    return fit_and_save_domain_stats(
+        spark,
+        df,
+        path,
+        url_col=url_col,
+        quality_col=quality_col,
+        dup_col=dup_col,
+        suffixes=suffixes,
+    )
+
+
 def save_domain_stats(
     spark,
     stats: DataFrame,

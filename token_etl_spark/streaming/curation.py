@@ -1295,3 +1295,109 @@ def streaming_domain_filter(
         blocklist=blocklist,
         suffixes=suffixes,
     )
+
+
+def _domain_gate_sink_batch(
+    batch_df: DataFrame,
+    key: str,
+    stats_path: str,
+    out_path: str,
+    *,
+    url_col: str = "url",
+    min_docs: int = 1,
+    min_mean_quality: float | None = None,
+    max_dup_rate: float | None = None,
+    blocklist: tuple[str, ...] = (),
+    suffixes: DataFrame | None = None,
+) -> None:
+    """One micro-batch of the refresh-aware domain gate: load the
+    CURRENT saved reputation tree through the validated loader (rule
+    mismatch is loud — a mid-stream rule migration refuses instead of
+    silently matching nothing), apply ``domain_filter``'s exact batch
+    expression tree, and land the flagged rows under the batch's own
+    (checkpoint-lineage, batch_id) partition with mode=overwrite — a
+    foreachBatch retry rewrites its own partition (the snapshot-diff
+    sink contract; module-level so retry idempotency is
+    unit-testable)."""
+    from token_etl_spark.operators.curation import domain_filter, load_domain_stats
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    stats = load_domain_stats(spark, stats_path, suffixes=suffixes)
+    flagged = domain_filter(
+        batch_df,
+        stats,
+        url_col=url_col,
+        min_docs=min_docs,
+        min_mean_quality=min_mean_quality,
+        max_dup_rate=max_dup_rate,
+        blocklist=blocklist,
+        suffixes=suffixes,
+    )
+    flagged.write.mode("overwrite").parquet(
+        f"{out_path.rstrip('/')}/batch_id={key}"
+    )
+
+
+def run_streaming_domain_gate(
+    stream: DataFrame,
+    stats_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    url_col: str = "url",
+    min_docs: int = 1,
+    min_mean_quality: float | None = None,
+    max_dup_rate: float | None = None,
+    blocklist: tuple[str, ...] = (),
+    suffixes: DataFrame | None = None,
+) -> None:
+    """The REFRESH-AWARE form of :func:`streaming_domain_filter`: the
+    static form broadcasts one ``stats`` frame for the stream's
+    lifetime, so a reputation refresh needs a restart to land; this
+    runner re-loads the saved tree (``operators/curation.
+    save_domain_stats`` layout) on EVERY micro-batch — the IVF serving
+    sink's centroids re-read pattern — so a
+    :func:`~token_etl_spark.operators.curation.refresh_domain_stats`
+    swap is picked up on the continuing stream's NEXT batch with no
+    restart: batch N gates under the old keep-list, batch N+1 under the
+    new one (pinned in tests/test_streaming_curation.py). The load is
+    VALIDATED per batch (``load_domain_stats``), so a deliberate
+    ``allow_rule_change=True`` migration turns the stream loudly red on
+    its next batch instead of silently flagging every ccTLD document.
+
+    State shape at 100 TB: the reputation tree is domain-cardinality
+    (small next to the corpus) and its load is one bounded parquet read
+    per micro-batch — cheap against any real batch's gate work, and the
+    price buys refresh pickup without stream restarts. Output rows land
+    per (checkpoint-lineage, batch_id) partition, retry-idempotent."""
+    from token_etl_spark.streaming.dedup import _batch_partition_key
+
+    if not checkpoint_path:
+        raise ValueError(
+            "checkpoint_path is required: it anchors source tracking and the "
+            "output-partition lineage prefix (retry/continuation idempotency)"
+        )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        _domain_gate_sink_batch(
+            batch_df,
+            _batch_partition_key(checkpoint_path, batch_id),
+            stats_path,
+            out_path,
+            url_col=url_col,
+            min_docs=min_docs,
+            min_mean_quality=min_mean_quality,
+            max_dup_rate=max_dup_rate,
+            blocklist=blocklist,
+            suffixes=suffixes,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+    q.awaitTermination()
