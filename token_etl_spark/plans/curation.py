@@ -1243,6 +1243,149 @@ FROM ddom d JOIN ex USING (doc_id) LEFT JOIN rep_pass rp USING (doc_id)
 """
 
 
+def q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION composed ingest path — ``prepare_corpus(
+    extract_html=True, url_col='url', repetition_filter=True)`` over
+    the same synthesized crawl rows as ``ext_crawl_ingest``: the
+    eager-STAGED pipeline (extraction persisted once, every downstream
+    tier reads the staged frame; quality-stats cache + the eager
+    checkpoint cut-point), not the declared-tree recompute the oracle
+    rows document as their trade. Declaring it under a full end-to-end
+    replay proves staged-composition ≡ declared-tree through the
+    driver AND gives the 100 TB entry path's real cost round-over-round
+    bench tracking beside serving (VERDICT r12 item 5). Tagged
+    iterative (the pipeline runs jobs at build — the CC fixpoint and
+    the cut-point — the ext_corpus_prep precedent). Output: the full
+    per-document decision frame (ingest-dropped documents keep their
+    accounting row with later-stage columns NULL, keep=False).
+
+    Near-dup threshold is 0.8, not ext_corpus_prep's 0.3: the
+    extraction corpus is boilerplate-heavy (shared chrome spreads
+    exact-Jaccard pairs across every bucket up to ~0.76), and the
+    oracle replays EXACT Jaccard while the pipeline's recall is
+    LSH-band-limited — measured per SF (the verified-complete-recall
+    discipline every dedup oracle here follows): the highest-similarity
+    pair the bands MISS is j=0.759 (sf0.1), j=0.661 (sf0.01), j=0.512
+    (sf0.001), so at 0.8 the replay and the pipeline provably agree at
+    all three SFs while the near-dup tier still exercises real
+    clusters (88 pairs >= 0.8 at sf0.1)."""
+    from token_etl_spark.pipelines.corpus import prepare_corpus
+
+    docs = t(spark, sf_dir, "documents")
+    frame = docs.select(
+        "doc_id", _html_synth().alias("text"), _url_synth().alias("url")
+    )
+    out = prepare_corpus(
+        frame,
+        jaccard_threshold=_INGEST_JACCARD,
+        extract_html=True,
+        url_col="url",
+        repetition_filter=True,
+    )
+    return out.select(
+        "doc_id", "n_tokens", "est_tokens", "passed_quality",
+        "is_exact_dup", "is_near_dup", "keep", "domain", "domain_kept",
+        "passed_repetition",
+    )
+
+
+#: ext_ingest_pipeline's near-dup threshold — the prepare_corpus
+#: default; see q_ingest_pipeline's docstring for why not 0.3 here
+_INGEST_JACCARD = 0.8
+
+
+def _sql_ingest_pipeline() -> str:
+    """Oracle for the production composition: the crawl-ingest CTEs
+    (synth → extraction → lite domain → repetition) feeding the
+    corpus-prep replay (quality → exact dedup → near-dup closure) over
+    the ingest-kept documents, re-anchored on every input id — built
+    lazily so the cross-module ``_cc_sql_body`` import stays local."""
+    from token_etl_spark.operators.text import BPE_PIECE_PATTERN
+    from token_etl_spark.plans.extensions import _cc_sql_body
+
+    return f"""
+WITH RECURSIVE synth AS (
+  SELECT doc_id, {_HTML_SYNTH_SQL} AS text,
+    {_URL_SYNTH_SQL} AS url
+  FROM documents),
+{_html_extract_ctes("synth")},
+ex AS (SELECT doc_id, extracted AS text FROM html_out),
+dhost AS (
+  SELECT doc_id,
+    lower(regexp_replace(
+      regexp_extract(
+        regexp_extract(regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
+                       '^([^/?#]+)', 1),
+        '^(?:.*@)?([^:]+)', 1),
+      '\\.$', '')) AS host
+  FROM synth),
+ddom AS (
+  SELECT doc_id,
+    CASE WHEN regexp_matches(host, '[ \t\r\n\x0b\f]') THEN NULL
+         WHEN regexp_matches(host, '^[0-9]{{1,3}}(\\.[0-9]{{1,3}}){{3}}$') THEN host
+         ELSE nullif(regexp_extract(host, '([^.]+\\.[^.]+)$', 1), '') END AS domain
+  FROM dhost),
+exk AS (
+  SELECT ex.doc_id, ex.text FROM ex JOIN ddom USING (doc_id)
+  WHERE ddom.domain IS NOT NULL),
+{_repetition_ctes("exk")},
+rep_pass AS (
+  SELECT doc_id,
+         (dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
+          AND dup_line_char_frac <= 0.20 AND dup_para_char_frac <= 0.20
+          AND top_2gram_char_frac <= 0.20 AND top_3gram_char_frac <= 0.18
+          AND top_4gram_char_frac <= 0.16) AS passed_repetition
+  FROM rep_out),
+ing AS (
+  SELECT exk.doc_id, exk.text FROM exk JOIN rep_pass USING (doc_id)
+  WHERE rep_pass.passed_repetition),
+iq AS (
+  SELECT doc_id, text,
+         len({_TOKS}) AS n_tokens,
+         CAST(coalesce(list_aggregate(
+           list_transform(regexp_extract_all(lower(text), '{BPE_PIECE_PATTERN}'),
+                          p -> CAST(ceil(length(p) / 4.0) AS BIGINT)), 'sum'), 0) AS BIGINT)
+           AS est_tokens,
+         (len({_TOKS}) >= 5 AND len({_TOKS}) <= 100000
+          AND CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+              / greatest(length(text), 1) >= 0.5) AS passed_quality
+  FROM ing),
+qd AS (SELECT doc_id, text FROM iq WHERE passed_quality),
+ek AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS digest, doc_id
+        FROM qd)
+  GROUP BY digest),
+surv AS (SELECT qd.doc_id, qd.text FROM qd JOIN ek USING (doc_id)),
+{_cc_sql_body(_INGEST_JACCARD, source="surv")},
+near AS (
+  SELECT s.doc_id, coalesce(c.id = c.component, TRUE) AS nk
+  FROM surv s LEFT JOIN comp c ON c.id = s.doc_id),
+dec AS (
+  SELECT iq.doc_id, iq.n_tokens, iq.est_tokens, iq.passed_quality,
+         (iq.passed_quality AND e.doc_id IS NULL) AS is_exact_dup,
+         coalesce(NOT n.nk, FALSE) AS is_near_dup,
+         (iq.passed_quality AND e.doc_id IS NOT NULL
+          AND coalesce(n.nk, TRUE)) AS core_keep
+  FROM iq
+  LEFT JOIN ek e ON e.doc_id = iq.doc_id
+  LEFT JOIN near n ON n.doc_id = iq.doc_id)
+SELECT s.doc_id, d.n_tokens, d.est_tokens, d.passed_quality,
+       d.is_exact_dup, d.is_near_dup,
+       coalesce(d.core_keep, FALSE)
+         AND coalesce(dd.domain IS NOT NULL, FALSE) AS keep,
+       dd.domain, dd.domain IS NOT NULL AS domain_kept,
+       rp.passed_repetition
+FROM (SELECT doc_id FROM synth) s
+LEFT JOIN dec d USING (doc_id)
+LEFT JOIN ddom dd USING (doc_id)
+LEFT JOIN rep_pass rp USING (doc_id)
+"""
+
+
+SQL_INGEST_PIPELINE = _sql_ingest_pipeline()
+
+
 SPECS = [
     QuerySpec("ext_decontaminate", q_decontaminate, SQL_DECONTAMINATE, ("curation", "text")),
     QuerySpec("ext_temperature_mix", q_temperature_mix, SQL_TEMPERATURE_MIX, ("curation",)),
@@ -1272,6 +1415,13 @@ SPECS = [
     QuerySpec("ext_repetition_signals", q_repetition_signals, SQL_REPETITION_SIGNALS_PLAN, ("curation", "text", "window")),
     QuerySpec("ext_domain_stats", q_domain_stats, SQL_DOMAIN_STATS_PLAN, ("curation", "functions-string")),
     QuerySpec("ext_crawl_ingest", q_crawl_ingest, SQL_CRAWL_INGEST, ("curation", "text", "pipeline")),
+    # bench=True (r13): the PRODUCTION staged composition of the
+    # crawl-ingest tier + corpus prep — the 100 TB entry path's real
+    # cost, tracked round-over-round the way serving has been since r10
+    # (VERDICT r12 item 5). Tagged iterative: prepare_corpus runs jobs
+    # at build (CC fixpoint, eager cut-point) — the ext_corpus_prep
+    # precedent.
+    QuerySpec("ext_ingest_pipeline", q_ingest_pipeline, SQL_INGEST_PIPELINE, ("curation", "text", "pipeline", "iterative"), bench=True),
     QuerySpec("ext_domain_stats_psl", q_domain_stats_psl, SQL_DOMAIN_STATS_PSL, ("curation", "functions-string", "join")),
     QuerySpec("ext_repetition_inline", q_repetition_inline, SQL_REPETITION_SIGNALS_PLAN, ("curation", "text", "streaming")),
 ]

@@ -356,6 +356,12 @@ _PRIORITY_NAMES = [
     # audit/compact/split/merge maintenance triad (VERDICT r12 item 3).
     # Takes the first spare slot (evt_whale_count).
     "ext_shard_merge",
+    # NEW in round 13: the PRODUCTION staged ingest composition
+    # (prepare_corpus(extract_html=True, url_col, repetition_filter)
+    # under a full end-to-end replay — staged ≡ declared-tree through
+    # the driver, plus the bench headline row VERDICT r12 item 5 asked
+    # for). Takes the second spare slot (evt_holder_count).
+    "ext_ingest_pipeline",
     # the 7 named r8-green carries (the standing promise; lead r13)
     "rel_full_outer",
     "rel_grouping_sets",
