@@ -1196,3 +1196,177 @@ def test_html_extract_and_domain_never_crash_wave6(spark, texts):
         if d is None or d.endswith(".com") or d in ("com",) or d.endswith("co.uk"):
             continue
         assert psl[did] == d, (did, d, psl[did])
+
+
+# --- wave 7 (VERDICT r12 item 6): the newest surfaces -----------------------
+
+_REPETITIVE_TEXT = st.one_of(
+    _ADVERSARIAL_TEXT,
+    # repetition-SHAPED strings: fold bugs in the inline twin won't
+    # crash, they silently diverge from the explode form — so the fuzz
+    # corpus must actually exercise duplicate lines/paragraphs/grams
+    st.builds(
+        lambda line, n: "\n".join([line] * n),
+        st.text(min_size=1, max_size=30),
+        st.integers(min_value=1, max_value=6),
+    ),
+    st.builds(
+        lambda para, n: ("\r\n\r\n").join([para] * n),
+        st.text(min_size=1, max_size=40),
+        st.integers(min_value=1, max_value=5),
+    ),
+    st.builds(
+        lambda tok, n: " ".join([tok] * n),
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_categories=("Zs", "Cc")),
+            min_size=1,
+            max_size=8,
+        ),
+        st.integers(min_value=1, max_value=12),
+    ),
+)
+
+
+@given(texts=st.lists(_REPETITIVE_TEXT, min_size=1, max_size=8))
+@FAST
+def test_repetition_inline_equals_explode_under_fuzz(spark, texts):
+    """Wave 7: the EQUIVALENCE property itself, fuzzed — the map-only
+    higher-order-fold twin must reproduce the explode form's seven
+    signals EXACTLY on adversarial and repetition-shaped strings
+    (NULs, unicode junk, 5000-char tokens, CRLF paragraph runs,
+    duplicate-token tapes). A fold bug here would not crash; it would
+    silently diverge — exactly what this pin exists to catch."""
+    from token_etl_spark.operators.text import (
+        repetition_signals,
+        repetition_signals_inline,
+    )
+
+    s = _get(spark)
+    df = s.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    cols = [
+        "dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+        "dup_para_char_frac", "top_2gram_char_frac", "top_3gram_char_frac",
+        "top_4gram_char_frac",
+    ]
+    batch = {
+        r["doc_id"]: tuple(r[c] for c in cols)
+        for r in repetition_signals(df).collect()
+    }
+    inline = {
+        r["doc_id"]: tuple(r[c] for c in cols)
+        for r in repetition_signals_inline(df).select("doc_id", *cols).collect()
+    }
+    assert batch == inline
+
+
+_SUFFIX_ROW = st.one_of(
+    st.sampled_from(["com", "co.uk", "COM", " Co.Uk ", "net", "org", ""]),
+    st.text(max_size=12),
+)
+
+
+@given(rows=st.lists(_SUFFIX_ROW, min_size=1, max_size=10))
+@FAST
+def test_suffix_table_canonicalization_invariants(spark, rows):
+    """Wave 7: PSL suffix-table canonicalization — mixed-case,
+    space-padded, duplicate, and blank rows. Invariants: the
+    provenance fingerprint is invariant under row order, duplication,
+    case, and space padding (semantically identical tables MUST
+    fingerprint identically — a spurious load refusal is the failure
+    mode); an all-blank table fingerprints like an empty one; and
+    with_registered_domain emits identical domains under every
+    spelling of the same table."""
+    from token_etl_spark.operators.curation import (
+        _suffix_fingerprint,
+        with_registered_domain,
+    )
+
+    s = _get(spark)
+    base = s.createDataFrame([(r,) for r in rows], ["suffix"])
+    shuffled = s.createDataFrame([(r,) for r in reversed(rows)], ["suffix"])
+    doubled = s.createDataFrame([(r,) for r in rows + rows], ["suffix"])
+    padded = s.createDataFrame([(f" {r} ",) for r in rows], ["suffix"])
+    upper = s.createDataFrame([(r.upper(),) for r in rows], ["suffix"])
+
+    fp = _suffix_fingerprint(base)
+    assert fp == _suffix_fingerprint(shuffled) == _suffix_fingerprint(doubled)
+    assert fp == _suffix_fingerprint(padded)
+    # upper-casing is invariant only when the ENGINE's lower() round-trips
+    # it back to the same canonical form — check through the engine, the
+    # same authority the join uses
+    eng = {
+        r["s"]
+        for r in base.select(F.lower(F.trim(F.col("suffix"))).alias("s")).collect()
+    }
+    eng_up = {
+        r["s"]
+        for r in upper.select(F.lower(F.trim(F.col("suffix"))).alias("s")).collect()
+    }
+    if eng == eng_up:
+        assert fp == _suffix_fingerprint(upper)
+
+    urls = s.createDataFrame(
+        [(i, u) for i, u in enumerate(
+            ["https://bbc.co.uk/x", "http://a.b.com/y", "ftp://weird", "not a url"]
+        )],
+        "doc_id long, url string",
+    )
+    out_base = {
+        r["doc_id"]: r["domain"]
+        for r in with_registered_domain(urls, suffixes=base).collect()
+    }
+    for variant in (shuffled, doubled, padded):
+        out_v = {
+            r["doc_id"]: r["domain"]
+            for r in with_registered_domain(urls, suffixes=variant).collect()
+        }
+        assert out_v == out_base
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["k1", "k2", "k3", "k4", "k5"]),
+            st.integers(min_value=0, max_value=1000),
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+@FAST
+def test_split_shard_rows_boundary_invariants(spark, rows):
+    """Wave 7: split boundary arithmetic under fuzz — 2-doc shards,
+    zero-token docs, all-tokens-in-one-doc, duplicate keys. Invariants
+    whenever >= 2 distinct keys exist: every row comes back exactly
+    once with shard_id in {old, new}; both halves non-empty; tied keys
+    never separate; ranges disjoint (max old key < min new key). With
+    one distinct key the split must refuse loudly, never emit
+    overlapping ranges."""
+    import pytest
+
+    from token_etl_spark.operators.curation import split_shard_rows
+
+    s = _get(spark)
+    df = s.createDataFrame(
+        [(i, k, n) for i, (k, n) in enumerate(rows)],
+        "doc_id long, ord_key string, n_tokens long",
+    )
+    distinct_keys = {k for k, _ in rows}
+    if len(distinct_keys) == 1:
+        with pytest.raises(Exception, match="shares one ord_key"):
+            split_shard_rows(df, 7, 99).collect()
+        return
+    got = split_shard_rows(df, 7, 99).collect()
+    assert len(got) == len(rows)
+    assert {r["doc_id"] for r in got} == set(range(len(rows)))
+    assert {r["shard_id"] for r in got} == {7, 99}
+    by_key: dict[str, set[int]] = {}
+    for r in got:
+        by_key.setdefault(r["ord_key"], set()).add(r["shard_id"])
+    assert all(len(v) == 1 for v in by_key.values()), by_key
+    old_keys = {r["ord_key"] for r in got if r["shard_id"] == 7}
+    new_keys = {r["ord_key"] for r in got if r["shard_id"] == 99}
+    assert old_keys and new_keys
+    assert max(old_keys) < min(new_keys)
