@@ -761,18 +761,7 @@ def split_shard(spark: SparkSession, path: str, shard_id: int) -> DataFrame:
             f"split_shard: shard {shard_id} holds a single document — no "
             "document is ever cut, so a 1-document shard cannot split"
         )
-    fs, hpath = _bucket_fs(spark, path)
-    incp = hpath(f"{base}/incoming")
-    if fs.exists(incp):
-        for st in fs.listStatus(incp):
-            if st.isDirectory() and fs.exists(
-                hpath(f"{st.getPath().toString()}/shard_id={int(shard_id)}")
-            ):
-                raise ValueError(
-                    f"split_shard: shard {shard_id} has stream increments "
-                    "under incoming/ — run compact_incremental_shards first "
-                    "(splitting now would strand their old-range labels)"
-                )
+    _refuse_pending_increments(spark, path, [int(shard_id)], "split_shard")
     new_sid = int(manifest.agg(F.max("shard_id")).collect()[0][0]) + 1
     shard_rows = spark.read.parquet(f"{base}/data/shard_id={int(shard_id)}")
     halves = split_shard_rows(shard_rows, int(shard_id), new_sid)
@@ -823,8 +812,7 @@ def _refuse_pending_increments(
                 raise ValueError(
                     f"{action}: shard {sid} has stream increments under "
                     "incoming/ — run compact_incremental_shards first "
-                    f"({action.split(':')[0]}ing now would strand their "
-                    "old-range labels)"
+                    "(re-ranging now would strand their old-range labels)"
                 )
 
 
