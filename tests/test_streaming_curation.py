@@ -1095,6 +1095,33 @@ def test_streaming_domain_gate_picks_up_refresh(spark, tmp_path):
     assert got[1] is False
 
 
+def test_domain_gate_sink_batch_retry_idempotent(spark, tmp_path):
+    """A foreachBatch retry re-applies its own (lineage, batch_id)
+    partition with mode=overwrite — re-running the module-level sink
+    under the same key must not duplicate rows (the snapshot-diff sink
+    contract)."""
+    from token_etl_spark.operators.curation import fit_and_save_domain_stats
+    from token_etl_spark.streaming.curation import _domain_gate_sink_batch
+
+    corpus = spark.createDataFrame(
+        [(i, f"https://good.com/{i}") for i in range(6)],
+        "doc_id long, url string",
+    )
+    stats_path = str(tmp_path / "rep")
+    fit_and_save_domain_stats(spark, corpus, stats_path)
+    batch = spark.createDataFrame(
+        [(0, "https://good.com/a"), (1, "https://junk")],
+        "doc_id long, url string",
+    )
+    out = str(tmp_path / "gate_out")
+    _domain_gate_sink_batch(batch, "feed-0", stats_path, out)
+    _domain_gate_sink_batch(batch, "feed-0", stats_path, out)
+    got = spark.read.parquet(out)
+    assert got.count() == 2  # once, not twice
+    kept = {r["doc_id"]: r["domain_kept"] for r in got.collect()}
+    assert kept == {0: True, 1: False}
+
+
 def test_streaming_repetition_filter_matches_batch(spark, tmp_path):
     """The repetition gate's streaming twin: the map-only inline form
     reaches the explode-form batch gate's exact keep/reject decisions
