@@ -369,3 +369,9 @@ def test_cli_shardmaint(spark, sf_dir, tmp_path, capsys):
     cli.main(["shardmaint", "--path", out, "--action", "audit"])
     printed = capsys.readouterr().out
     assert "'ok'" in printed and "drift" not in printed
+
+    # plan: recommendations against the export's RECORDED budget
+    cli.main(["shardmaint", "--path", out, "--action", "plan"])
+    printed = capsys.readouterr().out
+    assert "'tokens_per_shard': 1000" in printed
+    assert "action_counts" in printed

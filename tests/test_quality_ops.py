@@ -631,6 +631,46 @@ def test_split_shard_rows_token_midpoint_and_fallback(spark):
     assert got == {"a": 7, "b": 99}
 
 
+def test_plan_shard_maintenance_branches(spark):
+    """The policy observable: over-budget multi-doc shards say 'split',
+    a 1-doc giant never does (no document is ever cut), adjacent
+    sliver pairs say 'merge_with_next' (overlaps allowed — apply one,
+    re-audit, repeat), everything else 'ok'; pair columns NULL on the
+    last shard."""
+    from token_etl_spark.operators.curation import plan_shard_maintenance
+
+    man = spark.createDataFrame(
+        [
+            # (shard_id, n_docs, shard_tokens, first_key, last_key)
+            (0, 5, 2500, "a", "b"),   # over 2x budget, splittable
+            (1, 1, 9000, "c", "d"),   # giant but 1 doc → never split
+            (2, 2, 300, "e", "f"),    # sliver; 2+3 fit one budget
+            (3, 2, 400, "g", "h"),    # sliver; 3+4 fit too (overlap ok)
+            (4, 3, 500, "i", "j"),    # last: pair NULL, ok
+        ],
+        "shard_id long, n_docs long, shard_tokens long, first_key string, last_key string",
+    )
+    got = {
+        r["shard_id"]: r
+        for r in plan_shard_maintenance(man, tokens_per_shard=1000).collect()
+    }
+    assert got[0]["action"] == "split"
+    assert got[1]["action"] == "ok"
+    assert got[2]["action"] == "merge_with_next" and got[2]["next_shard_id"] == 3
+    assert got[2]["pair_tokens"] == 700
+    assert got[3]["action"] == "merge_with_next" and got[3]["pair_tokens"] == 900
+    assert got[4]["action"] == "ok"
+    assert got[4]["next_shard_id"] is None and got[4]["pair_tokens"] is None
+    # fractional merge budget via integer cross-multiplication: 1/2
+    tight = {
+        r["shard_id"]: r["action"]
+        for r in plan_shard_maintenance(
+            man, tokens_per_shard=1000, merge_budget_num=1, merge_budget_den=2
+        ).collect()
+    }
+    assert tight[2] == "ok" and tight[3] == "ok"  # 700/900 > 500
+
+
 def test_split_shard_rows_tied_keys_never_separate(spark):
     """Duplicate ord_keys at the would-be boundary move as one block:
     the boundary snaps forward to the next strict key increase, so the

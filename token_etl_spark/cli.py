@@ -216,12 +216,13 @@ def main(argv: list[str] | None = None) -> None:
     shm.add_argument(
         "--action",
         required=True,
-        choices=("audit", "compact", "split", "merge"),
+        choices=("audit", "compact", "split", "merge", "plan"),
         help="audit: manifest-vs-disk integrity report; compact: fold "
         "stream increments into the base tree; split: divide one "
         "over-budget shard's key range (requires --shard-id); merge: "
         "fold two ADJACENT undersized ranges into one (requires "
-        "--shard-id and --shard-id-b)",
+        "--shard-id and --shard-id-b); plan: per-shard split/merge "
+        "recommendations against the export's recorded token budget",
     )
     shm.add_argument("--shard-id", type=int, default=None)
     shm.add_argument("--shard-id-b", type=int, default=None)
@@ -375,6 +376,28 @@ def main(argv: list[str] | None = None) -> None:
                 raise SystemExit("--action merge requires --shard-id and --shard-id-b")
             manifest = merge_shards(spark, args.path, args.shard_id, args.shard_id_b)
             print({"n_shards": manifest.count()})
+        elif args.action == "plan":
+            from token_etl_spark.operators.curation import plan_shard_maintenance
+
+            # adopt the budget the export was fit with — its params table
+            # records tokens_per_shard beside key_col/seed (the router's
+            # adopt-or-refuse discipline, read side)
+            tps = int(
+                spark.read.parquet(f"{args.path.rstrip('/')}/params")
+                .collect()[0]["tokens_per_shard"]
+            )
+            manifest = spark.read.parquet(f"{args.path.rstrip('/')}/manifest")
+            rows = [
+                r.asDict()
+                for r in plan_shard_maintenance(manifest, tps).collect()
+            ]
+            counts: dict[str, int] = {}
+            for r in rows:
+                counts[r["action"]] = counts.get(r["action"], 0) + 1
+            print({"tokens_per_shard": tps, "action_counts": counts})
+            for r in rows:
+                if r["action"] != "ok":
+                    print(r)
         else:
             if args.shard_id is None:
                 raise SystemExit("--action split requires --shard-id")

@@ -1652,6 +1652,65 @@ def split_shard_rows(
 _MANIFEST_COLS = ("shard_id", "n_docs", "shard_tokens", "first_key", "last_key")
 
 
+def plan_shard_maintenance(
+    manifest: DataFrame,
+    tokens_per_shard: int,
+    split_factor: int = 2,
+    merge_budget_num: int = 1,
+    merge_budget_den: int = 1,
+) -> DataFrame:
+    """Maintenance RECOMMENDATIONS over the manifest — the policy
+    observable beside the :func:`~token_etl_spark.io.sinks.split_shard`
+    / :func:`~token_etl_spark.io.sinks.merge_shards` levers (the
+    index-health/retrain pairing: the audit says WHETHER the layout is
+    sound, this says WHICH levers to pull): per shard, ``action`` is
+
+    - ``'split'`` when the shard holds more than ``split_factor ×
+      tokens_per_shard`` tokens AND has >= 2 documents (a 1-doc shard
+      cannot split — no document is ever cut);
+    - ``'merge_with_next'`` when the shard plus its RANGE-ADJACENT
+      successor fit within ``tokens_per_shard × merge_budget_num /
+      merge_budget_den`` (integer cross-multiplied — no doubles near a
+      maintenance decision, the vocab_growth rule);
+    - ``'ok'`` otherwise.
+
+    Recommendations may OVERLAP (A+B and B+C can both qualify); the
+    operator's contract is apply-one / re-audit / repeat — maintenance
+    is iterative by nature and the report is recomputed from the
+    manifest in milliseconds. Pure manifest-cardinality arithmetic
+    (one bounded lead() window — the 256-row bucket-total exception),
+    driver-proven as ``ext_shard_plan``. Emits (shard_id, n_docs,
+    shard_tokens, next_shard_id, pair_tokens, action) in range order;
+    the last shard's pair columns are NULL."""
+    w = Window.orderBy("first_key")
+    m = (
+        manifest.select("shard_id", "n_docs", "shard_tokens", "first_key")
+        .withColumn("next_shard_id", F.lead("shard_id").over(w))
+        .withColumn("pair_tokens", F.col("shard_tokens") + F.lead("shard_tokens").over(w))
+    )
+    tps = F.lit(int(tokens_per_shard)).cast("long")
+    action = (
+        F.when(
+            (F.col("shard_tokens") > F.lit(int(split_factor)) * tps)
+            & (F.col("n_docs") >= 2),
+            F.lit("split"),
+        )
+        .when(
+            F.col("pair_tokens").isNotNull()
+            & (
+                F.col("pair_tokens") * F.lit(int(merge_budget_den))
+                <= tps * F.lit(int(merge_budget_num))
+            ),
+            F.lit("merge_with_next"),
+        )
+        .otherwise(F.lit("ok"))
+    )
+    return m.select(
+        "shard_id", "n_docs", "shard_tokens", "next_shard_id",
+        "pair_tokens", action.alias("action"),
+    )
+
+
 def merge_shard_rows(
     manifest: DataFrame,
     shard_id_keep: int | Column,

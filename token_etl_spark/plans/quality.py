@@ -1103,6 +1103,64 @@ SELECT * FROM merged
 """
 
 
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance recommendations over a POST-DEDUP manifest
+    (operators/curation.plan_shard_maintenance — the policy observable
+    beside the split/merge levers: the audit says whether the layout is
+    sound, this says which levers to pull). Scenario is the lever's
+    declared use case: documents were assigned at fit time (budget
+    150), then aggressive dedup dropped half of them (deterministic
+    doc_id parity stand-in), and the recommendations run over the
+    SURVIVING manifest — sliver shards become merge_with_next, shards
+    that kept an over-budget run of tokens become split
+    (split_factor=1: rebalance anything over budget — chosen so all
+    THREE branches carry driver-verified rows at every SF, ~90 ok /
+    ~40 merge / ~23 split at sf0.001), 1-doc shards never split. Pure
+    manifest-cardinality integer arithmetic over one bounded lead()
+    window; the oracle replays the cumsum, the post-assignment drop,
+    the lead pairing, and both integer thresholds exactly."""
+    docs = t(spark, sf_dir, "documents")
+    kept = C.assign_shards(docs, tokens_per_shard=150).where(
+        F.col("doc_id") % 2 == 0
+    )
+    return C.plan_shard_maintenance(
+        C.shard_manifest(kept), tokens_per_shard=150, split_factor=1
+    )
+
+
+SQL_SHARD_PLAN = f"""
+WITH base AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR) || 's0') AS k
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens, k,
+         CAST(sum(n_tokens) OVER (ORDER BY k, n_tokens
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM base),
+a AS (
+  SELECT doc_id, n_tokens, k, CAST((cum - n_tokens) // 150 AS BIGINT) AS shard_id FROM c),
+kept AS (SELECT * FROM a WHERE doc_id % 2 = 0),
+man AS (
+  SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+         min(k) AS first_key
+  FROM kept GROUP BY shard_id),
+p AS (
+  SELECT shard_id, n_docs, shard_tokens,
+         lead(shard_id) OVER (ORDER BY first_key) AS next_shard_id,
+         shard_tokens + lead(shard_tokens) OVER (ORDER BY first_key) AS pair_tokens
+  FROM man)
+SELECT shard_id, n_docs, shard_tokens, next_shard_id,
+       CAST(pair_tokens AS BIGINT) AS pair_tokens,
+       CASE WHEN shard_tokens > 1 * 150 AND n_docs >= 2 THEN 'split'
+            WHEN pair_tokens IS NOT NULL AND pair_tokens * 1 <= 150 * 1
+            THEN 'merge_with_next'
+            ELSE 'ok' END AS action
+FROM p
+"""
+
+
 _UP_WEIGHTS = {"src0": 2.5, "src1": 0.4, "src3": 3.0}
 
 
@@ -1651,6 +1709,7 @@ MIX_SPECS = [
     QuerySpec("ext_shard_manifest", q_shard_manifest, SQL_SHARD_MANIFEST, ("curation", "window", "sink")),
     QuerySpec("ext_shard_split", q_shard_split, SQL_SHARD_SPLIT, ("curation", "window", "sink")),
     QuerySpec("ext_shard_merge", q_shard_merge, SQL_SHARD_MERGE, ("curation", "window", "sink")),
+    QuerySpec("ext_shard_plan", q_shard_plan, SQL_SHARD_PLAN, ("curation", "window", "sink")),
     QuerySpec("ext_epoch_upsample", q_epoch_upsample, SQL_EPOCH_UPSAMPLE, ("curation",)),
     QuerySpec("ext_mixture_manifest", q_mixture_manifest, SQL_MIXTURE_MANIFEST, ("curation", "pipeline", "window")),
     QuerySpec("ext_mixture_full", q_mixture_full, SQL_MIXTURE_FULL, ("curation", "pipeline", "window", "sketch")),

@@ -362,6 +362,12 @@ _PRIORITY_NAMES = [
     # the driver, plus the bench headline row VERDICT r12 item 5 asked
     # for). Takes the second spare slot (evt_holder_count).
     "ext_ingest_pipeline",
+    # NEW in round 13: the maintenance-policy observable beside the
+    # split/merge levers (which lever to pull, per shard — integer
+    # threshold arithmetic over one bounded lead window). Takes the
+    # window-tail slot; rel_pivot_priority (r9-green, pivot shape
+    # sweep-covered) joins the r14 carries.
+    "ext_shard_plan",
     # the 7 named r8-green carries (the standing promise; lead r13)
     "rel_full_outer",
     "rel_grouping_sets",
