@@ -27,6 +27,15 @@ from token_etl_spark.plans.base import QuerySpec
 # ROUND-13 ROTATION (last-green histogram after r12, recomputed from
 # the CORRECTNESS_r{01..12}.json keys: r12=50, r11=50, r10=50, r9=50,
 # r8=7 — matching the r12 VERDICT's recount exactly). The window is:
+#   0. The 3 queries NEW this round (birth-round rule, listed first):
+#      ext_shard_merge (the merge lever's arithmetic — VERDICT r12
+#      item 3), ext_ingest_pipeline (the PRODUCTION staged ingest
+#      composition under a full end-to-end replay — item 5), and
+#      ext_shard_plan (the maintenance-policy observable beside the
+#      levers). They take the two spare slots (evt_whale_count,
+#      evt_holder_count) plus the window-tail slot (rel_pivot_priority
+#      — r9-green, pivot shape sweep-covered); all three displaced
+#      rows join the r14 carries.
 #   1. The 7 named r8-green carries FIRST (the standing carry promise
 #      from the r12 rotation, VERDICT r12 item 1): rel_full_outer,
 #      rel_grouping_sets, rel_bloom_join, ext_multimodal_meta,
@@ -56,7 +65,9 @@ from token_etl_spark.plans.base import QuerySpec
 #      rows (keep-list anti-join, md5 bucketing, three join variants,
 #      concat-prefix, distinct; every shape runs inside in-window
 #      rows); they stay sweep-green and lead the r14 rotation along
-#      with any displaced spares.
+#      with the three rows the r13-born queries displaced
+#      (evt_holder_count, evt_whale_count, rel_pivot_priority) — 10
+#      named r14 carries in total.
 # Displaced: the r10/r11/r12-green window occupants — all still
 # covered by the local three-SF sweep.
 #
