@@ -1215,11 +1215,31 @@ def repetition_signals_inline(
     lexicographically smallest gram, exactly the batch tie-break.
     NULL text yields all-zero signals (the batch form's no-units
     convention). Adds the seven signal columns to ``df``.
+
+    CSE note (the r4 lambda trap, re-found here in r13 — 63 s → sub-s
+    at sf0.1): the unit arrays are BOUND to real columns before any
+    higher-order lambda references them. An expression like
+    ``tokens(text)`` referenced INSIDE a ``transform``/``aggregate``
+    lambda is re-evaluated PER ELEMENT (HigherOrderFunction bodies see
+    an expression tree, not a slot), turning the whole regex tokenize
+    chain into O(m²) per document; an AttributeReference to a staged
+    column is a row-buffer lookup. The staging columns are dropped
+    before return, so the output schema is unchanged.
     """
     text = F.coalesce(F.col(text_col), F.lit(""))
+    staged = df.withColumns(
+        {
+            "_rep_lines": F.filter(
+                F.split(text, r"\r?\n"), lambda x: ~x.rlike(_BLANK_UNIT)
+            ),
+            "_rep_paras": F.filter(
+                F.split(text, r"(?:\r?\n){2,}"), lambda x: ~x.rlike(_BLANK_UNIT)
+            ),
+            "_rep_toks": tokens(text),
+        }
+    )
 
-    def dup_pair(units: Column) -> tuple[Column, Column]:
-        u = F.filter(units, lambda x: ~x.rlike(_BLANK_UNIT))
+    def dup_pair(u: Column) -> tuple[Column, Column]:
         n = F.size(u)
         nd = F.size(F.array_distinct(u))
         chars = F.aggregate(
@@ -1232,10 +1252,10 @@ def repetition_signals_inline(
         cfrac = F.when(chars > 0, (chars - dchars) / chars).otherwise(F.lit(0.0))
         return frac, cfrac
 
-    line_frac, line_cfrac = dup_pair(F.split(text, r"\r?\n"))
-    para_frac, para_cfrac = dup_pair(F.split(text, r"(?:\r?\n){2,}"))
+    line_frac, line_cfrac = dup_pair(F.col("_rep_lines"))
+    para_frac, para_cfrac = dup_pair(F.col("_rep_paras"))
 
-    toks = tokens(text)
+    toks = F.col("_rep_toks")
     tok_chars = F.aggregate(
         toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
     )
@@ -1279,7 +1299,7 @@ def repetition_signals_inline(
             covered / F.when(tok_chars > 0, tok_chars), F.lit(0.0)
         )
 
-    return df.withColumns(
+    return staged.withColumns(
         {
             "dup_line_frac": line_frac,
             "dup_line_char_frac": line_cfrac,
@@ -1289,7 +1309,7 @@ def repetition_signals_inline(
             "top_3gram_char_frac": top_gram_frac(3),
             "top_4gram_char_frac": top_gram_frac(4),
         }
-    )
+    ).drop("_rep_lines", "_rep_paras", "_rep_toks")
 
 
 #: Gopher Table A1 repetition thresholds (Rae et al. 2021): reject when
