@@ -1095,6 +1095,82 @@ def test_streaming_domain_gate_picks_up_refresh(spark, tmp_path):
     assert got[1] is False
 
 
+def test_run_streaming_ingest_matches_batch_composition(spark, tmp_path):
+    """The composed streaming ingest runner (extraction → refresh-aware
+    domain gate → map-only repetition gate, one foreachBatch sink)
+    reaches prepare_corpus's exact ingest decisions per document —
+    domain/domain_kept/passed_repetition/ingest_keep — with gate-
+    dropped rows keeping accounting rows (NULL text) and kept rows
+    carrying the extracted text."""
+    from token_etl_spark.operators.curation import fit_and_save_domain_stats
+    from token_etl_spark.pipelines.corpus import prepare_corpus
+    from token_etl_spark.streaming.curation import run_streaming_ingest
+
+    chrome = '<html><body><nav><a href="/">Home</a> <a href="/a">About page</a></nav>'
+    good = (
+        "<p>the quick brown fox jumps over a lazy dog while seven other "
+        "animals watch quietly from the distant hillside at dusk and a "
+        "gentle breeze carries birdsong across the meadow</p></body></html>"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, chrome + good, "https://good.com/0"),
+            (1, chrome + "<p>" + "the spam line is here today ok " * 20
+                + "</p></body></html>", "https://good.com/1"),
+            (2, chrome + good, "https://junkhost"),  # non-registrable
+            (3, chrome + good, "https://rare.org/3"),  # not in keep-list
+        ],
+        "doc_id long, text string, url string",
+    )
+    # reputation fit over a corpus that knows good.com only
+    rep_corpus = spark.createDataFrame(
+        [(i, f"https://good.com/{i}") for i in range(6)],
+        "doc_id long, url string",
+    )
+    stats_path = str(tmp_path / "ing_rep")
+    fit_and_save_domain_stats(spark, rep_corpus, stats_path)
+    stats = spark.read.parquet(f"{stats_path}/stats")
+
+    src = str(tmp_path / "ing_src")
+    docs.coalesce(1).write.parquet(src)
+    out = str(tmp_path / "ing_out")
+    run_streaming_ingest(
+        spark.readStream.schema(docs.schema).parquet(src),
+        stats_path,
+        out,
+        str(tmp_path / "ing_ckpt"),
+        min_docs=5,
+    )
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {0, 1, 2, 3}
+
+    exp = {
+        r["doc_id"]: r
+        for r in prepare_corpus(
+            docs,
+            extract_html=True,
+            url_col="url",
+            domain_stats_frame=stats,
+            domain_min_docs=5,
+            repetition_filter=True,
+        ).collect()
+    }
+    for did in exp:
+        g, e = got[did], exp[did]
+        assert g["domain"] == e["domain"], did
+        assert g["domain_kept"] == e["domain_kept"], did
+        assert g["passed_repetition"] == e["passed_repetition"], did
+        assert g["ingest_keep"] == bool(
+            e["domain_kept"] and (e["passed_repetition"] or False)
+        ), did
+    # kept rows carry extracted text (no markup); dropped rows NULL text
+    assert got[0]["ingest_keep"] and "<p>" not in got[0]["text"]
+    assert "quick brown fox" in got[0]["text"]
+    for did in (1, 2, 3):
+        assert not got[did]["ingest_keep"]
+        assert got[did]["text"] is None
+
+
 def test_domain_gate_sink_batch_retry_idempotent(spark, tmp_path):
     """A foreachBatch retry re-applies its own (lineage, batch_id)
     partition with mode=overwrite — re-running the module-level sink

@@ -1297,6 +1297,144 @@ def streaming_domain_filter(
     )
 
 
+def _ingest_sink_batch(
+    batch_df: DataFrame,
+    key: str,
+    stats_path: str,
+    out_path: str,
+    *,
+    html_col: str = "text",
+    url_col: str = "url",
+    min_docs: int = 1,
+    min_mean_quality: float | None = None,
+    max_dup_rate: float | None = None,
+    blocklist: tuple[str, ...] = (),
+    suffixes: DataFrame | None = None,
+) -> None:
+    """One micro-batch of the COMPOSED crawl-ingest tier, in the
+    declared order every twin documents: extraction FIRST (everything
+    downstream keys off extracted text), then the refresh-aware domain
+    gate (validated per-batch load of the saved reputation tree —
+    domain-dropped documents never reach the repetition folds), then
+    the map-only repetition gate on the survivors. Emits one DECISION
+    row per input document — gate-dropped rows keep their accounting
+    row with later-stage columns NULL and ``ingest_keep=False``, the
+    ``prepare_corpus`` convention — plus the extracted text on kept
+    rows so downstream streaming consumers (digest dedup, quality
+    scoring) read the gated corpus directly. Own-partition overwrite
+    under (lineage, batch_id): retry-idempotent."""
+    from token_etl_spark.operators.curation import domain_filter, load_domain_stats
+    from token_etl_spark.operators.text import (
+        extract_html_text,
+        gopher_repetition_filter_inline,
+    )
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    ex = (
+        extract_html_text(batch_df, html_col=html_col)
+        .withColumn(html_col, F.col("extracted"))
+        .drop("n_blocks", "n_kept_blocks", "html_chars", "extracted", "extracted_chars")
+    )
+    stats = load_domain_stats(spark, stats_path, suffixes=suffixes)
+    flagged = domain_filter(
+        ex,
+        stats,
+        url_col=url_col,
+        min_docs=min_docs,
+        min_mean_quality=min_mean_quality,
+        max_dup_rate=max_dup_rate,
+        blocklist=blocklist,
+        suffixes=suffixes,
+    )
+    kept = flagged.where(F.col("domain_kept")).drop("domain", "domain_kept")
+    rep = gopher_repetition_filter_inline(kept, text_col=html_col).select(
+        "doc_id",
+        F.col("keep").alias("passed_repetition"),
+        F.col("reject_reasons").alias("repetition_reasons"),
+    )
+    out = (
+        flagged.join(rep, "doc_id", "left")
+        .withColumn(
+            "ingest_keep",
+            F.col("domain_kept")
+            & F.coalesce(F.col("passed_repetition"), F.lit(False)),
+        )
+        # drop the text of gate-rejected documents — the decision row
+        # stays, the bytes do not follow the corpus downstream
+        .withColumn(
+            html_col,
+            F.when(F.col("ingest_keep"), F.col(html_col)),
+        )
+    )
+    out.write.mode("overwrite").parquet(f"{out_path.rstrip('/')}/batch_id={key}")
+
+
+def run_streaming_ingest(
+    stream: DataFrame,
+    stats_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    html_col: str = "text",
+    url_col: str = "url",
+    min_docs: int = 1,
+    min_mean_quality: float | None = None,
+    max_dup_rate: float | None = None,
+    blocklist: tuple[str, ...] = (),
+    suffixes: DataFrame | None = None,
+) -> None:
+    """The COMPOSED crawl-ingest tier at the stream head — the
+    streaming twin of ``prepare_corpus(extract_html=True, url_col=...,
+    repetition_filter=True)``'s ingest stages, in the same declared
+    order (extraction → domain gate → repetition gate), as ONE
+    foreachBatch runner instead of three separately-wired transforms.
+    The domain gate is the REFRESH-AWARE form: the saved reputation
+    tree re-loads (validated) every micro-batch, so a
+    ``refresh_domain_stats`` swap lands on the next batch with no
+    restart. Per-document decision rows land retry-idempotently under
+    (checkpoint-lineage, batch_id) partitions; kept rows carry the
+    extracted text so downstream streaming stages read the gated
+    corpus directly, dropped rows keep their accounting row with NULL
+    text (the every-input-document accounting convention).
+
+    Scale shape per batch: one codegen'd extraction projection + one
+    broadcast keep-list join + one map-only fold projection — the
+    corpus rows never shuffle; the only reads beyond the batch are the
+    domain-cardinality reputation tree."""
+    from token_etl_spark.streaming.dedup import _batch_partition_key
+
+    if not checkpoint_path:
+        raise ValueError(
+            "checkpoint_path is required: it anchors source tracking and the "
+            "output-partition lineage prefix (retry/continuation idempotency)"
+        )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        _ingest_sink_batch(
+            batch_df,
+            _batch_partition_key(checkpoint_path, batch_id),
+            stats_path,
+            out_path,
+            html_col=html_col,
+            url_col=url_col,
+            min_docs=min_docs,
+            min_mean_quality=min_mean_quality,
+            max_dup_rate=max_dup_rate,
+            blocklist=blocklist,
+            suffixes=suffixes,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def _domain_gate_sink_batch(
     batch_df: DataFrame,
     key: str,
