@@ -1370,3 +1370,53 @@ def test_split_shard_rows_boundary_invariants(spark, rows):
     new_keys = {r["ord_key"] for r in got if r["shard_id"] == 99}
     assert old_keys and new_keys
     assert max(old_keys) < min(new_keys)
+
+
+@given(
+    shards=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=20),      # n_docs
+            st.integers(min_value=0, max_value=5000),    # shard_tokens
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+    pick=st.integers(min_value=0, max_value=6),
+)
+@FAST
+def test_merge_shard_rows_conservation(spark, shards, pick):
+    """Wave 7 extension: merge arithmetic under fuzz — folding any
+    ADJACENT pair conserves total docs and tokens, keeps every other
+    row untouched, keys the merged row under the kept id with the
+    union range, and leaves the manifest's ranges disjoint/ordered."""
+    from token_etl_spark.operators.curation import merge_shard_rows
+
+    s = _get(spark)
+    rows = [
+        (i, nd, tok, f"k{2 * i:03d}", f"k{2 * i + 1:03d}")
+        for i, (nd, tok) in enumerate(shards)
+    ]
+    man = s.createDataFrame(
+        rows,
+        "shard_id long, n_docs long, shard_tokens long, first_key string, last_key string",
+    )
+    i = pick % (len(rows) - 1)
+    keep, drop = rows[i], rows[i + 1]
+    got = {r["shard_id"]: r for r in merge_shard_rows(man, keep[0], drop[0]).collect()}
+    assert len(got) == len(rows) - 1 and drop[0] not in got
+    m = got[keep[0]]
+    assert m["n_docs"] == keep[1] + drop[1]
+    assert m["shard_tokens"] == keep[2] + drop[2]
+    assert m["first_key"] == keep[3] and m["last_key"] == drop[4]
+    for r in rows:
+        if r[0] not in (keep[0], drop[0]):
+            g = got[r[0]]
+            assert (g["n_docs"], g["shard_tokens"], g["first_key"], g["last_key"]) == (
+                r[1], r[2], r[3], r[4]
+            )
+    ordered = sorted(got.values(), key=lambda r: r["first_key"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["last_key"] < b["first_key"]
+    # totals conserved across the whole manifest
+    assert sum(r["n_docs"] for r in got.values()) == sum(r[1] for r in rows)
+    assert sum(r["shard_tokens"] for r in got.values()) == sum(r[2] for r in rows)
