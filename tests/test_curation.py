@@ -939,3 +939,14 @@ def test_domain_stats_provenance_hardening(spark, tmp_path):
     import glob
 
     assert not glob.glob(staging)
+
+    # detection heals too: a committed-but-unrenamed staging reads as a
+    # provenance tree through is_saved_domain_stats (the CLI's router
+    # must not mis-route a mid-swap tree to the bare-parquet path)
+    lite_stats.write.mode("overwrite").parquet(f"{staging}/stats")
+    spark.createDataFrame(
+        [("lite", "")], "rule string, suffix_md5 string"
+    ).write.mode("overwrite").parquet(f"{staging}/params")
+    fs.create(hpath(f"{staging}/{C2._DOMSTATS_MARKER}"), True).close()
+    assert C2.is_saved_domain_stats(spark, p)
+    assert not glob.glob(staging)  # the detection finished the swap
