@@ -375,3 +375,67 @@ def test_cli_shardmaint(spark, sf_dir, tmp_path, capsys):
     printed = capsys.readouterr().out
     assert "'tokens_per_shard': 1000" in printed
     assert "action_counts" in printed
+
+
+def test_cli_shardmaint_plan_heals_and_flags_increments(
+    spark, sf_dir, tmp_path, capsys, monkeypatch
+):
+    """ADVICE r13: the plan branch must (a) finish a committed-but-
+    unfinished staged commit BEFORE reading manifest/params — planning
+    across a later heal reads a stale manifest and emits wrong
+    recommendations — and (b) flag un-compacted incoming/ increments
+    the manifest-only arithmetic does not count."""
+    import glob
+    import os
+
+    import token_etl_spark.io.sinks as sinks
+
+    out = str(tmp_path / "cli_plan_heal")
+    cli.main([
+        "shards",
+        "--documents", f"{sf_dir}/documents.parquet",
+        "--out", out,
+        "--tokens-per-shard", "1000",
+    ])
+    capsys.readouterr()
+    man = spark.read.parquet(f"{out}/manifest")
+    n_before = man.count()
+    target = (
+        man.where(F.col("n_docs") >= 2)
+        .orderBy(F.col("shard_tokens").desc(), F.col("shard_id"))
+        .first()["shard_id"]
+    )
+    # crash a split AFTER the marker: staging is a committed layout
+    real_apply = sinks._apply_shard_layout
+    monkeypatch.setattr(sinks, "_apply_shard_layout", lambda *a, **k: None)
+    try:
+        sinks.split_shard(spark, out, target)
+    finally:
+        monkeypatch.setattr(sinks, "_apply_shard_layout", real_apply)
+    assert glob.glob(f"{out}.staging-shards/_LAYOUT_COMMITTED")
+
+    # plan heals first: its rows cover the POST-split manifest
+    cli.main(["shardmaint", "--path", out, "--action", "plan"])
+    printed = capsys.readouterr().out
+    assert "action_counts" in printed
+    counts = eval(printed.splitlines()[0])["action_counts"]  # noqa: S307
+    assert sum(counts.values()) == n_before + 1
+    assert not glob.glob(f"{out}.staging-shards*")
+
+    # marker-less staging (in-flight writer) survives a plan
+    os.makedirs(f"{out}.staging-shards/shard_id=777", exist_ok=True)
+    with open(f"{out}.staging-shards/shard_id=777/partial", "w") as f:
+        f.write("x")
+    cli.main(["shardmaint", "--path", out, "--action", "plan"])
+    capsys.readouterr()
+    assert glob.glob(f"{out}.staging-shards/shard_id=777/partial")
+    import shutil
+
+    shutil.rmtree(f"{out}.staging-shards")
+
+    # un-compacted increments are surfaced beside the summary
+    os.makedirs(f"{out}/incoming/batch=0/shard_id=0", exist_ok=True)
+    cli.main(["shardmaint", "--path", out, "--action", "plan"])
+    printed = capsys.readouterr().out
+    assert "'pending_increments': True" in printed
+    assert "compact" in printed

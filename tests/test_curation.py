@@ -933,12 +933,20 @@ def test_domain_stats_provenance_hardening(spark, tmp_path):
         load_domain_stats(spark, p, suffixes=psl)
     assert {r["domain"] for r in load_domain_stats(spark, p).collect()} == {"co.uk"}
 
-    # a marker-LESS staging (crash mid-write) is discarded instead
+    # a marker-LESS staging (crash mid-write OR a live concurrent
+    # refresh) is LEFT ALONE by the read path — a reader deleting it
+    # would let a concurrent writer's marker-only rename destroy the
+    # live tree (ADVICE r13); the writer path discards it instead
     lite_stats.write.mode("overwrite").parquet(f"{staging}/stats")
     assert load_domain_stats(spark, p).count() == 1  # still the lite state
     import glob
 
+    assert glob.glob(staging)  # the reader did NOT touch the staging
+    # the WRITER path (single-writer contract) discards the leftover
+    # marker-less staging and commits fresh
+    save_domain_stats(spark, lite_stats, p)
     assert not glob.glob(staging)
+    assert load_domain_stats(spark, p).count() == 1
 
     # detection heals too: a committed-but-unrenamed staging reads as a
     # provenance tree through is_saved_domain_stats (the CLI's router
@@ -950,3 +958,77 @@ def test_domain_stats_provenance_hardening(spark, tmp_path):
     fs.create(hpath(f"{staging}/{C2._DOMSTATS_MARKER}"), True).close()
     assert C2.is_saved_domain_stats(spark, p)
     assert not glob.glob(staging)  # the detection finished the swap
+
+
+def test_domain_stats_reader_writer_race(spark, tmp_path):
+    """ADVICE r13: the advertised deployment runs refresh_domain_stats
+    (periodic batch) CONCURRENTLY with streaming gates that call
+    load_domain_stats every micro-batch. The refresh's staging is
+    marker-less for its whole write window; a reader deleting it lets
+    the writer's marker-only rename destroy the live tree. Pins: (a)
+    reads interleaved at every point of a writer's staging window
+    succeed AND leave the staging intact, (b) the writer's commit then
+    lands, (c) save_domain_stats refuses to commit a staging whose
+    stats/params were deleted under it mid-write instead of renaming a
+    partial tree over the live one."""
+    import glob
+
+    import pytest
+
+    import token_etl_spark.operators.curation as C2
+    from token_etl_spark.io.sinks import _bucket_fs
+    from token_etl_spark.operators.curation import (
+        domain_stats,
+        fit_and_save_domain_stats,
+        load_domain_stats,
+        save_domain_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"https://site-{i % 2}.example/{i}") for i in range(6)],
+        "doc_id long, url string",
+    )
+    p = str(tmp_path / "race_tree")
+    fit_and_save_domain_stats(spark, df, p)
+    stats = domain_stats(df).localCheckpoint()
+    staging = p + C2._STAGING_DOMSTATS
+    fs, hpath = _bucket_fs(spark, p)
+
+    # (a) writer mid-window: stats staged, params not yet, no marker —
+    # interleaved reads must succeed off the LIVE tree and must not
+    # delete the writer's staging
+    stats.write.mode("overwrite").parquet(f"{staging}/stats")
+    assert load_domain_stats(spark, p).count() == 2
+    assert C2.is_saved_domain_stats(spark, p)
+    assert glob.glob(staging), "reader destroyed an in-flight staging"
+    # later in the window: params staged too, still marker-less
+    spark.createDataFrame(
+        [("lite", "")], "rule string, suffix_md5 string"
+    ).write.mode("overwrite").parquet(f"{staging}/params")
+    assert load_domain_stats(spark, p).count() == 2
+    assert glob.glob(staging)
+
+    # (b) the writer finishes its commit: marker + rename
+    fs.create(hpath(f"{staging}/{C2._DOMSTATS_MARKER}"), True).close()
+    dst = hpath(p)
+    fs.delete(dst, True)
+    assert fs.rename(hpath(staging), dst)
+    assert load_domain_stats(spark, p).count() == 2
+
+    # (c) a staging gutted mid-write (simulated: the fingerprint hook
+    # runs between the stats write and the params write — delete the
+    # whole staging there, as the pre-fix reader used to) must REFUSE
+    # at commit time, leaving the live tree intact
+    real_fp = C2._suffix_fingerprint
+
+    def _gut_then_fingerprint(suffixes):
+        fs.delete(hpath(staging), True)
+        return real_fp(suffixes)
+
+    C2._suffix_fingerprint = _gut_then_fingerprint
+    try:
+        with pytest.raises(IOError, match="refusing to commit a partial"):
+            save_domain_stats(spark, stats, p)
+    finally:
+        C2._suffix_fingerprint = real_fp
+    assert load_domain_stats(spark, p).count() == 2  # live tree survived

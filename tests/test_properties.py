@@ -1420,3 +1420,23 @@ def test_merge_shard_rows_conservation(spark, shards, pick):
     # totals conserved across the whole manifest
     assert sum(r["n_docs"] for r in got.values()) == sum(r[1] for r in rows)
     assert sum(r["shard_tokens"] for r in got.values()) == sum(r[2] for r in rows)
+
+
+def test_merge_shard_rows_refuses_missing_pairs(spark):
+    """ADVICE r13: the existence assert must fire in EVERY failure mode
+    — including neither-id-matches, where the pair-filtered groupBy is
+    empty and an in-group assert never evaluates (the pre-fix silent
+    no-op). All four refusal shapes: both missing, keep missing, drop
+    missing, keep == drop."""
+    import pytest
+
+    from token_etl_spark.operators.curation import merge_shard_rows
+
+    s = _get(spark)
+    man = s.createDataFrame(
+        [(0, 3, 100, "a", "c"), (1, 2, 50, "d", "e")],
+        "shard_id long, n_docs long, shard_tokens long, first_key string, last_key string",
+    )
+    for keep, drop in [(7, 9), (0, 9), (9, 1), (0, 0)]:
+        with pytest.raises(Exception, match="both shards must exist"):
+            merge_shard_rows(man, keep, drop).collect()

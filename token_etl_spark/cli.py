@@ -377,8 +377,17 @@ def main(argv: list[str] | None = None) -> None:
             manifest = merge_shards(spark, args.path, args.shard_id, args.shard_id_b)
             print({"n_shards": manifest.count()})
         elif args.action == "plan":
+            from token_etl_spark.io.sinks import _bucket_fs, _heal_shard_layout
             from token_etl_spark.operators.curation import plan_shard_maintenance
 
+            # finish any committed-but-unfinished staged commit BEFORE
+            # the raw manifest/params reads (the audit branch's ADVICE
+            # r12 fix, applied here per ADVICE r13): planning across a
+            # later heal would read a stale manifest — or hit
+            # FileNotFound mid-swap — and emit wrong recommendations.
+            # finish_only: a routine plan must never destroy an
+            # in-flight writer's marker-less staging.
+            _heal_shard_layout(spark, args.path, finish_only=True)
             # adopt the budget the export was fit with — its params table
             # records tokens_per_shard beside key_col/seed (the router's
             # adopt-or-refuse discipline, read side)
@@ -394,7 +403,22 @@ def main(argv: list[str] | None = None) -> None:
             counts: dict[str, int] = {}
             for r in rows:
                 counts[r["action"]] = counts.get(r["action"], 0) + 1
-            print({"tokens_per_shard": tps, "action_counts": counts})
+            # the plan is manifest-only arithmetic: un-compacted stream
+            # increments under incoming/ are NOT in shard_tokens (audit
+            # accounts them; the plan would understate) — surface that
+            # so the operator compacts before trusting the numbers
+            # (ADVICE r13)
+            fs, hpath = _bucket_fs(spark, args.path)
+            has_inc = fs.exists(hpath(f"{args.path.rstrip('/')}/incoming"))
+            summary = {"tokens_per_shard": tps, "action_counts": counts}
+            if has_inc:
+                summary["pending_increments"] = True
+                summary["note"] = (
+                    "incoming/ holds un-compacted stream increments the "
+                    "manifest-only plan does not count — run "
+                    "'shardmaint --action compact' first"
+                )
+            print(summary)
             for r in rows:
                 if r["action"] != "ok":
                     print(r)

@@ -1750,15 +1750,22 @@ def merge_shard_rows(
         else shard_id_drop
     )
     pair_cond = (F.col("shard_id") == keep) | (F.col("shard_id") == drop)
-    merged = (
-        manifest.where(pair_cond)
-        .groupBy(keep.cast("long").alias("shard_id"))
-        .agg(
-            F.sum("n_docs").cast("long").alias("n_docs"),
-            F.sum("shard_tokens").cast("long").alias("shard_tokens"),
-            F.min("first_key").alias("first_key"),
-            F.max("last_key").alias("last_key"),
-            F.count_distinct("shard_id").alias("_np"),
+    # The existence assert must live on a frame that is NON-EMPTY in
+    # every failure mode: an assert inside the pair-filtered groupBy
+    # never evaluates when NEITHER id matches (the filter yields zero
+    # groups), silently returning the manifest unchanged instead of the
+    # promised loud failure (ADVICE r13). A whole-manifest 1-row
+    # aggregate always produces its row — count_distinct over the
+    # pair-matched ids is 2 only when both shards exist and are
+    # distinct — and rides into the result as a broadcast guard the
+    # build side always materializes. The assert sits in a FILTER on
+    # that 1-row aggregate (a projected-then-dropped assert column is
+    # pruned away by Catalyst and never evaluates — measured).
+    guard = (
+        manifest.agg(
+            F.count_distinct(
+                F.when(pair_cond, F.col("shard_id"))
+            ).alias("_np")
         )
         .filter(
             F.assert_true(
@@ -1767,13 +1774,28 @@ def merge_shard_rows(
                     "merge_shard_rows: both shards must exist in the"
                     " manifest (and be distinct) — folding a missing"
                     " shard would silently merge one row into itself"
+                    " (or no-op when neither id matches)"
                 ),
             ).isNull()
         )
-        .drop("_np")
+        .select(F.lit(True).alias("_chk"))
+    )
+    merged = (
+        manifest.where(pair_cond)
+        .groupBy(keep.cast("long").alias("shard_id"))
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("shard_tokens").cast("long").alias("shard_tokens"),
+            F.min("first_key").alias("first_key"),
+            F.max("last_key").alias("last_key"),
+        )
     )
     untouched = manifest.where(~pair_cond).select(*_MANIFEST_COLS)
-    return untouched.unionByName(merged)
+    return (
+        untouched.unionByName(merged)
+        .crossJoin(F.broadcast(guard))
+        .drop("_chk")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2090,6 +2112,20 @@ def save_domain_stats(
         [(rule, digest)], "rule string, suffix_md5 string"
     ).write.mode("overwrite").parquet(f"{staging}/params")
     fs, hpath = _bucket_fs(spark, path)
+    # verify the staging actually holds BOTH halves before the marker
+    # makes it swap-eligible — belt-and-suspenders against any foreign
+    # deletion of the staging mid-write: without this check a
+    # marker-only (or params-only) dir would rename over the live tree
+    # and lose it (ADVICE r13)
+    if not (
+        fs.exists(hpath(f"{staging}/stats"))
+        and fs.exists(hpath(f"{staging}/params"))
+    ):
+        raise IOError(
+            f"save_domain_stats: staging at {staging} lost its stats/"
+            "params mid-write (concurrent deletion?) — refusing to "
+            "commit a partial tree over the live one"
+        )
     fs.create(hpath(f"{staging}/{_DOMSTATS_MARKER}"), True).close()
     dst = hpath(base)
     if fs.exists(dst):
@@ -2102,9 +2138,21 @@ _STAGING_DOMSTATS = ".staging-stats"
 _DOMSTATS_MARKER = "_STATS_COMMITTED"
 
 
-def _heal_domain_stats(spark, path: str) -> None:
+def _heal_domain_stats(spark, path: str, finish_only: bool = False) -> None:
     """Finish a crash-interrupted stats swap (marker present — the
-    staging is a complete replacement) or discard an incomplete one."""
+    staging is a complete replacement) or discard an incomplete one.
+
+    ``finish_only=True`` is the READ-path variant (the
+    ``_heal_shard_layout`` r12 rule, applied here): it finishes a
+    marker-present swap but NEVER deletes marker-less staging. The
+    advertised deployment runs :func:`refresh_domain_stats` as a
+    periodic batch job CONCURRENTLY with streaming gates that call
+    :func:`load_domain_stats` every micro-batch — the refresh's staging
+    is marker-less for its whole stats+params write window, and a
+    reader deleting it mid-write would let the writer's marker-only
+    rename destroy the live tree (ADVICE r13). The full heal stays
+    writer-only (save/refresh hold the single-writer contract among
+    themselves)."""
     from token_etl_spark.io.sinks import _bucket_fs
 
     base = path.rstrip("/")
@@ -2119,23 +2167,25 @@ def _heal_domain_stats(spark, path: str) -> None:
             fs.delete(dst, True)
         if not fs.rename(sp, dst):
             raise IOError(f"domain stats swap recovery failed: {staging}")
-    else:
+    elif not finish_only:
         fs.delete(sp, True)
 
 
 def is_saved_domain_stats(spark, path: str) -> bool:
     """True when ``path`` is a :func:`save_domain_stats` provenance
     tree (``stats`` + ``params`` beside each other) rather than a bare
-    parquet frame. Heals a crash-interrupted save first, so a swap
-    that committed its marker but not its rename still reads as a
-    provenance tree. Lets callers handed "a domain-stats path" (the
-    CLI) route a provenance tree through :func:`load_domain_stats`'s
-    rule validation instead of silently reading ``<path>`` raw and
-    bypassing the fit/apply check (ADVICE r12)."""
+    parquet frame. Heals a crash-interrupted save first (finish-only —
+    a read must never delete a concurrent refresh's marker-less
+    staging, ADVICE r13), so a swap that committed its marker but not
+    its rename still reads as a provenance tree. Lets callers handed
+    "a domain-stats path" (the CLI) route a provenance tree through
+    :func:`load_domain_stats`'s rule validation instead of silently
+    reading ``<path>`` raw and bypassing the fit/apply check
+    (ADVICE r12)."""
     from token_etl_spark.io.sinks import _bucket_fs
 
     base = path.rstrip("/")
-    _heal_domain_stats(spark, path)
+    _heal_domain_stats(spark, path, finish_only=True)
     fs, hpath = _bucket_fs(spark, path)
     return fs.exists(hpath(f"{base}/params")) and fs.exists(
         hpath(f"{base}/stats")
@@ -2151,9 +2201,12 @@ def load_domain_stats(
     ``suffixes`` setting matches the one the frame was FIT under
     (see :func:`save_domain_stats`); raises ValueError on mismatch
     instead of silently flagging every document domain_kept=False.
-    Finishes any crash-interrupted save first."""
+    Finishes any crash-interrupted save first (finish-only: the
+    streaming gates call this per micro-batch beside a periodic
+    :func:`refresh_domain_stats`, and a reader must never delete the
+    refresh's in-flight marker-less staging — ADVICE r13)."""
     base = path.rstrip("/")
-    _heal_domain_stats(spark, path)
+    _heal_domain_stats(spark, path, finish_only=True)
     rule, digest = _suffix_fingerprint(suffixes)
     params = spark.read.parquet(f"{base}/params").collect()[0]
     if (params["rule"], params["suffix_md5"]) != (rule, digest):
