@@ -439,3 +439,36 @@ def test_cli_shardmaint_plan_heals_and_flags_increments(
     printed = capsys.readouterr().out
     assert "'pending_increments': True" in printed
     assert "compact" in printed
+
+
+def test_cli_shardmaint_apply(spark, sf_dir, tmp_path, capsys):
+    """shardmaint apply drives the composed executor from the CLI: the
+    loop converges under the budget cap and reports applied/skipped
+    counts plus the per-action log."""
+    out = str(tmp_path / "cli_apply")
+    cli.main([
+        "shards",
+        "--documents", f"{sf_dir}/documents.parquet",
+        "--out", out,
+        "--tokens-per-shard", "3000",
+    ])
+    capsys.readouterr()
+    n_before = spark.read.parquet(f"{out}/manifest").count()
+    # budget-capped: exactly 2 levers pull
+    cli.main(["shardmaint", "--path", out, "--action", "apply",
+              "--split-factor", "1", "--max-actions", "2"])
+    printed = capsys.readouterr().out
+    head = eval(printed.splitlines()[0])  # noqa: S307
+    assert head["applied"] == 2 and head["skipped"] == 0
+    assert not head["converged"]
+    # uncapped: converge (splits under split_factor=1, the export's
+    # recorded budget 3000 adopted from params)
+    cli.main(["shardmaint", "--path", out, "--action", "apply",
+              "--split-factor", "1", "--max-actions", "64"])
+    printed = capsys.readouterr().out
+    head = eval(printed.splitlines()[0])  # noqa: S307
+    assert head["converged"]
+    man = spark.read.parquet(f"{out}/manifest").collect()
+    assert len(man) > n_before
+    for r in man:
+        assert r["shard_tokens"] <= 3000 or r["n_docs"] == 1

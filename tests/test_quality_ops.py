@@ -671,6 +671,44 @@ def test_plan_shard_maintenance_branches(spark):
     assert tight[2] == "ok" and tight[3] == "ok"  # 700/900 > 500
 
 
+def test_merge_min_pair_step_and_identity(spark):
+    """One declarative turn of the merge crank: folds the qualifying
+    adjacent pair with the smallest combined tokens (ties to the
+    smaller first_key), IDENTITY when no pair fits (the null-safe case
+    that lets ext_shard_apply chain steps without collect), and two
+    chained steps match two turns of the pure greedy replay."""
+    from token_etl_spark.operators.curation import merge_min_pair
+
+    man = spark.createDataFrame(
+        [
+            (0, 2, 300, "a", "b"),   # 0+1 = 700 (the min pair)
+            (1, 2, 400, "c", "d"),   # 1+2 = 900
+            (2, 3, 500, "e", "f"),   # 2+3 = 2500, over budget
+            (3, 4, 2000, "g", "h"),
+        ],
+        "shard_id long, n_docs long, shard_tokens long, first_key string, last_key string",
+    )
+    one = {r["shard_id"]: r for r in merge_min_pair(man, 1000).collect()}
+    assert set(one) == {0, 2, 3}
+    assert one[0]["n_docs"] == 4 and one[0]["shard_tokens"] == 700
+    assert one[0]["first_key"] == "a" and one[0]["last_key"] == "d"
+    assert one[2]["shard_tokens"] == 500  # untouched
+
+    # second turn: 0(700)+2(500)=1200 > 1000 → nothing fits → identity
+    two = spark.createDataFrame(list(one.values())).select(man.columns)
+    again = {r["shard_id"]: r.asDict() for r in merge_min_pair(two, 1000).collect()}
+    assert again == {r["shard_id"]: r.asDict() for r in two.collect()}
+
+    # tie on combined tokens breaks to the smaller first_key
+    tie = spark.createDataFrame(
+        [(0, 1, 100, "a", "b"), (1, 1, 100, "c", "d"),
+         (2, 1, 100, "e", "f"), (3, 1, 100, "g", "h")],
+        "shard_id long, n_docs long, shard_tokens long, first_key string, last_key string",
+    )
+    t = {r["shard_id"]: r for r in merge_min_pair(tie, 1000).collect()}
+    assert set(t) == {0, 2, 3} and t[0]["shard_tokens"] == 200
+
+
 def test_split_shard_rows_tied_keys_never_separate(spark):
     """Duplicate ord_keys at the would-be boundary move as one block:
     the boundary snaps forward to the next strict key increase, so the

@@ -808,6 +808,179 @@ def test_merge_shard_crash_heals(spark, sf_dir, tmp_path, monkeypatch):
     assert spark.read.parquet(f"{out}/data").count() == docs.count()
 
 
+def _greedy_merge_replay(rows, tps, num=1, den=1):
+    """Pure-Python replay of the apply-one/re-plan MERGE fixpoint (the
+    merge_min_pair arithmetic): repeatedly fold the qualifying adjacent
+    pair with the smallest combined tokens (ties to smaller first_key)
+    until no pair fits. Returns (fold sequence [(keep, drop)...], final
+    rows as dicts keyed by shard_id)."""
+    cur = sorted((dict(r.asDict()) if hasattr(r, "asDict") else dict(r) for r in rows),
+                 key=lambda r: r["first_key"])
+    seq = []
+    while True:
+        cands = [
+            (a["shard_tokens"] + b["shard_tokens"], a["first_key"], i)
+            for i, (a, b) in enumerate(zip(cur, cur[1:]))
+            if (a["shard_tokens"] + b["shard_tokens"]) * den <= tps * num
+        ]
+        if not cands:
+            return seq, {r["shard_id"]: r for r in cur}
+        _, _, i = min(cands)
+        a, b = cur[i], cur[i + 1]
+        seq.append((a["shard_id"], b["shard_id"]))
+        cur[i : i + 2] = [{
+            "shard_id": a["shard_id"],
+            "n_docs": a["n_docs"] + b["n_docs"],
+            "shard_tokens": a["shard_tokens"] + b["shard_tokens"],
+            "first_key": a["first_key"],
+            "last_key": b["last_key"],
+        }]
+
+
+def test_apply_shard_maintenance_converges(spark, sf_dir, tmp_path):
+    """VERDICT r13 item 2: the composed executor drives plan → lever →
+    re-plan to convergence. Phase 1 (shrunken budget semantics: raise
+    tps to 3× the export's) folds slivers by repeated merges; phase 2
+    (tps below the merged sizes, split_factor=1) rebalances by repeated
+    splits. After each phase: the plan is all-'ok' modulo nothing
+    actionable, the audit is all-'ok', ranges stay disjoint/ordered,
+    the data tree stays lossless — and phase 1's merge SEQUENCE equals
+    the pure merge_min_pair arithmetic's greedy replay."""
+    from token_etl_spark.io.sinks import (
+        apply_shard_maintenance,
+        audit_shard_layout,
+        export_shards,
+    )
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.operators.curation import plan_shard_maintenance
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = str(tmp_path / "apply_conv")
+    before = export_shards(spark, docs, out, tokens_per_shard=1000)
+    before_rows = before.collect()
+    n_docs_total = docs.count()
+
+    # phase 1: merge slivers to convergence under a 3× budget
+    man1, log1 = apply_shard_maintenance(
+        spark, out, tokens_per_shard=3000, max_actions=64
+    )
+    ok1 = [a for a in log1 if a["status"] == "ok"]
+    assert ok1 and all(a["action"] == "merge" for a in ok1)
+    assert len(ok1) < 64, "did not converge within budget"
+    assert not [a for a in log1 if a["status"] == "skipped"]
+    # the executor's fold sequence IS the merge_min_pair greedy replay
+    exp_seq, exp_rows = _greedy_merge_replay(before_rows, 3000)
+    assert [(a["shard_id"], a["next_shard_id"]) for a in ok1] == exp_seq
+    got1 = {r["shard_id"]: r.asDict() for r in man1.collect()}
+    assert got1 == exp_rows
+    # converged: the plan has nothing left to do
+    plan1 = plan_shard_maintenance(man1, 3000).collect()
+    assert all(r["action"] == "ok" for r in plan1)
+    a1 = audit_shard_layout(spark, out).collect()
+    assert all(r["status"] == "ok" for r in a1)
+    assert spark.read.parquet(f"{out}/data").count() == n_docs_total
+
+    # phase 2: rebalance by splits under a tighter budget
+    man2, log2 = apply_shard_maintenance(
+        spark, out, tokens_per_shard=2000, split_factor=1, max_actions=64
+    )
+    ok2 = [a for a in log2 if a["status"] == "ok"]
+    assert ok2 and all(a["action"] == "split" for a in ok2)
+    rows2 = man2.collect()
+    plan2 = plan_shard_maintenance(man2, 2000, split_factor=1).collect()
+    assert all(r["action"] == "ok" for r in plan2)
+    for r in rows2:
+        assert r["shard_tokens"] <= 2000 or r["n_docs"] == 1
+    ordered = sorted(rows2, key=lambda r: r["first_key"])
+    for x, y in zip(ordered, ordered[1:]):
+        assert x["last_key"] < y["first_key"]
+    a2 = audit_shard_layout(spark, out).collect()
+    assert all(r["status"] == "ok" for r in a2)
+    assert spark.read.parquet(f"{out}/data").count() == n_docs_total
+
+
+def test_apply_shard_maintenance_budget_cap_and_guard(spark, sf_dir, tmp_path):
+    """The max_actions budget is a hard cap (exactly that many levers
+    pull, the loop stops mid-flight), and an oscillation-capable policy
+    (merge budget above the split threshold) refuses up front."""
+    import pytest
+
+    from token_etl_spark.io.sinks import apply_shard_maintenance, export_shards
+    from token_etl_spark.io.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = str(tmp_path / "apply_cap")
+    before = export_shards(spark, docs, out, tokens_per_shard=1000)
+    n_before = before.count()
+
+    man, log = apply_shard_maintenance(
+        spark, out, tokens_per_shard=3000, max_actions=2
+    )
+    assert [a["status"] for a in log] == ["ok", "ok"]
+    assert man.count() == n_before - 2  # two merges landed, then stop
+
+    with pytest.raises(ValueError, match="oscillate"):
+        apply_shard_maintenance(
+            spark, out, tokens_per_shard=3000,
+            split_factor=1, merge_budget_num=3, merge_budget_den=1,
+        )
+
+
+def test_apply_shard_maintenance_skips_refusals(spark, sf_dir, tmp_path):
+    """A lever that refuses (pending stream increments) is recorded as
+    'skipped' ONCE and the loop moves on: other shards still converge,
+    the refusing shard's manifest row is untouched, and the loop
+    terminates instead of wedging on the refusal."""
+    from token_etl_spark.io.sinks import apply_shard_maintenance, export_shards
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.streaming.curation import _route_sink_batch
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = str(tmp_path / "apply_skip")
+    before = sorted(
+        export_shards(
+            spark, docs.where(F.col("doc_id") % 2 == 0), out, tokens_per_shard=1000
+        ).collect(),
+        key=lambda r: r["first_key"],
+    )
+    assert len(before) >= 4
+    # route an increment into the tree: the touched shards now refuse
+    inc_docs = docs.where(F.col("doc_id") % 2 == 1).limit(5)
+    _route_sink_batch(inc_docs, out, "feed-0", "doc_id", None, "text", "s0")
+    touched = {
+        r["shard_id"]
+        for r in spark.read.parquet(f"{out}/incoming")
+        .select(F.col("shard_id").cast("long"))
+        .distinct()
+        .collect()
+    }
+    assert touched
+
+    man, log = apply_shard_maintenance(
+        spark, out, tokens_per_shard=3000, max_actions=64
+    )
+    skipped = [a for a in log if a["status"] == "skipped"]
+    ok = [a for a in log if a["status"] == "ok"]
+    assert skipped and all("compact" in a["reason"] for a in skipped)
+    # every skip touches an increment-bearing shard; each unique action
+    # is skipped at most once (no retry spam)
+    for a in skipped:
+        assert a["shard_id"] in touched or a["next_shard_id"] in touched
+    keys = [(a["action"], a["shard_id"], a["next_shard_id"]) for a in skipped]
+    assert len(keys) == len(set(keys))
+    # increment-bearing shards' manifest rows are untouched
+    after = {r["shard_id"]: r for r in man.collect()}
+    for r in before:
+        if r["shard_id"] in touched:
+            x = after[r["shard_id"]]
+            assert (x["n_docs"], x["shard_tokens"]) == (r["n_docs"], r["shard_tokens"])
+    # and merges still landed elsewhere when any were possible
+    if ok:
+        for a in ok:
+            assert a["shard_id"] not in touched
+            assert a["next_shard_id"] not in touched
+
+
 def test_split_shard_refusals(spark, tmp_path):
     """Unknown shards and 1-document shards refuse loudly (no document
     is ever cut)."""

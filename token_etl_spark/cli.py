@@ -216,16 +216,31 @@ def main(argv: list[str] | None = None) -> None:
     shm.add_argument(
         "--action",
         required=True,
-        choices=("audit", "compact", "split", "merge", "plan"),
+        choices=("audit", "compact", "split", "merge", "plan", "apply"),
         help="audit: manifest-vs-disk integrity report; compact: fold "
         "stream increments into the base tree; split: divide one "
         "over-budget shard's key range (requires --shard-id); merge: "
         "fold two ADJACENT undersized ranges into one (requires "
         "--shard-id and --shard-id-b); plan: per-shard split/merge "
-        "recommendations against the export's recorded token budget",
+        "recommendations against the export's recorded token budget; "
+        "apply: drive plan -> lever -> re-plan to convergence "
+        "(budget-capped by --max-actions, refusals skipped)",
     )
     shm.add_argument("--shard-id", type=int, default=None)
     shm.add_argument("--shard-id-b", type=int, default=None)
+    shm.add_argument(
+        "--max-actions",
+        type=int,
+        default=16,
+        help="hard cap on levers pulled by --action apply",
+    )
+    shm.add_argument(
+        "--split-factor",
+        type=int,
+        default=2,
+        help="apply: split any shard holding more than this multiple "
+        "of the recorded token budget",
+    )
 
     qry = sub.add_parser("query")
     qry.add_argument("name", nargs="?", default=None)
@@ -348,6 +363,26 @@ def main(argv: list[str] | None = None) -> None:
             split_shard,
         )
 
+        if args.action == "apply":
+            from token_etl_spark.io.sinks import apply_shard_maintenance
+
+            manifest, log = apply_shard_maintenance(
+                spark,
+                args.path,
+                split_factor=args.split_factor,
+                max_actions=args.max_actions,
+            )
+            applied = sum(1 for a in log if a["status"] == "ok")
+            skipped = sum(1 for a in log if a["status"] == "skipped")
+            print({
+                "n_shards": manifest.count(),
+                "applied": applied,
+                "skipped": skipped,
+                "converged": applied < args.max_actions,
+            })
+            for a in log:
+                print(a)
+            return
         if args.action not in ("split", "merge") and args.shard_id is not None:
             raise SystemExit(
                 f"--shard-id is only meaningful with --action split/merge, not {args.action}"

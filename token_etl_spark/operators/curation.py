@@ -1798,6 +1798,75 @@ def merge_shard_rows(
     )
 
 
+def merge_min_pair(
+    manifest: DataFrame,
+    tokens_per_shard: int,
+    merge_budget_num: int = 1,
+    merge_budget_den: int = 1,
+) -> DataFrame:
+    """ONE turn of the maintenance loop's merge crank, fully
+    declarative: fold the qualifying adjacent pair with the smallest
+    COMBINED token total (ties to the smaller ``first_key`` — exactly
+    the pair :func:`plan_shard_maintenance` flags first and
+    :func:`token_etl_spark.io.sinks.apply_shard_maintenance` merges
+    first), or return the manifest UNCHANGED when no adjacent pair fits
+    within ``tokens_per_shard × merge_budget_num / merge_budget_den``
+    (integer cross-multiplied — no doubles near a maintenance
+    decision). The null-safe identity case is what lets the apply-one /
+    re-plan / repeat fixpoint be expressed as a bounded chain of these
+    steps with no driver-side collect (the ``ext_shard_apply`` driver
+    row iterates it; the production executor's per-step merge choice is
+    pinned equal to this arithmetic in tests/test_sinks.py).
+
+    Scale: manifest-cardinality only — one bounded lead() window (the
+    256-row bucket-total exception), a 1-row min_by broadcast, one
+    bounded filter + aggregate; no corpus row is ever touched."""
+    tps = F.lit(int(tokens_per_shard)).cast("long")
+    w = Window.orderBy("first_key")
+    pairs = manifest.select(
+        F.col("shard_id").alias("_cand_k"),
+        "first_key",
+        F.lead("shard_id").over(w).alias("_cand_d"),
+        (F.col("shard_tokens") + F.lead("shard_tokens").over(w)).alias(
+            "_comb"
+        ),
+    ).where(
+        F.col("_cand_d").isNotNull()
+        & (
+            F.col("_comb") * F.lit(int(merge_budget_den))
+            <= tps * F.lit(int(merge_budget_num))
+        )
+    )
+    best = pairs.agg(
+        F.min_by(
+            F.struct(F.col("_cand_k"), F.col("_cand_d")),
+            F.struct(F.col("_comb"), F.col("first_key")),
+        ).alias("_p")
+    ).select(
+        F.col("_p._cand_k").cast("long").alias("_ksid"),
+        F.col("_p._cand_d").cast("long").alias("_dsid"),
+    )
+    m2 = manifest.crossJoin(F.broadcast(best))
+    # NULL _ksid (no qualifying pair) makes is_pair FALSE for every row
+    # — the identity case: everything lands in `untouched`
+    is_pair = F.col("_ksid").isNotNull() & (
+        (F.col("shard_id") == F.col("_ksid"))
+        | (F.col("shard_id") == F.col("_dsid"))
+    )
+    merged = (
+        m2.where(is_pair)
+        .groupBy(F.col("_ksid").cast("long").alias("shard_id"))
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("shard_tokens").cast("long").alias("shard_tokens"),
+            F.min("first_key").alias("first_key"),
+            F.max("last_key").alias("last_key"),
+        )
+    )
+    untouched = m2.where(~is_pair).select(*_MANIFEST_COLS)
+    return untouched.unionByName(merged)
+
+
 # ---------------------------------------------------------------------------
 # domain-level reputation gate (crawl curation tier above the document)
 
