@@ -1161,6 +1161,88 @@ FROM p
 """
 
 
+def q_shard_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE turns of the apply-one/re-plan merge crank
+    (operators/curation.merge_min_pair — the per-step arithmetic
+    io/sinks.apply_shard_maintenance's merge policy is pinned equal to,
+    VERDICT r13 item 2): over the SAME post-dedup shrinkage manifest as
+    ext_shard_plan (assignment at budget 150, then a deterministic
+    doc_id-parity drop), each turn folds the qualifying adjacent pair
+    with the smallest COMBINED token total (ties to the smaller
+    first_key) and the next turn re-derives its lead() pairing from the
+    folded manifest — the iterated fixpoint arithmetic, driver-proven
+    for the loop's first three steps (the unrolled-pagerank precedent;
+    full convergence is the production executor's job, pinned against
+    the pure greedy replay in tests/test_sinks.py). The scenario holds
+    ~40 merge candidates at sf0.001, so every turn folds at every SF —
+    no step is a vacuous identity — while merge_min_pair's null-safe
+    identity case is pinned separately in tests/test_quality_ops.py.
+    Fully declarative: each turn is one manifest-cardinality lead()
+    window (the bounded-frame exception), a 1-row min_by broadcast, and
+    a bounded filter+aggregate; no corpus row is touched after the
+    assignment and no driver-side collect exists anywhere."""
+    docs = t(spark, sf_dir, "documents")
+    kept = C.assign_shards(docs, tokens_per_shard=150).where(
+        F.col("doc_id") % 2 == 0
+    )
+    man = C.shard_manifest(kept)
+    for _ in range(3):
+        man = C.merge_min_pair(man, tokens_per_shard=150)
+    return man
+
+
+def _merge_step_sql(i: int, tps: int = 150) -> str:
+    """One CTE layer replaying merge_min_pair: the lead() pairing over
+    m{i}, the min-(comb, first_key) qualifying pair, and the fold into
+    m{i+1}. HAVING count(*) > 0 keeps the no-qualifying-pair case an
+    identity instead of emitting an all-NULL aggregate row."""
+    return f"""
+p{i} AS (
+  SELECT shard_id AS ksid, first_key,
+         lead(shard_id) OVER (ORDER BY first_key) AS dsid,
+         shard_tokens + lead(shard_tokens) OVER (ORDER BY first_key) AS comb
+  FROM m{i}),
+best{i} AS (
+  SELECT ksid, dsid FROM p{i}
+  WHERE dsid IS NOT NULL AND comb * 1 <= {tps} * 1
+  ORDER BY comb ASC, first_key ASC LIMIT 1),
+m{i + 1} AS (
+  SELECT shard_id, n_docs, shard_tokens, first_key, last_key FROM m{i}
+  WHERE shard_id NOT IN (SELECT ksid FROM best{i})
+    AND shard_id NOT IN (SELECT dsid FROM best{i})
+  UNION ALL
+  SELECT CAST((SELECT ksid FROM best{i}) AS BIGINT) AS shard_id,
+         CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         CAST(sum(shard_tokens) AS BIGINT) AS shard_tokens,
+         min(first_key) AS first_key, max(last_key) AS last_key
+  FROM m{i}
+  WHERE shard_id IN (SELECT ksid FROM best{i})
+     OR shard_id IN (SELECT dsid FROM best{i})
+  HAVING count(*) > 0)"""
+
+
+SQL_SHARD_APPLY = f"""
+WITH base AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR) || 's0') AS k
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens, k,
+         CAST(sum(n_tokens) OVER (ORDER BY k, n_tokens
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM base),
+a AS (
+  SELECT doc_id, n_tokens, k, CAST((cum - n_tokens) // 150 AS BIGINT) AS shard_id FROM c),
+kept AS (SELECT * FROM a WHERE doc_id % 2 = 0),
+m0 AS (
+  SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+         min(k) AS first_key, max(k) AS last_key
+  FROM kept GROUP BY shard_id),{_merge_step_sql(0)},{_merge_step_sql(1)},{_merge_step_sql(2)}
+SELECT shard_id, n_docs, shard_tokens, first_key, last_key FROM m3
+"""
+
+
 _UP_WEIGHTS = {"src0": 2.5, "src1": 0.4, "src3": 3.0}
 
 
@@ -1710,6 +1792,7 @@ MIX_SPECS = [
     QuerySpec("ext_shard_split", q_shard_split, SQL_SHARD_SPLIT, ("curation", "window", "sink")),
     QuerySpec("ext_shard_merge", q_shard_merge, SQL_SHARD_MERGE, ("curation", "window", "sink")),
     QuerySpec("ext_shard_plan", q_shard_plan, SQL_SHARD_PLAN, ("curation", "window", "sink")),
+    QuerySpec("ext_shard_apply", q_shard_apply, SQL_SHARD_APPLY, ("curation", "window", "sink", "iterative")),
     QuerySpec("ext_epoch_upsample", q_epoch_upsample, SQL_EPOCH_UPSAMPLE, ("curation",)),
     QuerySpec("ext_mixture_manifest", q_mixture_manifest, SQL_MIXTURE_MANIFEST, ("curation", "pipeline", "window")),
     QuerySpec("ext_mixture_full", q_mixture_full, SQL_MIXTURE_FULL, ("curation", "pipeline", "window", "sketch")),

@@ -24,7 +24,47 @@ from token_etl_spark.plans.base import QuerySpec
 # the first 50 names in dict order). Ordering is therefore a verification
 # decision, not cosmetics.
 #
-# ROUND-13 ROTATION (last-green histogram after r12, recomputed from
+# ROUND-14 ROTATION (last-green histogram after r13, recomputed from
+# the CORRECTNESS_r{01..13}.json keys: r13=50, r12=50, r11=50, r10=50,
+# r9=10 — matching the r13 VERDICT's recount exactly). The window is:
+#   0. The query NEW this round (birth-round rule, listed first):
+#      ext_shard_apply — three turns of the apply-one/re-plan merge
+#      crank (merge_min_pair iterated over the ext_shard_plan shrinkage
+#      scenario), the per-step arithmetic behind the new
+#      io/sinks.apply_shard_maintenance executor (VERDICT r13 item 2).
+#   1. The 10 named r9-green carries FIRST (the standing carry promise
+#      from the r13 rotation, VERDICT r13 item 1): ext_decontaminate,
+#      ext_hash_split, rel_anti_join, rel_notin_blacklist,
+#      rel_prefix_keys, rel_semi_join, rel_union_distinct,
+#      evt_holder_count, evt_whale_count, rel_pivot_priority — all
+#      sweep-green since r9.
+#   2. The 35 float-scoring r10-stale rows (classified empirically for
+#      this rotation: each oracle run in DuckDB at sf0.001 and the
+#      result dtypes inspected — any float64 column ⇒ float-scoring):
+#      the TPC-H price/discount arithmetic family, the changelog/
+#      sessionization/wallet event pipelines, the IVF serving/occupancy
+#      pair, incremental/semantic dedup scorers, the median/stats/
+#      window packs, JSON/array ops, pushdown scan.
+#   3. 2 of the 15 integer/string r10-stale rows, distinctive shapes
+#      first (evt_daily_event_types — sorted collect rollups;
+#      ext_mixture_full — the composed mixture pipeline), then the two
+#      LOWEST-risk rows (tpch_priority_counts, tpch_waiting_orders —
+#      plain integer counts) as belt-and-suspenders SPARES at positions
+#      49-50: any query NEW later in r14 takes their slots per the
+#      birth-round rule (the r11/r12/r13 spare precedent).
+#   4. The 11 integer/string r10-stale rows that do not fit —
+#      evt_tx_per_day, ext_epoch_upsample, rel_above_avg_customers,
+#      rel_approx_active_users, rel_fuzzy_match, rel_string_ops,
+#      tpch_late_priority_mix, tpch_order_count_distribution,
+#      tpch_part_type_stats, tpch_qty_heavy_suppliers,
+#      tpch_supplier_part_counts — are the lowest-dtype-risk rows
+#      (integer counts/histograms, string ops, upsample/fuzzy shapes
+#      whose cores run inside in-window rows); they stay sweep-green
+#      and lead the r15 rotation as named carries.
+# Displaced: the r11/r12/r13-green window occupants — all still
+# covered by the local three-SF sweep (211 queries after this round).
+#
+# ROUND-13 ROTATION (kept for the audit trail; last-green histogram after r12, recomputed from
 # the CORRECTNESS_r{01..12}.json keys: r12=50, r11=50, r10=50, r9=50,
 # r8=7 — matching the r12 VERDICT's recount exactly). The window is:
 #   0. The 3 queries NEW this round (birth-round rule, listed first):
@@ -362,86 +402,75 @@ from token_etl_spark.plans.base import QuerySpec
 #      md5-pinned plans with the lowest dtype risk; they pass the
 #      local three-SF sweep and rotate into r8.
 _PRIORITY_NAMES = [
-    # NEW in round 13 (birth-round rule): the shard-merge lever's
-    # arithmetic — the dual of ext_shard_split, completing the
-    # audit/compact/split/merge maintenance triad (VERDICT r12 item 3).
-    # Takes the first spare slot (evt_whale_count).
-    "ext_shard_merge",
-    # NEW in round 13: the PRODUCTION staged ingest composition
-    # (prepare_corpus(extract_html=True, url_col, repetition_filter)
-    # under a full end-to-end replay — staged ≡ declared-tree through
-    # the driver, plus the bench headline row VERDICT r12 item 5 asked
-    # for). Takes the second spare slot (evt_holder_count).
-    "ext_ingest_pipeline",
-    # NEW in round 13: the maintenance-policy observable beside the
-    # split/merge levers (which lever to pull, per shard — integer
-    # threshold arithmetic over one bounded lead window). Takes the
-    # window-tail slot; rel_pivot_priority (r9-green, pivot shape
-    # sweep-covered) joins the r14 carries.
-    "ext_shard_plan",
-    # the 7 named r8-green carries (the standing promise; lead r13)
-    "rel_full_outer",
-    "rel_grouping_sets",
-    "rel_bloom_join",
-    "ext_multimodal_meta",
-    "ext_top_tokens",
-    "ext_text_normalize",
-    "ext_token_estimate",
-    # r9-stale: float-scoring rows first (highest dtype risk —
-    # empirically classified by running each oracle in DuckDB at
-    # sf0.001 and inspecting result dtypes)
-    "evt_assemble_metrics",
-    "evt_avg_tx_per_day",
-    "evt_hourly_user_flow",
-    "evt_hourly_volume",
-    "evt_prev_balance",
-    "evt_running_balance",
-    "evt_tumbling_hourly",
-    "ext_containment_dedup",
-    "ext_dedup_audit_sample_lsh",
-    "ext_dedup_threshold_curve",
-    "ext_gopher_quality",
-    "ext_langid_confusion",
-    "ext_lexical_diversity",
-    "ext_multimodal_audio",
-    "ext_multimodal_pixels",
-    "ext_quantile_filter",
-    "ext_source_centroid_sim",
-    "ext_supplier_pagerank",
-    "ext_temperature_mix",
-    "ext_user_value_ewma",
-    "rel_bool_flags",
-    "rel_customer_spend",
-    "rel_explode_word_join",
-    "rel_monthly_scaffold",
-    "rel_topk_orders",
-    # r9-stale: integer/string rows, distinctive shapes first
-    "ext_corpus_prep",
-    "ext_crosscorpus_dedup",
-    "ext_source_overlap_matrix_lsh",
-    "ext_chunk_documents",
-    "ext_sequence_pack",
-    "ext_line_filter",
-    "ext_pii_scan",
-    "ext_table_profile",
-    "ext_mixture_manifest",
-    "ext_source_mix",
-    "ext_multimodal_decode",
-    "evt_retention_cohorts",
-    "evt_hourly_active_users",
-    "rel_asof_last_click",
-    "rel_range_join_purchases",
-    "rel_pivot_priority",
-    # belt-and-suspenders spares (positions 49-50): twin boolean→int
-    # sums, the lowest-risk rows in the stale pool — any query NEW in
-    # r13 takes these slots per the birth-round rule
+    # NEW in round 14 (birth-round rule): three turns of the
+    # apply-one/re-plan merge crank — merge_min_pair iterated over the
+    # ext_shard_plan shrinkage scenario, the per-step arithmetic behind
+    # io/sinks.apply_shard_maintenance (VERDICT r13 item 2).
+    "ext_shard_apply",
+    # the 10 named r9-green carries (the standing promise; lead r14)
+    "ext_decontaminate",
+    "ext_hash_split",
+    "rel_anti_join",
+    "rel_notin_blacklist",
+    "rel_prefix_keys",
+    "rel_semi_join",
+    "rel_union_distinct",
     "evt_holder_count",
     "evt_whale_count",
-    # carries to r14 (did not fit): ext_decontaminate, ext_hash_split,
-    # rel_anti_join, rel_notin_blacklist, rel_prefix_keys,
-    # rel_semi_join, rel_union_distinct — most-native integer/string
-    # rows, lowest dtype risk, sweep-green; they lead the r14 rotation
-    # along with any spares displaced by new r13 rows.
+    "rel_pivot_priority",
+    # r10-stale: the 35 float-scoring rows (highest dtype risk —
+    # empirically classified by running each oracle in DuckDB at
+    # sf0.001 and inspecting result dtypes)
+    "evt_changelog_map",
+    "evt_changelog_roundtrip",
+    "evt_sessionization",
+    "evt_wallet_pipeline",
+    "ext_ann_ivf_search",
+    "ext_incremental_neardup",
+    "ext_ivf_cell_balance",
+    "ext_multimodal_headers",
+    "ext_semantic_decon",
+    "rel_array_ops",
+    "rel_json_props",
+    "rel_median_prices",
+    "rel_range_window",
+    "rel_rank_pack",
+    "rel_scan_pushdown",
+    "rel_ship_delay_histogram",
+    "rel_stats_pack",
+    "rel_window_pack2",
+    "tpch_brand_revenue",
+    "tpch_disjunctive_filter",
+    "tpch_forecast_revenue",
+    "tpch_idle_rich_customers",
+    "tpch_large_orders",
+    "tpch_market_share",
+    "tpch_min_cost_supplier",
+    "tpch_nation_revenue",
+    "tpch_nation_year_volume",
+    "tpch_pricing_summary",
+    "tpch_profit_by_nation_year",
+    "tpch_promo_share",
+    "tpch_returned_revenue",
+    "tpch_segment_priority",
+    "tpch_small_quantity_revenue",
+    "tpch_top_supplier",
+    "tpch_value_share_parts",
+    # r10-stale: integer/string rows, distinctive shapes first
+    "evt_daily_event_types",
+    "ext_mixture_full",
+    # belt-and-suspenders spares (positions 49-50): plain integer
+    # counts, the lowest-risk rows in the stale pool — any query NEW
+    # later in r14 takes these slots per the birth-round rule
+    "tpch_priority_counts",
+    "tpch_waiting_orders",
+    # carries to r15 (did not fit): evt_tx_per_day, ext_epoch_upsample,
+    # rel_above_avg_customers, rel_approx_active_users, rel_fuzzy_match,
+    # rel_string_ops, tpch_late_priority_mix,
+    # tpch_order_count_distribution, tpch_part_type_stats,
+    # tpch_qty_heavy_suppliers, tpch_supplier_part_counts — the
+    # lowest-dtype-risk integer/string rows, sweep-green; they lead the
+    # r15 rotation along with any spares displaced by new r14 rows.
 ]
 
 _MODULE_ORDER: list[QuerySpec] = [
