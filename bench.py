@@ -76,6 +76,65 @@ def env_stamp(spark) -> dict:
     return stamp
 
 
+def ingest_stage_decomposition(spark, sf_dir: str) -> dict:
+    """Per-tier wall clock of the ext_ingest_pipeline composition —
+    emitted in the bench JSON so the next regression names its tier
+    without a manual probe (VERDICT r13 item 5; the r13 decomposition
+    was a one-off hand probe). Runs the SAME prepare_corpus call the
+    headline row benches, with a stage_hook that persists each tier's
+    frame and times its materialization in isolation — so every number
+    is that tier's own cost over a persisted predecessor, and
+    'total_with_staging' is the fully-materialized-per-tier form
+    (deliberately NOT the headline number, which materializes only the
+    pipeline's own eager points)."""
+    from token_etl_spark.pipelines.corpus import prepare_corpus
+    from token_etl_spark.plans.base import t
+    from token_etl_spark.plans.curation import (
+        _INGEST_JACCARD,
+        _html_synth,
+        _url_synth,
+    )
+
+    times: dict[str, float] = {}
+    hooked = []
+    prev_exit = [0.0]
+
+    def hook(name: str, df) -> None:
+        # eager work BETWEEN tiers (the near-dup stage's CC fixpoint
+        # runs jobs at build time, before any hook sees its output) is
+        # attributed to the tier whose hook fires next
+        enter = time.perf_counter()
+        gap = round(enter - prev_exit[0], 4)
+        if gap > 0.05:
+            times[f"{name}:eager_build"] = gap
+        df.persist()
+        hooked.append(df)
+        df.write.format("noop").mode("overwrite").save()
+        prev_exit[0] = time.perf_counter()
+        times[name] = round(prev_exit[0] - enter, 4)
+
+    docs = t(spark, sf_dir, "documents")
+    frame = docs.select(
+        "doc_id", _html_synth().alias("text"), _url_synth().alias("url")
+    )
+    start = time.perf_counter()
+    prev_exit[0] = start
+    prepare_corpus(
+        frame,
+        jaccard_threshold=_INGEST_JACCARD,
+        extract_html=True,
+        url_col="url",
+        repetition_filter=True,
+        stage_hook=hook,
+    )
+    end = time.perf_counter()
+    times["checkpoint_tail"] = round(end - prev_exit[0], 4)
+    times["total_with_staging"] = round(end - start, 4)
+    for df in hooked:
+        df.unpersist()
+    return times
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -123,6 +182,12 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "env": env_stamp(spark),
     }
+    try:
+        result["stages"] = {
+            "ext_ingest_pipeline": ingest_stage_decomposition(spark, sf_dir)
+        }
+    except Exception as e:  # a broken probe must never fail the bench
+        result["stages"] = {"error": str(e)[:200]}
 
     # SPARK_GRAFT_BENCH_ALL=1: additionally time every other declared
     # query (no warmup pass — cold numbers) in a secondary field, leaving

@@ -22,6 +22,21 @@ from token_etl_spark.operators.graph import dedup_keep_list, keep_list_from_comp
 from token_etl_spark.operators.text import line_dedup, quality_stats, token_estimate
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Repartition a narrow-split frame to the session's default
+    parallelism by ``doc_id`` hash — identity when the frame already
+    has that many partitions. Results are partitioning-invariant
+    everywhere this is used (every downstream aggregate/window orders
+    explicitly), so this changes execution shape only: the local bench
+    exercises the same parallel per-tier layout a cluster read gets
+    for free from its many input splits (VERDICT r13 item 4)."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, "doc_id")
+
+
 def prepare_corpus(
     docs: DataFrame,
     min_tokens: int = 5,
@@ -41,6 +56,7 @@ def prepare_corpus(
     domain_blocklist: tuple[str, ...] = (),
     domain_suffixes: DataFrame | None = None,
     repetition_filter: bool = False,
+    stage_hook=None,
 ) -> DataFrame:
     """documents(doc_id, text, ...) → per-doc decision frame:
     (doc_id, n_tokens, est_tokens, passed_quality, is_exact_dup,
@@ -110,7 +126,23 @@ def prepare_corpus(
     text (lowercased, punctuation stripped), so downstream digests see
     the normalized form — standard for corpus prep, but not a byte-
     preserving transform.
+
+    ``stage_hook(name, frame)``, when given, is called at each tier
+    boundary with the tier's output frame — the bench's per-stage
+    decomposition seam (VERDICT r13 item 5): the hook may persist and
+    force the frame to time the tier in isolation. None (the default,
+    the production path) adds zero overhead and zero extra
+    materializations.
     """
+    # --- fan a narrow-split source across the session's parallelism
+    # (VERDICT r13 item 4): a corpus read from few parquet splits —
+    # sf0.1's documents table is ONE — would otherwise run every staged
+    # tier single-task, because nothing before the dedup shuffles. One
+    # doc_id-hash repartition at the head gives extraction, the gates,
+    # and quality scoring the multi-task shape the 100 TB claim relies
+    # on; it is a NO-OP whenever the input already carries at least the
+    # session's parallelism in splits (any real large-corpus read).
+    docs = _fan_out(docs)
     # --- crawl-ingest tier (extraction → domain gate → repetition gate)
     ingest_cache = None
     if extract_html:
@@ -130,6 +162,8 @@ def prepare_corpus(
         # it once (review-found r12; released with the scored cache)
         docs = docs.persist()
         ingest_cache = docs
+        if stage_hook is not None:
+            stage_hook("extraction", docs)
     all_ids = docs.select("doc_id")
     domain_flags = None
     if url_col is not None:
@@ -159,6 +193,8 @@ def prepare_corpus(
         docs = flagged.where(F.col("domain_kept")).select(
             *[c for c in flagged.columns if c not in ("domain", "domain_kept")]
         )
+        if stage_hook is not None:
+            stage_hook("domain_gate", docs)
     repetition_flags = None
     if repetition_filter:
         from token_etl_spark.operators.text import gopher_repetition_filter
@@ -170,6 +206,8 @@ def prepare_corpus(
             F.col("reject_reasons").alias("repetition_reasons"),
         )
         docs = rep.where(F.col("keep")).select(*docs.columns)
+        if stage_hook is not None:
+            stage_hook("repetition_gate", docs)
 
     if dedup_lines:
         docs = (
@@ -196,6 +234,8 @@ def prepare_corpus(
         & (F.col("alpha_ratio") >= min_alpha_ratio),
     )
     scored.persist()
+    if stage_hook is not None:
+        stage_hook("quality", scored)
 
     quality_docs = scored.filter(F.col("passed_quality")).select("doc_id", "text")
 
@@ -203,6 +243,8 @@ def prepare_corpus(
     exact = exact_dedup(quality_docs)
     exact_keep = exact.select(F.col("keep_id").alias("doc_id")).distinct()
     exact_survivors = quality_docs.join(exact_keep, "doc_id", "left_semi")
+    if stage_hook is not None:
+        stage_hook("exact_dedup", exact_survivors)
 
     # near-dup clustering over exact survivors only
     if large_clusters:
@@ -213,6 +255,8 @@ def prepare_corpus(
     else:
         pairs = minhash_dedup(exact_survivors, threshold=jaccard_threshold)
         near_decisions = dedup_keep_list(pairs, exact_survivors.select("doc_id"))
+    if stage_hook is not None:
+        stage_hook("near_dup", near_decisions)
 
     decisions = (
         scored.select("doc_id", "n_tokens", "est_tokens", "passed_quality")
@@ -252,6 +296,8 @@ def prepare_corpus(
         if repetition_flags is not None:
             decisions = decisions.join(repetition_flags, "doc_id", "left")
         decisions = decisions.withColumn("keep", keep)
+    if stage_hook is not None:
+        stage_hook("decision", decisions)
     # Eager cut-point so the quality-stats cache can be released before
     # the result escapes (a lazy return would leak the persisted blocks
     # forever — same lifecycle bug fixed in minhash_dedup). The pipeline
