@@ -1440,3 +1440,337 @@ def test_merge_shard_rows_refuses_missing_pairs(spark):
     for keep, drop in [(7, 9), (0, 9), (9, 1), (0, 0)]:
         with pytest.raises(Exception, match="both shards must exist"):
             merge_shard_rows(man, keep, drop).collect()
+
+
+# ---------------------------------------------------------------------------
+# fuzz wave 8 (r14): planner rules under ties/overlaps, the apply-loop
+# merge fixpoint, domain-reputation refresh rule-migration chains, and
+# the composed streaming ingest under fuzzed HTML/URL strategies.
+
+
+@given(
+    shards=st.lists(
+        st.tuples(st.integers(min_value=1, max_value=5),
+                  st.integers(min_value=0, max_value=12)),
+        min_size=1,
+        max_size=8,
+    ),
+    tps=st.sampled_from([4, 8]),
+    split_factor=st.integers(min_value=1, max_value=3),
+    num=st.integers(min_value=1, max_value=3),
+    den=st.integers(min_value=1, max_value=2),
+)
+@FAST
+def test_plan_shard_maintenance_rules_fuzz(spark, shards, tps, split_factor, num, den):
+    """Wave 8: the planner's action column replays a pure-Python
+    restatement of its documented rules on arbitrary manifests —
+    single-shard manifests (no pair, never merge), equal-token TIES
+    exactly at both integer thresholds (tokens and budgets drawn from
+    overlapping small ranges so boundaries are hit constantly),
+    overlapping merge recommendations (A+B and B+C both qualifying),
+    and 1-doc giants (never split)."""
+    from token_etl_spark.operators.curation import plan_shard_maintenance
+
+    s = _get(spark)
+    rows = [
+        (i, nd, tok, f"k{2 * i:03d}", f"k{2 * i + 1:03d}")
+        for i, (nd, tok) in enumerate(shards)
+    ]
+    man = s.createDataFrame(
+        rows,
+        "shard_id long, n_docs long, shard_tokens long, first_key string, last_key string",
+    )
+    got = {
+        r["shard_id"]: r
+        for r in plan_shard_maintenance(
+            man, tps, split_factor=split_factor,
+            merge_budget_num=num, merge_budget_den=den,
+        ).collect()
+    }
+    assert set(got) == set(range(len(shards)))
+    for i, (nd, tok) in enumerate(shards):
+        r = got[i]
+        if i + 1 < len(shards):
+            assert r["next_shard_id"] == i + 1
+            assert r["pair_tokens"] == tok + shards[i + 1][1]
+        else:
+            assert r["next_shard_id"] is None and r["pair_tokens"] is None
+        if tok > split_factor * tps and nd >= 2:
+            exp = "split"
+        elif i + 1 < len(shards) and (tok + shards[i + 1][1]) * den <= tps * num:
+            exp = "merge_with_next"
+        else:
+            exp = "ok"
+        assert r["action"] == exp, (i, nd, tok, tps, split_factor, num, den)
+
+
+@given(
+    shards=st.lists(
+        st.tuples(st.integers(min_value=1, max_value=5),
+                  st.integers(min_value=0, max_value=10)),
+        min_size=1,
+        max_size=6,
+    ),
+    tps=st.sampled_from([4, 7]),
+)
+@settings(max_examples=6, deadline=None)
+def test_merge_min_pair_fixpoint_fuzz(spark, shards, tps):
+    """Wave 8: iterating merge_min_pair reaches the no-qualifying-pair
+    fixpoint within n-1 folds, conserves doc/token totals, keeps the
+    key ranges disjoint/ordered, and tracks the pure greedy replay
+    STEP BY STEP — the exact arithmetic ext_shard_apply unrolls and
+    apply_shard_maintenance's merge policy pins against."""
+    from test_sinks import _greedy_merge_replay
+
+    from token_etl_spark.operators.curation import merge_min_pair
+
+    s = _get(spark)
+    schema = (
+        "shard_id long, n_docs long, shard_tokens long, "
+        "first_key string, last_key string"
+    )
+    cur = [
+        {"shard_id": i, "n_docs": nd, "shard_tokens": tok,
+         "first_key": f"k{2 * i:03d}", "last_key": f"k{2 * i + 1:03d}"}
+        for i, (nd, tok) in enumerate(shards)
+    ]
+    seq, final = _greedy_merge_replay(list(cur), tps)
+    assert len(seq) <= max(0, len(cur) - 1)
+    # replay the same number of Spark steps plus ONE extra (the
+    # fixpoint identity), comparing the frame after every step
+    replay_rows = list(cur)
+    for step in range(len(seq) + 1):
+        df = s.createDataFrame(
+            [(r["shard_id"], r["n_docs"], r["shard_tokens"],
+              r["first_key"], r["last_key"]) for r in replay_rows],
+            schema,
+        )
+        out = sorted(
+            (r.asDict() for r in merge_min_pair(df, tps).collect()),
+            key=lambda r: r["first_key"],
+        )
+        exp_seq, _ = _greedy_merge_replay(list(replay_rows), tps)
+        if exp_seq:
+            k, d = exp_seq[0]
+            py = {r["shard_id"]: dict(r) for r in replay_rows}
+            py[k] = {
+                "shard_id": k,
+                "n_docs": py[k]["n_docs"] + py[d]["n_docs"],
+                "shard_tokens": py[k]["shard_tokens"] + py[d]["shard_tokens"],
+                "first_key": py[k]["first_key"],
+                "last_key": py[d]["last_key"],
+            }
+            del py[d]
+            expected = sorted(py.values(), key=lambda r: r["first_key"])
+        else:
+            expected = sorted(replay_rows, key=lambda r: r["first_key"])
+        assert out == expected, (step, out, expected)
+        replay_rows = out
+    # at the fixpoint: totals conserved, ranges disjoint/ordered
+    assert {r["shard_id"]: (r["n_docs"], r["shard_tokens"]) for r in replay_rows} == {
+        r["shard_id"]: (r["n_docs"], r["shard_tokens"]) for r in final.values()
+    }
+    assert sum(r["n_docs"] for r in replay_rows) == sum(nd for nd, _ in shards)
+    assert sum(r["shard_tokens"] for r in replay_rows) == sum(t for _, t in shards)
+    for a, b in zip(replay_rows, replay_rows[1:]):
+        assert a["last_key"] < b["first_key"]
+
+
+@given(
+    suf1=st.lists(
+        st.sampled_from(["com", "co.uk", "org", "net.au", "de"]),
+        min_size=1, max_size=4, unique=True,
+    ),
+    suf2=st.lists(
+        st.sampled_from(["com", "co.uk", "org", "net.au", "de"]),
+        min_size=1, max_size=4, unique=True,
+    ),
+    decorate=st.booleans(),
+)
+@settings(max_examples=4, deadline=None)
+def test_refresh_domain_stats_rule_chain_fuzz(spark, suf1, suf2, decorate):
+    """Wave 8: lite → psl(suf1) → psl(suf2) refresh chains. Each
+    rule CHANGE refuses without allow_rule_change and lands with it;
+    a refresh under a semantically-identical table (case/padding/dup
+    decorations the canonicalization ignores) is NOT a rule change; a
+    crash between the staged swap's marker and its rename heals into
+    the refreshed state on the next load."""
+    import shutil
+    import tempfile
+
+    import pytest
+
+    import token_etl_spark.operators.curation as C2
+    from token_etl_spark.io.sinks import _bucket_fs
+    from token_etl_spark.operators.curation import (
+        load_domain_stats,
+        refresh_domain_stats,
+    )
+
+    s = _get(spark)
+    docs = s.createDataFrame(
+        [(i, f"https://site{i % 3}.example.co.uk/{i}") for i in range(6)],
+        "doc_id long, url string",
+    )
+
+    def table(suffixes):
+        rows = list(suffixes)
+        if decorate:
+            rows = [r.upper() for r in rows] + [f"  {rows[0]} ", rows[0]]
+        return s.createDataFrame([(x,) for x in rows], ["suffix"])
+
+    base = tempfile.mkdtemp(prefix="refresh_fuzz_")
+    p = f"{base}/tree"
+    try:
+        refresh_domain_stats(s, docs, p)  # first fit: lite
+        fp_lite = C2._suffix_fingerprint(None)
+        fp1 = C2._suffix_fingerprint(table(suf1))
+        fp2 = C2._suffix_fingerprint(table(suf2))
+
+        # lite → psl(suf1): a rule change, must be deliberate
+        with pytest.raises(ValueError, match="allow_rule_change"):
+            refresh_domain_stats(s, docs, p, suffixes=table(suf1))
+        refresh_domain_stats(
+            s, docs, p, suffixes=table(suf1), allow_rule_change=True
+        )
+        assert load_domain_stats(s, p, suffixes=table(suf1)).count() >= 1
+        with pytest.raises(ValueError, match="mismatched registered-domain"):
+            load_domain_stats(s, p)  # the old lite rule now refuses
+
+        # psl(suf1) → psl(suf2): a change IFF the canonical fingerprints
+        # differ (decorations never make it one)
+        if fp2 == fp1:
+            refresh_domain_stats(s, docs, p, suffixes=table(suf2))
+        else:
+            with pytest.raises(ValueError, match="allow_rule_change"):
+                refresh_domain_stats(s, docs, p, suffixes=table(suf2))
+            refresh_domain_stats(
+                s, docs, p, suffixes=table(suf2), allow_rule_change=True
+            )
+        assert load_domain_stats(s, p, suffixes=table(suf2)).count() >= 1
+        assert fp_lite != fp1
+
+        # crash window: stage a lite re-fit with the marker but no
+        # rename — the next load must heal into the NEW (lite) state
+        staging = p + C2._STAGING_DOMSTATS
+        stats = C2.domain_stats(docs)
+        stats.write.mode("overwrite").parquet(f"{staging}/stats")
+        s.createDataFrame(
+            [("lite", "")], "rule string, suffix_md5 string"
+        ).write.mode("overwrite").parquet(f"{staging}/params")
+        fs, hpath = _bucket_fs(s, p)
+        fs.create(hpath(f"{staging}/{C2._DOMSTATS_MARKER}"), True).close()
+        with pytest.raises(ValueError, match="mismatched registered-domain"):
+            load_domain_stats(s, p, suffixes=table(suf2))
+        assert load_domain_stats(s, p).count() >= 1
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+_CHROME = '<html><body><nav><a href="/">Home</a> <a href="/a">About page</a></nav>'
+_GOOD_BODY = (
+    "<p>the quick brown fox jumps over a lazy dog while seven other "
+    "animals watch quietly from the distant hillside at dusk and a "
+    "gentle breeze carries birdsong across the meadow</p>"
+)
+_SPAM_BODY = "<p>" + "the spam line is here today ok " * 20 + "</p>"
+_SHORT_BODY = "<p>tiny</p>"
+_BODIES = [_GOOD_BODY, _SPAM_BODY, _SHORT_BODY]
+_URL_SHAPES = [
+    "https://good.com/{i}",
+    "https://junkhost",
+    "https://rare.org/{i}",
+    "https://user@good.com:8080/{i}",
+    "https://good.com./{i}",
+    "HTTPS://GOOD.COM/{i}",
+]
+
+
+@given(
+    picks=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=len(_BODIES) - 1),
+                  st.integers(min_value=0, max_value=len(_URL_SHAPES) - 1)),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=4, deadline=None)
+def test_streaming_ingest_equals_batch_fuzz(spark, picks):
+    """Wave 8: the composed streaming ingest runner reaches
+    prepare_corpus's exact per-document ingest decisions under FUZZED
+    html/url combinations (good/spam/short bodies × registrable, junk,
+    rare, userinfo+port, trailing-dot, uppercase-scheme hosts) and
+    under a fuzz-chosen BATCH BOUNDARY (maxFilesPerTrigger=1 over a
+    two-file source), not just the fixed four-document fixture."""
+    import shutil
+    import tempfile
+
+    from token_etl_spark.operators.curation import fit_and_save_domain_stats
+    from token_etl_spark.pipelines.corpus import prepare_corpus
+    from token_etl_spark.streaming.curation import run_streaming_ingest
+
+    s = _get(spark)
+    rows = [
+        (i, _CHROME + _BODIES[b] + "</body></html>",
+         _URL_SHAPES[u].format(i=i))
+        for i, (b, u) in enumerate(picks)
+    ]
+    docs = s.createDataFrame(rows, "doc_id long, text string, url string")
+
+    base = tempfile.mkdtemp(prefix="ingest_fuzz_")
+    try:
+        rep_corpus = s.createDataFrame(
+            [(i, f"https://good.com/{i}") for i in range(6)],
+            "doc_id long, url string",
+        )
+        stats_path = f"{base}/rep"
+        fit_and_save_domain_stats(s, rep_corpus, stats_path)
+        stats = s.read.parquet(f"{stats_path}/stats")
+
+        # a two-file source + maxFilesPerTrigger=1 forces a batch
+        # boundary through the middle of the doc set
+        src = f"{base}/src"
+        docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        out = f"{base}/out"
+        run_streaming_ingest(
+            s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            stats_path,
+            out,
+            f"{base}/ckpt",
+            min_docs=5,
+        )
+        got = {r["doc_id"]: r for r in s.read.parquet(out).collect()}
+        assert set(got) == {r[0] for r in rows}
+
+        exp = {
+            r["doc_id"]: r
+            for r in prepare_corpus(
+                docs,
+                extract_html=True,
+                url_col="url",
+                domain_stats_frame=stats,
+                domain_min_docs=5,
+                repetition_filter=True,
+            ).collect()
+        }
+        for did in exp:
+            g, e = got[did], exp[did]
+            assert g["domain"] == e["domain"], did
+            assert g["domain_kept"] == e["domain_kept"], did
+            assert g["passed_repetition"] == e["passed_repetition"], did
+            assert g["ingest_keep"] == bool(
+                e["domain_kept"] and (e["passed_repetition"] or False)
+            ), did
+            if g["ingest_keep"]:
+                assert g["text"] is not None and "<p>" not in g["text"]
+            else:
+                assert g["text"] is None
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
