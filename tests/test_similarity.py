@@ -948,3 +948,123 @@ def test_projected_topk_production_composition(spark):
     }
     got = {(r["query_id"], r["neighbor_id"]) for r in out}
     assert len(got & truth) / len(truth) > 0.6  # clustered-regime floor
+
+
+def test_arrow_assign_bit_exact_to_declarative(spark):
+    """The Arrow-vectorized assignment twin (_assign_argmax_arrow, the
+    n_centroids >= 64 scale route — r14 scaling probe) is BIT-EXACT to
+    the declarative HOF form: same centroid_id on every row (incl. the
+    (sim, -id) tie rule) and the winning cosine equal to the last float
+    bit — the property that keeps every kmeans/SemDeDup oracle replay
+    valid regardless of which route ran. Checked on seeded random
+    vectors plus exact-tie rows (duplicated centroids force sim ties)."""
+    import numpy as np
+
+    from token_etl_spark.operators import similarity as S
+
+    rng = np.random.default_rng(7)
+    n, dim, nc = 300, 16, 80
+    vecs = rng.normal(size=(n, dim))
+    # duplicated centroid pairs: ids i and i+nc//2 share a vector, so
+    # every row assigned there exercises the exact-tie rule
+    cvecs = rng.normal(size=(nc, dim))
+    cvecs[nc // 2 :] = cvecs[: nc // 2]
+    base = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "corpus_id long, cv array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(cvecs)],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    decl = {
+        r["corpus_id"]: r["centroid_id"]
+        for r in S._assign_to_centroids(base, cents).collect()
+    }
+    arrow = {
+        r["corpus_id"]: r["centroid_id"]
+        for r in S._assign_argmax_arrow(base, cents, "cv", with_sim=False).collect()
+    }
+    assert arrow == decl
+    # every tied assignment resolved to the LOW id (ids nc//2.. are dups)
+    assert all(c < nc // 2 for c in arrow.values())
+
+    # with_sim: winning cosine equal to the last bit
+    base2 = base.withColumnRenamed("corpus_id", "id").withColumnRenamed("cv", "v")
+    carr = F.broadcast(
+        cents.agg(
+            F.collect_list(F.struct("centroid_id", "centroid_vec")).alias("_cents")
+        )
+    )
+    best = F.array_max(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                S.cosine(F.col("v"), c.getField("centroid_vec")).alias("sim"),
+                (-c.getField("centroid_id")).alias("neg_id"),
+            ),
+        )
+    )
+    decl_sim = {
+        r["id"]: (r["centroid_id"], r["centroid_sim"])
+        for r in base2.join(carr)
+        .withColumn("_b", best)
+        .select(
+            "id",
+            (-F.col("_b.neg_id")).alias("centroid_id"),
+            F.col("_b.sim").alias("centroid_sim"),
+        )
+        .collect()
+    }
+    arrow_sim = {
+        r["id"]: (r["centroid_id"], r["centroid_sim"])
+        for r in S._assign_argmax_arrow(base2, cents, "v", with_sim=True).collect()
+    }
+    assert arrow_sim.keys() == decl_sim.keys()
+    for i in arrow_sim:
+        assert arrow_sim[i][0] == decl_sim[i][0], i
+        import struct as _struct
+
+        assert _struct.pack("<d", arrow_sim[i][1]) == _struct.pack(
+            "<d", decl_sim[i][1]
+        ), (i, arrow_sim[i], decl_sim[i])
+
+
+def test_semantic_dedup_same_results_across_assign_routes(spark):
+    """semantic_dedup's OUTPUT (ids, cells, sims, n_dups, kept) is
+    identical whether the centroid count routes assignment through the
+    declarative form (< 64) or the Arrow twin (>= 64) — same seeded
+    corpus clustered under a pre-trained 80-centroid table, once forced
+    down each route by flipping the threshold constant."""
+    import numpy as np
+
+    import token_etl_spark.operators.similarity as S
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(200, 8))
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = S.spherical_kmeans(emb, n_centroids=80, n_iters=1)
+    cents = cents.localCheckpoint(eager=True)
+
+    def run():
+        return sorted(
+            (
+                (r["id"], r["centroid_id"], r["centroid_sim"], r["n_dups"], r["kept"])
+                for r in S.semantic_dedup(
+                    emb, n_centroids=80, n_iters=1, threshold=0.3, centroids=cents
+                ).collect()
+            )
+        )
+
+    real = S._ARROW_ASSIGN_MIN
+    try:
+        S._ARROW_ASSIGN_MIN = 64  # arrow route (80 >= 64)
+        via_arrow = run()
+        S._ARROW_ASSIGN_MIN = 10**9  # declarative route
+        via_decl = run()
+    finally:
+        S._ARROW_ASSIGN_MIN = real
+    assert via_arrow == via_decl

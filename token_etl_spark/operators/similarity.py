@@ -356,7 +356,96 @@ def lloyd_refine(assigned: DataFrame) -> DataFrame:
     )
 
 
-def _assign_to_centroids(base: DataFrame, cents: DataFrame) -> DataFrame:
+#: centroid count at or above which the argmax assignment auto-routes
+#: through the Arrow-vectorized twin: the declarative higher-order-
+#: function cosine fold is interpreted per element (HOFs never enter
+#: whole-stage codegen), costing O(n x n_centroids x dim) closure
+#: evaluations — measured 50.5 s for 20k x 160 x 64 vs 4.0 s Arrow
+#: (r14 scaling probe). Below the threshold (every oracle-replayed
+#: gate constant lives at 16) the declarative form stays: zero jobs at
+#: plan build, and the driver-green plans keep their exact shape.
+_ARROW_ASSIGN_MIN = 64
+
+
+def _assign_argmax_arrow(
+    base: DataFrame,
+    cents: DataFrame,
+    vec_name: str,
+    with_sim: bool,
+) -> DataFrame:
+    """Arrow-vectorized twin of the broadcast-argmax assignment — the
+    SCALE path for large centroid counts (SemDeDup/IVF scale n_centroids
+    with the corpus, and the interpreted HOF fold's n x n_centroids x
+    dim closure cost becomes the dominant term; r14 scaling probe).
+
+    BIT-EXACT to the declarative form, by construction, pinned in
+    tests/test_similarity.py:
+    - the per-dimension accumulation loop replays ``dot``'s
+      aggregate(zip_with) strict left-to-right fold order in float64;
+    - norms square-accumulate in the same index order, sqrt last;
+    - one multiply then one divide replays ``cosine``'s op order;
+    - np.argmax's first-max tie replays the (sim, -centroid_id) struct
+      max (centroids are scanned in ascending id order).
+
+    Collects the centroid table (broadcast-sized by contract — the same
+    bound the declarative form's collect_list broadcast row relies on)
+    and ships it via a SparkContext broadcast, so calling this runs one
+    centroid-cardinality job; callers are the iterative k-means family,
+    which runs jobs at build regardless."""
+    spark = base.sparkSession
+    rows = sorted(
+        cents.select("centroid_id", "centroid_vec").collect(),
+        key=lambda r: r["centroid_id"],
+    )
+    ids = [int(r["centroid_id"]) for r in rows]
+    mat = [list(map(float, r["centroid_vec"])) for r in rows]
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    fields = list(base.schema.fields) + [StructField("centroid_id", LongType())]
+    if with_sim:
+        fields.append(StructField("centroid_sim", DoubleType()))
+    out_schema = StructType(fields)
+
+    def gen(batches):
+        import numpy as np
+
+        cids, C = bc.value
+        C = np.asarray(C, dtype=np.float64)
+        cids = np.asarray(cids, dtype=np.int64)
+        nc, dim = C.shape
+        cn = np.zeros(nc)
+        for i in range(dim):
+            cn = cn + C[:, i] * C[:, i]
+        cn = np.sqrt(cn)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            A = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_name]]
+            )
+            an = np.zeros(n)
+            dots = np.zeros((n, nc))
+            for i in range(dim):
+                ai = A[:, i]
+                an = an + ai * ai
+                dots = dots + ai[:, None] * C[None, :, i]
+            sims = dots / (np.sqrt(an)[:, None] * cn[None, :])
+            best = np.argmax(sims, axis=1)
+            out = pdf.copy()
+            out["centroid_id"] = cids[best]
+            if with_sim:
+                out["centroid_sim"] = sims[np.arange(n), best]
+            yield out
+
+    return base.mapInPandas(gen, schema=out_schema)
+
+
+def _assign_to_centroids(
+    base: DataFrame, cents: DataFrame, n_centroids_hint: int | None = None
+) -> DataFrame:
     """Assign each ``(corpus_id, cv)`` row to its max-cosine centroid.
 
     MAP-ONLY: the centroid set is collapsed to a single broadcast row
@@ -369,7 +458,15 @@ def _assign_to_centroids(base: DataFrame, cents: DataFrame) -> DataFrame:
     the smallest centroid_id (struct max on (sim, -centroid_id)),
     matching the oracle's ``row_number() OVER (ORDER BY sim DESC,
     centroid_id)`` exactly; the cosine is the same expression, so the
-    float bits agree."""
+    float bits agree.
+
+    ``n_centroids_hint`` (callers know their own parameter) routes
+    counts >= ``_ARROW_ASSIGN_MIN`` through the bit-exact Arrow twin
+    (:func:`_assign_argmax_arrow`) — the interpreted HOF fold's cost
+    grows with n_centroids and the scale regime trains MANY centroids;
+    the gate constants (16) keep the declarative, job-free-build form."""
+    if n_centroids_hint is not None and n_centroids_hint >= _ARROW_ASSIGN_MIN:
+        return _assign_argmax_arrow(base, cents, "cv", with_sim=False)
     carr = F.broadcast(
         cents.agg(
             F.collect_list(F.struct("centroid_id", "centroid_vec")).alias("_cents")
@@ -433,7 +530,9 @@ def spherical_kmeans(
     )
     for _ in range(n_iters):
         assigned = _assign_to_centroids(
-            base, cents.select("centroid_id", "centroid_vec")
+            base,
+            cents.select("centroid_id", "centroid_vec"),
+            n_centroids_hint=n_centroids,
         )
         cents = (
             lloyd_refine(assigned)
@@ -921,6 +1020,12 @@ def _assign_with_sim(
         if centroids is not None
         else spherical_kmeans(corpus, n_centroids, n_iters, id_col, vec_col)
     )
+    # scale regime: large centroid counts route through the bit-exact
+    # Arrow twin (see _assign_to_centroids) — the gate constants (16)
+    # keep the declarative form below
+    if n_centroids >= _ARROW_ASSIGN_MIN:
+        out = _assign_argmax_arrow(base, cents, "v", with_sim=True)
+        return out.localCheckpoint(eager=False) if checkpoint else out
     carr = F.broadcast(
         cents.agg(F.collect_list(F.struct("centroid_id", "centroid_vec")).alias("_cents"))
     )
