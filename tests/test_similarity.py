@@ -1068,3 +1068,89 @@ def test_semantic_dedup_same_results_across_assign_routes(spark):
     finally:
         S._ARROW_ASSIGN_MIN = real
     assert via_arrow == via_decl
+
+
+def test_pair_cosine_arrow_bit_exact(spark):
+    """_pair_cosine_arrow (the joined-pair verify's scale twin) is
+    bit-exact to the declarative cosine(): out_col values equal to the
+    last float bit on seeded random pairs, and threshold filtering
+    keeps exactly the same id set."""
+    import numpy as np
+    import struct as _struct
+
+    from token_etl_spark.operators import similarity as S
+
+    rng = np.random.default_rng(23)
+    rows = [
+        (int(i), [float(x) for x in rng.normal(size=12)],
+         [float(x) for x in rng.normal(size=12)])
+        for i in range(120)
+    ]
+    pairs = spark.createDataFrame(
+        rows, "pid long, va array<double>, vb array<double>"
+    )
+    decl = {
+        r["pid"]: r["c"]
+        for r in pairs.withColumn("c", S.cosine(F.col("va"), F.col("vb"))).collect()
+    }
+    arrow = {
+        r["pid"]: r["c"]
+        for r in S._pair_cosine_arrow(pairs, "va", "vb", out_col="c").collect()
+    }
+    assert arrow.keys() == decl.keys()
+    for i in decl:
+        assert _struct.pack("<d", arrow[i]) == _struct.pack("<d", decl[i]), i
+
+    thr = float(np.median(list(decl.values())))
+    decl_keep = {i for i, c in decl.items() if c >= thr}
+    arrow_keep = {
+        r["pid"]
+        for r in S._pair_cosine_arrow(pairs, "va", "vb", threshold=thr).collect()
+    }
+    assert arrow_keep == decl_keep
+
+    import pytest
+
+    with pytest.raises(ValueError, match="exactly one"):
+        S._pair_cosine_arrow(pairs, "va", "vb")
+
+
+def test_ivf_topk_same_results_across_verify_routes(spark):
+    """ivf_topk's output (neighbors, sims, ranks) is identical whether
+    the CORPUS ASSIGNMENT routes through the declarative HOF argmax or
+    the Arrow twin — forced down each route by flipping the threshold
+    constant at n_centroids=80. (The candidate VERIFY deliberately has
+    no Arrow route — measured slower, see _cell_join_topk — so the
+    assignment is the only switch this flips.)"""
+    import numpy as np
+
+    import token_etl_spark.operators.similarity as S
+
+    rng = np.random.default_rng(31)
+    vecs = rng.normal(size=(300, 8))
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = S.spherical_kmeans(emb, n_centroids=80, n_iters=1)
+    cents = cents.localCheckpoint(eager=True)
+
+    def run():
+        return sorted(
+            (
+                (r["query_id"], r["neighbor_id"], r["cosine_sim"], r["rank"])
+                for r in S.ivf_topk(
+                    emb, emb, k=5, n_centroids=80, n_probe=3, centroids=cents
+                ).collect()
+            )
+        )
+
+    real = S._ARROW_ASSIGN_MIN
+    try:
+        S._ARROW_ASSIGN_MIN = 64
+        via_arrow = run()
+        S._ARROW_ASSIGN_MIN = 10**9
+        via_decl = run()
+    finally:
+        S._ARROW_ASSIGN_MIN = real
+    assert via_arrow == via_decl

@@ -330,7 +330,7 @@ def ivf_assign(
     base = corpus.select(
         F.col(id_col).alias("corpus_id"), F.col(vec_col).cast("array<double>").alias("cv")
     )
-    assigned = _assign_to_centroids(base, cents)
+    assigned = _assign_to_centroids(base, cents, n_centroids_hint=n_centroids)
     return assigned, cents
 
 
@@ -441,6 +441,63 @@ def _assign_argmax_arrow(
             yield out
 
     return base.mapInPandas(gen, schema=out_schema)
+
+
+def _pair_cosine_arrow(
+    pairs: DataFrame,
+    va: str,
+    vb: str,
+    threshold: float | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Arrow-vectorized cosine over JOINED vector pairs — the scale
+    twin of ``cosine(va, vb)`` applied row-wise after a cell/cluster
+    join (the SemDeDup in-cluster verify and the IVF candidate verify
+    both reduce to exactly this shape, and the declarative HOF fold is
+    interpreted per element; r14 scaling probe). BIT-EXACT to
+    ``cosine`` by the same construction as :func:`_assign_argmax_arrow`:
+    sequential per-dimension accumulation for the dot and both norms,
+    multiply-then-divide. ``threshold`` filters (>=) without emitting
+    the value; ``out_col`` appends the cosine as a column; exactly one
+    must be given. Narrow (mapInPandas over the join output — no
+    shuffle added)."""
+    if (threshold is None) == (out_col is None):
+        raise ValueError("_pair_cosine_arrow: pass exactly one of threshold/out_col")
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = (
+        pairs.schema
+        if out_col is None
+        else StructType(list(pairs.schema.fields) + [StructField(out_col, DoubleType())])
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            A = np.array([np.asarray(v, dtype=np.float64) for v in pdf[va]])
+            B = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vb]])
+            dim = A.shape[1]
+            da = np.zeros(n)
+            db = np.zeros(n)
+            dd = np.zeros(n)
+            for i in range(dim):
+                ai, bi = A[:, i], B[:, i]
+                dd = dd + ai * bi
+                da = da + ai * ai
+                db = db + bi * bi
+            sims = dd / (np.sqrt(da) * np.sqrt(db))
+            if out_col is not None:
+                out = pdf.copy()
+                out[out_col] = sims
+                yield out
+            else:
+                yield pdf[sims >= threshold]
+
+    return pairs.mapInPandas(gen, schema=schema)
 
 
 def _assign_to_centroids(
@@ -597,6 +654,14 @@ def _cell_join_topk(
     cand = prb.join(asg, ["centroid_id", "_salt"])
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col("corpus_id"))
+    # NOTE (r14, measured): this verify deliberately does NOT route
+    # through _pair_cosine_arrow. Unlike the SemDeDup pair filter —
+    # where the threshold drops almost every pair INSIDE the Python
+    # worker, so little flows back — the rank window needs EVERY scored
+    # candidate, and shipping both 64-dim vectors per pair through
+    # Arrow costs more than the interpreted HOF fold saves (A/B at sf1
+    # nc=160: 38-44 s arrow vs 24-27 s declarative). The declarative
+    # cosine also keeps the verify fused with the join in one JVM stage.
     scored = cand.withColumn("cosine_sim", cosine(F.col("qv"), F.col("cv")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("corpus_id")
@@ -648,7 +713,7 @@ def ivf_topk(
             F.col(id_col).alias("corpus_id"),
             F.col(vec_col).cast("array<double>").alias("cv"),
         )
-        assigned = _assign_to_centroids(base, cents)
+        assigned = _assign_to_centroids(base, cents, n_centroids_hint=n_centroids)
     else:
         assigned, cents = ivf_assign(corpus, n_centroids, id_col, vec_col)
     q = queries.select(
@@ -1246,12 +1311,12 @@ def semantic_dedup(
             F.col("id").alias("id_b"), F.col("v").alias("vb"),
             F.col("centroid_sim").alias("sim_b"),
         )
-        pairs = (
-            cand.join(sa, "id_a")
-            .join(sb, "id_b")
-            .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
-            .select("id_a", "id_b", "sim_a", "sim_b")
-        )
+        joined = cand.join(sa, "id_a").join(sb, "id_b")
+        if n_centroids >= _ARROW_ASSIGN_MIN:
+            joined = _pair_cosine_arrow(joined, "va", "vb", threshold=threshold)
+        else:
+            joined = joined.filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+        pairs = joined.select("id_a", "id_b", "sim_a", "sim_b")
     else:
         paired_src = assigned
         if max_cluster is not None:
@@ -1295,12 +1360,14 @@ def semantic_dedup(
                 "_ps", F.explode(F.array(*[F.lit(i) for i in range(pair_salts)]))
             ).repartition(n_parts, "centroid_id", "_ps")
             join_keys = ["centroid_id", "_ps"]
-        pairs = (
-            a.join(b, join_keys)
-            .filter(F.col("id_a") != F.col("id_b"))
-            .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
-            .select("id_a", "id_b", "sim_a", "sim_b")
-        )
+        joined = a.join(b, join_keys).filter(F.col("id_a") != F.col("id_b"))
+        # scale regime: the in-cluster verify's HOF cosine routes through
+        # the bit-exact Arrow twin alongside the assignment (same switch)
+        if n_centroids >= _ARROW_ASSIGN_MIN:
+            joined = _pair_cosine_arrow(joined, "va", "vb", threshold=threshold)
+        else:
+            joined = joined.filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+        pairs = joined.select("id_a", "id_b", "sim_a", "sim_b")
     dup = (
         pairs.groupBy(F.col("id_b").alias("id"))
         .agg(
