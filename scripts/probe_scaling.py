@@ -145,7 +145,14 @@ def main() -> None:
         "operators' 100 TB contract prescribes (declared queries keep "
         "structural constants for the oracle replay)",
     )
-    ap.add_argument("--queries", nargs="*", default=None)
+    ap.add_argument(
+        "--queries",
+        nargs="*",
+        default=None,
+        help="declared-query subset to time (default: the probe set; "
+        "pass the literal 'none' to skip declared queries entirely — "
+        "e.g. with --scaled for a scaled-rows-only run)",
+    )
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     args = ap.parse_args()
 
@@ -166,7 +173,11 @@ def main() -> None:
     def force(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
-    names = args.queries or PROBE_QUERIES
+    names = (
+        []
+        if args.queries == ["none"]
+        else (args.queries or PROBE_QUERIES)
+    )
     # warmup: absorb codegen per plan shape at the smallest SF
     for name in names:
         force(SPECS[name].fn(spark, "/root/testdata/sf0.001"))

@@ -1154,3 +1154,39 @@ def test_ivf_topk_same_results_across_verify_routes(spark):
     finally:
         S._ARROW_ASSIGN_MIN = real
     assert via_arrow == via_decl
+
+
+def test_arrow_paths_refuse_zero_vectors(spark):
+    """The Arrow twins uphold cosine()'s nonzero-input contract: a
+    zero-norm corpus vector, centroid, or pair side raises loudly
+    (the declarative form raises ANSI DIVIDE_BY_ZERO; numpy would
+    silently score NaN and corrupt the argmax/filter downstream)."""
+    import pytest
+
+    from token_etl_spark.operators import similarity as S
+
+    base = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [0.0, 0.0])],
+        "corpus_id long, cv array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    with pytest.raises(Exception, match="zero-norm corpus vector"):
+        S._assign_argmax_arrow(base, cents, "cv", with_sim=False).collect()
+
+    zero_cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0])],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    good = base.where(F.col("corpus_id") == 0)
+    with pytest.raises(Exception, match="zero-norm centroid"):
+        S._assign_argmax_arrow(good, zero_cents, "cv", with_sim=False).collect()
+
+    pairs = spark.createDataFrame(
+        [(0, [1.0, 2.0], [0.0, 0.0])],
+        "pid long, va array<double>, vb array<double>",
+    )
+    with pytest.raises(Exception, match="zero-norm vector in pair"):
+        S._pair_cosine_arrow(pairs, "va", "vb", threshold=0.5).collect()

@@ -419,6 +419,13 @@ def _assign_argmax_arrow(
         for i in range(dim):
             cn = cn + C[:, i] * C[:, i]
         cn = np.sqrt(cn)
+        if np.any(cn == 0.0):
+            raise ValueError(
+                "zero-norm centroid vector — the nonzero-input contract "
+                "the declarative cosine() enforces via ANSI "
+                "DIVIDE_BY_ZERO; a directionless centroid is a training "
+                "bug, not a value"
+            )
         for pdf in batches:
             n = len(pdf)
             if n == 0:
@@ -432,6 +439,12 @@ def _assign_argmax_arrow(
                 ai = A[:, i]
                 an = an + ai * ai
                 dots = dots + ai[:, None] * C[None, :, i]
+            if np.any(an == 0.0):
+                raise ValueError(
+                    "zero-norm corpus vector — the nonzero-input contract "
+                    "the declarative cosine() enforces via ANSI "
+                    "DIVIDE_BY_ZERO (numpy would silently score NaN)"
+                )
             sims = dots / (np.sqrt(an)[:, None] * cn[None, :])
             best = np.argmax(sims, axis=1)
             out = pdf.copy()
@@ -489,6 +502,12 @@ def _pair_cosine_arrow(
                 dd = dd + ai * bi
                 da = da + ai * ai
                 db = db + bi * bi
+            if np.any(da == 0.0) or np.any(db == 0.0):
+                raise ValueError(
+                    "zero-norm vector in pair cosine — the nonzero-input "
+                    "contract the declarative cosine() enforces via ANSI "
+                    "DIVIDE_BY_ZERO (numpy would silently score NaN)"
+                )
             sims = dd / (np.sqrt(da) * np.sqrt(db))
             if out_col is not None:
                 out = pdf.copy()
