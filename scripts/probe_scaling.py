@@ -192,8 +192,17 @@ def main() -> None:
 
     rows = []
     for name in names:
-        t_small = timed(name, args.base)
-        t_big = timed(name, big_dir)
+        # a query that REFUSES at scale (an in-plan quadratic guard like
+        # max_bucket firing on the 10x corpus) is a designed outcome,
+        # not a probe failure — record it and keep probing
+        try:
+            t_small = timed(name, args.base)
+            t_big = timed(name, big_dir)
+        except Exception as e:  # noqa: BLE001
+            msg = str(e).split("\n")[0][:300]
+            rows.append({"query": name, "error": msg})
+            print(f"{name}: REFUSED/ERRORED at scale: {msg}", file=sys.stderr)
+            continue
         exp = math.log(t_big / t_small) / math.log(args.mult)
         rows.append({
             "query": name,
