@@ -1,8 +1,11 @@
 """Scaling-curve probe (VERDICT r13 item 3): generate a seeded ~10x
-documents/embeddings/events set locally, time the top headline rows at
-sf0.1 vs the new scale, and report OBSERVED scaling exponents — the
-cheapest way to catch a super-linear term before a real cluster does
-(all four no-CSE lambda traps looked linear until measured).
+testdata set locally (documents/embeddings/events AND the TPC-H star),
+time the top headline rows at sf0.1 vs the new scale, and report
+OBSERVED scaling exponents — the cheapest way to catch a super-linear
+term before a real cluster does (all four no-CSE lambda traps looked
+linear until measured). --tpch probes the join/agg family; --scaled
+re-measures the two re-parameterized ANN rows; guard refusals (an
+in-plan quadratic cap firing at 10x) are recorded as rows.
 
 The generated tables mimic the driver testdata's measured shape
 (profiled from /root/testdata/sf0.1, seed-deterministic, physical
@@ -57,9 +60,8 @@ LANGS = ["en", "es", "fr", "zh", "de"]
 LANG_W = [0.41, 0.15, 0.15, 0.15, 0.14]
 EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
-#: the probe's default query set — the most expensive headline rows that
-#: read ONLY the generated tables (documents / embeddings / events; the
-#: TPC-H star stays at driver scales)
+#: the probe's default query set — the most expensive headline rows
+#: over documents / embeddings / events (--tpch switches to the star)
 PROBE_QUERIES = [
     "ext_ingest_pipeline",
     "ext_semantic_dedup",
@@ -124,11 +126,120 @@ def gen_events(out: str, n: int, seed: int = 423) -> None:
     pq.write_table(tbl, f"{out}/events.parquet")
 
 
+#: the TPC-H-family probe set (--tpch): the heaviest join/agg headline
+#: and breadth rows over the star schema
+TPCH_PROBE_QUERIES = [
+    "tpch_pricing_summary",
+    "tpch_segment_priority",
+    "tpch_brand_revenue",
+    "tpch_market_share",
+    "tpch_profit_by_nation_year",
+    "tpch_min_cost_supplier",
+    "tpch_order_count_distribution",
+    "tpch_forecast_revenue",
+]
+
+_PART_ADJ = ["large", "small", "new", "old", "hot", "cold", "blue", "red"]
+_PART_NOUN = ["anvil", "bolt", "gear", "gizmo", "plate", "ring", "rod", "widget"]
+_PART_TYPES = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+_SEGMENTS = ["MACHINERY", "HOUSEHOLD", "AUTOMOBILE", "BUILDING", "FURNITURE"]
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _dates(rng, lo: str, hi: str, n: int):
+    a = np.datetime64(lo, "us").astype("int64")
+    b = np.datetime64(hi, "us").astype("int64")
+    # day-granular draws like the driver testdata (both bounds observed
+    # midnight-aligned)
+    day = 86_400_000_000
+    return (
+        (rng.integers(a // day, b // day + 1, size=n) * day)
+        .astype("datetime64[us]")
+    )
+
+
+def gen_tpch(out: str, mult: int, seed: int = 424) -> None:
+    """10× TPC-H-ish star mimicking the driver testdata's measured
+    shape: every profiled column is uniform and cross-independent
+    (statuses/flags uniform thirds-or-halves, discount U(0,0.1) and tax
+    U(0,0.08) rounded to 2dp, dates uniform over the observed windows,
+    ~Poisson(4) lineitems per order via uniform orderkey draws, foreign
+    keys uniform over the parent ranges). region/nation are the FIXED
+    tiny dims — copied verbatim from the read-only driver set."""
+    rng = np.random.default_rng(seed)
+    for dim in ("region", "nation"):
+        pq.write_table(
+            pq.read_table(f"/root/testdata/sf0.1/{dim}.parquet"),
+            f"{out}/{dim}.parquet",
+        )
+    n_cust, n_supp, n_part = 15_000 * mult, 1_000 * mult, 20_000 * mult
+    n_ord, n_li = 150_000 * mult, 600_000 * mult
+
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(np.arange(n_cust), pa.int64()),
+        "c_name": pa.array([f"Customer#{i:09d}" for i in range(n_cust)]),
+        "c_nationkey": pa.array(rng.integers(0, 25, n_cust).astype(np.int32), pa.int32()),
+        "c_acctbal": pa.array(np.round(rng.uniform(-1000, 10_000, n_cust), 2)),
+        "c_mktsegment": pa.array(rng.choice(_SEGMENTS, n_cust)),
+    }), f"{out}/customer.parquet")
+
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array(np.arange(n_supp), pa.int64()),
+        "s_name": pa.array([f"Supplier#{i:09d}" for i in range(n_supp)]),
+        "s_nationkey": pa.array(rng.integers(0, 25, n_supp).astype(np.int32), pa.int32()),
+        "s_acctbal": pa.array(np.round(rng.uniform(-1000, 10_000, n_supp), 2)),
+    }), f"{out}/supplier.parquet")
+
+    adj = rng.choice(_PART_ADJ, n_part)
+    noun = rng.choice(_PART_NOUN, n_part)
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(np.arange(n_part), pa.int64()),
+        "p_name": pa.array([f"{a} {b}" for a, b in zip(adj, noun)]),
+        "p_brand": pa.array([f"Brand#{i}" for i in rng.integers(1, 26, n_part)]),
+        "p_type": pa.array(rng.choice(_PART_TYPES, n_part)),
+        "p_size": pa.array(rng.integers(1, 51, n_part).astype(np.int32), pa.int32()),
+        "p_retailprice": pa.array(np.round(rng.uniform(900, 1000, n_part), 2)),
+    }), f"{out}/part.parquet")
+
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(np.arange(n_ord), pa.int64()),
+        "o_custkey": pa.array(rng.integers(0, n_cust, n_ord), pa.int64()),
+        "o_orderstatus": pa.array(rng.choice(["O", "P", "F"], n_ord)),
+        "o_totalprice": pa.array(np.round(rng.uniform(1000, 500_000, n_ord), 2)),
+        "o_orderdate": pa.array(_dates(rng, "1995-01-01", "2001-08-01", n_ord), pa.timestamp("us")),
+        "o_orderpriority": pa.array(rng.choice(_PRIORITIES, n_ord)),
+    }), f"{out}/orders.parquet")
+
+    keys = np.sort(rng.integers(0, n_ord, size=n_li))
+    counts = np.bincount(keys, minlength=n_ord)
+    present = counts[counts > 0]
+    run_starts = np.repeat(np.cumsum(present) - present, present)
+    linenumber = (np.arange(n_li) - run_starts + 1).astype(np.int32)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(keys, pa.int64()),
+        "l_partkey": pa.array(rng.integers(0, n_part, n_li), pa.int64()),
+        "l_suppkey": pa.array(rng.integers(0, n_supp, n_li), pa.int64()),
+        "l_linenumber": pa.array(linenumber, pa.int32()),
+        "l_quantity": pa.array(rng.integers(1, 51, n_li).astype(np.float64)),
+        "l_extendedprice": pa.array(np.round(rng.uniform(900, 105_000, n_li), 2)),
+        "l_discount": pa.array(np.round(rng.uniform(0, 0.1, n_li), 2)),
+        "l_tax": pa.array(np.round(rng.uniform(0, 0.08, n_li), 2)),
+        "l_returnflag": pa.array(rng.choice(["N", "A", "R"], n_li)),
+        "l_linestatus": pa.array(rng.choice(["O", "F"], n_li)),
+        "l_shipdate": pa.array(_dates(rng, "1995-01-02", "2001-11-04", n_li), pa.timestamp("us")),
+    }), f"{out}/lineitem.parquet")
+
+
 def generate(out: str, mult: int) -> None:
     os.makedirs(out, exist_ok=True)
-    gen_documents(out, 5000 * mult)
-    gen_embeddings(out, 2000 * mult)
-    gen_events(out, 100_000 * mult)
+    if not os.path.exists(f"{out}/documents.parquet"):
+        gen_documents(out, 5000 * mult)
+    if not os.path.exists(f"{out}/embeddings.parquet"):
+        gen_embeddings(out, 2000 * mult)
+    if not os.path.exists(f"{out}/events.parquet"):
+        gen_events(out, 100_000 * mult)
+    if not os.path.exists(f"{out}/lineitem.parquet"):
+        gen_tpch(out, mult)
 
 
 def main() -> None:
@@ -136,6 +247,12 @@ def main() -> None:
     ap.add_argument("--mult", type=int, default=10, help="scale vs sf0.1")
     ap.add_argument("--runs", type=int, default=2, help="runs per point (median)")
     ap.add_argument("--gen-only", action="store_true")
+    ap.add_argument(
+        "--tpch",
+        action="store_true",
+        help="probe the TPC-H join/agg family (TPCH_PROBE_QUERIES) "
+        "instead of the default document/embedding/event set",
+    )
     ap.add_argument(
         "--scaled",
         action="store_true",
@@ -158,7 +275,10 @@ def main() -> None:
 
     repo = Path(__file__).resolve().parent.parent
     big_dir = str(repo / ".probe_data" / f"sf{round(0.1 * args.mult, 4)}")
-    if not os.path.exists(f"{big_dir}/events.parquet"):
+    if not all(
+        os.path.exists(f"{big_dir}/{t}.parquet")
+        for t in ("events", "documents", "embeddings", "lineitem")
+    ):
         print(f"generating {big_dir} (mult={args.mult}, seeded) ...", file=sys.stderr)
         generate(big_dir, args.mult)
     if args.gen_only:
@@ -173,10 +293,11 @@ def main() -> None:
     def force(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
+    default_set = TPCH_PROBE_QUERIES if args.tpch else PROBE_QUERIES
     names = (
         []
         if args.queries == ["none"]
-        else (args.queries or PROBE_QUERIES)
+        else (args.queries or default_set)
     )
     # warmup: absorb codegen per plan shape at the smallest SF
     for name in names:
