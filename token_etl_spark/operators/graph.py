@@ -38,6 +38,16 @@ def connected_components(
     tiny diameters, so the default k=2 typically means exactly ONE probe
     before exit. ``probe_every=0`` disables probing entirely (pure
     fixed-iteration mode: zero driver syncs beyond the checkpoints)."""
+    # The union below references ``pairs`` TWICE (u→v and v→u): without a
+    # cut, the caller's whole pair-production plan — for the LSH callers
+    # that is shingle → signature → band → window → Jaccard verify —
+    # executes once per branch inside the first eager job (measured: the
+    # near-dup eager build at sf0.1 spent 10.5 s here, ~2× the 5 s the
+    # chain costs once). A LAZY localCheckpoint materializes the pairs
+    # exactly once at that first job and both branches read the stored
+    # blocks; lazy (not eager) so no extra job launches for callers whose
+    # pair frame is already materialized.
+    pairs = pairs.localCheckpoint(eager=False)
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))

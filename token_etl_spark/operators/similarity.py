@@ -40,6 +40,19 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine(a, b)`` with both norms precomputed as columns:
+    bit-identical floats (same dot fold, same ``norm(a) * norm(b)``
+    multiply order on the same input bits) while letting join/argmax
+    call sites evaluate each row's norm ONCE instead of once per
+    candidate pair. The higher-order-function folds are interpreted
+    per element (never whole-stage-codegen'd — guide §4), so dropping
+    from 3 folds per pair (dot + 2 norms) to 1 (dot only) cuts the
+    dominant per-pair cost ~3× — measured 3.0 → 1.3 s on the sf0.1
+    SemDeDup in-cluster verify with an identical surviving pair set."""
+    return dot(a, b) / (na * nb)
+
+
 def l2_normalize(a: Column) -> Column:
     """Unit-normalize an array<double> column (JVM-side). On the unit
     sphere cosine similarity reduces to a plain dot product, which is what
@@ -64,12 +77,18 @@ def brute_force_topk(
     neighbor id for determinism."""
     q = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv"))
+        .withColumn("_qn", norm(F.col("qv")))
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    ).withColumn("_cn", norm(F.col("cv")))
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cosine_sim",
+            cosine_pre(F.col("qv"), F.col("cv"), F.col("_qn"), F.col("_cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return (
@@ -185,15 +204,22 @@ def lsh_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("bucket", lsh_bucket(F.col("cv"), planes))
+    ).withColumn("bucket", lsh_bucket(F.col("cv"), planes)).withColumn(
+        "_cn", norm(F.col("cv"))
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("bucket", lsh_bucket(F.col("qv"), planes))
+    ).withColumn("bucket", lsh_bucket(F.col("qv"), planes)).withColumn(
+        "_qn", norm(F.col("qv"))
+    )
     scored = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cosine_sim",
+            cosine_pre(F.col("qv"), F.col("cv"), F.col("_qn"), F.col("_cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return (
@@ -247,11 +273,15 @@ def lsh_multiprobe_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("bucket", lsh_bucket(F.col("cv"), planes))
+    ).withColumn("bucket", lsh_bucket(F.col("cv"), planes)).withColumn(
+        "_cn", norm(F.col("cv"))
+    )
     qb = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("bucket", lsh_bucket(F.col("qv"), planes))
+    ).withColumn("bucket", lsh_bucket(F.col("qv"), planes)).withColumn(
+        "_qn", norm(F.col("qv"))
+    )
     if probe_t is not None:
         margins = F.array(
             *[
@@ -284,13 +314,17 @@ def lsh_multiprobe_topk(
         probe = F.explode(
             F.array(*[F.lit(m_).cast("long") for m_ in masks])
         ).alias("mask")
-    q = qb.select("query_id", "qv", "bucket", probe).select(
-        "query_id", "qv", F.col("bucket").bitwiseXOR(F.col("mask")).alias("bucket")
+    q = qb.select("query_id", "qv", "_qn", "bucket", probe).select(
+        "query_id", "qv", "_qn",
+        F.col("bucket").bitwiseXOR(F.col("mask")).alias("bucket"),
     )
     scored = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cosine_sim",
+            cosine_pre(F.col("qv"), F.col("cv"), F.col("_qn"), F.col("_cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
@@ -543,22 +577,38 @@ def _assign_to_centroids(
     the gate constants (16) keep the declarative, job-free-build form."""
     if n_centroids_hint is not None and n_centroids_hint >= _ARROW_ASSIGN_MIN:
         return _assign_argmax_arrow(base, cents, "cv", with_sim=False)
+    # Norms precomputed once per row (and once per centroid inside the
+    # broadcast struct) instead of once per (row, centroid): the cosine
+    # values are bit-identical (cosine_pre) while the interpreted fold
+    # count per row drops from 3 x n_centroids to n_centroids + 1.
     carr = F.broadcast(
         cents.agg(
-            F.collect_list(F.struct("centroid_id", "centroid_vec")).alias("_cents")
+            F.collect_list(
+                F.struct(
+                    F.col("centroid_id"),
+                    F.col("centroid_vec"),
+                    norm(F.col("centroid_vec")).alias("cnorm"),
+                )
+            ).alias("_cents")
         )
     )
     best = F.array_max(
         F.transform(
             F.col("_cents"),
             lambda c: F.struct(
-                cosine(F.col("cv"), c.getField("centroid_vec")).alias("sim"),
+                cosine_pre(
+                    F.col("cv"),
+                    c.getField("centroid_vec"),
+                    F.col("_nv"),
+                    c.getField("cnorm"),
+                ).alias("sim"),
                 (-c.getField("centroid_id")).alias("neg_id"),
             ),
         )
     )
     return (
-        base.join(carr)
+        base.withColumn("_nv", norm(F.col("cv")))
+        .join(carr)
         .withColumn("_best", best)
         .select("corpus_id", "cv", (-F.col("_best.neg_id")).alias("centroid_id"))
     )
@@ -664,10 +714,13 @@ def _cell_join_topk(
     """
     spark = probes.sparkSession
     n_parts = spark.sparkContext.defaultParallelism
-    asg = assigned.withColumn(
+    # norms once per corpus row / probe row, BEFORE the cell join (one
+    # extra double per row through the exchange, ~3× less interpreted
+    # fold work per scored pair — cosine_pre, bit-identical)
+    asg = assigned.withColumn("_cn", norm(F.col("cv"))).withColumn(
         "_salt", F.pmod(F.xxhash64("corpus_id"), F.lit(n_salts)).cast("int")
     ).repartition(n_parts, "centroid_id", "_salt")
-    prb = probes.withColumn(
+    prb = probes.withColumn("_qn", norm(F.col("qv"))).withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     ).repartition(n_parts, "centroid_id", "_salt")
     cand = prb.join(asg, ["centroid_id", "_salt"])
@@ -681,7 +734,10 @@ def _cell_join_topk(
     # Arrow costs more than the interpreted HOF fold saves (A/B at sf1
     # nc=160: 38-44 s arrow vs 24-27 s declarative). The declarative
     # cosine also keeps the verify fused with the join in one JVM stage.
-    scored = cand.withColumn("cosine_sim", cosine(F.col("qv"), F.col("cv")))
+    scored = cand.withColumn(
+        "cosine_sim",
+        cosine_pre(F.col("qv"), F.col("cv"), F.col("_qn"), F.col("_cn")),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("corpus_id")
     )
@@ -738,7 +794,18 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
     )
-    q_scored = q.join(cents).withColumn("sim", cosine(F.col("qv"), F.col("centroid_vec")))
+    # query norm once per query (not once per centroid), centroid norm
+    # once per centroid row — bit-identical ranking (cosine_pre)
+    q_scored = (
+        q.withColumn("_qn", norm(F.col("qv")))
+        .join(cents.withColumn("_cn", norm(F.col("centroid_vec"))))
+        .withColumn(
+            "sim",
+            cosine_pre(
+                F.col("qv"), F.col("centroid_vec"), F.col("_qn"), F.col("_cn")
+            ),
+        )
+    )
     wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
     probes = (
         q_scored.withColumn("rn", F.row_number().over(wq))
@@ -828,7 +895,18 @@ def ivf_search_frames(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
     )
-    q_scored = q.join(cents).withColumn("sim", cosine(F.col("qv"), F.col("centroid_vec")))
+    # query norm once per query (not once per centroid), centroid norm
+    # once per centroid row — bit-identical ranking (cosine_pre)
+    q_scored = (
+        q.withColumn("_qn", norm(F.col("qv")))
+        .join(cents.withColumn("_cn", norm(F.col("centroid_vec"))))
+        .withColumn(
+            "sim",
+            cosine_pre(
+                F.col("qv"), F.col("centroid_vec"), F.col("_qn"), F.col("_cn")
+            ),
+        )
+    )
     wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
     probes = (
         q_scored.withColumn("rn", F.row_number().over(wq))
@@ -988,15 +1066,24 @@ def embedding_near_dups(
     """Embedding-cosine near-duplicate pairs via LSH self-join: pairs in
     the same bucket with cosine ≥ threshold, id_a < id_b."""
     planes = _hyperplanes(dim, n_planes, seed)
-    base = corpus.select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-    ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
-    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
-    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    base = (
+        corpus.select(
+            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .withColumn("bucket", lsh_bucket(F.col("v"), planes))
+        .withColumn("_n", norm(F.col("v")))
+    )
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket",
+                    F.col("_n").alias("_na"))
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket",
+                    F.col("_n").alias("_nb"))
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_sim", cosine(F.col("va"), F.col("vb")))
+        .withColumn(
+            "cosine_sim",
+            cosine_pre(F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb")),
+        )
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
@@ -1039,23 +1126,35 @@ def semantic_decontaminate(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
+    # bn is the THIRD struct field, so array_sort still orders on the
+    # unique bid first — identical fold order, norms computed once per
+    # benchmark vector instead of once per (corpus row, benchmark row)
     barr = F.broadcast(
         benchmark.select(
             F.col(bench_id_col).alias("bid"),
             F.col(bench_vec_col).cast("array<double>").alias("bv"),
-        ).agg(F.array_sort(F.collect_list(F.struct("bid", "bv"))).alias("_bench"))
+        ).agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("bid"), F.col("bv"), norm(F.col("bv")).alias("bn"))
+                )
+            ).alias("_bench")
+        )
     )
     best = F.array_max(
         F.transform(
             F.col("_bench"),
             lambda s: F.struct(
-                cosine(F.col("v"), s.getField("bv")).alias("sim"),
+                cosine_pre(
+                    F.col("v"), s.getField("bv"), F.col("_nv"), s.getField("bn")
+                ).alias("sim"),
                 (-s.getField("bid")).alias("neg_id"),
             ),
         )
     )
     return (
-        base.join(barr)
+        base.withColumn("_nv", norm(F.col("v")))
+        .join(barr)
         .withColumn("_best", best)
         .select(
             "id",
@@ -1110,20 +1209,35 @@ def _assign_with_sim(
     if n_centroids >= _ARROW_ASSIGN_MIN:
         out = _assign_argmax_arrow(base, cents, "v", with_sim=True)
         return out.localCheckpoint(eager=False) if checkpoint else out
+    # norms once per row / per centroid — see _assign_to_centroids
     carr = F.broadcast(
-        cents.agg(F.collect_list(F.struct("centroid_id", "centroid_vec")).alias("_cents"))
+        cents.agg(
+            F.collect_list(
+                F.struct(
+                    F.col("centroid_id"),
+                    F.col("centroid_vec"),
+                    norm(F.col("centroid_vec")).alias("cnorm"),
+                )
+            ).alias("_cents")
+        )
     )
     best = F.array_max(
         F.transform(
             F.col("_cents"),
             lambda c: F.struct(
-                cosine(F.col("v"), c.getField("centroid_vec")).alias("sim"),
+                cosine_pre(
+                    F.col("v"),
+                    c.getField("centroid_vec"),
+                    F.col("_nv"),
+                    c.getField("cnorm"),
+                ).alias("sim"),
                 (-c.getField("centroid_id")).alias("neg_id"),
             ),
         )
     )
     out = (
-        base.join(carr)
+        base.withColumn("_nv", norm(F.col("v")))
+        .join(carr)
         .withColumn("_b", best)
         .select(
             "id",
@@ -1205,7 +1319,13 @@ def _probe_cells(
     )
     carr = F.broadcast(
         cents.agg(
-            F.collect_list(F.struct("centroid_id", "centroid_vec")).alias("_cents")
+            F.collect_list(
+                F.struct(
+                    F.col("centroid_id"),
+                    F.col("centroid_vec"),
+                    norm(F.col("centroid_vec")).alias("cnorm"),
+                )
+            ).alias("_cents")
         )
     )
     ranked = F.slice(
@@ -1214,7 +1334,12 @@ def _probe_cells(
                 F.transform(
                     F.col("_cents"),
                     lambda c: F.struct(
-                        cosine(F.col("v"), c.getField("centroid_vec")).alias("sim"),
+                        cosine_pre(
+                            F.col("v"),
+                            c.getField("centroid_vec"),
+                            F.col("_nv"),
+                            c.getField("cnorm"),
+                        ).alias("sim"),
                         (-c.getField("centroid_id")).alias("neg_id"),
                     ),
                 )
@@ -1224,7 +1349,8 @@ def _probe_cells(
         n_assign,
     )
     return (
-        base.join(carr)
+        base.withColumn("_nv", norm(F.col("v")))
+        .join(carr)
         .select("id", F.explode(ranked).alias("_c"))
         .select("id", (-F.col("_c.neg_id")).alias("cell"))
     )
@@ -1325,16 +1451,19 @@ def semantic_dedup(
         sa = assigned.select(
             F.col("id").alias("id_a"), F.col("v").alias("va"),
             F.col("centroid_sim").alias("sim_a"),
-        )
+        ).withColumn("_na", norm(F.col("va")))
         sb = assigned.select(
             F.col("id").alias("id_b"), F.col("v").alias("vb"),
             F.col("centroid_sim").alias("sim_b"),
-        )
+        ).withColumn("_nb", norm(F.col("vb")))
         joined = cand.join(sa, "id_a").join(sb, "id_b")
         if n_centroids >= _ARROW_ASSIGN_MIN:
             joined = _pair_cosine_arrow(joined, "va", "vb", threshold=threshold)
         else:
-            joined = joined.filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+            joined = joined.filter(
+                cosine_pre(F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb"))
+                >= threshold
+            )
         pairs = joined.select("id_a", "id_b", "sim_a", "sim_b")
     else:
         paired_src = assigned
@@ -1350,13 +1479,13 @@ def semantic_dedup(
             F.col("v").alias("va"),
             "centroid_id",
             F.col("centroid_sim").alias("sim_a"),
-        )
+        ).withColumn("_na", norm(F.col("va")))
         b = paired_src.select(
             F.col("id").alias("id_b"),
             F.col("v").alias("vb"),
             "centroid_id",
             F.col("centroid_sim").alias("sim_b"),
-        )
+        ).withColumn("_nb", norm(F.col("vb")))
         join_keys = ["centroid_id"]
         if pair_salts > 1:
             # Opt-in 2D-block salt for the in-cluster SELF-join — the
@@ -1385,7 +1514,10 @@ def semantic_dedup(
         if n_centroids >= _ARROW_ASSIGN_MIN:
             joined = _pair_cosine_arrow(joined, "va", "vb", threshold=threshold)
         else:
-            joined = joined.filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+            joined = joined.filter(
+                cosine_pre(F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb"))
+                >= threshold
+            )
         pairs = joined.select("id_a", "id_b", "sim_a", "sim_b")
     dup = (
         pairs.groupBy(F.col("id_b").alias("id"))
@@ -1775,8 +1907,15 @@ def ivfpq_topk(
         F.col(id_col).alias("query_id"),
         l2_normalize(F.col(vec_col).cast("array<double>")).alias("qv"),
     )
-    q_scored = q.join(F.broadcast(coarse)).withColumn(
-        "sim", cosine(F.col("qv"), F.col("centroid_vec"))
+    q_scored = (
+        q.withColumn("_qn", norm(F.col("qv")))
+        .join(F.broadcast(coarse.withColumn("_cn", norm(F.col("centroid_vec")))))
+        .withColumn(
+            "sim",
+            cosine_pre(
+                F.col("qv"), F.col("centroid_vec"), F.col("_qn"), F.col("_cn")
+            ),
+        )
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
     probes = (
@@ -1852,7 +1991,12 @@ def _residual_subs(
     carr = F.broadcast(
         coarse.agg(
             F.collect_list(
-                F.struct("centroid_id", "centroid_vec", "centroid_mean")
+                F.struct(
+                    F.col("centroid_id"),
+                    F.col("centroid_vec"),
+                    F.col("centroid_mean"),
+                    norm(F.col("centroid_vec")).alias("cnorm"),
+                )
             ).alias("_cents")
         )
     )
@@ -1860,12 +2004,18 @@ def _residual_subs(
         F.transform(
             F.col("_cents"),
             lambda c: F.struct(
-                cosine(F.col("nv"), c.getField("centroid_vec")).alias("sim"),
+                cosine_pre(
+                    F.col("nv"),
+                    c.getField("centroid_vec"),
+                    F.col("_nn"),
+                    c.getField("cnorm"),
+                ).alias("sim"),
                 (-c.getField("centroid_id")).alias("neg_id"),
                 c.getField("centroid_mean").alias("cm"),
             ),
         )
     )
+    base = base.withColumn("_nn", norm(F.col("nv")))
     resid = base.join(carr).withColumn("_b", best).select(
         "vec_id",
         (-F.col("_b.neg_id")).alias("centroid_id"),
@@ -1981,8 +2131,15 @@ def ivfpq_residual_topk(
         F.col(id_col).alias("query_id"),
         l2_normalize(F.col(vec_col).cast("array<double>")).alias("qv"),
     )
-    q_scored = q.join(F.broadcast(coarse)).withColumn(
-        "sim", cosine(F.col("qv"), F.col("centroid_vec"))
+    q_scored = (
+        q.withColumn("_qn", norm(F.col("qv")))
+        .join(F.broadcast(coarse.withColumn("_cn", norm(F.col("centroid_vec")))))
+        .withColumn(
+            "sim",
+            cosine_pre(
+                F.col("qv"), F.col("centroid_vec"), F.col("_qn"), F.col("_cn")
+            ),
+        )
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
     probes = (
@@ -2068,17 +2225,20 @@ def exact_rerank(
     cv = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         l2_normalize(F.col(vec_col).cast("array<double>")).alias("cv"),
-    )
+    ).withColumn("_cn", norm(F.col("cv")))
     qv = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
             l2_normalize(F.col(vec_col).cast("array<double>")).alias("qv"),
-        )
+        ).withColumn("_qn", norm(F.col("qv")))
     )
     scored = (
         cv.join(cand, "neighbor_id")
         .join(qv, "query_id")
-        .withColumn("cosine_sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cosine_sim",
+            cosine_pre(F.col("qv"), F.col("cv"), F.col("_qn"), F.col("_cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")

@@ -136,6 +136,7 @@ def prepare_corpus(
     """
     # --- crawl-ingest tier (extraction → domain gate → repetition gate)
     ingest_cache = None
+    gate_caches: list[DataFrame] = []
     if extract_html:
         # fan a narrow-split source across the session's parallelism
         # (VERDICT r13 item 4): a corpus read from few parquet splits —
@@ -193,6 +194,14 @@ def prepare_corpus(
             blocklist=domain_blocklist,
             suffixes=domain_suffixes,
         )
+        # The flagged frame feeds BOTH the downstream pipeline (filtered
+        # docs) and the decision frame's domain_flags join. Without a
+        # cut, the final decision job recomputes the whole domain gate
+        # (stats aggregation + reputation join) a second time — measured
+        # as most of the 4.3 s decision stage at sf0.1. Same pattern for
+        # the repetition gate below.
+        flagged = flagged.persist()
+        gate_caches.append(flagged)
         domain_flags = flagged.select("doc_id", "domain", "domain_kept")
         # domain-rejected documents never reach per-document compute
         docs = flagged.where(F.col("domain_kept")).select(
@@ -205,6 +214,9 @@ def prepare_corpus(
         from token_etl_spark.operators.text import gopher_repetition_filter
 
         rep = gopher_repetition_filter(docs)
+        # two consumers (flags + filtered docs) — cut like flagged above
+        rep = rep.persist()
+        gate_caches.append(rep)
         repetition_flags = rep.select(
             "doc_id",
             F.col("keep").alias("passed_repetition"),
@@ -310,6 +322,8 @@ def prepare_corpus(
     # components iterate to a fixpoint.
     decisions = decisions.localCheckpoint(eager=True)
     scored.unpersist()
+    for cached in gate_caches:
+        cached.unpersist()
     if ingest_cache is not None:
         ingest_cache.unpersist()
     return decisions
