@@ -281,8 +281,11 @@ def minhash_dedup_clusters(
             edges = jaccard_verify(edges, arrays, threshold).select("id_a", "id_b")
         # connected_components localCheckpoints every round, so its result
         # no longer references `arrays` — safe to release the cache here
-        # instead of leaking it across calls.
-        return connected_components(edges)
+        # instead of leaking it across calls. Star edges are distinct
+        # with rep < id by construction (bucket-min rep, post-distinct;
+        # verify only removes rows) — the symmetrized edge set therefore
+        # has no duplicates and CC skips its edge-dedup shuffle.
+        return connected_components(edges, pairs_ordered_distinct=True)
     finally:
         arrays.unpersist()
 

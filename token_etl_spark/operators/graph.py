@@ -25,19 +25,30 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 10,
-    probe_every: int = 2,
+    probe_every: int = 1,
+    pairs_ordered_distinct: bool = False,
 ) -> DataFrame:
     """(id_a, id_b) edges → (id, component) with component = min node id
     in the component. Converges in O(diameter) rounds (capped).
 
-    The convergence probe (did any label change?) is one small but
-    SERIAL driver job; probing every round doubles the per-round job
-    count for graphs that converge slowly. ``probe_every=k`` checks only
-    every k-th round — worst case k-1 extra (cheap, already-converged)
-    compute rounds in exchange for 1/k the probe jobs. Dedup graphs have
-    tiny diameters, so the default k=2 typically means exactly ONE probe
-    before exit. ``probe_every=0`` disables probing entirely (pure
-    fixed-iteration mode: zero driver syncs beyond the checkpoints)."""
+    The convergence probe no longer joins old-vs-new labels: each round
+    carries its own per-row ``_changed`` flag into the checkpoint, so
+    the probe is a limit-1 scan of blocks the round already wrote — no
+    shuffle, no second frame. That makes probing every round (the new
+    ``probe_every=1`` default) strictly cheaper than computing one
+    already-converged extra round: dedup star graphs reach the fixpoint
+    AT INIT (every member's min neighbor IS the cluster rep), so the
+    old k=2 default always paid one full wasted round — measured
+    0.99 → 0.70 s per call on the sf0.1 ingest chain (rounds 2 → 1),
+    identical components. ``probe_every=0`` disables probing entirely
+    (pure fixed-iteration mode: zero driver syncs beyond the
+    checkpoints).
+
+    ``pairs_ordered_distinct=True`` declares the input pair set is
+    already distinct with ``src < dst`` per row (the LSH star-edge /
+    verified-candidate contract): the symmetrized edge union then
+    cannot contain duplicates, and the edge-dedup ``distinct()`` — one
+    full shuffle of the edge set — is skipped outright."""
     # The union below references ``pairs`` TWICE (u→v and v→u): without a
     # cut, the caller's whole pair-production plan — for the LSH callers
     # that is shingle → signature → band → window → Jaccard verify —
@@ -48,11 +59,11 @@ def connected_components(
     # blocks; lazy (not eager) so no extra job launches for callers whose
     # pair frame is already materialized.
     pairs = pairs.localCheckpoint(eager=False)
-    edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
+    edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
+    if not pairs_ordered_distinct:
+        edges = edges.distinct()
     edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.groupBy("u")
@@ -72,6 +83,7 @@ def connected_components(
             F.least(
                 F.col("component"), F.coalesce(F.col("neighbor_min"), F.col("component"))
             ).alias("component"),
+            F.col("component").alias("_prev"),
         )
         # pointer doubling: component ← component's component (turns
         # O(diameter) rounds into O(log diameter))
@@ -83,29 +95,37 @@ def connected_components(
             F.least(F.col("component"), F.coalesce(F.col("cc"), F.col("component"))).alias(
                 "component"
             ),
+            "_prev",
         )
         # localCheckpoint truncates lineage — without it each round's plan
         # nests the previous one and planning time grows without bound.
-        new_labels = doubled.localCheckpoint(eager=True)
+        # The checkpoint carries the round's own change flag so the
+        # convergence probe below is a narrow limit-1 read of these
+        # blocks — no old-vs-new join, no shuffle.
+        new_labels = doubled.withColumn(
+            "_changed", F.col("component") != F.col("_prev")
+        ).drop("_prev").localCheckpoint(eager=True)
         if probe_every and (it + 1) % probe_every == 0:
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.component") != F.col("o.component"))
-                .limit(1)
-                .count()
-            )
+            changed = new_labels.where(F.col("_changed")).limit(1).count()
             if changed == 0:
-                return new_labels
-        labels = new_labels
+                return new_labels.select("id", "component")
+        labels = new_labels.select("id", "component")
     return labels
 
 
-def dedup_keep_list(pairs: DataFrame, all_ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def dedup_keep_list(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str = "doc_id",
+    pairs_ordered_distinct: bool = False,
+) -> DataFrame:
     """Full-dataset dedup decision: every id → (id, keep) where keep is
     true for the representative (min id) of its duplicate cluster and for
-    all singletons (ids appearing in no pair)."""
-    comps = connected_components(pairs)
+    all singletons (ids appearing in no pair). ``pairs_ordered_distinct``
+    passes through to :func:`connected_components` (skip the edge-dedup
+    shuffle when the pair set is already distinct with id_a < id_b — the
+    ``minhash_dedup`` / verified-LSH output contract)."""
+    comps = connected_components(pairs, pairs_ordered_distinct=pairs_ordered_distinct)
     reps = comps.groupBy("component").agg(F.min("id").alias("rep"))
     decided = comps.join(reps, "component").select(
         F.col("id").alias(id_col), (F.col("id") == F.col("rep")).alias("keep")

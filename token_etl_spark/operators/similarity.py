@@ -788,7 +788,15 @@ def ivf_topk(
             F.col(id_col).alias("corpus_id"),
             F.col(vec_col).cast("array<double>").alias("cv"),
         )
-        assigned = _assign_to_centroids(base, cents, n_centroids_hint=n_centroids)
+        # a SUPPLIED quantizer routes on its real row count (ADVICE r14);
+        # the self-trained one has exactly n_centroids rows (no job)
+        assigned = _assign_to_centroids(
+            base,
+            cents,
+            n_centroids_hint=(
+                n_centroids if centroids is None else centroids.count()
+            ),
+        )
     else:
         assigned, cents = ivf_assign(corpus, n_centroids, id_col, vec_col)
     q = queries.select(
@@ -839,7 +847,13 @@ def build_ivf_index_frames(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
-    assigned = _assign_to_centroids(base, F.broadcast(cents))
+    # a SUPPLIED quantizer routes on its real row count (ADVICE r14);
+    # the self-trained one has exactly n_centroids rows (no job)
+    assigned = _assign_to_centroids(
+        base,
+        F.broadcast(cents),
+        n_centroids_hint=(n_centroids if centroids is None else centroids.count()),
+    )
     return cents, assigned
 
 
@@ -1175,6 +1189,7 @@ def _assign_with_sim(
     vec_col: str,
     centroids: DataFrame | None = None,
     checkpoint: bool = True,
+    n_centroids_hint: int | None = None,
 ) -> DataFrame:
     """Train spherical k-means (or accept a PRE-TRAINED ``centroids``
     frame — (centroid_id, centroid_vec), e.g. from ``spherical_kmeans``)
@@ -1194,7 +1209,16 @@ def _assign_with_sim(
     an AQE query stage AT PLAN BUILD — the plan-hygiene red. Callers
     in the k-means family are tagged ``iterative`` (training runs jobs
     anyway); a non-iterative consumer whose re-computation is the
-    cheap broadcast argmax passes False."""
+    cheap broadcast argmax passes False.
+
+    Arrow-vs-declarative routing (ADVICE r14): a SUPPLIED ``centroids``
+    frame routes on its ACTUAL row count — a caller passing a large
+    pre-trained table while leaving ``n_centroids`` at its default must
+    not silently keep the interpreted O(n x n_centroids x dim) HOF path.
+    The count is one job over a broadcast-sized (by contract) frame;
+    callers that resolved ``centroids`` themselves from a known
+    parameter pass ``n_centroids_hint`` to skip it (keeping plan build
+    job-free for the non-iterative sample-centroid consumers)."""
     base = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
@@ -1203,10 +1227,16 @@ def _assign_with_sim(
         if centroids is not None
         else spherical_kmeans(corpus, n_centroids, n_iters, id_col, vec_col)
     )
+    if n_centroids_hint is not None:
+        eff_nc = n_centroids_hint
+    elif centroids is not None:
+        eff_nc = centroids.count()
+    else:
+        eff_nc = n_centroids
     # scale regime: large centroid counts route through the bit-exact
     # Arrow twin (see _assign_to_centroids) — the gate constants (16)
     # keep the declarative form below
-    if n_centroids >= _ARROW_ASSIGN_MIN:
+    if eff_nc >= _ARROW_ASSIGN_MIN:
         out = _assign_argmax_arrow(base, cents, "v", with_sim=True)
         return out.localCheckpoint(eager=False) if checkpoint else out
     # norms once per row / per centroid — see _assign_to_centroids
@@ -1419,7 +1449,16 @@ def semantic_dedup(
         if centroids is not None
         else spherical_kmeans(corpus, n_centroids, n_iters, id_col, vec_col)
     )
-    assigned = _assign_with_sim(corpus, n_centroids, n_iters, id_col, vec_col, cents)
+    # Arrow-vs-declarative routing follows the ACTUAL centroid count
+    # when a pre-trained frame is supplied (ADVICE r14): a large table
+    # under a default n_centroids must not keep the interpreted HOF
+    # path. One count job on a broadcast-sized frame; self-trained
+    # centroids have exactly n_centroids rows (no job).
+    eff_nc = n_centroids if centroids is None else centroids.count()
+    assigned = _assign_with_sim(
+        corpus, n_centroids, n_iters, id_col, vec_col, cents,
+        n_centroids_hint=eff_nc,
+    )
     _CLUSTER_ADVICE = (
         "raise n_centroids so cluster size ~ n/k stays bounded "
         "(SemDeDup scales k with the corpus), or raise max_cluster "
@@ -1457,7 +1496,7 @@ def semantic_dedup(
             F.col("centroid_sim").alias("sim_b"),
         ).withColumn("_nb", norm(F.col("vb")))
         joined = cand.join(sa, "id_a").join(sb, "id_b")
-        if n_centroids >= _ARROW_ASSIGN_MIN:
+        if eff_nc >= _ARROW_ASSIGN_MIN:
             joined = _pair_cosine_arrow(joined, "va", "vb", threshold=threshold)
         else:
             joined = joined.filter(
@@ -1511,7 +1550,7 @@ def semantic_dedup(
         joined = a.join(b, join_keys).filter(F.col("id_a") != F.col("id_b"))
         # scale regime: the in-cluster verify's HOF cosine routes through
         # the bit-exact Arrow twin alongside the assignment (same switch)
-        if n_centroids >= _ARROW_ASSIGN_MIN:
+        if eff_nc >= _ARROW_ASSIGN_MIN:
             joined = _pair_cosine_arrow(joined, "va", "vb", threshold=threshold)
         else:
             joined = joined.filter(
@@ -1893,7 +1932,10 @@ def ivfpq_topk(
         else spherical_kmeans(corpus, n_centroids, coarse_iters, id_col, vec_col)
     )
     assigned = _assign_with_sim(
-        corpus, n_centroids, coarse_iters, id_col, vec_col, centroids=coarse
+        corpus, n_centroids, coarse_iters, id_col, vec_col, centroids=coarse,
+        # self-trained coarse quantizer has exactly n_centroids rows (no
+        # job); a supplied one routes on its real count inside
+        n_centroids_hint=n_centroids if coarse_centroids is None else None,
     ).select(F.col("id").alias("vec_id"), "centroid_id")
     cb = (
         codebooks
@@ -2309,7 +2351,11 @@ def embedding_outliers(
         )
     )
     assigned = _assign_with_sim(
-        corpus, n_centroids, 0, id_col, vec_col, cents, checkpoint=False
+        corpus, n_centroids, 0, id_col, vec_col, cents, checkpoint=False,
+        # self-resolved sample has exactly n_centroids rows — hint keeps
+        # plan build job-free for the non-iterative outlier queries; a
+        # caller-supplied table routes on its real count inside
+        n_centroids_hint=n_centroids if centroids is None else None,
     )
     return zscore_outliers(
         assigned.select("id", "centroid_id", "centroid_sim"),

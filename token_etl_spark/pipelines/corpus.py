@@ -277,7 +277,11 @@ def prepare_corpus(
         )
     else:
         pairs = minhash_dedup(exact_survivors, threshold=jaccard_threshold)
-        near_decisions = dedup_keep_list(pairs, exact_survivors.select("doc_id"))
+        # minhash_dedup pairs are distinct with id_a < id_b (LSH candidate
+        # contract) — CC can skip its edge-dedup shuffle
+        near_decisions = dedup_keep_list(
+            pairs, exact_survivors.select("doc_id"), pairs_ordered_distinct=True
+        )
     if stage_hook is not None:
         stage_hook("near_dup", near_decisions)
 

@@ -799,7 +799,9 @@ def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     pairs = D.minhash_dedup(docs, threshold=JACCARD_THRESHOLD)
-    return dedup_keep_list(pairs, docs)
+    # pairs are distinct with id_a < id_b (LSH candidate contract) — CC
+    # skips its edge-dedup shuffle
+    return dedup_keep_list(pairs, docs, pairs_ordered_distinct=True)
 
 
 def q_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
