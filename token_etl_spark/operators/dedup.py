@@ -817,11 +817,16 @@ def dedup_spans_rewrite(
             F.col("starts"), lambda s: (s <= i + 1) & (i + 1 < s + k)
         ),
     )
-    return joined.select(
+    # ``kept`` (the O(n_tokens x n_spans) survival filter) feeds both
+    # n_removed and cleaned; as two column expressions in one projection
+    # it would run twice per row (no cross-column CSE) — bind it once
+    # (CollapseProject keeps a non-trivial multiply-referenced alias
+    # materialized).
+    return joined.withColumn("_kept", kept).select(
         "id",
         F.size("toks").cast("long").alias("n_tokens"),
-        (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
-        F.array_join(kept, " ").alias("cleaned"),
+        (F.size("toks") - F.size("_kept")).cast("long").alias("n_removed"),
+        F.array_join("_kept", " ").alias("cleaned"),
     )
 
 

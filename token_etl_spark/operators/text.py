@@ -55,6 +55,9 @@ def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     c = F.col(text_col)
     with_toks = df.withColumn("_toks", tokens(c))
+    # distinct-token array bound once (cross-column-CSE rule, see
+    # extract_html_text): the stopword ratio reads it twice
+    with_toks = with_toks.withColumn("_dtoks", F.array_distinct(F.col("_toks")))
     toks = F.col("_toks")
     n_tok = F.size(toks)
     return with_toks.withColumns(
@@ -70,13 +73,13 @@ def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             / F.greatest(F.length(c), F.lit(1)).cast("double"),
             "stopword_ratio_en": F.size(
                 F.array_intersect(
-                    F.array_distinct(toks),
+                    F.col("_dtoks"),
                     F.array(*[F.lit(w) for w in STOPWORDS["en"]]),
                 )
             )
-            / F.greatest(F.size(F.array_distinct(toks)), F.lit(1)),
+            / F.greatest(F.size(F.col("_dtoks")), F.lit(1)),
         }
-    ).drop("_toks")
+    ).drop("_toks", "_dtoks")
 
 
 def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -1019,17 +1022,36 @@ def extract_html_text(
             & (s.getField("alpha") >= min_alpha_ratio * tlen)
         )
 
-    kept = F.filter(nonempty, keep)
-    extracted = F.array_join(F.transform(kept, lambda s: s.getField("txt")), "\n")
-    return df.withColumns(
-        {
-            "n_blocks": F.size(nonempty).cast("long"),
-            "n_kept_blocks": F.size(kept).cast("long"),
-            "html_chars": F.length(c).cast("long"),
-            out_col: extracted,
-            "extracted_chars": F.length(extracted).cast("long"),
-        }
+    # Cross-COLUMN sharing (distinct from the per-field struct binding
+    # above): the four outputs below all consume the block chain, and
+    # expressions in one projection get no common-subexpression
+    # elimination across columns — as independent column expressions the
+    # whole regex+HOF chain ran once PER OUTPUT (~4x; measured 2.0 s →
+    # 0.74 s at sf0.1, bit-identical). Binding ``nonempty``/``kept``/
+    # ``extracted`` as real columns in CHAINED projections shares them:
+    # CollapseProject never inlines a non-trivial alias that is
+    # referenced more than once, so each stage stays materialized in the
+    # row buffer. The final select restores the original column order.
+    kept = F.filter(F.col("_ehx_ne"), keep)
+    extracted = F.array_join(
+        F.transform(F.col("_ehx_kept"), lambda s: s.getField("txt")), "\n"
     )
+    out = (
+        df.withColumn("_ehx_ne", nonempty)
+        .withColumn("_ehx_kept", kept)
+        .withColumn("_ehx_txt", extracted)
+        .withColumns(
+            {
+                "n_blocks": F.size(F.col("_ehx_ne")).cast("long"),
+                "n_kept_blocks": F.size(F.col("_ehx_kept")).cast("long"),
+                "html_chars": F.length(c).cast("long"),
+                out_col: F.col("_ehx_txt"),
+                "extracted_chars": F.length(F.col("_ehx_txt")).cast("long"),
+            }
+        )
+    )
+    added = ["n_blocks", "n_kept_blocks", "html_chars", out_col, "extracted_chars"]
+    return out.select(*[b for b in df.columns if b not in added], *added)
 
 
 #: blank line/paragraph filter shared by BOTH repetition-signal forms
@@ -1238,27 +1260,43 @@ def repetition_signals_inline(
             "_rep_toks": tokens(text),
         }
     )
+    # Second staging layer (cross-COLUMN sharing, the extract_html_text
+    # rule): array_distinct of each unit array is consumed by BOTH the
+    # occurrence and char fractions, and the token-char fold by all
+    # three gram columns — as inline subexpressions they re-evaluate
+    # once per output column (no cross-column CSE in a projection), so
+    # bind them as real columns; CollapseProject keeps non-trivial
+    # multiply-referenced aliases materialized.
+    staged = staged.withColumns(
+        {
+            "_rep_lines_d": F.array_distinct(F.col("_rep_lines")),
+            "_rep_paras_d": F.array_distinct(F.col("_rep_paras")),
+            "_rep_tokc": F.aggregate(
+                F.col("_rep_toks"),
+                F.lit(0).cast("long"),
+                lambda a, t: a + F.length(t),
+            ),
+        }
+    )
 
-    def dup_pair(u: Column) -> tuple[Column, Column]:
+    def dup_pair(u: Column, ud: Column) -> tuple[Column, Column]:
         n = F.size(u)
-        nd = F.size(F.array_distinct(u))
+        nd = F.size(ud)
         chars = F.aggregate(
             u, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
         )
         dchars = F.aggregate(
-            F.array_distinct(u), F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+            ud, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
         )
         frac = F.when(n > 0, (n - nd) / n).otherwise(F.lit(0.0))
         cfrac = F.when(chars > 0, (chars - dchars) / chars).otherwise(F.lit(0.0))
         return frac, cfrac
 
-    line_frac, line_cfrac = dup_pair(F.col("_rep_lines"))
-    para_frac, para_cfrac = dup_pair(F.col("_rep_paras"))
+    line_frac, line_cfrac = dup_pair(F.col("_rep_lines"), F.col("_rep_lines_d"))
+    para_frac, para_cfrac = dup_pair(F.col("_rep_paras"), F.col("_rep_paras_d"))
 
     toks = F.col("_rep_toks")
-    tok_chars = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
-    )
+    tok_chars = F.col("_rep_tokc")
 
     def top_gram_frac(n: int) -> Column:
         size = F.size(toks)
@@ -1309,7 +1347,7 @@ def repetition_signals_inline(
             "top_3gram_char_frac": top_gram_frac(3),
             "top_4gram_char_frac": top_gram_frac(4),
         }
-    ).drop("_rep_lines", "_rep_paras", "_rep_toks")
+    ).drop("_rep_lines", "_rep_paras", "_rep_toks", "_rep_lines_d", "_rep_paras_d", "_rep_tokc")
 
 
 #: Gopher Table A1 repetition thresholds (Rae et al. 2021): reject when
