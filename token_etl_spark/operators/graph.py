@@ -126,9 +126,12 @@ def dedup_keep_list(
     shuffle when the pair set is already distinct with id_a < id_b — the
     ``minhash_dedup`` / verified-LSH output contract)."""
     comps = connected_components(pairs, pairs_ordered_distinct=pairs_ordered_distinct)
-    reps = comps.groupBy("component").agg(F.min("id").alias("rep"))
-    decided = comps.join(reps, "component").select(
-        F.col("id").alias(id_col), (F.col("id") == F.col("rep")).alias("keep")
+    # component IS the cluster-min id (the connected_components contract
+    # keep_list_from_components already relies on), so the representative
+    # needs no groupBy + join back — keep = (id == component) directly,
+    # one shuffle and one join fewer per call.
+    decided = comps.select(
+        F.col("id").alias(id_col), (F.col("id") == F.col("component")).alias("keep")
     )
     singletons = all_ids.select(id_col).join(decided.select(id_col), id_col, "left_anti")
     return decided.unionByName(singletons.withColumn("keep", F.lit(True)))
