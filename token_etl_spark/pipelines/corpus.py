@@ -262,9 +262,15 @@ def prepare_corpus(
 
     quality_docs = scored.filter(F.col("passed_quality")).select("doc_id", "text")
 
-    # exact dedup: keep min doc_id per digest
+    # exact dedup: keep min doc_id per digest. The keep-id frame feeds
+    # THREE consumers (the survivor semi-join below — itself read twice:
+    # near-dup input and the keep-list singleton anti-join — plus the
+    # decision join), each of which would otherwise re-run the full
+    # digest aggregation over the quality docs; persist the tiny id
+    # frame so the digest shuffle runs once (released with the caches).
     exact = exact_dedup(quality_docs)
-    exact_keep = exact.select(F.col("keep_id").alias("doc_id")).distinct()
+    exact_keep = exact.select(F.col("keep_id").alias("doc_id")).distinct().persist()
+    gate_caches.append(exact_keep)
     exact_survivors = quality_docs.join(exact_keep, "doc_id", "left_semi")
     if stage_hook is not None:
         stage_hook("exact_dedup", exact_survivors)
