@@ -640,7 +640,9 @@ def _span_fp(joined: Column, portable: bool) -> Column:
     )
 
 
-def _window_fp_occ(frame: DataFrame, n: Column, k: int, portable_fp: bool) -> DataFrame:
+def _window_fp_occ(
+    frame: DataFrame, n: Column, k: int, portable_fp: bool
+) -> DataFrame:
     """(id, pos, fp) occurrence frame of every k-token rolling-window
     fingerprint — the shared head of ``duplicated_spans`` and
     ``dedup_spans_rewrite``. ``frame`` must carry ``id`` and ``toks``;
