@@ -433,6 +433,13 @@ def test_cli_shardmaint_plan_heals_and_flags_increments(
 
     shutil.rmtree(f"{out}.staging-shards")
 
+    # a leftover EMPTY incoming/ (no shard_id=* under any batch dir)
+    # must NOT produce the 'run compact first' warning (ADVICE r14)
+    os.makedirs(f"{out}/incoming/batch=empty", exist_ok=True)
+    cli.main(["shardmaint", "--path", out, "--action", "plan"])
+    printed = capsys.readouterr().out
+    assert "pending_increments" not in printed
+
     # un-compacted increments are surfaced beside the summary
     os.makedirs(f"{out}/incoming/batch=0/shard_id=0", exist_ok=True)
     cli.main(["shardmaint", "--path", out, "--action", "plan"])

@@ -861,9 +861,10 @@ def test_apply_shard_maintenance_converges(spark, sf_dir, tmp_path):
     n_docs_total = docs.count()
 
     # phase 1: merge slivers to convergence under a 3× budget
-    man1, log1 = apply_shard_maintenance(
+    man1, log1, reason1 = apply_shard_maintenance(
         spark, out, tokens_per_shard=3000, max_actions=64
     )
+    assert reason1 == "converged"
     ok1 = [a for a in log1 if a["status"] == "ok"]
     assert ok1 and all(a["action"] == "merge" for a in ok1)
     assert len(ok1) < 64, "did not converge within budget"
@@ -881,9 +882,10 @@ def test_apply_shard_maintenance_converges(spark, sf_dir, tmp_path):
     assert spark.read.parquet(f"{out}/data").count() == n_docs_total
 
     # phase 2: rebalance by splits under a tighter budget
-    man2, log2 = apply_shard_maintenance(
+    man2, log2, reason2 = apply_shard_maintenance(
         spark, out, tokens_per_shard=2000, split_factor=1, max_actions=64
     )
+    assert reason2 == "converged"
     ok2 = [a for a in log2 if a["status"] == "ok"]
     assert ok2 and all(a["action"] == "split" for a in ok2)
     rows2 = man2.collect()
@@ -913,11 +915,12 @@ def test_apply_shard_maintenance_budget_cap_and_guard(spark, sf_dir, tmp_path):
     before = export_shards(spark, docs, out, tokens_per_shard=1000)
     n_before = before.count()
 
-    man, log = apply_shard_maintenance(
+    man, log, reason = apply_shard_maintenance(
         spark, out, tokens_per_shard=3000, max_actions=2
     )
     assert [a["status"] for a in log] == ["ok", "ok"]
     assert man.count() == n_before - 2  # two merges landed, then stop
+    assert reason == "budget_exhausted"  # actionable work remained
 
     with pytest.raises(ValueError, match="oscillate"):
         apply_shard_maintenance(
@@ -956,9 +959,12 @@ def test_apply_shard_maintenance_skips_refusals(spark, sf_dir, tmp_path):
     }
     assert touched
 
-    man, log = apply_shard_maintenance(
+    man, log, reason = apply_shard_maintenance(
         spark, out, tokens_per_shard=3000, max_actions=64
     )
+    # refused recommendations remain -> the loop must NOT report
+    # convergence (the ADVICE r14 false-positive)
+    assert reason == "stalled"
     skipped = [a for a in log if a["status"] == "skipped"]
     ok = [a for a in log if a["status"] == "ok"]
     assert skipped and all("compact" in a["reason"] for a in skipped)

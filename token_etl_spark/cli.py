@@ -231,15 +231,17 @@ def main(argv: list[str] | None = None) -> None:
     shm.add_argument(
         "--max-actions",
         type=int,
-        default=16,
-        help="hard cap on levers pulled by --action apply",
+        default=None,
+        help="hard cap on levers pulled by --action apply (default 16; "
+        "rejected on other actions)",
     )
     shm.add_argument(
         "--split-factor",
         type=int,
-        default=2,
+        default=None,
         help="apply: split any shard holding more than this multiple "
-        "of the recorded token budget",
+        "of the recorded token budget (default 2; rejected on other "
+        "actions)",
     )
 
     qry = sub.add_parser("query")
@@ -363,26 +365,9 @@ def main(argv: list[str] | None = None) -> None:
             split_shard,
         )
 
-        if args.action == "apply":
-            from token_etl_spark.io.sinks import apply_shard_maintenance
-
-            manifest, log = apply_shard_maintenance(
-                spark,
-                args.path,
-                split_factor=args.split_factor,
-                max_actions=args.max_actions,
-            )
-            applied = sum(1 for a in log if a["status"] == "ok")
-            skipped = sum(1 for a in log if a["status"] == "skipped")
-            print({
-                "n_shards": manifest.count(),
-                "applied": applied,
-                "skipped": skipped,
-                "converged": applied < args.max_actions,
-            })
-            for a in log:
-                print(a)
-            return
+        # argument validation runs for EVERY action — the apply branch
+        # used to return before these checks, silently ignoring a
+        # passed --shard-id (ADVICE r14)
         if args.action not in ("split", "merge") and args.shard_id is not None:
             raise SystemExit(
                 f"--shard-id is only meaningful with --action split/merge, not {args.action}"
@@ -391,6 +376,40 @@ def main(argv: list[str] | None = None) -> None:
             raise SystemExit(
                 f"--shard-id-b is only meaningful with --action merge, not {args.action}"
             )
+        if args.action != "apply":
+            if args.max_actions is not None:
+                raise SystemExit(
+                    f"--max-actions is only meaningful with --action apply, not {args.action}"
+                )
+            if args.split_factor is not None:
+                raise SystemExit(
+                    f"--split-factor is only meaningful with --action apply, not {args.action}"
+                )
+        if args.action == "apply":
+            from token_etl_spark.io.sinks import apply_shard_maintenance
+
+            max_actions = 16 if args.max_actions is None else args.max_actions
+            manifest, log, reason = apply_shard_maintenance(
+                spark,
+                args.path,
+                split_factor=2 if args.split_factor is None else args.split_factor,
+                max_actions=max_actions,
+            )
+            print({
+                "n_shards": manifest.count(),
+                "applied": sum(1 for a in log if a["status"] == "ok"),
+                "skipped": sum(1 for a in log if a["status"] == "skipped"),
+                # explicit termination reason from the loop itself — the
+                # old applied < max_actions inference reported converged
+                # on a stalled (all-refused) loop and not-converged on a
+                # plan that reached all-ok on its last allowed action
+                # (ADVICE r14)
+                "reason": reason,
+                "converged": reason == "converged",
+            })
+            for a in log:
+                print(a)
+            return
         if args.action == "audit":
             # the report is shard-cardinality: collect ONCE and derive
             # both views in Python — re-evaluating the frame would
@@ -444,7 +463,20 @@ def main(argv: list[str] | None = None) -> None:
             # so the operator compacts before trusting the numbers
             # (ADVICE r13)
             fs, hpath = _bucket_fs(spark, args.path)
-            has_inc = fs.exists(hpath(f"{args.path.rstrip('/')}/incoming"))
+            # pending only when some batch dir actually holds a
+            # shard_id=* increment — a leftover EMPTY incoming/ dir
+            # would otherwise emit a false 'run compact first' warning
+            # (mirror _refuse_pending_increments' listing; ADVICE r14)
+            incp = hpath(f"{args.path.rstrip('/')}/incoming")
+            has_inc = fs.exists(incp) and any(
+                st.isDirectory()
+                and any(
+                    s.isDirectory()
+                    and s.getPath().getName().startswith("shard_id=")
+                    for s in fs.listStatus(st.getPath())
+                )
+                for st in fs.listStatus(incp)
+            )
             summary = {"tokens_per_shard": tps, "action_counts": counts}
             if has_inc:
                 summary["pending_increments"] = True

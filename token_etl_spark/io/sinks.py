@@ -1052,7 +1052,7 @@ def apply_shard_maintenance(
     merge_budget_num: int = 1,
     merge_budget_den: int = 1,
     max_actions: int = 16,
-) -> tuple[DataFrame, list[dict]]:
+) -> tuple[DataFrame, list[dict], str]:
     """Drive plan → lever → re-plan to CONVERGENCE — the composed
     executor the planner-without-executor gap left to the operator
     (VERDICT r13 item 2; the retrain-lever and split-lever closures,
@@ -1088,10 +1088,18 @@ def apply_shard_maintenance(
     (its ``params`` table — the router's adopt-or-refuse discipline,
     read side).
 
-    Returns ``(post-loop manifest read back from disk, actions log)``
-    where each log row is ``{step, action, shard_id, next_shard_id,
-    status, reason}`` — status 'ok' for an applied lever, 'skipped'
-    for a refusal. 100 TB shape: each iteration's plan is
+    Returns ``(post-loop manifest read back from disk, actions log,
+    termination reason)`` where each log row is ``{step, action,
+    shard_id, next_shard_id, status, reason}`` — status 'ok' for an
+    applied lever, 'skipped' for a refusal — and the termination reason
+    is one of ``'converged'`` (the plan is all-ok), ``'stalled'``
+    (recommendations remain but every one refused — e.g. pending
+    ``incoming/`` increments: the layout is still unmaintained) or
+    ``'budget_exhausted'`` (``max_actions`` spent with actionable
+    recommendations left; a loop whose LAST allowed action reaches an
+    all-ok plan re-plans once and reports 'converged'). Inferring
+    convergence from the action count was wrong in both directions
+    (ADVICE r14). 100 TB shape: each iteration's plan is
     manifest-cardinality arithmetic (milliseconds) and each applied
     lever rewrites ONLY the affected shard's rows — the loop's total
     I/O is proportional to the shards that actually need maintenance,
@@ -1128,6 +1136,9 @@ def apply_shard_maintenance(
             (r for r in plan if r["action"] == "split"),
             key=lambda r: (-r["shard_tokens"], r["shard_id"]),
         )
+        merge_rows = [r for r in plan if r["action"] == "merge_with_next"]
+        if not splits and not merge_rows:
+            return spark.read.parquet(f"{base}/manifest"), actions, "converged"
         # merge ties break toward the smaller first_key (the
         # merge_min_pair / ext_shard_merge rule). The plan frame does
         # not carry first_key, but its next_shard_id column IS the
@@ -1142,8 +1153,20 @@ def apply_shard_maintenance(
             while cur is not None and cur not in pos:
                 pos[cur] = i
                 cur, i = succ.get(cur), i + 1
+        if merge_rows and any(r["shard_id"] not in pos for r in merge_rows):
+            # a merge candidate the rebuilt chain cannot place means the
+            # manifest's range chain is malformed (no unique head, a
+            # cycle, or a disconnected segment) — refusing loudly beats
+            # a tie-break that silently degrades to collect() row order
+            # (ADVICE r14)
+            raise ValueError(
+                "apply_shard_maintenance: manifest range chain is "
+                f"malformed ({len(heads)} head(s)); cannot order merge "
+                "ties deterministically — repair the manifest (audit) "
+                "before applying maintenance"
+            )
         merges = sorted(
-            (r for r in plan if r["action"] == "merge_with_next"),
+            merge_rows,
             key=lambda r: (r["pair_tokens"], pos.get(r["shard_id"], 0)),
         )
         applied = False
@@ -1193,5 +1216,19 @@ def apply_shard_maintenance(
                         "status": "skipped", "reason": str(e),
                     })
         if not applied:
-            break
-    return spark.read.parquet(f"{base}/manifest"), actions
+            # candidates existed this step (the all-ok case returned
+            # above) but every one refused — the layout is still
+            # unmaintained and more budget would not help
+            return spark.read.parquet(f"{base}/manifest"), actions, "stalled"
+    # budget spent: one more manifest-arithmetic plan decides whether the
+    # last action happened to finish the job
+    manifest = spark.read.parquet(f"{base}/manifest")
+    final_plan = plan_shard_maintenance(
+        manifest,
+        tokens_per_shard,
+        split_factor=split_factor,
+        merge_budget_num=merge_budget_num,
+        merge_budget_den=merge_budget_den,
+    ).collect()
+    done = all(r["action"] == "ok" for r in final_plan)
+    return manifest, actions, "converged" if done else "budget_exhausted"
