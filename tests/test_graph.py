@@ -42,6 +42,35 @@ def test_connected_components_probe_cadence_invariant(spark):
     assert set(expected.values()) == {0, 100}
 
 
+def test_connected_components_ordered_distinct_equivalence(spark):
+    """pairs_ordered_distinct=True (skip the edge-dedup shuffle — the
+    r15 LSH star-edge contract) must produce exactly the default's
+    components on an input that honors the contract (distinct rows,
+    id_a < id_b), including cross-bucket chains that need propagation
+    rounds; and dedup_keep_list must agree under both settings."""
+    rows = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (4, 20)]
+    pairs = spark.createDataFrame(rows, "id_a long, id_b long")
+    base = {
+        r["id"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    fast = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, pairs_ordered_distinct=True).collect()
+    }
+    assert fast == base
+    all_ids = spark.createDataFrame([(i,) for i in range(25)], ["doc_id"])
+    keep_base = {
+        r["doc_id"]: r["keep"] for r in dedup_keep_list(pairs, all_ids).collect()
+    }
+    keep_fast = {
+        r["doc_id"]: r["keep"]
+        for r in dedup_keep_list(
+            pairs, all_ids, pairs_ordered_distinct=True
+        ).collect()
+    }
+    assert keep_fast == keep_base
+
+
 def test_dedup_keep_list(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 9)], "id_a long, id_b long")
     all_ids = spark.createDataFrame([(i,) for i in range(10)], ["doc_id"])

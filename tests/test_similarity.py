@@ -733,6 +733,36 @@ def test_knn_label_consistency_hand_fixture(spark):
     assert got[0]["n_same"] == 2 and abs(got[0]["agreement"] - 2 / 3) < 1e-9
 
 
+def test_knn_label_consistency_majority_tie_breaks_to_smaller_label(spark):
+    """The single-pass vote's max_by((c, -nlab)) must replay the
+    documented tie rule (count desc, label asc): with k=2 and a 1-1
+    split between labels 0 and 1, the majority is 0 for every row."""
+    import token_etl_spark.operators.similarity as S
+
+    # three near-collinear vectors, k=2 -> every row's neighbors are the
+    # other two: rows 0 and 2 see labels {0,1} (a forced 1-1 majority
+    # tie), row 1 sees {0,0}
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.01], 1),
+        (2, [0.98, 0.02], 0),
+    ]
+    frame = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = {r["id"]: r for r in S.knn_label_consistency(frame, k=2).collect()}
+    for i in (0, 1, 2):
+        assert got[i]["majority_label"] == 0, i
+    # the 1-1 ties resolve to label 0 (smaller), so the label-0 rows are
+    # not suspects and carry agreement 1/2
+    assert not got[0]["suspect"] and not got[2]["suspect"]
+    assert got[0]["n_same"] == 1 and abs(got[0]["agreement"] - 0.5) < 1e-12
+    assert got[2]["n_same"] == 1 and abs(got[2]["agreement"] - 0.5) < 1e-12
+    # row 1's whole neighborhood disagrees
+    assert got[1]["suspect"]
+    assert got[1]["n_same"] == 0 and got[1]["agreement"] == 0.0
+
+
 def test_knn_label_consistency_accepts_precomputed_neighbors(spark, sf_dir):
     """The IVF-at-scale seam: feeding the exact top-k frame through
     ``neighbors`` reproduces the default output."""
