@@ -54,23 +54,31 @@ def connected_components(
     # that is shingle → signature → band → window → Jaccard verify —
     # executes once per branch inside the first eager job (measured: the
     # near-dup eager build at sf0.1 spent 10.5 s here, ~2× the 5 s the
-    # chain costs once). A LAZY localCheckpoint materializes the pairs
-    # exactly once at that first job and both branches read the stored
-    # blocks; lazy (not eager) so no extra job launches for callers whose
-    # pair frame is already materialized.
-    pairs = pairs.localCheckpoint(eager=False)
+    # chain costs once). EAGER, not lazy: under AQE a lazy checkpoint
+    # materializes the upstream shuffle stages at the call but DEFERS the
+    # pair plan's final stage, and the union's two branches then compile
+    # into two separate AQE stages that each recompute that final stage
+    # (the block cache dedupes only within a task) — measured as paired
+    # ~0.6 s duplicate stages on the sf0.1 ingest chain; eager runs the
+    # final stage exactly once and the branches read stored blocks.
+    pairs = pairs.localCheckpoint(eager=True)
     edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
         pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
     if not pairs_ordered_distinct:
-        edges = edges.distinct()
-    edges = edges.localCheckpoint(eager=True)
-    labels = (
-        edges.groupBy("u")
-        .agg(F.min("v").alias("component"))
-        .select(F.col("u").alias("id"), F.least("component", F.col("u")).alias("component"))
-        .localCheckpoint(eager=True)
+        # the dedup shuffle must not re-run per round — cut it once
+        edges = edges.distinct().localCheckpoint(eager=True)
+    # else: edges is a NARROW union over the pairs checkpoint blocks —
+    # recomputing it per round is two block reads, strictly cheaper than
+    # materializing a second copy of the edge set (one job + 2× blocks).
+    labels = edges.groupBy("u").agg(F.min("v").alias("component")).select(
+        F.col("u").alias("id"), F.least("component", F.col("u")).alias("component")
     )
+    # init labels deliberately NOT checkpointed: round 1 references it
+    # three times, but all three are the same aggregation subtree over
+    # the same exchange (ReuseExchange serves them within the one job),
+    # and rounds ≥ 2 use the round checkpoints — skipping the init
+    # barrier saves a full job + barrier per CC call (measured A/B).
     for it in range(max_iterations):
         # hop: min label among neighbors
         neighbor_min = (
