@@ -13,12 +13,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from functools import reduce
+
 from token_etl_spark.operators.dedup import (
     exact_dedup,
     minhash_dedup,
     minhash_dedup_clusters,
 )
-from token_etl_spark.operators.graph import dedup_keep_list, keep_list_from_components
+from token_etl_spark.operators.graph import connected_components, keep_list_from_components
 from token_etl_spark.operators.text import line_dedup, quality_stats, token_estimate
 
 
@@ -275,60 +277,136 @@ def prepare_corpus(
     if stage_hook is not None:
         stage_hook("exact_dedup", exact_survivors)
 
-    # near-dup clustering over exact survivors only
+    # near-dup clustering over exact survivors only. The decision
+    # assembly below needs only the (id, component) frame — the keep
+    # flag is id == component (the CC min-id contract) and singleton
+    # detection falls out of the aggregation — so the explicit
+    # keep-list (anti-join + union) is no longer built on the
+    # production path; the staged seam still hooks it for the bench
+    # decomposition's tier timing.
     if large_clusters:
         comps = minhash_dedup_clusters(exact_survivors, threshold=jaccard_threshold)
-        near_decisions = keep_list_from_components(
-            comps, exact_survivors.select("doc_id")
-        )
     else:
         pairs = minhash_dedup(exact_survivors, threshold=jaccard_threshold)
         # minhash_dedup pairs are distinct with id_a < id_b (LSH candidate
         # contract) — CC can skip its edge-dedup shuffle
-        near_decisions = dedup_keep_list(
-            pairs, exact_survivors.select("doc_id"), pairs_ordered_distinct=True
-        )
+        comps = connected_components(pairs, pairs_ordered_distinct=True)
     if stage_hook is not None:
-        stage_hook("near_dup", near_decisions)
+        stage_hook(
+            "near_dup",
+            keep_list_from_components(comps, exact_survivors.select("doc_id")),
+        )
 
-    decisions = (
-        scored.select("doc_id", "n_tokens", "est_tokens", "passed_quality")
-        .join(
-            exact_keep.withColumn("_exact_keep", F.lit(True)), "doc_id", "left_outer"
-        )
-        .join(
-            near_decisions.withColumnRenamed("keep", "_near_keep"), "doc_id", "left_outer"
-        )
-        .withColumn(
-            "is_exact_dup",
-            F.col("passed_quality") & F.col("_exact_keep").isNull(),
-        )
-        .withColumn(
-            "is_near_dup",
-            F.coalesce(~F.col("_near_keep"), F.lit(False)),
-        )
-        .withColumn(
-            "keep",
-            F.col("passed_quality")
-            & F.col("_exact_keep").isNotNull()
-            & F.coalesce(F.col("_near_keep"), F.lit(True)),
-        )
-        .select("doc_id", "n_tokens", "est_tokens", "passed_quality",
-                "is_exact_dup", "is_near_dup", "keep")
+    # Decision assembly as ONE union + aggregation (was: 2-5 left-outer
+    # joins plus the keep-list's anti-join/union, each a corpus-wide
+    # shuffle once the flag frames outgrow broadcast — the 100 TB
+    # regime). Every contributing frame is projected onto one wide
+    # null-padded schema keyed by doc_id; a single groupBy(doc_id) with
+    # max() aggregates (each column has at most one non-null
+    # contributor per id, so max() is exact selection, not a tie-break)
+    # replaces every join, and the decision flags derive from the
+    # aggregated markers:
+    #   - _in_scored    → the doc reached quality scoring (row anchor
+    #                     for the flag columns; ingest-gate-dropped
+    #                     docs keep their NULL later-stage columns)
+    #   - _exact_keep   → the doc is its content's exact-dedup rep
+    #   - _comp_keep    → CC membership + its keep flag; a quality doc
+    #                     in exact_keep but no component is the former
+    #                     keep-list singleton (keep=True), derived
+    #                     without the anti-join.
+    # Results are bit-identical to the join form (pinned in
+    # tests/test_corpus.py and the oracle sweep).
+    sch = dict(scored.dtypes)
+    ty_domain = dict(domain_flags.dtypes)["domain"] if domain_flags is not None else "string"
+    ty_reasons = (
+        dict(repetition_flags.dtypes)["repetition_reasons"]
+        if repetition_flags is not None
+        else "array<string>"
     )
+    _WIDE = (
+        ("n_tokens", sch["n_tokens"]),
+        ("est_tokens", sch["est_tokens"]),
+        ("passed_quality", "boolean"),
+        ("_in_scored", "boolean"),
+        ("_exact_keep", "boolean"),
+        ("_comp_keep", "boolean"),
+        ("domain", ty_domain),
+        ("domain_kept", "boolean"),
+        ("passed_repetition", "boolean"),
+        ("repetition_reasons", ty_reasons),
+    )
+
+    def wide(doc_id, **given):
+        cols = [doc_id.alias("doc_id")]
+        for name, dtype in _WIDE:
+            c = given.get(name)
+            cols.append((c if c is not None else F.lit(None).cast(dtype)).alias(name))
+        return cols
+
+    parts = [
+        scored.select(*wide(
+            F.col("doc_id"),
+            n_tokens=F.col("n_tokens"),
+            est_tokens=F.col("est_tokens"),
+            passed_quality=F.col("passed_quality"),
+            _in_scored=F.lit(True),
+        )),
+        exact_keep.select(*wide(F.col("doc_id"), _exact_keep=F.lit(True))),
+        comps.select(*wide(
+            F.col("id"), _comp_keep=(F.col("id") == F.col("component"))
+        )),
+    ]
     if domain_flags is not None or repetition_flags is not None:
-        # re-anchor on the full id set: ingest-gate-dropped documents
-        # still get a decision row (keep=False, later-stage columns
-        # NULL — never evaluated), so the frame stays an accounting of
-        # EVERY input document
-        decisions = all_ids.join(decisions, "doc_id", "left")
-        keep = F.coalesce(F.col("keep"), F.lit(False))
+        # anchor on the full id set: ingest-gate-dropped documents still
+        # get a decision row (keep=False, later-stage columns NULL —
+        # never evaluated), so the frame stays an accounting of EVERY
+        # input document
+        parts.append(all_ids.select(*wide(F.col("doc_id"))))
         if domain_flags is not None:
-            decisions = decisions.join(domain_flags, "doc_id", "left")
-            keep = keep & F.coalesce(F.col("domain_kept"), F.lit(False))
+            parts.append(domain_flags.select(*wide(
+                F.col("doc_id"),
+                domain=F.col("domain"),
+                domain_kept=F.col("domain_kept"),
+            )))
         if repetition_flags is not None:
-            decisions = decisions.join(repetition_flags, "doc_id", "left")
-        decisions = decisions.withColumn("keep", keep)
+            parts.append(repetition_flags.select(*wide(
+                F.col("doc_id"),
+                passed_repetition=F.col("passed_repetition"),
+                repetition_reasons=F.col("repetition_reasons"),
+            )))
+    g = reduce(DataFrame.unionByName, parts).groupBy("doc_id").agg(
+        *[F.max(name).alias(name) for name, _ in _WIDE]
+    )
+    survivor = F.col("passed_quality") & F.col("_exact_keep").isNotNull()
+    near_keep = F.when(
+        F.col("_comp_keep").isNotNull(), F.col("_comp_keep")
+    ).otherwise(F.when(survivor, F.lit(True)))
+    base_keep = survivor & F.coalesce(near_keep, F.lit(True))
+    in_scored = F.col("_in_scored")
+    g = (
+        g.withColumn(
+            "is_exact_dup",
+            F.when(in_scored, F.col("passed_quality") & F.col("_exact_keep").isNull()),
+        )
+        .withColumn(
+            "is_near_dup", F.when(in_scored, F.coalesce(~near_keep, F.lit(False)))
+        )
+        .withColumn("_base_keep", F.when(in_scored, base_keep))
+    )
+    base_cols = ["doc_id", "n_tokens", "est_tokens", "passed_quality",
+                 "is_exact_dup", "is_near_dup"]
+    if domain_flags is not None or repetition_flags is not None:
+        keep = F.coalesce(F.col("_base_keep"), F.lit(False))
+        if domain_flags is not None:
+            keep = keep & F.coalesce(F.col("domain_kept"), F.lit(False))
+        out_cols = base_cols + [keep.alias("keep")]
+        if domain_flags is not None:
+            out_cols += ["domain", "domain_kept"]
+        if repetition_flags is not None:
+            out_cols += ["passed_repetition", "repetition_reasons"]
+        decisions = g.select(*out_cols)
+    else:
+        decisions = g.select(*base_cols, F.col("_base_keep").alias("keep"))
     if stage_hook is not None:
         stage_hook("decision", decisions)
     # Eager cut-point so the quality-stats cache can be released before
