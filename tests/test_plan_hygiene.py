@@ -335,12 +335,16 @@ def test_pq_broadcasts_codebook_and_lut(spark, sf_dir):
 def test_bloom_decontaminate_probe_is_joinless(spark, sf_dir):
     """The bitmap enters as a 1-row broadcast (BroadcastNestedLoopJoin
     over one row); the corpus side must have NO hash join at all — the
-    probe is a filter expression — and exactly one exchange (the per-doc
-    count)."""
+    probe is a filter expression — and exactly one doc-keyed exchange:
+    the fan_narrow repartition on doc_id satisfies the per-doc count's
+    required distribution (id aliases doc_id), so the aggregation adds
+    no second shuffle."""
     plan = _plan(spark, sf_dir, "ext_bloom_decontaminate")
     assert "BroadcastNestedLoopJoin" in plan
     assert "BroadcastHashJoin" not in plan and "SortMergeJoin" not in plan
-    assert plan.count("hashpartitioning(id") == 1
+    n_id = plan.count("hashpartitioning(id")
+    n_doc = plan.count("hashpartitioning(doc_id")
+    assert n_id + n_doc == 1, (n_id, n_doc)
     assert "CartesianProduct" not in plan
 
 

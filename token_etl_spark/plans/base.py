@@ -42,3 +42,23 @@ class QuerySpec:
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def fan_narrow(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Scale-adaptive fan-out of a narrow-split source (guide §2.2): hash-
+    repartition to the session's default parallelism when — and only
+    when — the input carries fewer splits. A 100 TB read arrives with
+    thousands of splits and this is a NO-OP (no exchange in the plan);
+    the local testdata tables are single-row-group parquet files whose
+    scan cannot split, so without this every per-row tier (regex chains,
+    shingling, hashing, vector folds) of a query runs single-task while
+    31 cores idle. Partitioning is by ``key`` (default: first column),
+    so results are invariant — every consumer aggregates, joins, or
+    windows on explicit keys. ``df.rdd.getNumPartitions()`` on a
+    scan-only frame launches no job (plan-build hygiene holds; pinned by
+    tests/test_plan_hygiene.py)."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, key or df.columns[0])

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from token_etl_spark.operators import bloom as B
 from token_etl_spark.operators import curation as C
-from token_etl_spark.plans.base import QuerySpec, t
+from token_etl_spark.plans.base import QuerySpec, fan_narrow, t
 from token_etl_spark.plans.extensions import SQL_TOKENS
 
 _TOKS = SQL_TOKENS.format(col="text")
@@ -82,8 +82,12 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly, so the FP set is part of the verified contract. The exact
     scan's flagged set is a subset of this one by construction (no false
     negatives) — pinned in tests/test_bloom.py."""
-    docs = t(spark, sf_dir, "documents")
-    benchmark = docs.where(F.col("doc_id") % 97 == 0)
+    raw = t(spark, sf_dir, "documents")
+    # fan the CORPUS side only: the benchmark branch is ~1% of the
+    # table (cheap serially) and fanning it would put a second
+    # doc_id repartition into the plan for nothing
+    docs = fan_narrow(raw)
+    benchmark = raw.where(F.col("doc_id") % 97 == 0)
     return B.bloom_decontaminate(
         docs, benchmark, k=3, min_overlap=2, m_bits=BLOOM_M, k_hashes=BLOOM_K
     )
@@ -811,11 +815,13 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawl-shaped HTML synthesized deterministically around the corpus
     prose (``_html_synth``). The chrome must die (link density /
     length), the prose and entity blocks must survive with entities
-    decoded. Map-only single projection on the engine side — no
-    explode, no shuffle, no Python."""
+    decoded. The extraction itself is a map-only single projection (no
+    explode, no Python); the declared plan fans the narrow-split
+    local source across the session's cores first (fan_narrow — a
+    no-op on any real multi-split read)."""
     from token_etl_spark.operators.text import extract_html_text
 
-    docs = t(spark, sf_dir, "documents")
+    docs = fan_narrow(t(spark, sf_dir, "documents"))
     out = extract_html_text(docs.select("doc_id", _html_synth().alias("text")))
     return out.select(
         "doc_id", "n_blocks", "n_kept_blocks", "extracted", "extracted_chars"
@@ -1271,7 +1277,7 @@ def q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters (88 pairs >= 0.8 at sf0.1)."""
     from token_etl_spark.pipelines.corpus import prepare_corpus
 
-    docs = t(spark, sf_dir, "documents")
+    docs = fan_narrow(t(spark, sf_dir, "documents"))
     frame = docs.select(
         "doc_id", _html_synth().alias("text"), _url_synth().alias("url")
     )

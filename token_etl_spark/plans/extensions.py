@@ -19,7 +19,7 @@ from token_etl_spark.operators.multimodal import (
     extract_media_features,
     resize_raw_images,
 )
-from token_etl_spark.plans.base import QuerySpec, t
+from token_etl_spark.plans.base import QuerySpec, fan_narrow, t
 
 # DuckDB fragment: the engine's canonical tokenizer (operators/text.py
 # tokens()) — lowercase, strip non-alnum, split on whitespace, drop empties.
@@ -45,7 +45,7 @@ FROM documents GROUP BY 1
 # --- text analysis ---------------------------------------------------------
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = fan_narrow(t(spark, sf_dir, "documents"))
     return X.quality_stats(docs).select(
         "doc_id",
         F.col("char_len").cast("long").alias("char_len"),
@@ -612,6 +612,10 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus itself: the in-plan window count runs (and passes — no gate
     bucket is near 10k), so the guarded path is driver-proven, not just
     pinned by the local OOM-fixture test (tests/test_dedup.py)."""
+    # NOT fanned (fan_narrow): minhash_dedup's share_shingles lazy
+    # checkpoint sits over the source — an upstream exchange would
+    # materialize its shuffle stage at plan build and break the
+    # no-jobs-at-build gate (measured −0.75 s forgone at sf0.1).
     docs = t(spark, sf_dir, "documents")
     pairs = D.minhash_dedup(
         docs, k=3, num_hashes=32, bands=8, threshold=JACCARD_THRESHOLD,
@@ -1330,7 +1334,7 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     guards this empirically; if a mismatch ever appears, pin summation
     order on both sides (sum over list(v ORDER BY vec_id) / count) as
     q_array_ops does with its fold."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = fan_narrow(t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 5)
     out = S.ivf_topk(
         emb,
@@ -1370,7 +1374,7 @@ def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     exclusion — hash-match, not tolerance. Same accumulation-order
     caveat as ext_ann_ivf_kmeans (swept at 3 SFs).
     """
-    emb = t(spark, sf_dir, "embeddings")
+    emb = fan_narrow(t(spark, sf_dir, "embeddings"))
     cents, assigned = S.build_ivf_index_frames(
         emb, centroids=_trained_centroids(spark, sf_dir)
     )
@@ -1784,7 +1788,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the keep rule as a struct-ordering comparison. The 0.3 threshold is
     calibrated to the synthetic embeddings (random vectors top out near
     0.51 pairwise cosine) so the drop path is actually exercised."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = fan_narrow(t(spark, sf_dir, "embeddings"))
     out = S.semantic_dedup(
         emb,
         n_centroids=16,
@@ -3191,7 +3195,7 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified-complete LSH recall as the other dedup oracles."""
     from token_etl_spark.pipelines.corpus import prepare_corpus
 
-    docs = t(spark, sf_dir, "documents")
+    docs = fan_narrow(t(spark, sf_dir, "documents"))
     return prepare_corpus(docs, jaccard_threshold=JACCARD_THRESHOLD)
 
 
@@ -3288,7 +3292,7 @@ def q_dup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the text. ``clean_fp`` pins the rewritten text byte-for-byte
     via md5; the oracle replays fingerprinting, (doc_id, pos) occurrence
     ranking, and the indexed-lambda token filter exactly."""
-    docs = t(spark, sf_dir, "documents")
+    docs = fan_narrow(t(spark, sf_dir, "documents"))
     out = D.dedup_spans_rewrite(docs, k=DUP_SPAN_K).withColumnRenamed("id", "doc_id")
     return out.select(
         "doc_id", "n_tokens", "n_removed", F.md5("cleaned").alias("clean_fp")
