@@ -491,3 +491,35 @@ def test_round9_plans_no_cartesian_and_shapes(spark, sf_dir):
     join_nodes = re.findall(r"^\s*(?:[:+*]\s*)*[+-]+\s+\S*Join\S*", pixels, re.M)
     assert len(join_nodes) == 1, join_nodes
     assert "CartesianProduct" not in pixels
+
+
+def test_fan_narrow_scale_adaptive(spark, sf_dir):
+    """fan_narrow repartitions a narrow-split source to the session's
+    default parallelism, is a strict NO-OP (same object, no exchange)
+    once the input already carries that many splits — the 100 TB read
+    shape — and launches no job at plan build (it sizes the input via
+    getNumPartitions on a scan-only frame)."""
+    from token_etl_spark.io.sources import load_table
+    from token_etl_spark.plans.base import fan_narrow
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = spark.sparkContext.defaultParallelism
+
+    sc = spark.sparkContext
+    group = "fan-narrow-hygiene"
+    sc.setJobGroup(group, "fan_narrow must not run jobs")
+    try:
+        fanned = fan_narrow(docs)
+        assert not sc.statusTracker().getJobIdsForGroup(group)
+    finally:
+        sc.setJobGroup("", "")
+
+    # single-row-group local parquet: fans out to the session's cores
+    assert docs.rdd.getNumPartitions() < target
+    assert fanned.rdd.getNumPartitions() == target
+    # already-wide input: identity, not a new plan node
+    assert fan_narrow(fanned) is fanned
+    # values unchanged (hash-repartition only moves rows)
+    a = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in fanned.select("doc_id").collect())
+    assert a == b
