@@ -162,14 +162,53 @@ def main() -> None:
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     spread: dict[str, dict] = {}
+    plan_stats: dict[str, dict] = {}
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
     for name in BENCH_SET:
         runs: list[float] = []
-        for _ in range(n_runs):
+        group = ""
+        for i in range(n_runs):
+            # job-group tag set BEFORE the timed window opens (a thread-
+            # local assignment, nothing scheduled); counts are read after
+            # it closes — the timed region is byte-identical to r15's.
+            group = f"bench:{name}:{i}"
+            sc.setJobGroup(group, name)
             start = time.perf_counter()
             force(SPECS[name].fn(spark, sf_dir))
             runs.append(round(time.perf_counter() - start, 4))
         timings[name] = sorted(runs)[len(runs) // 2]  # median
         spread[name] = {"runs": runs, "min": min(runs), "max": max(runs)}
+        # per-query parallelism evidence (VERDICT r15 item 5): job/stage/
+        # task counts of the LAST timed run, from the status tracker —
+        # local wall-clock can no longer distinguish a 1-task serial
+        # stage from a 32-task one at sf0.1, but these counts can, at
+        # any core count. Additions-only; best-effort (never fails the
+        # bench, a missing tracker entry just drops the field).
+        try:
+            jids = tracker.getJobIdsForGroup(group)
+            stages = tasks = 0
+            max_stage_tasks = 0
+            for j in jids:
+                ji = tracker.getJobInfo(j)
+                if ji is None:
+                    continue
+                for s in ji.stageIds:
+                    si = tracker.getStageInfo(s)
+                    if si is not None:
+                        stages += 1
+                        tasks += si.numTasks
+                        max_stage_tasks = max(max_stage_tasks, si.numTasks)
+            plan_stats[name] = {
+                "jobs": len(jids),
+                "stages": stages,
+                "tasks": tasks,
+                "max_stage_tasks": max_stage_tasks,
+            }
+        except Exception:
+            pass
+        finally:
+            sc.setJobGroup("", "")
 
     total = round(sum(timings.values()), 4)
     result = {
@@ -181,6 +220,7 @@ def main() -> None:
         "spread": spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "env": env_stamp(spark),
+        "plan_stats": plan_stats,
     }
     try:
         result["stages"] = {

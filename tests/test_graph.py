@@ -42,6 +42,23 @@ def test_connected_components_probe_cadence_invariant(spark):
     assert set(expected.values()) == {0, 100}
 
 
+def test_connected_components_cap_hit_raises(spark):
+    """Hitting the iteration cap with labels still changing must RAISE
+    (probe mode): every keep-list rule assumes component == cluster-min,
+    which only holds at the fixpoint. A diameter-6 chain cannot converge
+    in one round (round 1 is hop-only), so max_iterations=1 caps out."""
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+    )
+    with pytest.raises(Exception, match="max_iterations"):
+        connected_components(pairs, max_iterations=1).collect()
+    # probe_every=0 keeps the documented fixed-iteration mode: no guard
+    out = connected_components(pairs, max_iterations=1, probe_every=0).collect()
+    assert len(out) == 7
+
+
 def test_connected_components_ordered_distinct_equivalence(spark):
     """pairs_ordered_distinct=True (skip the edge-dedup shuffle — the
     r15 LSH star-edge contract) must produce exactly the default's

@@ -74,6 +74,27 @@ def test_plan_construction_launches_no_jobs(spark, sf_dir):
     for name in TESTDATA_TABLES:
         load_table(spark, sf_dir, name)
 
+    # the gate's exemption class is a FROZEN whitelist: a new query (or
+    # a new tag on an old one) cannot silently opt out of the no-jobs
+    # gate — widening the set is a reviewed edit of this literal
+    expected_iterative = {
+        "ext_ann_ivf_kmeans", "ext_ann_ivf_retrain", "ext_ann_ivf_search",
+        "ext_ann_ivfpq", "ext_ann_ivfpq_rerank", "ext_ann_ivfpq_residual",
+        "ext_ann_pq", "ext_bpe_encode", "ext_bpe_fertility",
+        "ext_bpe_merges", "ext_cluster_safe_split", "ext_corpus_prep",
+        "ext_d4_select", "ext_dedup_keep_best", "ext_dedup_keep_list",
+        "ext_index_health", "ext_ingest_pipeline", "ext_ivf_cell_balance",
+        "ext_linear_probe", "ext_minhash_clusters",
+        # r16: per-stage eager checkpoints cut the composed plan's
+        # superlinear Catalyst analysis (VERDICT r15 item 8 decision)
+        "ext_mixture_full",
+        "ext_prototypicality", "ext_semantic_dedup",
+        "ext_semantic_dedup_probe2", "ext_shard_apply",
+        "ext_supplier_pagerank", "ext_tokenized_pack",
+    }
+    tagged = {n for n, s in SPECS.items() if "iterative" in s.tags}
+    assert tagged == expected_iterative, tagged ^ expected_iterative
+
     sc = spark.sparkContext
     group = "plan-build-hygiene"
     sc.setJobGroup(group, "plan construction must be lazy")
@@ -514,12 +535,18 @@ def test_fan_narrow_scale_adaptive(spark, sf_dir):
     finally:
         sc.setJobGroup("", "")
 
-    # single-row-group local parquet: fans out to the session's cores
-    assert docs.rdd.getNumPartitions() < target
-    assert fanned.rdd.getNumPartitions() == target
-    # already-wide input: identity, not a new plan node
-    assert fan_narrow(fanned) is fanned
-    # values unchanged (hash-repartition only moves rows)
+    # values unchanged (hash-repartition only moves rows) and the
+    # already-wide no-op — both hold regardless of the runner's shape
     a = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
     b = sorted(r["doc_id"] for r in fanned.select("doc_id").collect())
     assert a == b
+    assert fan_narrow(fanned) is fanned
+    # the fan-out assertion assumes a narrow-split source on a multi-
+    # core session — on a 1-core runner (target=1) or multi-row-group
+    # testdata the premise is false, not the contract broken
+    if docs.rdd.getNumPartitions() >= target:
+        import pytest
+
+        pytest.skip("source already carries >= defaultParallelism splits")
+    # single-row-group local parquet: fans out to the session's cores
+    assert fanned.rdd.getNumPartitions() == target

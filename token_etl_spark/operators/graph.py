@@ -48,7 +48,25 @@ def connected_components(
     already distinct with ``src < dst`` per row (the LSH star-edge /
     verified-candidate contract): the symmetrized edge union then
     cannot contain duplicates, and the edge-dedup ``distinct()`` — one
-    full shuffle of the edge set — is skipped outright."""
+    full shuffle of the edge set — is skipped outright.
+
+    Round 1 runs the neighbor-min hop WITHOUT the pointer-doubling
+    join: dedup graphs (LSH stars) are at the fixpoint after the init
+    labels already, so round 1 exists only to CONFIRM convergence, and
+    the doubling join (one full label shuffle by component + one by id)
+    never pays off there. The fixpoint is join-order independent —
+    hop-stability alone implies labels are constant per component and
+    equal to the component min (labels only take node-id values and
+    never increase) — so skipping doubling changes the round count on
+    deep chains only, never the result; rounds ≥ 2 keep doubling, so a
+    diameter-d chain still converges in 1 + O(log d) rounds.
+
+    If the iteration cap is hit with changes still flowing (probe mode
+    only), the call RAISES instead of returning unconverged labels —
+    every caller derives keep/representative decisions from the
+    component == min-id contract, which only holds at the fixpoint.
+    ``probe_every=0`` keeps the documented pure fixed-iteration mode
+    (no probes, no guard, caller owns the contract)."""
     # The union below references ``pairs`` TWICE (u→v and v→u): without a
     # cut, the caller's whole pair-production plan — for the LSH callers
     # that is shingle → signature → band → window → Jaccard verify —
@@ -93,18 +111,25 @@ def connected_components(
             ).alias("component"),
             F.col("component").alias("_prev"),
         )
-        # pointer doubling: component ← component's component (turns
-        # O(diameter) rounds into O(log diameter))
-        parent = labels.select(
-            F.col("id").alias("cid"), F.col("component").alias("cc")
-        )
-        doubled = hopped.join(parent, hopped.component == parent.cid, "left").select(
-            "id",
-            F.least(F.col("component"), F.coalesce(F.col("cc"), F.col("component"))).alias(
-                "component"
-            ),
-            "_prev",
-        )
+        if it == 0:
+            # no pointer doubling in round 1: dedup star graphs are at
+            # the fixpoint after init, so round 1 only confirms
+            # convergence and the doubling join is two wasted label
+            # shuffles per CC call (docstring; fixpoint unaffected)
+            doubled = hopped
+        else:
+            # pointer doubling: component ← component's component (turns
+            # O(diameter) rounds into O(log diameter))
+            parent = labels.select(
+                F.col("id").alias("cid"), F.col("component").alias("cc")
+            )
+            doubled = hopped.join(parent, hopped.component == parent.cid, "left").select(
+                "id",
+                F.least(F.col("component"), F.coalesce(F.col("cc"), F.col("component"))).alias(
+                    "component"
+                ),
+                "_prev",
+            )
         # localCheckpoint truncates lineage — without it each round's plan
         # nests the previous one and planning time grows without bound.
         # The checkpoint carries the round's own change flag so the
@@ -118,6 +143,19 @@ def connected_components(
             if changed == 0:
                 return new_labels.select("id", "component")
         labels = new_labels.select("id", "component")
+    if probe_every and max_iterations > 0:
+        # cap exit with probing on: labels may not have converged, and
+        # every caller's keep/representative rule assumes the fixpoint
+        # (component == cluster-min id) — fail loudly instead of
+        # silently mislabeling. A limit-1 narrow scan of the final
+        # round's checkpoint blocks; runs ONLY on the cap-hit path.
+        if new_labels.where(F.col("_changed")).limit(1).count() > 0:
+            raise RuntimeError(
+                f"connected_components hit max_iterations={max_iterations} "
+                "without converging; raise max_iterations (the component ="
+                " min-id contract every keep-list rule relies on holds only"
+                " at the fixpoint)"
+            )
     return labels
 
 

@@ -152,16 +152,42 @@ def hourly_rollup_hll(
     hour = hour_bucket(F.unix_timestamp(F.col(ts_col)))
     base = events.select(hour.alias("hour_ts"), *key_cols, item_col)
     regs = hll_registers(base, item_col, ("hour_ts", *key_cols), m=m)
-    wm = F.map_from_entries(
-        F.sort_array(F.collect_list(F.struct("bucket", "m_j")))
-    ).alias("wm")
-    dense = F.transform(
-        F.sequence(F.lit(0).cast("long"), F.lit(m - 1).cast("long")),
-        lambda b: F.coalesce(F.element_at(F.col("wm"), b), F.lit(0)).cast("int"),
+    # Densify by SCATTERING the bucket-sorted sparse entries into their
+    # zero-gaps: each entry contributes (zero-run, value), plus one
+    # trailing zero-run — O(n + m) per group. The previous form probed a
+    # map once per register slot, and Spark's ArrayBasedMapData lookup
+    # is a LINEAR scan, i.e. m × O(n) interpreted comparisons per group
+    # (measured as the dominant term of the serial post-shuffle task in
+    # this rollup's plan — OPTIMIZATION_r16.md). Same dense array
+    # bit-for-bit: buckets are distinct per group and sorted, so the
+    # scatter reproduces coalesce(map[b], 0) for every b in 0..m-1.
+    entries = F.sort_array(F.collect_list(F.struct("bucket", "m_j"))).alias("_ent")
+    ent = F.col("_ent")
+    n = F.size(ent)
+    runs = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat(
+            F.array_repeat(
+                F.lit(0),
+                (
+                    F.element_at(ent, i).getField("bucket")
+                    - F.when(i == 1, F.lit(-1).cast("long")).otherwise(
+                        F.element_at(ent, i - 1).getField("bucket")
+                    )
+                    - F.lit(1)
+                ).cast("int"),
+            ),
+            F.array(F.element_at(ent, i).getField("m_j")),
+        ),
     )
+    tail = F.array_repeat(
+        F.lit(0),
+        (F.lit(m - 1) - F.element_at(ent, n).getField("bucket")).cast("int"),
+    )
+    dense = F.concat(F.flatten(runs), tail)
     return (
         regs.groupBy("hour_ts", *key_cols)
-        .agg(wm)
+        .agg(entries)
         .select("hour_ts", *key_cols, dense.alias("hll_regs"))
     )
 
@@ -171,21 +197,27 @@ def merge_hll_rollups(
 ) -> DataFrame:
     """Cell-wise max of register arrays across shards: exact for any
     partition of the events (max is insensitive to how duplicates are
-    split — the HLL merge law, pinned in tests)."""
-    exploded = (
+    split — the HLL merge law, pinned in tests).
+
+    The max runs as a per-group ``zip_with`` fold over the collected
+    register arrays (one union, ONE shuffle keyed on the group — the
+    rows are already the dense fixed-size arrays). The previous form
+    posexploded every register slot (m rows per input row), shuffled
+    and max-aggregated (group × m) keys, then re-collected and re-sorted
+    each group's m slots — m× the shuffled rows and an O(m log m)
+    interpreted reassembly per group, for the same element-wise ints
+    (same dense contract, bit-identical output)."""
+    stacked = (
         a.unionByName(b)
-        .select("hour_ts", *key_cols, F.posexplode("hll_regs").alias("pos", "r"))
-        .groupBy("hour_ts", *key_cols, "pos")
-        .agg(F.max("r").alias("r"))
+        .groupBy("hour_ts", *key_cols)
+        .agg(F.collect_list("hll_regs").alias("_regs"))
     )
-    rebuilt = F.transform(
-        F.array_sort(F.collect_list(F.struct("pos", "r"))),
-        lambda s: s.getField("r"),
+    merged = F.aggregate(
+        F.slice(F.col("_regs"), 2, F.greatest(F.size("_regs") - 1, F.lit(0))),
+        F.element_at(F.col("_regs"), 1),
+        lambda acc, x: F.zip_with(acc, x, lambda l, r: F.greatest(l, r)),
     )
-    return (
-        exploded.groupBy("hour_ts", *key_cols)
-        .agg(rebuilt.alias("hll_regs"))
-    )
+    return stacked.select("hour_ts", *key_cols, merged.alias("hll_regs"))
 
 
 def hll_ln_table(m: int = 256) -> list[float]:

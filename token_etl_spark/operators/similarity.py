@@ -624,6 +624,14 @@ def _assign_to_centroids(
     )
 
 
+#: Lloyd rounds between eager lineage-truncating checkpoints on the
+#: declarative assignment path (the Arrow path stays at 1 — it collects
+#: the centroid table per round). 4 bounds plan nesting while cutting
+#: the per-round driver barrier + block write (VERDICT r15 item 4);
+#: tests pin that the cadence does not change the trained centroids.
+_KMEANS_CKPT_EVERY = 4
+
+
 def spherical_kmeans(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -664,7 +672,21 @@ def spherical_kmeans(
             F.col("cv").alias("centroid_vec"),
         )
     )
-    for _ in range(n_iters):
+    # Checkpoint cadence (guide §2.6 / VERDICT r15 item 4): the eager
+    # per-round checkpoint serialized one driver barrier + block write
+    # per Lloyd round, but its only job is lineage truncation — each
+    # round references the previous centroids ONCE (the broadcast-fold
+    # agg), so nesting a few rounds into one plan is linear, not
+    # exponential, and one eager cut per K rounds (always on the last)
+    # materializes the same values with K× fewer barriers. The Arrow
+    # assignment twin COLLECTS the centroid table at round start, so at
+    # n_centroids >= _ARROW_ASSIGN_MIN every round keeps its checkpoint
+    # (an uncut chain would recompute all prior rounds per collect).
+    # Bit-identical either way: the checkpoint is semantics-free and the
+    # plan shapes/partitioning under the aggregations are unchanged
+    # (pinned in tests/test_similarity.py).
+    ckpt_every = 1 if n_centroids >= _ARROW_ASSIGN_MIN else _KMEANS_CKPT_EVERY
+    for it in range(n_iters):
         assigned = _assign_to_centroids(
             base,
             cents.select("centroid_id", "centroid_vec"),
@@ -674,8 +696,9 @@ def spherical_kmeans(
             lloyd_refine(assigned)
             .withColumnRenamed("centroid_vec", "centroid_mean")
             .withColumn("centroid_vec", l2_normalize(F.col("centroid_mean")))
-            .localCheckpoint(eager=True)
         )
+        if (it + 1) % ckpt_every == 0 or it == n_iters - 1:
+            cents = cents.localCheckpoint(eager=True)
     if not keep_means:
         return cents.select("centroid_id", "centroid_vec")
     if n_iters == 0:

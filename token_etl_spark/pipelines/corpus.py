@@ -25,18 +25,15 @@ from token_etl_spark.operators.text import line_dedup, quality_stats, token_esti
 
 
 def _fan_out(df: DataFrame) -> DataFrame:
-    """Repartition a narrow-split frame to the session's default
-    parallelism by ``doc_id`` hash — identity when the frame already
-    has that many partitions. Results are partitioning-invariant
-    everywhere this is used (every downstream aggregate/window orders
-    explicitly), so this changes execution shape only: the local bench
-    exercises the same parallel per-tier layout a cluster read gets
-    for free from its many input splits (VERDICT r13 item 4)."""
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target, "doc_id")
+    """Delegates to ``plans.base.fan_narrow`` keyed on ``doc_id`` so the
+    scale-adaptive fan rule (and its no-op / no-job contract, pinned in
+    tests/test_plan_hygiene.py) lives in ONE place — this wrapper exists
+    only for the deferred import (plans → pipelines is the package's
+    import direction; importing plans.base at module level here would
+    cycle through plans.registry back into this module)."""
+    from token_etl_spark.plans.base import fan_narrow
+
+    return fan_narrow(df, key="doc_id")
 
 
 def prepare_corpus(
@@ -148,11 +145,11 @@ def prepare_corpus(
         # extraction, the gates, and quality scoring the multi-task
         # shape the 100 TB claim relies on; a NO-OP whenever the input
         # already carries enough splits (any real large-corpus read).
-        # Deliberately extraction-gated: on a PLAIN corpus the pre-dedup
-        # tiers are cheap and the dedup stages shuffle anyway, so the
-        # added exchange was a measured small loss there (r14 A/B:
-        # ext_corpus_prep 6.5→7.4 s) against a clear win here
-        # (ext_ingest_pipeline 24.1→21.8 s).
+        # The in-pipeline fan stays extraction-gated only to avoid a
+        # REDUNDANT second exchange: since r15 the plain corpus path is
+        # fanned at the plan declaration instead (plans/extensions.py
+        # q_corpus_prep, a measured −0.73 s win there), and fan_narrow
+        # is a no-op on an input that already arrives fanned.
         docs = _fan_out(docs)
         from token_etl_spark.operators.text import extract_html_text
 

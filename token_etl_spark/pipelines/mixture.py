@@ -52,6 +52,7 @@ def build_mixture(
     pack_budget: int = 2048,
     n_shards: int = 256,
     cache_stages: bool = True,
+    checkpoint_stages: bool = False,
 ) -> DataFrame:
     """documents(doc_id, source, text, ...) → mixture manifest.
 
@@ -89,8 +90,23 @@ def build_mixture(
     Lifecycle: the cached blocks live until the session drops them —
     a long-running service should pass False and persist stage outputs
     to parquet between pipelines instead (the 100 TB guidance above).
+
+    ``checkpoint_stages=True`` upgrades each stage cut from a lazy
+    ``persist`` to an EAGER ``localCheckpoint``: the composed five-stage
+    logical plan was measured to cost more in Catalyst ANALYSIS than in
+    execution (ext_mixture_full: ~3 s driver gap before the first job vs
+    ~0.2 s of query work at sf0.1 — plan-analysis cost grows
+    superlinearly with plan depth), and a checkpoint truncates the plan
+    at each stage boundary so every stage is analyzed against an
+    RDD-scan root instead of the full upstream tree. Identical rows
+    (a checkpoint is semantics-free); the trade is jobs AT BUILD time,
+    so a declared query using it must carry the ``iterative`` tag
+    (the plan-hygiene gate's exemption class — ext_mixture_full does).
     """
-    cut = (lambda df: df.persist()) if cache_stages else (lambda df: df)
+    if checkpoint_stages:
+        cut = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
+    else:
+        cut = (lambda df: df.persist()) if cache_stages else (lambda df: df)
     out = docs
     if decisions is not None:
         keep = decisions.where(F.col("keep")).select("doc_id")

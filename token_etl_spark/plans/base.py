@@ -54,8 +54,18 @@ def fan_narrow(df: DataFrame, key: str | None = None) -> DataFrame:
     shingling, hashing, vector folds) of a query runs single-task while
     31 cores idle. Partitioning is by ``key`` (default: first column),
     so results are invariant — every consumer aggregates, joins, or
-    windows on explicit keys. ``df.rdd.getNumPartitions()`` on a
-    scan-only frame launches no job (plan-build hygiene holds; pinned by
+    windows on explicit keys.
+
+    PRECONDITION (job-free plan build): the input must be shuffle-free
+    above its scan — a bare ``load_table`` read plus narrow
+    projections/filters. The split probe ``df.rdd.getNumPartitions()``
+    launches no job only for such frames; under AQE, calling it on a
+    frame with a pending upstream shuffle (including an earlier
+    ``fan_narrow``'s own exchange) MATERIALIZES that shuffle's map
+    stage — a job at plan-build time, breaking the no-jobs-at-build
+    gate. Callers on already-eager paths (e.g. ``prepare_corpus``,
+    which runs jobs at build regardless) may ignore this; declared
+    job-free plans must not (pinned for the scan case by
     tests/test_plan_hygiene.py)."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism

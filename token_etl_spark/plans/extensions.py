@@ -1330,10 +1330,16 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose accumulation order is NOT pinned on either engine (Spark
     partition order, DuckDB group order), so centroid coordinates can in
     principle differ in the last ulp and flip a near-tie assignment or
-    rank. The sf sweep (0.001/0.01/0.1 in PERF.md + the local runner)
-    guards this empirically; if a mismatch ever appears, pin summation
-    order on both sides (sum over list(v ORDER BY vec_id) / count) as
-    q_array_ops does with its fold."""
+    rank. The ``fan_narrow`` below widens that exposure: fanning the
+    embeddings source changes the partition layout and therefore the
+    fold order relative to the unfanned plan (equivalence pinned
+    bit-exactly at sf0.01/sf0.1 in the r15 fan validation — an
+    environment with a different core count or split layout re-rolls
+    that dice). The sf sweep (0.001/0.01/0.1 in PERF.md + the local
+    runner) guards this empirically; if a mismatch ever appears, pin
+    summation order on both sides (sum over list(v ORDER BY vec_id) /
+    count) as q_array_ops does with its fold — expected-drift class,
+    not an engine bug."""
     emb = fan_narrow(t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 5)
     out = S.ivf_topk(

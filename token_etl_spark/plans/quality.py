@@ -1628,7 +1628,13 @@ def q_mixture_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned bucket-order double fold (selection orders on the UNROUNDED
     score — bit-reproducible because every op is exactly-rounded IEEE,
     the same contract ext_importance_weights verifies), then the
-    manifest tail verbatim."""
+    manifest tail verbatim.
+
+    Runs with ``checkpoint_stages=True`` (and is tagged ``iterative``
+    accordingly): the five-stage composed plan cost ~3 s of Catalyst
+    ANALYSIS against ~0.2 s of execution at sf0.1 — per-stage eager
+    checkpoints truncate the plan so each stage analyzes against an
+    RDD root (identical rows; see build_mixture's docstring)."""
     from token_etl_spark.pipelines.mixture import build_mixture
 
     docs = t(spark, sf_dir, "documents")
@@ -1643,6 +1649,7 @@ def q_mixture_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         weights=_UP_WEIGHTS,
         pack_budget=_MIX_PACK,
         n_shards=_MIX_SHARDS,
+        checkpoint_stages=True,
     )
 
 
@@ -1795,7 +1802,7 @@ MIX_SPECS = [
     QuerySpec("ext_shard_apply", q_shard_apply, SQL_SHARD_APPLY, ("curation", "window", "sink", "iterative")),
     QuerySpec("ext_epoch_upsample", q_epoch_upsample, SQL_EPOCH_UPSAMPLE, ("curation",)),
     QuerySpec("ext_mixture_manifest", q_mixture_manifest, SQL_MIXTURE_MANIFEST, ("curation", "pipeline", "window")),
-    QuerySpec("ext_mixture_full", q_mixture_full, SQL_MIXTURE_FULL, ("curation", "pipeline", "window", "sketch")),
+    QuerySpec("ext_mixture_full", q_mixture_full, SQL_MIXTURE_FULL, ("curation", "pipeline", "window", "sketch", "iterative")),
     QuerySpec("ext_bpe_merges", q_bpe_merges, SQL_BPE_MERGES, ("text", "tokenizer", "iterative")),
     QuerySpec("ext_bpe_encode", q_bpe_encode, SQL_BPE_ENCODE, ("text", "tokenizer", "iterative")),
     QuerySpec("ext_tokenized_pack", q_tokenized_pack, SQL_TOKENIZED_PACK, ("text", "tokenizer", "curation", "window", "iterative")),
