@@ -1187,7 +1187,12 @@ def q_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         gopher_repetition_filter,
     )
 
-    docs = t(spark, sf_dir, "documents")
+    # fan the narrow-split source before the per-row tiers (guide §2.2;
+    # r16): the declared-tree recompute re-expands the extraction regex
+    # chain under each text-bearing branch, and on a single-split local
+    # read every expansion ran as ONE task (profiled 1.9/5.2/2.4 s
+    # serial stages) while 31 cores idled; a no-op on multi-split reads
+    docs = fan_narrow(t(spark, sf_dir, "documents"))
     frame = docs.select(
         "doc_id", _html_synth().alias("text"), _url_synth().alias("url")
     )
