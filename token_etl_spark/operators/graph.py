@@ -67,28 +67,34 @@ def connected_components(
     component == min-id contract, which only holds at the fixpoint.
     ``probe_every=0`` keeps the documented pure fixed-iteration mode
     (no probes, no guard, caller owns the contract)."""
-    # The union below references ``pairs`` TWICE (u→v and v→u): without a
-    # cut, the caller's whole pair-production plan — for the LSH callers
-    # that is shingle → signature → band → window → Jaccard verify —
-    # executes once per branch inside the first eager job (measured: the
-    # near-dup eager build at sf0.1 spent 10.5 s here, ~2× the 5 s the
-    # chain costs once). EAGER, not lazy: under AQE a lazy checkpoint
-    # materializes the upstream shuffle stages at the call but DEFERS the
-    # pair plan's final stage, and the union's two branches then compile
-    # into two separate AQE stages that each recompute that final stage
-    # (the block cache dedupes only within a task) — measured as paired
-    # ~0.6 s duplicate stages on the sf0.1 ingest chain; eager runs the
-    # final stage exactly once and the branches read stored blocks.
-    pairs = pairs.localCheckpoint(eager=True)
-    edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
-        pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    )
+    # Symmetrize (u→v and v→u) with a per-row explode INSIDE the one
+    # eager checkpoint, instead of checkpointing the pairs and unioning
+    # two reads of the blocks. History: referencing the caller's pair
+    # plan twice without a cut executed the whole LSH+verify chain once
+    # per branch (measured 10.5 s vs 5 s on the sf0.1 ingest chain);
+    # the r15 fix checkpointed the PAIRS and built the union over the
+    # blocks — one job, but every round then re-read the blocks twice
+    # and the union doubled the round-1 exchange-map task count (64
+    # tasks over 32 block splits). Folding the explode into the
+    # checkpoint keeps the single eager job, stores the edge set once
+    # in its final symmetric form, and every round reads it once.
+    # EAGER, not lazy: under AQE a lazy checkpoint materializes the
+    # upstream shuffle stages at the call but DEFERS the final stage,
+    # which then recompiles per consumer (the r15 finding).
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v").localCheckpoint(eager=True)
     if not pairs_ordered_distinct:
         # the dedup shuffle must not re-run per round — cut it once
         edges = edges.distinct().localCheckpoint(eager=True)
-    # else: edges is a NARROW union over the pairs checkpoint blocks —
-    # recomputing it per round is two block reads, strictly cheaper than
-    # materializing a second copy of the edge set (one job + 2× blocks).
+    # else: the checkpoint above already holds the symmetrized edge set
+    # in its final form (distinct by the caller's ordered-pair contract);
+    # every round reads those blocks once, narrowly.
     labels = edges.groupBy("u").agg(F.min("v").alias("component")).select(
         F.col("u").alias("id"), F.least("component", F.col("u")).alias("component")
     )
