@@ -1187,7 +1187,15 @@ def q_shard_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     man = C.shard_manifest(kept)
     for _ in range(3):
-        man = C.merge_min_pair(man, tokens_per_shard=150)
+        # per-turn eager cut (r16): each merge layer re-nests the
+        # previous turn's window/broadcast/union subtrees, and Catalyst
+        # analysis of the 3-deep composition cost ~4.6 s of driver gap
+        # against <1 s of execution (UI-REST probe). The manifest is
+        # shard-cardinality (tiny); the row is iterative-tagged, so
+        # jobs at build are its declared class. Identical rows.
+        man = C.merge_min_pair(man, tokens_per_shard=150).localCheckpoint(
+            eager=True
+        )
     return man
 
 
