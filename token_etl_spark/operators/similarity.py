@@ -1761,7 +1761,12 @@ def pq_train(
         )
         .select("sub", "code_id", F.col("sv").alias("code_vec"))
     )
-    for _ in range(n_iters):
+    # checkpoint cadence: same rule as spherical_kmeans — each round
+    # references the previous codebook once (the _pq_assign broadcast
+    # agg), so lineage nests linearly and one eager cut per
+    # _KMEANS_CKPT_EVERY rounds (always the last) saves a driver
+    # barrier + block write per skipped round, bit-identically
+    for it in range(n_iters):
         assigned = _pq_assign(sub, cents)
         cents = (
             assigned.select("sub", "code_id", F.posexplode("sv").alias("pos", "x"))
@@ -1774,8 +1779,9 @@ def pq_train(
                     lambda s: s.getField("mu"),
                 ).alias("code_vec")
             )
-            .localCheckpoint(eager=True)
         )
+        if (it + 1) % _KMEANS_CKPT_EVERY == 0 or it == n_iters - 1:
+            cents = cents.localCheckpoint(eager=True)
     return cents
 
 
@@ -2175,7 +2181,8 @@ def ivfpq_residual_topk(
             "vec_id",
         ).select("sub", "code_id", F.col("sv").alias("code_vec"))
     )
-    for _ in range(pq_iters):
+    # same checkpoint cadence as pq_train (one reference per round)
+    for it in range(pq_iters):
         assigned = _pq_assign(rsub.select("vec_id", "sub", "sv"), cents)
         cents = (
             assigned.select("sub", "code_id", F.posexplode("sv").alias("pos", "x"))
@@ -2188,8 +2195,9 @@ def ivfpq_residual_topk(
                     lambda s: s.getField("mu"),
                 ).alias("code_vec")
             )
-            .localCheckpoint(eager=True)
         )
+        if (it + 1) % _KMEANS_CKPT_EVERY == 0 or it == pq_iters - 1:
+            cents = cents.localCheckpoint(eager=True)
     codes = (
         _pq_assign(rsub.select("vec_id", "sub", "sv"), cents)
         .groupBy("vec_id")
